@@ -1,0 +1,120 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.DocGraph
+import graft.core.DocGraph.Direction
+import graft.graph.ShortestPath
+import graft.model.DocRef
+import graft.pred.MongoPredicate.MongoQuery
+import graft.query.{RelQuery, RelQueryPlanner}
+
+/** Thin document-anchored facade mirroring the reference's Document API
+  * surface (method-for-method, /root/reference/src/extendDocument.coffee):
+  * every method returns a lazily-planned DataFrame, or (for mutations) a new
+  * immutable [[DocGraph]] — Spark's lazy DAG replaces the reference's
+  * callback chaining (/root/reference/src/processtools.coffee:17-50).
+  */
+final case class GraphDocument(g: DocGraph, ref: DocRef) {
+
+  private def q(types: Seq[String], dir: Direction,
+      endpoint: Option[DocRef] = None, where: RelWhere = RelWhere()): RelQuery =
+    RelQuery(types, dir, endpoint, where.relationship, where.document, where.collection)
+
+  // --- queries (G1-G7) --------------------------------------------------
+  def queryRelationships(types: Seq[String], query: RelQuery): DataFrame =
+    RelQueryPlanner.relationships(g, ref, query.copy(types = types))
+
+  def allRelationships(types: String = "*", where: RelWhere = RelWhere()): DataFrame =
+    RelQueryPlanner.relationships(g, ref, q(Seq(types), Direction.Both, None, where))
+
+  def incomingRelationships(types: String = "*", where: RelWhere = RelWhere()): DataFrame =
+    RelQueryPlanner.relationships(g, ref, q(Seq(types), Direction.Incoming, None, where))
+
+  def outgoingRelationships(types: String = "*", where: RelWhere = RelWhere()): DataFrame =
+    RelQueryPlanner.relationships(g, ref, q(Seq(types), Direction.Outgoing, None, where))
+
+  def allRelationshipsBetween(other: DocRef, types: String = "*",
+      where: RelWhere = RelWhere()): DataFrame =
+    RelQueryPlanner.relationships(g, ref, q(Seq(types), Direction.Both, Some(other), where))
+
+  def incomingRelationshipsFrom(other: DocRef, types: String = "*",
+      where: RelWhere = RelWhere()): DataFrame =
+    RelQueryPlanner.relationships(g, ref, q(Seq(types), Direction.Incoming, Some(other), where))
+
+  def outgoingRelationshipsTo(other: DocRef, types: String = "*",
+      where: RelWhere = RelWhere()): DataFrame =
+    RelQueryPlanner.relationships(g, ref, q(Seq(types), Direction.Outgoing, Some(other), where))
+
+  // --- counts (A1/A2) ---------------------------------------------------
+  def countRelationships(types: String = "*", dir: Direction = Direction.Both,
+      part: String = "r", distinct: Boolean = false): DataFrame =
+    RelQueryPlanner.relCount(g, ref, RelQuery(Seq(types), dir), part, distinct)
+
+  // --- mutations (G8-G15) — pure transforms returning a new graph --------
+  def createRelationshipTo(other: DocRef, relType: String,
+      props: Map[String, String] = Map.empty): DocGraph =
+    g.createRelationship(ref, other, relType, props)
+
+  def createRelationshipFrom(other: DocRef, relType: String,
+      props: Map[String, String] = Map.empty): DocGraph =
+    g.createRelationship(other, ref, relType, props)
+
+  def createRelationshipBetween(other: DocRef, relType: String,
+      props: Map[String, String] = Map.empty): DocGraph =
+    g.createRelationshipBetween(ref, other, relType, props)
+
+  def removeRelationshipsTo(other: DocRef, relType: String): DocGraph =
+    g.removeRelationships(ref, Seq(relType), Direction.Outgoing, Some(other))
+
+  def removeRelationshipsFrom(other: DocRef, relType: String): DocGraph =
+    g.removeRelationships(ref, Seq(relType), Direction.Incoming, Some(other))
+
+  def removeRelationshipsBetween(other: DocRef, relType: String): DocGraph =
+    g.removeRelationships(ref, Seq(relType), Direction.Both, Some(other))
+
+  def removeRelationships(relType: String): DocGraph =
+    g.removeRelationships(ref, Seq(relType), Direction.Both, None)
+
+  def removeNode(): DocGraph = {
+    import g.spark.implicits._
+    g.removeDocuments(ref.collection, Seq(ref.id).toDF("_id"))
+  }
+
+  // --- node-side (S5-S9) --------------------------------------------------
+  def findCorrespondingNode(): DataFrame = g.findCorrespondingNode(ref)
+  def getNode(): DataFrame = findCorrespondingNode()
+  def getDocument(): DataFrame = g.getDocument(ref)
+
+  // --- paths (G16) --------------------------------------------------------
+  def shortestPathTo(other: DocRef, types: String = "*",
+      whereDocument: Option[MongoQuery] = None): DataFrame =
+    ShortestPath.shortestPathTo(g, ref, other,
+      Seq(types), whereDocument)
+
+  // --- adjacency materialization (G19) -------------------------------------
+  def applyGraphRelationships(types: String = "*"): DataFrame =
+    RelQueryPlanner.applyGraphRelationships(g, ref.collection, Seq(types))
+}
+
+/** Bundle of the reference's `where`/`collection` query options
+  * (`where.relationship` raw expression P3, `where.document` Mongo query P2,
+  * `options.collection` P4). */
+final case class RelWhere(
+    relationship: Option[String] = None,
+    document: Option[MongoQuery] = None,
+    collection: Option[String] = None)
+
+/** G17 `queryGraph` escape hatch: raw queries over registered temp views.
+  * Dialect change from the reference is intentional and documented — Cypher
+  * → Spark SQL (/root/reference/src/extendDocument.coffee:253-256). */
+object GraphSession {
+  /** Register the graph's tables (`edges`, `nodes`, every collection) as
+    * temp views and run a raw Spark-SQL query. */
+  def queryGraph(g: DocGraph, sql: String): DataFrame = {
+    g.edges.createOrReplaceTempView("edges")
+    g.nodes.createOrReplaceTempView("nodes")
+    g.collections.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    g.spark.sql(sql)
+  }
+}

@@ -1,0 +1,263 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{DocRef, GraphSchema}
+
+/** The dual data model: document collections + a property-graph overlay.
+  *
+  * Reference semantics (pstaender/mongraph): every document has a
+  * corresponding graph node carrying `{_id, _collection}` plus a
+  * dot-flattened projection of its `graph: true` fields
+  * (/root/reference/src/extendDocument.coffee:176-184, :368-387); typed,
+  * directed relationships carry `_from`/`_to` `"collection:id"` provenance
+  * and a `_created_at` unix-seconds stamp
+  * (/root/reference/src/extendDocument.coffee:220-225).
+  *
+  * Spark-first re-expression: the graph is two derived DataFrames —
+  * `nodes` is a *pure projection* of the collections (never stored, never
+  * synced; the reference's save/remove hooks S2/S3 disappear by
+  * construction), and `edges` is an explicit append-only DataFrame whose
+  * "mutations" are pure transforms (`union` to create, `left_anti`/filter
+  * to delete) returning a new [[DocGraph]].
+  *
+  * Scale posture (100 TB): all joins key on the `_from`/`_to` provenance
+  * strings (equivalently `_collection`/`_id` pairs) — the denormalization the
+  * reference chose precisely to avoid extra node lookups
+  * (/root/reference/src/extendDocument.coffee:216-222) means 1-hop queries
+  * never touch a node table at all. Edge scans filter on `rel_type` /
+  * endpoint keys first so Parquet row-group pruning and AQE see selective
+  * predicates; per-anchor lookups broadcast the (tiny) anchor side rather
+  * than shuffling the edge corpus. Node ids are deterministic `xxhash64`
+  * values — no driver-side id assignment, no global sequence bottleneck.
+  */
+final class DocGraph(
+    val spark: SparkSession,
+    val collections: Map[String, DataFrame],
+    val schemas: Map[String, GraphSchema],
+    val edges: DataFrame,
+    val clock: Long = DocGraph.DefaultClock) {
+
+  import DocGraph._
+
+  def schemaOf(collection: String): GraphSchema =
+    schemas.getOrElse(collection, GraphSchema(collection))
+
+  def collection(name: String): DataFrame =
+    collections.getOrElse(name, sys.error(s"unknown collection: $name"))
+
+  /** Guard mirroring the reference's per-schema `graphability` switch —
+    * every graph operator refuses for non-graphable collections
+    * (/root/reference/src/extendDocument.coffee:65,126,210,334,354,414). */
+  def requireGraphable(collection: String): Unit =
+    require(schemaOf(collection).graphability,
+      s"collection '$collection' has graphability disabled")
+
+  // ---------------------------------------------------------------- nodes
+
+  /** P1 `dataForNode`: the dot-flattened `graph: true` projection of one
+    * collection (/root/reference/src/extendDocument.coffee:368-387).
+    * Output: `_id`, `_collection`, `props: Map[String,String]`; values are
+    * stringified, `null`-valued entries dropped (the reference deletes node
+    * keys whose document value became undefined,
+    * /root/reference/src/mongraphMongoosePlugin.coffee:51-54). */
+  def dataForNode(collectionName: String): DataFrame = {
+    requireGraphable(collectionName)
+    val df = collection(collectionName)
+    val fields = schemaOf(collectionName).graphFields
+    val entries = fields.map { path =>
+      struct(lit(path).as("key"),
+        df.col(path).cast(StringType).as("value"))
+    }
+    val propsCol =
+      if (entries.isEmpty) map().cast(MapType(StringType, StringType))
+      else map_from_entries(
+        filter(array(entries: _*), e => e.getField("value").isNotNull))
+    df.select(
+      df.col("_id").cast(StringType).as("_id"),
+      lit(collectionName).as("_collection"),
+      propsCol.as("props"))
+  }
+
+  /** The node overlay: one row per document of every graphable collection.
+    * Derived, never materialized — `.cache()` it explicitly if a workload
+    * re-reads it. `_node_id` is a deterministic hash of the canonical key,
+    * so it is stable across runs and needs no coordination at scale. */
+  def nodes: DataFrame = {
+    val parts = collections.keys.toSeq.sorted
+      .filter(schemaOf(_).graphability)
+      .map(dataForNode)
+    require(parts.nonEmpty, "no graphable collections")
+    parts.reduce(_.unionByName(_))
+      .withColumn("_node_id", xxhash64(concat_ws(":", col("_collection"), col("_id"))))
+      .select("_node_id", "_id", "_collection", "props")
+  }
+
+  /** S5/S8 point lookups — equi-filters on the projection. */
+  def findCorrespondingNode(ref: DocRef): DataFrame = {
+    requireGraphable(ref.collection)
+    dataForNode(ref.collection).filter(col("_id") === ref.id)
+  }
+
+  def getDocument(ref: DocRef): DataFrame =
+    collection(ref.collection).filter(col("_id").cast(StringType) === ref.id)
+
+  // ---------------------------------------------------------------- edges
+
+  /** G8-G10 as a batch transform: stamp and append typed edges.
+    *
+    * `pairs` must have `_from_collection,_from_id,_to_collection,_to_id`
+    * (string) columns and may have a `props: Map[String,String]` column.
+    * Stamps `_from`/`_to` provenance and `_created_at` from the injected
+    * [[clock]] (deterministic — the reference stamps wall-clock seconds,
+    * /root/reference/src/extendDocument.coffee:224-225, which would break
+    * oracle hashing). Returns a new graph; the input one is unchanged.
+    */
+  def createRelationships(relType: String, pairs: DataFrame): DocGraph = {
+    val withProps =
+      if (pairs.columns.contains("props")) pairs
+      else pairs.withColumn("props", emptyProps)
+    val newEdges = withProps.select(
+      concat_ws(":", col("_from_collection"), col("_from_id")).as("_from"),
+      concat_ws(":", col("_to_collection"), col("_to_id")).as("_to"),
+      lit(relType).as("rel_type"),
+      lit(clock).as("_created_at"),
+      col("props").cast(MapType(StringType, StringType)).as("props"))
+    withEdges(edges.unionByName(stampRelId(newEdges)))
+  }
+
+  /** Single-edge convenience (reference `createRelationshipTo`,
+    * /root/reference/src/extendDocument.coffee:208-235). */
+  def createRelationship(from: DocRef, to: DocRef, relType: String,
+      props: Map[String, String] = Map.empty): DocGraph = {
+    requireGraphable(from.collection); requireGraphable(to.collection)
+    import spark.implicits._
+    val pairs = Seq((from.collection, from.id, to.collection, to.id))
+      .toDF("_from_collection", "_from_id", "_to_collection", "_to_id")
+      .withColumn("props",
+        if (props.isEmpty) emptyProps
+        else map(props.toSeq.flatMap(kv => Seq(lit(kv._1), lit(kv._2))): _*))
+    createRelationships(relType, pairs)
+  }
+
+  /** G10: "bidirectional" = two directed edges, not one undirected edge
+    * (/root/reference/src/extendDocument.coffee:244-250). */
+  def createRelationshipBetween(a: DocRef, b: DocRef, relType: String,
+      props: Map[String, String] = Map.empty): DocGraph =
+    createRelationship(a, b, relType, props)
+      .createRelationship(b, a, relType, props)
+
+  /** G11-G14: deletes are pure transforms — keep the edges that do NOT
+    * match. `types` empty = any type; `endpoint` None = any other end;
+    * direction per [[Direction]]. */
+  def removeRelationships(anchor: DocRef, types: Seq[String] = Nil,
+      direction: Direction = Direction.Both,
+      endpoint: Option[DocRef] = None): DocGraph = {
+    requireGraphable(anchor.collection)
+    val matched = edgeMatch(anchor, types, direction, endpoint)
+    withEdges(edges.filter(!matched))
+  }
+
+  /** G15/S3: remove documents and their graph footprint. Edges touching a
+    * removed document are dropped via anti-join unless the collection opted
+    * out (`preRemove = false`,
+    * /root/reference/test/tests.coffee:319-344 "keyboards"). */
+  def removeDocuments(collectionName: String, ids: DataFrame): DocGraph = {
+    val idCol = ids.select(col(ids.columns.head).cast(StringType).as("_rm_id"))
+    val newColl = collection(collectionName)
+      .join(idCol, col("_id").cast(StringType) === col("_rm_id"), "left_anti")
+    val keys = idCol.select(
+      concat(lit(collectionName + ":"), col("_rm_id")).as("_rm_key"))
+    val newEdges =
+      if (!schemaOf(collectionName).preRemove) edges
+      else edges
+        .join(broadcast(keys), col("_from") === col("_rm_key"), "left_anti")
+        .join(broadcast(keys), col("_to") === col("_rm_key"), "left_anti")
+    new DocGraph(spark, collections.updated(collectionName, newColl),
+      schemas, newEdges, clock)
+  }
+
+  /** Edge predicate for one anchor document (no scan of the anchor side —
+    * a literal filter, pushdown-eligible). */
+  private[graft] def edgeMatch(anchor: DocRef, types: Seq[String],
+      direction: Direction, endpoint: Option[DocRef]): Column = {
+    val k = lit(anchor.key)
+    val dir = direction match {
+      case Direction.Outgoing => col("_from") === k &&
+        endpoint.map(e => col("_to") === lit(e.key)).getOrElse(lit(true))
+      case Direction.Incoming => col("_to") === k &&
+        endpoint.map(e => col("_from") === lit(e.key)).getOrElse(lit(true))
+      case Direction.Both =>
+        val out = col("_from") === k &&
+          endpoint.map(e => col("_to") === lit(e.key)).getOrElse(lit(true))
+        val in = col("_to") === k &&
+          endpoint.map(e => col("_from") === lit(e.key)).getOrElse(lit(true))
+        out || in
+    }
+    dir && typeFilter(types)
+  }
+
+  def withEdges(newEdges: DataFrame): DocGraph =
+    new DocGraph(spark, collections, schemas, newEdges, clock)
+
+  def withCollection(name: String, df: DataFrame,
+      schema: Option[GraphSchema] = None): DocGraph =
+    new DocGraph(spark, collections.updated(name, df),
+      schema.fold(schemas)(s => schemas.updated(name, s)), edges, clock)
+
+  private def emptyProps: Column =
+    map().cast(MapType(StringType, StringType))
+}
+
+object DocGraph {
+
+  /** Deterministic injected clock (unix seconds) — see §7.4 of SURVEY.md. */
+  val DefaultClock: Long = 1700000000L
+
+  /** Relationship-type filter (P7): empty/`*` = any; `"A|B"` Cypher
+    * alternation = membership (/root/reference/src/extendDocument.coffee:56,70-71). */
+  def typeFilter(types: Seq[String]): Column = {
+    val expanded = types.filterNot(t => t == null || t.isEmpty || t == "*")
+      .flatMap(_.split('|'))
+    if (expanded.isEmpty) lit(true)
+    else col("rel_type").isin(expanded: _*)
+  }
+
+  /** Canonical empty edges DataFrame. */
+  def emptyEdges(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema)
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("_rel_id", LongType),
+    StructField("_from", StringType),
+    StructField("_to", StringType),
+    StructField("rel_type", StringType),
+    StructField("_created_at", LongType),
+    StructField("props", MapType(StringType, StringType))))
+
+  /** Deterministic provenance hash for an edge row. Not a join key (joins
+    * use `_from`/`_to`); exact duplicates created in the same batch share
+    * an id, which is acceptable for provenance. */
+  private[core] def stampRelId(e: DataFrame): DataFrame =
+    e.withColumn("_rel_id",
+        xxhash64(col("_from"), col("_to"), col("rel_type"), col("_created_at")))
+      .select("_rel_id", "_from", "_to", "rel_type", "_created_at", "props")
+
+  /** Direction filter (P8) — `both`/`incoming`/`outgoing` arrow placement
+    * (/root/reference/src/extendDocument.coffee:72,103-104). */
+  sealed trait Direction
+  object Direction {
+    case object Incoming extends Direction
+    case object Outgoing extends Direction
+    case object Both extends Direction
+    def apply(s: String): Direction = s.toLowerCase match {
+      case "incoming" => Incoming
+      case "outgoing" => Outgoing
+      case "both" | "" => Both
+      case other => sys.error(s"unknown direction: $other")
+    }
+  }
+}

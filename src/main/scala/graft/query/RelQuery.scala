@@ -1,0 +1,170 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.core.DocGraph
+import graft.core.DocGraph.Direction
+import graft.model.DocRef
+import graft.pred.MongoPredicate
+import graft.pred.MongoPredicate.MongoQuery
+
+/** Declarative form of the reference's `queryRelationships` option struct
+  * (/root/reference/src/extendDocument.coffee:64-120) — the parametric 1-hop
+  * traversal every G-operator (G1-G7, G11-G14) compiles down to.
+  *
+  *   - `types`             — relationship-type filter (P7); empty/"*" = any,
+  *                           `"A|B"` alternation supported.
+  *   - `direction`         — incoming / outgoing / both (P8).
+  *   - `endpoint`          — constrain the far end to one document (J4,
+  *                           `allRelationshipsBetween`).
+  *   - `whereRelationship` — Spark-SQL expression over the edge alias `r`
+  *                           (P3; dialect change from Cypher is documented —
+  *                           e.g. `r.props['instrument'] = 'guitar'`).
+  *   - `whereDocument`     — Mongo query object applied to hydrated endpoint
+  *                           documents (P2), with the reference-document
+  *                           exemption (P5): the anchor itself always passes.
+  *   - `collection`        — restrict far-end hydration to one collection
+  *                           (P4); non-matching rows drop (inner-join strip
+  *                           semantics, P6).
+  */
+final case class RelQuery(
+    types: Seq[String] = Nil,
+    direction: Direction = Direction.Both,
+    endpoint: Option[DocRef] = None,
+    whereRelationship: Option[String] = None,
+    whereDocument: Option[MongoQuery] = None,
+    collection: Option[String] = None)
+
+/** The 1-hop planner: composes edge filters + the cross-model hydration join
+  * (J1/J2) into a single Catalyst plan. Replaces the reference's Cypher
+  * generation + N+1 client-side join
+  * (/root/reference/src/processtools.coffee:119-256) — the acknowledged N+1
+  * deficiency (`processtools.coffee:117`) disappears by construction because
+  * Spark joins are set-oriented.
+  *
+  * Scale notes: the anchor side of every join here is tiny (one document, or
+  * a user-supplied anchor set) and is broadcast; the edge scan carries
+  * literal equality predicates on `_from`/`_to`/`rel_type` that Parquet can
+  * prune on. Document hydration is a string-key equi-join that AQE will plan
+  * as broadcast or shuffled hash depending on actual sizes.
+  */
+object RelQueryPlanner {
+
+  /** Edge rows matching the query for one anchor document, before
+    * hydration. Output = edge schema + `other_key` (the far endpoint) +
+    * `anchor_key`. `direction=both` is the union of the outgoing and
+    * incoming matches, so a self-referencing pair correctly yields two rows
+    * (/root/reference/test/tests.coffee:523-531 multiplicity semantics). */
+  def matchEdges(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
+    g.requireGraphable(anchor.collection)
+    val e = g.edges.alias("r")
+    val base = e.filter(DocGraph.typeFilter(q.types))
+      .filter(q.whereRelationship.map(expr).getOrElse(lit(true)))
+    val k = lit(anchor.key)
+    def endFilter(c: String) =
+      q.endpoint.map(ep => col(c) === lit(ep.key)).getOrElse(lit(true))
+    val out = base.filter(col("_from") === k && endFilter("_to"))
+      .withColumn("other_key", col("_to"))
+    val in = base.filter(col("_to") === k && endFilter("_from"))
+      .withColumn("other_key", col("_from"))
+    val matched = q.direction match {
+      case Direction.Outgoing => out
+      case Direction.Incoming => in
+      case Direction.Both     => out.unionByName(in)
+    }
+    matched.withColumn("anchor_key", k)
+  }
+
+  /** Full 1-hop query with generic hydration: endpoint documents are
+    * attached as JSON strings (`from_doc`, `to_doc`), which keeps one
+    * uniform result schema across heterogeneous collections — the Spark
+    * analogue of the reference's dynamic result objects. Predicates and the
+    * collection filter are applied on the *typed* collection DataFrames
+    * before serialization, so they remain pushdown-eligible. */
+  def relationships(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
+    val matched = matchEdges(g, anchor, q)
+    val docs = hydrationSide(g, anchor, q)
+    matched
+      .join(docs.as("fd"), col("_from") === col("fd._doc_key"), "inner")
+      .join(docs.as("td"), col("_to") === col("td._doc_key"), "inner")
+      .select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
+        col("_created_at"), col("props"), col("anchor_key"), col("other_key"),
+        col("fd._doc_json").as("from_doc"), col("td._doc_json").as("to_doc"))
+  }
+
+  /** A1/A2 count pushdown: `part` ∈ r | * | b (other end) | a (anchor)
+    * (/root/reference/src/extendDocument.coffee:74-77). */
+  def relCount(g: DocGraph, anchor: DocRef, q: RelQuery, part: String = "r",
+      distinct: Boolean = false): DataFrame = {
+    val rels = relationships(g, anchor, q)
+    val target = part match {
+      case "r" | "*" => col("_rel_id")
+      case "b"       => col("other_key")
+      case "a"       => col("anchor_key")
+      case other     => sys.error(s"unknown count part: $other")
+    }
+    if (distinct) rels.agg(countDistinct(target).as(s"count_$part"))
+    else rels.agg(count(target).as(s"count_$part"))
+  }
+
+  /** The union of all (graphable) collections in hydration form:
+    * `_doc_key`, `_collection`, `_doc_json`, filtered by the document
+    * predicate / collection filter with the reference-document exemption
+    * (P4/P5: keep iff `key == anchor OR (collection matches AND predicate)`,
+    * /root/reference/src/processtools.coffee:125,171,176,194,201,227). */
+  private def hydrationSide(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
+    val parts = g.collections.keys.toSeq.sorted.map { name =>
+      val df = g.collection(name)
+      val pred = q.whereDocument
+        .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
+        .getOrElse(lit(true))
+      val collOk = lit(q.collection.forall(_ == name))
+      val key = concat(lit(name + ":"), df.col("_id").cast(StringType))
+      df.select(
+        key.as("_doc_key"),
+        lit(name).as("_collection"),
+        to_json(struct(df.columns.map(df.col): _*)).as("_doc_json"),
+        (collOk && pred).as("_passes"))
+    }
+    parts.reduce(_.unionByName(_))
+      .filter(col("_passes") || col("_doc_key") === lit(anchor.key))
+      .drop("_passes")
+  }
+
+  /** G19 `applyGraphRelationships`: materialize per-document adjacency
+    * grouped by relationship type —
+    * `_relationships: Map[type, Array[Struct(from, to)]]` — and join it back
+    * onto the collection (/root/reference/src/extendDocument.coffee:412-470).
+    * Both directions contribute, matching the fixture expectation
+    * `alice → {knows: 2, visits: 2}` (/root/reference/test/tests.coffee:722-736).
+    */
+  def applyGraphRelationships(g: DocGraph, collectionName: String,
+      types: Seq[String] = Nil): DataFrame = {
+    g.requireGraphable(collectionName)
+    val e = g.edges.filter(DocGraph.typeFilter(types))
+    // Split "collection:id" at the FIRST colon (ids may contain colons).
+    val refStruct = (c: String) => struct(
+      substring_index(col(c), ":", 1).as("collection"),
+      regexp_replace(col(c), "^[^:]*:", "").as("_id"))
+    val touch = e.select(col("_from").as("_doc_key"), col("rel_type"),
+        refStruct("_from").as("from"), refStruct("_to").as("to"))
+      .unionByName(
+        e.select(col("_to").as("_doc_key"), col("rel_type"),
+          refStruct("_from").as("from"), refStruct("_to").as("to")))
+      .filter(col("_doc_key").startsWith(collectionName + ":"))
+    val adjacency = touch
+      .groupBy(col("_doc_key"), col("rel_type"))
+      .agg(collect_list(struct(col("from"), col("to"))).as("rels"))
+      .groupBy(col("_doc_key"))
+      .agg(map_from_entries(collect_list(struct(col("rel_type"), col("rels"))))
+        .as("_relationships"))
+      .withColumn("_id", regexp_replace(col("_doc_key"), "^[^:]*:", ""))
+      .drop("_doc_key")
+    g.collection(collectionName)
+      .withColumn("_id_str", col("_id").cast(StringType))
+      .join(adjacency.withColumnRenamed("_id", "_id_str"), Seq("_id_str"), "left")
+      .drop("_id_str")
+  }
+}
