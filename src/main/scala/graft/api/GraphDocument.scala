@@ -109,12 +109,23 @@ final case class RelWhere(
   * Dialect change from the reference is intentional and documented — Cypher
   * → Spark SQL (/root/reference/src/extendDocument.coffee:253-256). */
 object GraphSession {
-  /** Register the graph's tables (`edges`, `nodes`, every collection) as
-    * temp views and run a raw Spark-SQL query. */
+  /** Graph views are namespaced (`graft_edges`, `graft_nodes`) so a
+    * collection literally named "edges"/"nodes" cannot clobber them;
+    * colliding collection names are rejected outright. */
+  private val EdgesView = "graft_edges"
+  private val NodesView = "graft_nodes"
+
+  /** Register the graph's tables (`graft_edges`, `graft_nodes`, every
+    * collection under its own name) as temp views and run a raw Spark-SQL
+    * query. Views are dropped after the query is *analyzed* — `spark.sql`
+    * resolves eagerly, so the returned (lazy) DataFrame stays valid and
+    * nothing leaks into the session catalog. */
   def queryGraph(g: DocGraph, sql: String): DataFrame = {
-    g.edges.createOrReplaceTempView("edges")
-    g.nodes.createOrReplaceTempView("nodes")
-    g.collections.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    g.spark.sql(sql)
+    require(!g.collections.contains(EdgesView) && !g.collections.contains(NodesView),
+      s"collection names '$EdgesView'/'$NodesView' are reserved")
+    val views = Seq(EdgesView -> g.edges, NodesView -> g.nodes) ++ g.collections
+    views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    try g.spark.sql(sql)
+    finally views.foreach { case (name, _) => g.spark.catalog.dropTempView(name) }
   }
 }

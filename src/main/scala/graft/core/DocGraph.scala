@@ -38,7 +38,8 @@ final class DocGraph(
     val collections: Map[String, DataFrame],
     val schemas: Map[String, GraphSchema],
     val edges: DataFrame,
-    val clock: Long = DocGraph.DefaultClock) {
+    val clock: Long = DocGraph.DefaultClock,
+    val batchSeq: Long = 0L) {
 
   import DocGraph._
 
@@ -84,7 +85,13 @@ final class DocGraph(
   /** The node overlay: one row per document of every graphable collection.
     * Derived, never materialized — `.cache()` it explicitly if a workload
     * re-reads it. `_node_id` is a deterministic hash of the canonical key,
-    * so it is stable across runs and needs no coordination at scale. */
+    * so it is stable across runs and needs no coordination at scale.
+    *
+    * Identity note: the canonical node identity is the STRING key
+    * `(_collection, _id)` — every join in the engine uses it. `_node_id` is
+    * advisory (a 64-bit hash has non-negligible birthday collisions in the
+    * multi-billion-node regime); use [[nodeIdCollisions]] to audit before
+    * trusting it as a key in downstream systems. */
   def nodes: DataFrame = {
     val parts = collections.keys.toSeq.sorted
       .filter(schemaOf(_).graphability)
@@ -94,6 +101,14 @@ final class DocGraph(
       .withColumn("_node_id", xxhash64(concat_ws(":", col("_collection"), col("_id"))))
       .select("_node_id", "_id", "_collection", "props")
   }
+
+  /** Audit helper: `_node_id` values shared by more than one canonical
+    * `(collection, _id)` key. Empty ⇒ the advisory hash id is injective over
+    * the current overlay and safe to export. */
+  def nodeIdCollisions: DataFrame =
+    nodes.groupBy(col("_node_id"))
+      .agg(countDistinct(col("_collection"), col("_id")).as("n_keys"))
+      .filter(col("n_keys") > 1)
 
   /** S5/S8 point lookups — equi-filters on the projection. */
   def findCorrespondingNode(ref: DocRef): DataFrame = {
@@ -125,7 +140,8 @@ final class DocGraph(
       lit(relType).as("rel_type"),
       lit(clock).as("_created_at"),
       col("props").cast(MapType(StringType, StringType)).as("props"))
-    withEdges(edges.unionByName(stampRelId(newEdges)))
+    new DocGraph(spark, collections, schemas,
+      edges.unionByName(stampRelId(newEdges, batchSeq)), clock, batchSeq + 1)
   }
 
   /** Single-edge convenience (reference `createRelationshipTo`,
@@ -176,7 +192,7 @@ final class DocGraph(
         .join(broadcast(keys), col("_from") === col("_rm_key"), "left_anti")
         .join(broadcast(keys), col("_to") === col("_rm_key"), "left_anti")
     new DocGraph(spark, collections.updated(collectionName, newColl),
-      schemas, newEdges, clock)
+      schemas, newEdges, clock, batchSeq)
   }
 
   /** Edge predicate for one anchor document (no scan of the anchor side —
@@ -200,12 +216,12 @@ final class DocGraph(
   }
 
   def withEdges(newEdges: DataFrame): DocGraph =
-    new DocGraph(spark, collections, schemas, newEdges, clock)
+    new DocGraph(spark, collections, schemas, newEdges, clock, batchSeq)
 
   def withCollection(name: String, df: DataFrame,
       schema: Option[GraphSchema] = None): DocGraph =
     new DocGraph(spark, collections.updated(name, df),
-      schema.fold(schemas)(s => schemas.updated(name, s)), edges, clock)
+      schema.fold(schemas)(s => schemas.updated(name, s)), edges, clock, batchSeq)
 
   private def emptyProps: Column =
     map().cast(MapType(StringType, StringType))
@@ -238,13 +254,21 @@ object DocGraph {
     StructField("_created_at", LongType),
     StructField("props", MapType(StringType, StringType))))
 
-  /** Deterministic provenance hash for an edge row. Not a join key (joins
-    * use `_from`/`_to`); exact duplicates created in the same batch share
-    * an id, which is acceptable for provenance. */
-  private[core] def stampRelId(e: DataFrame): DataFrame =
+  /** Deterministic provenance id for an edge row. Not a join key (joins use
+    * `_from`/`_to`). Salted with the creating batch's sequence number plus a
+    * within-batch duplicate rank, so the reference's "create the same edge
+    * twice" produces two distinct ids and `count(distinct r)` matches
+    * (/root/reference/test/tests.coffee:523-531). The rank window partitions
+    * by the full edge key — shards across the cluster, no global sort. */
+  private[core] def stampRelId(e: DataFrame, batch: Long): DataFrame = {
+    val dupRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_from"), col("_to"), col("rel_type"))
+      .orderBy(col("_from"))
     e.withColumn("_rel_id",
-        xxhash64(col("_from"), col("_to"), col("rel_type"), col("_created_at")))
+        xxhash64(col("_from"), col("_to"), col("rel_type"), col("_created_at"),
+          lit(batch), row_number().over(dupRank)))
       .select("_rel_id", "_from", "_to", "rel_type", "_created_at", "props")
+  }
 
   /** Direction filter (P8) — `both`/`incoming`/`outgoing` arrow placement
     * (/root/reference/src/extendDocument.coffee:72,103-104). */

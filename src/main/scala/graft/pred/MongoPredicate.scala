@@ -95,7 +95,9 @@ object MongoPredicate {
     // Plain isin (pushdown-eligible In) when the list has no null; Mongo's
     // null-in-list "matches missing field" semantics only when needed.
     case "$in"     => inList(c, seqOf(v, "$in"))
-    case "$nin"    => !inList(c, seqOf(v, "$nin"))
+    // $nin must match missing/null fields (like $ne): a plain !isin would be
+    // null-poisoned and silently exclude them.
+    case "$nin"    => !coalesce(inList(c, seqOf(v, "$nin")), lit(false))
     case "$exists" => if (v == true) c.isNotNull else c.isNull
     case "$regex"  => c.rlike(v.toString)
     case "$not"    => !coalesce(compileField(c, v), lit(false))

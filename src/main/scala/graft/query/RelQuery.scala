@@ -80,18 +80,53 @@ object RelQueryPlanner {
   /** Full 1-hop query with generic hydration: endpoint documents are
     * attached as JSON strings (`from_doc`, `to_doc`), which keeps one
     * uniform result schema across heterogeneous collections — the Spark
-    * analogue of the reference's dynamic result objects. Predicates and the
-    * collection filter are applied on the *typed* collection DataFrames
-    * before serialization, so they remain pushdown-eligible. */
+    * analogue of the reference's dynamic result objects.
+    *
+    * Plan shape (chosen for the 100 TB case): one join per collection per
+    * endpoint, with `to_json` applied ABOVE the join — only rows that
+    * actually matched get serialized, instead of JSON-encoding every
+    * document of every collection on the stream side. Predicates and the
+    * collection filter run on the *typed* collection DataFrames (pushdown-
+    * and prune-eligible); collections that cannot contribute (collection
+    * filter set, not the anchor's collection) constant-fold to `false`
+    * filters that Catalyst prunes to empty scans, eliminating their joins
+    * entirely. The matched-edge side is tiny for anchored queries and
+    * broadcasts under AQE. */
   def relationships(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
     val matched = matchEdges(g, anchor, q)
-    val docs = hydrationSide(g, anchor, q)
-    matched
-      .join(docs.as("fd"), col("_from") === col("fd._doc_key"), "inner")
-      .join(docs.as("td"), col("_to") === col("td._doc_key"), "inner")
-      .select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
-        col("_created_at"), col("props"), col("anchor_key"), col("other_key"),
-        col("fd._doc_json").as("from_doc"), col("td._doc_json").as("to_doc"))
+    val withFrom = hydrate(g, anchor, q, matched, "_from", "from_doc")
+    val withBoth = hydrate(g, anchor, q, withFrom, "_to", "to_doc")
+    withBoth.select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
+      col("_created_at"), col("props"), col("anchor_key"), col("other_key"),
+      col("from_doc"), col("to_doc"))
+  }
+
+  /** Join `left` (carrying doc keys in `keyCol`) against every candidate
+    * collection, appending the matched document as JSON column `outName`.
+    * Inner join per endpoint = the reference's null-then-strip semantics
+    * (P6): a relationship whose endpoint is missing or fails the predicate
+    * drops (/root/reference/src/processtools.coffee:184-212). The
+    * reference-document exemption (P5) applies only within the anchor's own
+    * collection, which lets every other collection's scan prune when a
+    * collection filter is set. */
+  private def hydrate(g: DocGraph, anchor: DocRef, q: RelQuery,
+      left: DataFrame, keyCol: String, outName: String): DataFrame = {
+    val parts = g.collections.keys.toSeq.sorted.map { name =>
+      val df = g.collection(name)
+      val pred = q.whereDocument
+        .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
+        .getOrElse(lit(true))
+      val collOk = lit(q.collection.forall(_ == name))
+      val keyExpr = concat(lit(name + ":"), df.col("_id").cast(StringType))
+      val exempt =
+        if (name == anchor.collection) keyExpr === lit(anchor.key) else lit(false)
+      val docs = df.filter((collOk && pred) || exempt)
+        .select(keyExpr.as("_h_key"),
+          struct(df.columns.map(df.col): _*).as("_h_doc"))
+      left.join(docs, left(keyCol) === col("_h_key"), "inner")
+        .select(left.columns.map(left(_)) :+ to_json(col("_h_doc")).as(outName): _*)
+    }
+    parts.reduce(_.unionByName(_))
   }
 
   /** A1/A2 count pushdown: `part` ∈ r | * | b (other end) | a (anchor)
@@ -109,30 +144,6 @@ object RelQueryPlanner {
     else rels.agg(count(target).as(s"count_$part"))
   }
 
-  /** The union of all (graphable) collections in hydration form:
-    * `_doc_key`, `_collection`, `_doc_json`, filtered by the document
-    * predicate / collection filter with the reference-document exemption
-    * (P4/P5: keep iff `key == anchor OR (collection matches AND predicate)`,
-    * /root/reference/src/processtools.coffee:125,171,176,194,201,227). */
-  private def hydrationSide(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
-    val parts = g.collections.keys.toSeq.sorted.map { name =>
-      val df = g.collection(name)
-      val pred = q.whereDocument
-        .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
-        .getOrElse(lit(true))
-      val collOk = lit(q.collection.forall(_ == name))
-      val key = concat(lit(name + ":"), df.col("_id").cast(StringType))
-      df.select(
-        key.as("_doc_key"),
-        lit(name).as("_collection"),
-        to_json(struct(df.columns.map(df.col): _*)).as("_doc_json"),
-        (collOk && pred).as("_passes"))
-    }
-    parts.reduce(_.unionByName(_))
-      .filter(col("_passes") || col("_doc_key") === lit(anchor.key))
-      .drop("_passes")
-  }
-
   /** G19 `applyGraphRelationships`: materialize per-document adjacency
     * grouped by relationship type —
     * `_relationships: Map[type, Array[Struct(from, to)]]` — and join it back
@@ -148,11 +159,13 @@ object RelQueryPlanner {
     val refStruct = (c: String) => struct(
       substring_index(col(c), ":", 1).as("collection"),
       regexp_replace(col(c), "^[^:]*:", "").as("_id"))
+    // Self-loop edges would otherwise contribute twice (once per branch).
     val touch = e.select(col("_from").as("_doc_key"), col("rel_type"),
         refStruct("_from").as("from"), refStruct("_to").as("to"))
       .unionByName(
-        e.select(col("_to").as("_doc_key"), col("rel_type"),
-          refStruct("_from").as("from"), refStruct("_to").as("to")))
+        e.filter(col("_from") =!= col("_to"))
+          .select(col("_to").as("_doc_key"), col("rel_type"),
+            refStruct("_from").as("from"), refStruct("_to").as("to")))
       .filter(col("_doc_key").startsWith(collectionName + ":"))
     val adjacency = touch
       .groupBy(col("_doc_key"), col("rel_type"))

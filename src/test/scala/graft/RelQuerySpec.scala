@@ -169,7 +169,7 @@ class RelQuerySpec extends AnyFunSuite {
 
   test("queryGraph escape hatch (G17, dialect = Spark SQL)") {
     val out = GraphSession.queryGraph(g,
-      "SELECT rel_type, count(*) AS n FROM edges GROUP BY rel_type ORDER BY rel_type")
+      "SELECT rel_type, count(*) AS n FROM graft_edges GROUP BY rel_type ORDER BY rel_type")
     val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
     assert(rows.toSeq == Seq(("knows", 5L), ("visits", 2L)))
   }
