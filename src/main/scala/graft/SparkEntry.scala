@@ -1,13 +1,533 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{GraphDocument, GraphSession, RelWhere}
+import graft.core.DocGraph.Direction
+import graft.graph.ShortestPath
+import graft.model.DocRef
+import graft.query.{RelQuery, RelQueryPlanner}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-oracle SQL for every SQL-expressible one.
+  *
+  * Conventions that keep the oracle compare stable:
+  *   - every output column is explicitly aliased, identically in the Spark
+  *     code and the SQL;
+  *   - money aggregates go through exact integer-cents arithmetic
+  *     (`BIGINT` cents both sides) and only then to DOUBLE, so parallel
+  *     double-summation order can never flip a low bit;
+  *   - every result has a total ORDER BY on a unique key;
+  *   - JSON-hydrated values are extracted with `get_json_object` and cast
+  *     back to their storage type (bit-exact round-trip for longs/strings).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The reference's
+    * flagship read path: incoming typed relationships of one document,
+    * hydrated with endpoint documents (G6 + J2). */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = Testbed.graph(spark, "/root/testdata/sf0.001")
+    GraphDocument(g, DocRef("customer", "1")).incomingRelationships("placed_by")
+  }
+
+  private def doc(s: SparkSession, dir: String, collection: String, id: String) =
+    GraphDocument(Testbed.graph(s, dir), DocRef(collection, id))
+
+  private def jstr(c: String, path: String) =
+    get_json_object(col(c), "$." + path)
+  private def jlong(c: String, path: String) =
+    jstr(c, path).cast("long")
+
+  /** Exact money math: parse 2-decimal doubles to integer cents. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- node overlay (S2/P1, §2.1/§2.2) --------------------------------
+    "q01_nodes_per_collection" -> ((s, dir) => {
+      Testbed.graph(s, dir).nodes
+        .groupBy(col("_collection")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("_collection")
+    }),
+    "q02_node_projection" -> ((s, dir) => {
+      Testbed.graph(s, dir).dataForNode("customer")
+        .select(col("_id"),
+          element_at(col("props"), "c_name").as("name"),
+          element_at(col("props"), "c_mktsegment").as("segment"))
+        .orderBy(col("_id").cast("long"))
+    }),
+    "q03_find_node" -> ((s, dir) => {
+      Testbed.graph(s, dir).findCorrespondingNode(DocRef("customer", "1"))
+        .select(col("_id"), col("_collection"))
+    }),
+
+    // ---- 1-hop traversal + hydration (G1-G7, J1/J2) ---------------------
+    "q04_incoming_rels" -> ((s, dir) => {
+      doc(s, dir, "customer", "1").incomingRelationships("placed_by")
+        .select(jlong("from_doc", "o_orderkey").as("o_orderkey"),
+          col("rel_type"),
+          element_at(col("props"), "status").as("status"))
+        .orderBy("o_orderkey")
+    }),
+    "q05_outgoing_rels" -> ((s, dir) => {
+      doc(s, dir, "orders", "1").outgoingRelationships("placed_by")
+        .select(jstr("to_doc", "c_name").as("c_name"))
+    }),
+    "q06_between" -> ((s, dir) => {
+      // anchor-resolution lookup (driver-side, 1 row) then J4 endpoint filter
+      val g = Testbed.graph(s, dir)
+      val nk = g.collection("customer").filter(col("c_custkey") === 1)
+        .select(col("c_nationkey")).collect()(0).getInt(0)
+      GraphDocument(g, DocRef("customer", "1"))
+        .allRelationshipsBetween(DocRef("nation", nk.toString), "located_in")
+        .select(col("rel_type"), col("other_key"))
+    }),
+
+    // ---- counts (A1/A2) -------------------------------------------------
+    "q07_count_incoming" -> ((s, dir) => {
+      doc(s, dir, "customer", "1")
+        .countRelationships("placed_by", Direction.Incoming, part = "r")
+    }),
+    "q08_count_distinct_endpoints" -> ((s, dir) => {
+      doc(s, dir, "nation", "0")
+        .countRelationships("located_in", Direction.Both, part = "b", distinct = true)
+    }),
+
+    // ---- predicates (P2/P3/P4/P5) ---------------------------------------
+    "q09_where_document" -> ((s, dir) => {
+      doc(s, dir, "customer", "1").incomingRelationships("placed_by",
+          RelWhere(document = Some(Map("o_totalprice" -> Map("$gt" -> 150000.0)))))
+        .select(jlong("from_doc", "o_orderkey").as("o_orderkey"),
+          jstr("from_doc", "o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    "q10_where_regex" -> ((s, dir) => {
+      doc(s, dir, "customer", "1").incomingRelationships("placed_by",
+          RelWhere(document = Some(Map("o_orderpriority" -> "^1".r))))
+        .select(jlong("from_doc", "o_orderkey").as("o_orderkey"),
+          jstr("from_doc", "o_orderpriority").as("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+    "q11_where_relationship" -> ((s, dir) => {
+      doc(s, dir, "customer", "1").incomingRelationships("placed_by",
+          RelWhere(relationship = Some("r.props['status'] = 'F'")))
+        .select(jlong("from_doc", "o_orderkey").as("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+    "q12_collection_filter" -> ((s, dir) => {
+      doc(s, dir, "nation", "0").allRelationships("located_in",
+          RelWhere(collection = Some("supplier")))
+        .select(col("other_key"), jstr("from_doc", "s_name").as("s_name"))
+        .orderBy("other_key")
+    }),
+
+    // ---- deletes as pure transforms (G11-G15, S3) -----------------------
+    "q13_remove_relationships" -> ((s, dir) => {
+      val g2 = doc(s, dir, "orders", "1").removeRelationships("placed_by")
+      g2.edges.filter(col("rel_type") === "placed_by").agg(count(lit(1)).as("n"))
+    }),
+    "q14_remove_documents" -> ((s, dir) => {
+      val g = Testbed.graph(s, dir)
+      import s.implicits._
+      val g2 = g.removeDocuments("customer", Seq("0", "1", "2").toDF("_id"))
+      g2.edges.filter(col("rel_type").isin("placed_by", "located_in"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- adjacency materialization (G19/A3) -----------------------------
+    "q15_adjacency" -> ((s, dir) => {
+      RelQueryPlanner.applyGraphRelationships(Testbed.graph(s, dir), "nation")
+        .select(col("n_nationkey"),
+          coalesce(size(element_at(col("_relationships"), "located_in")), lit(0))
+            .cast("long").as("n_located_in"),
+          coalesce(size(element_at(col("_relationships"), "part_of")), lit(0))
+            .cast("long").as("n_part_of"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- bounded shortest path (G16/J3) ---------------------------------
+    "q16_shortest_path" -> ((s, dir) => {
+      val g = Testbed.graph(s, dir)
+      // resolve the target region of customer:1 (anchor resolution)
+      val nk = g.collection("customer").filter(col("c_custkey") === 1)
+        .select(col("c_nationkey")).collect()(0).getInt(0)
+      val rk = g.collection("nation").filter(col("n_nationkey") === nk)
+        .select(col("n_regionkey")).collect()(0).getInt(0)
+      ShortestPath.shortestPathTo(g, DocRef("customer", "1"),
+          DocRef("region", rk.toString))
+        .select(col("pos").cast("long").as("pos"), col("_doc_key"))
+        .orderBy("pos")
+    }),
+
+    // ---- raw-query escape hatch (G17) -----------------------------------
+    "q17_graph_sql" -> ((s, dir) => {
+      GraphSession.queryGraph(Testbed.graph(s, dir),
+        """SELECT substring_index(_to, ':', 1) AS coll, count(*) AS n
+           FROM graft_edges GROUP BY coll ORDER BY coll""")
+    }),
+
+    // ---- relational analytics over the document store -------------------
+    "q18_pricing_summary" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q19_top_customers" -> ((s, dir) => {
+      val g = Testbed.graph(s, dir)
+      g.collection("orders").join(g.collection("customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg((sum(cents(col("o_totalprice"))).cast("double") / 100).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+    "q20_first_event_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Testbed.graph(s, dir).collection("events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"))
+        .orderBy("user_id")
+    }),
+    "q21_hourly_events" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("hour_ts"),
+          col("event_type"), col("n"))
+        .orderBy("hour_ts", "event_type")
+    }),
+    "q22_events_json" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type")).agg(sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- training-data pipeline: dedup ----------------------------------
+    "q23_dedup_exact" -> ((s, dir) => {
+      ops.Dedup.exact(Testbed.graph(s, dir).collection("documents"),
+          Seq("text"), "doc_id")
+        .select(col("keep_id"), col("dup_cnt")).orderBy("keep_id")
+    }),
+    "q24_token_stats" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("documents")
+        .select(col("doc_id"),
+          ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+          ops.TextOps.uniqueTokenCount(col("text")).as("n_unique"))
+        .orderBy("doc_id")
+    }),
+    "q25_quality" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("documents")
+        .select(col("doc_id"), ops.TextOps.qualityStruct(col("text")).as("q"))
+        .select(col("doc_id"), col("q.ttr").as("ttr"),
+          col("q.stop_ratio").as("stop_ratio"), col("q.is_short").as("is_short"))
+        .orderBy("doc_id")
+    }),
+    "q26_lang_guess" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("documents")
+        .select(col("doc_id"), ops.TextOps.langGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+    "q27_fingerprint" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("documents")
+        .select(col("doc_id"), ops.TextOps.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy("doc_id")
+    }),
+    "q28_minhash_pairs" -> ((s, dir) => {
+      // not oracle-able (xxhash64 banding); rows-only check
+      ops.Dedup.candidatePairs(Testbed.graph(s, dir).collection("documents"),
+          "doc_id", "text", shingleN = 3, k = 16, bands = 4, minJaccard = 0.5,
+          maxBucket = 200)
+        .orderBy("id_a", "id_b")
+    }),
+    "q29_ngram_jaccard" -> ((s, dir) => {
+      ops.Dedup.ngramJaccardPairs(
+          Testbed.graph(s, dir).collection("documents").filter(col("doc_id") < 40),
+          "doc_id", "text", shingleN = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q30_simhash" -> ((s, dir) => {
+      // not oracle-able (MurmurHash3); rows-only check
+      implicit val sp: SparkSession = s
+      ops.Dedup.simhash(Testbed.graph(s, dir).collection("documents"),
+          "doc_id", "text")
+        .orderBy("id")
+    }),
+    "q31_simhash_hamming" -> ((s, dir) => {
+      // hamming distance of every doc to doc 0 — rows-only check
+      implicit val sp: SparkSession = s
+      val sigs = ops.Dedup.simhash(
+        Testbed.graph(s, dir).collection("documents"), "doc_id", "text")
+      val ref = sigs.filter(col("id") === 0)
+        .select(col("simhash").as("ref_hash"))
+      sigs.crossJoin(broadcast(ref))
+        .select(col("id"),
+          bit_count(col("simhash").bitwiseXOR(col("ref_hash"))).as("hamming"))
+        .orderBy("id")
+    }),
+
+    // ---- training-data pipeline: similarity search ----------------------
+    "q32_ann_topk" -> ((s, dir) => {
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      ops.Similarity.topKToQuery(emb, "vec_id", "embedding", q, 10,
+        excludeId = Some(0L))
+    }),
+    "q33_embedding_norms" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("embeddings")
+        .select(col("vec_id"),
+          round(ops.Similarity.l2Norm(col("embedding")), 4).as("l2"))
+        .orderBy("vec_id")
+    }),
+    "q34_ann_lsh" -> ((s, dir) => {
+      // not oracle-able (xxhash64 hyperplanes); rows-only check
+      ops.Similarity.annPairs(Testbed.graph(s, dir).collection("embeddings"),
+          "vec_id", "embedding", planes = 4, minCosine = 0.25)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- training-data pipeline: multimodal plumbing --------------------
+    "q35_multimodal_meta" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      ops.Multimodal.decodeMeta(ops.Multimodal.attachMedia(
+          Testbed.graph(s, dir).collection("documents"), "doc_id", "text"))
+        .toDF().orderBy("doc_id")
+    }),
+
+    // ---- sessionization (custom state op; batch = streaming semantics) --
+    "q36_sessionize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val ev = Testbed.graph(s, dir).collection("events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[streaming.EventStreams.Event]
+      streaming.EventStreams.sessionize(ev, 3600 * 1000L)
+        .toDF()
+        .select(col("user_id"), col("n_events"),
+          unix_millis(col("start")).as("start_ms"),
+          unix_millis(col("end")).as("end_ms"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "start_ms")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_nodes_per_collection" ->
+      """SELECT _collection, count(*) AS n_nodes FROM (
+           SELECT 'customer' AS _collection FROM customer
+           UNION ALL SELECT 'documents' FROM documents
+           UNION ALL SELECT 'embeddings' FROM embeddings
+           UNION ALL SELECT 'events' FROM events
+           UNION ALL SELECT 'lineitem' FROM lineitem
+           UNION ALL SELECT 'nation' FROM nation
+           UNION ALL SELECT 'orders' FROM orders
+           UNION ALL SELECT 'part' FROM part
+           UNION ALL SELECT 'region' FROM region
+           UNION ALL SELECT 'supplier' FROM supplier
+         ) t GROUP BY _collection ORDER BY _collection""",
+    "q02_node_projection" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS _id, c_name AS name,
+                c_mktsegment AS segment
+         FROM customer ORDER BY c_custkey""",
+    "q03_find_node" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS _id, 'customer' AS _collection
+         FROM customer WHERE c_custkey = 1""",
+    "q04_incoming_rels" ->
+      """SELECT o_orderkey, 'placed_by' AS rel_type, o_orderstatus AS status
+         FROM orders WHERE o_custkey = 1 ORDER BY o_orderkey""",
+    "q05_outgoing_rels" ->
+      """SELECT c_name FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey = 1""",
+    "q06_between" ->
+      """SELECT 'located_in' AS rel_type,
+                'nation:' || CAST(c_nationkey AS VARCHAR) AS other_key
+         FROM customer WHERE c_custkey = 1""",
+    "q07_count_incoming" ->
+      "SELECT count(*) AS count_r FROM orders WHERE o_custkey = 1",
+    "q08_count_distinct_endpoints" ->
+      """SELECT count(*) AS count_b FROM (
+           SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS k
+           FROM customer WHERE c_nationkey = 0
+           UNION
+           SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR)
+           FROM supplier WHERE s_nationkey = 0) t""",
+    "q09_where_document" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = 1 AND o_totalprice > 150000.0 ORDER BY o_orderkey""",
+    "q10_where_regex" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+         WHERE o_custkey = 1 AND regexp_matches(o_orderpriority, '^1')
+         ORDER BY o_orderkey""",
+    "q11_where_relationship" ->
+      """SELECT o_orderkey FROM orders
+         WHERE o_custkey = 1 AND o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "q12_collection_filter" ->
+      """SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) AS other_key, s_name
+         FROM supplier WHERE s_nationkey = 0 ORDER BY other_key""",
+    "q13_remove_relationships" ->
+      "SELECT (count(*) - 1) AS n FROM orders",
+    "q14_remove_documents" ->
+      """SELECT ((SELECT count(*) FROM orders WHERE o_custkey NOT IN (0, 1, 2))
+              + (SELECT count(*) FROM customer WHERE c_custkey NOT IN (0, 1, 2))
+              + (SELECT count(*) FROM supplier)) AS n""",
+    "q15_adjacency" ->
+      """SELECT n_nationkey,
+                (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+              + (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+                AS n_located_in,
+                CAST(1 AS BIGINT) AS n_part_of
+         FROM nation n ORDER BY n_nationkey""",
+    "q16_shortest_path" ->
+      """SELECT CAST(0 AS BIGINT) AS pos, 'customer:1' AS _doc_key
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), 'nation:' || CAST(c_nationkey AS VARCHAR)
+         FROM customer WHERE c_custkey = 1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'region:' || CAST(n_regionkey AS VARCHAR)
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_custkey = 1
+         ORDER BY pos""",
+    "q17_graph_sql" ->
+      """SELECT coll, count(*) AS n FROM (
+           SELECT 'customer' AS coll FROM orders
+           UNION ALL SELECT 'nation' FROM customer
+           UNION ALL SELECT 'nation' FROM supplier
+           UNION ALL SELECT 'region' FROM nation
+           UNION ALL SELECT 'orders' FROM lineitem
+           UNION ALL SELECT 'part' FROM lineitem
+           UNION ALL SELECT 'supplier' FROM lineitem
+         ) t GROUP BY coll ORDER BY coll""",
+    "q18_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                  AS sum_base_price,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q19_top_customers" ->
+      """SELECT c_custkey, c_name,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+                  AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "q20_first_event_per_user" ->
+      """SELECT user_id, event_id FROM (
+           SELECT user_id, event_id,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q21_hourly_events" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_ts,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""",
+    "q22_events_json" ->
+      """SELECT event_type,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                  AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q23_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS dup_cnt
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q24_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+         FROM documents ORDER BY doc_id""",
+    "q25_quality" ->
+      """SELECT doc_id,
+                round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS ttr,
+                round(CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+                      / len(string_split(text, ' ')), 4) AS stop_ratio,
+                (length(text) < 100) AS is_short
+         FROM documents ORDER BY doc_id""",
+    "q26_lang_guess" ->
+      """SELECT doc_id,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+                  WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+                  WHEN s_de > 0 THEN 'de'
+                  ELSE 'und' END AS lang_guess
+         FROM (SELECT doc_id,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['the', 'a', 'of', 'and'])) AS s_en,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['la', 'el', 'de', 'y'])) AS s_es,
+                 len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['der', 'die', 'das', 'und'])) AS s_de
+               FROM documents) t
+         ORDER BY doc_id""",
+    "q27_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "q29_ngram_jaccard" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CASE WHEN length(text) >= 3
+                       THEN list_distinct(list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INT), 3)))
+                       ELSE [text] END AS sh
+           FROM documents WHERE doc_id < 40)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         FROM s a, s b WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""",
+    "q32_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id, round(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 4) AS score
+           FROM embeddings, q WHERE vec_id != 0)
+         SELECT vec_id, score FROM scored
+         ORDER BY score DESC, vec_id LIMIT 10""",
+    "q33_embedding_norms" ->
+      """SELECT vec_id,
+                round(sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4)
+                  AS l2
+         FROM embeddings ORDER BY vec_id""",
+    "q35_multimodal_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+                CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS height,
+                'fake/raw' AS format
+         FROM documents ORDER BY doc_id""",
+    "q36_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts, value,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         brk AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN prev IS NULL
+                            OR (epoch_ms(ts) - epoch_ms(prev)) > 3600000
+                       THEN 1 ELSE 0 END AS is_break
+           FROM o),
+         sess AS (
+           SELECT user_id, ts, value,
+                  sum(is_break) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM brk)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+                round(sum(value), 2) AS total_value
+         FROM sess GROUP BY user_id, sess_no ORDER BY user_id, start_ms""")
 }

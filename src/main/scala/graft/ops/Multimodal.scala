@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed per-partition in batches.
+  *
+  * The actual codecs are NOT available in this container, so the decode
+  * kernel is a clearly-marked deterministic stub — but everything Spark-side
+  * is real and tested: the binary column, the typed Dataset schema, the
+  * `mapPartitions` batch shape (the Scala analogue of a Pandas UDF over
+  * `mapInPandas`: one iterator per partition, amortized per-batch setup),
+  * and the partitioning story (media rows are large — repartition by id
+  * range so a partition's batch fits executor memory at 100 TB).
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, media: Array[Byte])
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, format: String)
+  final case class Frame(doc_id: Long, frame_idx: Long, offset: Long)
+
+  /** Attach an opaque binary media column (here: the UTF-8 bytes of a text
+    * column stand in for real image/audio payloads). */
+  def attachMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(payloadCol), "UTF-8").as("media"))
+
+  /** Decode media metadata. Per-partition batch processing: the iterator
+    * gives one pass over the partition, so a real decoder would initialize
+    * its codec once per partition (not per row) — exactly the Pandas-UDF
+    * batching contract, expressed with a typed Dataset.
+    */
+  def decodeMeta(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      // >>> STUB DECODER <<<
+      // A real implementation would do `val codec = ImageCodec.open()` here
+      // (once per partition) and parse r.media. Container lacks codec libs;
+      // this deterministic fake derives metadata purely from the payload
+      // bytes so tests and oracles can verify the plumbing end-to-end.
+      batch.map { r =>
+        val n = r.media.length.toLong
+        MediaMeta(r.doc_id, n, n % 640 + 16, n % 480 + 16, "fake/raw")
+      }
+    }
+  }
+
+  /** Frame sampling stub: every `stride`-th byte offset stands in for a
+    * video frame timestamp. Real plumbing: explode is the Spark-side shape
+    * (1 media row → M frame rows), and it composes with decodeMeta. */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Long)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    meta.flatMap { m =>
+      (0L until (m.n_bytes / stride)).map(i => Frame(m.doc_id, i, i * stride))
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  *   - [[cosine]]/[[dot]]/[[l2Norm]]: scalar kernels as pure Column folds
+  *     (`zip_with` + `aggregate` in double precision — deterministic
+  *     left-to-right summation, no UDF).
+  *   - [[topKToQuery]]: brute-force top-k against one query vector — the
+  *     exact baseline. One scan, one small sort: at 100 TB this is
+  *     scan-bound and embarrassingly parallel (per-partition top-k via
+  *     `limit` pushdown under AQE).
+  *   - [[signRandomProjection]] + [[annPairs]]: the scale path — LSH
+  *     bucketing by sign-random-projection (deterministic ±1 hyperplanes
+  *     derived from xxhash64, so no stored model), then exact re-scoring
+  *     within buckets. Σ bucket² replaces n².
+  */
+object Similarity {
+
+  private def d(c: Column) = c.cast("double")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (s, v) => s + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors of a literal query vector. */
+  def topKToQuery(emb: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val scored = emb.select(col(idCol).cast("long").as("vec_id"),
+        round(cosine(col(vecCol), q), 4).as("score"))
+    excludeId.fold(scored)(id => scored.filter(col("vec_id") =!= id))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** `planes`-bit sign-random-projection bucket id. Hyperplane weights are
+    * ±1 derived from `xxhash64(plane, dimension)` — deterministic, storage-
+    * free, identical on every executor. */
+  def signRandomProjection(vec: Column, planes: Int): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => d(x) * when(pmod(xxhash64(p, i), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))),
+        lit(0.0), (s, v) => s + v)
+      acc * 2 + when(proj >= 0, 1L).otherwise(0L)
+    })
+
+  /** ANN near-neighbor pairs: bucket by [[signRandomProjection]], exact
+    * cosine within buckets. Raising `planes` shrinks buckets (recall ↓,
+    * cost ↓). For multi-probe recall, union several rotations. */
+  def annPairs(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int = 8, minCosine: Double = 0.8): DataFrame = {
+    val bucketed = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      signRandomProjection(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 4).as("score"))
+      .filter(col("score") >= minCosine)
+  }
+
+  /** Embedding-cosine near-duplicate detection (the Dedup entry point):
+    * ANN pairs above a high threshold. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, planes: Int = 8): DataFrame =
+    annPairs(emb, idCol, vecCol, planes, threshold)
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language guessing, fingerprinting.
+  *
+  * All pure `Column` composition over `org.apache.spark.sql.functions` — no
+  * UDFs, so every operator stays inside whole-stage codegen and scales
+  * linearly with the scan. (The reference has no scalar-function library at
+  * all — it defers to Cypher/MongoDB, SURVEY.md §2.9 — so this module is the
+  * engine-extension surface the 100 TB pipeline needs.)
+  */
+object TextOps {
+
+  /** Whitespace tokenization — the deliberately simple, oracle-stable
+    * baseline (`split(text, ' ')`, matching DuckDB `string_split`). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def uniqueTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Type-token ratio: unique/total, a standard lexical-diversity quality
+    * signal. Single double division — deterministic across engines. */
+  def typeTokenRatio(text: Column): Column =
+    round(uniqueTokenCount(text).cast("double") / tokenCount(text), 4)
+
+  /** Fraction of tokens in `stops`. */
+  def stopwordRatio(text: Column, stops: Seq[String]): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    round(
+      size(filter(tokens(text), t => array_contains(stopArr, t))).cast("double")
+        / tokenCount(text), 4)
+  }
+
+  /** BPE-ish subword count: whitespace words plus intra-word splits on
+    * letter/digit boundaries — a cheap token-count estimator for budgeting
+    * (regexp-based, codegen'd). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(regexp_replace(text,
+      "([a-zA-Z])([0-9])|([0-9])([a-zA-Z])", "$1$3 $2$4"), "\\s+"),
+      t => length(t) > 0)).cast("long")
+
+  /** Stopword-overlap language guess. Each language scores
+    * `|distinct(tokens) ∩ markers|`; ties break by list order (en, es, de).
+    * Mirrors an n-gram-frequency classifier at its crudest, but is exactly
+    * replicable in ANSI-ish SQL for the oracle. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("la", "el", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(markers.map(lit): _*))).cast("long")
+
+  def langGuess(text: Column): Column = {
+    val scored = langMarkers.map { case (l, m) => (l, langScore(text, m)) }
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprints. `md5` for exact identity; the rolling
+    * polynomial hash (base-31 over character codes, 63-bit) is the
+    * shift-resistant variant used for near-dup blocking. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      // modulus keeps acc*31+c < 2^35 — no ANSI long overflow
+      (acc, c) => pmod(acc * 31 + c, lit(1000000007L)))
+
+  /** Bundled quality row: the standard cheap filters (length, diversity,
+    * stopword density) a pretraining pipeline gates on. */
+  def qualityStruct(text: Column, stops: Seq[String] = Seq("the", "a", "of")): Column =
+    struct(
+      tokenCount(text).as("n_tokens"),
+      uniqueTokenCount(text).as("n_unique"),
+      typeTokenRatio(text).as("ttr"),
+      stopwordRatio(text, stops).as("stop_ratio"),
+      (length(text) < 100).as("is_short"))
+}

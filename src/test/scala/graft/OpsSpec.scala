@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit tests for the training-data pipeline operators (SURVEY.md §7.2 M5 /
+  * the LLM-pipeline extension surface). */
+class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the cat sat on the mat"), // exact dup of 0
+    (2L, "the cat sat on the big mat"), // near dup
+    (3L, "la casa de el perro y la gata"),
+    (4L, "der hund und die katze"),
+    (5L, "zzz qqq xxx")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id with multiplicity") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+      .select("keep_id", "dup_cnt").orderBy("keep_id").collect()
+    assert(out.length == 5)
+    assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 2L)
+  }
+
+  test("char shingles: distinct n-grams, short-text fallback") {
+    val sh = Seq(("abcd", 1), ("ab", 2)).toDF("t", "i")
+      .select(Dedup.charShingles(col("t"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0) == Seq("abc", "bcd"))
+    assert(sh(1) == Seq("ab"))
+  }
+
+  test("minhash LSH finds the exact and near dup, not the unrelated text") {
+    // bands=16 (width-1 bands): collision probability per band equals the
+    // jaccard itself, so a 0.7-jaccard near-dup is caught deterministically
+    val pairs = Dedup.candidatePairs(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated
+  }
+
+  test("ngram jaccard: identical=1.0, unrelated≈0") {
+    val j = Dedup.ngramJaccardPairs(docs.filter(col("doc_id").isin(0, 1, 5)),
+        "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 5L)) < 0.1)
+  }
+
+  test("simhash: identical texts share signature; near dups are close") {
+    implicit val s = spark
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sigs(0L) == sigs(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(5L)))
+    val near = Dedup.simhashNearPairs(Dedup.simhash(docs, "doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((0L, 1L)))
+  }
+
+  test("cosine kernels: orthogonal=0, identical=1") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val scores = Similarity.topKToQuery(emb, "vec_id", "embedding",
+        Seq(1f, 0f, 0f), 3, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(2L) == 1.0)
+    assert(scores(1L) == 0.0)
+  }
+
+  test("sign-random-projection buckets colinear vectors together") {
+    val emb = Seq(
+      (0L, Array(1f, 2f, 3f, 4f)), (1L, Array(2f, 4f, 6f, 8f)),
+      (2L, Array(-1f, -2f, -3f, -4f))).toDF("vec_id", "embedding")
+    val buckets = emb.select(col("vec_id"),
+        Similarity.signRandomProjection(col("embedding"), 8).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(buckets(0L) == buckets(1L)) // same direction, same signs
+    assert(buckets(0L) != buckets(2L)) // opposite direction
+  }
+
+  test("text ops: tokens, ttr, stopwords, lang guess, fingerprints") {
+    val r = docs.filter(col("doc_id") === 0).select(
+      TextOps.tokenCount(col("text")),
+      TextOps.uniqueTokenCount(col("text")),
+      TextOps.typeTokenRatio(col("text")),
+      TextOps.stopwordRatio(col("text"), Seq("the")),
+      TextOps.langGuess(col("text")),
+      TextOps.fingerprintMd5(col("text")),
+      TextOps.rollingHash(col("text"))).collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == 5L) // "the" twice
+    assert(r.getDouble(2) == 0.8333)
+    assert(r.getDouble(3) == 0.3333)
+    assert(r.getString(4) == "en")
+    assert(r.getString(5).matches("[0-9a-f]{32}"))
+    assert(!r.isNullAt(6))
+    val langs = docs.select(col("doc_id"), TextOps.langGuess(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(langs(3L) == "es" && langs(4L) == "de" && langs(5L) == "und")
+  }
+
+  test("multimodal: binary column + batched decode stub + frame sampling") {
+    implicit val s = spark
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val meta = Multimodal.decodeMeta(media)
+    val m0 = meta.filter(col("doc_id") === 0).collect()(0)
+    assert(m0.n_bytes == "the cat sat on the mat".getBytes("UTF-8").length)
+    assert(m0.width == m0.n_bytes % 640 + 16)
+    val frames = Multimodal.sampleFrames(meta, 8L)
+    assert(frames.filter(col("doc_id") === 0).count() == m0.n_bytes / 8)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured-Streaming surface (SURVEY.md §2.10): the same transforms run
+  * on a batch DataFrame and on a real MemoryStream-driven stream. */
+class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, user: Long, typ: String, v: Double) =
+    Event(id, Timestamp.valueOf(t), user, typ, v)
+
+  private val events = Seq(
+    ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+    ev(1, "2024-01-01 10:10:00", 1, "click", 2.0),
+    ev(2, "2024-01-01 13:00:00", 1, "purchase", 10.0), // new session (>1h gap)
+    ev(3, "2024-01-01 10:30:00", 2, "click", 5.0))
+
+  test("hourlyCounts on batch: tumbling windows per type") {
+    val out = EventStreams.hourlyCounts(events.toDF())
+      .orderBy("hour_start", "event_type").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 1L))
+  }
+
+  test("hourlyCounts on a real stream (MemoryStream + watermark)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n FROM hourly_test ORDER BY hour_start, event_type")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(3L, 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap split, ordering, totals") {
+    implicit val s = spark
+    val sessions = EventStreams.sessionize(events.toDS(), 3600 * 1000L)
+      .orderBy("user_id", "start").collect()
+    assert(sessions.length == 3)
+    val u1 = sessions.filter(_.user_id == 1)
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(1).n_events == 1 && u1(1).total_value == 10.0)
+    assert(sessions.filter(_.user_id == 2).head.n_events == 1)
+  }
+
+  test("incomingOf mirrors the reference's poll-for-messages filter") {
+    val out = EventStreams.incomingOf(events.toDF(), "click", 1L).collect()
+    assert(out.length == 2)
+  }
+}
