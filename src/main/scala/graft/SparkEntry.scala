@@ -266,8 +266,10 @@ object SparkEntry {
     "q31_simhash_hamming" -> ((s, dir) => {
       // hamming distance of every doc to doc 0 — rows-only check
       implicit val sp: SparkSession = s
+      // checkpoint: sigs feed both the reference row and the main scan
       val sigs = ops.Dedup.simhash(
         Testbed.graph(s, dir).collection("documents"), "doc_id", "text")
+        .localCheckpoint()
       val ref = sigs.filter(col("id") === 0)
         .select(col("simhash").as("ref_hash"))
       sigs.crossJoin(broadcast(ref))

@@ -47,12 +47,30 @@ object Dedup {
       .otherwise(array(text))
   }
 
-  /** k-permutation MinHash signature of a shingle array: element `s` is
-    * `min over shingles of xxhash64(shingle, s)`. Pure fold — no UDF. */
+  /** k-permutation MinHash signature of a shingle array. Each shingle is
+    * hashed ONCE (xxhash64, reduced to 31 bits); the k permutations are
+    * cheap universal-hash rearrangements `(a_s·h + b_s) mod p` — k·|sh|
+    * multiplies instead of k·|sh| string hashes (the classic one-hash
+    * minhash construction). All arithmetic stays under 2^62, ANSI-safe. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => aggregate(shingles, lit(Long.MaxValue),
-        (acc, sh) => least(acc, xxhash64(sh, s))))
+    minhashFromHashes(shingleHashes(shingles), k)
+
+  /** 31-bit base hashes of the shingles — compute these in their OWN
+    * projection (e.g. `withColumn`) before [[minhashFromHashes]]: the k-way
+    * fold references them k times, and a separate column boundary stops
+    * CollapseProject from inlining (= recomputing) the string hashing. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, sh => xxhash64(sh).bitwiseAND(lit(0x7fffffffL)))
+
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
+    val p = lit(2147483647L) // 2^31 - 1 (Mersenne prime)
+    transform(sequence(lit(0), lit(k - 1)), s => {
+      val a = pmod((s + 1) * lit(2654435761L), p) + 1
+      val b = pmod((s + 1) * lit(972663749L), p)
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(a * h + b, p)))
+    })
+  }
 
   /** LSH band hashes: split the k-signature into `bands` rows of width
     * k/bands, hash each. Two docs collide in a band ⇒ candidate pair. */
@@ -77,7 +95,8 @@ object Dedup {
     val sh = df.select(col(idCol).cast("long").as("id"),
       charShingles(col(textCol), shingleN).as("shingles"))
     val banded = sh
-      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .withColumn("_hs", shingleHashes(col("shingles")))
+      .withColumn("sig", minhashFromHashes(col("_hs"), k))
       .select(col("id"), col("shingles"),
         posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bhash")))
     val bucketed = banded.withColumn("bucket_n",

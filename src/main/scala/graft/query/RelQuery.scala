@@ -93,8 +93,15 @@ object RelQueryPlanner {
     * entirely. The matched-edge side is tiny for anchored queries and
     * broadcasts under AQE. */
   def relationships(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
+    // The candidate-pruning collects in hydrate() are separate actions; an
+    // unpersisted pipeline would recompute the edge match + first join for
+    // each of them. Both intermediates are anchored (bounded by the anchor's
+    // degree) — persist so each stage computes once. ContextCleaner drops
+    // the blocks when the DataFrames go unreferenced.
     val matched = matchEdges(g, anchor, q)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withFrom = hydrate(g, anchor, q, matched, "_from", "from_doc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBoth = hydrate(g, anchor, q, withFrom, "_to", "to_doc")
     withBoth.select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
       col("_created_at"), col("props"), col("anchor_key"), col("other_key"),
@@ -108,25 +115,42 @@ object RelQueryPlanner {
     * drops (/root/reference/src/processtools.coffee:184-212). The
     * reference-document exemption (P5) applies only within the anchor's own
     * collection, which lets every other collection's scan prune when a
-    * collection filter is set. */
+    * collection filter is set.
+    *
+    * Candidate pruning (the AQE-style adaptive step): the set of collections
+    * a hydration side can touch is exactly the set of `collection:` prefixes
+    * present in `keyCol` — computed with one tiny driver-side job over the
+    * (small, anchored) matched-edge set. Without it the plan is a union of
+    * one join per catalog collection per endpoint, and the second endpoint's
+    * hydration re-evaluates the first's whole union per branch — an
+    * O(collections²) plan explosion that scans every table in the catalog.
+    * With it, a 1-hop query plans 1-2 joins per side regardless of catalog
+    * width. */
   private def hydrate(g: DocGraph, anchor: DocRef, q: RelQuery,
       left: DataFrame, keyCol: String, outName: String): DataFrame = {
-    val parts = g.collections.keys.toSeq.sorted.map { name =>
-      val df = g.collection(name)
-      val pred = q.whereDocument
-        .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
-        .getOrElse(lit(true))
-      val collOk = lit(q.collection.forall(_ == name))
-      val keyExpr = concat(lit(name + ":"), df.col("_id").cast(StringType))
-      val exempt =
-        if (name == anchor.collection) keyExpr === lit(anchor.key) else lit(false)
-      val docs = df.filter((collOk && pred) || exempt)
-        .select(keyExpr.as("_h_key"),
-          struct(df.columns.map(df.col): _*).as("_h_doc"))
-      left.join(docs, left(keyCol) === col("_h_key"), "inner")
-        .select(left.columns.map(left(_)) :+ to_json(col("_h_doc")).as(outName): _*)
-    }
-    parts.reduce(_.unionByName(_))
+    val prefixes = left.select(
+        substring_index(col(keyCol), ":", 1).as("_pfx"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val parts = g.collections.keys.toSeq.sorted
+      .filter(prefixes.contains)
+      .map { name =>
+        val df = g.collection(name)
+        val pred = q.whereDocument
+          .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
+          .getOrElse(lit(true))
+        val collOk = lit(q.collection.forall(_ == name))
+        val keyExpr = concat(lit(name + ":"), df.col("_id").cast(StringType))
+        val exempt =
+          if (name == anchor.collection) keyExpr === lit(anchor.key) else lit(false)
+        val docs = df.filter((collOk && pred) || exempt)
+          .select(keyExpr.as("_h_key"),
+            struct(df.columns.map(df.col): _*).as("_h_doc"))
+        left.join(docs, left(keyCol) === col("_h_key"), "inner")
+          .select(left.columns.map(left(_)) :+ to_json(col("_h_doc")).as(outName): _*)
+      }
+    if (parts.isEmpty)
+      left.withColumn(outName, lit(null).cast(StringType)).filter(lit(false))
+    else parts.reduce(_.unionByName(_))
   }
 
   /** A1/A2 count pushdown: `part` ∈ r | * | b (other end) | a (anchor)
