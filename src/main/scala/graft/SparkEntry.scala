@@ -322,6 +322,38 @@ object SparkEntry {
           unix_millis(col("end")).as("end_ms"),
           round(col("total_value"), 2).as("total_value"))
         .orderBy("user_id", "start_ms")
+    }),
+
+    // ---- batch edge creation (G8-G10 as set-oriented ingest) ------------
+    "q37_create_relationships" -> ((s, dir) => {
+      val g = Testbed.graph(s, dir)
+      // reverse "ordered" edges customer→orders derived from orders
+      val rev = g.collection("orders").select(
+        lit("customer").as("_from_collection"),
+        col("o_custkey").cast("string").as("_from_id"),
+        lit("orders").as("_to_collection"), col("_id").as("_to_id"))
+      val g2 = g.createRelationships("ordered", rev)
+      g2.edges.filter(col("rel_type") === "ordered").agg(count(lit(1)).as("n"))
+    }),
+    "q38_node_get_document" -> ((s, dir) => {
+      Testbed.graph(s, dir).getDocument(DocRef("customer", "2"))
+        .select(col("c_name"))
+    }),
+
+    // ---- GraphX whole-graph analytics -----------------------------------
+    "q39_degrees" -> ((s, dir) => {
+      graph.GraphAnalytics.degrees(Testbed.graph(s, dir))
+        .filter(col("doc_key").startsWith("region:"))
+        .orderBy("doc_key")
+    }),
+    "q40_connected_components" -> ((s, dir) => {
+      graph.GraphAnalytics.connectedComponents(Testbed.graph(s, dir))
+        .agg(countDistinct(col("component")).as("n_components"))
+    }),
+    "q41_pagerank" -> ((s, dir) => {
+      // rows-only: iterative float ranks have no SQL oracle
+      graph.GraphAnalytics.pageRank(Testbed.graph(s, dir), numIter = 5)
+        .orderBy(col("pagerank").desc, col("doc_key")).limit(20)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -531,5 +563,21 @@ object SparkEntry {
          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                 epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
                 round(sum(value), 2) AS total_value
-         FROM sess GROUP BY user_id, sess_no ORDER BY user_id, start_ms""")
+         FROM sess GROUP BY user_id, sess_no ORDER BY user_id, start_ms""",
+    "q37_create_relationships" ->
+      "SELECT count(*) AS n FROM orders",
+    "q38_node_get_document" ->
+      "SELECT c_name FROM customer WHERE c_custkey = 2",
+    "q39_degrees" ->
+      """SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS doc_key,
+                CAST(count(*) AS BIGINT) AS degree
+         FROM region JOIN nation ON n_regionkey = r_regionkey
+         GROUP BY r_regionkey ORDER BY doc_key""",
+    "q40_connected_components" ->
+      """SELECT CAST(1
+              + (SELECT count(*) FROM part
+                 WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
+              + (SELECT count(*) FROM documents)
+              + (SELECT count(*) FROM embeddings)
+              + (SELECT count(*) FROM events) AS BIGINT) AS n_components""")
 }

@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.DocGraph
+
+/** Whole-graph analytics over the document-graph overlay via GraphX — the
+  * Pregel-shaped algorithms (component labeling, PageRank) that genuinely
+  * want vertex-program iteration rather than repeated DataFrame self-joins.
+  * (The per-query 1-hop surface stays on DataFrames/Catalyst — see
+  * RelQueryPlanner; GraphX is reserved for the iterative analytics, matching
+  * the project north star.)
+  *
+  * Vertex ids are the engine's deterministic `xxhash64("collection:id")`
+  * node ids — identical on the DataFrame and GraphX sides, so results join
+  * back to documents by construction with no id-translation table.
+  */
+object GraphAnalytics {
+
+  /** The overlay as a GraphX property graph: vertex attr = canonical doc
+    * key, edge attr = relationship type. Isolated documents (no edges) are
+    * included as vertices — component counts mirror the document corpus. */
+  def toGraphX(g: DocGraph): Graph[String, String] = {
+    val verts = g.nodes
+      .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
+      .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
+    val edges = g.edges
+      .select(xxhash64(col("_from")), xxhash64(col("_to")), col("rel_type"))
+      .rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+    Graph(verts, edges, defaultVertexAttr = null.asInstanceOf[String],
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Per-node total degree, keyed by canonical doc key. */
+  def degrees(g: DocGraph): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val gx = toGraphX(g)
+    gx.degrees.join(gx.vertices)
+      .map { case (_, (deg, key)) => (key, deg.toLong) }
+      .toDF("doc_key", "degree")
+  }
+
+  /** Connected components: (doc_key, component id). Component ids are the
+    * min vertex id in the component — deterministic. */
+  def connectedComponents(g: DocGraph): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val gx = toGraphX(g)
+    gx.connectedComponents().vertices.join(gx.vertices)
+      .map { case (_, (cc, key)) => (key, cc) }
+      .toDF("doc_key", "component")
+  }
+
+  /** Static PageRank (`numIter` Pregel rounds), joined back to doc keys. */
+  def pageRank(g: DocGraph, numIter: Int = 5, resetProb: Double = 0.15): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val gx = toGraphX(g)
+    gx.staticPageRank(numIter, resetProb).vertices.join(gx.vertices)
+      .map { case (_, (pr, key)) => (key, pr) }
+      .toDF("doc_key", "pagerank")
+  }
+}
