@@ -354,6 +354,17 @@ object SparkEntry {
       // rows-only: iterative float ranks have no SQL oracle
       graph.GraphAnalytics.pageRank(Testbed.graph(s, dir), numIter = 5)
         .orderBy(col("pagerank").desc, col("doc_key")).limit(20)
+    }),
+
+    // ---- set-oriented traversal (the 100 TB shape: one query, all anchors)
+    "q42_set_anchored_counts" -> ((s, dir) => {
+      val g = Testbed.graph(s, dir)
+      val anchors = g.collection("customer").filter(col("c_nationkey") === 0)
+        .select(concat(lit("customer:"), col("_id")).as("anchor_key"))
+      RelQueryPlanner.matchEdgesForAnchors(g, anchors,
+          RelQuery(types = Seq("placed_by"), direction = Direction.Incoming))
+        .groupBy(col("anchor_key")).agg(count(lit(1)).as("n_orders"))
+        .orderBy("anchor_key")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -579,5 +590,11 @@ object SparkEntry {
                  WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))
               + (SELECT count(*) FROM documents)
               + (SELECT count(*) FROM embeddings)
-              + (SELECT count(*) FROM events) AS BIGINT) AS n_components""")
+              + (SELECT count(*) FROM events) AS BIGINT) AS n_components""",
+    "q42_set_anchored_counts" ->
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS anchor_key,
+                count(*) AS n_orders
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         WHERE c_nationkey = 0
+         GROUP BY c_custkey ORDER BY anchor_key""")
 }

@@ -47,6 +47,7 @@ object Testbed {
     "events" -> GraphSchema("events"))
 
   def build(spark: SparkSession, sfDir: String): DocGraph = {
+    graft.functions.GraftFunctions.register(spark)
     // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses natively;
     // read the raw int96-free nanos as long and rebuild a (micro) timestamp.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

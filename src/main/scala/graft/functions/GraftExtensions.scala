@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Engine function registration, both as a `spark.sql.extensions` class
+  * (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`)
+  * and as an idempotent runtime helper for sessions built without it. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("vec_dot"), FloatVecDot.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(children(0), children(1))))
+}
+
+object GraftFunctions {
+  /** Register the engine's native functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(children(0), children(1)),
+      "built-in")
+}

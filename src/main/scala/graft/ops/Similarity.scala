@@ -21,7 +21,15 @@ object Similarity {
 
   private def d(c: Column) = c.cast("double")
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product. Uses the engine's codegen'd native expression
+    * (`vec_dot`, [[graft.functions.FloatVecDot]]) when registered on the
+    * session — [[graft.functions.GraftFunctions.register]] or the
+    * `spark.sql.extensions` class; [[dotFold]] is the registration-free
+    * fallback with bit-identical numerics. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Pure-Column fold variant (interpreted higher-order functions). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (s, v) => s + v)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

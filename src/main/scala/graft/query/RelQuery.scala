@@ -153,6 +153,31 @@ object RelQueryPlanner {
     else parts.reduce(_.unionByName(_))
   }
 
+  /** Set-oriented 1-hop: one traversal for a whole anchor SET — the shape a
+    * cluster workload uses instead of N per-document queries (the
+    * reference's N+1 pattern, set-oriented by construction). `anchors` must
+    * have an `anchor_key` string column of `"collection:id"` keys; it is
+    * broadcast when small, and the edge join shuffles on the edge key
+    * otherwise (AQE picks). Output = edge schema + `anchor_key` +
+    * `other_key`, un-hydrated: compose with typed joins or aggregate
+    * directly (hydration of a set result is workload-specific). */
+  def matchEdgesForAnchors(g: DocGraph, anchors: DataFrame,
+      q: RelQuery): DataFrame = {
+    val e = g.edges.alias("r")
+    val base = e.filter(DocGraph.typeFilter(q.types))
+      .filter(q.whereRelationship.map(expr).getOrElse(lit(true)))
+    val a = anchors.select(col("anchor_key"))
+    val out = base.join(a, base("_from") === a("anchor_key"))
+      .withColumn("other_key", col("_to"))
+    val in = base.join(a, base("_to") === a("anchor_key"))
+      .withColumn("other_key", col("_from"))
+    q.direction match {
+      case Direction.Outgoing => out
+      case Direction.Incoming => in
+      case Direction.Both     => out.unionByName(in)
+    }
+  }
+
   /** A1/A2 count pushdown: `part` ∈ r | * | b (other end) | a (anchor)
     * (/root/reference/src/extendDocument.coffee:74-77). */
   def relCount(g: DocGraph, anchor: DocRef, q: RelQuery, part: String = "r",
