@@ -100,6 +100,16 @@ object MongoPredicate {
     case "$nin"    => !coalesce(inList(c, seqOf(v, "$nin")), lit(false))
     case "$exists" => if (v == true) c.isNotNull else c.isNull
     case "$regex"  => c.rlike(v.toString)
+    // Array-field operators. $all: the array contains every listed value.
+    // $elemMatch: some element satisfies the operator object (scalar-element
+    // form; compiled with Spark's `exists` higher-order function).
+    case "$all" => seqOf(v, "$all")
+      .map(x => array_contains(c, x)).reduceOption(_ && _).getOrElse(lit(true))
+    case "$elemMatch" => v match {
+      case ops: Map[_, _] =>
+        exists(c, el => compileField(el, ops.asInstanceOf[Map[String, Any]]))
+      case other => fail(s"$$elemMatch expects an operator object, got $other")
+    }
     case "$not"    => !coalesce(compileField(c, v), lit(false))
     case "$size"   => size(c) === lit(asInt(v))
     case "$mod"    => seqOf(v, "$mod") match {
