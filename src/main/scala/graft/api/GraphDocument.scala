@@ -46,6 +46,21 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
       where: RelWhere = RelWhere()): DataFrame =
     RelQueryPlanner.relationships(g, ref, q(Seq(types), Direction.Outgoing, Some(other), where))
 
+  // --- processPart selection (G18) --------------------------------------
+  /** The reference's `processPart: 'b'` — return the documents at the far
+    * end of matching relationships rather than the relationships
+    * (/root/reference/src/extendDocument.coffee:78,480-481,492-497).
+    * One row per matching relationship (duplicates preserved, as the
+    * reference's column extraction does). */
+  def otherDocuments(types: String = "*", dir: Direction = Direction.Both,
+      where: RelWhere = RelWhere()): DataFrame = {
+    val rels = RelQueryPlanner.relationships(g, ref, q(Seq(types), dir, None, where))
+    import org.apache.spark.sql.functions.{col, when}
+    rels.select(col("other_key").as("_doc_key"),
+      when(col("other_key") === col("_to"), col("to_doc"))
+        .otherwise(col("from_doc")).as("doc"))
+  }
+
   // --- counts (A1/A2) ---------------------------------------------------
   def countRelationships(types: String = "*", dir: Direction = Direction.Both,
       part: String = "r", distinct: Boolean = false): DataFrame =

@@ -43,9 +43,15 @@ object ShortestPath {
 
     if (from.key == to.key) return Some(Seq(from.key))
 
-    val edges = g.edges.filter(DocGraph.typeFilter(types))
+    // Skip the projection cache when the graph's edge store is already
+    // cached (e.g. the Testbed overlay) — re-materializing 2M rows per call
+    // costs more than scanning the existing cache each level.
+    val alreadyCached = g.edges.storageLevel != StorageLevel.NONE
+    val projected = g.edges.filter(DocGraph.typeFilter(types))
       .select(col("_from"), col("_to"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges =
+      if (alreadyCached) projected
+      else projected.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       var frontier = Seq((from.key, Seq(from.key)))
         .toDF("key", "path").localCheckpoint()
@@ -72,7 +78,7 @@ object ShortestPath {
         }
       }
       found
-    } finally edges.unpersist()
+    } finally if (!alreadyCached) edges.unpersist()
   }
 
   /** G16 + J3 end-to-end: shortest path hydrated to documents, with the

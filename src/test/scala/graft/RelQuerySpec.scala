@@ -36,6 +36,15 @@ class RelQuerySpec extends AnyFunSuite {
     assert(GraphDocument(g, alice).outgoingRelationships("visits").count() == 2)
   }
 
+  test("processPart 'b': otherDocuments returns the far-end documents") {
+    val in = GraphDocument(g, alice).otherDocuments("knows", Direction.Incoming)
+      .select(jsonField("doc", "name")).collect().map(_.getString(0)).toSeq
+    assert(in == Seq("zoe"))
+    val out = GraphDocument(g, alice).otherDocuments("visits", Direction.Outgoing)
+      .select(jsonField("doc", "name")).collect().map(_.getString(0)).toSet
+    assert(out == Set("Bar", "Pub"))
+  }
+
   test("type '*' matches all; alice has 4 relationships total") {
     assert(GraphDocument(g, alice).allRelationships("*").count() == 4)
   }
