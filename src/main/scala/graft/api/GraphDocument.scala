@@ -63,8 +63,9 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
 
   // --- counts (A1/A2) ---------------------------------------------------
   def countRelationships(types: String = "*", dir: Direction = Direction.Both,
-      part: String = "r", distinct: Boolean = false): DataFrame =
-    RelQueryPlanner.relCount(g, ref, RelQuery(Seq(types), dir), part, distinct)
+      part: String = "r", distinct: Boolean = false,
+      where: RelWhere = RelWhere()): DataFrame =
+    RelQueryPlanner.relCount(g, ref, q(Seq(types), dir, None, where), part, distinct)
 
   // --- mutations (G8-G15) — pure transforms returning a new graph --------
   def createRelationshipTo(other: DocRef, relType: String,
@@ -110,6 +111,13 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
   // --- adjacency materialization (G19) -------------------------------------
   def applyGraphRelationships(types: String = "*"): DataFrame =
     RelQueryPlanner.applyGraphRelationships(g, ref.collection, Seq(types))
+
+  /** G19 with `doPersist`: write the materialized `_relationships` column
+    * back onto the collection, returning the updated graph (the reference
+    * persists to MongoDB, /root/reference/src/extendDocument.coffee:459-470;
+    * here persistence = a new immutable collection version). */
+  def persistGraphRelationships(types: String = "*"): DocGraph =
+    g.withCollection(ref.collection, applyGraphRelationships(types))
 }
 
 /** Bundle of the reference's `where`/`collection` query options

@@ -215,6 +215,14 @@ final class DocGraph(
     dir && typeFilter(types)
   }
 
+  /** Typed view of the edge store — `Dataset[EdgeRow]` for call sites where
+    * compile-time safety of the graph-core columns pays off (SURVEY §1.4). */
+  def edgesTyped: org.apache.spark.sql.Dataset[DocGraph.EdgeRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[DocGraph.EdgeRow] =
+      org.apache.spark.sql.Encoders.product[DocGraph.EdgeRow]
+    edges.as[DocGraph.EdgeRow]
+  }
+
   def withEdges(newEdges: DataFrame): DocGraph =
     new DocGraph(spark, collections, schemas, newEdges, clock, batchSeq)
 
@@ -228,6 +236,10 @@ final class DocGraph(
 }
 
 object DocGraph {
+
+  /** Case-class shape of one edge row (matches [[edgeSchema]]). */
+  final case class EdgeRow(_rel_id: Long, _from: String, _to: String,
+      rel_type: String, _created_at: Long, props: Map[String, String])
 
   /** Deterministic injected clock (unix seconds) — see §7.4 of SURVEY.md. */
   val DefaultClock: Long = 1700000000L

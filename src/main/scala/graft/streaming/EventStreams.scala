@@ -30,6 +30,31 @@ object EventStreams {
   def incomingOf(events: DataFrame, eventType: String, userId: Long): DataFrame =
     events.filter(col("event_type") === eventType && col("user_id") === userId)
 
+  /** Graph-level version of the poll pattern: an append STREAM of edge rows
+    * (schema = `DocGraph.edgeSchema`), filtered to one type and anchor and
+    * hydrated against a STATIC collection via stream-static join — the
+    * Spark-first form of "poll Neo4j for new incoming relationships, fetch
+    * each document" (/root/reference/examples/example.js:56-88). Works on
+    * batch DataFrames identically. */
+  def incomingRelationshipStream(edgeStream: DataFrame,
+      g: graft.core.DocGraph, anchor: graft.model.DocRef,
+      relType: String): DataFrame = {
+    val matched = edgeStream
+      .filter(col("rel_type") === relType && col("_to") === anchor.key)
+    // hydrate the sender side against each (static) collection by prefix
+    val parts = g.collections.keys.toSeq.sorted.map { name =>
+      val df = g.collection(name)
+      val keyExpr = concat(lit(name + ":"),
+        df.col("_id").cast(org.apache.spark.sql.types.StringType))
+      matched.join(df.withColumn("_h_key", keyExpr),
+          matched("_from") === col("_h_key"), "inner")
+        .select(matched("_rel_id"), matched("_from"), matched("_to"),
+          matched("rel_type"), matched("_created_at"), matched("props"),
+          to_json(struct(df.columns.map(df.col): _*)).as("from_doc"))
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Long, start: Timestamp,

@@ -60,4 +60,27 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     val out = EventStreams.incomingOf(events.toDF(), "click", 1L).collect()
     assert(out.length == 2)
   }
+
+  test("incomingRelationshipStream: stream-static hydration of new edges") {
+    implicit val sq = spark.sqlContext
+    import graft.core.DocGraph.EdgeRow
+    val g = Fixture.build(spark)
+    val mem = MemoryStream[EdgeRow]
+    mem.addData(
+      EdgeRow(1L, Fixture.bob.key, Fixture.alice.key, "sends", 1700000000L,
+        Map("text" -> "hi")),
+      EdgeRow(2L, Fixture.zoe.key, Fixture.alice.key, "sends", 1700000001L, Map()),
+      EdgeRow(3L, Fixture.bob.key, Fixture.zoe.key, "sends", 1700000002L, Map()))
+    val q = EventStreams.incomingRelationshipStream(
+        mem.toDF(), g, Fixture.alice, "sends")
+      .writeStream.format("memory").queryName("incoming_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val senders = spark.sql(
+          "SELECT get_json_object(from_doc, '$.name') FROM incoming_test")
+        .collect().map(_.getString(0)).toSet
+      assert(senders == Set("bob", "zoe")) // edge 3 aimed elsewhere, dropped
+    } finally q.stop()
+  }
 }
