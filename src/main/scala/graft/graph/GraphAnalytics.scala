@@ -20,10 +20,26 @@ import graft.core.DocGraph
   */
 object GraphAnalytics {
 
+  // One GraphX graph per DocGraph instance: the three algorithms typically
+  // run over the same overlay, and rebuilding vertex/edge RDDs per call
+  // costs more than any of them. Weak keys: entries die with the DocGraph.
+  private val gxCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DocGraph, Graph[String, String]]())
+
   /** The overlay as a GraphX property graph: vertex attr = canonical doc
     * key, edge attr = relationship type. Isolated documents (no edges) are
-    * included as vertices — component counts mirror the document corpus. */
+    * included as vertices — component counts mirror the document corpus.
+    * Cached (and RDD-persisted) per DocGraph instance. */
   def toGraphX(g: DocGraph): Graph[String, String] = {
+    val cached = gxCache.get(g)
+    if (cached != null) return cached
+    val built = buildGraphX(g)
+    built.cache()
+    gxCache.put(g, built)
+    built
+  }
+
+  private def buildGraphX(g: DocGraph): Graph[String, String] = {
     val verts = g.nodes
       .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
       .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
