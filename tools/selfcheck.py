@@ -42,6 +42,8 @@ for name, sql in sorted(oracle.items()):
         status, detail = "COLS", f"spark={list(g.columns)} duck={list(w.columns)}"
     elif len(g) != len(w):
         status, detail = "ROWS", f"spark={len(g)} duck={len(w)}"
+    elif len(g) == 0:
+        pass  # both empty: equal
     else:
         gs = g.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().values
         ws = w.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().values
