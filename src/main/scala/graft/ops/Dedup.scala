@@ -92,28 +92,33 @@ object Dedup {
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    // Jaccard verification runs on the 64-bit shingle HASH sets, not the
+    // string shingles: the pair join then shuffles/intersects long arrays
+    // (8 bytes/element, primitive comparisons) instead of ~n-char strings.
+    // Identical up to xxhash64 collisions within one document pair —
+    // negligible, and strictly a candidate-verification metric here.
     val sh = df.select(col(idCol).cast("long").as("id"),
       charShingles(col(textCol), shingleN).as("shingles"))
+      .select(col("id"), array_distinct(shingleHashes(col("shingles"))).as("_hs"))
     val banded = sh
-      .withColumn("_hs", shingleHashes(col("shingles")))
       .withColumn("sig", minhashFromHashes(col("_hs"), k))
-      .select(col("id"), col("shingles"),
+      .select(col("id"), col("_hs"),
         posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bhash")))
     val bucketed = banded.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bhash"))))
       .filter(col("bucket_n") <= maxBucket)
     val a = bucketed.select(col("band"), col("bhash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
+      col("id").as("id_a"), col("_hs").as("h_a"))
     val b = bucketed.select(col("band"), col("bhash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+      col("id").as("id_b"), col("_hs").as("h_b"))
     a.join(b, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
       .distinct() // a pair may collide in several bands
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-          / size(array_union(col("sh_a"), col("sh_b"))), 4))
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double")
+          / size(array_union(col("h_a"), col("h_b"))), 4))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
