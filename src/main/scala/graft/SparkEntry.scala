@@ -365,6 +365,30 @@ object SparkEntry {
           RelQuery(types = Seq("placed_by"), direction = Direction.Incoming))
         .groupBy(col("anchor_key")).agg(count(lit(1)).as("n_orders"))
         .orderBy("anchor_key")
+    }),
+
+    // ---- temporal joins (as-of, range) ----------------------------------
+    "q43_asof_join" -> ((s, dir) => {
+      val ev = Testbed.graph(s, dir).collection("events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      ops.TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"))
+        .select(col("event_id").as("purchase_id"),
+          col("asof_event_id").as("click_id"))
+        .orderBy("purchase_id")
+    }),
+    "q44_range_join" -> ((s, dir) => {
+      val g = Testbed.graph(s, dir)
+      ops.TemporalJoins.rangeJoinCount(
+          g.collection("orders"), g.collection("lineitem"),
+          col("l_orderkey") === col("o_orderkey"),
+          col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          Seq(col("o_orderstatus")), "n")
+        .orderBy("o_orderstatus")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -596,5 +620,18 @@ object SparkEntry {
                 count(*) AS n_orders
          FROM customer JOIN orders ON o_custkey = c_custkey
          WHERE c_nationkey = 0
-         GROUP BY c_custkey ORDER BY anchor_key""")
+         GROUP BY c_custkey ORDER BY anchor_key""",
+    "q43_asof_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY purchase_id""",
+    "q44_range_join" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM orders JOIN lineitem
+           ON l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
 }

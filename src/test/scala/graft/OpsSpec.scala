@@ -108,6 +108,28 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(langs(3L) == "es" && langs(4L) == "de" && langs(5L) == "und")
   }
 
+  test("asof join: latest right row at-or-before each left row, per key") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, t("2024-01-01 10:00:05"), "T1"),
+      (1L, t("2024-01-01 10:00:00"), "T0"), // equal-ts quote visible
+      (2L, t("2024-01-01 09:00:00"), "T2")) // before any quote -> null
+      .toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 100.0),
+      (1L, t("2024-01-01 10:00:03"), 101.0),
+      (2L, t("2024-01-01 12:00:00"), 200.0))
+      .toDF("k", "ts", "px")
+    val out = graft.ops.TemporalJoins.asofJoin(trades, quotes, Seq("k"))
+      .select(col("trade"), col("asof_px")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toMap
+    assert(out("T0") == 100.0) // quote at the same instant matches
+    assert(out("T1") == 101.0) // latest preceding quote
+    assert(out("T2") == -1.0)  // no preceding quote -> null
+  }
+
   test("multimodal: binary column + batched decode stub + frame sampling") {
     implicit val s = spark
     val media = Multimodal.attachMedia(docs, "doc_id", "text")
