@@ -34,6 +34,16 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sh(1) == Seq("ab"))
   }
 
+  test("word shingles and subword counts") {
+    val sh = Seq(("a b c d", 1)).toDF("t", "i")
+      .select(Dedup.wordShingles(col("t"), 2).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    val sub = Seq(("gpt4 turbo x2", 1)).toDF("t", "i")
+      .select(TextOps.subwordCount(col("t"))).collect()(0).getLong(0)
+    assert(sub == 5L) // gpt|4 turbo x|2
+  }
+
   test("minhash LSH finds the exact and near dup, not the unrelated text") {
     // bands=16 (width-1 bands): collision probability per band equals the
     // jaccard itself, so a 0.7-jaccard near-dup is caught deterministically
