@@ -380,6 +380,15 @@ object SparkEntry {
           col("asof_event_id").as("click_id"))
         .orderBy("purchase_id")
     }),
+    "q45_ann_ivf" -> ((s, dir) => {
+      // rows-only: k-means cells are seed-deterministic but not SQL-oracle-able
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect()(0).getSeq[Float](0)
+      val ix = ops.IvfIndex.build(emb, "vec_id", "embedding", k = 16)
+      ops.IvfIndex.query(ix, "vec_id", "embedding", q, topK = 10, nProbe = 4,
+        excludeId = Some(0L))
+    }),
     "q44_range_join" -> ((s, dir) => {
       val g = Testbed.graph(s, dir)
       ops.TemporalJoins.rangeJoinCount(

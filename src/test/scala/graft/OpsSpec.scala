@@ -118,6 +118,23 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(langs(3L) == "es" && langs(4L) == "de" && langs(5L) == "und")
   }
 
+  test("IVF ANN: probing recalls the brute-force neighbors") {
+    // clustered corpus: 3 tight clusters around orthogonal axes
+    val base = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val emb = (0 until 30).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0).collect()(0).getSeq[Float](1)
+    val ix = graft.ops.IvfIndex.build(emb, "vec_id", "embedding", k = 3)
+    val ivf = graft.ops.IvfIndex.query(ix, "vec_id", "embedding", q,
+      topK = 5, nProbe = 1, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.topKToQuery(emb, "vec_id", "embedding", q, 5,
+      excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    assert(ivf == brute) // cluster 0's members dominate both top-5 sets
+  }
+
   test("asof join: latest right row at-or-before each left row, per key") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
