@@ -18,12 +18,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tBuild = System.nanoTime()
-    Testbed.graph(spark, sfDir)
+    val g = Testbed.graph(spark, sfDir)
+    // Pre-warm the shared GraphX overlay too (force materialization) so the
+    // per-query cache cleanup below treats it as part of the baseline.
+    graft.graph.GraphAnalytics.toGraphX(g).numVertices
     val buildSec = (System.nanoTime() - tBuild) / 1e9
+    // Queries persist bounded intermediates; across 45 of them the leftovers
+    // accumulate and can push the heap into GC thrash. Drop anything a query
+    // pinned beyond what existed before it ran (the shared overlay survives).
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+      }
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
