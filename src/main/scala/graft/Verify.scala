@@ -15,11 +15,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Build the overlay first, then keep per-query cache growth bounded
+    // (same hygiene as Bench — 45 queries in one JVM otherwise accumulate
+    // every query's persisted intermediates).
+    Testbed.graph(spark, sfDir)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(blocking = false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
