@@ -389,6 +389,22 @@ object SparkEntry {
       ops.IvfIndex.query(ix, "vec_id", "embedding", q, topK = 10, nProbe = 4,
         excludeId = Some(0L))
     }),
+    "q46_multimodal_ann" -> ((s, dir) => {
+      // full pipeline composition: binary media → stub features → cosine
+      // top-10 against doc 0's features (ties broken by doc_id)
+      implicit val sp: SparkSession = s
+      val media = ops.Multimodal.attachMedia(
+        Testbed.graph(s, dir).collection("documents"), "doc_id", "text")
+      val feats = ops.Multimodal.extractFeatures(media, dims = 8)
+      val q = feats.filter(col("doc_id") === 0).select(col("features"))
+        .collect()(0).getSeq[Float](0)
+      // zero-norm feature rows (payload size divisible by 101 under the stub
+      // extractor) are excluded: cosine is undefined for them
+      val nonZero = feats.filter(ops.Similarity.l2Norm(col("features")) > 0)
+      ops.Similarity.topKToQuery(nonZero, "doc_id", "features", q, 10,
+          excludeId = Some(0L))
+        .withColumnRenamed("vec_id", "doc_id")
+    }),
     "q44_range_join" -> ((s, dir) => {
       val g = Testbed.graph(s, dir)
       ops.TemporalJoins.rangeJoinCount(
@@ -636,6 +652,26 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY purchase_id""",
+    "q46_multimodal_ann" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  list_transform(range(1, 9), d ->
+                    CAST(CAST((octet_length(encode(text)) * d) % 101 AS FLOAT)
+                         / CAST(101 AS FLOAT) AS FLOAT)) AS features
+           FROM documents),
+         q AS (SELECT features AS qv FROM f WHERE doc_id = 0)
+         SELECT doc_id, round(
+           list_sum(list_transform(range(1, 9),
+             i -> CAST(features[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 9),
+                i -> CAST(features[i] AS DOUBLE) * CAST(features[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 9),
+                i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 4) AS score
+         FROM f, q
+         WHERE doc_id != 0
+           AND list_sum(list_transform(range(1, 9),
+                 i -> CAST(features[i] AS DOUBLE) * CAST(features[i] AS DOUBLE))) > 0
+         ORDER BY score DESC, doc_id LIMIT 10""",
     "q44_range_join" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders JOIN lineitem

@@ -47,6 +47,37 @@ object Multimodal {
     }
   }
 
+  final case class Resized(doc_id: Long, width: Long, height: Long, n_bytes: Long)
+
+  /** Resize stub: the Spark-side shape of a batched image resize (1 row in,
+    * 1 smaller row out; a real kernel would transcode `media`). Halves each
+    * dimension, quarters the payload estimate. */
+  def resize(meta: Dataset[MediaMeta], maxDim: Long)(
+      implicit spark: SparkSession): Dataset[Resized] = {
+    import spark.implicits._
+    meta.map { m =>
+      // >>> STUB KERNEL <<< real impl: decode, scale to maxDim, re-encode.
+      val scale = math.max(1L, math.max(m.width, m.height) / maxDim)
+      Resized(m.doc_id, m.width / scale, m.height / scale,
+        m.n_bytes / (scale * scale))
+    }
+  }
+
+  /** Feature-extraction stub: media bytes → a small dense embedding. The
+    * fake features are a deterministic function of payload size, so the
+    * full binary → features → similarity pipeline is testable end-to-end
+    * (and SQL-oracle-able). A real extractor would run a vision/audio model
+    * per partition batch. */
+  def extractFeatures(media: DataFrame, dims: Int = 8)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].map { r =>
+      // >>> STUB KERNEL <<<
+      val n = r.media.length.toLong
+      (r.doc_id, (1 to dims).map(d => ((n * d) % 101).toFloat / 101f).toArray)
+    }.toDF("doc_id", "features")
+  }
+
   /** Frame sampling stub: every `stride`-th byte offset stands in for a
     * video frame timestamp. Real plumbing: explode is the Spark-side shape
     * (1 media row → M frame rows), and it composes with decodeMeta. */

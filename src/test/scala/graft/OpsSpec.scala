@@ -167,5 +167,11 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(m0.width == m0.n_bytes % 640 + 16)
     val frames = Multimodal.sampleFrames(meta, 8L)
     assert(frames.filter(col("doc_id") === 0).count() == m0.n_bytes / 8)
+    val rz = Multimodal.resize(meta, 16L).filter(col("doc_id") === 0).collect()(0)
+    assert(rz.width <= m0.width && rz.height <= m0.height)
+    val feats = Multimodal.extractFeatures(media, dims = 4)
+      .filter(col("doc_id") === 0).collect()(0).getSeq[Float](1)
+    assert(feats.length == 4)
+    assert(feats == (1 to 4).map(d => ((m0.n_bytes * d) % 101).toFloat / 101f))
   }
 }
