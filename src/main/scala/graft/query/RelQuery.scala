@@ -127,7 +127,18 @@ object RelQueryPlanner {
     * With it, a 1-hop query plans 1-2 joins per side regardless of catalog
     * width. */
   private def hydrate(g: DocGraph, anchor: DocRef, q: RelQuery,
-      left: DataFrame, keyCol: String, outName: String): DataFrame = {
+      left: DataFrame, keyCol: String, outName: String): DataFrame =
+    hydrateWith(g, anchor, q, left, keyCol, Some(outName))
+
+  /** Keys-only variant: the same inner-join strip semantics (endpoint must
+    * exist and pass the predicate) WITHOUT serializing documents — the
+    * path count queries take, where hydration content is never read. */
+  private[graft] def hydrateKeysOnly(g: DocGraph, anchor: DocRef, q: RelQuery,
+      left: DataFrame, keyCol: String): DataFrame =
+    hydrateWith(g, anchor, q, left, keyCol, None)
+
+  private def hydrateWith(g: DocGraph, anchor: DocRef, q: RelQuery,
+      left: DataFrame, keyCol: String, outName: Option[String]): DataFrame = {
     val prefixes = left.select(
         substring_index(col(keyCol), ":", 1).as("_pfx"))
       .distinct().collect().map(_.getString(0)).toSet
@@ -142,15 +153,23 @@ object RelQueryPlanner {
         val keyExpr = concat(lit(name + ":"), df.col("_id").cast(StringType))
         val exempt =
           if (name == anchor.collection) keyExpr === lit(anchor.key) else lit(false)
-        val docs = df.filter((collOk && pred) || exempt)
-          .select(keyExpr.as("_h_key"),
+        val filtered = df.filter((collOk && pred) || exempt)
+        val docs = outName match {
+          case Some(_) => filtered.select(keyExpr.as("_h_key"),
             struct(df.columns.map(df.col): _*).as("_h_doc"))
-        left.join(docs, left(keyCol) === col("_h_key"), "inner")
-          .select(left.columns.map(left(_)) :+ to_json(col("_h_doc")).as(outName): _*)
+          case None => filtered.select(keyExpr.as("_h_key"))
+        }
+        val joined = left.join(docs, left(keyCol) === col("_h_key"), "inner")
+        outName match {
+          case Some(n) => joined.select(
+            left.columns.map(left(_)) :+ to_json(col("_h_doc")).as(n): _*)
+          case None => joined.select(left.columns.map(left(_)): _*)
+        }
       }
-    if (parts.isEmpty)
-      left.withColumn(outName, lit(null).cast(StringType)).filter(lit(false))
-    else parts.reduce(_.unionByName(_))
+    if (parts.isEmpty) {
+      val empty = left.filter(lit(false))
+      outName.fold(empty)(n => empty.withColumn(n, lit(null).cast(StringType)))
+    } else parts.reduce(_.unionByName(_))
   }
 
   /** Set-oriented 1-hop: one traversal for a whole anchor SET — the shape a
@@ -182,7 +201,15 @@ object RelQueryPlanner {
     * (/root/reference/src/extendDocument.coffee:74-77). */
   def relCount(g: DocGraph, anchor: DocRef, q: RelQuery, part: String = "r",
       distinct: Boolean = false): DataFrame = {
-    val rels = relationships(g, anchor, q)
+    // counts never read document content — keys-only strip, no JSON
+    // (reference count pushdown A1/A2,
+    // /root/reference/src/extendDocument.coffee:74-77). The anchored match
+    // is persisted so the two pruning collects + final count scan the edge
+    // store once, not three times.
+    val matched = matchEdges(g, anchor, q)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rels = hydrateKeysOnly(g, anchor, q,
+      hydrateKeysOnly(g, anchor, q, matched, "_from"), "_to")
     val target = part match {
       case "r" | "*" => col("_rel_id")
       case "b"       => col("other_key")
