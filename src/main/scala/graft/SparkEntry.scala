@@ -389,6 +389,12 @@ object SparkEntry {
       ops.IvfIndex.query(ix, "vec_id", "embedding", q, topK = 10, nProbe = 4,
         excludeId = Some(0L))
     }),
+    "q47_rolling_fingerprint" -> ((s, dir) => {
+      Testbed.graph(s, dir).collection("documents")
+        .select(col("doc_id"),
+          ops.TextOps.rollingHash(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
+    }),
     "q46_multimodal_ann" -> ((s, dir) => {
       // full pipeline composition: binary media → stub features → cosine
       // top-10 against doc 0's features (ties broken by doc_id)
@@ -652,6 +658,14 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY purchase_id""",
+    "q47_rolling_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(1, length(text) + 1),
+                      i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+         FROM documents ORDER BY doc_id""",
     "q46_multimodal_ann" ->
       """WITH f AS (
            SELECT doc_id,
