@@ -389,6 +389,15 @@ object SparkEntry {
       ops.IvfIndex.query(ix, "vec_id", "embedding", q, topK = 10, nProbe = 4,
         excludeId = Some(0L))
     }),
+    "q48_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (not approx sketches) so the oracle
+      // hash-matches quantile_cont
+      Testbed.graph(s, dir).collection("orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("med"),
+          round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+        .orderBy("o_orderstatus")
+    }),
     "q47_rolling_fingerprint" -> ((s, dir) => {
       Testbed.graph(s, dir).collection("documents")
         .select(col("doc_id"),
@@ -658,6 +667,11 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY purchase_id""",
+    "q48_percentiles" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+                round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q47_rolling_fingerprint" ->
       """SELECT doc_id,
                 list_reduce(
