@@ -55,6 +55,17 @@ object EventStreams {
     parts.reduce(_.unionByName(_))
   }
 
+  /** Streaming ingest dedup: drop events whose id was already seen within
+    * the watermark horizon — the exactly-once guard an event pipeline puts
+    * in front of aggregation (state is bounded by the watermark, unlike a
+    * full-history distinct). On batch frames, plain dropDuplicates. */
+  def dedupEvents(events: DataFrame, idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+    else events.dropDuplicates(idCols)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Long, start: Timestamp,

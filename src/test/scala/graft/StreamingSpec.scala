@@ -61,6 +61,24 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("dedupEvents drops in-watermark duplicate ids on a real stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(10, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(10, "2024-01-01 10:00:01", 1, "click", 1.0), // dup id within watermark
+      ev(11, "2024-01-01 10:00:02", 1, "click", 2.0))
+    val q = EventStreams.dedupEvents(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup_test ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(10L, 11L))
+    } finally q.stop()
+  }
+
   test("incomingRelationshipStream: stream-static hydration of new edges") {
     implicit val sq = spark.sqlContext
     import graft.core.DocGraph.EdgeRow
