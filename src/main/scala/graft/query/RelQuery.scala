@@ -99,9 +99,9 @@ object RelQueryPlanner {
     // degree) — persist so each stage computes once. ContextCleaner drops
     // the blocks when the DataFrames go unreferenced.
     val matched = matchEdges(g, anchor, q)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val withFrom = hydrate(g, anchor, q, matched, "_from", "from_doc")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val withBoth = hydrate(g, anchor, q, withFrom, "_to", "to_doc")
     withBoth.select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
       col("_created_at"), col("props"), col("anchor_key"), col("other_key"),
@@ -207,7 +207,7 @@ object RelQueryPlanner {
     // is persisted so the two pruning collects + final count scan the edge
     // store once, not three times.
     val matched = matchEdges(g, anchor, q)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val rels = hydrateKeysOnly(g, anchor, q,
       hydrateKeysOnly(g, anchor, q, matched, "_from"), "_to")
     val target = part match {
