@@ -271,11 +271,16 @@ object DocGraph {
     * within-batch duplicate rank, so the reference's "create the same edge
     * twice" produces two distinct ids and `count(distinct r)` matches
     * (/root/reference/test/tests.coffee:523-531). The rank window partitions
-    * by the full edge key — shards across the cluster, no global sort. */
+    * by the full edge key — shards across the cluster, no global sort.
+    *
+    * Rank order within a duplicate group is a hash of the row's (sorted)
+    * props entries, so the props↔id pairing is deterministic across plan
+    * recomputations; rows identical in props too are interchangeable, so
+    * their tie order cannot change the output multiset. */
   private[core] def stampRelId(e: DataFrame, batch: Long): DataFrame = {
     val dupRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_from"), col("_to"), col("rel_type"))
-      .orderBy(col("_from"))
+      .orderBy(xxhash64(array_sort(map_entries(col("props")))))
     e.withColumn("_rel_id",
         xxhash64(col("_from"), col("_to"), col("rel_type"), col("_created_at"),
           lit(batch), row_number().over(dupRank)))

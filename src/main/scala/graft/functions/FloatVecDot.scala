@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   *
   * Numerics match the fold exactly: left-to-right double accumulation of
   * `(double) a[i] * (double) b[i]` — so results are bit-identical to
-  * [[graft.ops.Similarity.dot]] and to the DuckDB oracle's `list_sum`.
-  * Arrays of unequal length dot over the common prefix; null input → null.
+  * [[graft.ops.Similarity.dotFold]] and to the DuckDB oracle's `list_sum`.
+  * Null semantics are the fold's too: null input array → null; a null
+  * element poisons the sum → null; unequal lengths → null (`zip_with` pads
+  * the shorter array with nulls, which poisons the fold the same way).
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,15 +37,21 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Can produce null even from non-null inputs (null element / length
+  // mismatch), so nullability must not be derived from the children alone.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -56,12 +64,20 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    }
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -103,8 +103,10 @@ object MongoPredicate {
     // Array-field operators. $all: the array contains every listed value.
     // $elemMatch: some element satisfies the operator object (scalar-element
     // form; compiled with Spark's `exists` higher-order function).
+    // Mongo's {$all: []} matches NO documents (empty-list vacuous truth does
+    // not apply) — mirror of the empty-$in convention, hence lit(false).
     case "$all" => seqOf(v, "$all")
-      .map(x => array_contains(c, x)).reduceOption(_ && _).getOrElse(lit(true))
+      .map(x => array_contains(c, x)).reduceOption(_ && _).getOrElse(lit(false))
     case "$elemMatch" => v match {
       case ops: Map[_, _] =>
         exists(c, el => compileField(el, ops.asInstanceOf[Map[String, Any]]))

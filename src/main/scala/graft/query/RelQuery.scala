@@ -94,14 +94,17 @@ object RelQueryPlanner {
     * broadcasts under AQE. */
   def relationships(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
     // The candidate-pruning collects in hydrate() are separate actions; an
-    // unpersisted pipeline would recompute the edge match + first join for
-    // each of them. Both intermediates are anchored (bounded by the anchor's
-    // degree) — persist so each stage computes once. ContextCleaner drops
-    // the blocks when the DataFrames go unreferenced.
-    val matched = matchEdges(g, anchor, q)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // unmaterialized pipeline would recompute the edge match + first join
+    // for each of them. Both intermediates are anchored (bounded by the
+    // anchor's degree), so materialize each stage once with an EAGER
+    // localCheckpoint — unlike Dataset.persist (whose entry the session's
+    // CacheManager pins until an explicit unpersist, leaking per query),
+    // checkpoint blocks belong to the RDD alone and the ContextCleaner
+    // frees them as soon as the result Dataset goes unreferenced. No
+    // caller-side lifecycle needed.
+    val matched = matchEdges(g, anchor, q).localCheckpoint()
     val withFrom = hydrate(g, anchor, q, matched, "_from", "from_doc")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint()
     val withBoth = hydrate(g, anchor, q, withFrom, "_to", "to_doc")
     withBoth.select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
       col("_created_at"), col("props"), col("anchor_key"), col("other_key"),
@@ -203,13 +206,14 @@ object RelQueryPlanner {
       distinct: Boolean = false): DataFrame = {
     // counts never read document content — keys-only strip, no JSON
     // (reference count pushdown A1/A2,
-    // /root/reference/src/extendDocument.coffee:74-77). The anchored match
-    // is persisted so the two pruning collects + final count scan the edge
-    // store once, not three times.
-    val matched = matchEdges(g, anchor, q)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // /root/reference/src/extendDocument.coffee:74-77). Both anchored
+    // intermediates are eagerly localCheckpoint'ed so the pruning collects +
+    // final count scan the edge store and the first hydration join once each
+    // — and, unlike persist, the blocks are ContextCleaner-reclaimed when
+    // the result goes unreferenced (no caller-side lifecycle).
+    val matched = matchEdges(g, anchor, q).localCheckpoint()
     val rels = hydrateKeysOnly(g, anchor, q,
-      hydrateKeysOnly(g, anchor, q, matched, "_from"), "_to")
+      hydrateKeysOnly(g, anchor, q, matched, "_from").localCheckpoint(), "_to")
     val target = part match {
       case "r" | "*" => col("_rel_id")
       case "b"       => col("other_key")

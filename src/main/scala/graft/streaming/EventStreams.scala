@@ -70,43 +70,85 @@ object EventStreams {
       event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Long, start: Timestamp,
       end: Timestamp, total_value: Double)
-  private final case class SessionState(n: Long, start: Long, end: Long, sum: Double)
+  // Internal open-session accumulator. Must be PUBLIC: the streaming state
+  // serializer is janino-generated code that calls the accessors, and a
+  // private class makes them unresolvable at codegen time.
+  final case class SessionState(n: Long, start: Long, end: Long, acc: Double)
+
+  /** Fold one user's (time-sorted) events into gap-closed sessions: returns
+    * the sessions CLOSED by a gap plus the still-open trailing session. */
+  private def foldSessions(userId: Long, sorted: Seq[Event], gapMs: Long,
+      initial: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var cur: Option[SessionState] = initial
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.end <= gapMs =>
+          cur = Some(SessionState(s.n + 1, s.start, t, s.acc + e.value))
+        case Some(s) =>
+          closed += toSession(userId, s)
+          cur = Some(SessionState(1, t, t, e.value))
+        case None =>
+          cur = Some(SessionState(1, t, t, e.value))
+      }
+    }
+    (closed.toSeq, cur)
+  }
+
+  private def toSession(userId: Long, s: SessionState): Session =
+    Session(userId, s.n, new Timestamp(s.start), new Timestamp(s.end), s.acc)
 
   /** Gap-based sessionization via `flatMapGroupsWithState` — the custom-
-    * state operator a pipeline needs when windows aren't fixed-size. Emits
-    * a session once `gapMs` passes without activity (processing-time
-    * timeout on streams; end-of-group on batch). */
+    * state operator a pipeline needs when windows aren't fixed-size.
+    *
+    * Batch: each group is seen exactly once, so gaps are folded within the
+    * group and the trailing session is emitted at end-of-group (NoTimeout).
+    *
+    * Stream: sessions span micro-batches. Each invocation merges the
+    * batch's events into the stored open session, emits only the sessions
+    * a gap CLOSED, keeps the open one in state, and arms an event-time
+    * timeout at `end + gapMs`; when the watermark passes that point with no
+    * further activity, the timeout invocation emits the session and clears
+    * state. Late events behind the watermark are dropped by the watermark
+    * operator itself. */
   def sessionize(events: Dataset[Event], gapMs: Long)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
-    events.groupByKey(_.user_id).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout)(
-      (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-        // Batch semantics: fold the (unordered) group, splitting on gaps.
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
-        var cur: Option[SessionState] = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.n + 1, s.start, t, s.sum + e.value))
-            case Some(s) =>
-              sessions += Session(userId, s.n, new Timestamp(s.start),
-                new Timestamp(s.end), s.sum)
-              cur = Some(SessionState(1, t, t, e.value))
-            case None =>
-              cur = Some(SessionState(1, t, t, e.value))
-          }
-        }
-        cur match {
-          case Some(s) =>
-            sessions += Session(userId, s.n, new Timestamp(s.start),
-              new Timestamp(s.end), s.sum)
+    if (!events.isStreaming)
+      events.groupByKey(_.user_id).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val (closed, open) = foldSessions(userId, sorted, gapMs, None)
+          (closed ++ open.map(toSession(userId, _))).iterator
+        })
+    else
+      events.withWatermark("ts", s"$gapMs milliseconds")
+        .groupByKey(_.user_id).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // gap elapsed in event time with no activity — close and emit
+            val out = state.getOption.map(toSession(userId, _))
             state.remove()
-          case None => ()
-        }
-        sessions.iterator
-      })
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val (closed, open) = foldSessions(userId, sorted, gapMs,
+              state.getOption)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                // the timeout timestamp must sit strictly past the current
+                // watermark or Spark rejects it; if the gap deadline is
+                // already behind, the very next micro-batch times out
+                state.setTimeoutTimestamp(
+                  math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+        })
   }
 }

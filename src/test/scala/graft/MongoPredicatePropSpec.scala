@@ -128,6 +128,8 @@ class MongoPredicatePropSpec extends AnyFunSuite {
       arr.filter(MongoPredicate.compile(q)).select("id").collect().map(_.getInt(0)).toSet
     assert(ids(Map("tags" -> Map("$all" -> Seq("a", "b")))) == Set(0))
     assert(ids(Map("tags" -> Map("$all" -> Seq("a")))) == Set(0, 1))
+    // Mongo: {$all: []} matches NO documents (unlike vacuous truth)
+    assert(ids(Map("tags" -> Map("$all" -> Seq()))) == Set.empty)
     assert(ids(Map("tags" -> Map("$elemMatch" -> Map("$eq" -> "c")))) == Set(0))
     val nums = Seq((0, Seq(1, 5)), (1, Seq(2)), (2, Seq[Int]())).toDF("id", "ns")
     val got = nums.filter(MongoPredicate.compile(

@@ -86,6 +86,21 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(scores(1L) == 0.0)
   }
 
+  test("vec_dot ≡ dotFold on null elements and unequal lengths") {
+    val df = spark.range(1).select(
+      expr("array(cast(1 as float), cast(2 as float))").as("a"),
+      expr("array(cast(3 as float), cast(null as float))").as("b"),
+      expr("array(cast(3 as float))").as("c"))
+    val r = df.select(
+      Similarity.dot(col("a"), col("a")), Similarity.dotFold(col("a"), col("a")),
+      Similarity.dot(col("a"), col("b")), Similarity.dotFold(col("a"), col("b")),
+      Similarity.dot(col("a"), col("c")), Similarity.dotFold(col("a"), col("c")))
+      .collect()(0)
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 5.0)
+    assert(r.isNullAt(2) && r.isNullAt(3)) // null element poisons both
+    assert(r.isNullAt(4) && r.isNullAt(5)) // zip_with pad poisons both
+  }
+
   test("sign-random-projection buckets colinear vectors together") {
     val emb = Seq(
       (0L, Array(1f, 2f, 3f, 4f)), (1L, Array(2f, 4f, 6f, 8f)),

@@ -56,6 +56,39 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sessions.filter(_.user_id == 2).head.n_events == 1)
   }
 
+  test("sessionize on a real stream: sessions merge across micro-batches, " +
+      "close on event-time gap") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), 3600 * 1000L)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events for user 1, 10 min apart — session stays OPEN
+      mem.addData(ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 10:10:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_test").count() == 0)
+      // batch 2: within the gap — must MERGE into the open session,
+      // not fragment per micro-batch
+      mem.addData(ev(2, "2024-01-01 10:30:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_test").count() == 0)
+      // batch 3: a far-future event pushes the watermark past the gap
+      // deadline; the event-time timeout closes and emits ONE session.
+      // (two batches: one advances the watermark, the next fires timeouts)
+      mem.addData(ev(3, "2024-01-01 20:00:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 20:00:01", 2, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.sql(
+          "SELECT user_id, n_events, total_value FROM sess_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.toSeq == Seq((1L, 3L, 7.0)))
+    } finally q.stop()
+  }
+
   test("incomingOf mirrors the reference's poll-for-messages filter") {
     val out = EventStreams.incomingOf(events.toDF(), "click", 1L).collect()
     assert(out.length == 2)
