@@ -28,7 +28,12 @@ object Bench {
     // accumulate and can push the heap into GC thrash. Drop anything a query
     // pinned beyond what existed before it ran (the shared overlay survives).
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: run only the named queries (local iteration aid)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => args.exists(n.startsWith) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9

@@ -4,108 +4,109 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
-import graft.api.{GraphDocument, GraphSession}
+import graft.api.GraphDocument
 import graft.core.DocGraph
 import graft.model.{DocRef, GraphSchema}
-import graft.pred.MongoPredicate
 import graft.query.RelQueryPlanner
 
-/** Temporary end-to-end smoke for the round-2 ADVICE fixes, driven through
-  * the public API against /root/testdata parquet. Not part of the library. */
+/** Temporary end-to-end smoke for the round-4 changes, driven through the
+  * public API against /root/testdata parquet. Not part of the library. */
 object SmokeVerify {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+    implicit val s: SparkSession = spark
     val sf = "/root/testdata/sf0.001"
 
-    // Real collections from testdata: customer + orders, keyed by _id.
+    // 1. sorted_intersect_count == size(array_intersect) on real shingle
+    // sets (the MinHash verification kernel swap must be value-identical).
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hs = docs.select(col("doc_id").cast("long").as("id"),
+      array_sort(array_distinct(graft.ops.Dedup.shingleHashes(
+        graft.ops.Dedup.charShingles(col("text"), 3)))).as("_hs"))
+    val xa = hs.select(col("id").as("ia"), col("_hs").as("ha"))
+    val xb = hs.select(col("id").as("ib"), col("_hs").as("hb"))
+    val mism = xa.crossJoin(xb).filter(col("ia") < col("ib")).limit(5000)
+      .filter(call_function("sorted_intersect_count", col("ha"), col("hb"))
+        =!= size(array_intersect(col("ha"), col("hb")))).count()
+    println(s"SMOKE1 sortedIntersect: mismatches=$mism (expect 0) => " +
+      (if (mism == 0) "OK" else "BROKEN"))
+
+    // 2. candidatePairs end-to-end after the scalars-only banding rewrite:
+    // verify the jaccard values against the direct formula on the same pairs.
+    val pairs = graft.ops.Dedup.candidatePairs(docs, "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, minJaccard = 0.5)
+    val direct = pairs
+      .join(xa, col("id_a") === col("ia")).join(xb, col("id_b") === col("ib"))
+      .withColumn("j2", round(
+        size(array_intersect(col("ha"), col("hb"))).cast("double")
+          / size(array_union(col("ha"), col("hb"))), 4))
+    val badJ = direct.filter(col("jaccard") =!= col("j2")).count()
+    val nPairs = pairs.count()
+    println(s"SMOKE2 candidatePairs: pairs=$nPairs badJaccard=$badJ => " +
+      (if (nPairs > 0 && badJ == 0) "OK" else "BROKEN"))
+
+    // 3. OpsUtil widen path: a 1-partition input must fan out, a wide input
+    // must pass through untouched (no shuffle inserted at 100TB scale).
+    val narrow = docs.coalesce(1)
+    val widened = graft.ops.Dedup.simhash(narrow, "doc_id", "text")
+    val wideIn = docs.repartition(64)
+    val simWide = graft.ops.Dedup.simhash(wideIn, "doc_id", "text")
+    val simNarrow = widened.count()
+    val simSame = widened.join(simWide.withColumnRenamed("simhash", "s2"), "id")
+      .filter(col("simhash") =!= col("s2")).count()
+    println(s"SMOKE3 widen: rows=$simNarrow partitionInvariant=${simSame == 0} " +
+      s"=> ${if (simNarrow == docs.count() && simSame == 0) "OK" else "BROKEN"}")
+
+    // 4. Graph overlay + analytics after the coalesce changes: components
+    // and degrees on a real customer/orders graph.
     val customer = spark.read.parquet(s"$sf/customer.parquet")
       .withColumn("_id", col("c_custkey").cast(StringType))
-      // introduce nulls to exercise $nin null-safety on a real table
-      .withColumn("segment_nullable",
-        when(col("c_custkey") % 3 === 0, col("c_mktsegment")))
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .withColumn("_id", col("o_orderkey").cast(StringType))
     var g = new DocGraph(spark,
       Map("customer" -> customer, "orders" -> orders),
-      Map("customer" -> GraphSchema("customer", graphFields = Seq("c_name")),
-        "orders" -> GraphSchema("orders")),
+      Map("customer" -> GraphSchema("customer"), "orders" -> GraphSchema("orders")),
       DocGraph.emptyEdges(spark))
-    val pairs = orders.select(
+    g = g.createRelationships("placed_by", orders.select(
       lit("orders").as("_from_collection"), col("_id").as("_from_id"),
       lit("customer").as("_to_collection"),
-      col("o_custkey").cast(StringType).as("_to_id"))
-    g = g.createRelationships("placed_by", pairs)
+      col("o_custkey").cast(StringType).as("_to_id")))
+    val comp = graft.graph.GraphAnalytics.connectedComponents(g)
+    val nComp = comp.select(countDistinct(col("component"))).collect()(0).getLong(0)
+    val nVerts = comp.count()
+    println(s"SMOKE4 graphx: verts=$nVerts components=$nComp => " +
+      (if (nVerts > 0 && nComp > 0 && nComp < nVerts) "OK" else "BROKEN"))
 
-    // 1. $nin null-safety: customers whose nullable segment is NOT in the
-    // list must INCLUDE the null/missing ones (Mongo semantics).
-    val nin = MongoPredicate.compile(
-      Map("segment_nullable" -> Map("$nin" -> Seq("BUILDING", "AUTOMOBILE"))))
-    val ninRows = customer.filter(nin)
-    val nullsKept = ninRows.filter(col("segment_nullable").isNull).count()
-    val total = customer.count()
-    val nullsTotal = customer.filter(col("segment_nullable").isNull).count()
-    println(s"SMOKE1 nin: total=$total nulls=$nullsTotal keptNulls=$nullsKept " +
-      s"(expect keptNulls==nulls) => ${if (nullsKept == nullsTotal) "OK" else "BROKEN"}")
-
-    // 2. _rel_id batch salting: same edge created twice => 2 distinct ids.
-    val c1 = DocRef("customer", "1")
-    val o7 = DocRef("orders", "7")
-    val g2 = g.createRelationship(c1, o7, "dup_test").createRelationship(c1, o7, "dup_test")
-    val dupIds = g2.edges.filter(col("rel_type") === "dup_test")
-      .agg(count(lit(1)).as("n"), countDistinct(col("_rel_id")).as("d"))
-      .collect()(0)
-    println(s"SMOKE2 relid: rows=${dupIds.getLong(0)} distinct=${dupIds.getLong(1)} " +
-      s"=> ${if (dupIds.getLong(0) == 2 && dupIds.getLong(1) == 2) "OK" else "BROKEN"}")
-
-    // 3. self-loop dedup in applyGraphRelationships.
-    val g3 = g.createRelationship(c1, c1, "self_ref")
-    val row = RelQueryPlanner.applyGraphRelationships(g3, "customer", Seq("self_ref"))
-      .filter(col("_id") === "1").select(size(element_at(col("_relationships"), "self_ref")))
-      .collect()(0)
-    println(s"SMOKE3 selfloop: entries=${row.getInt(0)} (expect 1) => " +
-      (if (row.getInt(0) == 1) "OK" else "BROKEN"))
-
-    // 4. namespaced queryGraph views: graft_edges resolves, views dropped after,
-    // and a collection literally named "edges" coexists.
-    val gEdgesColl = g.withCollection("edges",
-      Seq(("e1", "x")).toDF("_id", "payload"), Some(GraphSchema("edges")))
-    val viaSql = GraphSession.queryGraph(gEdgesColl,
-      "SELECT count(*) AS n FROM graft_edges").collect()(0).getLong(0)
-    val leaked = spark.catalog.tableExists("graft_edges") ||
-      spark.catalog.tableExists("graft_nodes")
-    val collVisible = GraphSession.queryGraph(gEdgesColl,
-      "SELECT count(*) AS n FROM edges").collect()(0).getLong(0)
-    println(s"SMOKE4 views: graft_edges=$viaSql collEdges=$collVisible leaked=$leaked " +
-      s"=> ${if (viaSql > 0 && collVisible == 1 && !leaked) "OK" else "BROKEN"}")
-
-    // 5. _node_id collision audit on the real overlay.
-    val collisions = g.nodeIdCollisions.count()
-    println(s"SMOKE5 collisions: $collisions (expect 0) => " +
-      (if (collisions == 0) "OK" else "BROKEN"))
-
-    // 6. hydration rewrite end-to-end: incoming placed_by of customer:1,
-    // hydrated both sides; plan must serialize AFTER the join.
-    val rels = GraphDocument(g, c1).incomingRelationships("placed_by")
+    // 5. RelQuery with lazy localCheckpoint: hydrated relationships of a
+    // real anchor — plan-time must run NO jobs until the first action.
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val rels = GraphDocument(g, DocRef("customer", "1"))
+      .incomingRelationships("placed_by")
+    val jobsAtPlan = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - before
     val n = rels.count()
-    val sample = rels.select(get_json_object(col("from_doc"), "$.o_orderkey")).limit(3)
-      .collect().map(_.getString(0)).mkString(",")
-    val plan = rels.queryExecution.optimizedPlan.toString
-    val jsonAboveJoin = plan.indexOf("to_json") < plan.indexOf("Join")
-    println(s"SMOKE6 hydration: rows=$n sampleOrderkeys=$sample " +
-      s"toJsonAboveJoin=$jsonAboveJoin => ${if (n > 0 && jsonAboveJoin) "OK" else "CHECK"}")
+    println(s"SMOKE5 lazyCheckpoint: planJobs=$jobsAtPlan rows=$n => " +
+      (if (n > 0) "OK" else "BROKEN") +
+      (if (jobsAtPlan == 0) " (lazy)" else s" (EAGER: $jobsAtPlan jobs at plan)"))
 
-    // probe: $nin with empty list, $nin on a missing column
-    val emptyNin = scala.util.Try(customer.filter(MongoPredicate.compile(
-      Map("segment_nullable" -> Map("$nin" -> Seq())))).count())
-    val missingCol = customer.filter(MongoPredicate.compile(
-      Map("no_such_field" -> Map("$nin" -> Seq("X"))),
-      MongoPredicate.resolverFor(customer))).count()
-    println(s"SMOKE7 probes: emptyNin=$emptyNin missingColNin=$missingCol " +
-      s"(expect missingColNin==$total)")
+    // 6. Batch sessionize with out-of-order input: same result sorted or not.
+    import spark.implicits._
+    import streaming.EventStreams.Event
+    val ev = Seq(
+      Event(0L, java.sql.Timestamp.valueOf("2024-01-01 10:40:00"), 1L, "c", 2.0),
+      Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "c", 1.0),
+      Event(2L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "c", 4.0)
+    ).toDS()
+    val sess = streaming.EventStreams.sessionize(ev, 3600 * 1000L).collect()
+      .sortBy(_.start.getTime)
+    val ok6 = sess.length == 2 && sess(0).n_events == 2 &&
+      sess(0).total_value == 3.0 && sess(1).n_events == 1
+    println(s"SMOKE6 sessionize: sessions=${sess.length} " +
+      s"first=(${sess.headOption.map(x => (x.n_events, x.total_value))}) => " +
+      (if (ok6) "OK" else "BROKEN"))
 
     spark.stop()
   }

@@ -109,7 +109,13 @@ object Testbed {
         "lineitem", liKey, "supplier", col("l_suppkey"),
         map(lit("return"), col("l_returnflag"))))
 
-    val persisted = g.edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // The 7-way union leaves one partition set per stamped frame (~7× the
+    // shuffle parallelism); coalesce (narrow, no shuffle) so every
+    // downstream edge scan — and the GraphX overlay built from this RDD —
+    // schedules one task wave instead of seven.
+    val persisted = g.edges
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     persisted.count() // materialize once; every query shares the overlay
     g.withEdges(persisted)
   }

@@ -8,18 +8,29 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`)
   * and as an idempotent runtime helper for sessions built without it. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"), FloatVecDot.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecDot(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      SortedLongIntersectCount.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongIntersectCount(children(0), children(1))))
+  }
 }
 
 object GraftFunctions {
   /** Register the engine's native functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecDot(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedLongIntersectCount(children(0), children(1)),
+      "built-in")
+  }
 }

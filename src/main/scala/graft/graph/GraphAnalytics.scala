@@ -40,12 +40,18 @@ object GraphAnalytics {
   }
 
   private def buildGraphX(g: DocGraph): Graph[String, String] = {
+    // Bound both RDDs to the session parallelism: the node overlay is a
+    // many-way union (one partition set per collection) and an oversized
+    // partition count multiplies every Pregel iteration's task wave. Narrow
+    // coalesce — the iterative algorithms shuffle by vertex id anyway.
+    val p = g.spark.sparkContext.defaultParallelism
     val verts = g.nodes
       .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
-      .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
+      .rdd.map((r: Row) => (r.getLong(0), r.getString(1))).coalesce(p)
     val edges = g.edges
       .select(xxhash64(col("_from")), xxhash64(col("_to")), col("rel_type"))
       .rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+      .coalesce(p)
     Graph(verts, edges, defaultVertexAttr = null.asInstanceOf[String],
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)

@@ -97,30 +97,53 @@ object Dedup {
     // (8 bytes/element, primitive comparisons) instead of ~n-char strings.
     // Identical up to xxhash64 collisions within one document pair —
     // negligible, and strictly a candidate-verification metric here.
-    val sh = df.select(col(idCol).cast("long").as("id"),
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // Materialized once (lazily): feeds the banding pass AND both sides of
+    // the verification join — without it the shingle hashing recomputes
+    // three times. Sorted ascending so pair verification can run the
+    // native merge-scan intersection (sorted_intersect_count) instead of
+    // allocating a hash set per pair. Widened first: the checkpoint
+    // preserves partitioning, so a 1-partition source would otherwise
+    // serialize every downstream per-document kernel on one core.
+    val sh = OpsUtil.widen(df).select(col(idCol).cast("long").as("id"),
       charShingles(col(textCol), shingleN).as("shingles"))
-      .select(col("id"), array_distinct(shingleHashes(col("shingles"))).as("_hs"))
+      .select(col("id"),
+        array_sort(array_distinct(shingleHashes(col("shingles")))).as("_hs"))
+      .localCheckpoint(eager = false)
+    // Candidate generation runs on SCALARS only — (id, band, bhash) — so
+    // the bucket-size window, the bucket self-join, and the multi-band
+    // distinct never shuffle a hash array. A pair colliding in several
+    // bands is deduplicated BEFORE verification, so the (CPU-heavy)
+    // set-intersection runs exactly once per unique candidate pair, on
+    // arrays fetched via two narrow joins against `sh`.
     val banded = sh
       .withColumn("sig", minhashFromHashes(col("_hs"), k))
-      .select(col("id"), col("_hs"),
+      .select(col("id"),
         posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bhash")))
     val bucketed = banded.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bhash"))))
       .filter(col("bucket_n") <= maxBucket)
-    val a = bucketed.select(col("band"), col("bhash"),
-      col("id").as("id_a"), col("_hs").as("h_a"))
-    val b = bucketed.select(col("band"), col("bhash"),
-      col("id").as("id_b"), col("_hs").as("h_b"))
-    a.join(b, Seq("band", "bhash"))
+    val a = bucketed.select(col("band"), col("bhash"), col("id").as("id_a"))
+    val b = bucketed.select(col("band"), col("bhash"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands
-      .withColumn("jaccard", round(
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double")
-          / size(array_union(col("h_a"), col("h_b"))), 4))
+    // |A ∪ B| = |A| + |B| - |A ∩ B|: one merge scan per pair, no union
+    // array materialized. `_inter` stays in its own projection — multi-
+    // referenced non-trivial expressions are not inlined by
+    // CollapseProject, so the kernel runs once per pair.
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("_hs").as("h_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("_hs").as("h_b")), Seq("id_b"))
+      .withColumn("_inter",
+        call_function("sorted_intersect_count", col("h_a"), col("h_b")))
+      .select(col("id_a"), col("id_b"), round(
+        col("_inter").cast("double")
+          / (size(col("h_a")) + size(col("h_b")) - col("_inter")), 4)
+        .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard for every pair within `df` (use on a bounded
@@ -142,7 +165,7 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val sh = df.select(col(idCol).cast("long").as("id"),
+    val sh = OpsUtil.widen(df).select(col(idCol).cast("long").as("id"),
       charShingles(col(textCol), shingleN).as("sh")).as[(Long, Seq[String])]
     sh.mapPartitions { it =>
       it.map { case (id, shingles) =>

@@ -26,7 +26,9 @@ object IvfIndex {
     * centroids. `cells` = input columns + `cell: Int`. */
   def build(emb: DataFrame, idCol: String, vecCol: String, k: Int = 16,
       seed: Long = 42L): Index = {
-    val withVec = emb.withColumn("_mlvec",
+    // widen: k-means iterations inherit the input partitioning; a
+    // single-file table would run every distance pass on one core
+    val withVec = OpsUtil.widen(emb).withColumn("_mlvec",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_mlvec")
       .setPredictionCol("cell").fit(withVec)

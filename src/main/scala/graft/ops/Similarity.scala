@@ -68,7 +68,9 @@ object Similarity {
     // Norms are computed once per vector BEFORE the pair join — inside the
     // join the kernel is a single dot product, not dot + 2 norms (3× fewer
     // folds over the bucket-quadratic pair set).
-    val bucketed = emb.select(col(idCol).cast("long").as("id"),
+    // widen: a single-file embedding table would serialize the per-vector
+    // projection folds on one core
+    val bucketed = OpsUtil.widen(emb).select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"),
       signRandomProjection(col(vecCol), planes).as("bucket"))

@@ -96,15 +96,24 @@ object RelQueryPlanner {
     // The candidate-pruning collects in hydrate() are separate actions; an
     // unmaterialized pipeline would recompute the edge match + first join
     // for each of them. Both intermediates are anchored (bounded by the
-    // anchor's degree), so materialize each stage once with an EAGER
+    // anchor's degree), so materialize each stage once with a LAZY
     // localCheckpoint — unlike Dataset.persist (whose entry the session's
     // CacheManager pins until an explicit unpersist, leaking per query),
     // checkpoint blocks belong to the RDD alone and the ContextCleaner
-    // frees them as soon as the result Dataset goes unreferenced. No
-    // caller-side lifecycle needed.
-    val matched = matchEdges(g, anchor, q).localCheckpoint()
+    // frees them as soon as the result Dataset goes unreferenced. Lazy
+    // (eager = false) so the candidate-pruning collect — the stage's first
+    // action — both computes and caches in one job, and a result the caller
+    // never consumes costs nothing at planning time.
+    //
+    // Caveat: localCheckpoint truncates lineage and keeps blocks only on
+    // executors — if an executor is lost (or decommissioned under dynamic
+    // allocation) mid-query, the job fails instead of recomputing. That is
+    // the accepted trade for leak-free lifecycle on these small anchored
+    // intermediates; a deployment running with dynamic allocation should
+    // disable it or use reliable checkpointing for long-lived results.
+    val matched = matchEdges(g, anchor, q).localCheckpoint(eager = false)
     val withFrom = hydrate(g, anchor, q, matched, "_from", "from_doc")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val withBoth = hydrate(g, anchor, q, withFrom, "_to", "to_doc")
     withBoth.select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
       col("_created_at"), col("props"), col("anchor_key"), col("other_key"),
@@ -207,13 +216,15 @@ object RelQueryPlanner {
     // counts never read document content — keys-only strip, no JSON
     // (reference count pushdown A1/A2,
     // /root/reference/src/extendDocument.coffee:74-77). Both anchored
-    // intermediates are eagerly localCheckpoint'ed so the pruning collects +
+    // intermediates are lazily localCheckpoint'ed so the pruning collects +
     // final count scan the edge store and the first hydration join once each
     // — and, unlike persist, the blocks are ContextCleaner-reclaimed when
-    // the result goes unreferenced (no caller-side lifecycle).
-    val matched = matchEdges(g, anchor, q).localCheckpoint()
+    // the result goes unreferenced (no caller-side lifecycle). See
+    // relationships() for the executor-loss caveat of localCheckpoint.
+    val matched = matchEdges(g, anchor, q).localCheckpoint(eager = false)
     val rels = hydrateKeysOnly(g, anchor, q,
-      hydrateKeysOnly(g, anchor, q, matched, "_from").localCheckpoint(), "_to")
+      hydrateKeysOnly(g, anchor, q, matched, "_from")
+        .localCheckpoint(eager = false), "_to")
     val target = part match {
       case "r" | "*" => col("_rel_id")
       case "b"       => col("other_key")

@@ -75,22 +75,34 @@ object EventStreams {
   // private class makes them unresolvable at codegen time.
   final case class SessionState(n: Long, start: Long, end: Long, acc: Double)
 
-  /** Fold one user's (time-sorted) events into gap-closed sessions: returns
-    * the sessions CLOSED by a gap plus the still-open trailing session. */
-  private def foldSessions(userId: Long, sorted: Seq[Event], gapMs: Long,
+  /** Fold one user's events into gap-closed sessions: returns the sessions
+    * CLOSED by a gap plus the still-open trailing session.
+    *
+    * Implemented as an interval merge: each event is a point interval, the
+    * carried-over open session is an interval, and intervals sorted by start
+    * merge when they are within `gapMs` of each other. This is insensitive
+    * to cross-batch disorder that the watermark explicitly admits — an
+    * out-of-order event inside the stored session widens it
+    * (`start = min`, `end = max`, never backwards), an event more than a
+    * gap BEFORE the stored session folds into its own earlier session, and
+    * an event more than a gap after closes the stored one. */
+  private def foldSessions(userId: Long, events: Seq[Event], gapMs: Long,
       initial: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
+    val intervals = (initial.toSeq ++ events.map(e =>
+        SessionState(1, e.ts.getTime, e.ts.getTime, e.value)))
+      .sortBy(s => (s.start, s.end))
     val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-    var cur: Option[SessionState] = initial
-    sorted.foreach { e =>
-      val t = e.ts.getTime
+    var cur: Option[SessionState] = None
+    intervals.foreach { iv =>
       cur match {
-        case Some(s) if t - s.end <= gapMs =>
-          cur = Some(SessionState(s.n + 1, s.start, t, s.acc + e.value))
+        case Some(s) if iv.start - s.end <= gapMs =>
+          cur = Some(SessionState(s.n + iv.n, s.start,
+            math.max(s.end, iv.end), s.acc + iv.acc))
         case Some(s) =>
           closed += toSession(userId, s)
-          cur = Some(SessionState(1, t, t, e.value))
+          cur = Some(iv)
         case None =>
-          cur = Some(SessionState(1, t, t, e.value))
+          cur = Some(iv)
       }
     }
     (closed.toSeq, cur)
@@ -111,8 +123,15 @@ object EventStreams {
     * timeout at `end + gapMs`; when the watermark passes that point with no
     * further activity, the timeout invocation emits the session and clears
     * state. Late events behind the watermark are dropped by the watermark
-    * operator itself. */
-  def sessionize(events: Dataset[Event], gapMs: Long)(
+    * operator itself.
+    *
+    * `latenessMs` bounds how far behind the max seen event time an event may
+    * arrive and still be folded in — by default one gap, but independent of
+    * the gap semantics: a pipeline with heavily disordered input can pass a
+    * larger tolerance (more state, later emission), a near-ordered one a
+    * smaller tolerance (faster finalization). */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      latenessMs: Option[Long] = None)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     if (!events.isStreaming)
@@ -124,7 +143,7 @@ object EventStreams {
           (closed ++ open.map(toSession(userId, _))).iterator
         })
     else
-      events.withWatermark("ts", s"$gapMs milliseconds")
+      events.withWatermark("ts", s"${latenessMs.getOrElse(gapMs)} milliseconds")
         .groupByKey(_.user_id).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {

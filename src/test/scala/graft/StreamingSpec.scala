@@ -89,6 +89,79 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize stream: an out-of-order event inside the open session " +
+      "widens it (never moves end backwards, never splits)") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS(), 3600 * 1000L)
+      .writeStream.format("memory").queryName("sess_ooo_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: open session [10:00, 10:40]
+      mem.addData(ev(0, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 10:40:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: event at 10:20 — BEHIND the stored end but inside the
+      // watermark. Must merge without moving end backwards; a later
+      // in-order event at 11:00 (40 min after the true end) must still
+      // belong to the same session.
+      mem.addData(ev(2, "2024-01-01 10:20:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 11:00:00", 1, "click", 8.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_ooo_test").count() == 0)
+      // advance the watermark far past the gap deadline, then fire timeouts
+      mem.addData(ev(4, "2024-01-01 20:00:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(ev(5, "2024-01-01 20:00:01", 2, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.sql(
+          """SELECT user_id, n_events, total_value,
+                    date_format(start, 'HH:mm'), date_format(end, 'HH:mm')
+             FROM sess_ooo_test WHERE user_id = 1""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getString(3), r.getString(4)))
+      assert(out.toSeq == Seq((1L, 4L, 15.0, "10:00", "11:00")))
+    } finally q.stop()
+  }
+
+  test("sessionize stream: latenessMs admits events a full session behind; " +
+      "they fold into their own earlier session") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // gap 1 h, but tolerate 3 h of disorder
+    val q = EventStreams.sessionize(mem.toDS(), 3600 * 1000L,
+        latenessMs = Some(3 * 3600 * 1000L))
+      .writeStream.format("memory").queryName("sess_late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(0, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // 10:00 is >1 gap before the stored session's start but within the
+      // 3 h lateness horizon: it must become its own (already gap-closed)
+      // session, and the 12:00 session must stay open and intact.
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      val early = spark.sql(
+          """SELECT n_events, total_value, date_format(start, 'HH:mm')
+             FROM sess_late_test WHERE user_id = 1""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      assert(early.toSeq == Seq((1L, 2.0, "10:00")))
+      // close the remaining open session via the event-time timeout
+      mem.addData(ev(2, "2024-01-02 08:00:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-02 08:00:01", 2, "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.sql(
+          """SELECT n_events, total_value, date_format(start, 'HH:mm')
+             FROM sess_late_test WHERE user_id = 1 ORDER BY start""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      assert(all.toSeq == Seq((1L, 2.0, "10:00"), (1L, 1.0, "12:00")))
+    } finally q.stop()
+  }
+
   test("incomingOf mirrors the reference's poll-for-messages filter") {
     val out = EventStreams.incomingOf(events.toDF(), "click", 1L).collect()
     assert(out.length == 2)
