@@ -385,7 +385,8 @@ object SparkEntry {
       val emb = Testbed.graph(s, dir).collection("embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
         .collect()(0).getSeq[Float](0)
-      val ix = ops.IvfIndex.build(emb, "vec_id", "embedding", k = 16)
+      val ix = ops.IvfIndex.buildCached(emb, "vec_id", "embedding", k = 16,
+        key = dir)
       ops.IvfIndex.query(ix, "vec_id", "embedding", q, topK = 10, nProbe = 4,
         excludeId = Some(0L))
     }),
@@ -429,6 +430,29 @@ object SparkEntry {
             col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"),
           Seq(col("o_orderstatus")), "n")
         .orderBy("o_orderstatus")
+    }),
+
+    // ---- training-data pipeline: near-dedup end-to-end ------------------
+    "q49_cosine_neardup" -> ((s, dir) => {
+      // exact (all-pairs) embedding-cosine near-dup on a bounded slice —
+      // the ground-truth path next to q34's LSH and q45's IVF
+      ops.Similarity.nearDupPairsExact(
+          Testbed.graph(s, dir).collection("embeddings")
+            .filter(col("vec_id") < 200),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+    "q50_dedup_survivors" -> ((s, dir) => {
+      // detection (exact n-gram Jaccard) -> duplicate clusters (GraphX CC
+      // over the pair graph) -> survivor policy (keep min id per cluster)
+      val docs = Testbed.graph(s, dir).collection("documents")
+        .filter(col("doc_id") < 40)
+      val pairs = ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3)
+        .filter(col("jaccard") >= 0.5)
+      ops.Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -706,5 +730,45 @@ object SparkEntry {
            ON l_orderkey = o_orderkey
           AND l_shipdate >= o_orderdate
           AND l_shipdate < o_orderdate + INTERVAL 30 DAY
-         GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q49_cosine_neardup" ->
+      """WITH n AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings WHERE vec_id < 200),
+         p AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_sum(list_transform(range(1, 65),
+                      i -> CAST(a.embedding[i] AS DOUBLE)
+                           * CAST(b.embedding[i] AS DOUBLE)))
+                    / (a.nrm * b.nrm), 4) AS score
+           FROM n a, n b
+           WHERE a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0)
+         SELECT id_a, id_b, score FROM p WHERE score >= 0.35
+         ORDER BY id_a, id_b""",
+    "q50_dedup_survivors" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+                  CASE WHEN length(text) >= 3
+                       THEN list_distinct(list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INT), 3)))
+                       ELSE [text] END AS sh
+           FROM documents WHERE doc_id < 40),
+         p AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)), 4) >= 0.5),
+         e AS (SELECT ia AS u, ib AS v FROM p
+               UNION ALL SELECT ib, ia FROM p),
+         r(u, v) AS (SELECT u, v FROM e
+                     UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         comp AS (SELECT u AS id, least(u, min(v)) AS c FROM r GROUP BY u)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+         WHERE doc_id < 40
+           AND doc_id NOT IN (SELECT id FROM comp WHERE c < id)
+         ORDER BY doc_id""")
 }

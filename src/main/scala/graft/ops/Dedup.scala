@@ -206,4 +206,39 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Duplicate clusters from a near-dup pair list: `(id, component)` where
+    * `component` is the MIN id in the transitively-connected cluster —
+    * GraphX connected components over the pair graph (the same Pregel
+    * machinery as [[graft.graph.GraphAnalytics]]; a duplicate-pair graph at
+    * corpus scale has one vertex per DUPLICATED doc, typically a small
+    * fraction of the corpus). Singleton ids absent from `pairs` are not
+    * emitted — they are their own cluster by definition. */
+  def duplicateComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeRdd = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
+      .connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }
+      .toDF("id", "component")
+  }
+
+  /** End-to-end near-dedup: keep each duplicate cluster's representative
+    * (min id) and every untouched singleton. `pairs` is any near-dup pair
+    * list — [[candidatePairs]], [[ngramJaccardPairs]] (thresholded),
+    * [[simhashNearPairs]], or [[Similarity.nearDupPairsExact]] /
+    * [[Similarity.embeddingNearDups]] — so the detection modality and the
+    * survivor policy compose freely. One anti-join against the
+    * non-representative set; no broadcast hint — a web-scale dedup can drop
+    * 30%+ of the corpus, so whether the loser set is broadcastable is a
+    * runtime property AQE should decide, not the plan author. */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = duplicateComponents(pairs)
+      .filter(col("component") < col("id")).select(col("id"))
+    df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
+  }
 }

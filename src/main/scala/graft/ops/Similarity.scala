@@ -90,4 +90,33 @@ object Similarity {
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, planes: Int = 8): DataFrame =
     annPairs(emb, idCol, vecCol, planes, threshold)
+
+  /** EXACT embedding-cosine near-duplicate pairs — all-pairs scoring, no
+    * bucketing. Quadratic by construction: this is the ground-truth /
+    * verification path for [[embeddingNearDups]] and the right tool only on
+    * a bounded slice (a sampled recall audit, one dedup shard). At corpus
+    * scale use [[annPairs]] (LSH) or [[IvfIndex]] instead.
+    *
+    * Norms are projected once per vector before the pair join (the kernel
+    * inside the quadratic region is a single `vec_dot`), zero-norm vectors
+    * are dropped (cosine undefined; ANSI division guard), and the self/
+    * mirrored pairs are excluded via `id_a < id_b`. The non-equi condition
+    * makes Catalyst pick a broadcast nested-loop join when one side fits —
+    * exactly right for the bounded-slice use. */
+  def nearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val bucketed = OpsUtil.widen(emb).select(
+        col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("nrm_a"))
+    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("nrm_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
 }

@@ -55,6 +55,28 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated
   }
 
+  test("duplicate clusters + survivor policy: min id per transitive cluster") {
+    // 0-1 exact, 1-2 near: {0,1,2} is ONE cluster only transitively
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val comp = Dedup.duplicateComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L))
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 5L)) // representatives + untouched singleton
+  }
+
+  test("exact cosine near-dup pairs: colinear caught, orthogonal not") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(2f, 0f, 0f)),   // colinear: cos=1
+      (2L, Seq(0f, 1f, 0f)),                          // orthogonal
+      (3L, Seq(0f, 0f, 0f))                           // zero norm: dropped
+    ).toDF("vec_id", "v")
+    val out = Similarity.nearDupPairsExact(emb, "vec_id", "v", 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(out.toSeq == Seq(((0L, 1L), 1.0)))
+  }
+
   test("ngram jaccard: identical=1.0, unrelated≈0") {
     val j = Dedup.ngramJaccardPairs(docs.filter(col("doc_id").isin(0, 1, 5)),
         "doc_id", "text")
