@@ -453,6 +453,23 @@ object SparkEntry {
       ops.Dedup.dropNearDuplicates(docs, "doc_id", pairs)
         .select(col("doc_id").cast("long").as("doc_id"))
         .orderBy("doc_id")
+    }),
+    "q51_store_roundtrip" -> ((s, dir) => {
+      // bucketed persistent sink + source: save the nation/region subgraph
+      // as a GraphStore, load it back, and answer a hydrated 1-hop query
+      // from the STORED layout (stored _doc_key join path)
+      val g = Testbed.graph(s, dir)
+      val sub = new graft.core.DocGraph(s,
+        Map("nation" -> g.collection("nation"),
+          "region" -> g.collection("region")),
+        Map("nation" -> Testbed.schemas("nation"),
+          "region" -> Testbed.schemas("region")),
+        g.edges.filter(col("rel_type") === "part_of"))
+      graft.sources.GraphStore.save(sub, "graft_store_gate", buckets = 8)
+      val loaded = graft.sources.GraphStore.load(s, "graft_store_gate")
+      GraphDocument(loaded, DocRef("nation", "5"))
+        .outgoingRelationships("part_of")
+        .select(jstr("to_doc", "r_name").as("r_name"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -770,5 +787,8 @@ object SparkEntry {
          SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
          WHERE doc_id < 40
            AND doc_id NOT IN (SELECT id FROM comp WHERE c < id)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    "q51_store_roundtrip" ->
+      """SELECT r_name FROM region JOIN nation ON n_regionkey = r_regionkey
+         WHERE n_nationkey = 5""")
 }

@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedLongIntersectCount.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongIntersectCount(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      MinhashSignature.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSignature(children(0), children(1))))
   }
 }
 
@@ -31,6 +35,11 @@ object GraftFunctions {
       "sorted_intersect_count",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedLongIntersectCount(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSignature(children(0), children(1)),
       "built-in")
   }
 }

@@ -62,7 +62,17 @@ object Dedup {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, sh => xxhash64(sh).bitwiseAND(lit(0x7fffffffL)))
 
-  def minhashFromHashes(hashes: Column, k: Int): Column = {
+  /** Native codegen'd kernel ([[graft.functions.MinhashSignature]], one
+    * pass, k primitive accumulators). Requires the engine functions to be
+    * registered on the session — [[graft.functions.GraftFunctions.register]]
+    * or the `spark.sql.extensions` class; value-identical to
+    * [[minhashFromHashesFold]]. */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    call_function("minhash_sig", hashes, lit(k))
+
+  /** Registration-free pure-Column construction (k interpreted `aggregate`
+    * passes) — the parity reference for the native kernel. */
+  def minhashFromHashesFold(hashes: Column, k: Int): Column = {
     val p = lit(2147483647L) // 2^31 - 1 (Mersenne prime)
     transform(sequence(lit(0), lit(k - 1)), s => {
       val a = pmod((s + 1) * lit(2654435761L), p) + 1

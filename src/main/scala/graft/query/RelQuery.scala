@@ -162,13 +162,23 @@ object RelQueryPlanner {
           .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
           .getOrElse(lit(true))
         val collOk = lit(q.collection.forall(_ == name))
-        val keyExpr = concat(lit(name + ":"), df.col("_id").cast(StringType))
+        // A GraphStore-loaded collection carries its canonical key as a
+        // STORED `_doc_key` column (bucketed+sorted on it): joining on the
+        // stored column — instead of recomputing the concat — preserves the
+        // table's bucketing, so this join plans with no Exchange under the
+        // store's co-partitioned layout. `_doc_key` is excluded from the
+        // hydrated document so results are identical either way.
+        val stored = df.columns.contains("_doc_key")
+        val keyExpr =
+          if (stored) df.col("_doc_key")
+          else concat(lit(name + ":"), df.col("_id").cast(StringType))
         val exempt =
           if (name == anchor.collection) keyExpr === lit(anchor.key) else lit(false)
         val filtered = df.filter((collOk && pred) || exempt)
+        val docCols = df.columns.filterNot(_ == "_doc_key").map(df.col)
         val docs = outName match {
           case Some(_) => filtered.select(keyExpr.as("_h_key"),
-            struct(df.columns.map(df.col): _*).as("_h_doc"))
+            struct(docCols: _*).as("_h_doc"))
           case None => filtered.select(keyExpr.as("_h_key"))
         }
         val joined = left.join(docs, left(keyCol) === col("_h_key"), "inner")

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.core.DocGraph
+import graft.model.GraphSchema
+
+/** Persistent bucketed layout for a [[DocGraph]] — the storage design the
+  * engine assumes at 100 TB, made concrete as Spark bucketed tables.
+  *
+  * Layout (all parquet, `buckets` hash buckets, sorted within buckets):
+  *
+  *   - `<db>.coll_<name>`: the collection plus a stored `_doc_key` column
+  *     (`"<name>:<_id>"`, the engine's canonical key), bucketed+sorted by
+  *     `_doc_key`. Hydration joins hit this stored column (see
+  *     `RelQueryPlanner.hydrateWith`'s fast path), so edge→document joins
+  *     against a loaded store are co-partitioned: SortMergeJoin with ZERO
+  *     Exchange on either side.
+  *   - `<db>.edges_by_from` / `<db>.edges_by_to`: the SAME edge set stored
+  *     twice, bucketed+sorted by `_from` and `_to` respectively — the
+  *     classic adjacency mirror. Anchored lookups (`_from = 'c:1'`) prune
+  *     to a single bucket (`SelectedBucketsCount 1 out of N`) instead of
+  *     scanning the edge corpus, in BOTH directions; set-oriented joins
+  *     pick whichever copy matches their join side's key.
+  *   - `<db>.graft_schemas`: one row per collection's [[GraphSchema]]
+  *     (graph fields, index fields, graphability) so a loaded graph
+  *     enforces the same per-collection semantics.
+  *
+  * Writes are `Overwrite` — the store is a snapshot sink (the engine's
+  * edge "mutations" are pure transforms; persisting a new graph version is
+  * one `save`). At cluster scale the warehouse would live on object
+  * storage; bucket counts should be sized so one bucket ≈ one task's
+  * worth of data (hundreds of MB), not this test default.
+  */
+object GraphStore {
+
+  val SchemaTable = "graft_schemas"
+
+  /** Make `db.table` creatable: drop any catalog entry AND any orphaned
+    * warehouse directory (a crashed run, or a fresh in-memory catalog over
+    * a persistent warehouse, leaves data the catalog no longer knows —
+    * `CREATE` refuses the occupied location). Snapshot-sink semantics:
+    * [[save]] owns its table locations outright. */
+  private def ensureWritable(spark: SparkSession, db: String,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    val dbLoc = spark.sessionState.catalog.getDatabaseMetadata(db).locationUri
+    val path = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dbLoc), table)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Write `g` as bucketed tables under database `db` (created if absent). */
+  def save(g: DocGraph, db: String, buckets: Int = 32): Unit = {
+    val spark = g.spark
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    def write(df: DataFrame, table: String, bucketCol: String): Unit = {
+      ensureWritable(spark, db, table)
+      df.write.mode(SaveMode.Overwrite)
+        .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+        .format("parquet").saveAsTable(s"$db.$table")
+    }
+    g.collections.foreach { case (name, df) =>
+      write(df.withColumn("_doc_key",
+          concat(lit(name + ":"), col("_id").cast(StringType))),
+        s"coll_$name", "_doc_key")
+    }
+    write(g.edges, "edges_by_from", "_from")
+    write(g.edges, "edges_by_to", "_to")
+    ensureWritable(spark, db, SchemaTable)
+    import spark.implicits._
+    g.collections.keys.toSeq.sorted.map { name =>
+      val s = g.schemaOf(name)
+      (name, s.graphFields, s.indexFields, s.graphability, s.preRemove)
+    }.toDF("collection", "graph_fields", "index_fields",
+        "graphability", "pre_remove")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"$db.$SchemaTable")
+  }
+
+  /** Load a [[DocGraph]] back from [[save]]'s layout. Collections keep
+    * their stored `_doc_key` (the hydration planner uses it and excludes it
+    * from hydrated documents, so results are identical to a non-stored
+    * graph); `edges` reads the `_from`-bucketed copy — the dominant access
+    * path (outgoing match, `_from`-keyed hydration join). The `_to` mirror
+    * is exposed via [[edgesByTo]] for workloads joining on `_to`. */
+  def load(spark: SparkSession, db: String): DocGraph = {
+    val schemas = spark.table(s"$db.$SchemaTable").collect().map { r =>
+      r.getString(0) -> GraphSchema(r.getString(0),
+        graphFields = r.getSeq[String](1),
+        indexFields = r.getSeq[String](2),
+        graphability = r.getBoolean(3),
+        preRemove = r.getBoolean(4))
+    }.toMap
+    val collections = schemas.keys.map { name =>
+      name -> spark.table(s"$db.coll_$name")
+    }.toMap
+    new DocGraph(spark, collections, schemas,
+      spark.table(s"$db.edges_by_from"))
+  }
+
+  /** The `_to`-bucketed edge mirror of a saved store. */
+  def edgesByTo(spark: SparkSession, db: String): DataFrame =
+    spark.table(s"$db.edges_by_to")
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api.GraphDocument
+import graft.core.DocGraph
+import graft.model.{DocRef, GraphSchema}
+import graft.sources.GraphStore
+
+/** GraphStore: bucketed persistent layout round-trip + the plan-shape
+  * guarantees the layout exists for (no-Exchange co-partitioned joins,
+  * single-bucket pruning on anchored lookups). */
+class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  private val db = "graft_store_spec"
+
+  private lazy val g: DocGraph = {
+    val people = Seq(("1", "alice", 30), ("2", "bob", 28), ("3", "zoe", 41))
+      .toDF("_id", "name", "age")
+    val places = Seq(("10", "Bar"), ("11", "Pub")).toDF("_id", "title")
+    var g0 = new DocGraph(spark,
+      Map("people" -> people, "locations" -> places),
+      Map("people" -> GraphSchema("people", graphFields = Seq("name")),
+        "locations" -> GraphSchema("locations", graphability = false)),
+      DocGraph.emptyEdges(spark))
+    g0 = g0.createRelationship(DocRef("people", "1"), DocRef("people", "2"), "knows")
+    g0.createRelationship(DocRef("people", "3"), DocRef("people", "1"), "knows")
+  }
+
+  private lazy val saved: Unit = GraphStore.save(g, db, buckets = 4)
+
+  test("save/load round-trip: same relationships, no _doc_key leakage") {
+    saved
+    val loaded = GraphStore.load(spark, db)
+    val orig = GraphDocument(g, DocRef("people", "1"))
+      .incomingRelationships("knows")
+      .select(col("_from"), col("_to"), get_json_object(col("from_doc"), "$.name"))
+      .collect().map(_.toSeq).toSet
+    val rt = GraphDocument(loaded, DocRef("people", "1"))
+      .incomingRelationships("knows")
+      .select(col("_from"), col("_to"), get_json_object(col("from_doc"), "$.name"))
+      .collect().map(_.toSeq).toSet
+    assert(rt == orig && rt.nonEmpty)
+    // hydrated docs must NOT contain the storage-internal _doc_key
+    val doc = GraphDocument(loaded, DocRef("people", "1"))
+      .incomingRelationships("knows")
+      .select(col("from_doc")).collect()(0).getString(0)
+    assert(!doc.contains("_doc_key"))
+  }
+
+  test("schemas survive the round-trip (graphability enforced on load)") {
+    saved
+    val loaded = GraphStore.load(spark, db)
+    assert(loaded.schemaOf("people").graphFields == Seq("name"))
+    assert(intercept[IllegalArgumentException] {
+      loaded.requireGraphable("locations")
+    }.getMessage.contains("graphability"))
+  }
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("edge-to-collection join on the stored layout plans with no Exchange") {
+    saved
+    // force the shuffle-join path (broadcast off) — the point is that the
+    // co-bucketed layout removes the shuffle a plain parquet join would need
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val edges = spark.table(s"$db.edges_by_from")
+      val coll = spark.table(s"$db.coll_people")
+      val joined = edges.join(coll, edges("_from") === coll("_doc_key"))
+      val plan = spark.sessionState.executePlan(
+        joined.queryExecution.logical).executedPlan.toString
+      // both sides bucketed(4) on the join key: SMJ reads buckets in place
+      withClue(plan) {
+        assert(!plan.contains("Exchange"))
+      }
+    }
+  }
+
+  test("anchored edge lookup prunes to a single bucket in both directions") {
+    saved
+    // filter-only scans: the auto-bucketed-scan heuristic would drop the
+    // bucketed read (no join needs the distribution) and with it the
+    // pruning; a store deployment pins it on for the anchored-lookup path
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      def bucketInfo(df: org.apache.spark.sql.DataFrame): String =
+        spark.sessionState.executePlan(df.queryExecution.logical)
+          .executedPlan.toString
+      val out = bucketInfo(spark.table(s"$db.edges_by_from")
+        .filter(col("_from") === "people:1"))
+      val in = bucketInfo(spark.table(s"$db.edges_by_to")
+        .filter(col("_to") === "people:1"))
+      withClue(out) { assert(out.contains("SelectedBucketsCount: 1 out of 4")) }
+      withClue(in) { assert(in.contains("SelectedBucketsCount: 1 out of 4")) }
+    }
+  }
+}

@@ -77,6 +77,20 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.toSeq == Seq(((0L, 1L), 1.0)))
   }
 
+  test("native minhash_sig ≡ Column fold (incl. empty and null-element arrays)") {
+    graft.functions.GraftFunctions.register(spark)
+    val arrs = Seq(
+      (0L, Seq[java.lang.Long](5L, 17L, 2147483646L, 0L)),
+      (1L, Seq[java.lang.Long](42L)),
+      (2L, Seq[java.lang.Long]()),
+      (3L, Seq[java.lang.Long](7L, null, 99L))).toDF("id", "hs")
+    val out = arrs.select(
+        Dedup.minhashFromHashes(col("hs"), 16).as("native"),
+        Dedup.minhashFromHashesFold(col("hs"), 16).as("fold"))
+      .collect()
+    out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("ngram jaccard: identical=1.0, unrelated≈0") {
     val j = Dedup.ngramJaccardPairs(docs.filter(col("doc_id").isin(0, 1, 5)),
         "doc_id", "text")
