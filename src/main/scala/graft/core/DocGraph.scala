@@ -39,9 +39,18 @@ final class DocGraph(
     val schemas: Map[String, GraphSchema],
     val edges: DataFrame,
     val clock: Long = DocGraph.DefaultClock,
-    val batchSeq: Long = 0L) {
+    val batchSeq: Long = 0L,
+    val edgesByTo: Option[DataFrame] = None) {
 
   import DocGraph._
+
+  /** The best edge access path for a given join/filter side: `edges` for
+    * `_from`-keyed access, the `_to`-bucketed mirror (when a persistent
+    * store provides one — [[graft.sources.GraphStore.load]]) for
+    * `_to`-keyed access. The mirror holds the SAME rows by contract; any
+    * edge mutation ([[withEdges]]) invalidates it. */
+  def edgesKeyedBy(toSide: Boolean): DataFrame =
+    if (toSide) edgesByTo.getOrElse(edges) else edges
 
   def schemaOf(collection: String): GraphSchema =
     schemas.getOrElse(collection, GraphSchema(collection))

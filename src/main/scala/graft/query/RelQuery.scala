@@ -59,15 +59,18 @@ object RelQueryPlanner {
     * (/root/reference/test/tests.coffee:523-531 multiplicity semantics). */
   def matchEdges(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
     g.requireGraphable(anchor.collection)
-    val e = g.edges.alias("r")
-    val base = e.filter(DocGraph.typeFilter(q.types))
+    // Each direction scans the edge copy keyed by ITS anchor side — on a
+    // GraphStore-backed graph the incoming branch reads the _to-bucketed
+    // mirror, so both directions bucket-prune to the anchor's bucket.
+    def base(toSide: Boolean) = g.edgesKeyedBy(toSide).alias("r")
+      .filter(DocGraph.typeFilter(q.types))
       .filter(q.whereRelationship.map(expr).getOrElse(lit(true)))
     val k = lit(anchor.key)
     def endFilter(c: String) =
       q.endpoint.map(ep => col(c) === lit(ep.key)).getOrElse(lit(true))
-    val out = base.filter(col("_from") === k && endFilter("_to"))
+    val out = base(toSide = false).filter(col("_from") === k && endFilter("_to"))
       .withColumn("other_key", col("_to"))
-    val in = base.filter(col("_to") === k && endFilter("_from"))
+    val in = base(toSide = true).filter(col("_to") === k && endFilter("_from"))
       .withColumn("other_key", col("_from"))
     val matched = q.direction match {
       case Direction.Outgoing => out
@@ -204,13 +207,17 @@ object RelQueryPlanner {
     * directly (hydration of a set result is workload-specific). */
   def matchEdgesForAnchors(g: DocGraph, anchors: DataFrame,
       q: RelQuery): DataFrame = {
-    val e = g.edges.alias("r")
-    val base = e.filter(DocGraph.typeFilter(q.types))
+    // per-direction edge copy, as in matchEdges: a store-backed graph joins
+    // each branch against the copy bucketed on that branch's join key
+    def base(toSide: Boolean) = g.edgesKeyedBy(toSide).alias("r")
+      .filter(DocGraph.typeFilter(q.types))
       .filter(q.whereRelationship.map(expr).getOrElse(lit(true)))
     val a = anchors.select(col("anchor_key"))
-    val out = base.join(a, base("_from") === a("anchor_key"))
+    val bOut = base(toSide = false)
+    val bIn = base(toSide = true)
+    val out = bOut.join(a, bOut("_from") === a("anchor_key"))
       .withColumn("other_key", col("_to"))
-    val in = base.join(a, base("_to") === a("anchor_key"))
+    val in = bIn.join(a, bIn("_to") === a("anchor_key"))
       .withColumn("other_key", col("_from"))
     q.direction match {
       case Direction.Outgoing => out

@@ -84,9 +84,9 @@ object GraphStore {
   /** Load a [[DocGraph]] back from [[save]]'s layout. Collections keep
     * their stored `_doc_key` (the hydration planner uses it and excludes it
     * from hydrated documents, so results are identical to a non-stored
-    * graph); `edges` reads the `_from`-bucketed copy — the dominant access
-    * path (outgoing match, `_from`-keyed hydration join). The `_to` mirror
-    * is exposed via [[edgesByTo]] for workloads joining on `_to`. */
+    * graph); `edges` reads the `_from`-bucketed copy and the `_to`-bucketed
+    * mirror rides along as [[DocGraph.edgesByTo]], so the 1-hop planner
+    * scans the copy keyed by each direction's anchor side. */
   def load(spark: SparkSession, db: String): DocGraph = {
     val schemas = spark.table(s"$db.$SchemaTable").collect().map { r =>
       r.getString(0) -> GraphSchema(r.getString(0),
@@ -99,7 +99,8 @@ object GraphStore {
       name -> spark.table(s"$db.coll_$name")
     }.toMap
     new DocGraph(spark, collections, schemas,
-      spark.table(s"$db.edges_by_from"))
+      spark.table(s"$db.edges_by_from"),
+      edgesByTo = Some(spark.table(s"$db.edges_by_to")))
   }
 
   /** The `_to`-bucketed edge mirror of a saved store. */

@@ -86,6 +86,30 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("loaded graph routes incoming matches through the _to mirror " +
+      "(and mutation drops the mirror)") {
+    saved
+    val loaded = GraphStore.load(spark, db)
+    // assert on the edge-match stage (the hydrated result is checkpoint-
+    // truncated to a LogicalRDD, hiding table names)
+    def matchPlan(d: DocGraph.Direction): String =
+      graft.query.RelQueryPlanner.matchEdges(loaded, DocRef("people", "1"),
+          graft.query.RelQuery(types = Seq("knows"), direction = d))
+        .queryExecution.optimizedPlan.toString
+    val inPlan = matchPlan(DocGraph.Direction.Incoming)
+    withClue(inPlan) { assert(inPlan.contains("edges_by_to")) }
+    val outPlan = matchPlan(DocGraph.Direction.Outgoing)
+    withClue(outPlan) { assert(!outPlan.contains("edges_by_to")) }
+    // an edge mutation invalidates the mirror: the new edge must be visible
+    // to INCOMING queries too (which would miss it via a stale mirror)
+    val mutated = loaded.createRelationship(
+      DocRef("people", "2"), DocRef("people", "1"), "knows")
+    assert(mutated.edgesByTo.isEmpty)
+    val n = GraphDocument(mutated, DocRef("people", "1"))
+      .incomingRelationships("knows").count()
+    assert(n == 2) // zoe->alice stored + bob->alice just created
+  }
+
   test("anchored edge lookup prunes to a single bucket in both directions") {
     saved
     // filter-only scans: the auto-bucketed-scan heuristic would drop the
