@@ -108,6 +108,21 @@ object SmokeVerify {
       s"first=(${sess.headOption.map(x => (x.n_events, x.total_value))}) => " +
       (if (ok6) "OK" else "BROKEN"))
 
+    // 7. salted join on real data: orders ⋈ nation-filtered customer dim,
+    // salted, must equal the plain join (count + sum fingerprint).
+    val ordersT = spark.read.parquet(s"$sf/orders.parquet")
+    val custDim = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plainJ = ordersT.join(custDim, Seq("o_custkey"))
+      .agg(count(lit(1)), sum(col("o_totalprice"))).collect()(0)
+    val saltedJ = graft.ops.Skew.saltedJoin(ordersT, custDim, "o_custkey", 8)
+      .agg(count(lit(1)), sum(col("o_totalprice"))).collect()(0)
+    println(s"SMOKE7 saltedJoin: plain=(${plainJ.getLong(0)}) " +
+      s"salted=(${saltedJ.getLong(0)}) => " +
+      (if (plainJ.getLong(0) == saltedJ.getLong(0) &&
+        plainJ.getDouble(1) == saltedJ.getDouble(1)) "OK" else "BROKEN"))
+
     spark.stop()
   }
 }

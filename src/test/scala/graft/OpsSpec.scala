@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, Skew, TextOps}
 
 /** Unit tests for the training-data pipeline operators (SURVEY.md §7.2 M5 /
   * the LLM-pipeline extension surface). */
@@ -64,6 +64,24 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 3L, 5L)) // representatives + untouched singleton
+  }
+
+  test("salted join ≡ plain join on a skewed key (inner and left)") {
+    // one hub key (90% of rows) + a tail; dim has a hit and a miss
+    val large = (0 until 1000).map(i =>
+      (if (i < 900) "hub" else s"k$i", i)).toDF("key", "v")
+    val small = Seq(("hub", "H"), ("k950", "T"), ("nokey", "X"))
+      .toDF("key", "tag")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|")) // total order for comparison
+    assert(canon(Skew.saltedJoin(large, small, "key", 8)) ==
+      canon(large.join(small, Seq("key"), "inner")))
+    assert(canon(Skew.saltedJoin(large, small, "key", 8, "left")) ==
+      canon(large.join(small, Seq("key"), "left")))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large, small, "key", 8, "right")
+    }
   }
 
   test("exact cosine near-dup pairs: colinear caught, orthogonal not") {
