@@ -106,4 +106,18 @@ object GraphStore {
   /** The `_to`-bucketed edge mirror of a saved store. */
   def edgesByTo(spark: SparkSession, db: String): DataFrame =
     spark.table(s"$db.edges_by_to")
+
+  /** The saved edge set as a STREAMING source: files appended to the
+    * store's `edges_by_from` location (new graph versions, incremental
+    * ingest) feed a Structured Streaming pipeline — the engine's "poll for
+    * new relationships" shape (see
+    * `EventStreams.incomingRelationshipStream`) without polling: the file
+    * source discovers new files per micro-batch, exactly-once. */
+  def streamEdges(spark: SparkSession, db: String): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("edges_by_from", Some(db)))
+    spark.readStream
+      .schema(spark.table(s"$db.edges_by_from").schema)
+      .parquet(meta.location.toString)
+  }
 }

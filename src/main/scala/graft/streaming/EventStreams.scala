@@ -41,16 +41,21 @@ object EventStreams {
       relType: String): DataFrame = {
     val matched = edgeStream
       .filter(col("rel_type") === relType && col("_to") === anchor.key)
-    // hydrate the sender side against each (static) collection by prefix
+    // hydrate the sender side against each (static) collection by prefix;
+    // a GraphStore-loaded collection joins on its stored _doc_key (kept out
+    // of the hydrated JSON), as in RelQueryPlanner.hydrateWith
     val parts = g.collections.keys.toSeq.sorted.map { name =>
       val df = g.collection(name)
-      val keyExpr = concat(lit(name + ":"),
-        df.col("_id").cast(org.apache.spark.sql.types.StringType))
+      val keyExpr =
+        if (df.columns.contains("_doc_key")) df.col("_doc_key")
+        else concat(lit(name + ":"),
+          df.col("_id").cast(org.apache.spark.sql.types.StringType))
+      val docCols = df.columns.filterNot(_ == "_doc_key").map(df.col)
       matched.join(df.withColumn("_h_key", keyExpr),
           matched("_from") === col("_h_key"), "inner")
         .select(matched("_rel_id"), matched("_from"), matched("_to"),
           matched("rel_type"), matched("_created_at"), matched("props"),
-          to_json(struct(df.columns.map(df.col): _*)).as("from_doc"))
+          to_json(struct(docCols: _*)).as("from_doc"))
     }
     parts.reduce(_.unionByName(_))
   }

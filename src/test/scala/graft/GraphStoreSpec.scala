@@ -110,6 +110,33 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(n == 2) // zoe->alice stored + bob->alice just created
   }
 
+  test("streamEdges: stored edges feed stream-static hydration, and an " +
+      "appended edge file arrives in the next micro-batch") {
+    saved
+    val loaded = GraphStore.load(spark, db)
+    val q = graft.streaming.EventStreams.incomingRelationshipStream(
+        GraphStore.streamEdges(spark, db), loaded,
+        DocRef("people", "1"), "knows")
+      .writeStream.format("memory").queryName("store_edge_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql(
+          "SELECT get_json_object(from_doc, '$.name') FROM store_edge_stream")
+        .collect().map(_.getString(0)).toSet
+      assert(first == Set("zoe")) // zoe->alice is the only stored incoming
+      // incremental ingest: append a new edge batch to the store table
+      spark.sql(s"""INSERT INTO $db.edges_by_from
+        SELECT 999L, 'people:2', 'people:1', 'knows', 0L,
+               map('k', 'v')""")
+      q.processAllAvailable()
+      val after = spark.sql(
+          "SELECT get_json_object(from_doc, '$.name') FROM store_edge_stream")
+        .collect().map(_.getString(0)).toSet
+      assert(after == Set("zoe", "bob"))
+    } finally q.stop()
+  }
+
   test("anchored edge lookup prunes to a single bucket in both directions") {
     saved
     // filter-only scans: the auto-bucketed-scan heuristic would drop the
