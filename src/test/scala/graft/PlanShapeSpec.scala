@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression tests: the scale properties SCALE.md claims,
+  * asserted against the actual optimized/executed plans on real testdata
+  * (sf0.001) so a refactor that silently loses pushdown, pruning, or
+  * codegen fails CI — not a 100 TB run. */
+class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  private def scanLines(plan: String, table: String): Seq[String] =
+    plan.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains(table)).toSeq
+
+  test("q18 pricing summary: lineitem scan is column-pruned to 4 columns") {
+    val scans = scanLines(planOf("q18_pricing_summary"), "lineitem")
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val readSchema = s.substring(s.indexOf("ReadSchema:"))
+      // contract: the 4 aggregation inputs, nothing else from the 11-col table
+      Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+        .foreach(c => assert(readSchema.contains(c), s"missing $c in $readSchema"))
+      assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipdate"),
+        s"unpruned column in $readSchema")
+    }
+  }
+
+  test("q19 top customers: join-key filter is pushed to the parquet scan") {
+    val plan = planOf("q19_top_customers")
+    val orderScans = scanLines(plan, "orders")
+    assert(orderScans.nonEmpty)
+    assert(orderScans.exists(_.contains("PushedFilters: [IsNotNull(o_custkey)]")),
+      orderScans.mkString("\n"))
+  }
+
+  test("anchored edge match: literal anchor equality reaches the edge scan") {
+    // the edge overlay is an in-memory union (not a FileScan), so assert on
+    // the optimized filter instead: the anchor literal must sit in a Filter
+    // directly over the scan-side plan, not above the join
+    val plan = SparkEntry.queries("q04_incoming_rels")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("customer:1"), plan.take(2000))
+  }
+
+  test("text-analysis pipeline stays inside whole-stage codegen") {
+    // codegen stages only appear in the FINAL adaptive plan — execute THIS
+    // df (count() would execute a different plan tree)
+    val df = SparkEntry.queries("q24_token_stats")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert(plan.contains("*(1)"), plan.take(2000))
+    // no interpreted UDF anywhere in the text path
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(2000))
+  }
+
+  test("minhash verification joins run on codegen'd native kernels") {
+    val plan = planOf("q28_minhash_pairs")
+    assert(plan.contains("sorted_intersect_count"), plan.take(3000))
+    assert(plan.contains("minhash_sig"), plan.take(3000))
+  }
+
+  test("q42 set-anchored traversal broadcasts the anchor side") {
+    val plan = planOf("q42_set_anchored_counts")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
