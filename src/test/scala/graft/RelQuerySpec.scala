@@ -118,6 +118,25 @@ class RelQuerySpec extends AnyFunSuite {
     assert(g3.edges.count() == 5)
   }
 
+  test("directional remove variants To/From/Between (:433-484)") {
+    // fixture: alice -knows-> bob, zoe -knows-> alice
+    // From: only the incoming zoe->alice edge goes; alice->bob survives
+    val gFrom = GraphDocument(g, alice).removeRelationshipsFrom(zoe, "knows")
+    assert(GraphDocument(gFrom, alice).incomingRelationships("knows").count() == 0)
+    assert(GraphDocument(gFrom, alice).outgoingRelationships("knows").count() == 1)
+    // From must not touch the reverse pair direction elsewhere in the graph
+    val gFromBob = GraphDocument(g, bob).removeRelationshipsFrom(alice, "knows")
+    assert(GraphDocument(gFromBob, bob).incomingRelationships("knows").count() == 0)
+    assert(GraphDocument(gFromBob, alice).incomingRelationships("knows").count() == 1)
+    // Between: both directions between the PAIR, nothing else
+    val g2 = g.createRelationship(bob, alice, "knows")
+    val gBetween = GraphDocument(g2, alice).removeRelationshipsBetween(bob, "knows")
+    val left = GraphDocument(gBetween, alice).allRelationships("knows")
+    assert(left.count() == 1) // zoe -knows-> alice only
+    assert(left.select(get_json_object(col("from_doc"), "$.name"))
+      .collect()(0).getString(0) == "zoe")
+  }
+
   test("removeDocuments drops node + touching edges (S3/G15)") {
     import spark.implicits._
     val g2 = g.removeDocuments("people", Seq(alice.id).toDF("_id"))
