@@ -104,9 +104,10 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
 
   // --- paths (G16) --------------------------------------------------------
   def shortestPathTo(other: DocRef, types: String = "*",
-      whereDocument: Option[MongoQuery] = None): DataFrame =
+      whereDocument: Option[MongoQuery] = None,
+      collection: Option[String] = None): DataFrame =
     ShortestPath.shortestPathTo(g, ref, other,
-      Seq(types), whereDocument)
+      Seq(types), whereDocument, collection = collection)
 
   // --- adjacency materialization (G19) -------------------------------------
   def applyGraphRelationships(types: String = "*"): DataFrame =

@@ -86,25 +86,39 @@ object ShortestPath {
     * path nodes AFTER the search, it does not constrain the traversal
     * (/root/reference/test/tests.coffee:641-648: [alice,bob,zoe] filtered by
     * `{name: /o/}` → [bob, zoe], length 2). Result: one row per surviving
-    * path node, ordered by `pos`, hydrated as JSON like the 1-hop planner. */
+    * path node, ordered by `pos`, hydrated as JSON like the 1-hop planner.
+    *
+    * `collection`: the reference's distinct-collection population
+    * (tests.coffee:274-285) — only documents of that collection hydrate;
+    * path nodes from OTHER collections keep their position with a null
+    * `doc` (the path itself is not filtered, unlike `whereDocument`). */
   def shortestPathTo(g: DocGraph, from: DocRef, to: DocRef,
       types: Seq[String] = Nil, whereDocument: Option[MongoQuery] = None,
-      maxDepth: Int = 15): DataFrame = {
+      maxDepth: Int = 15, collection: Option[String] = None): DataFrame = {
     val spark = g.spark
     import spark.implicits._
     val path = findPath(g, from, to, types, maxDepth).getOrElse(Seq.empty)
     val pathDf = path.zipWithIndex.map { case (k, i) => (i, k) }
       .toDF("pos", "_doc_key")
-    val docs = g.collections.keys.toSeq.sorted.map { name =>
-      val df = g.collection(name)
-      val pred = whereDocument
-        .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
-        .getOrElse(lit(true))
-      df.filter(pred).select(
-        concat(lit(name + ":"), df.col("_id").cast(StringType)).as("_doc_key"),
-        to_json(struct(df.columns.map(df.col): _*)).as("doc"))
-    }.reduce(_.unionByName(_))
-    pathDf.join(docs, Seq("_doc_key"), "inner")
+    val docs = g.collections.keys.toSeq.sorted
+      .filter(n => collection.forall(_ == n))
+      .map { name =>
+        val df = g.collection(name)
+        val pred = whereDocument
+          .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
+          .getOrElse(lit(true))
+        // stored _doc_key fast path + exclusion, as in the 1-hop planner
+        val keyExpr =
+          if (df.columns.contains("_doc_key")) df.col("_doc_key")
+          else concat(lit(name + ":"), df.col("_id").cast(StringType))
+        val docCols = df.columns.filterNot(_ == "_doc_key").map(df.col)
+        df.filter(pred).select(keyExpr.as("_doc_key"),
+          to_json(struct(docCols: _*)).as("doc"))
+      }.reduce(_.unionByName(_))
+    // distinct-collection mode keeps unpopulated path nodes (left join);
+    // the default mirrors whereDocument's node-dropping inner join
+    val joinType = if (collection.isDefined) "left" else "inner"
+    pathDf.join(docs, Seq("_doc_key"), joinType)
       .select(col("pos"), col("_doc_key"), col("doc"))
       .orderBy("pos")
   }

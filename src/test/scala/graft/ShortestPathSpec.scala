@@ -31,6 +31,18 @@ class ShortestPathSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("bob", "zoe"))
   }
 
+  test("distinct-collection population keeps unmatched nodes with null doc " +
+      "(:274-285)") {
+    // alice -visits-> Bar crosses people -> locations
+    val rows = ShortestPath.shortestPathTo(g, alice, bar, Seq("visits"),
+        collection = Some("people"))
+      .select(col("_doc_key"), get_json_object(col("doc"), "$.name"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(
+      (alice.key, Some("alice")),
+      (bar.key, None))) // path node kept, not populated
+  }
+
   test("no path returns empty") {
     // visits edges don't reach zoe.
     assert(ShortestPath.findPath(g, alice, zoe, Seq("visits")).isEmpty)
