@@ -240,6 +240,24 @@ final class DocGraph(
     new DocGraph(spark, collections.updated(name, df),
       schema.fold(schemas)(s => schemas.updated(name, s)), edges, clock, batchSeq)
 
+  /** S2 ("pre-save sync") as a set operation: merge `rows` into the
+    * collection by `_id` — incoming rows replace same-id documents, new ids
+    * append. The node overlay and every graph operator see the update
+    * immediately and consistently because `nodes` is DERIVED from the
+    * collections (the reference needs a save hook to push `graph: true`
+    * fields into node props,
+    * /root/reference/src/mongraphMongoosePlugin.coffee:44-61; here the
+    * projection recomputes by construction). One anti-join + union — at
+    * scale this is the standard copy-on-write batch upsert, and the edge
+    * store is untouched (edges key on `_id`s, which upserts never change). */
+  def upsertDocuments(collectionName: String, rows: DataFrame): DocGraph = {
+    val cur = collection(collectionName)
+    val incomingIds = rows.select(col("_id").cast(StringType).as("_up_id"))
+    val kept = cur.join(incomingIds,
+      cur("_id").cast(StringType) === col("_up_id"), "left_anti")
+    withCollection(collectionName, kept.unionByName(rows))
+  }
+
   private def emptyProps: Column =
     map().cast(MapType(StringType, StringType))
 }

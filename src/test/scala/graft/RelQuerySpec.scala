@@ -137,6 +137,22 @@ class RelQuerySpec extends AnyFunSuite {
       .collect()(0).getString(0) == "zoe")
   }
 
+  test("upsert re-syncs node props by construction (S2, :706-718)") {
+    import spark.implicits._
+    // re-save alice with a changed graph:true field + insert a new person
+    val g2 = g.upsertDocuments("people", Seq(
+      (alice.id, "alice2"), ("0e000000000000000000000f", "newbie"))
+      .toDF("_id", "name"))
+    assert(g2.collection("people").count() == 5)
+    val props = g2.nodes.filter(col("_collection") === "people")
+      .select(col("_id"), element_at(col("props"), "name"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props(alice.id) == "alice2") // node prop follows the document
+    assert(props("0e000000000000000000000f") == "newbie")
+    // edges key on _id: alice's relationships are intact after the re-save
+    assert(GraphDocument(g2, alice).allRelationships("knows").count() == 2)
+  }
+
   test("removeDocuments drops node + touching edges (S3/G15)") {
     import spark.implicits._
     val g2 = g.removeDocuments("people", Seq(alice.id).toDF("_id"))
