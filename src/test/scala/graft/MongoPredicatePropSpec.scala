@@ -1,140 +1,149 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import org.scalatest.funsuite.AnyFunSuite
 
 import graft.pred.MongoPredicate
+import graft.pred.MongoPredicate.MongoQuery
 
-/** Property test: the Mongo-query → Column compiler agrees with an
-  * independent plain-Scala evaluator of Mongo predicate semantics (missing
-  * fields don't match positive predicates, DO match null-safe negations)
-  * on randomly generated queries over a null-riddled dataset — the
-  * ScalaCheck layer SURVEY.md §5 calls for. Raw ScalaCheck generators with
-  * fixed seeds (the scalatest bridge isn't in the offline dep cache). */
-class MongoPredicatePropSpec extends AnyFunSuite {
-
+/** Differential property test for the Mongo-query → Column compiler (the
+  * engine's "one real custom piece", SURVEY §7.3): hundreds of RANDOM query
+  * objects are evaluated both by the compiled Catalyst predicate (with
+  * Mongo's two-valued filter semantics: null ⇒ no match) and by an
+  * independent driver-side evaluator of MongoDB's documented semantics,
+  * over a row grid that covers null/negative/empty corners. Any divergence
+  * fails with the offending query + row. */
+class MongoPredicatePropSpec extends org.scalatest.funsuite.AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  // (id, name, age, tag) with systematic null coverage on age/tag
-  private val rows: Seq[(Int, String, Integer, String)] = Seq(
-    (0, "alice", 30: Integer, "x"), (1, "bob", 25: Integer, null),
-    (2, "Carol", null: Integer, "y"), (3, "dave", 20: Integer, "x"),
-    (4, "eve", null: Integer, null), (5, "frank", 40: Integer, "z"),
-    (6, "grace", 25: Integer, "y"), (7, "heidi", 61: Integer, null),
-    (8, "ivan", null: Integer, "x"))
+  // ---- row grid: every (a, s) corner we care about ------------------------
+  private val as: Seq[Option[Int]] =
+    None +: (-5 to 5).map(Some(_))
+  private val ss: Seq[Option[String]] =
+    Seq(None, Some(""), Some("a"), Some("ab"), Some("ba"), Some("bb"), Some("xyz"))
+  private val rows: Seq[(Long, Option[Int], Option[String])] =
+    for ((a, i) <- as.zipWithIndex; (s, j) <- ss.zipWithIndex)
+      yield ((i * 100 + j).toLong, a, s)
 
-  private lazy val df = {
-    import spark.implicits._
-    rows.toDF("id", "name", "age", "tag").cache()
-  }
+  // ---- random Mongo queries ----------------------------------------------
+  private val genIntLeaf: Gen[MongoQuery] = for {
+    v <- Gen.choose(-6, 6)
+    l <- Gen.listOfN(3, Gen.choose(-6, 6))
+    d <- Gen.choose(1, 4)
+    r <- Gen.choose(0, 3)
+    b <- Gen.oneOf(true, false)
+    op <- Gen.oneOf[MongoQuery](
+      Map("a" -> v),
+      Map("a" -> Map("$eq" -> v)),
+      Map("a" -> Map("$ne" -> v)),
+      Map("a" -> Map("$gt" -> v)),
+      Map("a" -> Map("$gte" -> v)),
+      Map("a" -> Map("$lt" -> v)),
+      Map("a" -> Map("$lte" -> v)),
+      Map("a" -> Map("$gt" -> v, "$lte" -> (v + 3))),
+      Map("a" -> Map("$in" -> l)),
+      Map("a" -> Map("$nin" -> l)),
+      Map("a" -> Map("$exists" -> b)),
+      Map("a" -> Map("$mod" -> Seq(d, r))),
+      Map("a" -> Map("$not" -> Map("$gt" -> v))))
+  } yield op
 
-  // ---- independent reference evaluator of Mongo semantics ---------------
-  private def fieldOf(r: (Int, String, Integer, String), f: String): Option[Any] =
-    f match {
-      case "name" => Option(r._2)
-      case "age"  => Option(r._3).map(_.intValue)
-      case "tag"  => Option(r._4)
-      case _      => None
-    }
+  private val genStrLeaf: Gen[MongoQuery] = for {
+    v <- Gen.oneOf("", "a", "ab", "bb", "zz")
+    l <- Gen.listOfN(2, Gen.oneOf("", "a", "ab", "ba", "xyz"))
+    re <- Gen.oneOf("a", "^a", "b$", "[ab]", "^$")
+    b <- Gen.oneOf(true, false)
+    op <- Gen.oneOf[MongoQuery](
+      Map("s" -> v),
+      Map("s" -> Map("$ne" -> v)),
+      Map("s" -> Map("$in" -> l)),
+      Map("s" -> Map("$nin" -> l)),
+      Map("s" -> Map("$exists" -> b)),
+      Map("s" -> Map("$regex" -> re)))
+  } yield op
 
-  private def evalQuery(q: Map[String, Any], r: (Int, String, Integer, String)): Boolean =
-    q.forall {
-      case ("$and", v) => v.asInstanceOf[Seq[Map[String, Any]]].forall(evalQuery(_, r))
-      case ("$or", v)  => v.asInstanceOf[Seq[Map[String, Any]]].exists(evalQuery(_, r))
-      case ("$nor", v) => !v.asInstanceOf[Seq[Map[String, Any]]].exists(evalQuery(_, r))
-      case (f, v)      => evalField(fieldOf(r, f), v)
-    }
+  private val genLeaf: Gen[MongoQuery] = Gen.oneOf(genIntLeaf, genStrLeaf)
 
-  private def evalField(value: Option[Any], cond: Any): Boolean = cond match {
-    case ops: Map[_, _] =>
-      ops.asInstanceOf[Map[String, Any]].forall { case (op, v) => evalOp(value, op, v) }
-    case v => value.contains(v)
-  }
-
-  private def asInt(value: Option[Any]): Option[Int] =
-    value.collect { case i: Int => i }
-
-  private def evalOp(value: Option[Any], op: String, v: Any): Boolean = op match {
-    case "$eq"     => value.contains(v)
-    case "$ne"     => !value.contains(v)
-    case "$gt"     => asInt(value).exists(_ > v.asInstanceOf[Int])
-    case "$gte"    => asInt(value).exists(_ >= v.asInstanceOf[Int])
-    case "$lt"     => asInt(value).exists(_ < v.asInstanceOf[Int])
-    case "$lte"    => asInt(value).exists(_ <= v.asInstanceOf[Int])
-    case "$in"     => value.exists(v.asInstanceOf[Seq[Any]].contains)
-    case "$nin"    => !value.exists(v.asInstanceOf[Seq[Any]].contains)
-    case "$exists" => value.isDefined == v.asInstanceOf[Boolean]
-    case other     => sys.error(s"evaluator: $other")
-  }
-
-  // ---- query generator --------------------------------------------------
-  private val nameGen = Gen.oneOf("alice", "bob", "Carol", "zzz")
-  private val tagGen = Gen.oneOf("x", "y", "z", "none")
-  private val ageGen = Gen.choose(18, 65)
-
-  private def leafGen: Gen[Map[String, Any]] = Gen.oneOf(
-    nameGen.map(n => Map[String, Any]("name" -> n)),
-    tagGen.map(t => Map[String, Any]("tag" -> t)),
-    ageGen.map(a => Map[String, Any]("age" -> a)),
-    for (a <- ageGen; op <- Gen.oneOf("$gt", "$gte", "$lt", "$lte", "$ne", "$eq"))
-      yield Map[String, Any]("age" -> Map(op -> a)),
-    Gen.someOf(Seq("x", "y", "z")).map(ts =>
-      Map[String, Any]("tag" -> Map("$in" -> ts.toSeq))),
-    Gen.someOf(Seq("x", "y")).map(ts =>
-      Map[String, Any]("tag" -> Map("$nin" -> ts.toSeq))),
-    Gen.oneOf(true, false).map(b =>
-      Map[String, Any]("age" -> Map("$exists" -> b))),
-    tagGen.map(t => Map[String, Any]("tag" -> Map("$ne" -> t))))
-
-  private def queryGen(depth: Int): Gen[Map[String, Any]] =
-    if (depth <= 0) leafGen
+  private def genQuery(depth: Int): Gen[MongoQuery] =
+    if (depth <= 0) genLeaf
     else Gen.frequency(
-      4 -> leafGen,
-      1 -> Gen.nonEmptyListOf(queryGen(depth - 1)).map(qs =>
-        Map[String, Any]("$and" -> qs.take(3))),
-      1 -> Gen.nonEmptyListOf(queryGen(depth - 1)).map(qs =>
-        Map[String, Any]("$or" -> qs.take(3))),
-      1 -> Gen.nonEmptyListOf(queryGen(depth - 1)).map(qs =>
-        Map[String, Any]("$nor" -> qs.take(2))))
+      4 -> genLeaf,
+      1 -> Gen.listOfN(2, genQuery(depth - 1)).map(qs => Map("$and" -> qs)),
+      1 -> Gen.listOfN(2, genQuery(depth - 1)).map(qs => Map("$or" -> qs)),
+      1 -> Gen.listOfN(2, genQuery(depth - 1)).map(qs => Map("$nor" -> qs)),
+      1 -> genQuery(depth - 1).map(q => Map("$not" -> q)),
+      // multi-entry top level = implicit AND
+      1 -> Gen.zip(genIntLeaf, genStrLeaf).map { case (a, b) => a ++ b })
 
-  test("compiled predicate ≡ reference Mongo evaluator on 60 random queries") {
-    df.count() // materialize cache once
-    val params = Gen.Parameters.default
-    (0 until 60).foreach { i =>
-      val q = queryGen(2).pureApply(params, Seed(42L + i))
-      val got = df.filter(MongoPredicate.compile(q, MongoPredicate.resolverFor(df)))
-        .select("id").collect().map(_.getInt(0)).toSet
-      val want = rows.filter(evalQuery(q, _)).map(_._1).toSet
-      assert(got == want, s"seed=${42 + i} query: $q")
+  // ---- independent reference evaluator (MongoDB documented semantics) ----
+  private def evalQuery(q: MongoQuery, a: Option[Int], s: Option[String]): Boolean =
+    q.forall {
+      case ("$and", subs: Seq[_]) =>
+        subs.forall(x => evalQuery(x.asInstanceOf[MongoQuery], a, s))
+      case ("$or", subs: Seq[_]) =>
+        subs.exists(x => evalQuery(x.asInstanceOf[MongoQuery], a, s))
+      case ("$nor", subs: Seq[_]) =>
+        !subs.exists(x => evalQuery(x.asInstanceOf[MongoQuery], a, s))
+      case ("$not", sub: Map[_, _]) =>
+        !evalQuery(sub.asInstanceOf[MongoQuery], a, s)
+      case ("a", v) => evalField(a, v)
+      case ("s", v) => evalField(s, v)
+      case other    => sys.error(s"unexpected $other")
     }
+
+  private def evalField[T](f: Option[T], v: Any): Boolean = v match {
+    case ops: Map[_, _] =>
+      ops.asInstanceOf[Map[String, Any]].forall { case (op, x) => evalOp(f, op, x) }
+    case lit => f.contains(lit)
   }
 
-  test("$in on $nin with empty lists: match-none / match-all") {
-    val all = rows.map(_._1).toSet
-    val gotIn = df.filter(MongoPredicate.compile(Map("tag" -> Map("$in" -> Seq()))))
-      .select("id").collect().map(_.getInt(0)).toSet
-    val gotNin = df.filter(MongoPredicate.compile(Map("tag" -> Map("$nin" -> Seq()))))
-      .select("id").collect().map(_.getInt(0)).toSet
-    assert(gotIn == Set.empty)
-    assert(gotNin == all)
+  private def evalOp[T](f: Option[T], op: String, v: Any): Boolean = op match {
+    case "$eq"  => f.contains(v)
+    case "$ne"  => !f.contains(v) // missing/null matches, like Mongo
+    case "$gt"  => f.exists(x => x.asInstanceOf[Int] > v.asInstanceOf[Int])
+    case "$gte" => f.exists(x => x.asInstanceOf[Int] >= v.asInstanceOf[Int])
+    case "$lt"  => f.exists(x => x.asInstanceOf[Int] < v.asInstanceOf[Int])
+    case "$lte" => f.exists(x => x.asInstanceOf[Int] <= v.asInstanceOf[Int])
+    case "$in"  => f.exists(x => v.asInstanceOf[Seq[Any]].contains(x))
+    case "$nin" => !f.exists(x => v.asInstanceOf[Seq[Any]].contains(x))
+    case "$exists" => f.isDefined == v
+    case "$mod" =>
+      val Seq(d, r) = v.asInstanceOf[Seq[Int]]
+      f.exists(x => x.asInstanceOf[Int] % d == r)
+    case "$regex" =>
+      f.exists(x => v.toString.r.findFirstIn(x.asInstanceOf[String]).isDefined)
+    case "$not" => !evalField(f, v)
+    case other  => sys.error(s"unexpected op $other")
   }
 
-  test("$all and $elemMatch over array fields") {
+  test("300 random queries: compiled Column ≡ Mongo reference evaluator " +
+      "on the null/negative/empty row grid") {
     import spark.implicits._
-    val arr = Seq((0, Seq("a", "b", "c")), (1, Seq("a")), (2, Seq[String]()))
-      .toDF("id", "tags")
-    def ids(q: Map[String, Any]) =
-      arr.filter(MongoPredicate.compile(q)).select("id").collect().map(_.getInt(0)).toSet
-    assert(ids(Map("tags" -> Map("$all" -> Seq("a", "b")))) == Set(0))
-    assert(ids(Map("tags" -> Map("$all" -> Seq("a")))) == Set(0, 1))
-    // Mongo: {$all: []} matches NO documents (unlike vacuous truth)
-    assert(ids(Map("tags" -> Map("$all" -> Seq()))) == Set.empty)
-    assert(ids(Map("tags" -> Map("$elemMatch" -> Map("$eq" -> "c")))) == Set(0))
-    val nums = Seq((0, Seq(1, 5)), (1, Seq(2)), (2, Seq[Int]())).toDF("id", "ns")
-    val got = nums.filter(MongoPredicate.compile(
-      Map("ns" -> Map("$elemMatch" -> Map("$gt" -> 3))))).select("id")
-      .collect().map(_.getInt(0)).toSet
-    assert(got == Set(0))
+    val df = rows.toDF("id", "a", "s")
+
+    val params = Gen.Parameters.default
+    var seed = Seed(20260812L)
+    val queries = scala.collection.mutable.ArrayBuffer.empty[MongoQuery]
+    while (queries.size < 300) {
+      genQuery(2).apply(params, seed).foreach(queries += _)
+      seed = seed.next
+    }
+
+    // one Spark pass: every query as a boolean column with FILTER semantics
+    // (null ⇒ false, as df.filter treats it)
+    val cols = col("id") +: queries.zipWithIndex.map { case (q, i) =>
+      coalesce(MongoPredicate.compile(q), lit(false)).as(s"q$i")
+    }.toSeq
+    val got = df.select(cols: _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val byId = rows.map(r => r._1 -> r).toMap
+    for (((id, (_, a, s)), _) <- byId.zipWithIndex; (q, i) <- queries.zipWithIndex) {
+      val expected = evalQuery(q, a, s)
+      val actual = got(id).getBoolean(i + 1)
+      assert(actual == expected,
+        s"query #$i $q on row(id=$id, a=$a, s=$s): spark=$actual mongo=$expected")
+    }
   }
 }
