@@ -109,6 +109,33 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     out.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("minhash agreement rate estimates jaccard (k=256, deterministic)") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 256
+    // controlled overlap: |A∩B|=100, |A∪B|=300 -> true jaccard = 1/3.
+    // Hashes are deterministic, so the estimate is a fixed number — the
+    // assertion checks estimator QUALITY (±5 sd ≈ 0.14), not luck.
+    val a = (1L to 200L).toArray
+    val b = (101L to 300L).toArray
+    val row = Seq((a, b)).toDF("ha", "hb")
+      .select(Dedup.minhashFromHashes(col("ha"), k).as("sa"),
+        Dedup.minhashFromHashes(col("hb"), k).as("sb"))
+      .collect()(0)
+    val agree = row.getSeq[Long](0).zip(row.getSeq[Long](1))
+      .count { case (x, y) => x == y } / k.toDouble
+    assert(math.abs(agree - 1.0 / 3) < 0.15, s"estimate $agree vs 1/3")
+    // and on real text: near-dup docs 0/2 vs their exact shingle jaccard
+    val exact = Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id").isin(0, 2)), "doc_id", "text")
+      .collect()(0).getDouble(2)
+    val sigs = docs.filter(col("doc_id").isin(0, 2))
+      .select(Dedup.minhashSignature(
+        Dedup.charShingles(col("text"), 3), k).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / k.toDouble
+    assert(math.abs(est - exact) < 0.15, s"estimate $est vs exact $exact")
+  }
+
   test("ngram jaccard: identical=1.0, unrelated≈0") {
     val j = Dedup.ngramJaccardPairs(docs.filter(col("doc_id").isin(0, 1, 5)),
         "doc_id", "text")
