@@ -26,7 +26,7 @@ object Bench {
     val gx = graft.graph.GraphAnalytics.toGraphX(g)
     gx.numVertices; gx.numEdges
     graft.ops.IvfIndex.buildCached(g.collection("embeddings"),
-      "vec_id", "embedding", k = 16, key = sfDir)
+      "vec_id", "embedding", key = sfDir, k = 16)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     // Queries persist bounded intermediates; across 45 of them the leftovers
     // accumulate and can push the heap into GC thrash. Drop anything a query

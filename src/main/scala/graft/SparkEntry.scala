@@ -385,8 +385,8 @@ object SparkEntry {
       val emb = Testbed.graph(s, dir).collection("embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
         .collect()(0).getSeq[Float](0)
-      val ix = ops.IvfIndex.buildCached(emb, "vec_id", "embedding", k = 16,
-        key = dir)
+      val ix = ops.IvfIndex.buildCached(emb, "vec_id", "embedding",
+        key = dir, k = 16)
       ops.IvfIndex.query(ix, "vec_id", "embedding", q, topK = 10, nProbe = 4,
         excludeId = Some(0L))
     }),

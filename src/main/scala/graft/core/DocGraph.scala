@@ -65,6 +65,29 @@ final class DocGraph(
     require(schemaOf(collection).graphability,
       s"collection '$collection' has graphability disabled")
 
+  /** The canonical `"collection:id"` key expression for one collection —
+    * the STORED `_doc_key` column when the collection came from a
+    * [[graft.sources.GraphStore]] (declared via
+    * [[graft.model.GraphSchema.storedDocKey]]; joining on the stored column
+    * preserves the table's bucketing), else computed. Every planner join
+    * against documents goes through this. */
+  private[graft] def docKeyExpr(name: String): Column = {
+    val df = collection(name)
+    if (schemaOf(name).storedDocKey) df.col("_doc_key")
+    else concat(lit(name + ":"), df.col("_id").cast(StringType))
+  }
+
+  /** The collection's document-facing columns — storage-internal columns
+    * (`_doc_key` of a stored collection) excluded, so stored and in-memory
+    * graphs emit identical documents. */
+  private[graft] def docColumns(name: String): Seq[Column] = {
+    val df = collection(name)
+    val names =
+      if (schemaOf(name).storedDocKey) df.columns.filterNot(_ == "_doc_key")
+      else df.columns
+    names.toSeq.map(df.col)
+  }
+
   // ---------------------------------------------------------------- nodes
 
   /** P1 `dataForNode`: the dot-flattened `graph: true` projection of one
@@ -237,8 +260,10 @@ final class DocGraph(
 
   def withCollection(name: String, df: DataFrame,
       schema: Option[GraphSchema] = None): DocGraph =
+    // collections-only change: the EDGE mirror stays valid and rides along
     new DocGraph(spark, collections.updated(name, df),
-      schema.fold(schemas)(s => schemas.updated(name, s)), edges, clock, batchSeq)
+      schema.fold(schemas)(s => schemas.updated(name, s)), edges, clock,
+      batchSeq, edgesByTo)
 
   /** S2 ("pre-save sync") as a set operation: merge `rows` into the
     * collection by `_id` — incoming rows replace same-id documents, new ids
@@ -251,11 +276,18 @@ final class DocGraph(
     * scale this is the standard copy-on-write batch upsert, and the edge
     * store is untouched (edges key on `_id`s, which upserts never change). */
   def upsertDocuments(collectionName: String, rows: DataFrame): DocGraph = {
-    val cur = collection(collectionName)
+    // a mutated collection leaves the stored layout behind: strip the
+    // storage-internal key column and clear the schema flag (mirrors
+    // withEdges dropping the edgesByTo mirror)
+    val schema = schemaOf(collectionName)
+    val cur =
+      if (schema.storedDocKey) collection(collectionName).drop("_doc_key")
+      else collection(collectionName)
     val incomingIds = rows.select(col("_id").cast(StringType).as("_up_id"))
     val kept = cur.join(incomingIds,
       cur("_id").cast(StringType) === col("_up_id"), "left_anti")
-    withCollection(collectionName, kept.unionByName(rows))
+    withCollection(collectionName, kept.unionByName(rows),
+      Some(schema.copy(storedDocKey = false)))
   }
 
   private def emptyProps: Column =

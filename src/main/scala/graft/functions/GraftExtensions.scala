@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
+  /** Whether `name` resolves on the current active session — the guard the
+    * ops layer uses to pick the native kernel vs its pure-Column fallback,
+    * so no public operator has a registration precondition. */
+  def registeredOnActiveSession(name: String): Boolean =
+    SparkSession.getActiveSession.exists(_.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+
   /** Register the engine's native functions on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

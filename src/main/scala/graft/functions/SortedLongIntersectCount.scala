@@ -21,8 +21,8 @@ import org.apache.spark.sql.types._
   * Unsorted input is a CONTRACT VIOLATION and silently undercounts — the
   * caller owns the `array_sort`. Null semantics: null array → null; null
   * elements are not expected (hash output), but a defensive null element
-  * check keeps the merge well-defined (nulls sort first in Spark's
-  * `array_sort`, the loop skips them).
+  * check keeps the merge well-defined (Spark's `array_sort` places nulls
+  * last; the skip logic is position-independent either way).
   */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

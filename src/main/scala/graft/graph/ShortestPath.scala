@@ -91,12 +91,16 @@ object ShortestPath {
     * `collection`: the reference's distinct-collection population
     * (tests.coffee:274-285) — only documents of that collection hydrate;
     * path nodes from OTHER collections keep their position with a null
-    * `doc` (the path itself is not filtered, unlike `whereDocument`). */
+    * `doc`. `whereDocument` keeps its node-DROPPING semantics in both
+    * modes: a named-collection node failing the predicate is removed, an
+    * other-collection node is merely unpopulated. */
   def shortestPathTo(g: DocGraph, from: DocRef, to: DocRef,
       types: Seq[String] = Nil, whereDocument: Option[MongoQuery] = None,
       maxDepth: Int = 15, collection: Option[String] = None): DataFrame = {
     val spark = g.spark
     import spark.implicits._
+    collection.foreach(c => require(g.collections.contains(c),
+      s"unknown collection: $c"))
     val path = findPath(g, from, to, types, maxDepth).getOrElse(Seq.empty)
     val pathDf = path.zipWithIndex.map { case (k, i) => (i, k) }
       .toDF("pos", "_doc_key")
@@ -107,20 +111,21 @@ object ShortestPath {
         val pred = whereDocument
           .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
           .getOrElse(lit(true))
-        // stored _doc_key fast path + exclusion, as in the 1-hop planner
-        val keyExpr =
-          if (df.columns.contains("_doc_key")) df.col("_doc_key")
-          else concat(lit(name + ":"), df.col("_id").cast(StringType))
-        val docCols = df.columns.filterNot(_ == "_doc_key").map(df.col)
-        df.filter(pred).select(keyExpr.as("_doc_key"),
-          to_json(struct(docCols: _*)).as("doc"))
+        // stored-key join + storage-column exclusion, as in the 1-hop planner
+        df.filter(pred).select(g.docKeyExpr(name).as("_doc_key"),
+          to_json(struct(g.docColumns(name): _*)).as("doc"))
       }.reduce(_.unionByName(_))
-    // distinct-collection mode keeps unpopulated path nodes (left join);
-    // the default mirrors whereDocument's node-dropping inner join
-    val joinType = if (collection.isDefined) "left" else "inner"
-    pathDf.join(docs, Seq("_doc_key"), joinType)
-      .select(col("pos"), col("_doc_key"), col("doc"))
-      .orderBy("pos")
+    // distinct-collection mode keeps unpopulated path nodes (left join) —
+    // but whereDocument still DROPS named-collection nodes that fail it
+    val joined =
+      if (collection.isEmpty) pathDf.join(docs, Seq("_doc_key"), "inner")
+      else {
+        val out = pathDf.join(docs, Seq("_doc_key"), "left")
+        if (whereDocument.isEmpty) out
+        else out.filter(!(col("doc").isNull &&
+          substring_index(col("_doc_key"), ":", 1) === lit(collection.get)))
+      }
+    joined.select(col("pos"), col("_doc_key"), col("doc")).orderBy("pos")
   }
 
   private def StringType = org.apache.spark.sql.types.StringType

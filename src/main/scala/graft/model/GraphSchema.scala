@@ -15,13 +15,20 @@ package graft.model
   *     refuse when false (/root/reference/src/mongraphMongoosePlugin.coffee:8-23).
   *   - `preRemove`    — when false, removing documents leaves their nodes in
   *     place (/root/reference/test/tests.coffee:319-344 "keyboards").
+  *   - `storedDocKey` — set by [[graft.sources.GraphStore]].load ONLY: the
+  *     collection DataFrame carries a storage-internal `_doc_key` column
+  *     holding the canonical `"collection:id"` key (bucketed on it), which
+  *     the planners join on and strip from emitted documents. An explicit
+  *     flag, not column-name sniffing — a user collection that happens to
+  *     have its own `_doc_key` column keeps it as ordinary data.
   */
 final case class GraphSchema(
     collection: String,
     graphFields: Seq[String] = Nil,
     indexFields: Seq[String] = Nil,
     graphability: Boolean = true,
-    preRemove: Boolean = true)
+    preRemove: Boolean = true,
+    storedDocKey: Boolean = false)
 
 /** A `(collection, _id)` pointer to one document — the engine-side form of
   * the reference's `"collection:objectid"` provenance strings

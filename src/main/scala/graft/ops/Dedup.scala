@@ -63,12 +63,15 @@ object Dedup {
     transform(shingles, sh => xxhash64(sh).bitwiseAND(lit(0x7fffffffL)))
 
   /** Native codegen'd kernel ([[graft.functions.MinhashSignature]], one
-    * pass, k primitive accumulators). Requires the engine functions to be
-    * registered on the session — [[graft.functions.GraftFunctions.register]]
-    * or the `spark.sql.extensions` class; value-identical to
-    * [[minhashFromHashesFold]]. */
+    * pass, k primitive accumulators) when the engine functions are
+    * registered on the active session ([[graft.functions.GraftFunctions
+    * .register]] or the `spark.sql.extensions` class); falls back to the
+    * value-identical pure-Column fold on an unregistered session, so the
+    * API has no registration precondition. */
   def minhashFromHashes(hashes: Column, k: Int): Column =
-    call_function("minhash_sig", hashes, lit(k))
+    if (graft.functions.GraftFunctions.registeredOnActiveSession("minhash_sig"))
+      call_function("minhash_sig", hashes, lit(k))
+    else minhashFromHashesFold(hashes, k)
 
   /** Registration-free pure-Column construction (k interpreted `aggregate`
     * passes) — the parity reference for the native kernel. */

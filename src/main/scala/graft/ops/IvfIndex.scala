@@ -30,11 +30,15 @@ object IvfIndex {
 
   /** [[build]], memoized per (session, `key`, k, seed) with the cell
     * assignment persisted — callers issuing many probes (or a benchmark
-    * measuring probe latency) pay the k-means training once. The cells
-    * persist uses MEMORY_AND_DISK: at 100 TB the materialized index would
-    * instead be written to storage partitioned by `cell` (see class doc). */
-  def buildCached(emb: DataFrame, idCol: String, vecCol: String, k: Int = 16,
-      seed: Long = 42L, key: String = ""): Index =
+    * measuring probe latency) pay the k-means training once. `key` is the
+    * caller's CORPUS IDENTITY (e.g. the table path) and is mandatory: the
+    * cache cannot see through a DataFrame to know two inputs differ, and a
+    * defaulted key would silently serve corpus A's index for corpus B. The
+    * cells persist uses MEMORY_AND_DISK: at 100 TB the materialized index
+    * would instead be written to storage partitioned by `cell` (class doc). */
+  def buildCached(emb: DataFrame, idCol: String, vecCol: String,
+      key: String, k: Int = 16, seed: Long = 42L): Index = {
+    require(key.nonEmpty, "buildCached needs a non-empty corpus key")
     cache.computeIfAbsent(
       s"${emb.sparkSession.hashCode}:$key:$idCol:$vecCol:$k:$seed", _ => {
         val ix = build(emb, idCol, vecCol, k, seed)
@@ -42,6 +46,7 @@ object IvfIndex {
           .count()
         ix
       })
+  }
 
   /** Build the IVF index: assign every vector to its nearest of `k`
     * centroids. `cells` = input columns + `cell: Int`. */

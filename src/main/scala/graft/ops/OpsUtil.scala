@@ -12,9 +12,26 @@ private[ops] object OpsUtil {
     * Only triggers when the input is NARROWER than the session parallelism
     * — exactly the case where the repartition shuffle is trivially cheap. A
     * 100 TB input already has thousands of partitions and passes through
-    * untouched. */
+    * untouched. A plan that already contains a shuffle passes through too:
+    * its output is spread across the session's shuffle partitions (AQE
+    * coalesces to sane sizes), and probing `.rdd` on such a plan would
+    * EXECUTE the upstream stages just to read a partition count — paying
+    * the heaviest stage twice. The narrow-scan case probes `.rdd` safely
+    * (no stages to run, lineage only). */
   def widen(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // logical-plan check (an AQE physical plan hides its exchanges inside
+    // the adaptive wrapper): any shuffle-inducing operator upstream means
+    // the rows are already spread over the session's shuffle partitions
+    val hasShuffle = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Deduplicate => true
+      case _: RepartitionOperation => true
+      case s: Sort if s.global => true
+      case _ => false
+    }
+    if (hasShuffle) df
+    else if (df.rdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 }

@@ -23,10 +23,14 @@ object Similarity {
 
   /** Dot product. Uses the engine's codegen'd native expression
     * (`vec_dot`, [[graft.functions.FloatVecDot]]) when registered on the
-    * session — [[graft.functions.GraftFunctions.register]] or the
-    * `spark.sql.extensions` class; [[dotFold]] is the registration-free
-    * fallback with bit-identical numerics. */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+    * active session — [[graft.functions.GraftFunctions.register]] or the
+    * `spark.sql.extensions` class — and falls back to [[dotFold]]
+    * (bit-identical numerics) otherwise, so there is no registration
+    * precondition. */
+  def dot(a: Column, b: Column): Column =
+    if (graft.functions.GraftFunctions.registeredOnActiveSession("vec_dot"))
+      call_function("vec_dot", a, b)
+    else dotFold(a, b)
 
   /** Pure-Column fold variant (interpreted higher-order functions). */
   def dotFold(a: Column, b: Column): Column =

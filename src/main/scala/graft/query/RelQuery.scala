@@ -165,23 +165,18 @@ object RelQueryPlanner {
           .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
           .getOrElse(lit(true))
         val collOk = lit(q.collection.forall(_ == name))
-        // A GraphStore-loaded collection carries its canonical key as a
-        // STORED `_doc_key` column (bucketed+sorted on it): joining on the
-        // stored column — instead of recomputing the concat — preserves the
-        // table's bucketing, so this join plans with no Exchange under the
-        // store's co-partitioned layout. `_doc_key` is excluded from the
-        // hydrated document so results are identical either way.
-        val stored = df.columns.contains("_doc_key")
-        val keyExpr =
-          if (stored) df.col("_doc_key")
-          else concat(lit(name + ":"), df.col("_id").cast(StringType))
+        // DocGraph.docKeyExpr joins on a GraphStore-loaded collection's
+        // STORED `_doc_key` (preserving the table's bucketing — no Exchange
+        // under the store's co-partitioned layout) and computes the concat
+        // otherwise; docColumns strips the storage-internal column from the
+        // hydrated document, so results are identical either way.
+        val keyExpr = g.docKeyExpr(name)
         val exempt =
           if (name == anchor.collection) keyExpr === lit(anchor.key) else lit(false)
         val filtered = df.filter((collOk && pred) || exempt)
-        val docCols = df.columns.filterNot(_ == "_doc_key").map(df.col)
         val docs = outName match {
           case Some(_) => filtered.select(keyExpr.as("_h_key"),
-            struct(docCols: _*).as("_h_doc"))
+            struct(g.docColumns(name): _*).as("_h_doc"))
           case None => filtered.select(keyExpr.as("_h_key"))
         }
         val joined = left.join(docs, left(keyCol) === col("_h_key"), "inner")
@@ -283,7 +278,9 @@ object RelQueryPlanner {
         .as("_relationships"))
       .withColumn("_id", regexp_replace(col("_doc_key"), "^[^:]*:", ""))
       .drop("_doc_key")
-    g.collection(collectionName)
+    // document-facing columns only (a stored collection's _doc_key stays
+    // storage-internal here as everywhere else)
+    g.collection(collectionName).select(g.docColumns(collectionName): _*)
       .withColumn("_id_str", col("_id").cast(StringType))
       .join(adjacency.withColumnRenamed("_id", "_id_str"), Seq("_id_str"), "left")
       .drop("_id_str")

@@ -64,12 +64,19 @@ object GraphStore {
         .format("parquet").saveAsTable(s"$db.$table")
     }
     g.collections.foreach { case (name, df) =>
+      // withColumn replaces an existing _doc_key (re-saving a loaded store)
       write(df.withColumn("_doc_key",
           concat(lit(name + ":"), col("_id").cast(StringType))),
         s"coll_$name", "_doc_key")
     }
-    write(g.edges, "edges_by_from", "_from")
-    write(g.edges, "edges_by_to", "_to")
+    // materialize the edge lineage once: both bucketed copies read the
+    // checkpoint blocks instead of re-executing the edge-construction job
+    val edgesOnce =
+      if (g.edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        g.edges
+      else g.edges.localCheckpoint()
+    write(edgesOnce, "edges_by_from", "_from")
+    write(edgesOnce, "edges_by_to", "_to")
     ensureWritable(spark, db, SchemaTable)
     import spark.implicits._
     g.collections.keys.toSeq.sorted.map { name =>
@@ -93,7 +100,10 @@ object GraphStore {
         graphFields = r.getSeq[String](1),
         indexFields = r.getSeq[String](2),
         graphability = r.getBoolean(3),
-        preRemove = r.getBoolean(4))
+        preRemove = r.getBoolean(4),
+        // declares the stored _doc_key column to the planners — an explicit
+        // contract, never inferred from column names
+        storedDocKey = true)
     }.toMap
     val collections = schemas.keys.map { name =>
       name -> spark.table(s"$db.coll_$name")
@@ -112,7 +122,12 @@ object GraphStore {
     * ingest) feed a Structured Streaming pipeline — the engine's "poll for
     * new relationships" shape (see
     * `EventStreams.incomingRelationshipStream`) without polling: the file
-    * source discovers new files per micro-batch, exactly-once. */
+    * source discovers new files per micro-batch, exactly-once.
+    *
+    * Mirror contract for incremental writers: the two edge copies are one
+    * logical set — append every batch to BOTH `edges_by_from` AND
+    * `edges_by_to`, or incoming-direction queries on a loaded graph will
+    * miss the new edges. */
   def streamEdges(spark: SparkSession, db: String): DataFrame = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier("edges_by_from", Some(db)))

@@ -42,20 +42,15 @@ object EventStreams {
     val matched = edgeStream
       .filter(col("rel_type") === relType && col("_to") === anchor.key)
     // hydrate the sender side against each (static) collection by prefix;
-    // a GraphStore-loaded collection joins on its stored _doc_key (kept out
-    // of the hydrated JSON), as in RelQueryPlanner.hydrateWith
+    // stored-key join + storage-column exclusion via the DocGraph helpers,
+    // as in RelQueryPlanner.hydrateWith
     val parts = g.collections.keys.toSeq.sorted.map { name =>
       val df = g.collection(name)
-      val keyExpr =
-        if (df.columns.contains("_doc_key")) df.col("_doc_key")
-        else concat(lit(name + ":"),
-          df.col("_id").cast(org.apache.spark.sql.types.StringType))
-      val docCols = df.columns.filterNot(_ == "_doc_key").map(df.col)
-      matched.join(df.withColumn("_h_key", keyExpr),
+      matched.join(df.withColumn("_h_key", g.docKeyExpr(name)),
           matched("_from") === col("_h_key"), "inner")
         .select(matched("_rel_id"), matched("_from"), matched("_to"),
           matched("rel_type"), matched("_created_at"), matched("props"),
-          to_json(struct(docCols: _*)).as("from_doc"))
+          to_json(struct(g.docColumns(name): _*)).as("from_doc"))
     }
     parts.reduce(_.unionByName(_))
   }
@@ -91,30 +86,42 @@ object EventStreams {
     * (`start = min`, `end = max`, never backwards), an event more than a
     * gap BEFORE the stored session folds into its own earlier session, and
     * an event more than a gap after closes the stored one. */
-  private def foldSessions(userId: Long, events: Seq[Event], gapMs: Long,
-      initial: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
-    val intervals = (initial.toSeq ++ events.map(e =>
-        SessionState(1, e.ts.getTime, e.ts.getTime, e.value)))
-      .sortBy(s => (s.start, s.end))
-    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-    var cur: Option[SessionState] = None
-    intervals.foreach { iv =>
-      cur match {
+  /** Interval merge: sessions/events sorted by start coalesce when within
+    * `gapMs` of each other. The core of both the batch fold and the
+    * streaming state update. */
+  private def mergeIntervals(intervals: Seq[SessionState],
+      gapMs: Long): Seq[SessionState] = {
+    val sorted = intervals.sortBy(s => (s.start, s.end))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    sorted.foreach { iv =>
+      out.lastOption match {
         case Some(s) if iv.start - s.end <= gapMs =>
-          cur = Some(SessionState(s.n + iv.n, s.start,
-            math.max(s.end, iv.end), s.acc + iv.acc))
-        case Some(s) =>
-          closed += toSession(userId, s)
-          cur = Some(iv)
-        case None =>
-          cur = Some(iv)
+          out(out.length - 1) = SessionState(s.n + iv.n, s.start,
+            math.max(s.end, iv.end), s.acc + iv.acc)
+        case _ => out += iv
       }
     }
-    (closed.toSeq, cur)
+    out.toSeq
+  }
+
+  private def asIntervals(events: Seq[Event]): Seq[SessionState] =
+    events.map(e => SessionState(1, e.ts.getTime, e.ts.getTime, e.value))
+
+  private def foldSessions(userId: Long, events: Seq[Event], gapMs: Long,
+      initial: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
+    val merged = mergeIntervals(initial.toSeq ++ asIntervals(events), gapMs)
+    (merged.dropRight(1).map(toSession(userId, _)), merged.lastOption)
   }
 
   private def toSession(userId: Long, s: SessionState): Session =
     Session(userId, s.n, new Timestamp(s.start), new Timestamp(s.end), s.acc)
+
+  // Streaming per-key state: ALL sessions not yet safe to emit. A session
+  // is final only when the watermark passes end + gap — a gap-closed
+  // session can still be extended by an admissible out-of-order event when
+  // the lateness horizon exceeds the gap, so "closed by a later event"
+  // must NOT mean "emitted". Public for the janino state serializer.
+  final case class SessionsState(sessions: Seq[SessionState])
 
   /** Gap-based sessionization via `flatMapGroupsWithState` — the custom-
     * state operator a pipeline needs when windows aren't fixed-size.
@@ -123,12 +130,12 @@ object EventStreams {
     * group and the trailing session is emitted at end-of-group (NoTimeout).
     *
     * Stream: sessions span micro-batches. Each invocation merges the
-    * batch's events into the stored open session, emits only the sessions
-    * a gap CLOSED, keeps the open one in state, and arms an event-time
-    * timeout at `end + gapMs`; when the watermark passes that point with no
-    * further activity, the timeout invocation emits the session and clears
-    * state. Late events behind the watermark are dropped by the watermark
-    * operator itself.
+    * batch's events into the stored pending-session intervals and emits
+    * exactly the sessions the watermark has made FINAL (`end + gap <
+    * watermark` — no admissible event can extend them, forward or
+    * backward); everything else stays in state with an event-time timeout
+    * armed at the earliest pending deadline. Late events behind the
+    * watermark are dropped by the watermark operator itself.
     *
     * `latenessMs` bounds how far behind the max seen event time an event may
     * arrive and still be folded in — by default one gap, but independent of
@@ -151,28 +158,24 @@ object EventStreams {
       events.withWatermark("ts", s"${latenessMs.getOrElse(gapMs)} milliseconds")
         .groupByKey(_.user_id).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
-            // gap elapsed in event time with no activity — close and emit
-            val out = state.getOption.map(toSession(userId, _))
-            state.remove()
-            out.iterator
-          } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val (closed, open) = foldSessions(userId, sorted, gapMs,
-              state.getOption)
-            open match {
-              case Some(s) =>
-                state.update(s)
-                // the timeout timestamp must sit strictly past the current
-                // watermark or Spark rejects it; if the gap deadline is
-                // already behind, the very next micro-batch times out
-                state.setTimeoutTimestamp(
-                  math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
-              case None => state.remove()
-            }
-            closed.iterator
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionsState]) => {
+          val newEvents = if (state.hasTimedOut) Seq.empty else it.toSeq
+          val pending = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged = mergeIntervals(pending ++ asIntervals(newEvents), gapMs)
+          val wm = state.getCurrentWatermarkMs()
+          // final = no admissible event (ts >= wm) can fold in: extension
+          // needs ts <= end + gap, backward growth needs ts < start <=
+          // end + gap — both impossible once end + gap < wm
+          val (done, keep) = merged.partition(_.end + gapMs < wm)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(keep))
+            // earliest pending deadline; must sit strictly past the current
+            // watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+              math.max(keep.map(_.end + gapMs).min, wm + 1))
           }
+          done.sortBy(_.start).map(toSession(userId, _)).iterator
         })
   }
 }

@@ -137,6 +137,47 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a user collection with its OWN _doc_key column is ordinary data " +
+      "(store contract is the schema flag, not the column name)") {
+    val userDf = Seq(("7", "thing", "external-key-7")).toDF("_id", "name", "_doc_key")
+    val g2 = g.withCollection("gadgets", userDf, Some(GraphSchema("gadgets")))
+      .createRelationship(DocRef("people", "1"), DocRef("gadgets", "7"), "owns")
+    val rels = GraphDocument(g2, DocRef("people", "1"))
+      .outgoingRelationships("owns").collect()
+    // hydration joined on concat(collection, ':', _id) — NOT the user column
+    assert(rels.length == 1)
+    // and the user's _doc_key column survives in the hydrated document
+    val doc = GraphDocument(g2, DocRef("people", "1"))
+      .outgoingRelationships("owns")
+      .select(get_json_object(col("to_doc"), "$._doc_key"))
+      .collect()(0).getString(0)
+    assert(doc == "external-key-7")
+  }
+
+  test("upsert composes with a loaded store (strips the stored key, " +
+      "applyGraphRelationships stays _doc_key-free)") {
+    saved
+    val loaded = GraphStore.load(spark, db)
+    // applyGraphRelationships must not leak the storage column
+    val adj = graft.query.RelQueryPlanner.applyGraphRelationships(
+      loaded, "people", Seq("knows"))
+    assert(!adj.columns.contains("_doc_key"))
+    // upsert on the stored collection: no unionByName crash, flag cleared
+    val up = loaded.upsertDocuments("people",
+      Seq(("1", "alice2", 31)).toDF("_id", "name", "age"))
+    assert(!up.schemaOf("people").storedDocKey)
+    assert(!up.collection("people").columns.contains("_doc_key"))
+    // hydration is unchanged by the upsert, and the EDGE mirror survives a
+    // collections-only mutation (compare before/after, not a fixed count —
+    // other tests may have appended edges to the shared store)
+    assert(up.edgesByTo.isDefined)
+    val before = GraphDocument(loaded, DocRef("people", "1"))
+      .incomingRelationships("knows").count()
+    val after = GraphDocument(up, DocRef("people", "1"))
+      .incomingRelationships("knows").count()
+    assert(before >= 1 && after == before)
+  }
+
   test("anchored edge lookup prunes to a single bucket in both directions") {
     saved
     // filter-only scans: the auto-bucketed-scan heuristic would drop the

@@ -43,6 +43,27 @@ class ShortestPathSpec extends AnyFunSuite {
       (bar.key, None))) // path node kept, not populated
   }
 
+  test("unknown collection argument is a clear error, not empty.reduce") {
+    val e = intercept[IllegalArgumentException] {
+      ShortestPath.shortestPathTo(g, alice, bar, Seq("visits"),
+        collection = Some("no_such"))
+    }
+    assert(e.getMessage.contains("unknown collection"))
+  }
+
+  test("collection + whereDocument: predicate still DROPS named-collection " +
+      "nodes; other collections stay as unpopulated positions") {
+    // path [alice, bar]; predicate {name: /z/} fails for alice, so the
+    // named-collection node is DROPPED; bar (locations, outside the named
+    // collection) keeps its position with a null doc
+    val rows = ShortestPath.shortestPathTo(g, alice, bar, Seq("visits"),
+        whereDocument = Some(Map("name" -> "z".r)),
+        collection = Some("people"))
+      .select(col("_doc_key"), col("doc")).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq((bar.key, None)))
+  }
+
   test("no path returns empty") {
     // visits edges don't reach zoe.
     assert(ShortestPath.findPath(g, alice, zoe, Seq("visits")).isEmpty)

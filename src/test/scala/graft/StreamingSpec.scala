@@ -140,9 +140,18 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
       mem.addData(ev(0, "2024-01-01 12:00:00", 1, "click", 1.0))
       q.processAllAvailable()
       // 10:00 is >1 gap before the stored session's start but within the
-      // 3 h lateness horizon: it must become its own (already gap-closed)
-      // session, and the 12:00 session must stay open and intact.
+      // 3 h lateness horizon: it becomes its own gap-closed session — but
+      // must NOT emit yet: the watermark (9:00) still admits events that
+      // could extend it (e.g. 10:30). Premature emission would fragment
+      // one real session into overlapping pieces.
       mem.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_late_test").count() == 0)
+      // advance the watermark past 10:00+gap=11:00 (but not past
+      // 12:00+gap): only the early session becomes final
+      mem.addData(ev(2, "2024-01-01 14:30:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 14:30:01", 2, "click", 1.0))
       q.processAllAvailable()
       val early = spark.sql(
           """SELECT n_events, total_value, date_format(start, 'HH:mm')
@@ -150,15 +159,52 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
       assert(early.toSeq == Seq((1L, 2.0, "10:00")))
       // close the remaining open session via the event-time timeout
-      mem.addData(ev(2, "2024-01-02 08:00:00", 2, "click", 1.0))
+      mem.addData(ev(4, "2024-01-02 08:00:00", 2, "click", 1.0))
       q.processAllAvailable()
-      mem.addData(ev(3, "2024-01-02 08:00:01", 2, "click", 1.0))
+      mem.addData(ev(5, "2024-01-02 08:00:01", 2, "click", 1.0))
       q.processAllAvailable()
       val all = spark.sql(
           """SELECT n_events, total_value, date_format(start, 'HH:mm')
              FROM sess_late_test WHERE user_id = 1 ORDER BY start""")
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
       assert(all.toSeq == Seq((1L, 2.0, "10:00"), (1L, 1.0, "12:00")))
+    } finally q.stop()
+  }
+
+  test("sessionize stream: lateness > gap does NOT fragment a session " +
+      "whose events arrive out of order across batches") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // gap 1 h, 3 h disorder tolerance — the exact shape that used to emit
+    // one real session as two overlapping fragments
+    val q = EventStreams.sessionize(mem.toDS(), 3600 * 1000L,
+        latenessMs = Some(3 * 3600 * 1000L))
+      .writeStream.format("memory").queryName("sess_frag_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(0, "2024-01-01 12:00:00", 1, "click", 1.0))
+      q.processAllAvailable()
+      // 10:00 arrives a batch later (admissible: wm = 9:00), then 10:30
+      // bridges it — all three belong to ONE session [10:00, 12:00]
+      mem.addData(ev(1, "2024-01-01 10:00:00", 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 10:30:00", 1, "click", 4.0))
+      q.processAllAvailable()
+      // 10:30 to 12:00 is 1.5 h > gap, so two sessions remain — but the
+      // 10:00/10:30 pair must be ONE session, not two fragments
+      mem.addData(ev(3, "2024-01-02 08:00:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-02 08:00:01", 2, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.sql(
+          """SELECT n_events, total_value, date_format(start, 'HH:mm'),
+                    date_format(end, 'HH:mm')
+             FROM sess_frag_test WHERE user_id = 1 ORDER BY start""")
+        .collect().map(r =>
+          (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+      assert(out.toSeq == Seq(
+        (2L, 6.0, "10:00", "10:30"), (1L, 1.0, "12:00", "12:00")))
     } finally q.stop()
   }
 
