@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 
-private[ops] object OpsUtil {
+private[graft] object OpsUtil {
 
   /** Make sure a per-row CPU-heavy stage gets the session's full
     * parallelism. Small inputs (a dimension table, one parquet file) arrive
@@ -26,7 +26,8 @@ private[ops] object OpsUtil {
     // the rows are already spread over the session's shuffle partitions
     val hasShuffle = df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Deduplicate => true
-      case _: RepartitionOperation => true
+      case r: Repartition => r.shuffle // coalesce(n) NARROWS — not a spread
+      case _: RepartitionByExpression => true
       case s: Sort if s.global => true
       case _ => false
     }

@@ -66,6 +66,19 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept == Set(0L, 3L, 5L)) // representatives + untouched singleton
   }
 
+  test("widen: fans out narrowed scans, passes shuffled plans through") {
+    import graft.ops.OpsUtil
+    val p = spark.sparkContext.defaultParallelism
+    // a coalesce(1) NARROWS — widen must fan it back out
+    assert(OpsUtil.widen(docs.coalesce(1)).rdd.getNumPartitions == p)
+    // a plan with a shuffle upstream is already spread: pass through
+    // untouched (same instance — no .rdd probe, no extra repartition)
+    val joined = docs.join(docs.select(col("doc_id")), Seq("doc_id"))
+    assert(OpsUtil.widen(joined) eq joined)
+    val agged = docs.groupBy(col("doc_id")).count()
+    assert(OpsUtil.widen(agged) eq agged)
+  }
+
   test("salted join ≡ plain join on a skewed key (inner and left)") {
     // one hub key (90% of rows) + a tail; dim has a hit and a miss
     val large = (0 until 1000).map(i =>
