@@ -470,6 +470,30 @@ object SparkEntry {
       GraphDocument(loaded, DocRef("nation", "5"))
         .outgoingRelationships("part_of")
         .select(jstr("to_doc", "r_name").as("r_name"))
+    }),
+    "q52_salted_join" -> ((s, dir) => {
+      // skew-salted join must be value-identical to the plain join the
+      // oracle runs — the whole point of the rewrite
+      val g = Testbed.graph(s, dir)
+      ops.Skew.saltedJoin(g.collection("orders"),
+          g.collection("customer").select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")),
+          "o_custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("c_mktsegment")
+    }),
+    "q53_upsert_resync" -> ((s, dir) => {
+      // batch re-save: upserted rows replace same-id documents in every
+      // downstream view of the collection
+      val g = Testbed.graph(s, dir)
+      val changed = g.collection("customer").filter(col("c_custkey") < 10)
+        .withColumn("c_mktsegment", lit("UPSERTED"))
+      g.upsertDocuments("customer", changed)
+        .collection("customer").groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -790,5 +814,16 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q51_store_roundtrip" ->
       """SELECT r_name FROM region JOIN nation ON n_regionkey = r_regionkey
-         WHERE n_nationkey = 5""")
+         WHERE n_nationkey = 5""",
+    "q52_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q53_upsert_resync" ->
+      """SELECT CASE WHEN c_custkey < 10 THEN 'UPSERTED'
+                     ELSE c_mktsegment END AS c_mktsegment,
+                count(*) AS n
+         FROM customer GROUP BY 1 ORDER BY 1""")
 }
