@@ -484,6 +484,15 @@ object SparkEntry {
           sum(cents(col("o_totalprice"))).as("total_cents"))
         .orderBy("c_mktsegment")
     }),
+    "q54_frame_sample" -> ((s, dir) => {
+      // video-frame sampling plumbing: 1 media row -> M frame rows
+      implicit val sp: SparkSession = s
+      val media = ops.Multimodal.attachMedia(
+        Testbed.graph(s, dir).collection("documents")
+          .filter(col("doc_id") < 50), "doc_id", "text")
+      ops.Multimodal.sampleFrames(ops.Multimodal.decodeMeta(media), 100L)
+        .toDF().orderBy("doc_id", "frame_idx")
+    }),
     "q53_upsert_resync" -> ((s, dir) => {
       // batch re-save: upserted rows replace same-id documents in every
       // downstream view of the collection
@@ -825,5 +834,12 @@ object SparkEntry {
       """SELECT CASE WHEN c_custkey < 10 THEN 'UPSERTED'
                      ELSE c_mktsegment END AS c_mktsegment,
                 count(*) AS n
-         FROM customer GROUP BY 1 ORDER BY 1""")
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q54_frame_sample" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n
+                    FROM documents WHERE doc_id < 50)
+         SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+                CAST(u.i * 100 AS BIGINT) AS "offset"
+         FROM m, UNNEST(range(0, n // 100)) AS u(i)
+         ORDER BY doc_id, frame_idx""")
 }
