@@ -22,10 +22,13 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_idx: Long, offset: Long)
 
   /** Attach an opaque binary media column (here: the UTF-8 bytes of a text
-    * column stand in for real image/audio payloads). */
+    * column stand in for real image/audio payloads). Rows without a payload
+    * produce NO media row — the downstream decode kernels take non-null
+    * bytes, and "document has no media" is an absence, not a null blob. */
   def attachMedia(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("doc_id"),
-      encode(col(payloadCol), "UTF-8").as("media"))
+    df.filter(col(payloadCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(payloadCol), "UTF-8").as("media"))
 
   /** Decode media metadata. Per-partition batch processing: the iterator
     * gives one pass over the partition, so a real decoder would initialize
