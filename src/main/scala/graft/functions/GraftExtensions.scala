@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinhashSignature.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashSignature(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("sign_projection"),
+      SignProjection.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SignProjection(children(0), children(1))))
   }
 }
 
@@ -47,6 +51,11 @@ object GraftFunctions {
       "minhash_sig",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashSignature(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_projection",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SignProjection(children(0), children(1)),
       "built-in")
   }
 }

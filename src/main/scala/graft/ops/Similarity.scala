@@ -53,8 +53,19 @@ object Similarity {
 
   /** `planes`-bit sign-random-projection bucket id. Hyperplane weights are
     * ±1 derived from `xxhash64(plane, dimension)` — deterministic, storage-
-    * free, identical on every executor. */
+    * free, identical on every executor. Uses the native codegen'd kernel
+    * ([[graft.functions.SignProjection]]: the ±1 table computed once per
+    * operator, fused multiply-adds per row) when the engine functions are
+    * registered on the active session; falls back to the value-identical
+    * Column fold otherwise. */
   def signRandomProjection(vec: Column, planes: Int): Column =
+    if (graft.functions.GraftFunctions.registeredOnActiveSession("sign_projection"))
+      call_function("sign_projection", vec, lit(planes))
+    else signRandomProjectionFold(vec, planes)
+
+  /** Registration-free pure-Column construction — the parity reference for
+    * the native kernel. */
+  def signRandomProjectionFold(vec: Column, planes: Int): Column =
     aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

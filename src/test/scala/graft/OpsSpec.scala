@@ -195,6 +195,24 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.isNullAt(4) && r.isNullAt(5)) // zip_with pad poisons both
   }
 
+  test("native sign_projection ≡ Column fold (incl. empty and null-element " +
+      "vectors) on real embeddings") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").as("v"))
+      .unionByName(Seq(
+        (Seq.empty[java.lang.Float], 1),
+        (Seq[java.lang.Float](1.0f, null, 3.0f), 2),
+        (Seq[java.lang.Float](-2.5f), 3)).toDF("v", "i").select(col("v")))
+    for (planes <- Seq(1, 4, 8)) {
+      val bad = emb.select(
+          Similarity.signRandomProjection(col("v"), planes).as("native"),
+          Similarity.signRandomProjectionFold(col("v"), planes).as("fold"))
+        .filter(!(col("native") <=> col("fold"))).count()
+      assert(bad == 0, s"planes=$planes: $bad mismatches")
+    }
+  }
+
   test("sign-random-projection buckets colinear vectors together") {
     val emb = Seq(
       (0L, Array(1f, 2f, 3f, 4f)), (1L, Array(2f, 4f, 6f, 8f)),
