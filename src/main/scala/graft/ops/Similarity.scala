@@ -58,10 +58,14 @@ object Similarity {
     * operator, fused multiply-adds per row) when the engine functions are
     * registered on the active session; falls back to the value-identical
     * Column fold otherwise. */
-  def signRandomProjection(vec: Column, planes: Int): Column =
+  def signRandomProjection(vec: Column, planes: Int): Column = {
+    // 0 planes is meaningless (and sequence(0, -1) would make the fold
+    // iterate a descending range) — refuse rather than diverge
+    require(planes > 0, s"planes must be positive, got $planes")
     if (graft.functions.GraftFunctions.registeredOnActiveSession("sign_projection"))
       call_function("sign_projection", vec, lit(planes))
     else signRandomProjectionFold(vec, planes)
+  }
 
   /** Registration-free pure-Column construction — the parity reference for
     * the native kernel. */
