@@ -75,20 +75,12 @@ object EventStreams {
   // private class makes them unresolvable at codegen time.
   final case class SessionState(n: Long, start: Long, end: Long, acc: Double)
 
-  /** Fold one user's events into gap-closed sessions: returns the sessions
-    * CLOSED by a gap plus the still-open trailing session.
-    *
-    * Implemented as an interval merge: each event is a point interval, the
-    * carried-over open session is an interval, and intervals sorted by start
-    * merge when they are within `gapMs` of each other. This is insensitive
-    * to cross-batch disorder that the watermark explicitly admits — an
-    * out-of-order event inside the stored session widens it
-    * (`start = min`, `end = max`, never backwards), an event more than a
-    * gap BEFORE the stored session folds into its own earlier session, and
-    * an event more than a gap after closes the stored one. */
   /** Interval merge: sessions/events sorted by start coalesce when within
-    * `gapMs` of each other. The core of both the batch fold and the
-    * streaming state update. */
+    * `gapMs` of each other — the streaming state update. Insensitive to the
+    * cross-batch disorder the watermark admits: an out-of-order event inside
+    * a stored session widens it (`start = min`, `end = max`, never
+    * backwards), an event more than a gap BEFORE it folds into its own
+    * earlier session, one more than a gap after closes it. */
   private def mergeIntervals(intervals: Seq[SessionState],
       gapMs: Long): Seq[SessionState] = {
     val sorted = intervals.sortBy(s => (s.start, s.end))
@@ -106,12 +98,6 @@ object EventStreams {
 
   private def asIntervals(events: Seq[Event]): Seq[SessionState] =
     events.map(e => SessionState(1, e.ts.getTime, e.ts.getTime, e.value))
-
-  private def foldSessions(userId: Long, events: Seq[Event], gapMs: Long,
-      initial: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
-    val merged = mergeIntervals(initial.toSeq ++ asIntervals(events), gapMs)
-    (merged.dropRight(1).map(toSession(userId, _)), merged.lastOption)
-  }
 
   private def toSession(userId: Long, s: SessionState): Session =
     Session(userId, s.n, new Timestamp(s.start), new Timestamp(s.end), s.acc)
@@ -146,15 +132,29 @@ object EventStreams {
       latenessMs: Option[Long] = None)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
-    if (!events.isStreaming)
-      events.groupByKey(_.user_id).flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val (closed, open) = foldSessions(userId, sorted, gapMs, None)
-          (closed ++ open.map(toSession(userId, _))).iterator
-        })
-    else
+    if (!events.isStreaming) {
+      // Batch path: gaps-and-islands over window functions, NOT the custom-
+      // state operator — a per-group fold would materialize one user's whole
+      // event history on an executor, which a hot key (bot account, shared
+      // device id) turns into an OOM at scale. lag/cumulative-sum stream
+      // through the sorted partition with bounded memory (sort spills).
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events.toDF()
+        .withColumn("_prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+        .withColumn("_brk",
+          when(col("_prev_ms").isNull ||
+            unix_millis(col("ts")) - col("_prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("_sess_no", sum(col("_brk")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("_sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start"), max(col("ts")).as("end"),
+          sum(col("value")).as("total_value"))
+        .select(col("user_id"), col("n_events"), col("start"), col("end"),
+          col("total_value"))
+        .as[Session]
+    } else
       events.withWatermark("ts", s"${latenessMs.getOrElse(gapMs)} milliseconds")
         .groupByKey(_.user_id).flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

@@ -56,6 +56,33 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sessions.filter(_.user_id == 2).head.n_events == 1)
   }
 
+  test("batch sessionize is window-based (no per-key materialization) and " +
+      "handles a 1M-event hot key") {
+    implicit val s = spark
+    // One user, 1M events: 1 s steps with a 2 h jump every 100k events →
+    // 10 sessions of 100k events each (block stride = 100k s of events +
+    // the 2 h gap). A per-group fold would hold all 1M rows for the key in
+    // executor memory; the window formulation streams through the sorted
+    // partition.
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val blockMs = 100000L * 1000L + 7200000L
+    val hot = spark.range(1000000L).select(
+      col("id").as("event_id"),
+      timestamp_millis(lit(base) + floor(col("id") / 100000L).cast("long") *
+        blockMs + (col("id") % 100000L) * 1000L).as("ts"),
+      lit(7L).as("user_id"), lit("click").as("event_type"),
+      lit(1.0).as("value")).as[Event]
+    val ds = EventStreams.sessionize(hot, 3600 * 1000L)
+    // the batch plan must NOT contain the custom-state operator
+    val plan = ds.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("FlatMapGroupsWithState"),
+      s"batch sessionize should be window-based, got:\n$plan")
+    val out = ds.orderBy("start").collect()
+    assert(out.length == 10)
+    assert(out.forall(s0 => s0.n_events == 100000L && s0.user_id == 7L))
+    assert(out.forall(_.total_value == 100000.0))
+  }
+
   test("sessionize on a real stream: sessions merge across micro-batches, " +
       "close on event-time gap") {
     implicit val s = spark
