@@ -10,14 +10,27 @@ import org.apache.spark.sql.SparkSession
   * Signal hardening (the driver reads this under unknown host load):
   *   - each query runs REPS times (default 3) and reports the MEDIAN, so a
   *     single I/O stall on a shared host can't masquerade as a regression;
-  *   - a query that throws is recorded as the string "err", never as a
-  *     normal-looking timing;
-  *   - locally-checkpointed RDDs are never unpersisted (they cannot be
-  *     recomputed; unpersisting them only spews warnings into the tail the
-  *     driver captures).
+  *   - the RAW per-rep times are emitted too ("reps_sec"), and the 1-min
+  *     system load average is sampled before and after the run
+  *     ("load_avg") — a host-load-tainted run is self-identifying instead
+  *     of reading as a regression;
+  *   - a query that throws on every rep is recorded as the string "err";
+  *     a query that succeeded on some reps reports the median of those
+  *     (its error still appears in "q_errors"), so a single flaky rep
+  *     can't erase real timings or move "total" for non-speed reasons.
   */
 object Bench {
-  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+  private val Reps: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3")
+    val n = raw.toIntOption.getOrElse(
+      sys.error(s"SPARK_GRAFT_BENCH_REPS must be a positive integer, got '$raw'"))
+    require(n >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $n")
+    n
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,6 +43,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The per-query cleanup below unpersists lazily-localCheckpointed RDDs;
+    // RDD.unpersist warns that each one "cannot be recomputed" — true but
+    // irrelevant once the query's action has completed (nothing references
+    // them), and ~50 queries × REPS of warning spam would drown the one JSON
+    // line the driver reads. Silence that logger alone, not WARN globally.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+    val loadBefore = loadAvg
     val tBuild = System.nanoTime()
     val g = Testbed.graph(spark, sfDir)
     // Pre-warm the shared GraphX overlay and the IVF index too (force
@@ -42,25 +63,24 @@ object Bench {
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     // Queries persist bounded intermediates; across ~50 of them the leftovers
     // accumulate and can push the heap into GC thrash. Drop anything a query
-    // pinned beyond what existed before it ran (the shared overlay survives;
-    // locally-checkpointed RDDs are left alone — they can't be recomputed and
-    // unpersisting them only produces warning spam).
+    // pinned beyond what existed before it ran (the shared overlay survives).
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!baseline.contains(id) && !rdd.isCheckpointed)
-          rdd.unpersist(blocking = false)
+        if (!baseline.contains(id)) rdd.unpersist(blocking = false)
       }
     // optional args: run only the named queries (local iteration aid)
     val selected =
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => args.exists(n.startsWith) }
-    val results: Seq[(String, Either[String, Double])] = selected.map {
+    val results: Seq[(String, Seq[Double], Option[String])] = selected.map {
       case (name, fn) =>
         val times = Seq.newBuilder[Double]
         var err: Option[String] = None
         var rep = 0
+        // stop at the first error: bench errors are deterministic in
+        // practice, and re-throwing REPS times just delays the round
         while (rep < Reps && err.isEmpty) {
           val t0 = System.nanoTime()
           try {
@@ -73,23 +93,24 @@ object Bench {
           cleanup()
           rep += 1
         }
-        val outcome = err match {
-          case Some(m) =>
-            System.err.println(s"[bench] $name FAILED: ${m.take(300)}")
-            Left("err")
-          case None =>
-            val sorted = times.result().sorted
-            Right(sorted(sorted.length / 2)) // median (upper for even n)
-        }
-        name -> outcome
+        err.foreach(m => System.err.println(s"[bench] $name FAILED: ${m.take(300)}"))
+        (name, times.result(), err)
     }
+    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
     val qs = results.map {
-      case (k, Right(v))  => "\"" + k + "\":" + v
-      case (k, Left(tag)) => "\"" + k + "\":\"" + tag + "\""
+      case (k, ts, _) if ts.nonEmpty => "\"" + k + "\":" + median(ts)
+      case (k, _, _)                 => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
+    val reps = results.collect { case (k, ts, _) if ts.nonEmpty =>
+      "\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val qErrors = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m.take(200).replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
+    val nErr = results.count(_._3.nonEmpty)
+    val loadAfter = loadAvg
+    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"q_errors":$qErrors,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"reps_sec":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

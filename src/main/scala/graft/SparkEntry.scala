@@ -257,7 +257,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q30_simhash" -> ((s, dir) => {
-      // not oracle-able (MurmurHash3); rows-only check
+      // not oracle-able (xxhash64 bit votes); rows-only check
       implicit val sp: SparkSession = s
       ops.Dedup.simhash(Testbed.graph(s, dir).collection("documents"),
           "doc_id", "text")

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *     band hash is the shuffle key and skewed mega-buckets should be
   *     capped (see `maxBucket`).
   *   - [[simhash]]: 64-bit sign-of-weighted-bit-sums fingerprint; near-dups
-  *     differ in few bits. Computed with per-partition imperative code
-  *     (mapPartitions) — a 64-bin bit-count per shingle is genuinely
-  *     imperative and would be a 64-term nested fold as a Column.
+  *     differ in few bits. Shingles hash once via `xxhash64`, then a native
+  *     codegen'd expression ([[graft.functions.Simhash64]]) folds the hash
+  *     array into the signature — one pass, 64 primitive counters, no
+  *     serde, same shape as the minhash kernel.
   *   - [[ngramJaccardPairs]]: exact n-gram Jaccard verification for a
   *     candidate set (array_intersect/array_union — codegen'd).
   *
@@ -174,31 +175,43 @@ object Dedup {
   }
 
   /** 64-bit SimHash over character shingles. Near-duplicate documents land
-    * within a small Hamming distance; block on bit-prefixes for scale. */
+    * within a small Hamming distance; block on bit-prefixes for scale.
+    * Each shingle hashes ONCE (`xxhash64`, the full 64 bits feed the bit
+    * votes); the signature fold is the native codegen'd kernel via
+    * [[simhash64]] — the whole pipeline stays inside whole-stage codegen,
+    * no per-row serde. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val sh = OpsUtil.widen(df).select(col(idCol).cast("long").as("id"),
-      charShingles(col(textCol), shingleN).as("sh")).as[(Long, Seq[String])]
-    sh.mapPartitions { it =>
-      it.map { case (id, shingles) =>
-        val counts = new Array[Int](64)
-        shingles.foreach { s =>
-          val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32 |
-            (scala.util.hashing.MurmurHash3.stringHash(s.reverse).toLong & 0xffffffffL)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (counts(b) >= 0) sig |= (1L << b); b += 1 }
-        (id, sig)
-      }
-    }.toDF("id", "simhash")
+    graft.functions.GraftFunctions.register(spark)
+    OpsUtil.widen(df).select(col(idCol).cast("long").as("id"),
+        transform(charShingles(col(textCol), shingleN), sh => xxhash64(sh))
+          .as("_hs"))
+      .select(col("id"), simhash64(col("_hs")).as("simhash"))
   }
+
+  /** SimHash signature of a 64-bit hash array. Native codegen'd kernel
+    * ([[graft.functions.Simhash64]]) when the engine functions are
+    * registered on the active session; falls back to the value-identical
+    * pure-Column fold, so the API has no registration precondition. */
+  def simhash64(hashes: Column): Column =
+    if (graft.functions.GraftFunctions.registeredOnActiveSession("simhash64"))
+      call_function("simhash64", hashes)
+    else simhash64Fold(hashes)
+
+  /** Registration-free pure-Column construction (64 interpreted `aggregate`
+    * passes) — the parity reference for the native kernel. Per bit b: +1
+    * per element with bit b set, −1 per clear, nulls skipped; output bit
+    * set iff the count ≥ 0 (empty array → all-ones). */
+  def simhash64Fold(hashes: Column): Column =
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
+      val cnt = aggregate(hashes, lit(0L), (c, h) =>
+        c + when(h.isNull, lit(0L))
+          .when(call_function("shiftrightunsigned", h, b)
+            .bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+          .otherwise(lit(-1L)))
+      acc.bitwiseOR(when(cnt >= 0, call_function("shiftleft", lit(1L), b))
+        .otherwise(lit(0L)))
+    })
 
   /** Hamming-near pairs over simhash signatures, blocked on 16-bit chunks
     * (a pair within distance d ≤ 3 must agree exactly on ≥1 of 4 chunks). */

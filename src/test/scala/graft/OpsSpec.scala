@@ -157,6 +157,26 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(j((0L, 5L)) < 0.1)
   }
 
+  test("native simhash64 ≡ Column fold (incl. empty, null-element, and " +
+      "sign-bit arrays)") {
+    graft.functions.GraftFunctions.register(spark)
+    val arrs = Seq(
+      (0L, Seq[java.lang.Long](5L, 17L, -1L, 0L)),
+      (1L, Seq[java.lang.Long](Long.MinValue, Long.MaxValue)),
+      (2L, Seq[java.lang.Long]()),          // empty -> all-ones (-1L)
+      (3L, Seq[java.lang.Long](7L, null, 99L)),
+      (4L, Seq[java.lang.Long](42L))).toDF("id", "hs")
+    val out = arrs.select(col("id"),
+        Dedup.simhash64(col("hs")).as("native"),
+        Dedup.simhash64Fold(col("hs")).as("fold"))
+      .collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}"))
+    assert(out.find(_.getLong(0) == 2L).get.getLong(1) == -1L)
+    // single element: signature is the element itself (every bit vote is
+    // the element's own bit, ties impossible)
+    assert(out.find(_.getLong(0) == 4L).get.getLong(1) == 42L)
+  }
+
   test("simhash: identical texts share signature; near dups are close") {
     implicit val s = spark
     val sigs = Dedup.simhash(docs, "doc_id", "text")

@@ -66,6 +66,15 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("minhash_sig"), plan.take(3000))
   }
 
+  test("q30 simhash runs on the codegen'd native kernel, no object serde") {
+    val plan = planOf("q30_simhash")
+    assert(plan.contains("simhash64"), plan.take(3000))
+    // the old kernel was mapPartitions over a Dataset — its signature in a
+    // plan is the serde pair around an object operator
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      plan.take(3000))
+  }
+
   test("q42 set-anchored traversal broadcasts the anchor side") {
     val plan = planOf("q42_set_anchored_counts")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
