@@ -123,6 +123,39 @@ object SmokeVerify {
       (if (plainJ.getLong(0) == saltedJ.getLong(0) &&
         plainJ.getDouble(1) == saltedJ.getDouble(1)) "OK" else "BROKEN"))
 
+    // 8. approx distinct count through the public API on real data: the
+    // HLL++ path must land within the sketch error of the exact path.
+    val tg = Testbed.graph(spark, sf)
+    def one(df: org.apache.spark.sql.DataFrame): Long = df.collect()(0).getLong(0)
+    val anchor8 = GraphDocument(tg, DocRef("nation", "0"))
+    val exact8 = one(anchor8.countRelationships("located_in",
+      DocGraph.Direction.Both, part = "b", distinct = true))
+    val approx8 = one(anchor8.countRelationships("located_in",
+      DocGraph.Direction.Both, part = "b", distinct = true, approx = true))
+    val ok8 = exact8 > 0 &&
+      math.abs(approx8 - exact8) <= math.max(1L, (exact8 * 0.15).toLong)
+    println(s"SMOKE8 approxCount: exact=$exact8 approx=$approx8 => " +
+      (if (ok8) "OK" else "BROKEN"))
+
+    // 9. GraphStore appendEdges dual-mirror through save/append/load on a
+    // real subgraph: the appended edge must answer BOTH directions.
+    val sub9 = new DocGraph(spark,
+      Map("customer" -> customer, "orders" -> orders),
+      Map("customer" -> GraphSchema("customer"), "orders" -> GraphSchema("orders")),
+      g.edges)
+    graft.sources.GraphStore.save(sub9, "graft_smoke_store", buckets = 4)
+    graft.sources.GraphStore.appendEdges(spark, "graft_smoke_store",
+      Seq((777L, "orders:999999", "customer:1", "placed_by", 1L,
+        Map.empty[String, String]))
+        .toDF("_rel_id", "_from", "_to", "rel_type", "_created_at", "props"))
+    val loaded9 = graft.sources.GraphStore.load(spark, "graft_smoke_store")
+    val in9 = loaded9.edgesKeyedBy(toSide = true)
+      .filter(col("_to") === "customer:1" && col("_rel_id") === 777L).count()
+    val out9 = loaded9.edgesKeyedBy(toSide = false)
+      .filter(col("_from") === "orders:999999").count()
+    println(s"SMOKE9 appendEdges: mirrorHit=$in9 primaryHit=$out9 => " +
+      (if (in9 == 1 && out9 == 1) "OK" else "BROKEN"))
+
     spark.stop()
   }
 }

@@ -503,6 +503,12 @@ object SparkEntry {
         .collection("customer").groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"))
         .orderBy("c_mktsegment")
+    }),
+    "q55_count_distinct_approx" -> ((s, dir) => {
+      // A2 at the 100 TB shape: HLL++ sketch instead of the full-shuffle
+      // exact countDistinct. Not oracle-able (sketch estimate); rows-only.
+      doc(s, dir, "nation", "0").countRelationships("located_in",
+        Direction.Both, part = "b", distinct = true, approx = true)
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -62,10 +62,13 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
   }
 
   // --- counts (A1/A2) ---------------------------------------------------
+  /** `approx = true`: HyperLogLog++ distinct count instead of the exact
+    * full-shuffle `countDistinct` — see [[RelQueryPlanner.relCount]]. */
   def countRelationships(types: String = "*", dir: Direction = Direction.Both,
       part: String = "r", distinct: Boolean = false,
-      where: RelWhere = RelWhere()): DataFrame =
-    RelQueryPlanner.relCount(g, ref, q(Seq(types), dir, None, where), part, distinct)
+      where: RelWhere = RelWhere(), approx: Boolean = false): DataFrame =
+    RelQueryPlanner.relCount(g, ref, q(Seq(types), dir, None, where), part,
+      distinct, approx)
 
   // --- mutations (G8-G15) — pure transforms returning a new graph --------
   def createRelationshipTo(other: DocRef, relType: String,

@@ -222,9 +222,18 @@ object RelQueryPlanner {
   }
 
   /** A1/A2 count pushdown: `part` ∈ r | * | b (other end) | a (anchor)
-    * (/root/reference/src/extendDocument.coffee:74-77). */
+    * (/root/reference/src/extendDocument.coffee:74-77).
+    *
+    * `approx = true` swaps the distinct count for HyperLogLog++
+    * (`approx_count_distinct`, `rsd` relative error): an exact global
+    * `countDistinct` must shuffle every distinct key to one reducer set,
+    * which at 100× edge volume is the whole query's cost — the sketch
+    * merges fixed-size registers instead (map-side partials, one tiny
+    * final merge). Ignored when `distinct = false` (plain counts are
+    * already a cheap partial-agg). */
   def relCount(g: DocGraph, anchor: DocRef, q: RelQuery, part: String = "r",
-      distinct: Boolean = false): DataFrame = {
+      distinct: Boolean = false, approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
     // counts never read document content — keys-only strip, no JSON
     // (reference count pushdown A1/A2,
     // /root/reference/src/extendDocument.coffee:74-77). Both anchored
@@ -243,7 +252,9 @@ object RelQueryPlanner {
       case "a"       => col("anchor_key")
       case other     => sys.error(s"unknown count part: $other")
     }
-    if (distinct) rels.agg(countDistinct(target).as(s"count_$part"))
+    if (distinct && approx)
+      rels.agg(approx_count_distinct(target, rsd).as(s"count_$part"))
+    else if (distinct) rels.agg(countDistinct(target).as(s"count_$part"))
     else rels.agg(count(target).as(s"count_$part"))
   }
 

@@ -117,6 +117,67 @@ object GraphStore {
   def edgesByTo(spark: SparkSession, db: String): DataFrame =
     spark.table(s"$db.edges_by_to")
 
+  /** Append an edge batch to a saved store, enforcing the dual-mirror
+    * contract: the `_from`-bucketed copy and the `_to`-bucketed mirror are
+    * ONE logical edge set, so the batch lands in BOTH — an edge appended to
+    * only one copy is visible to outgoing 1-hop queries but silently absent
+    * from incoming ones (or vice versa). Each append is written with the
+    * table's own bucket spec, so bucket pruning and the zero-Exchange
+    * hydration joins keep holding over the appended files.
+    *
+    * Failure mode (documented, not transactional): the primary
+    * (`edges_by_from`) is written first, the mirror second. A crash between
+    * the two leaves the mirror MISSING the batch — incoming queries
+    * under-report until repaired, but no query ever sees a duplicate.
+    * Recovery is one idempotent rebuild:
+    * `repairMirror(spark, db)` overwrites the mirror from the primary,
+    * which is always the source of truth. (Re-running the same
+    * `appendEdges` instead would duplicate the batch in the primary.)
+    *
+    * The batch must carry the edge schema of the saved store
+    * (`_from`/`_to`/`rel_type`/… — compare `DocGraph.edges`); columns are
+    * aligned by name. */
+  def appendEdges(spark: SparkSession, db: String, edges: DataFrame): Unit = {
+    val cols = spark.table(s"$db.edges_by_from").columns
+    require(cols.forall(edges.columns.contains),
+      s"edge batch is missing columns: ${cols.filterNot(edges.columns.contains).mkString(", ")}")
+    val aligned = edges.select(cols.map(col): _*)
+    def append(table: String): Unit = {
+      val bucketSpec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          table, Some(db)))
+        .bucketSpec.getOrElse(sys.error(s"$db.$table is not a bucketed table"))
+      aligned.write.mode(SaveMode.Append)
+        .bucketBy(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.head,
+          bucketSpec.bucketColumnNames.tail: _*)
+        .sortBy(bucketSpec.sortColumnNames.head,
+          bucketSpec.sortColumnNames.tail: _*)
+        .format("parquet").saveAsTable(s"$db.$table")
+    }
+    append("edges_by_from") // primary first: the mirror is rebuildable from it
+    append("edges_by_to")
+  }
+
+  /** Rebuild the `_to`-bucketed mirror from the `_from`-bucketed primary —
+    * the recovery path for a crash between [[appendEdges]]'s two writes.
+    * Idempotent: safe to run on a healthy store. */
+  def repairMirror(spark: SparkSession, db: String): Unit = {
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "edges_by_to", Some(db)))
+      .bucketSpec.getOrElse(sys.error(s"$db.edges_by_to is not a bucketed table"))
+    // the primary must be fully materialized before the mirror location is
+    // truncated — same table-drop discipline as save()
+    val primary = spark.table(s"$db.edges_by_from").localCheckpoint()
+    ensureWritable(spark, db, "edges_by_to")
+    primary.write.mode(SaveMode.Overwrite)
+      .bucketBy(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.head,
+        bucketSpec.bucketColumnNames.tail: _*)
+      .sortBy(bucketSpec.sortColumnNames.head,
+        bucketSpec.sortColumnNames.tail: _*)
+      .format("parquet").saveAsTable(s"$db.edges_by_to")
+  }
+
   /** The saved edge set as a STREAMING source: files appended to the
     * store's `edges_by_from` location (new graph versions, incremental
     * ingest) feed a Structured Streaming pipeline — the engine's "poll for
@@ -125,9 +186,9 @@ object GraphStore {
     * source discovers new files per micro-batch, exactly-once.
     *
     * Mirror contract for incremental writers: the two edge copies are one
-    * logical set — append every batch to BOTH `edges_by_from` AND
-    * `edges_by_to`, or incoming-direction queries on a loaded graph will
-    * miss the new edges. */
+    * logical set — append every batch through [[appendEdges]] (which writes
+    * BOTH `edges_by_from` AND `edges_by_to`), or incoming-direction queries
+    * on a loaded graph will miss the new edges. */
   def streamEdges(spark: SparkSession, db: String): DataFrame = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier("edges_by_from", Some(db)))

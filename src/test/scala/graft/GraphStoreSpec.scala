@@ -137,6 +137,53 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("appendEdges writes BOTH bucketed copies: the new edge answers " +
+      "outgoing AND incoming 1-hop queries after load") {
+    saved
+    // zoe -knows-> bob: neither endpoint has this edge in the fixture
+    val batch = Seq((4242L, "people:3", "people:2", "knows", 7L,
+        Map("via" -> "append")))
+      .toDF("_rel_id", "_from", "_to", "rel_type", "_created_at", "props")
+    GraphStore.appendEdges(spark, db, batch)
+    val loaded = GraphStore.load(spark, db)
+    val out = GraphDocument(loaded, DocRef("people", "3"))
+      .outgoingRelationships("knows")
+      .select(get_json_object(col("to_doc"), "$.name"))
+      .collect().map(_.getString(0)).toSet
+    assert(out.contains("bob"), s"outgoing side missed the appended edge: $out")
+    // the incoming direction plans over the _to mirror (asserted in the
+    // routing test above) — this only passes if the mirror got the batch too
+    val in = GraphDocument(loaded, DocRef("people", "2"))
+      .incomingRelationships("knows")
+      .select(get_json_object(col("from_doc"), "$.name"))
+      .collect().map(_.getString(0)).toSet
+    assert(in.contains("zoe"), s"_to mirror missed the appended edge: $in")
+    // both physical copies really carry it (not one copy read twice)
+    assert(spark.table(s"$db.edges_by_from")
+      .filter(col("_rel_id") === 4242L).count() == 1)
+    assert(spark.table(s"$db.edges_by_to")
+      .filter(col("_rel_id") === 4242L).count() == 1)
+    // a batch missing edge columns is refused up front, before any write
+    val bad = Seq(("people:1", "people:2")).toDF("_from", "_to")
+    val e = intercept[IllegalArgumentException] {
+      GraphStore.appendEdges(spark, db, bad)
+    }
+    assert(e.getMessage.contains("missing columns"))
+    // repairMirror is idempotent on a healthy store: same logical set after
+    GraphStore.repairMirror(spark, db)
+    assert(spark.table(s"$db.edges_by_to")
+      .filter(col("_rel_id") === 4242L).count() == 1)
+    assert(spark.table(s"$db.edges_by_from").count() ==
+      spark.table(s"$db.edges_by_to").count())
+    // and the repaired mirror still bucket-prunes (bucket spec preserved)
+    withConf("spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val plan = spark.sessionState.executePlan(
+        spark.table(s"$db.edges_by_to").filter(col("_to") === "people:2")
+          .queryExecution.logical).executedPlan.toString
+      withClue(plan) { assert(plan.contains("SelectedBucketsCount: 1 out of 4")) }
+    }
+  }
+
   test("a user collection with its OWN _doc_key column is ordinary data " +
       "(store contract is the schema flag, not the column name)") {
     val userDf = Seq(("7", "thing", "external-key-7")).toDF("_id", "name", "_doc_key")

@@ -101,6 +101,24 @@ class RelQuerySpec extends AnyFunSuite {
     assert(one(GraphDocument(g, alice).countRelationships("visits", Direction.Outgoing)) == 2)
     assert(one(GraphDocument(g, alice).countRelationships("knows", Direction.Both,
       part = "b", distinct = true)) == 2)
+    // HLL++ sketch: exact count is 2, a 5%-rsd sketch cannot be off by one
+    // at this cardinality (and the fixture pins the plan compiles end-to-end)
+    assert(one(GraphDocument(g, alice).countRelationships("knows", Direction.Both,
+      part = "b", distinct = true, approx = true)) == 2)
+  }
+
+  test("approx distinct count tracks exact within the sketch rsd on testdata") {
+    val tg = Testbed.graph(spark, "/root/testdata/sf0.001")
+    def one(df: org.apache.spark.sql.DataFrame): Long = df.collect()(0).getLong(0)
+    val anchor = GraphDocument(tg, graft.model.DocRef("nation", "0"))
+    val exact = one(anchor.countRelationships("located_in", Direction.Both,
+      part = "b", distinct = true))
+    val approx = one(anchor.countRelationships("located_in", Direction.Both,
+      part = "b", distinct = true, approx = true))
+    assert(exact > 0)
+    // 5% rsd: allow 3 sigma plus the integer floor
+    assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.15).toLong),
+      s"approx $approx vs exact $exact")
   }
 
   test("createRelationshipBetween creates two directed edges (:419-430)") {
