@@ -81,23 +81,51 @@ object Similarity {
 
   /** ANN near-neighbor pairs: bucket by [[signRandomProjection]], exact
     * cosine within buckets. Raising `planes` shrinks buckets (recall ↓,
-    * cost ↓). For multi-probe recall, union several rotations. */
+    * cost ↓); raising `rotations` unions independent hyperplane sets
+    * (multi-probe: recall ↑, candidate cost ↑ ~linearly).
+    *
+    * All `planes·rotations` projections run in ONE native-kernel pass per
+    * vector; the accumulator is bit-sliced into one `planes`-bit bucket per
+    * rotation (rotation 0 reproduces the single-rotation buckets exactly).
+    * Candidate generation then runs on SCALARS only — `(rot, bucket, id)` —
+    * and a pair colliding under several rotations is deduplicated BEFORE
+    * the (CPU-heavy) exact rescore, so the dot product runs exactly once
+    * per unique candidate pair. */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 8, minCosine: Double = 0.8): DataFrame = {
+      planes: Int = 8, minCosine: Double = 0.8, rotations: Int = 1): DataFrame = {
+    require(rotations > 0, s"rotations must be positive, got $rotations")
+    require(planes * rotations <= 62,
+      s"planes*rotations must fit a long bucket accumulator, got ${planes * rotations}")
     // Norms are computed once per vector BEFORE the pair join — inside the
     // join the kernel is a single dot product, not dot + 2 norms (3× fewer
     // folds over the bucket-quadratic pair set).
     // widen: a single-file embedding table would serialize the per-vector
-    // projection folds on one core
+    // projection folds on one core. Materialized once (lazily): feeds the
+    // banding pass and both sides of the rescore join.
     val bucketed = OpsUtil.widen(emb).select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"),
-      signRandomProjection(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      signRandomProjection(col(vecCol), planes * rotations).as("_acc"))
+      .localCheckpoint(eager = false)
+    // bucket of rotation r = bits [r·planes, (r+1)·planes) of the
+    // accumulator (plane p lands at bit total−1−p, so slice by right-shift)
+    val mask = (1L << planes) - 1
+    val banded = bucketed.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(rotations - 1)), r =>
+        call_function("shiftrightunsigned", col("_acc"),
+          (lit(rotations - 1) - r) * planes).bitwiseAND(lit(mask))))
+        .as(Seq("rot", "bucket")))
+    val a = banded.select(col("rot"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("rot"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("rot", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(bucketed.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("score"))

@@ -244,6 +244,55 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(buckets(0L) != buckets(2L)) // opposite direction
   }
 
+  test("LSH ANN multi-probe recall ≥ 0.9 vs exact ground truth on real " +
+      "embeddings (sf0.01)") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(
+      Similarity.nearDupPairsExact(emb, "vec_id", "embedding", 0.35))
+    assert(exact.nonEmpty)
+    // 0.35-cosine pairs sit at θ ≈ 69° — weak for sign-LSH, so the recall
+    // path is few planes + wide multi-probe (deterministic hyperplanes:
+    // this measures the estimator, not luck; planes=3/rot=14 measured 1.0)
+    val lsh = pairSet(Similarity.annPairs(emb, "vec_id", "embedding",
+      planes = 3, minCosine = 0.35, rotations = 14))
+    // precision is 1.0 by construction (candidates are exactly rescored)
+    assert((lsh -- exact).isEmpty)
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
+  }
+
+  test("LSH ANN at the near-dup operating point: clustered corpus, " +
+      "planes=8, multi-probe recalls within-cluster pairs") {
+    // 3 tight clusters (within-cluster cos ≈ 0.999) — the embeddingNearDups
+    // use case; planes=8/rotations=4 is the scale configuration (256-way
+    // bucketing per rotation, 4 independent probes)
+    val base = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f))
+    val emb = (0 until 30).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(
+      Similarity.nearDupPairsExact(emb, "vec_id", "embedding", 0.9))
+    assert(exact.size == 3 * (10 * 9) / 2) // all within-cluster pairs
+    val lsh = pairSet(Similarity.annPairs(emb, "vec_id", "embedding",
+      planes = 8, minCosine = 0.9, rotations = 4))
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${lsh.size}/${exact.size})")
+    // multi-probe only ADDS candidates: rotation 0 alone is a subset
+    val single = pairSet(Similarity.annPairs(emb, "vec_id", "embedding",
+      planes = 8, minCosine = 0.9, rotations = 1))
+    assert(single.subsetOf(lsh))
+  }
+
   test("text ops: tokens, ttr, stopwords, lang guess, fingerprints") {
     val r = docs.filter(col("doc_id") === 0).select(
       TextOps.tokenCount(col("text")),
