@@ -14,21 +14,30 @@ import graft.pred.MongoPredicate.MongoQuery
   * hard-capped at 15 — `levelDeepness`,
   * /root/reference/src/extendDocument.coffee:352-366).
   *
-  * Spark-first design: level-synchronous frontier-expansion BFS as a loop of
-  * DataFrame self-joins. Each level is `frontier ⋈ edges` minus already
-  * visited keys; the frontier rows carry the full predecessor chain as an
-  * array column, so when the target is reached the path *contents* are
-  * available (GraphX `ShortestPaths` returns only distances — the reference
-  * needs the ordered node list, /root/reference/src/processtools.coffee:215-248).
+  * Spark-first design: level-synchronous BIDIRECTIONAL frontier-expansion
+  * BFS as a loop of DataFrame self-joins. Each round expands whichever
+  * frontier is currently smaller — forward over `_from`, backward over
+  * `_to` — and checks the freshly expanded frontier against the other
+  * side's visited set; meet-in-the-middle halves the effective depth
+  * (worst case ≤ 8 expansions for the 15-level cap instead of 15), which
+  * on a high-fan-out graph is the difference between ~b^8 and ~2·b^4
+  * frontier rows. Frontier rows carry the full node chain as an array
+  * column, so when the fronts meet the path *contents* are available
+  * (GraphX `ShortestPaths` returns only distances — the reference needs
+  * the ordered node list, /root/reference/src/processtools.coffee:215-248).
   *
-  * Scale posture: the frontier and visited sets are persisted per level and
-  * `localCheckpoint`ed to truncate lineage (an unbounded iterative plan
-  * otherwise re-executes from the scan each level). The edge side is scanned
-  * with the type filter pushed down; the frontier side of each join is the
+  * Determinism: each side keeps ONE representative path per key per level
+  * (`min` by array), and the meet round picks the (length, lexicographic)-
+  * minimum combined path IN SPARK (sort + limit 1, nothing frontier-sized
+  * ever reaches the driver) — provably the same lexicographic-min shortest
+  * path the forward-only formulation returned: every shortest path crosses
+  * both per-level min sets, and array-min composes over concatenation.
+  *
+  * Scale posture: frontier and visited sets are `localCheckpoint`ed per
+  * level to truncate lineage (an unbounded iterative plan otherwise
+  * re-executes from the scan each level). The edge side is scanned with
+  * the type filter pushed down; the frontier side of each join is the
   * small one and broadcasts under AQE. Depth ≤ 15 bounds the loop.
-  * Duplicate-destination expansion within a level keeps only one
-  * deterministic path (min by path string) so the frontier cannot blow up
-  * past |V|.
   */
 object ShortestPath {
 
@@ -53,28 +62,59 @@ object ShortestPath {
       if (alreadyCached) projected
       else projected.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var frontier = Seq((from.key, Seq(from.key)))
+      // forward rows: path = source..key (ends at key);
+      // backward rows: path = key..target (starts at key)
+      var frontF = Seq((from.key, Seq(from.key)))
         .toDF("key", "path").localCheckpoint()
-      var visited = Seq(from.key).toDF("key").localCheckpoint()
+      var visF = frontF
+      var frontB = Seq((to.key, Seq(to.key)))
+        .toDF("key", "path").localCheckpoint()
+      var visB = frontB
+      var nF = 1L
+      var nB = 1L
       var found: Option[Seq[String]] = None
       var depth = 0
-      while (found.isEmpty && depth < maxDepth && !frontier.isEmpty) {
+      while (found.isEmpty && depth < maxDepth && nF > 0 && nB > 0) {
         depth += 1
-        val next = frontier
-          .join(edges, frontier("key") === edges("_from"))
-          .select(col("_to").as("key"),
-            concat(col("path"), array(col("_to"))).as("path"))
+        val forward = nF <= nB
+        val (frontier, visited) = if (forward) (frontF, visF) else (frontB, visB)
+        val next = (if (forward)
+            frontier.join(edges, frontier("key") === edges("_from"))
+              .select(col("_to").as("key"),
+                concat(col("path"), array(col("_to"))).as("path"))
+          else
+            frontier.join(edges, frontier("key") === edges("_to"))
+              .select(col("_from").as("key"),
+                concat(array(col("_from")), col("path")).as("path")))
           .join(visited, Seq("key"), "left_anti")
-          // One deterministic representative path per destination.
+          // One deterministic representative path per key and level: all
+          // candidates have equal length, so array-min is the lex-min.
           .groupBy("key").agg(min(col("path")).as("path"))
           .localCheckpoint()
-        val hit = next.filter(col("key") === to.key)
-          .select("path").as[Seq[String]].collect()
-        // groupBy("key") left at most one row for the target key.
+        // Meet check against the OTHER side's whole visited set. Both
+        // halves contain the meet key once — drop it from the backward
+        // half. Candidate totals can differ (the meet key sits at varying
+        // depths in the other side's visited set), so order by length
+        // before the lexicographic tie-break; the first meet round
+        // provably contains a true shortest path.
+        val (fSide, bSide) =
+          if (forward) (next.as("f"), visB.as("b"))
+          else (visF.as("f"), next.as("b"))
+        val hit = fSide.join(bSide, Seq("key"))
+          .select(concat(col("f.path"),
+            slice(col("b.path"), lit(2), size(col("b.path")) - 1)).as("full"))
+          .orderBy(size(col("full")).asc, col("full").asc)
+          .limit(1)
+          .as[Seq[String]].collect()
         if (hit.nonEmpty) found = Some(hit.head)
-        else {
-          visited = visited.unionByName(next.select("key")).localCheckpoint()
-          frontier = next
+        else if (forward) {
+          visF = visF.unionByName(next).localCheckpoint()
+          frontF = next
+          nF = next.count()
+        } else {
+          visB = visB.unionByName(next).localCheckpoint()
+          frontB = next
+          nB = next.count()
         }
       }
       found

@@ -84,4 +84,41 @@ class ShortestPathSpec extends AnyFunSuite {
     val p = ShortestPath.findPath(g, zoe, bob, Seq("knows"))
     assert(p.contains(Seq(zoe.key, alice.key, bob.key)))
   }
+
+  test("fan-out-heavy graph: meet-in-the-middle finds the single chain, " +
+      "keeps the lex-min diamond path, and the depth cap binds combined") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.core.DocGraph
+    import graft.model.GraphSchema
+    // the source side fans out (6 children, 36 grandchildren) while the
+    // only route to the target is a 5-edge chain whose tail has fan-in 1 —
+    // the backward frontier stays tiny and the fronts meet mid-chain
+    // (a forward-only search would drag the 42-node tree to depth 5)
+    val chain = Seq("a" -> "c1", "c1" -> "c2", "c2" -> "c3", "c3" -> "c4",
+      "c4" -> "z")
+    val tree = (0 until 6).map(i => "a" -> s"t$i") ++
+      (for (i <- 0 until 6; j <- 0 until 6) yield s"t$i" -> s"t$i$j")
+    val diamond = Seq("a" -> "b1", "a" -> "b2", "b1" -> "d", "b2" -> "d")
+    val es = chain ++ tree ++ diamond
+    val ids = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val gw = new DocGraph(spark,
+      Map("w" -> ids.map(i => (i, i)).toDF("_id", "name")),
+      Map("w" -> GraphSchema("w")), DocGraph.emptyEdges(spark))
+      .createRelationships("next", es.toDF("_from_id", "_to_id")
+        .select(lit("w").as("_from_collection"), col("_from_id"),
+          lit("w").as("_to_collection"), col("_to_id")))
+    def ref(id: String) = DocRef("w", id)
+    val p = ShortestPath.findPath(gw, ref("a"), ref("z"), Seq("next"))
+    assert(p.contains(Seq("w:a", "w:c1", "w:c2", "w:c3", "w:c4", "w:z")))
+    // two equal-length paths a->b1->d / a->b2->d: the lexicographic-min
+    // wins, matching the forward-only formulation's tie-break
+    val d = ShortestPath.findPath(gw, ref("a"), ref("d"), Seq("next"))
+    assert(d.contains(Seq("w:a", "w:b1", "w:d")))
+    // the cap bounds TOTAL combined depth, not per-side depth
+    assert(ShortestPath.findPath(gw, ref("a"), ref("z"), Seq("next"),
+      maxDepth = 4).isEmpty)
+    assert(ShortestPath.findPath(gw, ref("a"), ref("z"), Seq("next"),
+      maxDepth = 5).nonEmpty)
+  }
 }
