@@ -351,8 +351,11 @@ object SparkEntry {
         .agg(countDistinct(col("component")).as("n_components"))
     }),
     "q41_pagerank" -> ((s, dir) => {
-      // rows-only: iterative float ranks have no SQL oracle
+      // deterministic given (graph, 5 iterations, reset 0.15): oracled via
+      // the unrolled fixed-point SQL. Ranks round to 4 decimals BEFORE the
+      // ordering so both engines rank identical values identically.
       graph.GraphAnalytics.pageRank(Testbed.graph(s, dir), numIter = 5)
+        .select(col("doc_key"), round(col("pagerank"), 4).as("pagerank"))
         .orderBy(col("pagerank").desc, col("doc_key")).limit(20)
     }),
 
@@ -735,6 +738,70 @@ object SparkEntry {
               + (SELECT count(*) FROM documents)
               + (SELECT count(*) FROM embeddings)
               + (SELECT count(*) FROM events) AS BIGINT) AS n_components""",
+    "q41_pagerank" ->
+      // GraphX staticPageRank(5, 0.15) replica, semantics pinned by probe:
+      // r0 = 1.0; r_k = 0.15 + 0.85 * sum(r_{k-1}/outdeg) over in-edges
+      // (parallel edges each count; dangling mass is NOT redistributed);
+      // final ranks scale to sum to the vertex count. Vertices are the
+      // DISTINCT canonical keys — testdata lineitem's composite key is not
+      // unique, and the engine's key semantics merge same-key documents
+      // into one node (all their edges kept as parallel edges).
+      """WITH nodes AS (SELECT DISTINCT key FROM (
+           SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS key FROM customer
+           UNION ALL SELECT 'documents:' || CAST(doc_id AS VARCHAR) FROM documents
+           UNION ALL SELECT 'embeddings:' || CAST(vec_id AS VARCHAR) FROM embeddings
+           UNION ALL SELECT 'events:' || CAST(event_id AS VARCHAR) FROM events
+           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+           UNION ALL SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'part:' || CAST(p_partkey AS VARCHAR) FROM part
+           UNION ALL SELECT 'region:' || CAST(r_regionkey AS VARCHAR) FROM region
+           UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier) raw),
+         edges AS (
+           SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS f,
+                  'customer:' || CAST(o_custkey AS VARCHAR) AS t FROM orders
+           UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+                  'nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+           UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+                  'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+           UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+                  'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR),
+                  'orders:' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR),
+                  'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR),
+                  'supplier:' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
+         deg AS (SELECT f, count(*) AS d FROM edges GROUP BY f),
+         r0 AS (SELECT key, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+         r1 AS (SELECT n.key, 0.15 + 0.85 * coalesce(m.s, 0) AS r FROM nodes n
+                LEFT JOIN (SELECT e.t AS key, sum(p.r / d.d) AS s FROM edges e
+                           JOIN deg d ON e.f = d.f JOIN r0 p ON e.f = p.key
+                           GROUP BY e.t) m ON n.key = m.key),
+         r2 AS (SELECT n.key, 0.15 + 0.85 * coalesce(m.s, 0) AS r FROM nodes n
+                LEFT JOIN (SELECT e.t AS key, sum(p.r / d.d) AS s FROM edges e
+                           JOIN deg d ON e.f = d.f JOIN r1 p ON e.f = p.key
+                           GROUP BY e.t) m ON n.key = m.key),
+         r3 AS (SELECT n.key, 0.15 + 0.85 * coalesce(m.s, 0) AS r FROM nodes n
+                LEFT JOIN (SELECT e.t AS key, sum(p.r / d.d) AS s FROM edges e
+                           JOIN deg d ON e.f = d.f JOIN r2 p ON e.f = p.key
+                           GROUP BY e.t) m ON n.key = m.key),
+         r4 AS (SELECT n.key, 0.15 + 0.85 * coalesce(m.s, 0) AS r FROM nodes n
+                LEFT JOIN (SELECT e.t AS key, sum(p.r / d.d) AS s FROM edges e
+                           JOIN deg d ON e.f = d.f JOIN r3 p ON e.f = p.key
+                           GROUP BY e.t) m ON n.key = m.key),
+         r5 AS (SELECT n.key, 0.15 + 0.85 * coalesce(m.s, 0) AS r FROM nodes n
+                LEFT JOIN (SELECT e.t AS key, sum(p.r / d.d) AS s FROM edges e
+                           JOIN deg d ON e.f = d.f JOIN r4 p ON e.f = p.key
+                           GROUP BY e.t) m ON n.key = m.key)
+         SELECT key AS doc_key,
+                round(r * (SELECT count(*) FROM nodes) / (SELECT sum(r) FROM r5), 4)
+                  AS pagerank
+         FROM r5 ORDER BY pagerank DESC, doc_key LIMIT 20""",
     "q42_set_anchored_counts" ->
       """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS anchor_key,
                 count(*) AS n_orders
