@@ -100,6 +100,22 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
     g.removeDocuments(ref.collection, Seq(ref.id).toDF("_id"))
   }
 
+  // --- dry run (reference `dontExecute` / `debug.cypher`) -----------------
+  /** Build the full 1-hop query WITHOUT executing it and return the
+    * engine's query text — the reference's `options.dontExecute` returns
+    * the generated Cypher instead of running it
+    * (/root/reference/src/extendDocument.coffee:115-118; `debug.cypher`
+    * :483-486). Dialect change documented: this engine's "query text" is
+    * the Catalyst plan of the lazily-built DataFrame, in `explain`
+    * formatted form. The anchor-degree-bounded candidate-pruning lookups
+    * still run (they shape the plan); the query itself does not. */
+  def debugQuery(types: String = "*", dir: Direction = Direction.Both,
+      where: RelWhere = RelWhere()): String =
+    RelQueryPlanner.relationships(g, ref, q(Seq(types), dir, None, where),
+        materialize = false) // full lineage: the trace shows every stage
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   // --- node-side (S5-S9) --------------------------------------------------
   def findCorrespondingNode(): DataFrame = g.findCorrespondingNode(ref)
   def getNode(): DataFrame = findCorrespondingNode()

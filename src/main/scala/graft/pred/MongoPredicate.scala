@@ -77,14 +77,30 @@ object MongoPredicate {
   private def compileField(c: Column, value: Any): Column = value match {
     case r: Regex => c.rlike(r.regex)
     case ops: Map[_, _] if ops.keys.forall(_.toString.startsWith("$")) =>
-      ops.asInstanceOf[Map[String, Any]]
-        .map { case (op, v) => compileOp(c, op, v) }
+      val m = ops.asInstanceOf[Map[String, Any]]
+      // $options modifies the sibling $regex (Mongo's flag syntax); it is
+      // not an operator of its own
+      val flags = m.get("$options").map(_.toString)
+      if (flags.nonEmpty && !m.contains("$regex"))
+        fail("$options requires a sibling $regex")
+      (m - "$options")
+        .map { case (op, v) => compileOp(c, op, v, flags) }
         .reduce(_ && _)
     case null => c.isNull
     case v    => c === lit(v)
   }
 
-  private def compileOp(c: Column, op: String, v: Any): Column = op match {
+  /** Mongo `$options` → Java inline-flag prefix: i (case-insensitive),
+    * m (multiline), s (dotall), x (extended) map 1:1 onto `(?imsx)`. */
+  private def withFlags(pattern: String, flags: Option[String]): String =
+    flags.filter(_.nonEmpty).fold(pattern) { f =>
+      val bad = f.filterNot("imsx".contains(_))
+      if (bad.nonEmpty) fail(s"unsupported $$options flags: $bad")
+      s"(?$f)$pattern"
+    }
+
+  private def compileOp(c: Column, op: String, v: Any,
+      flags: Option[String] = None): Column = op match {
     case "$eq"     => if (v == null) c.isNull else c === lit(v)
     // Null-safe negations: Mongo's $ne/$nin also match missing fields.
     case "$ne"     => !(c <=> lit(v))
@@ -99,7 +115,8 @@ object MongoPredicate {
     // null-poisoned and silently exclude them.
     case "$nin"    => !coalesce(inList(c, seqOf(v, "$nin")), lit(false))
     case "$exists" => if (v == true) c.isNotNull else c.isNull
-    case "$regex"  => c.rlike(v.toString)
+    case "$regex"  => c.rlike(withFlags(
+      v match { case r: Regex => r.regex; case s => s.toString }, flags))
     // Array-field operators. $all: the array contains every listed value.
     // $elemMatch: some element satisfies the operator object (scalar-element
     // form; compiled with Spark's `exists` higher-order function).

@@ -95,7 +95,8 @@ object RelQueryPlanner {
     * filters that Catalyst prunes to empty scans, eliminating their joins
     * entirely. The matched-edge side is tiny for anchored queries and
     * broadcasts under AQE. */
-  def relationships(g: DocGraph, anchor: DocRef, q: RelQuery): DataFrame = {
+  def relationships(g: DocGraph, anchor: DocRef, q: RelQuery,
+      materialize: Boolean = true): DataFrame = {
     // The candidate-pruning collects in hydrate() are separate actions; an
     // unmaterialized pipeline would recompute the edge match + first join
     // for each of them. Both intermediates are anchored (bounded by the
@@ -114,9 +115,13 @@ object RelQueryPlanner {
     // the accepted trade for leak-free lifecycle on these small anchored
     // intermediates; a deployment running with dynamic allocation should
     // disable it or use reliable checkpointing for long-lived results.
-    val matched = matchEdges(g, anchor, q).localCheckpoint(eager = false)
-    val withFrom = hydrate(g, anchor, q, matched, "_from", "from_doc")
-      .localCheckpoint(eager = false)
+    // materialize=false keeps the full un-truncated lineage — the dry-run
+    // trace path (GraphDocument.debugQuery), where plan READABILITY beats
+    // stage reuse (each pruning collect then re-derives from the scans).
+    def stage(df: DataFrame) =
+      if (materialize) df.localCheckpoint(eager = false) else df
+    val matched = stage(matchEdges(g, anchor, q))
+    val withFrom = stage(hydrate(g, anchor, q, matched, "_from", "from_doc"))
     val withBoth = hydrate(g, anchor, q, withFrom, "_to", "to_doc")
     withBoth.select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
       col("_created_at"), col("props"), col("anchor_key"), col("other_key"),

@@ -70,6 +70,24 @@ class MongoPredicateSpec extends AnyFunSuite {
     assert(names(Map.empty) == Set("alice", "bob", "Carol", "dave"))
   }
 
+  test("$regex with $options flags (i case-insensitive; invalid flags fail)") {
+    // case-insensitive: /^c/i matches Carol; without flags it doesn't
+    assert(names(Map("name" -> Map("$regex" -> "^c"))) == Set.empty[String])
+    assert(names(Map("name" -> Map("$regex" -> "^c", "$options" -> "i")))
+      == Set("Carol"))
+    // Regex-literal value form composes with flags too
+    assert(names(Map("name" -> Map("$regex" -> "^C".r, "$options" -> "i")))
+      == Set("Carol"))
+    // $options without $regex is a clear error, like Mongo's
+    assert(intercept[IllegalArgumentException] {
+      names(Map("name" -> Map("$options" -> "i")))
+    }.getMessage.contains("$options"))
+    // unsupported flag letters are refused, not silently dropped
+    assert(intercept[IllegalArgumentException] {
+      names(Map("name" -> Map("$regex" -> "a", "$options" -> "iz")))
+    }.getMessage.contains("z"))
+  }
+
   test("nested struct path via dotted field name") {
     val nested = Seq(("m1", "hello")).toDF("_id", "title")
       .select(col("_id"),

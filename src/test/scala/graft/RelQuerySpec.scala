@@ -107,6 +107,16 @@ class RelQuerySpec extends AnyFunSuite {
       part = "b", distinct = true, approx = true)) == 2)
   }
 
+  test("debugQuery dry run returns the built plan without executing " +
+      "(reference dontExecute/debug.cypher)") {
+    val trace = GraphDocument(g, alice).debugQuery("knows", Direction.Incoming)
+    assert(trace.contains("== Physical Plan =="))
+    // un-truncated lineage: the trace shows the anchored edge filter (type
+    // and anchor literals), not a checkpoint-opaque RDD scan
+    assert(trace.contains("knows"))
+    assert(trace.contains(alice.key))
+  }
+
   test("approx distinct count tracks exact within the sketch rsd on testdata") {
     val tg = Testbed.graph(spark, "/root/testdata/sf0.001")
     def one(df: org.apache.spark.sql.DataFrame): Long = df.collect()(0).getLong(0)
