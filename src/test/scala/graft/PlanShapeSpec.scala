@@ -79,4 +79,20 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val plan = planOf("q42_set_anchored_counts")
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("q34 ANN bucketing runs on the codegen'd projection kernel, " +
+      "candidates on scalars") {
+    // no object serde anywhere in the pair pipeline (the checkpointed
+    // projection stage hides its own operators from this plan string...)
+    val plan = planOf("q34_ann_lsh")
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      plan.take(3000))
+    // ...so assert the native kernel on the projection stage directly
+    graft.functions.GraftFunctions.register(spark)
+    val projPlan = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(graft.ops.Similarity.signRandomProjection(
+        org.apache.spark.sql.functions.col("embedding"), 8).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(projPlan.contains("sign_projection"), projPlan.take(2000))
+  }
 }
