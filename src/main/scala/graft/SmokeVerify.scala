@@ -156,6 +156,24 @@ object SmokeVerify {
     println(s"SMOKE9 appendEdges: mirrorHit=$in9 primaryHit=$out9 => " +
       (if (in9 == 1 && out9 == 1) "OK" else "BROKEN"))
 
+    // 10. embeddingNearDups (multi-probe default) on real embeddings: every
+    // exact near-dup pair at the threshold should be recalled (precision is
+    // 1.0 by construction — candidates are exactly rescored).
+    val emb10 = spark.read.parquet(s"$sf/embeddings.parquet")
+    def pairs10(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact10 = pairs10(graft.ops.Similarity.nearDupPairsExact(
+      emb10, "vec_id", "embedding", 0.35))
+    val lsh10 = pairs10(graft.ops.Similarity.embeddingNearDups(
+      emb10, "vec_id", "embedding", threshold = 0.35, planes = 3, rotations = 14))
+    val rec10 = if (exact10.isEmpty) 1.0
+      else (lsh10 & exact10).size.toDouble / exact10.size
+    println(f"SMOKE10 embeddingNearDups: exact=${exact10.size} lsh=${lsh10.size} " +
+      f"recall=$rec10%.2f => " +
+      (if (exact10.nonEmpty && rec10 >= 0.9 && (lsh10 -- exact10).isEmpty)
+        "OK" else "BROKEN"))
+
     spark.stop()
   }
 }

@@ -291,6 +291,10 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val single = pairSet(Similarity.annPairs(emb, "vec_id", "embedding",
       planes = 8, minCosine = 0.9, rotations = 1))
     assert(single.subsetOf(lsh))
+    // the Dedup entry point defaults to exactly this multi-probe shape
+    val entry = pairSet(Similarity.embeddingNearDups(emb, "vec_id",
+      "embedding", threshold = 0.9))
+    assert(entry == lsh)
   }
 
   test("text ops: tokens, ttr, stopwords, lang guess, fingerprints") {
