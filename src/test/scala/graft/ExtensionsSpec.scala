@@ -15,10 +15,14 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
            vec_dot(array(cast(1 as float), cast(2 as float)),
                    array(cast(3 as float), cast(4 as float))) AS d,
            sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
-           minhash_sig(array(5L), 4) AS m""").collect()(0)
+           minhash_sig(array(5L), 4) AS m,
+           sign_projection(array(cast(1 as float)), 2) AS p,
+           simhash64(array(42L)) AS s""").collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) == 2L)
     assert(r.getSeq[Long](2).length == 4)
+    assert(!r.isNullAt(3))
+    assert(r.getLong(4) == 42L) // single element: signature is the element
   }
 
   test("GraftExtensions applies cleanly to a fresh SparkSessionExtensions") {
