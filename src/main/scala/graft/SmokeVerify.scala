@@ -174,6 +174,44 @@ object SmokeVerify {
       (if (exact10.nonEmpty && rec10 >= 0.9 && (lsh10 -- exact10).isEmpty)
         "OK" else "BROKEN"))
 
+    // 11. Corpus ops on real documents: contamination must equal a direct
+    // array-intersect reformulation; stratified sample obeys per-stratum k;
+    // quality gate keeps exactly the rows a sort-based median check keeps.
+    val docs11 = spark.read.parquet(s"$sf/documents.parquet")
+    val evalSel = col("doc_id") % 53 === 0
+    val cont = graft.ops.Corpus.contamination(
+      docs11.filter(!evalSel), docs11.filter(evalSel), "doc_id", "text", 3)
+    val evalAll = docs11.filter(evalSel)
+      .select(explode(graft.ops.Corpus.wordNgrams(col("text"), 3)).as("g"))
+      .distinct().agg(collect_list(col("g")).as("gs"))
+    val direct11 = docs11.filter(!evalSel).crossJoin(evalAll)
+      .select(col("doc_id"), size(array_intersect(
+        graft.ops.Corpus.wordNgrams(col("text"), 3), col("gs"))).as("n2"))
+      .filter(col("n2") > 0)
+    val contMism = cont.join(direct11, Seq("doc_id"), "full")
+      .filter(col("n_shared").isNull || col("n2").isNull ||
+        col("n_shared") =!= col("n2")).count()
+    val contRows = cont.count()
+    val strat = graft.ops.Corpus.stratifiedTopK(docs11,
+      Seq(col("source")), Seq(col("lang"), col("doc_id")), 2)
+    val stratBad = strat.groupBy("source").count()
+      .filter(col("count") > 2).count()
+    val gate = graft.ops.Corpus.aboveQuantile(
+      docs11.select(col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("text")).as("nt")), col("nt"), 0.5)
+    val sorted11 = docs11.select(graft.ops.TextOps.tokenCount(col("text"))
+      .as("nt")).collect().map(_.getLong(0)).sorted
+    val rank11 = (sorted11.length - 1) * 0.5
+    val lo11 = rank11.toInt
+    val med11 = sorted11(lo11) + (rank11 - lo11) *
+      (sorted11(math.min(lo11 + 1, sorted11.length - 1)) - sorted11(lo11))
+    val gateExpect = sorted11.count(_ >= med11)
+    val gateRows = gate.count()
+    println(s"SMOKE11 corpus: contRows=$contRows contMism=$contMism " +
+      s"stratOverK=$stratBad gate=$gateRows/expect=$gateExpect => " +
+      (if (contRows > 0 && contMism == 0 && stratBad == 0 &&
+        gateRows == gateExpect) "OK" else "BROKEN"))
+
     spark.stop()
   }
 }

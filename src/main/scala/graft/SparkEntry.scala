@@ -512,6 +512,47 @@ object SparkEntry {
       // exact countDistinct. Not oracle-able (sketch estimate); rows-only.
       doc(s, dir, "nation", "0").countRelationships("located_in",
         Direction.Both, part = "b", distinct = true, approx = true)
+    }),
+    "q56_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: distinct 3-grams each training doc
+      // shares with the eval slice (doc_id % 53 == 0 plays the benchmark
+      // corpus). Eval gram set is broadcast; train side never shuffles
+      // before the join.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Corpus.contamination(
+          docs.filter(col("doc_id") % 53 =!= 0),
+          docs.filter(col("doc_id") % 53 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    "q57_stratified_sample" -> ((s, dir) => {
+      // deterministic mixture construction: first 2 docs per source under
+      // the (lang, doc_id) total order — replayable, unlike sample()
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Corpus.stratifiedTopK(docs.select("doc_id", "source", "lang"),
+          Seq(col("source")), Seq(col("lang"), col("doc_id")), k = 2)
+        .orderBy("source", "lang", "doc_id")
+    }),
+    "q58_quality_gate" -> ((s, dir) => {
+      // keep docs at/above the corpus-median token count: exact
+      // interpolated percentile, broadcast as a scalar into the filter
+      val docs = Testbed.graph(s, dir).collection("documents")
+        .select(col("doc_id"),
+          ops.TextOps.tokenCount(col("text")).as("n_tokens"))
+      ops.Corpus.aboveQuantile(docs, col("n_tokens"), 0.5).orderBy("doc_id")
+    }),
+    "q59_rollup" -> ((s, dir) => {
+      // multi-level aggregate in one pass: per-(flag,status), per-flag and
+      // grand total via ROLLUP grouping sets — one shuffle, partial
+      // aggregation map-side for every grouping level
+      Testbed.graph(s, dir).collection("lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -914,5 +955,41 @@ object SparkEntry {
          SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
                 CAST(u.i * 100 AS BIGINT) AS "offset"
          FROM m, UNNEST(range(0, n // 100)) AS u(i)
-         ORDER BY doc_id, frame_idx""")
+         ORDER BY doc_id, frame_idx""",
+    "q56_decontaminate" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 2),
+                           ' ')))) AS gram
+           FROM documents),
+         ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
+         tr AS (SELECT * FROM g WHERE doc_id % 53 <> 0)
+         SELECT tr.doc_id, count(*) AS n_shared
+         FROM tr JOIN ev USING (gram)
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    "q57_stratified_sample" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY lang, doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 2 ORDER BY source, lang, doc_id""",
+    "q58_quality_gate" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, n_tokens FROM t
+         WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.5) FROM t)
+         ORDER BY doc_id""",
+    "q59_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""")
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, deterministic stratified sampling, and quantile-gated
+  * quality filtering. Like [[TextOps]] these are pure `Column`/DataFrame
+  * composition (no UDFs), so every step stays inside whole-stage codegen
+  * and Catalyst keeps pushdown/pruning freedom.
+  *
+  * Scale posture (the 100 TB question for each op):
+  *   - [[contamination]]: the eval corpus (benchmark suites) is orders of
+  *     magnitude smaller than the training corpus, so its distinct-gram set
+  *     is collapsed and BROADCAST — the training side streams through a
+  *     map-side hash join; the only wide exchange is the final per-doc
+  *     count aggregation over the (rare) matching grams.
+  *   - [[stratifiedTopK]]: one window shuffle on the stratum key; nothing
+  *     is collected to the driver. Deterministic (rank by explicit total
+  *     order), so reruns and retried tasks agree — unlike `sample()`.
+  *   - [[aboveQuantile]]: two passes — a single-row exact-percentile
+  *     aggregate, then a broadcast of that scalar into the filter scan.
+  *     No per-row shuffle at all.
+  */
+object Corpus {
+
+  /** Word n-grams as space-joined strings, whitespace-tokenized exactly
+    * like [[TextOps.tokens]] (oracle-stable). Documents shorter than `n`
+    * words yield an empty array — `sequence(0, size-n)` would otherwise
+    * produce a DESCENDING sequence for size < n, not an empty one. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    val words = split(text, " ")
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: for each training document, the number of
+    * distinct word `n`-grams it shares with the eval corpus. Docs absent
+    * from the result share nothing (inner join — the common case at scale,
+    * where almost all of 100 TB is clean, so emitting only contaminated
+    * ids keeps the result tiny). */
+  def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val trainGrams = train.select(col(idCol),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic stratified sample: the first `k` rows of each stratum
+    * under the given total order. The scalable, replayable replacement for
+    * driver-side or random sampling when building a mixture: rank is
+    * per-stratum, so a hot stratum costs one sort partition, not a global
+    * sort. `order` must be a total order (include a unique key) or ties
+    * make the sample nondeterministic across retries. */
+  def stratifiedTopK(df: DataFrame, strata: Seq[Column], order: Seq[Column],
+      k: Int): DataFrame = {
+    require(k >= 1, s"sample size k must be positive, got $k")
+    df.withColumn("_rn",
+        row_number().over(Window.partitionBy(strata: _*).orderBy(order: _*)))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Rows whose `metric` is at or above the corpus-wide exact `q`-quantile
+    * (interpolated, matching DuckDB `quantile_cont`). The threshold is a
+    * 1-row aggregate joined back by broadcast — the filter pass reads the
+    * scan with a scalar predicate, no row-level shuffle. */
+  def aboveQuantile(df: DataFrame, metric: Column, q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
+    val thr = df.agg(percentile(metric, lit(q)).as("_thr"))
+    df.join(broadcast(thr), metric >= col("_thr")).drop("_thr")
+  }
+}

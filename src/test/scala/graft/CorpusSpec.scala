@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Corpus
+
+/** Unit tests for the corpus-curation operators (decontamination,
+  * stratified sampling, quantile quality gate). */
+class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  test("wordNgrams: n-grams, exact-length doc, short-doc guard") {
+    val out = Seq(("a b c d", 1), ("a b", 2), ("a", 3), ("", 4))
+      .toDF("t", "i").orderBy("i")
+      .select(Corpus.wordNgrams(col("t"), 2).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b", "b c", "c d"))
+    assert(out(1) == Seq("a b")) // size == n → exactly one gram
+    assert(out(2) == Seq.empty) // size < n → empty, not descending-sequence
+    // "" splits to [""] (size 1) — still guarded
+    assert(out(3) == Seq.empty)
+  }
+
+  test("contamination counts distinct shared n-grams per training doc") {
+    val train = Seq(
+      (10L, "the cat sat on the mat"), // shares "the cat", "cat sat", ...
+      (11L, "a dog ran far away"), // clean
+      (12L, "the cat the cat") // repeated gram counts once (distinct)
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((0L, "the cat sat quietly")).toDF("doc_id", "text")
+    val out = Corpus.contamination(train, eval_, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    // doc 10 shares {"the cat", "cat sat"}; doc 12 shares {"the cat"} once
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, 2L), (12L, 1L)))
+  }
+
+  test("stratifiedTopK takes exactly k per stratum in total order") {
+    val df = Seq(
+      ("s1", 3L), ("s1", 1L), ("s1", 2L),
+      ("s2", 9L),
+      ("s3", 5L), ("s3", 4L)).toDF("src", "id")
+    val out = Corpus.stratifiedTopK(df, Seq(col("src")), Seq(col("id")), 2)
+      .orderBy("src", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("s1", 1L), ("s1", 2L), ("s2", 9L),
+      ("s3", 4L), ("s3", 5L)))
+  }
+
+  test("aboveQuantile keeps rows at/above the interpolated quantile") {
+    val df = Seq(1L, 2L, 3L, 4L).toDF("v")
+    // exact interpolated median of (1,2,3,4) = 2.5 → keep 3,4
+    val out = Corpus.aboveQuantile(df, col("v"), 0.5)
+      .orderBy("v").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(3L, 4L))
+  }
+
+  test("contamination plan broadcasts the eval gram set") {
+    val train = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val eval_ = Seq((0L, "b c d")).toDF("doc_id", "text")
+    val plan = Corpus.contamination(train, eval_, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast-hash join for the eval gram set, got:\n$plan")
+  }
+}
