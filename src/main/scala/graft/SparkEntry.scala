@@ -553,6 +553,12 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("sum_qty"), col("n"))
         .orderBy("rf", "ls")
+    }),
+    "q60_vocabulary" -> ((s, dir) => {
+      // corpus vocabulary: tf/df/idf for the top 25 terms — the classic
+      // explode-heavy corpus statistic, two map-side-combinable shuffles
+      ops.Corpus.vocabulary(Testbed.graph(s, dir).collection("documents"),
+        "doc_id", "text", k = 25)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -991,5 +997,17 @@ object SparkEntry {
                 count(*) AS n
          FROM lineitem
          GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY rf, ls""")
+         ORDER BY rf, ls""",
+    "q60_vocabulary" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         pd AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+         v AS (SELECT token, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df
+               FROM pd GROUP BY token),
+         n AS (SELECT count(*) AS nd FROM documents)
+         SELECT token, tf, df,
+                round(ln(CAST(nd AS DOUBLE) / df), 4) AS idf
+         FROM v, n
+         ORDER BY tf DESC, token LIMIT 25""")
 }

@@ -70,6 +70,30 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Corpus vocabulary with term/document frequency and IDF, top `k` terms
+    * by frequency. The 100 TB formulation: per-(doc, token) counts first —
+    * a map-side-combinable shuffle whose reduce side is bounded by
+    * vocabulary size, not corpus size — then a tiny per-token rollup gives
+    * both tf (sum) and df (row count) without a `countDistinct` expand.
+    * Doc count for IDF is a 1-row aggregate broadcast in, not a driver
+    * action. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"vocabulary size k must be positive, got $k")
+    val perDoc = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("_c"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    perDoc.groupBy("token")
+      .agg(sum(col("_c")).as("tf"), count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("_n").cast("double") / col("df")), 4))
+      .drop("_n")
+      .orderBy(desc("tf"), asc("token"))
+      .limit(k)
+  }
+
   /** Rows whose `metric` is at or above the corpus-wide exact `q`-quantile
     * (interpolated, matching DuckDB `quantile_cont`). The threshold is a
     * 1-row aggregate joined back by broadcast — the filter pass reads the

@@ -56,6 +56,15 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.toSeq == Seq(3L, 4L))
   }
 
+  test("vocabulary: tf sums per-doc counts, df counts docs, idf is ln(N/df)") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = Corpus.vocabulary(docs, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // top-2 by (tf desc, token asc): a (tf=3, df=2, idf=ln(1)=0) then b
+    assert(out.toSeq == Seq(("a", 3L, 2L, 0.0),
+      ("b", 1L, 1L, math.rint(math.log(2.0) * 1e4) / 1e4)))
+  }
+
   test("contamination plan broadcasts the eval gram set") {
     val train = Seq((1L, "a b c")).toDF("doc_id", "text")
     val eval_ = Seq((0L, "b c d")).toDF("doc_id", "text")
