@@ -80,6 +80,25 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q56 decontamination broadcasts the eval gram set over a pruned scan") {
+    val plan = planOf("q56_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // both sides read only (doc_id, text) from the 5-column table
+    scanLines(plan, "documents").foreach { s =>
+      val readSchema = s.substring(s.indexOf("ReadSchema:"))
+      assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+        s"unpruned column in $readSchema")
+    }
+  }
+
+  test("q60 vocabulary aggregates without a countDistinct Expand") {
+    val plan = planOf("q60_vocabulary")
+    // df comes from the two-stage rollup, never distinct-expand; both
+    // aggregation stages keep map-side partials
+    assert(!plan.contains("Expand"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("q34 ANN bucketing runs on the codegen'd projection kernel, " +
       "candidates on scalars") {
     // no object serde anywhere in the pair pipeline (the checkpointed
