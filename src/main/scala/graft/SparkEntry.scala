@@ -559,6 +559,13 @@ object SparkEntry {
       // explode-heavy corpus statistic, two map-side-combinable shuffles
       ops.Corpus.vocabulary(Testbed.graph(s, dir).collection("documents"),
         "doc_id", "text", k = 25)
+    }),
+    "q61_curation_pipeline" -> ((s, dir) => {
+      // the composed curation build: exact-dedup survivors → corpus-median
+      // token gate → deterministic 3-longest-per-source sample
+      ops.Corpus.curate(Testbed.graph(s, dir).collection("documents"),
+          "doc_id", "text", "source", quantile = 0.5, k = 3)
+        .orderBy("source", "doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1009,5 +1016,22 @@ object SparkEntry {
          SELECT token, tf, df,
                 round(ln(CAST(nd AS DOUBLE) / df), 4) AS idf
          FROM v, n
-         ORDER BY tf DESC, token LIMIT 25""")
+         ORDER BY tf DESC, token LIMIT 25""",
+    "q61_curation_pipeline" ->
+      """WITH surv AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         t AS (
+           SELECT d.doc_id, d.source,
+                  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents d JOIN surv USING (doc_id)),
+         gated AS (
+           SELECT * FROM t
+           WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.5) FROM t)),
+         ranked AS (
+           SELECT doc_id, source, n_tokens,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_tokens DESC, doc_id) AS rn
+           FROM gated)
+         SELECT doc_id, source, n_tokens FROM ranked
+         WHERE rn <= 3 ORDER BY source, doc_id""")
 }

@@ -94,6 +94,27 @@ object Corpus {
       .limit(k)
   }
 
+  /** End-to-end curation pipeline — the composed shape a pretraining data
+    * build actually runs: exact-dedup survivors (min-id per identical
+    * text), quality gate at the corpus-wide `quantile` of token count
+    * (computed on the DEDUPED corpus, so boilerplate dups don't drag the
+    * threshold), then a deterministic `k`-per-stratum sample preferring
+    * longer documents. Every stage is one of the library ops above —
+    * still fully declarative, so Catalyst fuses the stages (one scan
+    * feeds dedup and scoring; pruning/pushdown cross stage boundaries). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, quantile: Double, k: Int): DataFrame = {
+    val keepIds = Dedup.exact(docs, Seq(textCol), idCol)
+      .select(col("keep_id"))
+    val survivors = docs.join(keepIds,
+      docs(idCol) === keepIds("keep_id"), "left_semi")
+    val scored = survivors.select(col(idCol), col(strataCol),
+      TextOps.tokenCount(col(textCol)).as("n_tokens"))
+    val gated = aboveQuantile(scored, col("n_tokens"), quantile)
+    stratifiedTopK(gated, Seq(col(strataCol)),
+      Seq(col("n_tokens").desc, col(idCol)), k)
+  }
+
   /** Rows whose `metric` is at or above the corpus-wide exact `q`-quantile
     * (interpolated, matching DuckDB `quantile_cont`). The threshold is a
     * 1-row aggregate joined back by broadcast — the filter pass reads the

@@ -65,6 +65,20 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("b", 1L, 1L, math.rint(math.log(2.0) * 1e4) / 1e4)))
   }
 
+  test("curate: dedup survivors gated at the deduped-corpus median, sampled") {
+    val docs = Seq(
+      (0L, "w w w w", "s1"),
+      (1L, "w w w w", "s1"), // exact dup of 0 → dropped before the gate
+      (2L, "x", "s1"),
+      (3L, "y y y y y", "s2"),
+      (4L, "z z", "s2")).toDF("doc_id", "text", "source")
+    // survivor token counts (4,1,5,2) → interpolated median 3.0 → keep 0,3
+    val out = Corpus.curate(docs, "doc_id", "text", "source", 0.5, k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, "s1", 4L), (3L, "s2", 5L)))
+  }
+
   test("contamination plan broadcasts the eval gram set") {
     val train = Seq((1L, "a b c")).toDF("doc_id", "text")
     val eval_ = Seq((0L, "b c d")).toDF("doc_id", "text")
