@@ -207,10 +207,16 @@ object SmokeVerify {
       (sorted11(math.min(lo11 + 1, sorted11.length - 1)) - sorted11(lo11))
     val gateExpect = sorted11.count(_ >= med11)
     val gateRows = gate.count()
+    // decontaminate must keep exactly (train − contaminated) documents
+    val trainN = docs11.filter(!evalSel).count()
+    val cleanN = graft.ops.Corpus.decontaminate(
+      docs11.filter(!evalSel), docs11.filter(evalSel), "doc_id", "text", 3).count()
     println(s"SMOKE11 corpus: contRows=$contRows contMism=$contMism " +
-      s"stratOverK=$stratBad gate=$gateRows/expect=$gateExpect => " +
+      s"stratOverK=$stratBad gate=$gateRows/expect=$gateExpect " +
+      s"clean=$cleanN/expect=${trainN - contRows} => " +
       (if (contRows > 0 && contMism == 0 && stratBad == 0 &&
-        gateRows == gateExpect) "OK" else "BROKEN"))
+        gateRows == gateExpect && cleanN == trainN - contRows) "OK"
+      else "BROKEN"))
 
     spark.stop()
   }

@@ -94,6 +94,19 @@ object Corpus {
       .limit(k)
   }
 
+  /** The removal complement of [[contamination]]: the training corpus with
+    * every document sharing at least `minShared` word n-grams with the
+    * eval corpus dropped. The contaminated-id set is tiny (it is the
+    * output of [[contamination]]), so the anti-join broadcasts — the
+    * clean 100 TB survives as a pass-through scan. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Long = 1L): DataFrame = {
+    val dirty = contamination(train, evalDocs, idCol, textCol, n)
+      .filter(col("n_shared") >= minShared)
+      .select(col(idCol))
+    train.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
+
   /** End-to-end curation pipeline — the composed shape a pretraining data
     * build actually runs: exact-dedup survivors (min-id per identical
     * text), quality gate at the corpus-wide `quantile` of token count

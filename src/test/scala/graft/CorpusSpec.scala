@@ -37,6 +37,21 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq((10L, 2L), (12L, 1L)))
   }
 
+  test("decontaminate drops exactly the docs at/above the overlap floor") {
+    val train = Seq(
+      (10L, "the cat sat on the mat"), // 2 shared bigrams
+      (11L, "a dog ran far away"), // clean
+      (12L, "the cat the cat") // 1 shared bigram
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((0L, "the cat sat quietly")).toDF("doc_id", "text")
+    val kept1 = Corpus.decontaminate(train, eval_, "doc_id", "text", n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept1.toSeq == Seq(11L))
+    val kept2 = Corpus.decontaminate(train, eval_, "doc_id", "text", n = 2,
+      minShared = 2L).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq == Seq(11L, 12L)) // floor 2 spares the 1-gram doc
+  }
+
   test("stratifiedTopK takes exactly k per stratum in total order") {
     val df = Seq(
       ("s1", 3L), ("s1", 1L), ("s1", 2L),
