@@ -566,6 +566,17 @@ object SparkEntry {
       ops.Corpus.curate(Testbed.graph(s, dir).collection("documents"),
           "doc_id", "text", "source", quantile = 0.5, k = 3)
         .orderBy("source", "doc_id")
+    }),
+    "q62_cross_neardup" -> ((s, dir) => {
+      // embedding-space decontamination, exact ground-truth path on a
+      // bounded train slice: every (train, eval) pair at/above cosine 0.35
+      // (the LSH scale path is recall-asserted against this in OpsSpec)
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      ops.Similarity.crossNearDupsExact(
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("id_a", "id_b")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1033,5 +1044,27 @@ object SparkEntry {
                                      ORDER BY n_tokens DESC, doc_id) AS rn
            FROM gated)
          SELECT doc_id, source, n_tokens FROM ranked
-         WHERE rn <= 3 ORDER BY source, doc_id""")
+         WHERE rn <= 3 ORDER BY source, doc_id""",
+    "q62_cross_neardup" ->
+      """WITH t AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings WHERE vec_id % 50 <> 0 AND vec_id < 200),
+         e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings WHERE vec_id % 50 = 0),
+         p AS (
+           SELECT t.vec_id AS id_a, e.vec_id AS id_b,
+                  round(list_sum(list_transform(range(1, 65),
+                      i -> CAST(t.embedding[i] AS DOUBLE)
+                           * CAST(e.embedding[i] AS DOUBLE)))
+                    / (t.nrm * e.nrm), 4) AS score
+           FROM t, e WHERE t.nrm > 0 AND e.nrm > 0)
+         SELECT id_a, id_b, score FROM p WHERE score >= 0.35
+         ORDER BY id_a, id_b""")
 }

@@ -142,6 +142,66 @@ object Similarity {
       threshold: Double = 0.95, planes: Int = 8, rotations: Int = 4): DataFrame =
     annPairs(emb, idCol, vecCol, planes, threshold, rotations)
 
+  /** Cross-corpus semantic near-dup pairs — embedding-space benchmark
+    * decontamination, the cosine complement of
+    * [[graft.ops.Corpus.contamination]]'s exact n-gram overlap. Both
+    * corpora bucket under the SAME storage-free hyperplanes (deterministic
+    * xxhash64 derivation — no model to ship), so a train/eval pair above
+    * the threshold collides with LSH probability; the eval side (benchmark
+    * suites) is tiny, so its banded buckets AND its vectors broadcast —
+    * the 100 TB train side never shuffles: band → broadcast-join →
+    * scalar-dedup candidates → one broadcast rescore. */
+  def crossNearDups(train: DataFrame, evalEmb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double = 0.95, planes: Int = 8,
+      rotations: Int = 4): DataFrame = {
+    require(rotations > 0, s"rotations must be positive, got $rotations")
+    require(planes * rotations <= 62,
+      s"planes*rotations must fit a long bucket accumulator, got ${planes * rotations}")
+    def prep(df: DataFrame, side: String) =
+      OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
+        col(vecCol).as(s"v_$side"), l2Norm(col(vecCol)).as(s"nrm_$side"),
+        signRandomProjection(col(vecCol), planes * rotations).as(s"_acc_$side"))
+    val mask = (1L << planes) - 1
+    def band(df: DataFrame, side: String) =
+      df.select(col(s"id_$side"),
+        posexplode(transform(sequence(lit(0), lit(rotations - 1)), r =>
+          call_function("shiftrightunsigned", col(s"_acc_$side"),
+            (lit(rotations - 1) - r) * planes).bitwiseAND(lit(mask))))
+          .as(Seq("rot", "bucket")))
+    val t = prep(train, "a").localCheckpoint(eager = false)
+    val e = prep(evalEmb, "b").localCheckpoint(eager = false)
+    val candidates = band(t, "a")
+      .join(broadcast(band(e, "b")), Seq("rot", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    candidates
+      .join(t.select(col("id_a"), col("v_a"), col("nrm_a")), Seq("id_a"))
+      .join(broadcast(e.select(col("id_b"), col("v_b"), col("nrm_b"))),
+        Seq("id_b"))
+      .filter(col("nrm_a") > 0 && col("nrm_b") > 0)
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** EXACT cross-corpus scoring — ground truth for [[crossNearDups]] on a
+    * bounded slice (the recall audit), quadratic by construction. No
+    * `id_a < id_b` dedup: the corpora are distinct, every (train, eval)
+    * pair is a real pair. */
+  def crossNearDupsExact(train: DataFrame, evalEmb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    def prep(df: DataFrame, side: String) =
+      OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
+          col(vecCol).as(s"v_$side"), l2Norm(col(vecCol)).as(s"nrm_$side"))
+        .filter(col(s"nrm_$side") > 0)
+    prep(train, "a").join(broadcast(prep(evalEmb, "b")), lit(true))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** EXACT embedding-cosine near-duplicate pairs — all-pairs scoring, no
     * bucketing. Quadratic by construction: this is the ground-truth /
     * verification path for [[embeddingNearDups]] and the right tool only on

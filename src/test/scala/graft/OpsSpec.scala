@@ -297,6 +297,28 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(entry == lsh)
   }
 
+  test("cross-corpus LSH decontamination: recall ≥ 0.9 vs exact ground " +
+      "truth, precision 1.0 (sf0.01)") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val train = emb.filter(col("vec_id") % 50 =!= 0)
+    val eval_ = emb.filter(col("vec_id") % 50 === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.crossNearDupsExact(
+      train, eval_, "vec_id", "embedding", 0.35))
+    assert(exact.nonEmpty)
+    // weak-threshold operating point → few planes + wide multi-probe,
+    // same configuration the self-pair recall test pins
+    val lsh = pairSet(Similarity.crossNearDups(train, eval_, "vec_id",
+      "embedding", threshold = 0.35, planes = 3, rotations = 14))
+    assert((lsh -- exact).isEmpty) // candidates are exactly rescored
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"cross-corpus recall $recall < 0.9 (${lsh.size}/${exact.size})")
+  }
+
   test("text ops: tokens, ttr, stopwords, lang guess, fingerprints") {
     val r = docs.filter(col("doc_id") === 0).select(
       TextOps.tokenCount(col("text")),
