@@ -577,6 +577,24 @@ object SparkEntry {
           emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", threshold = 0.35)
         .orderBy("id_a", "id_b")
+    }),
+    "q63_running_window" -> ((s, dir) => {
+      // frame + offset windows in one pass: per-customer running revenue
+      // (rows unbounded-preceding frame) and days since the previous order
+      // (lag) — one shuffle on the partition key serves both
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderkey")
+      Testbed.graph(s, dir).collection("orders")
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+            .as("running_cents"),
+          coalesce(datediff(to_date(col("o_orderdate")),
+            lag(to_date(col("o_orderdate")), 1).over(w)), lit(-1))
+            .cast("long").as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1066,5 +1084,18 @@ object SparkEntry {
                     / (t.nrm * e.nrm), 4) AS score
            FROM t, e WHERE t.nrm > 0 AND e.nrm > 0)
          SELECT id_a, id_b, score FROM p WHERE score >= 0.35
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    "q63_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS running_cents,
+                CAST(coalesce(date_diff('day',
+                       lag(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey ORDER BY o_orderkey),
+                       CAST(o_orderdate AS DATE)), -1) AS BIGINT)
+                  AS gap_days
+         FROM orders WHERE o_custkey < 20
+         ORDER BY o_custkey, o_orderkey""")
 }
