@@ -595,6 +595,16 @@ object SparkEntry {
             lag(to_date(col("o_orderdate")), 1).over(w)), lit(-1))
             .cast("long").as("gap_days"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q64_set_intersect" -> ((s, dir) => {
+      // §2.8 set op under the gate directly: customers holding BOTH an
+      // open and a fulfilled order — INTERSECT (set semantics, dedup) of
+      // two pruned scans of the same table
+      val o = Testbed.graph(s, dir).collection("orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(
+          o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy("o_custkey")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1097,5 +1107,10 @@ object SparkEntry {
                        CAST(o_orderdate AS DATE)), -1) AS BIGINT)
                   AS gap_days
          FROM orders WHERE o_custkey < 20
-         ORDER BY o_custkey, o_orderkey""")
+         ORDER BY o_custkey, o_orderkey""",
+    "q64_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""")
 }
