@@ -99,6 +99,21 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("q63 running windows: one partition-key shuffle serves both " +
+      "window functions") {
+    val plan = planOf("q63_running_window")
+    val windowExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(o_custkey")).size
+    assert(windowExchanges == 1, s"expected 1 window shuffle:\n${plan.take(3000)}")
+  }
+
+  test("q64 intersect: both branch scans push the status filter down") {
+    val scans = scanLines(planOf("q64_set_intersect"), "orders")
+    assert(scans.size == 2, scans.mkString("\n"))
+    scans.foreach(s => assert(s.contains("EqualTo(o_orderstatus,"),
+      s"status filter not pushed: $s"))
+  }
+
   test("q34 ANN bucketing runs on the codegen'd projection kernel, " +
       "candidates on scalars") {
     // no object serde anywhere in the pair pipeline (the checkpointed
