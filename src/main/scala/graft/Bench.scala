@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. The graph overlay is built
+  * SPARK_GRAFT_SF_DIR and prints TWO JSON lines — a bulky diagnostics line
+  * (raw per-rep timings, error messages) first, then the headline line
+  * (total + per-query medians + load) LAST, so a bounded tail capture of
+  * stdout always gets a complete parseable headline. The graph overlay is built
   * (and its edges materialized) once before timing — per-query numbers
   * measure query work, not ingest; the build cost is reported separately
   * as "build_sec".
@@ -110,7 +113,13 @@ object Bench {
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
     val nErr = results.count(_._3.nonEmpty)
     val loadAfter = loadAvg
-    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"q_errors":$qErrors,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"reps_sec":$reps,"sf":"$sfDir"}""")
+    // Two lines, big one FIRST: the channel reading stdout captures a
+    // bounded TAIL, and the full diagnostic line (per-query medians + raw
+    // reps + errors) grew past that bound in round 6 — truncating the
+    // headline total off the front. The short summary line is printed LAST
+    // so tail capture always ends with a complete, parseable total.
+    println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
