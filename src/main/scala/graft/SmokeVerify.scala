@@ -218,6 +218,43 @@ object SmokeVerify {
         gateRows == gateExpect && cleanN == trainN - contRows) "OK"
       else "BROKEN"))
 
+    // 12. Batched kNN join on real embeddings: the exact path must agree
+    // with a plain driver-side brute force (independent ground truth, not
+    // the library's own scorer), and the LSH path must recall >= 0.9 of it.
+    val q12 = emb10.filter(col("vec_id") % 50 === 0)
+    val c12 = emb10.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+    def vecs12(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos12(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus12 = vecs12(c12)
+    val brute12 = vecs12(q12).flatMap { case (qid, qv) =>
+      corpus12.map { case (cid, cv) =>
+        (qid, cid, BigDecimal(cos12(qv, cv)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (_, cid, s) => (-s, cid) }.take(5)
+    }.map { case (qid, cid, _) => (qid, cid) }.toSet
+    def knnPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact12 = knnPairs(graft.ops.Similarity.topKPerQueryExact(
+      q12, c12, "vec_id", "embedding", k = 5))
+    val lsh12 = knnPairs(graft.ops.Similarity.topKPerQuery(
+      q12, c12, "vec_id", "embedding", k = 5, planes = 3, rotations = 14))
+    val rec12 = if (exact12.isEmpty) 0.0
+      else (lsh12 & exact12).size.toDouble / exact12.size
+    println(f"SMOKE12 knnJoin: brute=${brute12.size} exact=${exact12.size} " +
+      f"exactMatchesBrute=${exact12 == brute12} lshRecall=$rec12%.2f => " +
+      (if (exact12.nonEmpty && exact12 == brute12 && rec12 >= 0.9)
+        "OK" else "BROKEN"))
+
     spark.stop()
   }
 }

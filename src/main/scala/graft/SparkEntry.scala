@@ -605,6 +605,19 @@ object SparkEntry {
         .intersect(
           o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
         .orderBy("o_custkey")
+    }),
+    "q65_knn_join" -> ((s, dir) => {
+      // batched kNN join (RAG retrieval): top-5 corpus neighbors of every
+      // query ROW at once — exact ground-truth path on a bounded corpus
+      // slice; the query batch broadcasts, the per-query top-k runs as a
+      // map-side group limit (the LSH scale path is recall-asserted
+      // against this in OpsSpec)
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      ops.Similarity.topKPerQueryExact(
+          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1112,5 +1125,32 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          INTERSECT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-         ORDER BY o_custkey""")
+         ORDER BY o_custkey""",
+    "q65_knn_join" ->
+      """WITH q AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings WHERE vec_id % 50 <> 0 AND vec_id < 200),
+         p AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round(list_sum(list_transform(range(1, 65),
+                      i -> CAST(c.embedding[i] AS DOUBLE)
+                           * CAST(q.embedding[i] AS DOUBLE)))
+                    / (c.nrm * q.nrm), 4) AS score
+           FROM c, q WHERE c.nrm > 0 AND q.nrm > 0),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS INT) AS "rank"
+           FROM p)
+         SELECT query_id, neighbor_id, score, "rank" FROM r
+         WHERE "rank" <= 5 ORDER BY query_id, "rank"""")
 }

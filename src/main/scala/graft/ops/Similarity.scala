@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`).
@@ -184,6 +185,50 @@ object Similarity {
           .as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** Final per-query rank over a scored (id_a = corpus, id_b = query)
+    * candidate set. `row_number() <= k` is the Spark-native distributed
+    * top-k: the rank-limit pushdown rewrites it to a PARTIAL group-limit
+    * on the map side (`WindowGroupLimit`, pinned in PlanShapeSpec), so the
+    * window exchange carries at most k rows per (query, input partition) —
+    * not the full |corpus|·|queries| scored set. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    scored
+      .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"),
+        col("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Batched kNN join, exact: the top-`k` corpus neighbors of EVERY query
+    * row (RAG-style retrieval — a whole batch of query vectors at once,
+    * unlike [[topKToQuery]]'s single literal vector). The query batch is
+    * small by nature, so it broadcasts and the 100 TB corpus side never
+    * shuffles for scoring; the only exchange is the group-limited top-k
+    * (see [[rankTopK]]). Exact — use as ground truth or when the corpus
+    * side is a bounded slice; [[topKPerQuery]] is the LSH scale path.
+    *
+    * Ties on (rounded) score break by neighbor id, so ranks are total and
+    * replayable. Queries drawn from the corpus itself match themselves at
+    * rank 1 — pre-filter the corpus side if self-matches are unwanted. */
+  def topKPerQueryExact(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    rankTopK(crossNearDupsExact(corpus, queries, idCol, vecCol,
+      threshold = -1.0), k)
+
+  /** Batched kNN join, LSH-accelerated: candidates from the shared
+    * storage-free hyperplane buckets ([[crossNearDups]] machinery — the
+    * query side banded AND broadcast, the corpus side map-side joined),
+    * then exact rescoring and the group-limited per-query top-k. Recall
+    * vs [[topKPerQueryExact]] rises with `rotations` (multi-probe) and
+    * falls with `planes`; a query whose bucket probes collide with fewer
+    * than `k` corpus vectors returns fewer than `k` rows. */
+  def topKPerQuery(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8, rotations: Int = 4): DataFrame =
+    rankTopK(crossNearDups(corpus, queries, idCol, vecCol, threshold = -1.0,
+      planes, rotations), k)
 
   /** EXACT cross-corpus scoring — ground truth for [[crossNearDups]] on a
     * bounded slice (the recall audit), quadratic by construction. No

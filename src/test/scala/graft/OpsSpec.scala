@@ -319,6 +319,42 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"cross-corpus recall $recall < 0.9 (${lsh.size}/${exact.size})")
   }
 
+  test("batched kNN join: exact top-k per query row, deterministic ranks") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f)), (11L, Array(0.9f, 0.1f, 0f)),
+      (12L, Array(0f, 1f, 0f)), (13L, Array(0f, 0.9f, 0.1f)),
+      (14L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topKPerQueryExact(queries, corpus, "vec_id",
+        "embedding", k = 2)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(out == Seq((0L, 10L, 1), (0L, 11L, 2), (1L, 12L, 1), (1L, 13L, 2)))
+  }
+
+  test("batched kNN LSH: recall@5 ≥ 0.9 vs the exact join (sf0.01)") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.topKPerQueryExact(queries, corpus,
+      "vec_id", "embedding", k = 5))
+    assert(exact.nonEmpty)
+    // top-5 neighbors of random 64-dim vectors sit at weak cosines — same
+    // few-planes + wide multi-probe operating point as the 0.35-threshold
+    // cross-corpus recall test (deterministic hyperplanes: this measures
+    // the estimator, not luck)
+    val lsh = pairSet(Similarity.topKPerQuery(queries, corpus, "vec_id",
+      "embedding", k = 5, planes = 3, rotations = 14))
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"kNN recall@5 $recall < 0.9 (${lsh.size}/${exact.size})")
+  }
+
   test("text ops: tokens, ttr, stopwords, lang guess, fingerprints") {
     val r = docs.filter(col("doc_id") === 0).select(
       TextOps.tokenCount(col("text")),

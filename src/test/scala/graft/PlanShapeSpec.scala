@@ -114,6 +114,19 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"status filter not pushed: $s"))
   }
 
+  test("q65 batched kNN: per-query top-k is group-limited map-side, " +
+      "query batch broadcast") {
+    val plan = planOf("q65_knn_join")
+    // rank-limit pushdown: row_number() <= k rewrites to a PARTIAL
+    // WindowGroupLimit before the window exchange, so the shuffle carries
+    // at most k rows per (query, input partition) — the property that
+    // keeps the final top-k from materializing |corpus|·|queries| rows
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("Partial"), plan.take(3000))
+    // the query batch is the broadcast side of the scoring join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("q34 ANN bucketing runs on the codegen'd projection kernel, " +
       "candidates on scalars") {
     // no object serde anywhere in the pair pipeline (the checkpointed
