@@ -49,6 +49,25 @@ object SmokeVerify {
     println(s"SMOKE2 candidatePairs: pairs=$nPairs badJaccard=$badJ => " +
       (if (nPairs > 0 && badJ == 0) "OK" else "BROKEN"))
 
+    // 2b. Incremental cross-corpus dedup: the cross slice of the self-join
+    // on the union must equal crossCandidatePairs(newBatch, corpus) — same
+    // permutations, same banding, exact verification on both.
+    val isNew2b = col("doc_id") % 7 === 0
+    val cross2b = graft.ops.Dedup.crossCandidatePairs(
+        docs.filter(isNew2b), docs.filter(!isNew2b), "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, minJaccard = 0.5,
+        maxNewBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val selfCross2b = graft.ops.Dedup.candidatePairs(docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, minJaccard = 0.5,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => (p._1 % 7 == 0) != (p._2 % 7 == 0))
+      .map(p => if (p._2 % 7 == 0) p else p.swap).toSet
+    println(s"SMOKE2b crossDedup: cross=${cross2b.size} " +
+      s"selfCross=${selfCross2b.size} equal=${cross2b == selfCross2b} => " +
+      (if (cross2b.nonEmpty && cross2b == selfCross2b) "OK" else "BROKEN"))
+
     // 3. OpsUtil widen path: a 1-partition input must fan out, a wide input
     // must pass through untouched (no shuffle inserted at 100TB scale).
     val narrow = docs.coalesce(1)

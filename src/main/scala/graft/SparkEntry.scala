@@ -618,6 +618,19 @@ object SparkEntry {
           emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
+    }),
+    "q66_cross_minhash" -> ((s, dir) => {
+      // incremental cross-corpus MinHash dedup: a new ingest batch banded
+      // + broadcast against the existing corpus under the same
+      // permutations — not oracle-able (xxhash64 banding); rows-only.
+      // Parity with the self-join on the union is CI-asserted in OpsSpec.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Dedup.crossCandidatePairs(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", shingleN = 3, k = 16, bands = 4,
+          minJaccard = 0.5, maxNewBucket = 200)
+        .orderBy("id_a", "id_b")
     }))
 
   def oracleSql: Map[String, String] = Map(

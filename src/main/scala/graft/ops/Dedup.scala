@@ -160,6 +160,70 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Incremental cross-corpus MinHash/LSH candidate pairs — dedup a NEW
+    * ingest batch against an EXISTING corpus (the rolling-ingest
+    * complement of [[candidatePairs]]'s self-join, mirroring
+    * [[Similarity.crossNearDups]] on the n-gram side). Both sides band
+    * under the SAME permutations (the universal-hash parameters are
+    * derived from the seed index, not the data — no model to ship), so a
+    * (corpus, new) pair above the threshold collides with the same LSH
+    * probability as in the self-join. The new batch is small by nature, so
+    * its banded buckets AND its shingle-hash sets broadcast — the 100 TB
+    * corpus side never shuffles: band → broadcast-join → scalar-dedup
+    * candidates → narrow corpus fetch → broadcast verify.
+    *
+    * Output matches [[candidatePairs]]: `(id_a, id_b, jaccard)` with
+    * `id_a` from the corpus and `id_b` from the new batch — the corpora
+    * are distinct, so every colliding pair is real (no `id_a < id_b`).
+    *
+    * @param maxNewBucket skew guard on the BROADCAST side: a new-batch
+    *   band bucket larger than this is a degenerate shingle set (empty /
+    *   boilerplate text) and is dropped — each surviving corpus row joins
+    *   at most `bands · maxNewBucket` candidates, keeping the output
+    *   linear in the corpus. Cheap to compute (the new batch is small);
+    *   the corpus side intentionally has NO bucket-size window — that
+    *   would shuffle the big side just to count.
+    */
+  def crossCandidatePairs(newBatch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 4, minJaccard: Double = 0.5,
+      maxNewBucket: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def prep(df: DataFrame, side: String) =
+      OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
+          charShingles(col(textCol), shingleN).as("shingles"))
+        .select(col(s"id_$side"),
+          array_sort(array_distinct(shingleHashes(col("shingles"))))
+            .as(s"_hs_$side"))
+        .localCheckpoint(eager = false)
+    def band(df: DataFrame, side: String) =
+      df.withColumn("sig", minhashFromHashes(col(s"_hs_$side"), k))
+        .select(col(s"id_$side"),
+          posexplode(bandHashes(col("sig"), k, bands))
+            .as(Seq("band", "bhash")))
+    val c = prep(corpus, "a")
+    val n = prep(newBatch, "b")
+    val nBanded = band(n, "b").withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bhash"))))
+      .filter(col("bucket_n") <= maxNewBucket)
+      .select(col("band"), col("bhash"), col("id_b"))
+    val candidates = band(c, "a")
+      .join(broadcast(nBanded), Seq("band", "bhash"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may collide in several bands; verify once
+    candidates
+      .join(c, Seq("id_a"))
+      .join(broadcast(n), Seq("id_b"))
+      .withColumn("_inter",
+        call_function("sorted_intersect_count", col("_hs_a"), col("_hs_b")))
+      .select(col("id_a"), col("id_b"), round(
+        col("_inter").cast("double")
+          / (size(col("_hs_a")) + size(col("_hs_b")) - col("_inter")), 4)
+        .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact n-gram Jaccard for every pair within `df` (use on a bounded
     * candidate set — this is the verification kernel, not the blocker). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -55,6 +55,43 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated
   }
 
+  test("cross-corpus minhash: new batch dups vs corpus caught, unrelated not") {
+    // new batch: a dup of corpus doc 0 (id 10) and an unrelated doc (id 11)
+    val newBatch = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "completely different words here")).toDF("doc_id", "text")
+    val pairs = Dedup.crossCandidatePairs(newBatch, docs, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 16, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 10L)) && pairs.contains((1L, 10L)))
+    assert(!pairs.exists(_._2 == 11L))
+  }
+
+  test("cross-corpus minhash ≡ self-join candidatePairs on the union " +
+      "(cross slice, sf0.01)") {
+    // same permutations + same banding ⇒ a (corpus, new) pair collides in
+    // the incremental path iff it collides in the self-join on the union;
+    // verification is exact on both, so the cross slices must be EQUAL
+    // (caps disabled so bucket-size filtering can't differ between paths)
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val isNew = col("doc_id") % 7 === 0
+    val cross = Dedup.crossCandidatePairs(all.filter(isNew), all.filter(!isNew),
+        "doc_id", "text", shingleN = 3, k = 16, bands = 4, minJaccard = 0.5,
+        maxNewBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val self = Dedup.candidatePairs(all, "doc_id", "text",
+        shingleN = 3, k = 16, bands = 4, minJaccard = 0.5,
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // self-join emits id_a < id_b; keep cross pairs, reorder to
+      // (corpus_id, new_id) to match the incremental path's sides
+      .filter(p => (p._1 % 7 == 0) != (p._2 % 7 == 0))
+      .map(p => if (p._2 % 7 == 0) p else (p._2, p._1, p._3)).toSet
+    assert(cross.nonEmpty)
+    assert(cross == self, s"cross=${cross.size} selfCross=${self.size} " +
+      s"onlyCross=${(cross -- self).take(3)} onlySelf=${(self -- cross).take(3)}")
+  }
+
   test("duplicate clusters + survivor policy: min id per transitive cluster") {
     // 0-1 exact, 1-2 near: {0,1,2} is ONE cluster only transitively
     val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")

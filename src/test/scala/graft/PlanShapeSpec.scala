@@ -127,6 +127,19 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q66 incremental cross-dedup: new batch broadcasts, corpus side " +
+      "has no bucket-count window") {
+    val plan = planOf("q66_cross_minhash")
+    // the new-batch side is the broadcast side of BOTH the banding join
+    // and the verification join — the corpus side never shuffles to meet it
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // exactly one Window (the new-side bucket cap): the corpus side must
+    // NOT pay a bucket-size window — that would shuffle the 100 TB side
+    // just to count
+    val windows = plan.linesIterator.count(_.contains("+- Window ["))
+    assert(windows == 1, s"expected 1 window (new-side cap), got $windows")
+  }
+
   test("q34 ANN bucketing runs on the codegen'd projection kernel, " +
       "candidates on scalars") {
     // no object serde anywhere in the pair pipeline (the checkpointed
