@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *   - [[stratifiedTopK]]: one window shuffle on the stratum key; nothing
   *     is collected to the driver. Deterministic (rank by explicit total
   *     order), so reruns and retried tasks agree — unlike `sample()`.
-  *   - [[aboveQuantile]]: two passes — a single-row exact-percentile
-  *     aggregate, then a broadcast of that scalar into the filter scan.
-  *     No per-row shuffle at all.
+  *   - [[aboveQuantile]]: two passes — a single-row percentile aggregate
+  *     (exact for bounded-cardinality metrics, sketch-based `approx` for
+  *     unbounded ones), then a broadcast of that scalar into the filter
+  *     scan. No per-row shuffle at all.
   */
 object Corpus {
 
@@ -38,19 +39,42 @@ object Corpus {
       .otherwise(array().cast("array<string>"))
   }
 
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.ops.Corpus")
+
   /** Benchmark decontamination: for each training document, the number of
     * distinct word `n`-grams it shares with the eval corpus. Docs absent
     * from the result share nothing (inner join — the common case at scale,
     * where almost all of 100 TB is clean, so emitting only contaminated
-    * ids keeps the result tiny). */
+    * ids keeps the result tiny).
+    *
+    * The broadcast of the eval gram set is count-gated, not unconditional:
+    * a multi-suite eval corpus can exceed the executor broadcast limit and
+    * fail the whole job on the hint alone. Above `maxBroadcastGrams`
+    * distinct grams the join falls back to an unhinted shuffle join (AQE
+    * still converts it back to broadcast at runtime if the built side
+    * turns out small enough). The gate costs one count over the eval side
+    * — bounded by the eval corpus, never the training corpus. Which path
+    * ran is logged at info. */
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int,
+      maxBroadcastGrams: Long = 2000000L): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
+    val nGrams = evalGrams.count()
+    val evalSide =
+      if (nGrams <= maxBroadcastGrams) {
+        logger.info(s"contamination: broadcasting $nGrams eval grams " +
+          s"(<= $maxBroadcastGrams)")
+        broadcast(evalGrams)
+      } else {
+        logger.info(s"contamination: $nGrams eval grams exceed the " +
+          s"$maxBroadcastGrams broadcast gate; using an unhinted join")
+        evalGrams
+      }
     val trainGrams = train.select(col(idCol),
       explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
-    trainGrams.join(broadcast(evalGrams), "gram")
+    trainGrams.join(evalSide, "gram")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -128,13 +152,26 @@ object Corpus {
       Seq(col("n_tokens").desc, col(idCol)), k)
   }
 
-  /** Rows whose `metric` is at or above the corpus-wide exact `q`-quantile
-    * (interpolated, matching DuckDB `quantile_cont`). The threshold is a
-    * 1-row aggregate joined back by broadcast — the filter pass reads the
-    * scan with a scalar predicate, no row-level shuffle. */
-  def aboveQuantile(df: DataFrame, metric: Column, q: Double): DataFrame = {
+  /** Rows whose `metric` is at or above the corpus-wide `q`-quantile. The
+    * threshold is a 1-row aggregate joined back by broadcast — the filter
+    * pass reads the scan with a scalar predicate, no row-level shuffle.
+    *
+    * Exact by default (interpolated, matching DuckDB `quantile_cont`) —
+    * right for bounded-cardinality metrics like token counts, where the
+    * partial aggregate's value→count map stays small. For an
+    * unbounded-cardinality metric (a continuous double score) the exact
+    * percentile's map grows with distinct values and becomes a
+    * reducer-memory risk at 100 TB: pass `approx = true` to use
+    * `approx_percentile` instead — a bounded-size QuantileSummaries sketch
+    * whose rank error is at most 1/`accuracy`, and deterministic for a
+    * given accuracy (same input → same threshold, so retries agree). */
+  def aboveQuantile(df: DataFrame, metric: Column, q: Double,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
-    val thr = df.agg(percentile(metric, lit(q)).as("_thr"))
+    val agg =
+      if (approx) approx_percentile(metric, lit(q), lit(accuracy))
+      else percentile(metric, lit(q))
+    val thr = df.agg(agg.as("_thr"))
     df.join(broadcast(thr), metric >= col("_thr")).drop("_thr")
   }
 }

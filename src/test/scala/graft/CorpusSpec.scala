@@ -71,6 +71,62 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.toSeq == Seq(3L, 4L))
   }
 
+  test("aboveQuantile approx: sketch gate retains ≥ 99% of the exact gate " +
+      "on an unbounded-cardinality metric (sf0.01)") {
+    // the approx path exists for continuous double metrics where the exact
+    // percentile's value→count map is a reducer-memory risk — drive it on
+    // one: a per-doc quality score with (almost) all-distinct values
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), (graft.ops.TextOps.tokenCount(col("text"))
+        + col("doc_id") / lit(1e9)).as("score"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Corpus.aboveQuantile(docs, col("score"), 0.75))
+    val approx = ids(Corpus.aboveQuantile(docs, col("score"), 0.75,
+      approx = true))
+    assert(exact.nonEmpty)
+    // rank error ≤ 1/accuracy = 1e-4 → the thresholds differ by at most a
+    // hair; both directions bounded (keeps almost everything exact keeps,
+    // admits almost nothing extra)
+    assert((exact & approx).size >= (exact.size * 0.99).toInt,
+      s"approx kept ${(exact & approx).size}/${exact.size} of the exact gate")
+    assert((approx -- exact).size <= (exact.size * 0.01).max(1),
+      s"approx admitted ${(approx -- exact).size} rows the exact gate drops")
+    // determinism: same input + accuracy → same threshold → same rows
+    assert(approx == ids(Corpus.aboveQuantile(docs, col("score"), 0.75,
+      approx = true)))
+  }
+
+  test("contamination falls back to an unhinted join above the broadcast " +
+      "gram gate, same result") {
+    val train = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "a dog ran far away"),
+      (12L, "the cat the cat")).toDF("doc_id", "text")
+    val eval_ = Seq((0L, "the cat sat quietly")).toDF("doc_id", "text")
+    def rows(maxGrams: Long) =
+      Corpus.contamination(train, eval_, "doc_id", "text", n = 2,
+        maxBroadcastGrams = maxGrams)
+    // with auto-broadcast off, only the explicit hint can broadcast — the
+    // two paths become distinguishable in the plan
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val hinted = rows(Long.MaxValue)
+      val fallback = rows(0L) // oversized eval side: gate must refuse
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!fallback.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+      val expect = Seq((10L, 2L), (12L, 1L))
+      def collectPairs(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(collectPairs(hinted) == expect)
+      assert(collectPairs(fallback) == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("vocabulary: tf sums per-doc counts, df counts docs, idf is ln(N/df)") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = Corpus.vocabulary(docs, "doc_id", "text", k = 2).collect()
