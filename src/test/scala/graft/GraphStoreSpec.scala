@@ -184,6 +184,52 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("crash between appendEdges's two writes: incoming under-reports, " +
+      "repairMirror restores visibility") {
+    saved
+    // simulate the documented failure window — the batch lands in the
+    // primary exactly as appendEdges writes it (bucketed Append), but the
+    // process dies before the mirror write
+    val batch = Seq((555L, "people:1", "people:3", "crash_test", 9L,
+        Map("via" -> "crash")))
+      .toDF("_rel_id", "_from", "_to", "rel_type", "_created_at", "props")
+    val aligned = batch.select(
+      spark.table(s"$db.edges_by_from").columns.map(col): _*)
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        "edges_by_from", Some(db)))
+      .bucketSpec.get
+    aligned.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.head)
+      .sortBy(bucketSpec.sortColumnNames.head)
+      .format("parquet").saveAsTable(s"$db.edges_by_from")
+    // divergent state: the copies disagree on the edge
+    assert(spark.table(s"$db.edges_by_from")
+      .filter(col("_rel_id") === 555L).count() == 1)
+    assert(spark.table(s"$db.edges_by_to")
+      .filter(col("_rel_id") === 555L).count() == 0)
+    // the OUTGOING query (primary-routed) sees the edge...
+    val broken = GraphStore.load(spark, db)
+    assert(GraphDocument(broken, DocRef("people", "1"))
+      .outgoingRelationships("crash_test").count() == 1)
+    // ...but the INCOMING query (mirror-routed) silently misses it — the
+    // exact under-report the dual-mirror contract warns about
+    assert(GraphDocument(broken, DocRef("people", "3"))
+      .incomingRelationships("crash_test").count() == 0)
+    // one idempotent rebuild from the source of truth
+    GraphStore.repairMirror(spark, db)
+    val repaired = GraphStore.load(spark, db)
+    assert(GraphDocument(repaired, DocRef("people", "3"))
+      .incomingRelationships("crash_test")
+      .select(get_json_object(col("from_doc"), "$.name"))
+      .collect().map(_.getString(0)).toSet == Set("alice"))
+    // the copies agree again, with no duplicate anywhere
+    assert(spark.table(s"$db.edges_by_to")
+      .filter(col("_rel_id") === 555L).count() == 1)
+    assert(spark.table(s"$db.edges_by_from").count() ==
+      spark.table(s"$db.edges_by_to").count())
+  }
+
   test("a user collection with its OWN _doc_key column is ordinary data " +
       "(store contract is the schema flag, not the column name)") {
     val userDf = Seq(("7", "thing", "external-key-7")).toDF("_id", "name", "_doc_key")
