@@ -631,6 +631,16 @@ object SparkEntry {
           "doc_id", "text", shingleN = 3, k = 16, bands = 4,
           minJaccard = 0.5, maxNewBucket = 200)
         .orderBy("id_a", "id_b")
+    }),
+    "q67_pagerank_converged" -> ((s, dir) => {
+      // tolerance-converged PageRank: iteration count is data-dependent so
+      // there is no unrollable SQL oracle — rows-only. Agreement with the
+      // oracled fixed-iteration variant (q41) is CI-asserted in
+      // GraphAnalyticsSpec (rank ordering + personalized locality).
+      graph.GraphAnalytics.pageRankConverged(Testbed.graph(s, dir),
+          tol = 0.0001)
+        .select(col("doc_key"), round(col("pagerank"), 4).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("doc_key")).limit(20)
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -87,4 +87,41 @@ object GraphAnalytics {
       .map { case (_, (pr, key)) => (key, pr) }
       .toDF("doc_key", "pagerank")
   }
+
+  /** Tolerance-converged PageRank: iterates until every vertex's rank moves
+    * by less than `tol` — the variant users reach for when they want "the"
+    * PageRank rather than a fixed iteration budget. Iteration count becomes
+    * data-dependent (each round is one Pregel superstep over the cached
+    * overlay, the same cost profile as [[pageRank]]); ranks are
+    * deterministic for a given (graph, tol, resetProb). */
+  def pageRankConverged(g: DocGraph, tol: Double = 0.001,
+      resetProb: Double = 0.15): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val gx = toGraphX(g)
+    gx.pageRank(tol, resetProb).vertices.join(gx.vertices)
+      .map { case (_, (pr, key)) => (key, pr) }
+      .toDF("doc_key", "pagerank")
+  }
+
+  /** Personalized PageRank, converged to `tol`: random walks restart at
+    * `sourceDocKey` (canonical `"collection:id"`) instead of uniformly, so
+    * ranks measure proximity to the source — "documents most related to
+    * THIS one through the link structure". The source key is hashed with
+    * the engine's vertex-id derivation, so no id-translation table. */
+  def personalizedPageRank(g: DocGraph, sourceDocKey: String,
+      tol: Double = 0.001, resetProb: Double = 0.15): DataFrame = {
+    val spark = g.spark
+    import spark.implicits._
+    val srcId = g.nodes
+      .select(col("_node_id"))
+      .filter(concat_ws(":", col("_collection"), col("_id")) === sourceDocKey)
+      .collect() // 1-row anchor lookup, constant-size at any scale
+    require(srcId.nonEmpty, s"unknown source document: $sourceDocKey")
+    val gx = toGraphX(g)
+    gx.personalizedPageRank(srcId(0).getLong(0), tol, resetProb)
+      .vertices.join(gx.vertices)
+      .map { case (_, (pr, key)) => (key, pr) }
+      .toDF("doc_key", "pagerank")
+  }
 }

@@ -31,4 +31,42 @@ class GraphAnalyticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // bob is pointed to by alice and zoe (knows); zoe only by bob
     assert(pr.nonEmpty && pr.values.forall(_ > 0))
   }
+
+  test("converged pagerank agrees with a deep fixed-iteration run") {
+    // at tol→0 the convergence variant approaches the fixed point a long
+    // static run sits at: same vertices, same ordering, close values
+    val static = GraphAnalytics.pageRank(g, numIter = 50).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val conv = GraphAnalytics.pageRankConverged(g, tol = 1e-6).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(conv.keySet == static.keySet)
+    assert(conv.values.forall(_ > 0))
+    // orderings agree (ties broken by key for stability)
+    def order(m: Map[String, Double]) =
+      m.toSeq.sortBy { case (k, v) => (-v, k) }.map(_._1)
+    assert(order(conv) == order(static))
+    // values converge to the same fixed point (both normalized to N)
+    conv.foreach { case (k, v) =>
+      assert(math.abs(v - static(k)) < 0.01, s"$k: conv=$v static=${static(k)}")
+    }
+  }
+
+  test("personalized pagerank concentrates rank near the source") {
+    val pr = GraphAnalytics.personalizedPageRank(g, Fixture.alice.key,
+        tol = 1e-6).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    // the source outranks everything: every walk restarts at alice
+    val top = pr.maxBy { case (k, v) => (v, k) }._1
+    assert(top == Fixture.alice.key, s"expected source on top, got $top: $pr")
+    // unreachable-from-alice documents get (near-)zero rank, her
+    // neighborhood gets strictly positive rank
+    val reachable = pr.filter(_._2 > 1e-9).keySet
+    assert(reachable.contains(Fixture.alice.key))
+    assert(reachable.size > 1 && reachable.size < pr.size)
+    // unknown source is refused up front
+    val e = intercept[IllegalArgumentException] {
+      GraphAnalytics.personalizedPageRank(g, "people:no-such-doc")
+    }
+    assert(e.getMessage.contains("unknown source"))
+  }
 }
