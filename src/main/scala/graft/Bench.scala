@@ -2,10 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints TWO JSON lines — a bulky diagnostics line
-  * (raw per-rep timings, error messages) first, then the headline line
-  * (total + per-query medians + load) LAST, so a bounded tail capture of
-  * stdout always gets a complete parseable headline. The graph overlay is built
+  * SPARK_GRAFT_SF_DIR and prints THREE JSON lines — a bulky diagnostics line
+  * (raw per-rep timings, error messages) first, then the full line
+  * (total + per-query medians + load), then a genuinely SHORT headline line
+  * (total, build, reps, errors, load, 3 slowest — NO per-query map, ≤300
+  * chars) absolutely LAST. The driver captures a bounded TAIL of stdout
+  * (~2.9 KB observed); rounds 5-7 lost the total because the "short" final
+  * line still embedded the full per-query medians map (~2.6 KB for 67
+  * queries) and got clipped from the front. Only a final line that is short
+  * in absolute terms — independent of query count — survives any tail
+  * window. The graph overlay is built
   * (and its edges materialized) once before timing — per-query numbers
   * measure query work, not ingest; the build cost is reported separately
   * as "build_sec".
@@ -113,13 +119,21 @@ object Bench {
     val total = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
     val nErr = results.count(_._3.nonEmpty)
     val loadAfter = loadAvg
-    // Two lines, big one FIRST: the channel reading stdout captures a
-    // bounded TAIL, and the full diagnostic line (per-query medians + raw
-    // reps + errors) grew past that bound in round 6 — truncating the
-    // headline total off the front. The short summary line is printed LAST
-    // so tail capture always ends with a complete, parseable total.
+    // Three lines, biggest FIRST: the channel reading stdout captures a
+    // bounded TAIL (~2.9 KB observed), so anything the driver must see has
+    // to fit inside the LAST few hundred bytes. Line 1 = raw diagnostics
+    // (per-rep timings + error text), line 2 = full per-query medians, line
+    // 3 = the headline: every scalar the driver and judge need (total,
+    // build, reps, errors, host-load taint telemetry, 3 slowest queries),
+    // with no per-query map so its length is bounded regardless of how many
+    // queries the suite grows to.
+    def s2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val slowest = results.collect { case (k, ts, _) if ts.nonEmpty => (k, median(ts)) }
+      .sortBy(-_._2).take(3)
+      .map { case (k, v) => "\"" + k + "\":" + s2(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","value":${s2(total)},"unit":"sec","build_sec":${s2(buildSec)},"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

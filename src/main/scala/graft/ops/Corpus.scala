@@ -53,14 +53,19 @@ object Corpus {
     * distinct grams the join falls back to an unhinted shuffle join (AQE
     * still converts it back to broadcast at runtime if the built side
     * turns out small enough). The gate costs one count over the eval side
-    * — bounded by the eval corpus, never the training corpus. Which path
-    * ran is logged at info. */
+    * — bounded by the eval corpus, never the training corpus — and the
+    * counted gram set is checkpointed, so the explode+distinct runs ONCE
+    * (the count materializes it; the join reads it back) rather than once
+    * for the gate and again for the join. The count makes this operator
+    * eager at construction time — the unavoidable price of a data-dependent
+    * plan choice. Which path ran is logged at info. */
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, n: Int,
       maxBroadcastGrams: Long = 2000000L): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
+      .localCheckpoint(eager = false)
     val nGrams = evalGrams.count()
     val evalSide =
       if (nGrams <= maxBroadcastGrams) {
@@ -163,8 +168,11 @@ object Corpus {
     * percentile's map grows with distinct values and becomes a
     * reducer-memory risk at 100 TB: pass `approx = true` to use
     * `approx_percentile` instead — a bounded-size QuantileSummaries sketch
-    * whose rank error is at most 1/`accuracy`, and deterministic for a
-    * given accuracy (same input → same threshold, so retries agree). */
+    * whose rank error is at most 1/`accuracy`. The sketch is deterministic
+    * for a FIXED partitioning (same input, same partitions, same merge
+    * order → same threshold); a retried or repartitioned run can land on a
+    * slightly different threshold within the 1/`accuracy` rank-error band —
+    * that band, not bit-identical replay, is the real guarantee. */
   def aboveQuantile(df: DataFrame, metric: Column, q: Double,
       approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")

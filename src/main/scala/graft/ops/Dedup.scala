@@ -167,10 +167,17 @@ object Dedup {
     * under the SAME permutations (the universal-hash parameters are
     * derived from the seed index, not the data — no model to ship), so a
     * (corpus, new) pair above the threshold collides with the same LSH
-    * probability as in the self-join. The new batch is small by nature, so
+    * probability as in the self-join. The new batch is USUALLY small, so
     * its banded buckets AND its shingle-hash sets broadcast — the 100 TB
     * corpus side never shuffles: band → broadcast-join → scalar-dedup
-    * candidates → narrow corpus fetch → broadcast verify.
+    * candidates → narrow corpus fetch → broadcast verify. "Usually" is not
+    * a contract, though: the broadcast is count-gated
+    * ([[OpsUtil.broadcastGate]]) — above `maxBroadcastRows` new-batch docs
+    * the hints are dropped (logged) and the joins shuffle, because a forced
+    * broadcast of an oversized batch fails the whole job on the hint
+    * alone. The gating count doubles as eager materialization of the
+    * new-batch checkpoint, so it costs no extra pass — the corpus side is
+    * never counted.
     *
     * Output matches [[candidatePairs]]: `(id_a, id_b, jaccard)` with
     * `id_a` from the corpus and `id_b` from the new batch — the corpora
@@ -187,7 +194,7 @@ object Dedup {
   def crossCandidatePairs(newBatch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
       bands: Int = 4, minJaccard: Double = 0.5,
-      maxNewBucket: Int = 1000): DataFrame = {
+      maxNewBucket: Int = 1000, maxBroadcastRows: Long = 1000000L): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def prep(df: DataFrame, side: String) =
       OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
@@ -203,18 +210,25 @@ object Dedup {
             .as(Seq("band", "bhash")))
     val c = prep(corpus, "a")
     val n = prep(newBatch, "b")
+    // One count of the NEW side only: it gates the broadcasts below and —
+    // because `n` is a lazy localCheckpoint — materializes the shingle-hash
+    // prep exactly once for every downstream use. The banded bucket side is
+    // ≤ `bands`×(this count) scalar rows, so one count decides both hints.
+    val bcast = OpsUtil.broadcastGate("crossCandidatePairs", "newBatch",
+      n.count(), maxBroadcastRows)
+    def hint(df: DataFrame) = if (bcast) broadcast(df) else df
     val nBanded = band(n, "b").withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bhash"))))
       .filter(col("bucket_n") <= maxNewBucket)
       .select(col("band"), col("bhash"), col("id_b"))
     val candidates = band(c, "a")
-      .join(broadcast(nBanded), Seq("band", "bhash"))
+      .join(hint(nBanded), Seq("band", "bhash"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in several bands; verify once
     candidates
       .join(c, Seq("id_a"))
-      .join(broadcast(n), Seq("id_b"))
+      .join(hint(n), Seq("id_b"))
       .withColumn("_inter",
         call_function("sorted_intersect_count", col("_hs_a"), col("_hs_b")))
       .select(col("id_a"), col("id_b"), round(

@@ -4,6 +4,30 @@ import org.apache.spark.sql.DataFrame
 
 private[graft] object OpsUtil {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.ops")
+
+  /** Shared broadcast gate for the cross-corpus ops ([[Dedup
+    * .crossCandidatePairs]], [[Similarity.crossNearDups]] and friends):
+    * "the new batch / query side is small" is an assumption, not a
+    * contract, and an unconditional `broadcast()` hint FAILS the whole job
+    * when a large ingest day or eval suite exceeds the executor broadcast
+    * limit. Returns true iff `rows <= maxRows` — the caller then applies
+    * or omits the hint — and logs which path ran, so a plan flipping to
+    * shuffle joins at scale is observable, not silent. Row count is the
+    * gate's proxy for size; callers with fat rows (long embedding vectors,
+    * big shingle-hash sets) should lower `maxRows` accordingly. AQE can
+    * still re-promote an unhinted join to broadcast at runtime if the
+    * built side turns out small — the gate only removes the FORCED hint. */
+  def broadcastGate(op: String, side: String, rows: Long,
+      maxRows: Long): Boolean = {
+    val ok = rows <= maxRows
+    if (ok) logger.info(
+      s"$op: broadcasting $side ($rows rows <= gate $maxRows)")
+    else logger.info(s"$op: $side has $rows rows, over the broadcast gate " +
+      s"of $maxRows; falling back to unhinted joins")
+    ok
+  }
+
   /** Make sure a per-row CPU-heavy stage gets the session's full
     * parallelism. Small inputs (a dimension table, one parquet file) arrive
     * in 1-2 partitions and would otherwise serialize the expensive kernel

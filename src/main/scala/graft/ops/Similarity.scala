@@ -149,12 +149,20 @@ object Similarity {
     * corpora bucket under the SAME storage-free hyperplanes (deterministic
     * xxhash64 derivation — no model to ship), so a train/eval pair above
     * the threshold collides with LSH probability; the eval side (benchmark
-    * suites) is tiny, so its banded buckets AND its vectors broadcast —
-    * the 100 TB train side never shuffles: band → broadcast-join →
-    * scalar-dedup candidates → one broadcast rescore. */
+    * suites) is USUALLY tiny, so its banded buckets AND its vectors
+    * broadcast — the 100 TB train side never shuffles: band →
+    * broadcast-join → scalar-dedup candidates → one broadcast rescore.
+    * "Usually" is not a contract: the broadcast is count-gated
+    * ([[OpsUtil.broadcastGate]]) — above `maxBroadcastRows` eval/query
+    * vectors the hints are dropped (logged) and the joins shuffle, because
+    * a forced broadcast of an oversized side fails the job on the hint
+    * alone. The gating count doubles as eager materialization of the eval
+    * side's checkpoint (no extra pass); the train side is never counted.
+    * Embedding rows are fat (dim × 4 bytes each) — lower the gate for
+    * high-dimensional vectors. */
   def crossNearDups(train: DataFrame, evalEmb: DataFrame, idCol: String,
       vecCol: String, threshold: Double = 0.95, planes: Int = 8,
-      rotations: Int = 4): DataFrame = {
+      rotations: Int = 4, maxBroadcastRows: Long = 1000000L): DataFrame = {
     require(rotations > 0, s"rotations must be positive, got $rotations")
     require(planes * rotations <= 62,
       s"planes*rotations must fit a long bucket accumulator, got ${planes * rotations}")
@@ -171,13 +179,20 @@ object Similarity {
           .as(Seq("rot", "bucket")))
     val t = prep(train, "a").localCheckpoint(eager = false)
     val e = prep(evalEmb, "b").localCheckpoint(eager = false)
+    // One count of the EVAL side only: gates both hints below and
+    // materializes the lazy checkpoint once for every downstream use. The
+    // banded side is rotations×(this count) scalar rows — one count
+    // decides both.
+    val bcast = OpsUtil.broadcastGate("crossNearDups", "evalEmb", e.count(),
+      maxBroadcastRows)
+    def hint(df: DataFrame) = if (bcast) broadcast(df) else df
     val candidates = band(t, "a")
-      .join(broadcast(band(e, "b")), Seq("rot", "bucket"))
+      .join(hint(band(e, "b")), Seq("rot", "bucket"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     candidates
       .join(t.select(col("id_a"), col("v_a"), col("nrm_a")), Seq("id_a"))
-      .join(broadcast(e.select(col("id_b"), col("v_b"), col("nrm_b"))),
+      .join(hint(e.select(col("id_b"), col("v_b"), col("nrm_b"))),
         Seq("id_b"))
       .filter(col("nrm_a") > 0 && col("nrm_b") > 0)
       .select(col("id_a"), col("id_b"),
@@ -214,9 +229,9 @@ object Similarity {
     * replayable. Queries drawn from the corpus itself match themselves at
     * rank 1 — pre-filter the corpus side if self-matches are unwanted. */
   def topKPerQueryExact(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame =
+      vecCol: String, k: Int, maxBroadcastRows: Long = 1000000L): DataFrame =
     rankTopK(crossNearDupsExact(corpus, queries, idCol, vecCol,
-      threshold = -1.0), k)
+      threshold = -1.0, maxBroadcastRows), k)
 
   /** Batched kNN join, LSH-accelerated: candidates from the shared
     * storage-free hyperplane buckets ([[crossNearDups]] machinery — the
@@ -226,21 +241,30 @@ object Similarity {
     * falls with `planes`; a query whose bucket probes collide with fewer
     * than `k` corpus vectors returns fewer than `k` rows. */
   def topKPerQuery(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8, rotations: Int = 4): DataFrame =
+      vecCol: String, k: Int, planes: Int = 8, rotations: Int = 4,
+      maxBroadcastRows: Long = 1000000L): DataFrame =
     rankTopK(crossNearDups(corpus, queries, idCol, vecCol, threshold = -1.0,
-      planes, rotations), k)
+      planes, rotations, maxBroadcastRows), k)
 
   /** EXACT cross-corpus scoring — ground truth for [[crossNearDups]] on a
     * bounded slice (the recall audit), quadratic by construction. No
     * `id_a < id_b` dedup: the corpora are distinct, every (train, eval)
-    * pair is a real pair. */
+    * pair is a real pair. The eval-side broadcast is count-gated like
+    * [[crossNearDups]]'s (the count also materializes the eval side's
+    * checkpoint, so the prep kernels run once); over the gate the product
+    * runs as an unhinted cross join — expensive but unable to fail on the
+    * hint alone. */
   def crossNearDupsExact(train: DataFrame, evalEmb: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
     def prep(df: DataFrame, side: String) =
       OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
           col(vecCol).as(s"v_$side"), l2Norm(col(vecCol)).as(s"nrm_$side"))
         .filter(col(s"nrm_$side") > 0)
-    prep(train, "a").join(broadcast(prep(evalEmb, "b")), lit(true))
+    val e = prep(evalEmb, "b").localCheckpoint(eager = false)
+    val bcast = OpsUtil.broadcastGate("crossNearDupsExact", "evalEmb",
+      e.count(), maxBroadcastRows)
+    prep(train, "a").join(if (bcast) broadcast(e) else e, lit(true))
       .select(col("id_a"), col("id_b"),
         round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("score"))

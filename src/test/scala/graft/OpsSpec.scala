@@ -92,6 +92,34 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"onlyCross=${(cross -- self).take(3)} onlySelf=${(self -- cross).take(3)}")
   }
 
+  test("cross-corpus minhash broadcast gate: oversized new batch drops the " +
+      "hints, identical pairs on both paths") {
+    val newBatch = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "completely different words here")).toDF("doc_id", "text")
+    def run(gate: Long) = Dedup.crossCandidatePairs(newBatch, docs, "doc_id",
+      "text", shingleN = 3, k = 16, bands = 16, minJaccard = 0.5,
+      maxBroadcastRows = gate)
+    // with auto-broadcast off, only the explicit hint can broadcast — the
+    // two paths become distinguishable in the plan
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val hinted = run(Long.MaxValue)
+      val fallback = run(0L) // oversized new batch: gate must refuse
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!fallback.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val h = rows(hinted)
+      assert(h.nonEmpty)
+      assert(h == rows(fallback))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("duplicate clusters + survivor policy: min id per transitive cluster") {
     // 0-1 exact, 1-2 near: {0,1,2} is ONE cluster only transitively
     val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
@@ -369,6 +397,50 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .orderBy("query_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
     assert(out == Seq((0L, 10L, 1), (0L, 11L, 2), (1L, 12L, 1), (1L, 13L, 2)))
+  }
+
+  test("similarity broadcast gates: oversized query/eval side drops the " +
+      "hints on both the LSH and exact paths, identical results") {
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f)), (11L, Array(0.9f, 0.1f, 0f)),
+      (12L, Array(0f, 1f, 0f)), (13L, Array(0f, 0.9f, 0.1f)),
+      (14L, Array(0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      def knnRows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+      // LSH path (routes through crossNearDups)
+      val lshHinted = Similarity.topKPerQuery(queries, corpus, "vec_id",
+        "embedding", k = 2, planes = 3, rotations = 14)
+      val lshFallback = Similarity.topKPerQuery(queries, corpus, "vec_id",
+        "embedding", k = 2, planes = 3, rotations = 14, maxBroadcastRows = 0L)
+      assert(lshHinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(!lshFallback.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+      assert(knnRows(lshHinted).nonEmpty)
+      assert(knnRows(lshHinted) == knnRows(lshFallback))
+      // exact path (routes through crossNearDupsExact; the unhinted
+      // fallback is a plain cartesian product — no broadcast operator of
+      // either flavor)
+      val exHinted = Similarity.topKPerQueryExact(queries, corpus, "vec_id",
+        "embedding", k = 2)
+      val exFallback = Similarity.topKPerQueryExact(queries, corpus,
+        "vec_id", "embedding", k = 2, maxBroadcastRows = 0L)
+      assert(exHinted.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      val exPlan = exFallback.queryExecution.executedPlan.toString
+      assert(!exPlan.contains("BroadcastExchange")
+        && !exPlan.contains("BroadcastNestedLoopJoin"))
+      assert(knnRows(exHinted) == knnRows(exFallback))
+      assert(knnRows(exHinted) == Seq((0L, 10L, 1), (0L, 11L, 2),
+        (1L, 12L, 1), (1L, 13L, 2)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("batched kNN LSH: recall@5 ≥ 0.9 vs the exact join (sf0.01)") {
