@@ -274,6 +274,41 @@ object SmokeVerify {
       (if (exact12.nonEmpty && exact12 == brute12 && rec12 >= 0.9)
         "OK" else "BROKEN"))
 
+    // 13. verifyMirrors detector on the store SMOKE9 built: healthy → zero
+    // deltas; a primary-only append (the documented crash window) → exactly
+    // the orphaned edge; repairMirror → zero again.
+    val db13 = "graft_smoke_store"
+    val healthy13 = graft.sources.GraphStore.verifyMirrors(spark, db13).count()
+    val aligned13 = Seq((888L, "orders:999998", "customer:2", "placed_by",
+        2L, Map.empty[String, String]))
+      .toDF("_rel_id", "_from", "_to", "rel_type", "_created_at", "props")
+      .select(spark.table(s"$db13.edges_by_from").columns.map(col): _*)
+    val spec13 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "edges_by_from", Some(db13))).bucketSpec.get
+    aligned13.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(spec13.numBuckets, spec13.bucketColumnNames.head)
+      .sortBy(spec13.sortColumnNames.head)
+      .format("parquet").saveAsTable(s"$db13.edges_by_from")
+    val deltas13 = graft.sources.GraphStore.verifyMirrors(spark, db13).collect()
+    val named13 = deltas13.length == 1 && deltas13(0).getLong(0) == 888L &&
+      deltas13(0).getLong(4) == 1L && deltas13(0).getLong(5) == 0L
+    graft.sources.GraphStore.repairMirror(spark, db13)
+    val repaired13 = graft.sources.GraphStore.verifyMirrors(spark, db13).count()
+    println(s"SMOKE13 verifyMirrors: healthy=$healthy13 orphanNamed=$named13 " +
+      s"afterRepair=$repaired13 => " +
+      (if (healthy13 == 0 && named13 && repaired13 == 0) "OK" else "BROKEN"))
+
+    // 14. batched IVF kNN against the same exact ground truth as SMOKE12.
+    val ix14 = graft.ops.IvfIndex.build(c12, "vec_id", "embedding", k = 8)
+    val ivf14 = knnPairs(graft.ops.IvfIndex.topKPerQuery(q12, ix14,
+      "vec_id", "embedding", topK = 5, nProbe = 6))
+    val rec14 = if (exact12.isEmpty) 0.0
+      else (ivf14 & exact12).size.toDouble / exact12.size
+    println(f"SMOKE14 ivfKnn: exact=${exact12.size} ivf=${ivf14.size} " +
+      f"recall=$rec14%.2f => " +
+      (if (exact12.nonEmpty && rec14 >= 0.9) "OK" else "BROKEN"))
+
     spark.stop()
   }
 }

@@ -641,6 +641,34 @@ object SparkEntry {
           tol = 0.0001)
         .select(col("doc_key"), round(col("pagerank"), 4).as("pagerank"))
         .orderBy(col("pagerank").desc, col("doc_key")).limit(20)
+    }),
+    "q68_personalized_pagerank" -> ((s, dir) => {
+      // personalized PageRank from a fixed anchor: walks restart at
+      // customer:1, so ranks measure link-structure proximity to that one
+      // document. Data-dependent iteration count → no unrollable SQL
+      // oracle; rows-only. Source-on-top + locality are CI-asserted in
+      // GraphAnalyticsSpec.
+      graph.GraphAnalytics.personalizedPageRank(Testbed.graph(s, dir),
+          "customer:1", tol = 0.0001)
+        .select(col("doc_key"), round(col("pagerank"), 4).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("doc_key")).limit(20)
+    }),
+    "q69_knn_ivf" -> ((s, dir) => {
+      // batched kNN through the IVF index: every query row probes its
+      // nearest k-means cells (distributed centroid ranking, no per-query
+      // driver work) — the cell-partitioned alternative to q65's exact /
+      // OpsSpec's LSH paths. k-means cells are seed-deterministic but not
+      // SQL-oracle-able; rows-only. Recall@5 ≥ 0.9 vs the exact join is
+      // CI-asserted in OpsSpec.
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+      // cache key names the SLICE, not just the dir — q45's index over the
+      // full table is a different corpus
+      val ix = ops.IvfIndex.buildCached(corpus, "vec_id", "embedding",
+        key = s"$dir#knn200", k = 8)
+      ops.IvfIndex.topKPerQuery(emb.filter(col("vec_id") % 50 === 0), ix,
+          "vec_id", "embedding", topK = 5, nProbe = 6)
+        .orderBy("query_id", "rank")
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -81,4 +81,65 @@ object IvfIndex {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(topK)
   }
+
+  /** Batched kNN join through the IVF index: the top-`topK` corpus
+    * neighbors of EVERY query row, each query probing its `nProbe`
+    * nearest cells — the cell-partitioned alternative to
+    * [[Similarity.topKPerQuery]]'s hyperplane LSH. IVF recall behaves
+    * better when the corpus clusters (cells adapt to the data,
+    * storage-free hyperplanes don't); LSH wins when no index can be
+    * trained ahead of the query.
+    *
+    * Unlike [[query]]'s single-vector probe (centroid ranking on the
+    * driver), the per-query cell choice here is fully distributed: the
+    * centroid table is tiny (k × dim) and broadcast; each query ranks its
+    * cells with a window over queries×k scalar rows. The query side is
+    * broadcast under the same count gate as the other cross-corpus ops
+    * ([[OpsUtil.broadcastGate]]); the corpus side never shuffles for
+    * scoring — with cells written as the partition key, each probe reads
+    * only the probed cells' files. The final top-k is the group-limited
+    * window ([[Similarity.rankTopK]] — map-side partial limit, the
+    * exchange carries ≤ topK rows per (query, partition)).
+    *
+    * Output matches [[Similarity.topKPerQuery]]: `(query_id, neighbor_id,
+    * score, rank)`; a query whose probed cells hold fewer than `topK`
+    * vectors returns fewer rows. */
+  def topKPerQuery(queries: DataFrame, ix: Index, idCol: String,
+      vecCol: String, topK: Int, nProbe: Int = 4,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = ix.centroids.toSeq.toDF("cell", "_centroid")
+    val q = OpsUtil.widen(queries)
+      .select(col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"),
+        Similarity.l2Norm(col(vecCol)).as("nrm_b"))
+      .localCheckpoint(eager = false)
+    val bcast = OpsUtil.broadcastGate("IvfIndex.topKPerQuery", "queries",
+      q.count(), maxBroadcastRows)
+    def hint(df: DataFrame) = if (bcast) broadcast(df) else df
+    // squared L2 to every centroid (k rows per query — scalar-cheap), then
+    // keep each query's nProbe nearest cells
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("_d2", aggregate(
+        zip_with(col("v_b"), col("_centroid"),
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (s, v) => s + v))
+      .withColumn("_pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id_b"))
+          .orderBy(col("_d2"), col("cell"))))
+      .filter(col("_pr") <= nProbe)
+      .select(col("id_b"), col("cell"))
+    val corpus = ix.cells.select(col("cell"),
+      col(idCol).cast("long").as("id_a"), col(vecCol).as("v_a"),
+      Similarity.l2Norm(col(vecCol)).as("nrm_a"))
+    val scored = corpus.join(hint(probes), Seq("cell"))
+      .join(hint(q), Seq("id_b"))
+      .filter(col("nrm_a") > 0 && col("nrm_b") > 0)
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("v_a"), col("v_b"))
+          / (col("nrm_a") * col("nrm_b")), 4).as("score"))
+    Similarity.rankTopK(scored, topK)
+  }
 }

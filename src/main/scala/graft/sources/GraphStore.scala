@@ -158,6 +158,36 @@ object GraphStore {
     append("edges_by_to")
   }
 
+  /** Detect mirror divergence: every edge on which the `_from`-bucketed
+    * primary and the `_to`-bucketed mirror DISAGREE, with its multiplicity
+    * on each side. Healthy store → empty result; a crash inside
+    * [[appendEdges]]'s window (primary written, mirror not) → one row per
+    * missing edge with `n_primary = 1, n_mirror = 0`. This makes the
+    * documented failure mode *detectable* in routine operation (run it
+    * after restarts, before trusting incoming-direction queries) rather
+    * than only repairable once someone already suspects it; the fix is
+    * [[repairMirror]], and rerunning this afterwards must return empty.
+    *
+    * Cost at scale: one map-side-combinable count per copy, keyed by the
+    * scalar identity columns only (`_rel_id`, `_from`, `_to`, `rel_type` —
+    * never the properties map, so column pruning keeps both scans narrow),
+    * then a join of the two counted sets on the same key — co-partitioned
+    * after their shuffles. Nothing is collected to the driver. */
+  def verifyMirrors(spark: SparkSession, db: String): DataFrame = {
+    val idCols = Seq("_rel_id", "_from", "_to", "rel_type")
+      .filter(spark.table(s"$db.edges_by_from").columns.contains)
+    require(idCols.nonEmpty, s"$db.edges_by_from has none of the edge " +
+      "identity columns (_rel_id/_from/_to/rel_type)")
+    def counted(table: String, cname: String) =
+      spark.table(s"$db.$table")
+        .groupBy(idCols.map(col): _*)
+        .agg(count(lit(1)).as(cname))
+    counted("edges_by_from", "n_primary")
+      .join(counted("edges_by_to", "n_mirror"), idCols, "full_outer")
+      .na.fill(0L, Seq("n_primary", "n_mirror"))
+      .filter(col("n_primary") =!= col("n_mirror"))
+  }
+
   /** Rebuild the `_to`-bucketed mirror from the `_from`-bucketed primary —
     * the recovery path for a crash between [[appendEdges]]'s two writes.
     * Idempotent: safe to run on a healthy store. */

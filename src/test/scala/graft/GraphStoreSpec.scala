@@ -208,6 +208,14 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       .filter(col("_rel_id") === 555L).count() == 1)
     assert(spark.table(s"$db.edges_by_to")
       .filter(col("_rel_id") === 555L).count() == 0)
+    // ...and the detector SAYS so, naming exactly the orphaned edge —
+    // divergence is detectable in routine operation, not only once an
+    // incoming query is already under-reporting
+    val deltas = GraphStore.verifyMirrors(spark, db)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(deltas.toSeq ==
+      Seq((555L, "people:1", "people:3", "crash_test", 1L, 0L)))
     // the OUTGOING query (primary-routed) sees the edge...
     val broken = GraphStore.load(spark, db)
     assert(GraphDocument(broken, DocRef("people", "1"))
@@ -228,6 +236,8 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       .filter(col("_rel_id") === 555L).count() == 1)
     assert(spark.table(s"$db.edges_by_from").count() ==
       spark.table(s"$db.edges_by_to").count())
+    // and the detector confirms the repaired store is healthy: zero deltas
+    assert(GraphStore.verifyMirrors(spark, db).count() == 0)
   }
 
   test("a user collection with its OWN _doc_key column is ordinary data " +

@@ -502,6 +502,53 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ivf == brute) // cluster 0's members dominate both top-5 sets
   }
 
+  test("batched IVF kNN: clustered corpus, nProbe=1 equals the exact join") {
+    // 3 tight clusters around orthogonal axes (the shape IVF is FOR): each
+    // query's top-k lives entirely in its own cell, so probing the single
+    // nearest cell must reproduce the exact join
+    val base = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val corpus = (0 until 30).map { i =>
+      val c = base(i % 3)
+      (i.toLong, c.zipWithIndex.map { case (x, d) => x + 0.01f * ((i + d) % 5) })
+    }.toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Array(1f, 0.01f, 0f, 0f)), (101L, Array(0f, 1f, 0.01f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ix = graft.ops.IvfIndex.build(corpus, "vec_id", "embedding", k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    val ivf = rows(graft.ops.IvfIndex.topKPerQuery(queries, ix, "vec_id",
+      "embedding", topK = 5, nProbe = 1))
+    val exact = rows(Similarity.topKPerQueryExact(queries, corpus, "vec_id",
+      "embedding", k = 5))
+    assert(ivf.nonEmpty)
+    assert(ivf == exact)
+  }
+
+  test("batched IVF kNN: recall@5 ≥ 0.9 vs the exact join (sf0.01)") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Similarity.topKPerQueryExact(queries, corpus,
+      "vec_id", "embedding", k = 5))
+    assert(exact.nonEmpty)
+    // near-uniform random 64-dim vectors are IVF's WORST case (no cluster
+    // structure for the cells to adapt to), so the honest operating point
+    // on this data probes a large cell fraction; the clustered test above
+    // pins the favorable-case behavior at nProbe=1
+    val ix = graft.ops.IvfIndex.build(corpus, "vec_id", "embedding", k = 8)
+    val ivf = pairSet(graft.ops.IvfIndex.topKPerQuery(queries, ix, "vec_id",
+      "embedding", topK = 5, nProbe = 6))
+    assert((ivf -- exact).isEmpty) // candidates are exactly rescored
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@5 $recall < 0.9 (${ivf.size}/${exact.size})")
+  }
+
   test("asof join: latest right row at-or-before each left row, per key") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)

@@ -127,6 +127,19 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q69 IVF kNN: per-query top-k is group-limited map-side, query " +
+      "side broadcast into the cell join") {
+    val plan = planOf("q69_knn_ivf")
+    // same rank-limit pushdown property as q65: the final top-k shuffle
+    // carries at most k rows per (query, partition), not the scored
+    // (probed-cells × queries) product
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("Partial"), plan.take(3000))
+    // probes and query vectors meet the corpus cells by broadcast — the
+    // corpus side never shuffles for scoring
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("q66 incremental cross-dedup: new batch broadcasts, corpus side " +
       "has no bucket-count window") {
     val plan = planOf("q66_cross_minhash")
