@@ -669,6 +669,27 @@ object SparkEntry {
       ops.IvfIndex.topKPerQuery(emb.filter(col("vec_id") % 50 === 0), ix,
           "vec_id", "embedding", topK = 5, nProbe = 6)
         .orderBy("query_id", "rank")
+    }),
+    "q70_pack_sequences" -> ((s, dir) => {
+      // deterministic sharded sequence packing: where every document lands in
+      // the fixed-length (256-token) training sequences of its shard —
+      // sharded running sum, never a single global window partition
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Corpus.packSequences(docs, "doc_id",
+          ops.TextOps.tokenCount(col("text")), seqLen = 256, nShards = 8)
+        .orderBy("doc_id")
+    }),
+    "q71_repetition" -> ((s, dir) => {
+      // within-document repetition quality signals (dup lines, dup
+      // 2-grams, top-2-gram share) — one codegen'd pass over the scan
+      Testbed.graph(s, dir).collection("documents")
+        .select(col("doc_id"),
+          ops.TextOps.repetitionStruct(col("text"), 2).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_line_ratio").as("dup_line_ratio"),
+          col("r.dup_ngram_ratio").as("dup_ngram_ratio"),
+          col("r.top_ngram_frac").as("top_ngram_frac"))
+        .orderBy("doc_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1203,5 +1224,45 @@ object SparkEntry {
                     ORDER BY score DESC, neighbor_id) AS INT) AS "rank"
            FROM p)
          SELECT query_id, neighbor_id, score, "rank" FROM r
-         WHERE "rank" <= 5 ORDER BY query_id, "rank"""")
+         WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "q70_pack_sequences" ->
+      """SELECT doc_id, n_tokens, shard,
+                CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin,
+                CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset
+         FROM (SELECT doc_id, n_tokens, shard,
+                      sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM (SELECT doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                            doc_id % 8 AS shard
+                     FROM documents))
+         ORDER BY doc_id""",
+    "q71_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, text, string_split(text, ' ') AS words
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_transform(
+                    range(1, len(words)),
+                    i -> array_to_string(
+                           list_slice(words, i, i + 1), ' '))) AS gram
+           FROM w WHERE len(words) >= 2),
+         c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+         t AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot,
+                      count(*) AS nd FROM c GROUP BY 1)
+         SELECT w.doc_id,
+                round(CASE WHEN len(list_filter(string_split(text, chr(10)),
+                                  l -> len(l) > 0)) > 0
+                  THEN 1 - CAST(len(list_distinct(list_filter(
+                             string_split(text, chr(10)), l -> len(l) > 0)))
+                           AS DOUBLE)
+                       / len(list_filter(string_split(text, chr(10)),
+                             l -> len(l) > 0))
+                  ELSE 0 END, 4) AS dup_line_ratio,
+                round(coalesce(1 - CAST(nd AS DOUBLE) / tot, 0), 4)
+                  AS dup_ngram_ratio,
+                round(coalesce(CAST(mx AS DOUBLE) / tot, 0), 4)
+                  AS top_ngram_frac
+         FROM w LEFT JOIN t ON w.doc_id = t.doc_id
+         ORDER BY w.doc_id""")
 }

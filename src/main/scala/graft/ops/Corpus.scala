@@ -157,6 +157,39 @@ object Corpus {
       Seq(col("n_tokens").desc, col(idCol)), k)
   }
 
+  /** Deterministic sharded sequence packing: assign every document a
+    * `(shard, bin, bin_offset)` such that concatenating each shard's
+    * documents in id order and cutting every `seqLen` tokens yields the
+    * fixed-length training sequences a pretraining loader consumes.
+    * Documents span bin boundaries (standard packed-sequence semantics —
+    * the loader inserts its EOD token; no padding is lost between docs).
+    *
+    * The 100 TB formulation: a SINGLE global running sum would serialize
+    * the whole corpus through one window partition — instead documents are
+    * sharded by `id % nShards` and packed independently per shard, which is
+    * embarrassingly parallel (one window shuffle on the shard key) and
+    * costs at most one partially-filled trailing sequence per shard. Size
+    * `nShards` to the cluster's parallelism, not the corpus. Deterministic
+    * (id order within shard), so reruns and retried stages agree.
+    *
+    * Output: `(<idCol>, n_tokens, shard, bin, bin_offset)` — `bin` is the
+    * sequence index within the shard where the document STARTS,
+    * `bin_offset` the token position inside that sequence. */
+  def packSequences(df: DataFrame, idCol: String, lengthCol: Column,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive, got $seqLen")
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    df.select(col(idCol).cast("long").as(idCol),
+        lengthCol.cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+      .withColumn("_cum", sum(col("n_tokens")).over(
+        Window.partitionBy(col("shard")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(idCol), col("n_tokens"), col("shard"),
+        floor((col("_cum") - col("n_tokens")) / seqLen).as("bin"),
+        ((col("_cum") - col("n_tokens")) % seqLen).as("bin_offset"))
+  }
+
   /** Rows whose `metric` is at or above the corpus-wide `q`-quantile. The
     * threshold is a 1-row aggregate joined back by broadcast — the filter
     * pass reads the scan with a scalar predicate, no row-level shuffle.

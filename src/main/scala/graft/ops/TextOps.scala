@@ -77,6 +77,49 @@ object TextOps {
       // modulus keeps acc*31+c < 2^35 — no ANSI long overflow
       (acc, c) => pmod(acc * 31 + c, lit(1000000007L)))
 
+  /** Fraction of non-empty lines that are duplicates of an earlier line —
+    * the classic boilerplate/navigation-chrome signal (repeated headers,
+    * cookie banners). 0.0 for line-less or all-distinct documents. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    round(when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+      .otherwise(lit(0.0)), 4)
+  }
+
+  /** Fraction of word `n`-gram occurrences that are duplicates — the
+    * within-document repetition ratio quality filters threshold on
+    * (repetitive generations, keyword stuffing). 0.0 for docs shorter
+    * than `n` words. */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val grams = Corpus.wordNgrams(text, n)
+    round(when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(0.0)), 4)
+  }
+
+  /** Share of all word `n`-gram occurrences taken by the single most
+    * frequent n-gram — high values flag documents dominated by one
+    * repeated phrase. O(distinct·total) per document (nested array scan),
+    * bounded by document length, inside codegen — never a shuffle. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val grams = Corpus.wordNgrams(text, n)
+    round(when(size(grams) > 0,
+      array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))).cast("double") / size(grams))
+      .otherwise(lit(0.0)), 4)
+  }
+
+  /** Bundled within-document repetition row (the repetition-family
+    * quality filters): duplicate-line ratio, duplicate word-n-gram ratio,
+    * and the top n-gram's occurrence share. Like [[qualityStruct]], pure
+    * Column composition — one codegen'd pass over the scan. */
+  def repetitionStruct(text: Column, n: Int = 2): Column =
+    struct(
+      dupLineRatio(text).as("dup_line_ratio"),
+      dupNgramRatio(text, n).as("dup_ngram_ratio"),
+      topNgramFraction(text, n).as("top_ngram_frac"))
+
   /** Bundled quality row: the standard cheap filters (length, diversity,
     * stopword density) a pretraining pipeline gates on. */
   def qualityStruct(text: Column, stops: Seq[String] = Seq("the", "a", "of")): Column =

@@ -127,6 +127,23 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("packSequences: per-shard running cut points, documents span bins") {
+    // shard = id % 2, seqLen = 10; hand-computed running sums per shard
+    val docs = Seq((0L, 4L), (1L, 6L), (2L, 8L), (3L, 3L), (4L, 5L), (5L, 9L))
+      .toDF("doc_id", "n")
+    val out = Corpus.packSequences(docs, "doc_id", col("n"),
+        seqLen = 10, nShards = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      // shard 0: ids 0(4), 2(8), 4(5) → starts at 0, 4, 12
+      (0L, 4L, 0L, 0L, 0L), (2L, 8L, 0L, 0L, 4L), (4L, 5L, 0L, 1L, 2L),
+      // shard 1: ids 1(6), 3(3), 5(9) → starts at 0, 6, 9
+      (1L, 6L, 1L, 0L, 0L), (3L, 3L, 1L, 0L, 6L), (5L, 9L, 1L, 0L, 9L))
+      .sortBy(_._1))
+  }
+
   test("vocabulary: tf sums per-doc counts, df counts docs, idf is ln(N/df)") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = Corpus.vocabulary(docs, "doc_id", "text", k = 2).collect()

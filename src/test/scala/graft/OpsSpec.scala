@@ -464,6 +464,24 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(recall >= 0.9, s"kNN recall@5 $recall < 0.9 (${lsh.size}/${exact.size})")
   }
 
+  test("repetition signals: dup lines, dup n-grams, top n-gram share") {
+    val df = Seq(
+      (0L, "a a a b"),       // 2-grams: (a a),(a a),(a b) → dup 1/3, top 2/3
+      (1L, "x\nx\ny"),       // lines: x,x,y → dup 1/3; words all distinct
+      (2L, "q"),             // shorter than n → all ratios 0
+      (3L, "u v w")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.repetitionStruct(col("text"), 2).as("r"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getStruct(1).getDouble(0),
+        r.getStruct(1).getDouble(1), r.getStruct(1).getDouble(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0.0, 0.3333, 0.6667),
+      (1L, 0.3333, 0.0, 0.0), // no spaces → single word → no 2-grams
+      (2L, 0.0, 0.0, 0.0),
+      (3L, 0.0, 0.0, 0.5)))   // ("u v","v w"): distinct, top 1/2
+  }
+
   test("text ops: tokens, ttr, stopwords, lang guess, fingerprints") {
     val r = docs.filter(col("doc_id") === 0).select(
       TextOps.tokenCount(col("text")),

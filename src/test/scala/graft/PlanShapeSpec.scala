@@ -127,6 +127,20 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q70 sequence packing: one shuffle total (the shard window), no " +
+      "global window partition") {
+    val plan = planOf("q70_pack_sequences")
+    // the running sum must partition by shard — a single global window
+    // would serialize the corpus through one task at scale. The gate
+    // query's presentation orderBy adds a rangepartitioning exchange on
+    // top; the OPERATOR itself may cost exactly one hash exchange.
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange:\n${plan.take(3000)}")
+    assert(plan.contains("hashpartitioning(shard"), plan.take(3000))
+  }
+
   test("q69 IVF kNN: per-query top-k is group-limited map-side, query " +
       "side broadcast into the cell join") {
     val plan = planOf("q69_knn_ivf")
