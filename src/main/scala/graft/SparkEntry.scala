@@ -679,6 +679,17 @@ object SparkEntry {
           ops.TextOps.tokenCount(col("text")), seqLen = 256, nShards = 8)
         .orderBy("doc_id")
     }),
+    "q72_token_budget_sample" -> ((s, dir) => {
+      // mixture materialization: per-source documents in doc_id order
+      // until 800 tokens per source (straddling doc kept; ~half the docs pass) — the
+      // token-counted complement of q57's rank-based stratified sample
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Corpus.tokenBudgetSample(docs.select("doc_id", "source", "text"),
+          Seq(col("source")), Seq(col("doc_id")),
+          ops.TextOps.tokenCount(col("text")), budget = 800L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
     "q71_repetition" -> ((s, dir) => {
       // within-document repetition quality signals (dup lines, dup
       // 2-grams, top-2-gram share) — one codegen'd pass over the scan
@@ -1264,5 +1275,15 @@ object SparkEntry {
                 round(coalesce(CAST(mx AS DOUBLE) / tot, 0), 4)
                   AS top_ngram_frac
          FROM w LEFT JOIN t ON w.doc_id = t.doc_id
-         ORDER BY w.doc_id""")
+         ORDER BY w.doc_id""",
+    "q72_token_budget_sample" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                  sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM documents)
+         WHERE cum - n < 800 ORDER BY doc_id""")
 }

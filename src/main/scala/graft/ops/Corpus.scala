@@ -190,6 +190,28 @@ object Corpus {
         ((col("_cum") - col("n_tokens")) % seqLen).as("bin_offset"))
   }
 
+  /** Deterministic per-stratum token-budget sample — the mixture-weights
+    * primitive: keep each stratum's documents, in the given total order,
+    * until that stratum's token budget is exhausted (the document that
+    * straddles the boundary is kept, so every stratum reaches ≥ `budget`
+    * tokens when it has them). Turning domain weights into per-domain
+    * budgets and sampling each is exactly how a pretraining mixture is
+    * materialized; rank-based [[stratifiedTopK]] counts documents, this
+    * counts TOKENS. One window shuffle on the stratum key, nothing
+    * driver-side; deterministic for a total `order` (include a unique
+    * key), so reruns and retried stages agree. */
+  def tokenBudgetSample(df: DataFrame, strata: Seq[Column],
+      order: Seq[Column], lengthCol: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"token budget must be positive, got $budget")
+    df.withColumn("_n", lengthCol.cast("long"))
+      .withColumn("_cum", sum(col("_n")).over(
+        Window.partitionBy(strata: _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // doc starts strictly inside the budget → kept (straddler included)
+      .filter(col("_cum") - col("_n") < budget)
+      .drop("_n", "_cum")
+  }
+
   /** Rows whose `metric` is at or above the corpus-wide `q`-quantile. The
     * threshold is a 1-row aggregate joined back by broadcast — the filter
     * pass reads the scan with a scalar predicate, no row-level shuffle.

@@ -144,6 +144,19 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
       .sortBy(_._1))
   }
 
+  test("tokenBudgetSample: per-stratum token budget, straddler kept") {
+    val df = Seq(
+      // s1 in id order: 5, 4, 3 → cum-starts 0, 5, 9; budget 8 keeps
+      // ids 1 and 2 (2 starts at 5 < 8 and straddles), drops 3 (starts 9)
+      (1L, "s1", 5L), (2L, "s1", 4L), (3L, "s1", 3L),
+      // s2: one huge doc starts at 0 → always kept
+      (9L, "s2", 100L)).toDF("id", "src", "n")
+    val out = Corpus.tokenBudgetSample(df, Seq(col("src")), Seq(col("id")),
+        col("n"), budget = 8L)
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L, 9L))
+  }
+
   test("vocabulary: tf sums per-doc counts, df counts docs, idf is ln(N/df)") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = Corpus.vocabulary(docs, "doc_id", "text", k = 2).collect()
