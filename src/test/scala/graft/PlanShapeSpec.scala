@@ -141,6 +141,24 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("hashpartitioning(shard"), plan.take(3000))
   }
 
+  test("q72 token-budget sample: one shuffle total (the stratum window)") {
+    val plan = planOf("q72_token_budget_sample")
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange:\n${plan.take(3000)}")
+    assert(plan.contains("hashpartitioning(source"), plan.take(3000))
+  }
+
+  test("q71 repetition signals: no UDF, no serde in the scan pass") {
+    val df = SparkEntry.queries("q71_repetition")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF")
+      && !plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      plan.take(2000))
+  }
+
   test("q69 IVF kNN: per-query top-k is group-limited map-side, query " +
       "side broadcast into the cell join") {
     val plan = planOf("q69_knn_ivf")
