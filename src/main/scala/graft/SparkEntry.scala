@@ -679,6 +679,19 @@ object SparkEntry {
           ops.TextOps.tokenCount(col("text")), seqLen = 256, nShards = 8)
         .orderBy("doc_id")
     }),
+    "q73_cross_simhash" -> ((s, dir) => {
+      // incremental cross-corpus SimHash: new batch chunk-keys broadcast
+      // against the corpus signatures — completes the rolling-ingest
+      // triple (q66 n-gram, q62 embedding). Not oracle-able (xxhash64 bit
+      // votes); rows-only. Parity with the self-join on the union is
+      // CI-asserted in OpsSpec.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Dedup.crossSimhashNearPairs(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", shingleN = 3, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
     "q72_token_budget_sample" -> ((s, dir) => {
       // mixture materialization: per-source documents in doc_id order
       // until 800 tokens per source (straddling doc kept; ~half the docs pass) — the

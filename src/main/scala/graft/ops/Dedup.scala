@@ -311,6 +311,45 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Incremental cross-corpus SimHash near-pairs — dedup a NEW ingest
+    * batch against an EXISTING corpus by Hamming distance, completing the
+    * rolling-ingest triple next to [[crossCandidatePairs]] (n-gram side)
+    * and [[Similarity.crossNearDups]] (embedding side). Signatures are
+    * data-deterministic (same xxhash64 shingle votes on both sides), so a
+    * (corpus, new) pair within `maxDist` collides on ≥1 of the 4 16-bit
+    * chunks exactly as in the self-join. The new batch's exploded chunk
+    * keys broadcast under the same count gate as the other cross ops —
+    * the corpus side never shuffles: one signature pass, 4 map-side
+    * hash-equi-joins, scalar pair dedup, then the XOR popcount.
+    *
+    * Output: `(id_a, id_b, hamming)` with `id_a` from the corpus and
+    * `id_b` from the new batch (distinct corpora — every pair is real). */
+  def crossSimhashNearPairs(newBatch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, maxDist: Int = 3,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    implicit val spark: SparkSession = corpus.sparkSession
+    def sigs(df: DataFrame, side: String) =
+      simhash(df, idCol, textCol, shingleN)
+        .select(col("id").as(s"id_$side"), col("simhash").as(s"h_$side"))
+    def chunked(df: DataFrame, side: String) =
+      (0 until 4).map { c =>
+        df.select(lit(c).as("chunk"),
+          shiftrightunsigned(col(s"h_$side"), c * 16)
+            .bitwiseAND(lit(0xffffL)).as("ckey"),
+          col(s"id_$side"), col(s"h_$side"))
+      }.reduce(_.unionByName(_))
+    val c = sigs(corpus, "a")
+    val n = sigs(newBatch, "b").localCheckpoint(eager = false)
+    val bcast = OpsUtil.broadcastGate("crossSimhashNearPairs", "newBatch",
+      n.count(), maxBroadcastRows)
+    def hint(df: DataFrame) = if (bcast) broadcast(df) else df
+    chunked(c, "a").join(hint(chunked(n, "b")), Seq("chunk", "ckey"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct() // a pair may collide on several chunks
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Duplicate clusters from a near-dup pair list: `(id, component)` where
     * `component` is the MIN id in the transitively-connected cluster —
     * GraphX connected components over the pair graph (the same Pregel

@@ -92,6 +92,28 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"onlyCross=${(cross -- self).take(3)} onlySelf=${(self -- cross).take(3)}")
   }
 
+  test("cross-corpus simhash ≡ self-join simhashNearPairs on the union " +
+      "(cross slice, sf0.01)") {
+    // signatures are data-deterministic, so a (corpus, new) pair collides
+    // on a 16-bit chunk in the incremental path iff it does in the
+    // self-join on the union — the cross slices must be EQUAL
+    val all = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val isNew = col("doc_id") % 7 === 0
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("id_a", "id_b", "CAST(hamming AS BIGINT) AS hamming")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cross = keyed(Dedup.crossSimhashNearPairs(all.filter(isNew),
+      all.filter(!isNew), "doc_id", "text", shingleN = 3, maxDist = 8)).toSet
+    val self = keyed(Dedup.simhashNearPairs(
+        Dedup.simhash(all, "doc_id", "text", 3)(spark), maxDist = 8))
+      .filter(p => (p._1 % 7 == 0) != (p._2 % 7 == 0))
+      // reorder to (corpus_id, new_id) to match the incremental sides
+      .map(p => if (p._2 % 7 == 0) p else (p._2, p._1, p._3)).toSet
+    assert(cross.nonEmpty)
+    assert(cross == self, s"cross=${cross.size} selfCross=${self.size} " +
+      s"onlyCross=${(cross -- self).take(3)} onlySelf=${(self -- cross).take(3)}")
+  }
+
   test("cross-corpus minhash broadcast gate: oversized new batch drops the " +
       "hints, identical pairs on both paths") {
     val newBatch = Seq(
