@@ -679,6 +679,13 @@ object SparkEntry {
           ops.TextOps.tokenCount(col("text")), seqLen = 256, nShards = 8)
         .orderBy("doc_id")
     }),
+    "q74_unigram_logprob" -> ((s, dir) => {
+      // unigram LM quality score (the perplexity-filter proxy): mean token
+      // log-prob under the corpus's own unigram distribution
+      ops.Corpus.unigramLogProb(
+          Testbed.graph(s, dir).collection("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q73_cross_simhash" -> ((s, dir) => {
       // incremental cross-corpus SimHash: new batch chunk-keys broadcast
       // against the corpus signatures — completes the rolling-ingest
@@ -1298,5 +1305,15 @@ object SparkEntry {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS cum
            FROM documents)
-         WHERE cum - n < 800 ORDER BY doc_id""")
+         WHERE cum - n < 800 ORDER BY doc_id""",
+    "q74_unigram_logprob" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         f AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT sum(c) AS n FROM f)
+         SELECT doc_id,
+                round(avg(ln(CAST(c AS DOUBLE) / n)), 4) AS avg_logprob
+         FROM tok JOIN f USING (t) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""")
 }

@@ -212,6 +212,31 @@ object Corpus {
       .drop("_n", "_cum")
   }
 
+  /** Unigram language-model quality score: each document's mean token
+    * log-probability under the corpus's own unigram distribution — the
+    * cheap proxy for the LM-perplexity filtering step of web-corpus
+    * curation pipelines (low scores = token distributions far from the
+    * corpus norm: gibberish, boilerplate, wrong-language). Filter by
+    * composing with [[aboveQuantile]].
+    *
+    * At 100 TB: the frequency table is bounded by VOCABULARY size, not
+    * corpus size (the token count's reduce side is map-side combined), and
+    * the score join is token→frequency — whether that table broadcasts is
+    * a runtime property AQE decides; the total-count normalizer is a 1-row
+    * aggregate broadcast in. Nothing driver-side. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("_t"))
+    val freqs = tok.groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+    val total = freqs.agg(sum(col("_c")).as("_n"))
+    tok.join(freqs, "_t")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("_c").cast("double") / col("_n"))), 4)
+        .as("avg_logprob"))
+  }
+
   /** Rows whose `metric` is at or above the corpus-wide `q`-quantile. The
     * threshold is a 1-row aggregate joined back by broadcast — the filter
     * pass reads the scan with a scalar predicate, no row-level shuffle.

@@ -157,6 +157,17 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L, 9L))
   }
 
+  test("unigramLogProb: mean token log-prob under the corpus unigram dist") {
+    // corpus: a×4, b×1 (total 5) → p(a)=0.8, p(b)=0.2
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Corpus.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(
+      (1L, -0.2231),              // ln(0.8)
+      (2L, -0.9163)))             // (ln(0.8) + ln(0.2)) / 2
+  }
+
   test("vocabulary: tf sums per-doc counts, df counts docs, idf is ln(N/df)") {
     val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = Corpus.vocabulary(docs, "doc_id", "text", k = 2).collect()
