@@ -39,8 +39,6 @@ object Corpus {
       .otherwise(array().cast("array<string>"))
   }
 
-  private val logger = org.slf4j.LoggerFactory.getLogger("graft.ops.Corpus")
-
   /** Benchmark decontamination: for each training document, the number of
     * distinct word `n`-grams it shares with the eval corpus. Docs absent
     * from the result share nothing (inner join — the common case at scale,
@@ -66,17 +64,10 @@ object Corpus {
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
       .localCheckpoint(eager = false)
-    val nGrams = evalGrams.count()
     val evalSide =
-      if (nGrams <= maxBroadcastGrams) {
-        logger.info(s"contamination: broadcasting $nGrams eval grams " +
-          s"(<= $maxBroadcastGrams)")
-        broadcast(evalGrams)
-      } else {
-        logger.info(s"contamination: $nGrams eval grams exceed the " +
-          s"$maxBroadcastGrams broadcast gate; using an unhinted join")
-        evalGrams
-      }
+      if (OpsUtil.broadcastGate("contamination", "evalGrams",
+          evalGrams.count(), maxBroadcastGrams)) broadcast(evalGrams)
+      else evalGrams
     val trainGrams = train.select(col(idCol),
       explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
     trainGrams.join(evalSide, "gram")
@@ -203,13 +194,17 @@ object Corpus {
   def tokenBudgetSample(df: DataFrame, strata: Seq[Column],
       order: Seq[Column], lengthCol: Column, budget: Long): DataFrame = {
     require(budget >= 1, s"token budget must be positive, got $budget")
-    df.withColumn("_n", lengthCol.cast("long"))
-      .withColumn("_cum", sum(col("_n")).over(
+    // one temp column, namespaced so a caller's own `_n`/`_cum`-style
+    // columns pass through untouched (generic short names would be
+    // silently overwritten and dropped)
+    val start = "_graft_tbs_start"
+    val n = lengthCol.cast("long")
+    df.withColumn(start, sum(n).over(
         Window.partitionBy(strata: _*).orderBy(order: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - n)
       // doc starts strictly inside the budget → kept (straddler included)
-      .filter(col("_cum") - col("_n") < budget)
-      .drop("_n", "_cum")
+      .filter(col(start) < budget)
+      .drop(start)
   }
 
   /** Unigram language-model quality score: each document's mean token

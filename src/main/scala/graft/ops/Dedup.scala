@@ -294,7 +294,11 @@ object Dedup {
   /** Hamming-near pairs over simhash signatures, blocked on 16-bit chunks
     * (a pair within distance d ≤ 3 must agree exactly on ≥1 of 4 chunks). */
   def simhashNearPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    // checkpoint before the 4-way chunk union: each union branch is a
+    // separate select over `sigs`, so an un-materialized signature plan
+    // (shingling + the 64-bit fold) would otherwise execute 4 times
     val byChunk = sigs.select(col("id"), col("simhash"))
+      .localCheckpoint(eager = false)
     val exploded = (0 until 4).map { c =>
       byChunk.select(lit(c).as("chunk"),
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"),
@@ -316,9 +320,14 @@ object Dedup {
     * rolling-ingest triple next to [[crossCandidatePairs]] (n-gram side)
     * and [[Similarity.crossNearDups]] (embedding side). Signatures are
     * data-deterministic (same xxhash64 shingle votes on both sides), so a
-    * (corpus, new) pair within `maxDist` collides on ≥1 of the 4 16-bit
-    * chunks exactly as in the self-join. The new batch's exploded chunk
-    * keys broadcast under the same count gate as the other cross ops —
+    * (corpus, new) pair blocks and verifies exactly as in the self-join on
+    * the union. The pigeonhole guarantee (a pair within `maxDist` agrees
+    * exactly on ≥1 of the 4 16-bit chunks) holds for `maxDist` ≤ 3, same
+    * as [[simhashNearPairs]]; a larger `maxDist` still verifies only
+    * chunk-colliding candidates — identical blocking to the self-join
+    * (parity holds), but recall over distance-4+ pairs is partial. The
+    * new batch's exploded chunk keys broadcast under the same count gate
+    * as the other cross ops —
     * the corpus side never shuffles: one signature pass, 4 map-side
     * hash-equi-joins, scalar pair dedup, then the XOR popcount.
     *
@@ -338,7 +347,11 @@ object Dedup {
             .bitwiseAND(lit(0xffffL)).as("ckey"),
           col(s"id_$side"), col(s"h_$side"))
       }.reduce(_.unionByName(_))
-    val c = sigs(corpus, "a")
+    // BOTH sides checkpoint before chunking: the 4-way chunk union would
+    // otherwise re-run the full signature pass (shingling + fold) once per
+    // branch — 3 redundant corpus scans. Signatures are 16 bytes/row, so
+    // the corpus-side checkpoint is cheap even at 100 TB.
+    val c = sigs(corpus, "a").localCheckpoint(eager = false)
     val n = sigs(newBatch, "b").localCheckpoint(eager = false)
     val bcast = OpsUtil.broadcastGate("crossSimhashNearPairs", "newBatch",
       n.count(), maxBroadcastRows)

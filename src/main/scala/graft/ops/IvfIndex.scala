@@ -39,13 +39,24 @@ object IvfIndex {
   def buildCached(emb: DataFrame, idCol: String, vecCol: String,
       key: String, k: Int = 16, seed: Long = 42L): Index = {
     require(key.nonEmpty, "buildCached needs a non-empty corpus key")
-    cache.computeIfAbsent(
+    val ix = cache.computeIfAbsent(
       s"${emb.sparkSession.hashCode}:$key:$idCol:$vecCol:$k:$seed", _ => {
-        val ix = build(emb, idCol, vecCol, k, seed)
-        ix.cells.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .count()
-        ix
+        val built = build(emb, idCol, vecCol, k, seed)
+        built.cells.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        built
       })
+    // Session-level cache hygiene (e.g. a benchmark unpersisting per-query
+    // leftovers) may have dropped the memoized cells' blocks out from under
+    // the cache. Re-pin on access: the cells plan embeds the TRAINED
+    // model's cell assignment, so this re-runs one transform pass, never
+    // the k-means training — and the memoization contract stays honest.
+    if (ix.cells.storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE) {
+      ix.cells.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    }
+    ix
   }
 
   /** Build the IVF index: assign every vector to its nearest of `k`
@@ -97,7 +108,10 @@ object IvfIndex {
     * broadcast under the same count gate as the other cross-corpus ops
     * ([[OpsUtil.broadcastGate]]); the corpus side never shuffles for
     * scoring — with cells written as the partition key, each probe reads
-    * only the probed cells' files. The final top-k is the group-limited
+    * only the probed cells' files. Over the gate the cell join falls back
+    * SALTED ([[Skew.saltedJoin]]), not plain: `cell` has only k distinct
+    * values, and an unsalted shuffle join would collapse the corpus into
+    * ≤ k reducer tasks. The final top-k is the group-limited
     * window ([[Similarity.rankTopK]] — map-side partial limit, the
     * exchange carries ≤ topK rows per (query, partition)).
     *
@@ -134,7 +148,16 @@ object IvfIndex {
     val corpus = ix.cells.select(col("cell"),
       col(idCol).cast("long").as("id_a"), col(vecCol).as("v_a"),
       Similarity.l2Norm(col(vecCol)).as("nrm_a"))
-    val scored = corpus.join(hint(probes), Seq("cell"))
+    // Over-gate fallback cannot be a plain shuffle join: `cell` has only k
+    // distinct values, so hash-partitioning the corpus on it would collapse
+    // 100 TB into ≤ k reducer tasks. Salt instead (the probes side — the
+    // small-by-construction (query, cell) scalar pairs — replicates per
+    // salt; the corpus scatters over the full partition count).
+    val cand =
+      if (bcast) corpus.join(broadcast(probes), Seq("cell"))
+      else Skew.saltedJoin(corpus, probes, "cell",
+        salts = spark.sessionState.conf.numShufflePartitions)
+    val scored = cand
       .join(hint(q), Seq("id_b"))
       .filter(col("nrm_a") > 0 && col("nrm_b") > 0)
       .select(col("id_a"), col("id_b"),

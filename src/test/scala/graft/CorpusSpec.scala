@@ -151,10 +151,14 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
       (1L, "s1", 5L), (2L, "s1", 4L), (3L, "s1", 3L),
       // s2: one huge doc starts at 0 → always kept
       (9L, "s2", 100L)).toDF("id", "src", "n")
-    val out = Corpus.tokenBudgetSample(df, Seq(col("src")), Seq(col("id")),
-        col("n"), budget = 8L)
-      .select("id").orderBy("id").collect().map(_.getLong(0))
-    assert(out.toSeq == Seq(1L, 2L, 9L))
+      // caller columns with window-ish names must pass through untouched
+      .withColumn("_cum", col("n") * 2)
+    val res = Corpus.tokenBudgetSample(df, Seq(col("src")), Seq(col("id")),
+      col("n"), budget = 8L)
+    assert(res.columns.contains("_cum"))
+    val out = res.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 8L), (9L, 200L)))
   }
 
   test("unigramLogProb: mean token log-prob under the corpus unigram dist") {

@@ -564,6 +564,20 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       "embedding", k = 5))
     assert(ivf.nonEmpty)
     assert(ivf == exact)
+    // over-gate fallback: the low-cardinality cell join must run SALTED
+    // (a plain shuffle join on the k-value key would collapse the corpus
+    // into ≤ k reducers), and return identical rows. The tiny centroid
+    // table still broadcasts by design — only the query side's forced
+    // hints are gated.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val fb = graft.ops.IvfIndex.topKPerQuery(queries, ix, "vec_id",
+        "embedding", topK = 5, nProbe = 1, maxBroadcastRows = 0L)
+      val plan = fb.queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"), plan.take(2000))
+      assert(rows(fb) == ivf)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("batched IVF kNN: recall@5 ≥ 0.9 vs the exact join (sf0.01)") {
