@@ -66,6 +66,43 @@ object EventStreams {
         .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
     else events.dropDuplicates(idCols)
 
+  /** Streaming corpus-ingest dedup: drop stream documents whose exact
+    * text already exists in a STATIC corpus, plus exact duplicates within
+    * the stream itself inside the watermark horizon — the streaming
+    * complement of [[graft.ops.Dedup.exact]] for rolling ingest. Content
+    * identity is `md5(text)` (the engine's exact-fingerprint,
+    * [[graft.ops.TextOps.fingerprintMd5]]), so the stream-static
+    * `left_anti` join carries 16-byte keys, never document text, and the
+    * within-stream state is bounded by the watermark, not history.
+    *
+    * At 100 TB the corpus key set is a derived column of the corpus scan
+    * (distinct md5s) — Spark re-plans the static side per micro-batch, so
+    * a pipeline should point `corpus` at a materialized key table rather
+    * than re-deriving from raw text every batch. NEAR-dup incremental
+    * variants ([[graft.ops.Dedup.crossCandidatePairs]],
+    * [[graft.ops.Dedup.crossSimhashNearPairs]],
+    * [[graft.ops.Similarity.crossNearDups]]) are batch ops by design
+    * (their gating counts and checkpoints need a bounded batch) — run
+    * them per micro-batch via `foreachBatch`. Works identically on a
+    * batch DataFrame. */
+  def dedupAgainstCorpus(docStream: DataFrame, corpus: DataFrame,
+      textCol: String, tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val corpusKeys = corpus
+      .select(md5(col(textCol)).as("_graft_text_key")).distinct()
+    val fresh = docStream
+      .withColumn("_graft_text_key", md5(col(textCol)))
+      .join(corpusKeys, Seq("_graft_text_key"), "left_anti")
+    val out =
+      if (docStream.isStreaming)
+        fresh.withWatermark(tsCol, watermark)
+          .dropDuplicatesWithinWatermark("_graft_text_key")
+      else fresh.dropDuplicates("_graft_text_key")
+    out.drop("_graft_text_key")
+  }
+
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Long, start: Timestamp,

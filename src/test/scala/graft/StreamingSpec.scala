@@ -45,6 +45,33 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupAgainstCorpus: corpus dups and within-stream dups dropped, " +
+      "batch and real stream agree") {
+    import EventStreams.Doc
+    val corpus = Seq((100L, "seen before"), (101L, "also known"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      Doc(1L, Timestamp.valueOf("2024-01-01 10:00:00"), "seen before"), // corpus dup
+      Doc(2L, Timestamp.valueOf("2024-01-01 10:01:00"), "brand new"),
+      Doc(3L, Timestamp.valueOf("2024-01-01 10:02:00"), "brand new"),   // stream dup
+      Doc(4L, Timestamp.valueOf("2024-01-01 10:03:00"), "another one"))
+    val batch = EventStreams.dedupAgainstCorpus(docs.toDF(), corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(2L, 4L))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(docs: _*)
+    val q = EventStreams.dedupAgainstCorpus(mem.toDF(), corpus, "text")
+      .writeStream.format("memory").queryName("dedup_corpus_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id FROM dedup_corpus_test")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionize: gap split, ordering, totals") {
     implicit val s = spark
     val sessions = EventStreams.sessionize(events.toDS(), 3600 * 1000L)
