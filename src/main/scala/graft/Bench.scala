@@ -71,14 +71,9 @@ object Bench {
       "vec_id", "embedding", key = sfDir, k = 16)
     // q69's batched-kNN index is over the SLICED corpus (a different cache
     // key) — train it in the build phase too, so its reps measure probing,
-    // not first-rep k-means training
-    locally {
-      import org.apache.spark.sql.functions.col
-      graft.ops.IvfIndex.buildCached(
-        g.collection("embeddings")
-          .filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
-        "vec_id", "embedding", key = s"$sfDir#knn200", k = 8)
-    }
+    // not first-rep k-means training; the slice+key definition is shared
+    // with the query so the cache cannot silently miss
+    SparkEntry.knnIvfIndex(g.collection("embeddings"), sfDir)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     // Queries persist bounded intermediates; across ~50 of them the leftovers
     // accumulate and can push the heap into GC thrash. Drop anything a query

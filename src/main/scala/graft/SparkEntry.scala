@@ -44,6 +44,15 @@ object SparkEntry {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** q69's IVF index over the sliced corpus — ONE definition shared with
+    * Bench's build-phase pre-train: the cache key names the slice, and if
+    * slice or key drifted between the two call sites, buildCached would
+    * silently miss and the first bench rep would pay k-means training. */
+  private[graft] def knnIvfIndex(emb: DataFrame, dir: String): ops.IvfIndex.Index =
+    ops.IvfIndex.buildCached(
+      emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
+      "vec_id", "embedding", key = s"$dir#knn200", k = 8)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- node overlay (S2/P1, §2.1/§2.2) --------------------------------
     "q01_nodes_per_collection" -> ((s, dir) => {
@@ -661,11 +670,7 @@ object SparkEntry {
       // SQL-oracle-able; rows-only. Recall@5 ≥ 0.9 vs the exact join is
       // CI-asserted in OpsSpec.
       val emb = Testbed.graph(s, dir).collection("embeddings")
-      val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
-      // cache key names the SLICE, not just the dir — q45's index over the
-      // full table is a different corpus
-      val ix = ops.IvfIndex.buildCached(corpus, "vec_id", "embedding",
-        key = s"$dir#knn200", k = 8)
+      val ix = knnIvfIndex(emb, dir)
       ops.IvfIndex.topKPerQuery(emb.filter(col("vec_id") % 50 === 0), ix,
           "vec_id", "embedding", topK = 5, nProbe = 6)
         .orderBy("query_id", "rank")

@@ -214,9 +214,8 @@ object Dedup {
     // because `n` is a lazy localCheckpoint — materializes the shingle-hash
     // prep exactly once for every downstream use. The banded bucket side is
     // ≤ `bands`×(this count) scalar rows, so one count decides both hints.
-    val bcast = OpsUtil.broadcastGate("crossCandidatePairs", "newBatch",
-      n.count(), maxBroadcastRows)
-    def hint(df: DataFrame) = if (bcast) broadcast(df) else df
+    val hint = OpsUtil.gatedHint("crossCandidatePairs", "newBatch", n,
+      maxBroadcastRows)
     val nBanded = band(n, "b").withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bhash"))))
@@ -293,17 +292,25 @@ object Dedup {
 
   /** Hamming-near pairs over simhash signatures, blocked on 16-bit chunks
     * (a pair within distance d ≤ 3 must agree exactly on ≥1 of 4 chunks). */
+  /** 16-bit chunk explosion — ONE definition shared by the self-join and
+    * the cross-corpus blocker: the cross/self parity the specs assert
+    * depends on the two chunking schemes staying bit-identical. */
+  private def simhashChunks(df: DataFrame, idC: String,
+      sigC: String): DataFrame =
+    (0 until 4).map { c =>
+      df.select(lit(c).as("chunk"),
+        shiftrightunsigned(col(sigC), c * 16).bitwiseAND(lit(0xffffL))
+          .as("ckey"),
+        col(idC), col(sigC))
+    }.reduce(_.unionByName(_))
+
   def simhashNearPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
     // checkpoint before the 4-way chunk union: each union branch is a
     // separate select over `sigs`, so an un-materialized signature plan
     // (shingling + the 64-bit fold) would otherwise execute 4 times
     val byChunk = sigs.select(col("id"), col("simhash"))
       .localCheckpoint(eager = false)
-    val exploded = (0 until 4).map { c =>
-      byChunk.select(lit(c).as("chunk"),
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)).as("ckey"),
-        col("id"), col("simhash"))
-    }.reduce(_.unionByName(_))
+    val exploded = simhashChunks(byChunk, "id", "simhash")
     val a = exploded.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("simhash").as("h_a"))
     val b = exploded.select(col("chunk"), col("ckey"),
@@ -341,21 +348,15 @@ object Dedup {
       simhash(df, idCol, textCol, shingleN)
         .select(col("id").as(s"id_$side"), col("simhash").as(s"h_$side"))
     def chunked(df: DataFrame, side: String) =
-      (0 until 4).map { c =>
-        df.select(lit(c).as("chunk"),
-          shiftrightunsigned(col(s"h_$side"), c * 16)
-            .bitwiseAND(lit(0xffffL)).as("ckey"),
-          col(s"id_$side"), col(s"h_$side"))
-      }.reduce(_.unionByName(_))
+      simhashChunks(df, s"id_$side", s"h_$side")
     // BOTH sides checkpoint before chunking: the 4-way chunk union would
     // otherwise re-run the full signature pass (shingling + fold) once per
     // branch — 3 redundant corpus scans. Signatures are 16 bytes/row, so
     // the corpus-side checkpoint is cheap even at 100 TB.
     val c = sigs(corpus, "a").localCheckpoint(eager = false)
     val n = sigs(newBatch, "b").localCheckpoint(eager = false)
-    val bcast = OpsUtil.broadcastGate("crossSimhashNearPairs", "newBatch",
-      n.count(), maxBroadcastRows)
-    def hint(df: DataFrame) = if (bcast) broadcast(df) else df
+    val hint = OpsUtil.gatedHint("crossSimhashNearPairs", "newBatch", n,
+      maxBroadcastRows)
     chunked(c, "a").join(hint(chunked(n, "b")), Seq("chunk", "ckey"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))

@@ -28,6 +28,18 @@ private[graft] object OpsUtil {
     ok
   }
 
+  /** [[broadcastGate]] packaged as a hint applicator: counts `gateSide`
+    * once (which materializes a lazily-localCheckpointed side) and returns
+    * the function that applies or omits the broadcast hint for every frame
+    * derived from that side — one decision, however many joins use it.
+    * Callers that must also BRANCH on the decision (e.g. a salted
+    * fallback) use [[broadcastGate]] directly. */
+  def gatedHint(op: String, side: String, gateSide: DataFrame,
+      maxRows: Long): DataFrame => DataFrame = {
+    val ok = broadcastGate(op, side, gateSide.count(), maxRows)
+    df => if (ok) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
   /** Make sure a per-row CPU-heavy stage gets the session's full
     * parallelism. Small inputs (a dimension table, one parquet file) arrive
     * in 1-2 partitions and would otherwise serialize the expensive kernel

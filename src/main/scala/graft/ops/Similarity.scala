@@ -183,9 +183,8 @@ object Similarity {
     // materializes the lazy checkpoint once for every downstream use. The
     // banded side is rotations×(this count) scalar rows — one count
     // decides both.
-    val bcast = OpsUtil.broadcastGate("crossNearDups", "evalEmb", e.count(),
+    val hint = OpsUtil.gatedHint("crossNearDups", "evalEmb", e,
       maxBroadcastRows)
-    def hint(df: DataFrame) = if (bcast) broadcast(df) else df
     val candidates = band(t, "a")
       .join(hint(band(e, "b")), Seq("rot", "bucket"))
       .select(col("id_a"), col("id_b"))
@@ -262,9 +261,9 @@ object Similarity {
           col(vecCol).as(s"v_$side"), l2Norm(col(vecCol)).as(s"nrm_$side"))
         .filter(col(s"nrm_$side") > 0)
     val e = prep(evalEmb, "b").localCheckpoint(eager = false)
-    val bcast = OpsUtil.broadcastGate("crossNearDupsExact", "evalEmb",
-      e.count(), maxBroadcastRows)
-    prep(train, "a").join(if (bcast) broadcast(e) else e, lit(true))
+    val hint = OpsUtil.gatedHint("crossNearDupsExact", "evalEmb", e,
+      maxBroadcastRows)
+    prep(train, "a").join(hint(e), lit(true))
       .select(col("id_a"), col("id_b"),
         round(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("score"))

@@ -172,7 +172,11 @@ object GraphStore {
     * scalar identity columns only (`_rel_id`, `_from`, `_to`, `rel_type` —
     * never the properties map, so column pruning keeps both scans narrow),
     * then a join of the two counted sets on the same key — co-partitioned
-    * after their shuffles. Nothing is collected to the driver. */
+    * after their shuffles. Nothing is collected to the driver. The join is
+    * NULL-SAFE (`<=>`): groupBy already treats a NULL identity value as an
+    * ordinary group, and a null-unsafe join would report a healthy edge
+    * with a NULL column as divergent on BOTH sides forever — a phantom the
+    * repair loop could never clear. */
   def verifyMirrors(spark: SparkSession, db: String): DataFrame = {
     val idCols = Seq("_rel_id", "_from", "_to", "rel_type")
       .filter(spark.table(s"$db.edges_by_from").columns.contains)
@@ -182,9 +186,12 @@ object GraphStore {
       spark.table(s"$db.$table")
         .groupBy(idCols.map(col): _*)
         .agg(count(lit(1)).as(cname))
-    counted("edges_by_from", "n_primary")
-      .join(counted("edges_by_to", "n_mirror"), idCols, "full_outer")
-      .na.fill(0L, Seq("n_primary", "n_mirror"))
+    val p = counted("edges_by_from", "n_primary")
+    val m = counted("edges_by_to", "n_mirror")
+    p.join(m, idCols.map(c => p(c) <=> m(c)).reduce(_ && _), "full_outer")
+      .select(idCols.map(c => coalesce(p(c), m(c)).as(c))
+        :+ coalesce(p("n_primary"), lit(0L)).as("n_primary")
+        :+ coalesce(m("n_mirror"), lit(0L)).as("n_mirror"): _*)
       .filter(col("n_primary") =!= col("n_mirror"))
   }
 

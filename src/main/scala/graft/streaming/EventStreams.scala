@@ -70,10 +70,13 @@ object EventStreams {
     * text already exists in a STATIC corpus, plus exact duplicates within
     * the stream itself inside the watermark horizon — the streaming
     * complement of [[graft.ops.Dedup.exact]] for rolling ingest. Content
-    * identity is `md5(text)` (the engine's exact-fingerprint,
-    * [[graft.ops.TextOps.fingerprintMd5]]), so the stream-static
-    * `left_anti` join carries 16-byte keys, never document text, and the
-    * within-stream state is bounded by the watermark, not history.
+    * identity is `unhex(md5(text))` — a 16-byte BINARY key, so the
+    * stream-static `left_anti` join and the dedup state carry raw
+    * digests, never document text or 32-char hex strings — and the
+    * within-stream state is bounded by the watermark, not history. The
+    * batch path keeps the EARLIEST row per key by `tsCol` (matching the
+    * stream's first-arrival survivor; ties arbitrary), so batch and
+    * stream agree on ordered input.
     *
     * At 100 TB the corpus key set is a derived column of the corpus scan
     * (distinct md5s) — Spark re-plans the static side per micro-batch, so
@@ -88,17 +91,28 @@ object EventStreams {
   def dedupAgainstCorpus(docStream: DataFrame, corpus: DataFrame,
       textCol: String, tsCol: String = "ts",
       watermark: String = "1 hour"): DataFrame = {
+    val key = "_graft_text_key"
     val corpusKeys = corpus
-      .select(md5(col(textCol)).as("_graft_text_key")).distinct()
+      .select(unhex(md5(col(textCol))).as(key)).distinct()
     val fresh = docStream
-      .withColumn("_graft_text_key", md5(col(textCol)))
-      .join(corpusKeys, Seq("_graft_text_key"), "left_anti")
+      .withColumn(key, unhex(md5(col(textCol))))
+      .join(corpusKeys, Seq(key), "left_anti")
     val out =
       if (docStream.isStreaming)
         fresh.withWatermark(tsCol, watermark)
-          .dropDuplicatesWithinWatermark("_graft_text_key")
-      else fresh.dropDuplicates("_graft_text_key")
-    out.drop("_graft_text_key")
+          .dropDuplicatesWithinWatermark(key)
+      else {
+        // deterministic survivor: dropDuplicates keeps an arbitrary row
+        // (First() over whatever partition arrives first) — rank by event
+        // time instead so reruns agree and batch matches the stream's
+        // first-arrival semantics
+        val rn = "_graft_text_rn"
+        fresh.withColumn(rn, row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+              .orderBy(col(tsCol))))
+          .filter(col(rn) === 1).drop(rn)
+      }
+    out.drop(key)
   }
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)

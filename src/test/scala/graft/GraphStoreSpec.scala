@@ -238,6 +238,14 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       spark.table(s"$db.edges_by_to").count())
     // and the detector confirms the repaired store is healthy: zero deltas
     assert(GraphStore.verifyMirrors(spark, db).count() == 0)
+    // a NULL identity column is ordinary data, not a phantom delta: the
+    // detector's join is null-safe, so an edge with rel_type = NULL
+    // present in BOTH copies reports healthy
+    GraphStore.appendEdges(spark, db,
+      Seq((556L, "people:1", "people:2", null.asInstanceOf[String], 9L,
+          Map.empty[String, String]))
+        .toDF("_rel_id", "_from", "_to", "rel_type", "_created_at", "props"))
+    assert(GraphStore.verifyMirrors(spark, db).count() == 0)
   }
 
   test("a user collection with its OWN _doc_key column is ordinary data " +

@@ -598,7 +598,9 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ix = graft.ops.IvfIndex.build(corpus, "vec_id", "embedding", k = 8)
     val ivf = pairSet(graft.ops.IvfIndex.topKPerQuery(queries, ix, "vec_id",
       "embedding", topK = 5, nProbe = 6))
-    assert((ivf -- exact).isEmpty) // candidates are exactly rescored
+    // no subset assertion: a query whose probed cells miss one true top-5
+    // neighbor legitimately returns the rank-6 pair in its place — exactly
+    // the loss the 0.9 recall tolerance exists for
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall@5 $recall < 0.9 (${ivf.size}/${exact.size})")
   }
