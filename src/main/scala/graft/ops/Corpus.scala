@@ -51,19 +51,23 @@ object Corpus {
     * distinct grams the join falls back to an unhinted shuffle join (AQE
     * still converts it back to broadcast at runtime if the built side
     * turns out small enough). The gate costs one count over the eval side
-    * — bounded by the eval corpus, never the training corpus — and the
-    * counted gram set is checkpointed, so the explode+distinct runs ONCE
-    * (the count materializes it; the join reads it back) rather than once
-    * for the gate and again for the join. The count makes this operator
-    * eager at construction time — the unavoidable price of a data-dependent
-    * plan choice. Which path ran is logged at info. */
+    * — bounded by the eval corpus, never the training corpus. The gram set
+    * is deliberately NOT checkpointed between the gate count and the join:
+    * unlike the cross-dedup ops (whose gated side is a few hundred fat
+    * rows), the distinct gram set is millions of skinny strings, and
+    * materializing it deserialized in the block manager measured 6× slower
+    * than just recomputing the explode+distinct for the join (11.3 s vs
+    * 1.8 s median at sf0.1 on an idle host). Recomputation is bounded by
+    * the eval corpus, so paying it twice is the cheap branch. The count
+    * makes this operator eager at construction time — the unavoidable
+    * price of a data-dependent plan choice. Which path ran is logged at
+    * info. */
   def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, n: Int,
       maxBroadcastGrams: Long = 2000000L): DataFrame = {
     val evalGrams = evalDocs
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
-      .localCheckpoint(eager = false)
     val evalSide =
       if (OpsUtil.broadcastGate("contamination", "evalGrams",
           evalGrams.count(), maxBroadcastGrams)) broadcast(evalGrams)
