@@ -97,17 +97,21 @@ object RelQueryPlanner {
     * broadcasts under AQE. */
   def relationships(g: DocGraph, anchor: DocRef, q: RelQuery,
       materialize: Boolean = true): DataFrame = {
-    // The candidate-pruning collects in hydrate() are separate actions; an
-    // unmaterialized pipeline would recompute the edge match + first join
-    // for each of them. Both intermediates are anchored (bounded by the
-    // anchor's degree), so materialize each stage once with a LAZY
-    // localCheckpoint — unlike Dataset.persist (whose entry the session's
-    // CacheManager pins until an explicit unpersist, leaking per query),
-    // checkpoint blocks belong to the RDD alone and the ContextCleaner
-    // frees them as soon as the result Dataset goes unreferenced. Lazy
-    // (eager = false) so the candidate-pruning collect — the stage's first
-    // action — both computes and caches in one job, and a result the caller
-    // never consumes costs nothing at planning time.
+    // Construction runs exactly ONE driver action: the far-endpoint prefix
+    // collect over the matched-edge set (bounded by the anchor's degree).
+    // The anchor side's prefix is known statically — it IS the anchor's
+    // collection — so both hydrations' candidate-collection sets derive
+    // from that single collect (r8 verdict: per-hydration collects plus
+    // per-stage checkpoints cost ~5 driver-synchronized jobs per anchored
+    // query; now it is collect + final action).
+    //
+    // The matched-edge set is materialized once with a LAZY localCheckpoint
+    // — the prefix collect computes and caches it in one job, and the
+    // caller's action reads it back instead of rescanning the edge store.
+    // Unlike Dataset.persist (whose entry the session's CacheManager pins
+    // until an explicit unpersist, leaking per query), checkpoint blocks
+    // belong to the RDD alone and the ContextCleaner frees them as soon as
+    // the result Dataset goes unreferenced.
     //
     // Caveat: localCheckpoint truncates lineage and keeps blocks only on
     // executors — if an executor is lost (or decommissioned under dynamic
@@ -117,15 +121,38 @@ object RelQueryPlanner {
     // disable it or use reliable checkpointing for long-lived results.
     // materialize=false keeps the full un-truncated lineage — the dry-run
     // trace path (GraphDocument.debugQuery), where plan READABILITY beats
-    // stage reuse (each pruning collect then re-derives from the scans).
+    // stage reuse (the pruning collect then re-derives from the scans).
     def stage(df: DataFrame) =
       if (materialize) df.localCheckpoint(eager = false) else df
     val matched = stage(matchEdges(g, anchor, q))
-    val withFrom = stage(hydrate(g, anchor, q, matched, "_from", "from_doc"))
-    val withBoth = hydrate(g, anchor, q, withFrom, "_to", "to_doc")
+    val (fromPfx, toPfx) = sidePrefixes(g, anchor, q, matched)
+    val withFrom = hydrateWith(g, anchor, q, matched, "_from",
+      Some("from_doc"), Some(fromPfx))
+    val withBoth = hydrateWith(g, anchor, q, withFrom, "_to",
+      Some("to_doc"), Some(toPfx))
     withBoth.select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
       col("_created_at"), col("props"), col("anchor_key"), col("other_key"),
       col("from_doc"), col("to_doc"))
+  }
+
+  /** Candidate-collection prefixes for the `_from`/`_to` hydration sides,
+    * from ONE bounded driver action. `other_key` holds exactly the far
+    * endpoints, so its distinct prefixes cover the far side of either
+    * column; the anchor contributes only its own (statically known)
+    * collection. A superset is safe — a prefix whose join branch matches
+    * no keys unions in zero rows — so `Both` uses far ∪ anchor for both
+    * columns rather than collecting each column separately. */
+  private def sidePrefixes(g: DocGraph, anchor: DocRef, q: RelQuery,
+      matched: DataFrame): (Set[String], Set[String]) = {
+    val far = matched.select(
+        substring_index(col("other_key"), ":", 1).as("_pfx"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val a = Set(anchor.collection)
+    q.direction match {
+      case Direction.Outgoing => (a, far)
+      case Direction.Incoming => (far, a)
+      case Direction.Both     => (far ++ a, far ++ a)
+    }
   }
 
   /** Join `left` (carrying doc keys in `keyCol`) against every candidate
@@ -139,29 +166,20 @@ object RelQueryPlanner {
     *
     * Candidate pruning (the AQE-style adaptive step): the set of collections
     * a hydration side can touch is exactly the set of `collection:` prefixes
-    * present in `keyCol` — computed with one tiny driver-side job over the
-    * (small, anchored) matched-edge set. Without it the plan is a union of
-    * one join per catalog collection per endpoint, and the second endpoint's
-    * hydration re-evaluates the first's whole union per branch — an
-    * O(collections²) plan explosion that scans every table in the catalog.
-    * With it, a 1-hop query plans 1-2 joins per side regardless of catalog
-    * width. */
-  private def hydrate(g: DocGraph, anchor: DocRef, q: RelQuery,
-      left: DataFrame, keyCol: String, outName: String): DataFrame =
-    hydrateWith(g, anchor, q, left, keyCol, Some(outName))
-
-  /** Keys-only variant: the same inner-join strip semantics (endpoint must
-    * exist and pass the predicate) WITHOUT serializing documents — the
-    * path count queries take, where hydration content is never read. */
-  private[graft] def hydrateKeysOnly(g: DocGraph, anchor: DocRef, q: RelQuery,
-      left: DataFrame, keyCol: String): DataFrame =
-    hydrateWith(g, anchor, q, left, keyCol, None)
-
+    * present in `keyCol` — passed in by callers that already derived it
+    * (`knownPrefixes`, from [[sidePrefixes]]'s single action), or computed
+    * here with one tiny driver-side job over the (small, anchored)
+    * matched-edge set. Without it the plan is a union of one join per
+    * catalog collection per endpoint, and the second endpoint's hydration
+    * re-evaluates the first's whole union per branch — an O(collections²)
+    * plan explosion that scans every table in the catalog. With it, a 1-hop
+    * query plans 1-2 joins per side regardless of catalog width. */
   private def hydrateWith(g: DocGraph, anchor: DocRef, q: RelQuery,
-      left: DataFrame, keyCol: String, outName: Option[String]): DataFrame = {
-    val prefixes = left.select(
+      left: DataFrame, keyCol: String, outName: Option[String],
+      knownPrefixes: Option[Set[String]] = None): DataFrame = {
+    val prefixes = knownPrefixes.getOrElse(left.select(
         substring_index(col(keyCol), ":", 1).as("_pfx"))
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().collect().map(_.getString(0)).toSet)
     val parts = g.collections.keys.toSeq.sorted
       .filter(prefixes.contains)
       .map { name =>
@@ -241,16 +259,18 @@ object RelQueryPlanner {
       rsd: Double = 0.05): DataFrame = {
     // counts never read document content — keys-only strip, no JSON
     // (reference count pushdown A1/A2,
-    // /root/reference/src/extendDocument.coffee:74-77). Both anchored
-    // intermediates are lazily localCheckpoint'ed so the pruning collects +
-    // final count scan the edge store and the first hydration join once each
-    // — and, unlike persist, the blocks are ContextCleaner-reclaimed when
-    // the result goes unreferenced (no caller-side lifecycle). See
-    // relationships() for the executor-loss caveat of localCheckpoint.
+    // /root/reference/src/extendDocument.coffee:74-77). The whole count is
+    // TWO driver-synchronized jobs: the shared far-prefix collect (which
+    // also materializes the matched-edge checkpoint — ContextCleaner
+    // reclaims the blocks when the result goes unreferenced; see
+    // relationships() for the executor-loss caveat), then the final
+    // aggregate over both keys-only existence joins. r8 shipped a
+    // per-hydration collect + checkpoint chain (~5 jobs for one scalar).
     val matched = matchEdges(g, anchor, q).localCheckpoint(eager = false)
-    val rels = hydrateKeysOnly(g, anchor, q,
-      hydrateKeysOnly(g, anchor, q, matched, "_from")
-        .localCheckpoint(eager = false), "_to")
+    val (fromPfx, toPfx) = sidePrefixes(g, anchor, q, matched)
+    val rels = hydrateWith(g, anchor, q,
+      hydrateWith(g, anchor, q, matched, "_from", None, Some(fromPfx)),
+      "_to", None, Some(toPfx))
     val target = part match {
       case "r" | "*" => col("_rel_id")
       case "b"       => col("other_key")

@@ -185,6 +185,27 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(windows == 1, s"expected 1 window (new-side cap), got $windows")
   }
 
+  test("q07 anchored count: one pruning action at construction, bounded " +
+      "jobs end-to-end") {
+    // The count path runs exactly TWO driver-synchronized actions: the
+    // shared far-prefix collect at construction (anchor-side prefix is
+    // static), then the final aggregate. AQE materializes shuffle/broadcast
+    // stages as their own Spark jobs, so the raw job count is higher than
+    // the action count — pin both at their measured values (2 construction
+    // jobs = the one distinct+collect under AQE; 6 total) so a regression
+    // to per-hydration collects (r8: 5 construction, 8 total) fails here.
+    val st = spark.sparkContext.statusTracker
+    val before = st.getJobIdsForGroup(null).length
+    val df = SparkEntry.queries("q07_count_incoming")(spark, dir)
+    val atPlan = st.getJobIdsForGroup(null).length
+    df.collect()
+    val atExec = st.getJobIdsForGroup(null).length
+    assert(atPlan - before <= 2,
+      s"construction ran ${atPlan - before} jobs, expected <= 2")
+    assert(atExec - before <= 6,
+      s"count ran ${atExec - before} jobs end-to-end, expected <= 6")
+  }
+
   test("q34 ANN bucketing runs on the codegen'd projection kernel, " +
       "candidates on scalars") {
     // no object serde anywhere in the pair pipeline (the checkpointed
