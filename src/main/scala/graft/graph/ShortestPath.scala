@@ -90,31 +90,44 @@ object ShortestPath {
           // One deterministic representative path per key and level: all
           // candidates have equal length, so array-min is the lex-min.
           .groupBy("key").agg(min(col("path")).as("path"))
-          .localCheckpoint()
-        // Meet check against the OTHER side's whole visited set. Both
-        // halves contain the meet key once — drop it from the backward
-        // half. Candidate totals can differ (the meet key sits at varying
-        // depths in the other side's visited set), so order by length
-        // before the lexicographic tie-break; the first meet round
-        // provably contains a true shortest path.
-        val (fSide, bSide) =
-          if (forward) (next.as("f"), visB.as("b"))
-          else (visF.as("f"), next.as("b"))
-        val hit = fSide.join(bSide, Seq("key"))
-          .select(concat(col("f.path"),
-            slice(col("b.path"), lit(2), size(col("b.path")) - 1)).as("full"))
-          .orderBy(size(col("full")).asc, col("full").asc)
-          .limit(1)
-          .as[Seq[String]].collect()
-        if (hit.nonEmpty) found = Some(hit.head)
+          .localCheckpoint(eager = false)
+        // ONE driver-synchronized action per level (r8 ran up to four:
+        // eager next checkpoint, meet-check collect, eager visited
+        // checkpoint, frontier count). The meet check and the frontier
+        // count fold into a single aggregate: `next` LEFT-joins the OTHER
+        // side's whole visited set (unique keys on both sides, so one row
+        // per frontier key either way) — `count` is the frontier size and
+        // the min over (length, path) structs of the matched rows is the
+        // meet result. Both halves contain the meet key once — drop it
+        // from the backward half. Candidate lengths differ (the meet key
+        // sits at varying depths in the other side's visited set), so
+        // length orders before the lexicographic tie-break; the first meet
+        // round provably contains a true shortest path. This action also
+        // materializes `next`'s lazy checkpoint for the coming level.
+        val other = (if (forward) visB else visF)
+          .select(col("key"), col("path").as("_op"))
+        val full =
+          if (forward) when(col("_op").isNotNull,
+            concat(col("path"), slice(col("_op"), lit(2), size(col("_op")) - 1)))
+          else when(col("_op").isNotNull,
+            concat(col("_op"), slice(col("path"), lit(2), size(col("path")) - 1)))
+        val row = next.join(other, Seq("key"), "left")
+          .select(full.as("full"))
+          .agg(count(lit(1)).as("n"),
+            min(when(col("full").isNotNull,
+              struct(size(col("full")).as("len"), col("full").as("p"))))
+              .as("best"))
+          .collect()(0)
+        val n = row.getLong(0)
+        if (!row.isNullAt(1)) found = Some(row.getStruct(1).getSeq[String](1))
         else if (forward) {
-          visF = visF.unionByName(next).localCheckpoint()
+          visF = visF.unionByName(next).localCheckpoint(eager = false)
           frontF = next
-          nF = next.count()
+          nF = n
         } else {
-          visB = visB.unionByName(next).localCheckpoint()
+          visB = visB.unionByName(next).localCheckpoint(eager = false)
           frontB = next
-          nB = next.count()
+          nB = n
         }
       }
       found

@@ -85,6 +85,23 @@ class ShortestPathSpec extends AnyFunSuite {
     assert(p.contains(Seq(zoe.key, alice.key, bob.key)))
   }
 
+  test("one driver-synchronized action per BFS level") {
+    // alice -> zoe meets at the SECOND level, so the search runs: 2 initial
+    // eager frontier checkpoints + 2 level actions (meet-check and frontier
+    // count folded into one aggregate — r8 ran up to 4 actions per level:
+    // eager next checkpoint, meet collect, eager visited checkpoint, count).
+    // AQE materializes broadcast stages as their own jobs, so pin the
+    // MEASURED total with a small margin rather than the action count.
+    val st = spark.sparkContext.statusTracker
+    ShortestPath.findPath(g, alice, zoe, Seq("knows")) // warm (edge persist)
+    val before = st.getJobIdsForGroup(null).length
+    ShortestPath.findPath(g, alice, zoe, Seq("knows"))
+    val jobs = st.getJobIdsForGroup(null).length - before
+    info(s"findPath(depth 2) ran $jobs jobs")
+    assert(jobs <= 16, s"expected <= 16 jobs for a depth-2 search, got $jobs " +
+      "(r8's per-level meet collect + eager checkpoints + count measured 19)")
+  }
+
   test("fan-out-heavy graph: meet-in-the-middle finds the single chain, " +
       "keeps the lex-min diamond path, and the depth cap binds combined") {
     import spark.implicits._
