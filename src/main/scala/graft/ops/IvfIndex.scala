@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale
@@ -13,14 +13,29 @@ import org.apache.spark.sql.functions._
   * ~(nProbe/k)·n. Built on Spark MLlib's KMeans (seeded — deterministic)
   * with the engine's native `vec_dot` kernel for the in-cell scoring.
   *
+  * The quantizer trains and probes in L2-NORMALIZED space (spherical
+  * k-means): final scoring is cosine, and for unnormalized embeddings the
+  * L2-nearest cells of the raw vectors need not contain the top-cosine
+  * neighbors — probing raw space silently depresses recall below what
+  * `nProbe` suggests. On the unit sphere L2-nearest ⇔ cosine-nearest, so
+  * the probed cells are exactly the cosine-relevant ones. Zero-norm
+  * vectors keep their raw (all-zero) form; they can never score anyway.
+  *
   * At 100 TB: the trained centroid set is tiny (k × dim floats) and ships
   * as literals in the query plan; cell assignment is one codegen'd pass;
-  * the per-query probe reads only the probed cells' partitions if the
-  * index DataFrame is written partitioned by `cell`.
+  * and the materialized index is written with [[save]] as parquet
+  * PARTITIONED BY `cell` (+ a centroid sidecar table), so a probe over the
+  * [[load]]ed form reads only the probed cells' files (partition pruning —
+  * asserted in IvfIndexSpec) and a restarted cluster never retrains.
   */
 object IvfIndex {
 
   final case class Index(cells: DataFrame, centroids: Array[(Int, Seq[Float])])
+
+  /** `vec / ||vec||` as doubles; zero-norm vectors pass through raw. */
+  private def normalized(vecCol: Column, norm: Column): Column =
+    when(norm > 0, transform(vecCol, x => x.cast("double") / norm))
+      .otherwise(transform(vecCol, x => x.cast("double")))
 
   // One trained index per (session, corpus key, k, seed): an ANN index
   // outlives any single query — training per probe would be like rebuilding
@@ -34,14 +49,27 @@ object IvfIndex {
     * caller's CORPUS IDENTITY (e.g. the table path) and is mandatory: the
     * cache cannot see through a DataFrame to know two inputs differ, and a
     * defaulted key would silently serve corpus A's index for corpus B. The
-    * cells persist uses MEMORY_AND_DISK: at 100 TB the materialized index
-    * would instead be written to storage partitioned by `cell` (class doc). */
+    * cells persist uses MEMORY_AND_DISK for intra-session reuse.
+    *
+    * `storageDir` is the cross-session form: on a cache miss the index is
+    * [[load]]ed from there if present (no retraining — the restarted-
+    * cluster path), and a freshly trained index is [[save]]d there before
+    * use. Omitted = session-only memoization. */
   def buildCached(emb: DataFrame, idCol: String, vecCol: String,
-      key: String, k: Int = 16, seed: Long = 42L): Index = {
+      key: String, k: Int = 16, seed: Long = 42L,
+      storageDir: Option[String] = None): Index = {
     require(key.nonEmpty, "buildCached needs a non-empty corpus key")
     val ix = cache.computeIfAbsent(
       s"${emb.sparkSession.hashCode}:$key:$idCol:$vecCol:$k:$seed", _ => {
-        val built = build(emb, idCol, vecCol, k, seed)
+        val spark = emb.sparkSession
+        val built = storageDir match {
+          case Some(dir) if pathExists(spark, s"$dir/centroids") =>
+            load(spark, dir)
+          case _ =>
+            val b = build(emb, idCol, vecCol, k, seed)
+            storageDir.foreach(save(b, _))
+            b
+        }
         built.cells.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
         built
@@ -60,13 +88,15 @@ object IvfIndex {
   }
 
   /** Build the IVF index: assign every vector to its nearest of `k`
-    * centroids. `cells` = input columns + `cell: Int`. */
+    * centroids, trained and assigned in L2-normalized space (class doc).
+    * `cells` = input columns + `cell: Int`; `centroids` live in normalized
+    * space — probes must normalize the query side to match. */
   def build(emb: DataFrame, idCol: String, vecCol: String, k: Int = 16,
       seed: Long = 42L): Index = {
     // widen: k-means iterations inherit the input partitioning; a
     // single-file table would run every distance pass on one core
     val withVec = OpsUtil.widen(emb).withColumn("_mlvec",
-      array_to_vector(col(vecCol).cast("array<double>")))
+      array_to_vector(normalized(col(vecCol), Similarity.l2Norm(col(vecCol)))))
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("_mlvec")
       .setPredictionCol("cell").fit(withVec)
     val cells = model.transform(withVec).drop("_mlvec")
@@ -76,13 +106,44 @@ object IvfIndex {
     Index(cells, centroids)
   }
 
+  /** Write the index to `dir` as its at-scale storage form: the cell
+    * assignment as parquet PARTITIONED BY `cell` (a probe over the loaded
+    * table reads only the probed cells' files) and the centroids as a tiny
+    * sidecar table. Snapshot semantics — overwrites a previous save. */
+  def save(ix: Index, dir: String): Unit = {
+    val spark = ix.cells.sparkSession
+    import spark.implicits._
+    ix.cells.write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(s"$dir/cells")
+    ix.centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+  }
+
+  /** Re-open a [[save]]d index. The cells scan stays file-backed — cell
+    * filters prune to the probed partitions' files; nothing is retrained. */
+  def load(spark: SparkSession, dir: String): Index = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Float](r.fieldIndex("centroid"))))
+      .sortBy(_._1)
+    Index(spark.read.parquet(s"$dir/cells"), cents)
+  }
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(spark.sessionState.newHadoopConf()).exists(path)
+  }
+
   /** Top-`topK` neighbors of `query` probing the `nProbe` nearest cells. */
   def query(ix: Index, idCol: String, vecCol: String, query: Seq[Float],
       topK: Int = 10, nProbe: Int = 4,
       excludeId: Option[Long] = None): DataFrame = {
-    def dist2(a: Seq[Float], b: Seq[Float]): Double =
-      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
-    val probed = ix.centroids.sortBy(c => dist2(c._2, query))
+    def dist2(a: Seq[Double], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // centroids live in normalized space — normalize the probe to match
+    val qn = math.sqrt(query.map(x => x.toDouble * x).sum)
+    val qUnit = if (qn > 0) query.map(_ / qn) else query.map(_.toDouble)
+    val probed = ix.centroids.sortBy(c => dist2(qUnit, c._2))
       .take(nProbe).map(_._1)
     val q = array(query.map(lit): _*)
     val scored = ix.cells.filter(col("cell").isin(probed: _*))
@@ -125,20 +186,25 @@ object IvfIndex {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = ix.centroids.toSeq.toDF("cell", "_centroid")
+    // zero-norm queries can never score (the cosine filter below drops
+    // them) — drop them before probing, where their normalized form would
+    // be undefined
     val q = OpsUtil.widen(queries)
       .select(col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"),
         Similarity.l2Norm(col(vecCol)).as("nrm_b"))
+      .filter(col("nrm_b") > 0)
       .localCheckpoint(eager = false)
     val bcast = OpsUtil.broadcastGate("IvfIndex.topKPerQuery", "queries",
       q.count(), maxBroadcastRows)
     def hint(df: DataFrame) = if (bcast) broadcast(df) else df
-    // squared L2 to every centroid (k rows per query — scalar-cheap), then
-    // keep each query's nProbe nearest cells
+    // squared L2 to every centroid (k rows per query — scalar-cheap) in
+    // NORMALIZED space (centroids are trained on unit vectors — class
+    // doc), then keep each query's nProbe nearest cells
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("_d2", aggregate(
         zip_with(col("v_b"), col("_centroid"),
-          (x, y) => (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))),
+          (x, y) => (x.cast("double") / col("nrm_b") - y.cast("double"))
+            * (x.cast("double") / col("nrm_b") - y.cast("double"))),
         lit(0.0), (s, v) => s + v))
       .withColumn("_pr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id_b"))
