@@ -85,9 +85,9 @@ object EventStreams {
     * variants ([[graft.ops.Dedup.crossCandidatePairs]],
     * [[graft.ops.Dedup.crossSimhashNearPairs]],
     * [[graft.ops.Similarity.crossNearDups]]) are batch ops by design
-    * (their gating counts and checkpoints need a bounded batch) — run
-    * them per micro-batch via `foreachBatch`. Works identically on a
-    * batch DataFrame. */
+    * (their gating counts and checkpoints need a bounded batch) —
+    * [[nearDupIngestStream]] packages that composition per micro-batch
+    * via `foreachBatch`. Works identically on a batch DataFrame. */
   def dedupAgainstCorpus(docStream: DataFrame, corpus: DataFrame,
       textCol: String, tsCol: String = "ts",
       watermark: String = "1 hour"): DataFrame = {
@@ -105,14 +105,74 @@ object EventStreams {
         // deterministic survivor: dropDuplicates keeps an arbitrary row
         // (First() over whatever partition arrives first) — rank by event
         // time instead so reruns agree and batch matches the stream's
-        // first-arrival semantics
+        // first-arrival semantics. Event time alone is not a total order:
+        // rows sharing (key, ts) would still pick an arbitrary survivor
+        // across reruns, so every remaining orderable column joins the
+        // orderBy as a tiebreaker (same-key rows share the text — any
+        // difference, e.g. a doc id, orders them; rows identical in every
+        // orderable column are interchangeable). Unorderable types (maps)
+        // are skipped rather than crashing the window sort.
         val rn = "_graft_text_rn"
+        val ties = fresh.schema.fields
+          .filter(f => f.name != key && f.name != tsCol &&
+            f.name != textCol &&
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType))
+          .map(f => col(f.name)).toSeq
         fresh.withColumn(rn, row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col(key))
-              .orderBy(col(tsCol))))
+              .orderBy(col(tsCol) +: ties: _*)))
           .filter(col(rn) === 1).drop(rn)
       }
     out.drop(key)
+  }
+
+  /** One micro-batch of NEAR-dup ingest: drop batch documents whose
+    * near-duplicate already exists in the static corpus, by EITHER blocker
+    * — MinHash/n-gram Jaccard ≥ `minJaccard`
+    * ([[graft.ops.Dedup.crossCandidatePairs]]) or SimHash Hamming distance
+    * ≤ `simhashMaxDist` ([[graft.ops.Dedup.crossSimhashNearPairs]]). The
+    * corpus side never shuffles in either op; the (tiny) matched-id set
+    * anti-joins the batch away. Factored out of [[nearDupIngestStream]] so
+    * batch ≡ stream parity is directly testable on static frames. */
+  def dropCorpusNearDups(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double = 0.5,
+      simhashMaxDist: Int = 3): DataFrame = {
+    import graft.ops.Dedup
+    val mh = Dedup.crossCandidatePairs(batch, corpus, idCol, textCol,
+      minJaccard = minJaccard).select(col("id_b"))
+    val sh = Dedup.crossSimhashNearPairs(batch, corpus, idCol, textCol,
+      maxDist = simhashMaxDist).select(col("id_b"))
+    val dupIds = mh.unionByName(sh).distinct()
+    batch.join(dupIds, batch(idCol).cast("long") === dupIds("id_b"),
+      "left_anti")
+  }
+
+  /** Streaming NEAR-dup ingest, packaged: exact dedup runs IN the stream —
+    * [[dedupAgainstCorpus]], corpus anti-join + watermark-bounded
+    * within-stream state — and the near-dup cross blockers run per
+    * micro-batch via `foreachBatch` ([[dropCorpusNearDups]]), because they
+    * are batch ops by design: their broadcast-gating counts and lazy
+    * checkpoints need a bounded batch, which is exactly what a micro-batch
+    * is. `sink(cleanedBatch, batchId)` receives each cleaned micro-batch —
+    * typically an append to the corpus table itself (the next batch then
+    * dedups against the grown corpus through `corpus`'s re-planned scan).
+    * Returns the started query (caller stops it). */
+  def nearDupIngestStream(docStream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, tsCol: String = "ts",
+      watermark: String = "1 hour", minJaccard: Double = 0.5,
+      simhashMaxDist: Int = 3)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docStream.isStreaming,
+      "nearDupIngestStream needs a streaming frame; compose " +
+        "dedupAgainstCorpus + dropCorpusNearDups directly for batch input")
+    dedupAgainstCorpus(docStream, corpus, textCol, tsCol, watermark)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(dropCorpusNearDups(batch.toDF(), corpus, idCol, textCol,
+          minJaccard, simhashMaxDist), id)
+      }
+      .start()
   }
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)

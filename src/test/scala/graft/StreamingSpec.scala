@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -69,6 +71,41 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
       val streamed = spark.sql("SELECT doc_id FROM dedup_corpus_test")
         .collect().map(_.getLong(0)).toSet
       assert(streamed == Set(2L, 4L))
+    } finally q.stop()
+  }
+
+  test("nearDupIngestStream: exact dups drop in-stream, near-dups drop " +
+      "per micro-batch, batch composition and real stream agree") {
+    import EventStreams.Doc
+    val corpusText =
+      "the quick brown fox jumps over the lazy dog repeatedly every single day"
+    val corpus = Seq((100L, corpusText), (101L, "some other well known document"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      Doc(1L, Timestamp.valueOf("2024-01-01 10:00:00"), corpusText), // exact corpus dup
+      Doc(2L, Timestamp.valueOf("2024-01-01 10:01:00"),             // NEAR corpus dup
+        "the quick brown fox jumps over the lazy dog repeatedly every single week"),
+      Doc(3L, Timestamp.valueOf("2024-01-01 10:02:00"), "genuinely fresh content"),
+      Doc(4L, Timestamp.valueOf("2024-01-01 10:03:00"), "genuinely fresh content"), // stream dup
+      Doc(5L, Timestamp.valueOf("2024-01-01 10:04:00"), "and one more unlike any"))
+    // batch composition (the documented equivalent of the packaged stream)
+    val batchClean = EventStreams.dropCorpusNearDups(
+      EventStreams.dedupAgainstCorpus(docs.toDF(), corpus, "text"),
+      corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchClean == Set(3L, 5L))
+    // the packaged stream over a real MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(docs: _*)
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = EventStreams.nearDupIngestStream(mem.toDF(), corpus,
+      "doc_id", "text") { (clean, _) =>
+      clean.select("doc_id").collect().foreach(r => got.add(r.getLong(0)))
+    }
+    try {
+      q.processAllAvailable()
+      assert(got.asScala.toSet == batchClean)
     } finally q.stop()
   }
 
