@@ -290,27 +290,46 @@ object Dedup {
         .otherwise(lit(0L)))
     })
 
-  /** Hamming-near pairs over simhash signatures, blocked on 16-bit chunks
-    * (a pair within distance d ≤ 3 must agree exactly on ≥1 of 4 chunks). */
-  /** 16-bit chunk explosion — ONE definition shared by the self-join and
-    * the cross-corpus blocker: the cross/self parity the specs assert
-    * depends on the two chunking schemes staying bit-identical. */
+  /** Chunk explosion for Hamming blocking — ONE definition shared by the
+    * self-join and the cross-corpus blocker: the cross/self parity the
+    * specs assert depends on the two chunking schemes staying
+    * bit-identical. The 64 signature bits split into `nChunks` contiguous
+    * chunks (width 64/nChunks, the remainder spread one bit at a time);
+    * `nChunks = 4` reproduces the classic 16-bit scheme exactly. */
   private def simhashChunks(df: DataFrame, idC: String,
-      sigC: String): DataFrame =
-    (0 until 4).map { c =>
+      sigC: String, nChunks: Int = 4): DataFrame =
+    (0 until nChunks).map { c =>
+      val lo = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       df.select(lit(c).as("chunk"),
-        shiftrightunsigned(col(sigC), c * 16).bitwiseAND(lit(0xffffL))
-          .as("ckey"),
+        shiftrightunsigned(col(sigC), lo).bitwiseAND(lit(mask)).as("ckey"),
         col(idC), col(sigC))
     }.reduce(_.unionByName(_))
 
+  /** `maxDist + 1` chunks: a pair within Hamming distance d differs in at
+    * most d chunks, so it agrees EXACTLY on ≥ 1 of d+1 — the pigeonhole
+    * recall guarantee tracks the parameter instead of silently degrading
+    * past distance 3 (the r8 behavior: a fixed 4-chunk scheme returned
+    * partial results for any `maxDist` > 3). The cost side of the dial:
+    * more chunks = narrower keys = fatter blocking buckets, which is why
+    * the bound caps at 15 (16 chunks of 4 bits — past that the blocker
+    * approaches a cross join and a different algorithm is the answer). */
+  private def chunksFor(maxDist: Int): Int = {
+    require(maxDist >= 0 && maxDist <= 15,
+      s"maxDist must be in [0, 15], got $maxDist (chunk blocking needs " +
+        "maxDist+1 chunks; past 15 the buckets approach a cross join)")
+    math.max(maxDist + 1, 2)
+  }
+
   def simhashNearPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
-    // checkpoint before the 4-way chunk union: each union branch is a
+    val nChunks = chunksFor(maxDist)
+    // checkpoint before the chunk union: each union branch is a
     // separate select over `sigs`, so an un-materialized signature plan
-    // (shingling + the 64-bit fold) would otherwise execute 4 times
+    // (shingling + the 64-bit fold) would otherwise execute per branch
     val byChunk = sigs.select(col("id"), col("simhash"))
       .localCheckpoint(eager = false)
-    val exploded = simhashChunks(byChunk, "id", "simhash")
+    val exploded = simhashChunks(byChunk, "id", "simhash", nChunks)
     val a = exploded.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("simhash").as("h_a"))
     val b = exploded.select(col("chunk"), col("ckey"),
@@ -328,13 +347,11 @@ object Dedup {
     * and [[Similarity.crossNearDups]] (embedding side). Signatures are
     * data-deterministic (same xxhash64 shingle votes on both sides), so a
     * (corpus, new) pair blocks and verifies exactly as in the self-join on
-    * the union. The pigeonhole guarantee (a pair within `maxDist` agrees
-    * exactly on ≥1 of the 4 16-bit chunks) holds for `maxDist` ≤ 3, same
-    * as [[simhashNearPairs]]; a larger `maxDist` still verifies only
-    * chunk-colliding candidates — identical blocking to the self-join
-    * (parity holds), but recall over distance-4+ pairs is partial. The
-    * new batch's exploded chunk keys broadcast under the same count gate
-    * as the other cross ops —
+    * the union. The pigeonhole guarantee tracks `maxDist` exactly as in
+    * [[simhashNearPairs]] (`maxDist + 1` chunks — full recall for any
+    * admitted distance, identical blocking to the self-join so parity
+    * holds). The new batch's exploded chunk keys broadcast under the same
+    * count gate as the other cross ops —
     * the corpus side never shuffles: one signature pass, 4 map-side
     * hash-equi-joins, scalar pair dedup, then the XOR popcount.
     *
@@ -344,11 +361,12 @@ object Dedup {
       idCol: String, textCol: String, shingleN: Int = 3, maxDist: Int = 3,
       maxBroadcastRows: Long = 1000000L): DataFrame = {
     implicit val spark: SparkSession = corpus.sparkSession
+    val nChunks = chunksFor(maxDist)
     def sigs(df: DataFrame, side: String) =
       simhash(df, idCol, textCol, shingleN)
         .select(col("id").as(s"id_$side"), col("simhash").as(s"h_$side"))
     def chunked(df: DataFrame, side: String) =
-      simhashChunks(df, s"id_$side", s"h_$side")
+      simhashChunks(df, s"id_$side", s"h_$side", nChunks)
     // BOTH sides checkpoint before chunking: the 4-way chunk union would
     // otherwise re-run the full signature pass (shingling + fold) once per
     // branch — 3 redundant corpus scans. Signatures are 16 bytes/row, so
