@@ -23,6 +23,9 @@ import org.apache.spark.sql.SparkSession
   *     system load average is sampled before and after the run
   *     ("load_avg") — a host-load-tainted run is self-identifying instead
   *     of reading as a regression;
+  *   - per-rep process-CPU deltas ("reps_cpu_sec"; "c" next to "w" for the
+  *     headline's 3 slowest) distinguish waiting from working PER QUERY:
+  *     wall up with flat CPU = host taint, CPU ~ cores × wall = real work;
   *   - a query that throws on every rep is recorded as the string "err";
   *     a query that succeeded on some reps reports the median of those
   *     (its error still appears in "q_errors"), so a single flaky rep
@@ -40,6 +43,17 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+
+  /** Cumulative process CPU time (ns). Per-rep CPU deltas separate host-
+    * load taint from real work: a genuinely expensive query burns CPU
+    * roughly `cores × wall`; a query that is merely WAITING on a loaded
+    * host shows wall growth with flat CPU — so a tainted round
+    * self-identifies per query, not just via the run-level load_avg. */
+  private def cpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,18 +102,21 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => args.exists(n.startsWith) }
-    val results: Seq[(String, Seq[Double], Option[String])] = selected.map {
-      case (name, fn) =>
+    val results: Seq[(String, Seq[Double], Seq[Double], Option[String])] =
+      selected.map { case (name, fn) =>
         val times = Seq.newBuilder[Double]
+        val cpus = Seq.newBuilder[Double]
         var err: Option[String] = None
         var rep = 0
         // stop at the first error: bench errors are deterministic in
         // practice, and re-throwing REPS times just delays the round
         while (rep < Reps && err.isEmpty) {
           val t0 = System.nanoTime()
+          val c0 = cpuNs
           try {
             fn(spark, sfDir).count()
             times += (System.nanoTime() - t0) / 1e9
+            cpus += (cpuNs - c0) / 1e9
           } catch {
             case e: Throwable =>
               err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -108,21 +125,24 @@ object Bench {
           rep += 1
         }
         err.foreach(m => System.err.println(s"[bench] $name FAILED: ${m.take(300)}"))
-        (name, times.result(), err)
+        (name, times.result(), cpus.result(), err)
     }
     def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
     val qs = results.map {
-      case (k, ts, _) if ts.nonEmpty => "\"" + k + "\":" + median(ts)
-      case (k, _, _)                 => "\"" + k + "\":\"err\""
+      case (k, ts, _, _) if ts.nonEmpty => "\"" + k + "\":" + median(ts)
+      case (k, _, _, _)                 => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
-    val reps = results.collect { case (k, ts, _) if ts.nonEmpty =>
+    val reps = results.collect { case (k, ts, _, _) if ts.nonEmpty =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val qErrors = results.collect { case (k, _, Some(m)) =>
+    val repsCpu = results.collect { case (k, _, cs, _) if cs.nonEmpty =>
+      "\"" + k + "\":[" + cs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val qErrors = results.collect { case (k, _, _, Some(m)) =>
       "\"" + k + "\":\"" + m.take(200).replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, ts, _) if ts.nonEmpty => median(ts) }.sum
-    val nErr = results.count(_._3.nonEmpty)
+    val total = results.collect { case (_, ts, _, _) if ts.nonEmpty => median(ts) }.sum
+    val nErr = results.count(_._4.nonEmpty)
     val loadAfter = loadAvg
     // Three lines, biggest FIRST: the channel reading stdout captures a
     // bounded TAIL (~2.9 KB observed), so anything the driver must see has
@@ -133,12 +153,18 @@ object Bench {
     // with no per-query map so its length is bounded regardless of how many
     // queries the suite grows to.
     def s2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val slowest = results.collect { case (k, ts, _) if ts.nonEmpty => (k, median(ts)) }
+    // slowest 3 carry wall AND process-CPU medians ("w"/"c"): w >> c/cores
+    // means the query was waiting (host taint), w ~ c/cores means real work
+    val slowest = results.collect {
+        case (k, ts, cs, _) if ts.nonEmpty => (k, median(ts), median(cs))
+      }
       .sortBy(-_._2).take(3)
-      .map { case (k, v) => "\"" + k + "\":" + s2(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps}""")
+      .map { case (k, w, c) =>
+        "\"" + k + "\":{\"w\":" + s2(w) + ",\"c\":" + s2(c) + "}"
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps,"reps_cpu_sec":$repsCpu}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"headline","value":${s2(total)},"unit":"sec","build_sec":${s2(buildSec)},"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","value":${s2(total)},"unit":"sec","build_sec":${s2(buildSec)},"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
