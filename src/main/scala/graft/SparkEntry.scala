@@ -691,6 +691,18 @@ object SparkEntry {
           Testbed.graph(s, dir).collection("documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "q75_expand" -> ((s, dir) => {
+      // bounded var-length traversal (Cypher a-[*1..3]->b shape, beyond
+      // the reference's shortestPath): 3 outgoing hops from a small order
+      // set walk placed_by -> located_in -> part_of; reachability
+      // semantics, hops = minimum distance
+      val g = Testbed.graph(s, dir)
+      val anchors = g.collection("orders").filter(col("o_orderkey") < 20)
+        .select(concat(lit("orders:"), col("_id")).as("anchor_key"))
+      RelQueryPlanner.expand(g, anchors,
+          RelQuery(direction = Direction.Outgoing), minHops = 1, maxHops = 3)
+        .orderBy("anchor_key", "hops", "node_key")
+    }),
     "q73_cross_simhash" -> ((s, dir) => {
       // incremental cross-corpus SimHash: new batch chunk-keys broadcast
       // against the corpus signatures — completes the rolling-ingest
@@ -1320,5 +1332,25 @@ object SparkEntry {
          SELECT doc_id,
                 round(avg(ln(CAST(c AS DOUBLE) / n)), 4) AS avg_logprob
          FROM tok JOIN f USING (t) CROSS JOIN tot
-         GROUP BY doc_id ORDER BY doc_id""")
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q75_expand" ->
+      """WITH h1 AS (
+           SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS anchor_key,
+                  'customer:' || CAST(o_custkey AS VARCHAR) AS node_key,
+                  CAST(1 AS BIGINT) AS hops, o_custkey AS ck
+           FROM orders WHERE o_orderkey < 20),
+         h2 AS (
+           SELECT anchor_key,
+                  'nation:' || CAST(c_nationkey AS VARCHAR) AS node_key,
+                  CAST(2 AS BIGINT) AS hops, c_nationkey AS nk
+           FROM h1 JOIN customer ON c_custkey = ck),
+         h3 AS (
+           SELECT anchor_key,
+                  'region:' || CAST(n_regionkey AS VARCHAR) AS node_key,
+                  CAST(3 AS BIGINT) AS hops
+           FROM h2 JOIN nation ON n_nationkey = nk)
+         SELECT anchor_key, node_key, hops FROM h1
+         UNION ALL SELECT anchor_key, node_key, hops FROM h2
+         UNION ALL SELECT anchor_key, node_key, hops FROM h3
+         ORDER BY anchor_key, hops, node_key""")
 }

@@ -244,6 +244,64 @@ object RelQueryPlanner {
     }
   }
 
+  /** Bounded variable-length traversal — the Cypher `a-[:T*min..max]->b`
+    * shape the reference never generalized beyond `shortestPath`
+    * (/root/reference/src/extendDocument.coffee:352-366 exposes only the
+    * depth-capped shortest path; `queryGraph` users coming from Cypher
+    * reach for the free-form variant). REACHABILITY semantics: one row
+    * `(anchor_key, node_key, hops)` per reachable node per anchor, where
+    * `hops` is the MINIMUM hop distance along matching edges, filtered to
+    * `[minHops, maxHops]`; `minHops = 0` includes the anchors themselves.
+    *
+    * Deliberately NOT path enumeration: var-length path multiplicity grows
+    * ~fan-out^hops and enumerating it over a 100 TB graph is a
+    * non-starter. Level-synchronous BFS with per-(anchor, node) anti-join
+    * dedup keeps each level bounded by the reachable set — the same
+    * discipline as [[graft.graph.ShortestPath]], set-oriented over a whole
+    * anchor frame at once. Edge-level filters in `q` (types, direction,
+    * `whereRelationship`) apply to EVERY hop; document-level predicates
+    * don't participate (hydrate the result and filter when needed).
+    *
+    * One count action per level (it doubles as that level's checkpoint
+    * materialization), `maxHops ≤ 15` (the reference's levelDeepness cap)
+    * bounds the loop, and an emptied frontier exits early. */
+  def expand(g: DocGraph, anchors: DataFrame, q: RelQuery,
+      minHops: Int = 1, maxHops: Int = 3): DataFrame = {
+    require(minHops >= 0, s"minHops must be >= 0, got $minHops")
+    require(maxHops >= minHops && maxHops <= 15,
+      s"maxHops must be in [minHops, 15], got $maxHops")
+    val start = anchors.select(col("anchor_key")).distinct()
+      .select(col("anchor_key").as("origin"), col("anchor_key").as("key"),
+        lit(0).as("hops"))
+      .localCheckpoint(eager = false)
+    var visited = start
+    var frontier = start.select("origin", "key")
+    var hop = 0
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      // one edge expansion per DISTINCT frontier node, fanned back out to
+      // (origin, node) pairs — overlapping neighborhoods pay once
+      val stepped = matchEdgesForAnchors(g,
+        frontier.select(col("key").as("anchor_key")).distinct(), q)
+        .select(col("anchor_key").as("key"), col("other_key")).distinct()
+      val next = frontier.join(stepped, Seq("key"))
+        .select(col("origin"), col("other_key").as("key")).distinct()
+        .join(visited.select("origin", "key"), Seq("origin", "key"),
+          "left_anti")
+        .localCheckpoint(eager = false)
+      if (next.count() == 0) exhausted = true
+      else {
+        visited = visited.unionByName(next.withColumn("hops", lit(hop)))
+          .localCheckpoint(eager = false)
+        frontier = next
+      }
+    }
+    visited.filter(col("hops").between(minHops, maxHops))
+      .select(col("origin").as("anchor_key"), col("key").as("node_key"),
+        col("hops").cast("long").as("hops"))
+  }
+
   /** A1/A2 count pushdown: `part` ∈ r | * | b (other end) | a (anchor)
     * (/root/reference/src/extendDocument.coffee:74-77).
     *

@@ -85,6 +85,33 @@ class ShortestPathSpec extends AnyFunSuite {
     assert(p.contains(Seq(zoe.key, alice.key, bob.key)))
   }
 
+  test("expand: bounded var-length traversal — min-hop reachability, " +
+      "minHops filter, cycle termination, Both direction") {
+    import spark.implicits._
+    import graft.query.{RelQuery, RelQueryPlanner}
+    import graft.core.DocGraph.Direction
+    val anchors = Seq(alice.key).toDF("anchor_key")
+    def rows(minHops: Int, maxHops: Int, dir: Direction) =
+      RelQueryPlanner.expand(g, anchors,
+          RelQuery(types = Seq("knows"), direction = dir), minHops, maxHops)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    // knows edges: alice->bob, bob->charles, bob->zoe, charles->zoe,
+    // zoe->alice. Outgoing from alice: bob@1, {charles, zoe}@2; the
+    // zoe->alice edge closes a cycle that must terminate, not loop or
+    // re-emit the origin (maxHops=5 > graph diameter exercises early exit)
+    assert(rows(1, 5, Direction.Outgoing) ==
+      Set((bob.key, 1L), (charles.key, 2L), (zoe.key, 2L)))
+    // minHops drops the near ring; hops stay MINIMUM distances
+    assert(rows(2, 3, Direction.Outgoing) ==
+      Set((charles.key, 2L), (zoe.key, 2L)))
+    // minHops=0 includes the anchor itself
+    assert(rows(0, 1, Direction.Outgoing) ==
+      Set((alice.key, 0L), (bob.key, 1L)))
+    // Both direction: zoe is 1 hop via its incoming edge
+    assert(rows(1, 2, Direction.Both) ==
+      Set((bob.key, 1L), (zoe.key, 1L), (charles.key, 2L)))
+  }
+
   test("one driver-synchronized action per BFS level") {
     // alice -> zoe meets at the SECOND level, so the search runs: 2 initial
     // eager frontier checkpoints + 2 level actions (meet-check and frontier
