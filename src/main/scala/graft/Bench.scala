@@ -116,7 +116,11 @@ object Bench {
           try {
             fn(spark, sfDir).count()
             times += (System.nanoTime() - t0) / 1e9
-            cpus += (cpuNs - c0) / 1e9
+            // -1 = CPU time unavailable on this JVM; skip rather than
+            // record 0.0, which the taint heuristic would misread as
+            // "waiting, not working"
+            val c1 = cpuNs
+            if (c0 >= 0 && c1 >= 0) cpus += (c1 - c0) / 1e9
           } catch {
             case e: Throwable =>
               err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -156,7 +160,9 @@ object Bench {
     // slowest 3 carry wall AND process-CPU medians ("w"/"c"): w >> c/cores
     // means the query was waiting (host taint), w ~ c/cores means real work
     val slowest = results.collect {
-        case (k, ts, cs, _) if ts.nonEmpty => (k, median(ts), median(cs))
+        case (k, ts, cs, _) if ts.nonEmpty =>
+          // c = -1 marks "CPU time unavailable", never a measured zero
+          (k, median(ts), if (cs.nonEmpty) median(cs) else -1.0)
       }
       .sortBy(-_._2).take(3)
       .map { case (k, w, c) =>

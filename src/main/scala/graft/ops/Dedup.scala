@@ -352,8 +352,8 @@ object Dedup {
     * admitted distance, identical blocking to the self-join so parity
     * holds). The new batch's exploded chunk keys broadcast under the same
     * count gate as the other cross ops —
-    * the corpus side never shuffles: one signature pass, 4 map-side
-    * hash-equi-joins, scalar pair dedup, then the XOR popcount.
+    * the corpus side never shuffles: one signature pass, maxDist+1
+    * map-side hash-equi-joins, scalar pair dedup, then the XOR popcount.
     *
     * Output: `(id_a, id_b, hamming)` with `id_a` from the corpus and
     * `id_b` from the new batch (distinct corpora — every pair is real). */
@@ -367,10 +367,10 @@ object Dedup {
         .select(col("id").as(s"id_$side"), col("simhash").as(s"h_$side"))
     def chunked(df: DataFrame, side: String) =
       simhashChunks(df, s"id_$side", s"h_$side", nChunks)
-    // BOTH sides checkpoint before chunking: the 4-way chunk union would
-    // otherwise re-run the full signature pass (shingling + fold) once per
-    // branch — 3 redundant corpus scans. Signatures are 16 bytes/row, so
-    // the corpus-side checkpoint is cheap even at 100 TB.
+    // BOTH sides checkpoint before chunking: the nChunks-way chunk union
+    // would otherwise re-run the full signature pass (shingling + fold)
+    // once per branch — nChunks-1 redundant corpus scans. Signatures are
+    // 16 bytes/row, so the corpus-side checkpoint is cheap even at 100 TB.
     val c = sigs(corpus, "a").localCheckpoint(eager = false)
     val n = sigs(newBatch, "b").localCheckpoint(eager = false)
     val hint = OpsUtil.gatedHint("crossSimhashNearPairs", "newBatch", n,

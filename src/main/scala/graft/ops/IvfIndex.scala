@@ -30,6 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.ops")
+
   final case class Index(cells: DataFrame, centroids: Array[(Int, Seq[Float])])
 
   /** `vec / ||vec||` as doubles; zero-norm vectors pass through raw. */
@@ -43,6 +45,10 @@ object IvfIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
+  /** Test hook: forget session memoizations (simulates a fresh session so
+    * the [[buildCached]] storage fall-through is observable in-process). */
+  private[graft] def clearCache(): Unit = cache.clear()
+
   /** [[build]], memoized per (session, `key`, k, seed) with the cell
     * assignment persisted — callers issuing many probes (or a benchmark
     * measuring probe latency) pay the k-means training once. `key` is the
@@ -54,24 +60,43 @@ object IvfIndex {
     * `storageDir` is the cross-session form: on a cache miss the index is
     * [[load]]ed from there if present (no retraining — the restarted-
     * cluster path), and a freshly trained index is [[save]]d there before
-    * use. Omitted = session-only memoization. */
+    * use. The store carries an identity fingerprint (corpus key, columns,
+    * k, seed): a stored index that was built under DIFFERENT parameters —
+    * two pipelines sharing a directory, or a k upgrade — is detected and
+    * retrained + overwritten rather than silently served with the wrong
+    * cell granularity. Omitted = session-only memoization. */
   def buildCached(emb: DataFrame, idCol: String, vecCol: String,
       key: String, k: Int = 16, seed: Long = 42L,
       storageDir: Option[String] = None): Index = {
     require(key.nonEmpty, "buildCached needs a non-empty corpus key")
+    val fp = s"$key:$idCol:$vecCol:$k:$seed"
     val ix = cache.computeIfAbsent(
-      s"${emb.sparkSession.hashCode}:$key:$idCol:$vecCol:$k:$seed", _ => {
+      s"${emb.sparkSession.hashCode}:$fp", _ => {
         val spark = emb.sparkSession
-        val built = storageDir match {
-          case Some(dir) if pathExists(spark, s"$dir/centroids") =>
-            load(spark, dir)
-          case _ =>
+        val stored = storageDir.filter(dir =>
+          pathExists(spark, s"$dir/centroids") && {
+            val ok = readFingerprint(spark, dir).contains(fp)
+            if (!ok) logger.warn(s"IvfIndex: stored index at $dir has a " +
+              s"different identity (want '$fp'); retraining and overwriting")
+            ok
+          })
+        val built = stored match {
+          case Some(dir) => load(spark, dir)
+          case None =>
             val b = build(emb, idCol, vecCol, k, seed)
-            storageDir.foreach(save(b, _))
+            // persist + materialize BEFORE save: the write then reads the
+            // cached cell assignment instead of re-running the k-means
+            // transform over the corpus a second time
+            b.cells.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+            storageDir.foreach(dir => save(b, dir, Some(fp)))
             b
         }
-        built.cells.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        if (built.cells.storageLevel ==
+            org.apache.spark.storage.StorageLevel.NONE) {
+          built.cells.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+        }
         built
       })
     // Session-level cache hygiene (e.g. a benchmark unpersisting per-query
@@ -109,15 +134,26 @@ object IvfIndex {
   /** Write the index to `dir` as its at-scale storage form: the cell
     * assignment as parquet PARTITIONED BY `cell` (a probe over the loaded
     * table reads only the probed cells' files) and the centroids as a tiny
-    * sidecar table. Snapshot semantics — overwrites a previous save. */
-  def save(ix: Index, dir: String): Unit = {
+    * sidecar table. `fingerprint` (written as a third sidecar when given)
+    * records the build identity so [[buildCached]] can refuse a stored
+    * index built under different parameters. Snapshot semantics —
+    * overwrites a previous save. */
+  def save(ix: Index, dir: String, fingerprint: Option[String] = None): Unit = {
     val spark = ix.cells.sparkSession
     import spark.implicits._
     ix.cells.write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$dir/cells")
     ix.centroids.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    fingerprint.foreach(f => Seq(f).toDF("fingerprint")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta"))
   }
+
+  private def readFingerprint(spark: SparkSession,
+      dir: String): Option[String] =
+    if (!pathExists(spark, s"$dir/meta")) None
+    else spark.read.parquet(s"$dir/meta").collect()
+      .headOption.map(_.getString(0))
 
   /** Re-open a [[save]]d index. The cells scan stays file-backed — cell
     * filters prune to the probed partitions' files; nothing is retrained. */
@@ -186,6 +222,12 @@ object IvfIndex {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents = ix.centroids.toSeq.toDF("cell", "_centroid")
+      // ||c||^2 once per centroid (k rows): the probe distance below uses
+      // the expansion ||u - c||^2 = 1 - 2 u.c + ||c||^2, so the per-pair
+      // work is one dot product — no per-element division inside the
+      // (queries x k) region
+      .withColumn("_cn2", aggregate(col("_centroid"), lit(0.0),
+        (s, x) => s + x.cast("double") * x.cast("double")))
     // zero-norm queries can never score (the cosine filter below drops
     // them) — drop them before probing, where their normalized form would
     // be undefined
@@ -199,13 +241,12 @@ object IvfIndex {
     def hint(df: DataFrame) = if (bcast) broadcast(df) else df
     // squared L2 to every centroid (k rows per query — scalar-cheap) in
     // NORMALIZED space (centroids are trained on unit vectors — class
-    // doc), then keep each query's nProbe nearest cells
+    // doc): ||v/n - c||^2 = 1 - 2 (v.c)/n + ||c||^2, ranked per query
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("_d2", aggregate(
-        zip_with(col("v_b"), col("_centroid"),
-          (x, y) => (x.cast("double") / col("nrm_b") - y.cast("double"))
-            * (x.cast("double") / col("nrm_b") - y.cast("double"))),
-        lit(0.0), (s, v) => s + v))
+      .withColumn("_d2", lit(1.0)
+        - lit(2.0) * Similarity.dot(col("v_b"), col("_centroid"))
+          / col("nrm_b")
+        + col("_cn2"))
       .withColumn("_pr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id_b"))
           .orderBy(col("_d2"), col("cell"))))

@@ -126,8 +126,15 @@ object RelQueryPlanner {
       if (materialize) df.localCheckpoint(eager = false) else df
     val matched = stage(matchEdges(g, anchor, q))
     val (fromPfx, toPfx) = sidePrefixes(g, anchor, q, matched)
-    val withFrom = hydrateWith(g, anchor, q, matched, "_from",
-      Some("from_doc"), Some(fromPfx))
+    // withFrom is ALSO lazily checkpointed (no action — the caller's one
+    // action materializes it): the second hydration is a union with one
+    // branch per candidate collection, and each branch references this
+    // subtree — un-persisted, a plan with F from-branches and T
+    // to-branches would execute the from-hydration (and rescan its
+    // collections) F×T times, the O(collections²) explosion hydrateWith's
+    // doc warns about.
+    val withFrom = stage(hydrateWith(g, anchor, q, matched, "_from",
+      Some("from_doc"), Some(fromPfx)))
     val withBoth = hydrateWith(g, anchor, q, withFrom, "_to",
       Some("to_doc"), Some(toPfx))
     withBoth.select(col("_rel_id"), col("_from"), col("_to"), col("rel_type"),
@@ -270,6 +277,14 @@ object RelQueryPlanner {
     require(minHops >= 0, s"minHops must be >= 0, got $minHops")
     require(maxHops >= minHops && maxHops <= 15,
       s"maxHops must be in [minHops, 15], got $maxHops")
+    // refuse, don't ignore: these fields express constraints expand does
+    // not apply, and dropping them silently would return a superset of
+    // what the caller asked for
+    require(q.endpoint.isEmpty && q.whereDocument.isEmpty &&
+        q.collection.isEmpty,
+      "expand applies edge-level filters only (types, direction, " +
+        "whereRelationship); endpoint/whereDocument/collection are " +
+        "hydration-time concerns — filter the result instead")
     val start = anchors.select(col("anchor_key")).distinct()
       .select(col("anchor_key").as("origin"), col("anchor_key").as("key"),
         lit(0).as("hops"))
@@ -326,8 +341,12 @@ object RelQueryPlanner {
     // per-hydration collect + checkpoint chain (~5 jobs for one scalar).
     val matched = matchEdges(g, anchor, q).localCheckpoint(eager = false)
     val (fromPfx, toPfx) = sidePrefixes(g, anchor, q, matched)
+    // the first hydration's lazy checkpoint (no extra action) keeps the
+    // second hydration's union branches from re-executing it per branch —
+    // see relationships()
     val rels = hydrateWith(g, anchor, q,
-      hydrateWith(g, anchor, q, matched, "_from", None, Some(fromPfx)),
+      hydrateWith(g, anchor, q, matched, "_from", None, Some(fromPfx))
+        .localCheckpoint(eager = false),
       "_to", None, Some(toPfx))
     val target = part match {
       case "r" | "*" => col("_rel_id")

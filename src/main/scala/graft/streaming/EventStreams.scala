@@ -154,20 +154,34 @@ object EventStreams {
     * micro-batch via `foreachBatch` ([[dropCorpusNearDups]]), because they
     * are batch ops by design: their broadcast-gating counts and lazy
     * checkpoints need a bounded batch, which is exactly what a micro-batch
-    * is. `sink(cleanedBatch, batchId)` receives each cleaned micro-batch —
-    * typically an append to the corpus table itself (the next batch then
-    * dedups against the grown corpus through `corpus`'s re-planned scan).
-    * Returns the started query (caller stops it). */
+    * is. `sink(cleanedBatch, batchId)` receives each cleaned micro-batch,
+    * typically appending it to the corpus store. Note the static-side
+    * snapshot caveat: a path-based parquet `corpus` frame pins its FILE
+    * LISTING at creation, so appends the sink makes are invisible to later
+    * micro-batches — point `corpus` at a catalog table (or re-create the
+    * frame inside the sink's store) when the stream must dedup against its
+    * own output; with a plain path frame the dedup horizon is the corpus
+    * as of stream start plus the within-stream watermark state.
+    *
+    * `checkpointDir` is REQUIRED for any run that must survive a driver
+    * restart: without it Spark uses a temporary checkpoint, and a
+    * restarted query loses both the source offsets and the
+    * within-watermark dedup state — it would replay the source from
+    * scratch and re-append documents, the exact failure this pipeline
+    * exists to prevent. Returns the started query (caller stops it). */
   def nearDupIngestStream(docStream: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, tsCol: String = "ts",
       watermark: String = "1 hour", minJaccard: Double = 0.5,
-      simhashMaxDist: Int = 3)(sink: (DataFrame, Long) => Unit)
+      simhashMaxDist: Int = 3, checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(docStream.isStreaming,
       "nearDupIngestStream needs a streaming frame; compose " +
         "dedupAgainstCorpus + dropCorpusNearDups directly for batch input")
-    dedupAgainstCorpus(docStream, corpus, textCol, tsCol, watermark)
+    val writer = dedupAgainstCorpus(docStream, corpus, textCol, tsCol,
+        watermark)
       .writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         sink(dropCorpusNearDups(batch.toDF(), corpus, idCol, textCol,
           minJaccard, simhashMaxDist), id)

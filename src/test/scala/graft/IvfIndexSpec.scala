@@ -58,16 +58,27 @@ class IvfIndexSpec extends AnyFunSuite {
       s"cell probe not pruned at the partition level:\n${partFilters.mkString("\n")}")
   }
 
-  test("buildCached falls through to the stored form instead of retraining") {
+  test("buildCached falls through to the stored form instead of " +
+      "retraining, and refuses a stored index with a different identity") {
     val where = tmpDir
     val ix1 = IvfIndex.buildCached(emb, "vec_id", "embedding",
-      key = s"ivfspec:$where:full", k = 8, storageDir = Some(where))
-    // a DIFFERENT corpus under a fresh cache key but the same storageDir:
-    // training would produce different centroids; loading must return the
-    // stored ones — proof the store, not the input, answered
+      key = s"ivfspec:$where", k = 8, storageDir = Some(where))
+    // fresh "session" (cache cleared), SAME identity, but a DIFFERENT
+    // input frame: training on the slice would give different centroids;
+    // getting the stored ones proves the store, not the input, answered
+    IvfIndex.clearCache()
     val ix2 = IvfIndex.buildCached(emb.filter(col("vec_id") < 50),
       "vec_id", "embedding",
-      key = s"ivfspec:$where:slice", k = 8, storageDir = Some(where))
+      key = s"ivfspec:$where", k = 8, storageDir = Some(where))
     assert(ix2.centroids.toSeq == ix1.centroids.toSeq)
+    // DIFFERENT identity (k) against the same directory: the fingerprint
+    // guard must retrain (right cell count) and overwrite, not serve the
+    // stored 8-cell index
+    IvfIndex.clearCache()
+    val ix3 = IvfIndex.buildCached(emb, "vec_id", "embedding",
+      key = s"ivfspec:$where", k = 4, storageDir = Some(where))
+    assert(ix3.centroids.length == 4)
+    assert(IvfIndex.load(spark, where).centroids.length == 4)
+    IvfIndex.clearCache()
   }
 }

@@ -190,18 +190,20 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     // The count path runs exactly TWO driver-synchronized actions: the
     // shared far-prefix collect at construction (anchor-side prefix is
     // static), then the final aggregate. AQE materializes shuffle/broadcast
-    // stages as their own Spark jobs, so the raw job count is higher than
-    // the action count — pin both at their measured values (2 construction
-    // jobs = the one distinct+collect under AQE; 6 total) so a regression
-    // to per-hydration collects (r8: 5 construction, 8 total) fails here.
+    // stages as their own Spark jobs — including, at construction, the
+    // stages below the first hydration's lazy checkpoint (taking .rdd on
+    // an adaptive plan finalizes it; that work is REUSED by the final
+    // action, so it shifts accounting without adding work). Pin the
+    // measured values (3 construction, 6 total) so a regression to
+    // per-hydration collects (r8: 5 construction, 8 total) fails here.
     val st = spark.sparkContext.statusTracker
     val before = st.getJobIdsForGroup(null).length
     val df = SparkEntry.queries("q07_count_incoming")(spark, dir)
     val atPlan = st.getJobIdsForGroup(null).length
     df.collect()
     val atExec = st.getJobIdsForGroup(null).length
-    assert(atPlan - before <= 2,
-      s"construction ran ${atPlan - before} jobs, expected <= 2")
+    assert(atPlan - before <= 3,
+      s"construction ran ${atPlan - before} jobs, expected <= 3")
     assert(atExec - before <= 6,
       s"count ran ${atExec - before} jobs end-to-end, expected <= 6")
   }
