@@ -372,9 +372,16 @@ object RelQueryPlanner {
     g.requireGraphable(collectionName)
     val e = g.edges.filter(DocGraph.typeFilter(types))
     // Split "collection:id" at the FIRST colon (ids may contain colons).
+    // Plain string ops, not regexp_replace: the null-safety check on the
+    // struct's _id field gets pushed into the edge scan as a per-row
+    // predicate, and a regex evaluated over every edge of a 100 TB graph
+    // is measurable CPU where instr+substr is near-free (q15: ~40% of the
+    // bench cost was the pushed regexp at sf0.1).
+    val stripPrefix = (c: String) =>
+      col(c).substr(instr(col(c), ":") + 1, length(col(c)))
     val refStruct = (c: String) => struct(
       substring_index(col(c), ":", 1).as("collection"),
-      regexp_replace(col(c), "^[^:]*:", "").as("_id"))
+      stripPrefix(c).as("_id"))
     // Self-loop edges would otherwise contribute twice (once per branch).
     val touch = e.select(col("_from").as("_doc_key"), col("rel_type"),
         refStruct("_from").as("from"), refStruct("_to").as("to"))
@@ -389,7 +396,9 @@ object RelQueryPlanner {
       .groupBy(col("_doc_key"))
       .agg(map_from_entries(collect_list(struct(col("rel_type"), col("rels"))))
         .as("_relationships"))
-      .withColumn("_id", regexp_replace(col("_doc_key"), "^[^:]*:", ""))
+      .withColumn("_id",
+        col("_doc_key").substr(instr(col("_doc_key"), ":") + 1,
+          length(col("_doc_key"))))
       .drop("_doc_key")
     // document-facing columns only (a stored collection's _doc_key stays
     // storage-internal here as everywhere else)
