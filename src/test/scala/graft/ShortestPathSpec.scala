@@ -112,6 +112,53 @@ class ShortestPathSpec extends AnyFunSuite {
       Set((bob.key, 1L), (zoe.key, 1L), (charles.key, 2L)))
   }
 
+  test("expand ≡ shortestPath cross-validation: hops equals path length " +
+      "on the fan-out graph") {
+    // two independent traversal implementations must agree: for every
+    // node expand reaches from `a`, its reported minimum hop count must
+    // equal findPath's shortest path length (edges = length - 1); nodes
+    // expand does NOT reach within the cap must have no path either
+    import spark.implicits._
+    import graft.query.{RelQuery, RelQueryPlanner}
+    import graft.core.DocGraph.Direction
+    import graft.core.DocGraph
+    import graft.model.{DocRef, GraphSchema}
+    val chain = Seq("a" -> "c1", "c1" -> "c2", "c2" -> "c3", "c3" -> "c4",
+      "c4" -> "z")
+    val tree = (0 until 4).map(i => "a" -> s"t$i") ++
+      (for (i <- 0 until 4; j <- 0 until 4) yield s"t$i" -> s"t$i$j")
+    val diamond = Seq("a" -> "b1", "a" -> "b2", "b1" -> "d", "b2" -> "d")
+    // upstream-only node: an edge INTO `a` makes q0 unreachable outgoing,
+    // so the complement branch below is exercised, not vacuous
+    val es = chain ++ tree ++ diamond ++ Seq("q0" -> "a")
+    val ids = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val gw = new DocGraph(spark,
+      Map("w" -> ids.map(i => (i, i)).toDF("_id", "name")),
+      Map("w" -> GraphSchema("w")), DocGraph.emptyEdges(spark))
+      .createRelationships("next", es.toDF("_from_id", "_to_id")
+        .select(lit("w").as("_from_collection"), col("_from_id"),
+          lit("w").as("_to_collection"), col("_to_id")))
+    val reached = RelQueryPlanner.expand(gw, Seq("w:a").toDF("anchor_key"),
+        RelQuery(types = Seq("next"), direction = Direction.Outgoing), 1, 6)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(reached.nonEmpty)
+    reached.foreach { case (key, hops) =>
+      val p = ShortestPath.findPath(gw, DocRef("w", "a"),
+        DocRef.fromKey(key), Seq("next"))
+      assert(p.nonEmpty, s"expand reached $key but findPath found no path")
+      assert(p.get.length - 1L == hops,
+        s"$key: expand hops=$hops, shortest path edges=${p.get.length - 1}")
+    }
+    // and the complement: an unreached node has no path within the cap
+    val unreached = ids.map("w:" + _).filterNot(reached.contains)
+      .filterNot(_ == "w:a")
+    unreached.foreach { key =>
+      assert(ShortestPath.findPath(gw, DocRef("w", "a"),
+        DocRef.fromKey(key), Seq("next"), maxDepth = 6).isEmpty,
+        s"findPath reaches $key but expand did not")
+    }
+  }
+
   test("one driver-synchronized action per BFS level") {
     // alice -> zoe meets at the SECOND level, so the search runs: 2 initial
     // eager frontier checkpoints + 2 level actions (meet-check and frontier
