@@ -70,6 +70,20 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
     RelQueryPlanner.relCount(g, ref, q(Seq(types), dir, None, where), part,
       distinct, approx)
 
+  // --- bounded var-length traversal (beyond ref; Cypher *min..max) ------
+  /** Nodes within `minHops..maxHops` hops of this document along matching
+    * edges — [[RelQueryPlanner.expand]] anchored here: `(anchor_key,
+    * node_key, hops)` with `hops` the minimum distance (reachability, not
+    * path enumeration; see the planner doc for the scale rationale). */
+  def expand(types: String = "*", dir: Direction = Direction.Outgoing,
+      minHops: Int = 1, maxHops: Int = 3,
+      whereRelationship: Option[String] = None): DataFrame = {
+    import g.spark.implicits._
+    RelQueryPlanner.expand(g, Seq(ref.key).toDF("anchor_key"),
+      RelQuery(Seq(types), dir, whereRelationship = whereRelationship),
+      minHops, maxHops)
+  }
+
   // --- mutations (G8-G15) — pure transforms returning a new graph --------
   def createRelationshipTo(other: DocRef, relType: String,
       props: Map[String, String] = Map.empty): DocGraph =

@@ -110,6 +110,11 @@ class ShortestPathSpec extends AnyFunSuite {
     // Both direction: zoe is 1 hop via its incoming edge
     assert(rows(1, 2, Direction.Both) ==
       Set((bob.key, 1L), (zoe.key, 1L), (charles.key, 2L)))
+    // the document-anchored facade routes to the same planner op
+    val viaApi = graft.api.GraphDocument(g, alice)
+      .expand("knows", Direction.Outgoing, minHops = 1, maxHops = 5)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(viaApi == rows(1, 5, Direction.Outgoing))
   }
 
   test("expand ≡ shortestPath cross-validation: hops equals path length " +
