@@ -74,6 +74,24 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupAgainstCorpus batch survivor is deterministic under " +
+      "(text, ts) ties") {
+    import EventStreams.Doc
+    val corpus = Seq((100L, "known")).toDF("doc_id", "text")
+    // three rows with IDENTICAL text and ts: event time alone is not a
+    // total order, so the remaining orderable columns (doc_id) must break
+    // the tie — the minimum id wins, every run
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val docs = Seq(Doc(7L, t, "tied"), Doc(3L, t, "tied"), Doc(9L, t, "tied"))
+    (1 to 3).foreach { _ =>
+      val kept = EventStreams.dedupAgainstCorpus(
+          spark.createDataFrame(scala.util.Random.shuffle(docs)),
+          corpus, "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(3L), s"expected the min-id survivor, got $kept")
+    }
+  }
+
   test("nearDupIngestStream: exact dups drop in-stream, near-dups drop " +
       "per micro-batch, batch composition and real stream agree") {
     import EventStreams.Doc
