@@ -51,6 +51,22 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!doc.contains("_doc_key"))
   }
 
+  test("expand over a store-backed graph matches the in-memory result " +
+      "(bucketed mirror routing under iteration)") {
+    saved
+    import graft.query.{RelQuery, RelQueryPlanner}
+    import graft.core.DocGraph.Direction
+    val loaded = GraphStore.load(spark, db)
+    def reach(graph: DocGraph) =
+      RelQueryPlanner.expand(graph, Seq("people:3").toDF("anchor_key"),
+          RelQuery(types = Seq("knows"), direction = Direction.Outgoing),
+          minHops = 1, maxHops = 3)
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    val mem = reach(g)
+    assert(mem == Set(("people:1", 1L), ("people:2", 2L)))
+    assert(reach(loaded) == mem)
+  }
+
   test("schemas survive the round-trip (graphability enforced on load)") {
     saved
     val loaded = GraphStore.load(spark, db)
