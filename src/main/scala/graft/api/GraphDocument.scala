@@ -74,8 +74,12 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
   /** Nodes within `minHops..maxHops` hops of this document along matching
     * edges — [[RelQueryPlanner.expand]] anchored here: `(anchor_key,
     * node_key, hops)` with `hops` the minimum distance (reachability, not
-    * path enumeration; see the planner doc for the scale rationale). */
-  def expand(types: String = "*", dir: Direction = Direction.Outgoing,
+    * path enumeration; see the planner doc for the scale rationale).
+    * Direction defaults to `Both`, like every other facade method. The
+    * filter parameter is the edge-level `whereRelationship` alone — NOT
+    * the facade's `RelWhere` — because expand rejects document-level
+    * predicates by contract (hydrate the result and filter instead). */
+  def expand(types: String = "*", dir: Direction = Direction.Both,
       minHops: Int = 1, maxHops: Int = 3,
       whereRelationship: Option[String] = None): DataFrame = {
     import g.spark.implicits._

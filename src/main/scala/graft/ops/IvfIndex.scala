@@ -46,8 +46,14 @@ object IvfIndex {
     new java.util.concurrent.ConcurrentHashMap[String, Index]()
 
   /** Test hook: forget session memoizations (simulates a fresh session so
-    * the [[buildCached]] storage fall-through is observable in-process). */
-  private[graft] def clearCache(): Unit = cache.clear()
+    * the [[buildCached]] storage fall-through is observable in-process).
+    * Unpersists each evicted index's cells first — Dataset.persist entries
+    * are only freed by explicit unpersist, and dropping the handle alone
+    * would leak the cached assignment in the session for the JVM's life. */
+  private[graft] def clearCache(): Unit = {
+    cache.values.forEach(ix => ix.cells.unpersist(blocking = false))
+    cache.clear()
+  }
 
   /** [[build]], memoized per (session, `key`, k, seed) with the cell
     * assignment persisted — callers issuing many probes (or a benchmark
@@ -141,8 +147,21 @@ object IvfIndex {
   def save(ix: Index, dir: String, fingerprint: Option[String] = None): Unit = {
     val spark = ix.cells.sparkSession
     import spark.implicits._
-    ix.cells.write.mode(SaveMode.Overwrite).partitionBy("cell")
-      .parquet(s"$dir/cells")
+    // Crash-ordering: INVALIDATE the fingerprint before touching data and
+    // re-write it only after cells + centroids both landed. A crash
+    // mid-overwrite then leaves a store with no (or no matching) meta —
+    // which buildCached treats as absent and retrains — never a stale
+    // fingerprint blessing mismatched or half-written index data.
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(meta)) fs.delete(meta, true)
+    // Force STATIC partition overwrite for the cells write: under a
+    // cluster-wide partitionOverwriteMode=dynamic, a k-change rewrite
+    // would only replace the new k's cell partitions and leave the old
+    // k's extra cells as stale duplicates in the store.
+    ix.cells.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$dir/cells")
     ix.centroids.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
     fingerprint.foreach(f => Seq(f).toDF("fingerprint")

@@ -396,9 +396,7 @@ object RelQueryPlanner {
       .groupBy(col("_doc_key"))
       .agg(map_from_entries(collect_list(struct(col("rel_type"), col("rels"))))
         .as("_relationships"))
-      .withColumn("_id",
-        col("_doc_key").substr(instr(col("_doc_key"), ":") + 1,
-          length(col("_doc_key"))))
+      .withColumn("_id", stripPrefix("_doc_key"))
       .drop("_doc_key")
     // document-facing columns only (a stored collection's _doc_key stays
     // storage-internal here as everywhere else)
