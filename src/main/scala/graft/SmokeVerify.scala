@@ -314,6 +314,31 @@ object SmokeVerify {
       f"recall=$rec14%.2f => " +
       (if (exact12.nonEmpty && rec14 >= 0.9) "OK" else "BROKEN"))
 
+    // 15. versioned IVF store + incremental append, end-to-end: train on a
+    // slice, save, append the rest (no retrain), probe the appended store
+    // against SMOKE12's exact ground truth; a reader holding the
+    // pre-overwrite version must keep answering (grace window).
+    val dir15 = java.nio.file.Files.createTempDirectory("smoke-ivf").toString
+    val half15 = c12.filter(col("vec_id") < 100)
+    graft.ops.IvfIndex.save(
+      graft.ops.IvfIndex.build(half15, "vec_id", "embedding", k = 8), dir15)
+    val held15 = graft.ops.IvfIndex.load(spark, dir15)
+    val (app15, drift15) = graft.ops.IvfIndex.append(spark, dir15,
+      c12.filter(col("vec_id") >= 100), "vec_id", "embedding")
+    val ivf15 = knnPairs(graft.ops.IvfIndex.topKPerQuery(q12, app15,
+      "vec_id", "embedding", topK = 5, nProbe = 6))
+    val rec15 = if (exact12.isEmpty) 0.0
+      else (ivf15 & exact12).size.toDouble / exact12.size
+    // overwrite save: the held reader's version survives one swap
+    graft.ops.IvfIndex.save(
+      graft.ops.IvfIndex.build(c12, "vec_id", "embedding", k = 4), dir15)
+    val heldOk15 = held15.cells.count() == half15.count()
+    val newK15 = graft.ops.IvfIndex.load(spark, dir15).centroids.length
+    println(f"SMOKE15 ivfAppend: recall=$rec15%.2f drift=$drift15%.2f " +
+      s"heldReader=$heldOk15 reloadK=$newK15 => " +
+      (if (rec15 >= 0.9 && drift15 > 0 && drift15 < 1.5 && heldOk15 &&
+        newK15 == 4) "OK" else "BROKEN"))
+
     spark.stop()
   }
 }

@@ -703,6 +703,27 @@ object SparkEntry {
           RelQuery(direction = Direction.Outgoing), minHops = 1, maxHops = 3)
         .orderBy("anchor_key", "hops", "node_key")
     }),
+    "q77_knn_ivf_appended" -> ((s, dir) => {
+      // incremental IVF maintenance: the index is trained on the first
+      // corpus slice, grown by append (assignment to the EXISTING
+      // centroids — one transform, no k-means rerun), then probed batched
+      // over the full appended corpus. k-means cells are seed-deterministic
+      // but not SQL-oracle-able; rows-only. Append ≡ no-retrain identity,
+      // drift gating, and recall@5 ≥ 0.9 on the appended corpus are
+      // CI-asserted in IvfIndexSpec.
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString
+      ops.IvfIndex.save(ops.IvfIndex.build(
+        corpus.filter(col("vec_id") < 150), "vec_id", "embedding", k = 8),
+        store)
+      val (ix, _) = ops.IvfIndex.append(s, store,
+        corpus.filter(col("vec_id") >= 150), "vec_id", "embedding")
+      ops.IvfIndex.topKPerQuery(emb.filter(col("vec_id") % 50 === 0), ix,
+          "vec_id", "embedding", topK = 5, nProbe = 6)
+        .orderBy("query_id", "rank")
+    }),
     "q73_cross_simhash" -> ((s, dir) => {
       // incremental cross-corpus SimHash: new batch chunk-keys broadcast
       // against the corpus signatures — completes the rolling-ingest

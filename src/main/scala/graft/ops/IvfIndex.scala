@@ -27,12 +27,35 @@ import org.apache.spark.sql.functions._
   * PARTITIONED BY `cell` (+ a centroid sidecar table), so a probe over the
   * [[load]]ed form reads only the probed cells' files (partition pruning —
   * asserted in IvfIndexSpec) and a restarted cluster never retrains.
+  * Corpus growth is [[append]], not retrain: new vectors are assigned to
+  * the EXISTING centroids (one transform — no k-means) and appended to the
+  * cell partitions, with a drift metric saying when retraining is actually
+  * warranted.
   */
 object IvfIndex {
 
   private val logger = org.slf4j.LoggerFactory.getLogger("graft.ops")
 
+  /** Storage layout version. Bumped whenever the on-disk shape or the
+    * quantizer space changes — a stored index with a different `fmt` is
+    * retrained, never reinterpreted. */
+  private val FormatVersion = 2
+
   final case class Index(cells: DataFrame, centroids: Array[(Int, Seq[Float])])
+
+  /** Build identity, compared FIELD-WISE against the store's meta — no
+    * string encoding, so keys/columns containing any delimiter can never
+    * make two distinct parameterizations collide (each field is its own
+    * parquet column). */
+  private final case class Identity(key: String, idCol: String,
+      vecCol: String, k: Int, seed: Long)
+
+  /** What `$dir/meta` holds: the current version-directory name (the
+    * atomic-swap pointer), the build identity (fields null for an
+    * identity-less direct [[save]]), and the training-time mean assigned
+    * distance (the [[append]] drift baseline). */
+  private final case class Meta(fmt: Int, version: String,
+      identity: Option[Identity], meanDist: Double)
 
   /** `vec / ||vec||` as doubles; zero-norm vectors pass through raw. */
   private def normalized(vecCol: Column, norm: Column): Column =
@@ -66,24 +89,27 @@ object IvfIndex {
     * `storageDir` is the cross-session form: on a cache miss the index is
     * [[load]]ed from there if present (no retraining — the restarted-
     * cluster path), and a freshly trained index is [[save]]d there before
-    * use. The store carries an identity fingerprint (corpus key, columns,
-    * k, seed): a stored index that was built under DIFFERENT parameters —
-    * two pipelines sharing a directory, or a k upgrade — is detected and
-    * retrained + overwritten rather than silently served with the wrong
-    * cell granularity. Omitted = session-only memoization. */
+    * use. The store carries an identity record (corpus key, columns, k,
+    * seed, format version — compared field-wise, so no delimiter in a key
+    * or column name can forge a match): a stored index that was built
+    * under DIFFERENT parameters — two pipelines sharing a directory, or a
+    * k upgrade — is detected and retrained + overwritten rather than
+    * silently served with the wrong cell granularity. Omitted =
+    * session-only memoization. */
   def buildCached(emb: DataFrame, idCol: String, vecCol: String,
       key: String, k: Int = 16, seed: Long = 42L,
       storageDir: Option[String] = None): Index = {
     require(key.nonEmpty, "buildCached needs a non-empty corpus key")
-    val fp = s"$key:$idCol:$vecCol:$k:$seed"
+    val id = Identity(key, idCol, vecCol, k, seed)
     val ix = cache.computeIfAbsent(
-      s"${emb.sparkSession.hashCode}:$fp", _ => {
+      (emb.sparkSession.hashCode, id).toString, _ => {
         val spark = emb.sparkSession
         val stored = storageDir.filter(dir =>
-          pathExists(spark, s"$dir/centroids") && {
-            val ok = readFingerprint(spark, dir).contains(fp)
+          readMeta(spark, dir).exists { m =>
+            val ok = m.identity.contains(id) &&
+              pathExists(spark, s"$dir/${m.version}/centroids")
             if (!ok) logger.warn(s"IvfIndex: stored index at $dir has a " +
-              s"different identity (want '$fp'); retraining and overwriting")
+              s"different identity (want $id); retraining and overwriting")
             ok
           })
         val built = stored match {
@@ -95,7 +121,7 @@ object IvfIndex {
             // transform over the corpus a second time
             b.cells.persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
-            storageDir.foreach(dir => save(b, dir, Some(fp)))
+            storageDir.foreach(dir => saveAs(b, dir, Some(id)))
             b
         }
         if (built.cells.storageLevel ==
@@ -140,48 +166,199 @@ object IvfIndex {
   /** Write the index to `dir` as its at-scale storage form: the cell
     * assignment as parquet PARTITIONED BY `cell` (a probe over the loaded
     * table reads only the probed cells' files) and the centroids as a tiny
-    * sidecar table. `fingerprint` (written as a third sidecar when given)
-    * records the build identity so [[buildCached]] can refuse a stored
-    * index built under different parameters. Snapshot semantics —
-    * overwrites a previous save. */
-  def save(ix: Index, dir: String, fingerprint: Option[String] = None): Unit = {
+    * sidecar table, both under a fresh VERSION subdirectory that `meta`
+    * points at. Snapshot semantics — a later save overwrites by swapping
+    * the pointer, never by mutating data in place:
+    *
+    *   - data lands fully in `$$dir/v-<uuid>/` first; `meta` (pointer +
+    *     identity + drift baseline) is rewritten only after both tables
+    *     committed. A crash mid-save leaves the previous version intact
+    *     and still current — a restarted [[buildCached]] either loads it
+    *     (identity matched) or retrains; it can never see half-written
+    *     cells or new centroids paired with old cells.
+    *   - a CONCURRENT reader that resolved `meta` before the swap keeps
+    *     reading its own (immutable) version directory. The previous
+    *     version is retained through one save as a grace window; only
+    *     older generations are garbage-collected — so a reader must
+    *     re-[[load]] rather than hold an index across two saves.
+    *   - the only non-atomic step is the tiny `meta` rewrite itself; a
+    *     reader racing it sees a missing meta and treats the store as
+    *     absent (retrain — wasteful, never wrong). */
+  def save(ix: Index, dir: String): Unit = saveAs(ix, dir, None)
+
+  private def saveAs(ix: Index, dir: String,
+      identity: Option[Identity]): Unit = {
     val spark = ix.cells.sparkSession
-    import spark.implicits._
-    // Crash-ordering: INVALIDATE the fingerprint before touching data and
-    // re-write it only after cells + centroids both landed. A crash
-    // mid-overwrite then leaves a store with no (or no matching) meta —
-    // which buildCached treats as absent and retrains — never a stale
-    // fingerprint blessing mismatched or half-written index data.
-    val meta = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(meta)) fs.delete(meta, true)
-    // Force STATIC partition overwrite for the cells write: under a
-    // cluster-wide partitionOverwriteMode=dynamic, a k-change rewrite
-    // would only replace the new k's cell partitions and leave the old
-    // k's extra cells as stale duplicates in the store.
+    val version = s"v-${java.util.UUID.randomUUID()}"
     ix.cells.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$dir/cells")
-    ix.centroids.toSeq.toDF("cell", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
-    fingerprint.foreach(f => Seq(f).toDF("fingerprint")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta"))
+      .partitionBy("cell").parquet(s"$dir/$version/cells")
+    centroidFrame(spark, ix.centroids)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/$version/centroids")
+    // training-time drift baseline: mean normalized-space distance² of
+    // every stored vector to its assigned centroid (one map-side-partial
+    // aggregate over the — typically still persisted — cell assignment).
+    // The vector column comes from the identity when we have one, else
+    // from the schema (unique array<float> column); a save that can't
+    // name it stores a zero baseline, which disables the drift signal
+    // rather than guessing at a column.
+    val baseline = identity.map(_.vecCol).orElse(vecColOf(ix))
+      .map(v => meanAssignedDist(ix.cells, ix.centroids, "cell", v))
+      .getOrElse(0.0)
+    val previous = readMeta(spark, dir).map(_.version)
+    writeMeta(spark, dir, Meta(FormatVersion, version, identity, baseline))
+    gcVersions(spark, dir, keep = Set(version) ++ previous)
   }
 
-  private def readFingerprint(spark: SparkSession,
-      dir: String): Option[String] =
-    if (!pathExists(spark, s"$dir/meta")) None
-    else spark.read.parquet(s"$dir/meta").collect()
-      .headOption.map(_.getString(0))
+  /** The vector column of an index's cells frame, when the schema names
+    * it unambiguously: the unique array<float> column. */
+  private def vecColOf(ix: Index): Option[String] = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val arrs = ix.cells.schema.fields.filter(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }).map(_.name)
+    if (arrs.length == 1) Some(arrs.head) else None
+  }
 
-  /** Re-open a [[save]]d index. The cells scan stays file-backed — cell
-    * filters prune to the probed partitions' files; nothing is retrained. */
+  private def centroidFrame(spark: SparkSession,
+      cents: Array[(Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "centroid")
+  }
+
+  /** Centroid table ready for distance math: `_mc` (cell id), `centroid`,
+    * `_cn2` = ||c||² — k rows, always broadcast. */
+  private def centroidsWithNorm(spark: SparkSession,
+      cents: Array[(Int, Seq[Float])]): DataFrame =
+    centroidFrame(spark, cents)
+      .withColumnRenamed("cell", "_mc")
+      .withColumn("_cn2", aggregate(col("centroid"), lit(0.0),
+        (s, x) => s + x.cast("double") * x.cast("double")))
+
+  /** Squared L2 distance in normalized space from the row's `vecCol` to
+    * the joined `centroid`: ||v/n - c||² = 1 - 2(v·c)/n + ||c||², with the
+    * zero-norm raw-passthrough convention giving ||c||². */
+  private def normDist2(vecCol: String): Column = {
+    val nrm = Similarity.l2Norm(col(vecCol))
+    when(nrm > 0, lit(1.0)
+        - lit(2.0) * Similarity.dot(col(vecCol), col("centroid")) / nrm
+        + col("_cn2"))
+      .otherwise(col("_cn2"))
+  }
+
+  /** Mean [[normDist2]] of each row to its ASSIGNED centroid. One
+    * broadcast join against k rows + one partial-agg pass — no shuffle of
+    * the data. */
+  private def meanAssignedDist(cells: DataFrame,
+      cents: Array[(Int, Seq[Float])], cellCol: String,
+      vecCol: String): Double =
+    cells.join(broadcast(centroidsWithNorm(cells.sparkSession, cents)),
+        col(cellCol) === col("_mc"))
+      .agg(avg(normDist2(vecCol))).collect()(0) match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    import spark.implicits._
+    Seq((m.fmt, m.version, m.identity.map(_.key).orNull,
+        m.identity.map(_.idCol).orNull, m.identity.map(_.vecCol).orNull,
+        m.identity.map(_.k), m.identity.map(_.seed), m.meanDist))
+      .toDF("fmt", "version", "key", "id_col", "vec_col", "k", "seed",
+        "mean_dist")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
+    if (!pathExists(spark, s"$dir/meta")) None
+    else scala.util.Try {
+      val r = spark.read.parquet(s"$dir/meta").collect()(0)
+      val id =
+        if (r.isNullAt(r.fieldIndex("key"))) None
+        else Some(Identity(r.getString(r.fieldIndex("key")),
+          r.getString(r.fieldIndex("id_col")),
+          r.getString(r.fieldIndex("vec_col")),
+          r.getInt(r.fieldIndex("k")), r.getLong(r.fieldIndex("seed"))))
+      Meta(r.getInt(r.fieldIndex("fmt")),
+        r.getString(r.fieldIndex("version")), id,
+        r.getDouble(r.fieldIndex("mean_dist")))
+    }.toOption.filter(_.fmt == FormatVersion)
+
+  /** Best-effort removal of version directories no longer reachable from
+    * meta (minus the grace-window `keep` set). */
+  private def gcVersions(spark: SparkSession, dir: String,
+      keep: Set[String]): Unit = scala.util.Try {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("v-") && !keep(name))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Re-open a [[save]]d index at its current version. The cells scan
+    * stays file-backed — cell filters prune to the probed partitions'
+    * files; nothing is retrained. */
   def load(spark: SparkSession, dir: String): Index = {
-    val cents = spark.read.parquet(s"$dir/centroids").collect()
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no readable IvfIndex meta at $dir"))
+    val cents = spark.read.parquet(s"$dir/${m.version}/centroids").collect()
       .map(r => (r.getInt(r.fieldIndex("cell")),
         r.getSeq[Float](r.fieldIndex("centroid"))))
       .sortBy(_._1)
-    Index(spark.read.parquet(s"$dir/cells"), cents)
+    Index(spark.read.parquet(s"$dir/${m.version}/cells"), cents)
+  }
+
+  /** Incremental index maintenance — corpus growth WITHOUT retraining.
+    * `newVecs` (same schema as the indexed corpus frame) are assigned to
+    * the EXISTING centroids (one broadcast-join transform over k rows — no
+    * k-means) and appended to the current version's cell partitions; the
+    * swap-pointer meta is untouched, so the operation is one parquet
+    * append. Returns the re-opened index and the DRIFT RATIO: the new
+    * batch's mean assigned distance² over the training-time baseline
+    * stored in meta. Ratio ≈ 1 means the new vectors fit the trained
+    * quantizer; a ratio past `retrainAbove` logs a warning that retraining
+    * is warranted (the centroids no longer describe the corpus — recall
+    * degrades even though results stay well-formed).
+    *
+    * Concurrency note: appends add files to the current version; a reader
+    * that listed the cells before the append simply keeps its snapshot.
+    * Session caches keyed by the same identity still hold the pre-append
+    * assignment — use the returned index (or a fresh [[buildCached]] after
+    * [[clearCache]]) when the appended rows must be visible. */
+  def append(spark: SparkSession, dir: String, newVecs: DataFrame,
+      idCol: String, vecCol: String,
+      retrainAbove: Double = 1.5): (Index, Double) = {
+    val m = readMeta(spark, dir).getOrElse(
+      sys.error(s"no readable IvfIndex meta at $dir — build + save first"))
+    val stored = load(spark, dir)
+    val cdf = centroidsWithNorm(spark, stored.centroids)
+    // argmin over k centroids per row: the k-row centroid table broadcasts
+    // and the window partitions by the row id — same distributed discipline
+    // as topKPerQuery's probe ranking, with nProbe = 1
+    val assigned = OpsUtil.widen(newVecs).crossJoin(broadcast(cdf))
+      .withColumn("_d2", normDist2(vecCol))
+      .withColumn("_pr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("_d2"), col("_mc"))))
+      .filter(col("_pr") === 1)
+      .withColumn("cell", col("_mc"))
+      .select(newVecs.columns.map(col) :+ col("cell") :+ col("_d2"): _*)
+      .localCheckpoint(eager = false)
+    val batchMean = assigned.agg(avg(col("_d2"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0.0
+      case r => r.getDouble(0)
+    }
+    val drift = if (m.meanDist > 1e-12) batchMean / m.meanDist else 1.0
+    if (drift > retrainAbove)
+      logger.warn(f"IvfIndex.append at $dir: drift ratio $drift%.2f " +
+        f"(batch mean dist² $batchMean%.4f vs baseline ${m.meanDist}%.4f) " +
+        s"exceeds $retrainAbove — retraining is warranted")
+    assigned.drop("_d2").write.mode(SaveMode.Append)
+      .partitionBy("cell").parquet(s"$dir/${m.version}/cells")
+    (load(spark, dir), drift)
   }
 
   private def pathExists(spark: SparkSession, p: String): Boolean = {

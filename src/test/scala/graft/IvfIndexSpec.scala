@@ -81,4 +81,103 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.load(spark, where).centroids.length == 4)
     IvfIndex.clearCache()
   }
+
+  test("a concurrent reader's resolved version survives one overwriting " +
+      "save (grace window), and load resolves the new version") {
+    val ix1 = IvfIndex.build(emb.filter(col("vec_id") < 100),
+      "vec_id", "embedding", k = 4)
+    val where = tmpDir
+    IvfIndex.save(ix1, where)
+    val held = IvfIndex.load(spark, where) // reader pins version 1
+    val ix2 = IvfIndex.build(emb.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", k = 4)
+    IvfIndex.save(ix2, where) // swaps the meta pointer; v1 is grace-kept
+    // the held reader still answers from its own immutable version...
+    assert(held.cells.count() == ix1.cells.count())
+    assert(held.centroids.toSeq == ix1.centroids.toSeq)
+    // ...while a fresh load resolves the new one
+    assert(IvfIndex.load(spark, where).centroids.toSeq ==
+      ix2.centroids.toSeq)
+  }
+
+  test("append assigns to the existing centroids without retraining: " +
+      "unchanged vectors keep their cells and probe results exactly") {
+    val where = tmpDir
+    val base = emb.filter(col("vec_id") < 300)
+    val extra = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    IvfIndex.clearCache()
+    val ix = IvfIndex.buildCached(base, "vec_id", "embedding",
+      key = s"appendspec:$where", k = 8, storageDir = Some(where))
+    val beforeCells = rowsOf(ix.cells.select(col("vec_id"), col("cell")))
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    val before = rowsOf(IvfIndex.query(ix, "vec_id", "embedding", q, 10, 3))
+
+    val (appended, drift) = IvfIndex.append(spark, where, extra,
+      "vec_id", "embedding")
+    // same quantizer — no k-means ran
+    assert(appended.centroids.toSeq == ix.centroids.toSeq)
+    // every pre-existing vector kept its cell assignment bit-for-bit
+    assert(rowsOf(appended.cells.filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("cell"))) == beforeCells)
+    // probes restricted to the unchanged corpus answer identically
+    val unchangedView = IvfIndex.Index(
+      appended.cells.filter(col("vec_id") < 300), appended.centroids)
+    assert(rowsOf(IvfIndex.query(unchangedView, "vec_id", "embedding",
+      q, 10, 3)) == before)
+    // the appended rows are actually present and probe-able
+    assert(appended.cells.count() == base.count() + extra.count())
+    // an in-distribution batch does not trip the retrain signal
+    assert(drift > 0.0 && drift < 1.5, s"unexpected drift $drift")
+    IvfIndex.clearCache()
+  }
+
+  test("append maintains recall@5 ≥ 0.9 on the appended corpus " +
+      "(vs the exact join)") {
+    val full = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = full.filter(col("vec_id") % 50 === 0)
+    val corpus = full.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+    val where = tmpDir
+    IvfIndex.save(IvfIndex.build(corpus.filter(col("vec_id") < 150),
+      "vec_id", "embedding", k = 8), where)
+    val (appended, _) = IvfIndex.append(spark, where,
+      corpus.filter(col("vec_id") >= 150), "vec_id", "embedding")
+    def pairSet(df: DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(graft.ops.Similarity.topKPerQueryExact(
+      queries, corpus, "vec_id", "embedding", k = 5))
+    assert(exact.nonEmpty)
+    val ivf = pairSet(IvfIndex.topKPerQuery(queries, appended,
+      "vec_id", "embedding", topK = 5, nProbe = 6))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"appended-IVF recall@5 $recall < 0.9 (${ivf.size}/${exact.size})")
+  }
+
+  test("drift gate: an out-of-distribution append reports a ratio that " +
+      "says retraining is warranted") {
+    import spark.implicits._
+    // two tight clusters around e1 and e2 (deterministic jitter), then an
+    // appended batch pointing at e3 — orthogonal to everything trained
+    def cluster(ids: Range, axis: Int): DataFrame =
+      ids.map { i =>
+        val v = Array.fill(4)(0.001f * (i % 7))
+        v(axis) = 1f
+        (i.toLong, v.toSeq)
+      }.toDF("vec_id", "embedding")
+    val trained = cluster(0 until 40, 0)
+      .unionByName(cluster(40 until 80, 1))
+    val where = tmpDir
+    IvfIndex.clearCache()
+    IvfIndex.buildCached(trained, "vec_id", "embedding",
+      key = s"driftspec:$where", k = 2, storageDir = Some(where))
+    val (_, inDist) = IvfIndex.append(spark, where,
+      cluster(80 until 100, 0), "vec_id", "embedding")
+    assert(inDist < 1.5, s"in-distribution batch tripped the gate: $inDist")
+    val (_, outDist) = IvfIndex.append(spark, where,
+      cluster(100 until 120, 2), "vec_id", "embedding")
+    assert(outDist > 1.5,
+      s"orthogonal batch should exceed the retrain threshold: $outDist")
+    IvfIndex.clearCache()
+  }
 }
