@@ -339,6 +339,44 @@ object SmokeVerify {
       (if (rec15 >= 0.9 && drift15 > 0 && drift15 < 1.5 && heldOk15 &&
         newK15 == 4) "OK" else "BROKEN"))
 
+    // 16. streaming near-dup ingest deduplicates against its OWN output:
+    // a real MemoryStream feeding a growing parquet store the corpus thunk
+    // re-reads per micro-batch; batch 2's near-dup of batch 1's admitted
+    // document must drop, its fresh companion must pass.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EventStreams
+      implicit val sq = spark.sqlContext
+      val store16 = java.nio.file.Files
+        .createTempDirectory("smoke-ingest").toString + "/corpus"
+      Seq((100L, "seed corpus text matching nothing else in this smoke"))
+        .toDF("doc_id", "text").write.parquet(store16)
+      val mem16 = MemoryStream[EventStreams.Doc]
+      val q16 = EventStreams.nearDupIngestStream(mem16.toDF(),
+        () => spark.read.parquet(store16), "doc_id", "text") { (clean, _) =>
+        clean.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(store16)
+      }
+      try {
+        mem16.addData(EventStreams.Doc(1L,
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          "the quick brown fox jumps over the lazy dog every single day"))
+        q16.processAllAvailable()
+        mem16.addData(
+          EventStreams.Doc(2L,
+            java.sql.Timestamp.valueOf("2024-01-01 10:05:00"),
+            "the quick brown fox jumps over the lazy dog every single week"),
+          EventStreams.Doc(3L,
+            java.sql.Timestamp.valueOf("2024-01-01 10:06:00"),
+            "a completely unrelated financial report from another world"))
+        q16.processAllAvailable()
+      } finally q16.stop()
+      val ids16 = spark.read.parquet(store16)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      println(s"SMOKE16 ingestSelfDedup: store=$ids16 => " +
+        (if (ids16 == Set(100L, 1L, 3L)) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

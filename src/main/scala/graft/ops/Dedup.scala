@@ -314,7 +314,12 @@ object Dedup {
     * partial results for any `maxDist` > 3). The cost side of the dial:
     * more chunks = narrower keys = fatter blocking buckets, which is why
     * the bound caps at 15 (16 chunks of 4 bits — past that the blocker
-    * approaches a cross join and a different algorithm is the answer). */
+    * approaches a cross join and a different algorithm is the answer).
+    *
+    * BREAKING CHANGE vs r8 (intentional, release-noted): `maxDist > 15`
+    * now throws where it previously returned silent partial-recall
+    * results. A caller that really wants a larger radius was getting
+    * wrong answers before; failing loudly is the fix, not a regression. */
   private def chunksFor(maxDist: Int): Int = {
     require(maxDist >= 0 && maxDist <= 15,
       s"maxDist must be in [0, 15], got $maxDist (chunk blocking needs " +

@@ -115,9 +115,7 @@ object EventStreams {
         val rn = "_graft_text_rn"
         val ties = fresh.schema.fields
           .filter(f => f.name != key && f.name != tsCol &&
-            f.name != textCol &&
-            org.apache.spark.sql.catalyst.expressions.RowOrdering
-              .isOrderable(f.dataType))
+            f.name != textCol && orderable(f.dataType))
           .map(f => col(f.name)).toSeq
         fresh.withColumn(rn, row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(col(key))
@@ -125,6 +123,30 @@ object EventStreams {
           .filter(col(rn) === 1).drop(rn)
       }
     out.drop(key)
+  }
+
+  /** Whether a window sort can order values of this type — decided on the
+    * PUBLIC DataType surface (a structural recursion over the published
+    * type algebra), not Catalyst's internal `RowOrdering.isOrderable`,
+    * whose signature is free to change across Spark upgrades. Sorting is
+    * defined for every atomic type plus arrays/structs of orderable
+    * elements; maps (and anything new/unknown) conservatively fall out of
+    * the tie-break, degrading to ts-then-known-columns ordering rather
+    * than crashing the sort. */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+          FloatType | DoubleType | StringType | BinaryType | DateType |
+          TimestampType | TimestampNTZType | NullType => true
+      case _: DecimalType => true
+      case _: DayTimeIntervalType | _: YearMonthIntervalType => true
+      case _: CharType | _: VarcharType => true
+      case a: ArrayType => orderable(a.elementType)
+      case s: StructType => s.fields.forall(f => orderable(f.dataType))
+      case u: UserDefinedType[_] => orderable(u.sqlType)
+      case _ => false // MapType, variant, future types: skip, don't crash
+    }
   }
 
   /** One micro-batch of NEAR-dup ingest: drop batch documents whose
@@ -148,28 +170,33 @@ object EventStreams {
       "left_anti")
   }
 
-  /** Streaming NEAR-dup ingest, packaged: exact dedup runs IN the stream —
-    * [[dedupAgainstCorpus]], corpus anti-join + watermark-bounded
-    * within-stream state — and the near-dup cross blockers run per
-    * micro-batch via `foreachBatch` ([[dropCorpusNearDups]]), because they
-    * are batch ops by design: their broadcast-gating counts and lazy
-    * checkpoints need a bounded batch, which is exactly what a micro-batch
-    * is. `sink(cleanedBatch, batchId)` receives each cleaned micro-batch,
-    * typically appending it to the corpus store. Note the static-side
-    * snapshot caveat: a path-based parquet `corpus` frame pins its FILE
-    * LISTING at creation, so appends the sink makes are invisible to later
-    * micro-batches — point `corpus` at a catalog table (or re-create the
-    * frame inside the sink's store) when the stream must dedup against its
-    * own output; with a plain path frame the dedup horizon is the corpus
-    * as of stream start plus the within-stream watermark state.
+  /** Streaming NEAR-dup ingest, packaged: within-stream exact dedup runs
+    * IN the stream (watermark-bounded `dropDuplicatesWithinWatermark`
+    * state on the 16-byte text digest), and every corpus-facing check —
+    * the exact-hash anti-join plus the near-dup cross blockers
+    * ([[dropCorpusNearDups]]) — runs per micro-batch via `foreachBatch`
+    * against a FRESHLY RESOLVED corpus frame: `corpus` is a thunk,
+    * re-invoked each batch. That closes the self-dedup seam a pinned
+    * DataFrame has (a path-based parquet frame freezes its file listing at
+    * creation): when the sink appends each cleaned batch to the store the
+    * thunk reads, batch N+1 is deduplicated against batch N's OUTPUT —
+    * exact and near alike — not just against the corpus as of stream
+    * start. Pass `() => spark.read.parquet(dir)` for a growing path store,
+    * or `() => spark.table(name)` for a catalog table. The cross blockers
+    * are batch ops by design (their broadcast-gating counts and lazy
+    * checkpoints need a bounded batch, which is exactly what a
+    * micro-batch is).
     *
     * `checkpointDir` is REQUIRED for any run that must survive a driver
     * restart: without it Spark uses a temporary checkpoint, and a
     * restarted query loses both the source offsets and the
     * within-watermark dedup state — it would replay the source from
     * scratch and re-append documents, the exact failure this pipeline
-    * exists to prevent. Returns the started query (caller stops it). */
-  def nearDupIngestStream(docStream: DataFrame, corpus: DataFrame,
+    * exists to prevent. (The corpus-facing checks are idempotent under
+    * replay by construction: a replayed document that already landed in
+    * the store is now a corpus exact-dup and drops.) Returns the started
+    * query (caller stops it). */
+  def nearDupIngestStream(docStream: DataFrame, corpus: () => DataFrame,
       idCol: String, textCol: String, tsCol: String = "ts",
       watermark: String = "1 hour", minJaccard: Double = 0.5,
       simhashMaxDist: Int = 3, checkpointDir: Option[String] = None)(
@@ -178,12 +205,22 @@ object EventStreams {
     require(docStream.isStreaming,
       "nearDupIngestStream needs a streaming frame; compose " +
         "dedupAgainstCorpus + dropCorpusNearDups directly for batch input")
-    val writer = dedupAgainstCorpus(docStream, corpus, textCol, tsCol,
-        watermark)
+    val key = "_graft_text_key"
+    val writer = docStream
+      .withColumn(key, unhex(md5(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(key)
+      .drop(key)
       .writeStream.outputMode("append")
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(dropCorpusNearDups(batch.toDF(), corpus, idCol, textCol,
+        val snapshot = corpus() // fresh listing — sees the sink's appends
+        val exactClean = batch.toDF()
+          .withColumn(key, unhex(md5(col(textCol))))
+          .join(snapshot.select(unhex(md5(col(textCol))).as(key)).distinct(),
+            Seq(key), "left_anti")
+          .drop(key)
+        sink(dropCorpusNearDups(exactClean, snapshot, idCol, textCol,
           minJaccard, simhashMaxDist), id)
       }
       .start()

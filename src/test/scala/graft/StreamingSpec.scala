@@ -117,7 +117,7 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     val mem = MemoryStream[Doc]
     mem.addData(docs: _*)
     val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    val q = EventStreams.nearDupIngestStream(mem.toDF(), corpus,
+    val q = EventStreams.nearDupIngestStream(mem.toDF(), () => corpus,
       "doc_id", "text") { (clean, _) =>
       clean.select("doc_id").collect().foreach(r => got.add(r.getLong(0)))
     }
@@ -125,6 +125,61 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
       q.processAllAvailable()
       assert(got.asScala.toSet == batchClean)
     } finally q.stop()
+  }
+
+  test("nearDupIngestStream deduplicates against its OWN appended output: " +
+      "batch N+1's near-dup of a batch-N document drops") {
+    import EventStreams.Doc
+    val textA =
+      "the quick brown fox jumps over the lazy dog repeatedly every single day"
+    val textAvariant = // near-dup of textA: one trailing word differs
+      "the quick brown fox jumps over the lazy dog repeatedly every single week"
+    val fresh = "an entirely different report on completely unrelated matters"
+    val store = java.nio.file.Files.createTempDirectory("ingest-corpus")
+      .toString + "/corpus"
+    Seq((100L, "the seed corpus document that matches nothing else here"))
+      .toDF("doc_id", "text").write.parquet(store)
+    // the thunk re-reads the path per micro-batch — a FRESH file listing
+    val corpus = () => spark.read.parquet(store)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = EventStreams.nearDupIngestStream(mem.toDF(), corpus,
+      "doc_id", "text") { (clean, _) =>
+      clean.select(col("doc_id"), col("text"))
+        .write.mode("append").parquet(store)
+    }
+    try {
+      // micro-batch 1 admits textA into the store
+      mem.addData(Doc(1L, Timestamp.valueOf("2024-01-01 10:00:00"), textA))
+      q.processAllAvailable()
+      // micro-batch 2: a NEAR-dup of batch 1's output (not of the seed
+      // corpus, not exact) must drop; an unrelated doc must pass
+      mem.addData(
+        Doc(2L, Timestamp.valueOf("2024-01-01 10:05:00"), textAvariant),
+        Doc(3L, Timestamp.valueOf("2024-01-01 10:06:00"), fresh))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    // the equivalent one-shot batch composition over the same corpus
+    // evolution: per batch, exact anti-join + near blockers, then append
+    val seed = Seq((100L, "the seed corpus document that matches nothing " +
+      "else here")).toDF("doc_id", "text")
+    val b1 = Seq(Doc(1L, Timestamp.valueOf("2024-01-01 10:00:00"), textA))
+      .toDF()
+    val b1clean = EventStreams.dropCorpusNearDups(
+      EventStreams.dedupAgainstCorpus(b1, seed, "text"),
+      seed, "doc_id", "text")
+    val c1 = seed.unionByName(b1clean.select(col("doc_id"), col("text")))
+    val b2 = Seq(
+      Doc(2L, Timestamp.valueOf("2024-01-01 10:05:00"), textAvariant),
+      Doc(3L, Timestamp.valueOf("2024-01-01 10:06:00"), fresh)).toDF()
+    val b2clean = EventStreams.dropCorpusNearDups(
+      EventStreams.dedupAgainstCorpus(b2, c1, "text"),
+      c1, "doc_id", "text")
+    val oneShot = (b1clean.select("doc_id").collect() ++
+      b2clean.select("doc_id").collect()).map(_.getLong(0)).toSet + 100L
+    assert(ids == oneShot, s"stream store $ids != batch composition $oneShot")
+    assert(ids == Set(100L, 1L, 3L), s"near-dup of batch-1 output not dropped: $ids")
   }
 
   test("sessionize: gap split, ordering, totals") {
