@@ -703,6 +703,23 @@ object SparkEntry {
           RelQuery(direction = Direction.Outgoing), minHops = 1, maxHops = 3)
         .orderBy("anchor_key", "hops", "node_key")
     }),
+    "q76_expand_hydrated" -> ((s, dir) => {
+      // expand composed with cross-model hydration — the reference
+      // hydrates every graph result back to documents
+      // (/root/reference/src/processtools.coffee:119-256). Same traversal
+      // as q75, each reached node joined to its document; the display
+      // name extracted from the hydrated JSON proves the join carried
+      // real document content across three heterogeneous collections.
+      val g = Testbed.graph(s, dir)
+      val anchors = g.collection("orders").filter(col("o_orderkey") < 20)
+        .select(concat(lit("orders:"), col("_id")).as("anchor_key"))
+      RelQueryPlanner.expandDocuments(g, anchors,
+          RelQuery(direction = Direction.Outgoing), minHops = 1, maxHops = 3)
+        .select(col("anchor_key"), col("node_key"), col("hops"),
+          coalesce(jstr("doc", "c_name"), jstr("doc", "n_name"),
+            jstr("doc", "r_name")).as("doc_name"))
+        .orderBy("anchor_key", "hops", "node_key")
+    }),
     "q77_knn_ivf_appended" -> ((s, dir) => {
       // incremental IVF maintenance: the index is trained on the first
       // corpus slice, grown by append (assignment to the EXISTING
@@ -1373,5 +1390,28 @@ object SparkEntry {
          SELECT anchor_key, node_key, hops FROM h1
          UNION ALL SELECT anchor_key, node_key, hops FROM h2
          UNION ALL SELECT anchor_key, node_key, hops FROM h3
+         ORDER BY anchor_key, hops, node_key""",
+    "q76_expand_hydrated" ->
+      """WITH h1 AS (
+           SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS anchor_key,
+                  'customer:' || CAST(c_custkey AS VARCHAR) AS node_key,
+                  CAST(1 AS BIGINT) AS hops, c_name AS doc_name,
+                  c_nationkey AS nk
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           WHERE o_orderkey < 20),
+         h2 AS (
+           SELECT anchor_key,
+                  'nation:' || CAST(n_nationkey AS VARCHAR) AS node_key,
+                  CAST(2 AS BIGINT) AS hops, n_name AS doc_name,
+                  n_regionkey AS rk
+           FROM h1 JOIN nation ON n_nationkey = nk),
+         h3 AS (
+           SELECT anchor_key,
+                  'region:' || CAST(r_regionkey AS VARCHAR) AS node_key,
+                  CAST(3 AS BIGINT) AS hops, r_name AS doc_name
+           FROM h2 JOIN region ON r_regionkey = rk)
+         SELECT anchor_key, node_key, hops, doc_name FROM h1
+         UNION ALL SELECT anchor_key, node_key, hops, doc_name FROM h2
+         UNION ALL SELECT anchor_key, node_key, hops, doc_name FROM h3
          ORDER BY anchor_key, hops, node_key""")
 }

@@ -88,6 +88,22 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
       minHops, maxHops)
   }
 
+  /** [[expand]] hydrated to documents, anchored here — every reached node
+    * joined back to its document as JSON, with `where.document` applied
+    * POST-HOC (drops failing nodes, never constrains the walk) and
+    * `where.collection` selecting which collection populates — the same
+    * semantics [[shortestPathTo]] gives path nodes. `where.relationship`
+    * steers the traversal itself (every hop), as in [[expand]]. */
+  def expandDocuments(types: String = "*", dir: Direction = Direction.Both,
+      minHops: Int = 1, maxHops: Int = 3,
+      where: RelWhere = RelWhere()): DataFrame = {
+    import g.spark.implicits._
+    RelQueryPlanner.expandDocuments(g, Seq(ref.key).toDF("anchor_key"),
+      RelQuery(Seq(types), dir, whereRelationship = where.relationship,
+        whereDocument = where.document, collection = where.collection),
+      minHops, maxHops)
+  }
+
   // --- mutations (G8-G15) — pure transforms returning a new graph --------
   def createRelationshipTo(other: DocRef, relType: String,
       props: Map[String, String] = Map.empty): DocGraph =

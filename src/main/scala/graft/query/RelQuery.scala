@@ -317,6 +317,73 @@ object RelQueryPlanner {
         col("hops").cast("long").as("hops"))
   }
 
+  /** [[expand]] hydrated to documents — the composition the reference
+    * applies to every graph result (each node joined back to its MongoDB
+    * document, /root/reference/src/processtools.coffee:119-256), with the
+    * same POST-HOC predicate semantics as
+    * [[graft.graph.ShortestPath.shortestPathTo]]: `q.whereDocument`
+    * filters reached nodes AFTER the traversal (it never constrains which
+    * edges are walked — an anchor or intermediate node failing it still
+    * conducts reachability; its own result row drops). `q.collection`
+    * keeps the distinct-collection population semantics: only that
+    * collection's documents hydrate; nodes from other collections keep
+    * their row with a null `doc` — and `whereDocument` still DROPS
+    * named-collection nodes that fail it. Edge-level fields of `q`
+    * (types, direction, whereRelationship) steer the traversal itself,
+    * exactly as in [[expand]].
+    *
+    * Output: `(anchor_key, node_key, hops, doc)` — one row per reachable
+    * (anchor, node) at minimum hop distance, `doc` the endpoint document
+    * as JSON (uniform across heterogeneous collections, like the 1-hop
+    * planner). Plan shape: the reachable set is lazily checkpointed once;
+    * ONE bounded driver action collects its distinct collection prefixes
+    * (the same candidate pruning as [[hydrateWith]]), so the hydration
+    * union plans one join per collection actually reached, not per
+    * catalog entry. */
+  def expandDocuments(g: DocGraph, anchors: DataFrame, q: RelQuery,
+      minHops: Int = 1, maxHops: Int = 3): DataFrame = {
+    q.collection.foreach(c => require(g.collections.contains(c),
+      s"unknown collection: $c"))
+    val reach = expand(g, anchors,
+        q.copy(whereDocument = None, collection = None), minHops, maxHops)
+      .localCheckpoint(eager = false)
+    // candidate pruning — one bounded action, doubling as the reach set's
+    // checkpoint materialization (the hydration union below references it
+    // once per candidate collection)
+    val prefixes = reach.select(
+        substring_index(col("node_key"), ":", 1).as("_pfx"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val names = g.collections.keys.toSeq.sorted
+      .filter(n => prefixes.contains(n) && q.collection.forall(_ == n))
+    val docs = names.map { name =>
+        val df = g.collection(name)
+        val pred = q.whereDocument
+          .map(MongoPredicate.compile(_, MongoPredicate.resolverFor(df)))
+          .getOrElse(lit(true))
+        df.filter(pred).select(g.docKeyExpr(name).as("_doc_key"),
+          to_json(struct(g.docColumns(name): _*)).as("doc"))
+      }
+      .reduceOption(_.unionByName(_))
+      .getOrElse(g.spark.emptyDataFrame
+        .withColumn("_doc_key", lit(null).cast(StringType))
+        .withColumn("doc", lit(null).cast(StringType)))
+    val joined =
+      if (q.collection.isEmpty)
+        reach.join(docs, reach("node_key") === docs("_doc_key"), "inner")
+      else {
+        // distinct-collection mode: other-collection nodes stay with a
+        // null doc; named-collection nodes failing whereDocument drop
+        val out = reach.join(docs,
+          reach("node_key") === docs("_doc_key"), "left")
+        if (q.whereDocument.isEmpty) out
+        else out.filter(!(col("doc").isNull &&
+          substring_index(col("node_key"), ":", 1) ===
+            lit(q.collection.get)))
+      }
+    joined.select(col("anchor_key"), col("node_key"), col("hops"),
+      col("doc"))
+  }
+
   /** A1/A2 count pushdown: `part` ∈ r | * | b (other end) | a (anchor)
     * (/root/reference/src/extendDocument.coffee:74-77).
     *

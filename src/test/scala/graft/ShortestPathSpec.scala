@@ -117,6 +117,50 @@ class ShortestPathSpec extends AnyFunSuite {
     assert(viaApi == rows(1, 5, Direction.Outgoing))
   }
 
+  test("expandDocuments: hydration with shortestPathTo's post-hoc " +
+      "predicate semantics — the predicate drops nodes AFTER the walk") {
+    import graft.api.{GraphDocument, RelWhere}
+    import graft.core.DocGraph.Direction
+    // outgoing 'knows' from alice within 0..2 hops reaches alice@0, bob@1,
+    // charles@2, zoe@2. The {name: /o/} predicate drops alice and charles
+    // (no 'o') POST-HOC — alice still conducted the traversal, exactly as
+    // shortestPathTo's path filter (:641-648) keeps [bob, zoe] of a path
+    // that ran THROUGH alice.
+    val rows = GraphDocument(g, alice)
+      .expandDocuments("knows", Direction.Outgoing, minHops = 0, maxHops = 2,
+        where = RelWhere(document = Some(Map("name" -> "o".r))))
+      .select(col("node_key"), col("hops"),
+        get_json_object(col("doc"), "$.name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(rows == Set((bob.key, 1L, "bob"), (zoe.key, 2L, "zoe")))
+    // same names as the hydrated shortest path under the same predicate —
+    // the two operators share one post-hoc semantics
+    val pathNames = ShortestPath.shortestPathTo(g, alice, zoe, Seq("knows"),
+        whereDocument = Some(Map("name" -> "o".r)))
+      .select(get_json_object(col("doc"), "$.name"))
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_._3) == pathNames)
+  }
+
+  test("expandDocuments: distinct-collection population keeps " +
+      "other-collection nodes with a null doc; the predicate still DROPS " +
+      "named-collection nodes") {
+    import graft.api.{GraphDocument, RelWhere}
+    import graft.core.DocGraph.Direction
+    // one outgoing hop from alice over any type: bob (people), Bar and Pub
+    // (locations). collection=people + {name: /z/}: bob fails the
+    // predicate and DROPS; the two locations keep their rows unpopulated —
+    // mirroring shortestPathTo's collection+whereDocument case (:274-285).
+    val rows = GraphDocument(g, alice)
+      .expandDocuments("*", Direction.Outgoing, minHops = 1, maxHops = 1,
+        where = RelWhere(document = Some(Map("name" -> "z".r)),
+          collection = Some("people")))
+      .select(col("node_key"), col("doc"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((bar.key, None), (pub.key, None)))
+  }
+
   test("expand ≡ shortestPath cross-validation: hops equals path length " +
       "on the fan-out graph") {
     // two independent traversal implementations must agree: for every
