@@ -720,6 +720,26 @@ object SparkEntry {
             jstr("doc", "r_name")).as("doc_name"))
         .orderBy("anchor_key", "hops", "node_key")
     }),
+    "q78_multi_shortest_paths" -> ((s, dir) => {
+      // set-oriented shortest paths: one labeled bidirectional BFS for a
+      // whole frame of (src, dst) pairs — the cluster-shaped form of q16's
+      // single-pair search (jobs per level independent of pair count,
+      // CI-asserted). Each customer's path to its own region runs
+      // customer -> nation -> region; results exploded to one row per
+      // path position for the hash compare.
+      val g = Testbed.graph(s, dir)
+      val c = g.collection("customer").filter(col("c_custkey") <= 5)
+      val n = g.collection("nation")
+      val pairs = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(concat(lit("customer:"), c("_id")).as("src"),
+          concat(lit("region:"), n("n_regionkey")).as("dst"))
+      ShortestPath.findPaths(g, pairs)
+        .select(col("src"), col("dst"),
+          posexplode(col("path")).as(Seq("pos", "node_key")))
+        .select(col("src"), col("dst"), col("pos").cast("long").as("pos"),
+          col("node_key"))
+        .orderBy("src", "dst", "pos")
+    }),
     "q77_knn_ivf_appended" -> ((s, dir) => {
       // incremental IVF maintenance: the index is trained on the first
       // corpus slice, grown by append (assignment to the EXISTING
@@ -1413,5 +1433,21 @@ object SparkEntry {
          SELECT anchor_key, node_key, hops, doc_name FROM h1
          UNION ALL SELECT anchor_key, node_key, hops, doc_name FROM h2
          UNION ALL SELECT anchor_key, node_key, hops, doc_name FROM h3
-         ORDER BY anchor_key, hops, node_key""")
+         ORDER BY anchor_key, hops, node_key""",
+    "q78_multi_shortest_paths" ->
+      """WITH cust AS (
+           SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+                  'region:' || CAST(n_regionkey AS VARCHAR) AS dst,
+                  c_nationkey
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey <= 5)
+         SELECT src, dst, CAST(0 AS BIGINT) AS pos, src AS node_key
+         FROM cust
+         UNION ALL
+         SELECT src, dst, CAST(1 AS BIGINT),
+                'nation:' || CAST(c_nationkey AS VARCHAR)
+         FROM cust
+         UNION ALL
+         SELECT src, dst, CAST(2 AS BIGINT), dst FROM cust
+         ORDER BY src, dst, pos""")
 }

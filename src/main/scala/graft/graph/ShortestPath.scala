@@ -134,6 +134,121 @@ object ShortestPath {
     } finally if (!alreadyCached) edges.unpersist()
   }
 
+  /** Set-oriented G16: shortest paths for a whole FRAME of (src, dst)
+    * pairs in ONE labeled multi-source bidirectional BFS — the
+    * cluster-shaped form of [[findPath]], whose per-pair driver loop
+    * costs k sequential searches for k pairs. Pair labels ride the
+    * frontier rows, so each level is the same bounded set of joins and
+    * actions REGARDLESS of pair count (asserted in CI): one edge join,
+    * one dedup aggregate, one meet aggregate, 2-3 driver actions.
+    *
+    * Results match [[findPath]] pair-for-pair: both return the (length,
+    * lexicographic)-minimum shortest path, and that canonical choice is
+    * schedule-independent — each side keeps ONE lex-min representative
+    * path per (pair, key) per level, every shortest path crosses the two
+    * per-level min sets, and array-min composes over concatenation, so
+    * WHICH side expands when (here: the globally smaller frontier;
+    * findPath: the per-pair smaller) cannot change the winner. Verified
+    * differentially on random digraphs in CI.
+    *
+    * `pairs` needs string columns `src`/`dst` of `"collection:id"` keys;
+    * duplicate pairs collapse. Output: one row `(src, dst, path)` per
+    * pair WITH a path (ordered node keys, inclusive); pairs without one
+    * within `maxDepth` are simply absent. A `src == dst` pair is its own
+    * trivial path, as in findPath. Keys of unknown collections match no
+    * edges. Finished pairs are pruned from both frontiers each level —
+    * the in-flight state only ever shrinks. */
+  def findPaths(g: DocGraph, pairs: DataFrame, types: Seq[String] = Nil,
+      maxDepth: Int = 15): DataFrame = {
+    val alreadyCached = g.edges.storageLevel != StorageLevel.NONE
+    val projected = g.edges.filter(DocGraph.typeFilter(types))
+      .select(col("_from"), col("_to"))
+    val edges =
+      if (alreadyCached) projected
+      else projected.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = pairs
+        .select(col("src").cast(StringType), col("dst").cast(StringType))
+        .distinct().localCheckpoint() // eager: seeds four frames below
+      val live = p.filter(col("src") =!= col("dst"))
+      var found = p.filter(col("src") === col("dst"))
+        .select(col("src"), col("dst"), array(col("src")).as("path"))
+        .localCheckpoint(eager = false)
+      // forward rows: path = src..key; backward rows: path = key..dst
+      var frontF = live.select(col("src"), col("dst"),
+        col("src").as("key"), array(col("src")).as("path"))
+      var visF = frontF
+      var frontB = live.select(col("src"), col("dst"),
+        col("dst").as("key"), array(col("dst")).as("path"))
+      var visB = frontB
+      var nF = live.count()
+      var nB = nF
+      var depth = 0
+      while (depth < maxDepth && nF > 0 && nB > 0) {
+        depth += 1
+        val forward = nF <= nB
+        val (frontier, visited) = if (forward) (frontF, visF) else (frontB, visB)
+        val next = (if (forward)
+            frontier.join(edges, frontier("key") === edges("_from"))
+              .select(col("src"), col("dst"), col("_to").as("key"),
+                concat(col("path"), array(col("_to"))).as("path"))
+          else
+            frontier.join(edges, frontier("key") === edges("_to"))
+              .select(col("src"), col("dst"), col("_from").as("key"),
+                concat(array(col("_from")), col("path")).as("path")))
+          .join(visited, Seq("src", "dst", "key"), "left_anti")
+          // one lex-min representative per (pair, key) and level
+          .groupBy("src", "dst", "key").agg(min(col("path")).as("path"))
+          .localCheckpoint(eager = false)
+        // meet: the freshly expanded keys against the OTHER side's whole
+        // visited set, PER PAIR; candidates' lengths differ (the meet key
+        // sits at varying depths over there), so length orders before the
+        // lexicographic tie-break — as in findPath's fold
+        val other = (if (forward) visB else visF)
+          .withColumnRenamed("path", "_op")
+        val full =
+          if (forward)
+            concat(col("path"), slice(col("_op"), lit(2), size(col("_op")) - 1))
+          else
+            concat(col("_op"), slice(col("path"), lit(2), size(col("path")) - 1))
+        val finished = next.join(other, Seq("src", "dst", "key"))
+          .select(col("src"), col("dst"), full.as("full"))
+          .groupBy("src", "dst")
+          .agg(min(struct(size(col("full")).as("len"), col("full").as("p")))
+            .as("best"))
+          .select(col("src"), col("dst"), col("best").getField("p").as("path"))
+          .localCheckpoint(eager = false)
+        // action 1: how many pairs met this level (materializes `finished`
+        // and, through it, `next`'s checkpoint)
+        val nDone = finished.count()
+        val done = finished.select(col("src"), col("dst"))
+        def prune(df: DataFrame): DataFrame =
+          if (nDone == 0) df
+          // `done` is bounded by the pair count and already materialized
+          else df.join(broadcast(done), Seq("src", "dst"), "left_anti")
+        if (nDone > 0)
+          found = found.unionByName(finished).localCheckpoint(eager = false)
+        val nextLive = prune(next).localCheckpoint(eager = false)
+        if (forward) {
+          visF = prune(visF).unionByName(nextLive).localCheckpoint(eager = false)
+          visB = prune(visB).localCheckpoint(eager = false)
+          frontB = prune(frontB).localCheckpoint(eager = false)
+          frontF = nextLive
+          nF = frontF.count() // action 2 (materializes the new frontier)
+          if (nDone > 0) nB = frontB.count() // action 3, meet levels only
+        } else {
+          visB = prune(visB).unionByName(nextLive).localCheckpoint(eager = false)
+          visF = prune(visF).localCheckpoint(eager = false)
+          frontF = prune(frontF).localCheckpoint(eager = false)
+          frontB = nextLive
+          nB = frontB.count()
+          if (nDone > 0) nF = frontF.count()
+        }
+      }
+      found.select(col("src"), col("dst"), col("path"))
+    } finally if (!alreadyCached) edges.unpersist()
+  }
+
   /** G16 + J3 end-to-end: shortest path hydrated to documents, with the
     * reference's *post-hoc* predicate semantics — `where.document` filters
     * path nodes AFTER the search, it does not constrain the traversal

@@ -208,6 +208,100 @@ class ShortestPathSpec extends AnyFunSuite {
     }
   }
 
+  test("findPaths ≡ per-pair findPath on the fixture (found, trivial, " +
+      "cross-collection, and no-path pairs in one frame)") {
+    import spark.implicits._
+    val pairSeq = Seq(
+      (alice.key, zoe.key),   // depth-2 path over knows
+      (zoe.key, bob.key),     // path through alice
+      (alice.key, alice.key), // trivial
+      (charles.key, bob.key), // NO path (knows edges don't loop back)
+      (bob.key, alice.key))   // no path either
+    val got = ShortestPath.findPaths(g, pairSeq.toDF("src", "dst"),
+        Seq("knows"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getSeq[String](2).toList))
+      .toMap
+    pairSeq.foreach { case (s, d) =>
+      val want = ShortestPath.findPath(g, graft.model.DocRef.fromKey(s),
+        graft.model.DocRef.fromKey(d), Seq("knows")).map(_.toList)
+      assert(got.get((s, d)) == want,
+        s"($s,$d): set-oriented=${got.get((s, d))} per-pair=$want")
+    }
+    assert(got.size == pairSeq.count { case (s, d) =>
+      ShortestPath.findPath(g, graft.model.DocRef.fromKey(s),
+        graft.model.DocRef.fromKey(d), Seq("knows")).nonEmpty })
+  }
+
+  test("findPaths ≡ per-pair findPath on seeded random digraphs") {
+    import spark.implicits._
+    import graft.core.DocGraph
+    import graft.model.{DocRef, GraphSchema}
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { round =>
+      val n = 10 + rnd.nextInt(12)
+      val ids = (0 until n).map(i => s"n$i")
+      val es = Seq.fill(n + rnd.nextInt(2 * n))(
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+      val gw = new DocGraph(spark,
+        Map("w" -> ids.map(i => (i, i)).toDF("_id", "name")),
+        Map("w" -> GraphSchema("w")), DocGraph.emptyEdges(spark))
+        .createRelationships("next", es.toDF("_from_id", "_to_id")
+          .select(lit("w").as("_from_collection"), col("_from_id"),
+            lit("w").as("_to_collection"), col("_to_id")))
+      val pairSeq = Seq.fill(4 + rnd.nextInt(4))(
+        (s"w:${ids(rnd.nextInt(n))}", s"w:${ids(rnd.nextInt(n))}")).distinct
+      val got = ShortestPath.findPaths(gw, pairSeq.toDF("src", "dst"),
+          Seq("next"), maxDepth = 8)
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          r.getSeq[String](2).toList)).toMap
+      pairSeq.foreach { case (s, d) =>
+        val want = ShortestPath.findPath(gw, DocRef.fromKey(s),
+          DocRef.fromKey(d), Seq("next"), maxDepth = 8).map(_.toList)
+        assert(got.get((s, d)) == want,
+          s"round $round ($s,$d): set=${got.get((s, d))} perPair=$want " +
+            s"(edges=$es)")
+      }
+    }
+  }
+
+  test("findPaths: jobs per level do not grow with the pair count") {
+    import spark.implicits._
+    import graft.core.DocGraph
+    import graft.model.GraphSchema
+    // a 6-node chain: every pair below resolves at the same depth, so the
+    // level count is identical — only per-level work could differ
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "f")
+    val ids = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val gw = new DocGraph(spark,
+      Map("w" -> ids.map(i => (i, i)).toDF("_id", "name")),
+      Map("w" -> GraphSchema("w")), DocGraph.emptyEdges(spark))
+      .createRelationships("next", es.toDF("_from_id", "_to_id")
+        .select(lit("w").as("_from_collection"), col("_from_id"),
+          lit("w").as("_to_collection"), col("_to_id")))
+    val one = Seq(("w:a", "w:c")).toDF("src", "dst")
+    val four = Seq(("w:a", "w:c"), ("w:b", "w:d"), ("w:c", "w:e"),
+      ("w:d", "w:f")).toDF("src", "dst")
+    val st = spark.sparkContext.statusTracker
+    // job IDs are monotonic; a MAX-id delta is immune to the status
+    // store's bounded retention (a length delta goes negative once the
+    // suite has run enough jobs to trigger eviction)
+    def maxJob = st.getJobIdsForGroup(null).max
+    ShortestPath.findPaths(gw, one, Seq("next")).count() // warm
+    val j0 = maxJob
+    assert(ShortestPath.findPaths(gw, one, Seq("next")).count() == 1)
+    val jOne = maxJob - j0
+    val j1 = maxJob
+    assert(ShortestPath.findPaths(gw, four, Seq("next")).count() == 4)
+    val jFour = maxJob - j1
+    info(s"findPaths jobs: 1 pair=$jOne, 4 pairs=$jFour")
+    // AQE job-count noise tolerated; 4× the pairs must not approach 4× the
+    // jobs — the whole point of the labeled formulation
+    assert(jFour <= jOne + 6,
+      s"jobs grew with pair count: 1 pair=$jOne, 4 pairs=$jFour")
+  }
+
   test("one driver-synchronized action per BFS level") {
     // alice -> zoe meets at the SECOND level, so the search runs: 2 initial
     // eager frontier checkpoints + 2 level actions (meet-check and frontier
