@@ -33,11 +33,14 @@ import graft.pred.MongoPredicate.MongoQuery
   * path the forward-only formulation returned: every shortest path crosses
   * both per-level min sets, and array-min composes over concatenation.
   *
-  * Scale posture: frontier and visited sets are `localCheckpoint`ed per
+  * Scale posture: frontier and visited sets are stage-checkpointed per
   * level to truncate lineage (an unbounded iterative plan otherwise
-  * re-executes from the scan each level). The edge side is scanned with
-  * the type filter pushed down; the frontier side of each join is the
-  * small one and broadcasts under AQE. Depth ≤ 15 bounds the loop.
+  * re-executes from the scan each level); the policy is
+  * [[graft.core.Lifecycle]]'s `graft.lifecycle.checkpoint` switch
+  * (local | reliable | off — reliable for dynamic-allocation clusters).
+  * The edge side is scanned with the type filter pushed down; the
+  * frontier side of each join is the small one and broadcasts under AQE.
+  * Depth ≤ 15 bounds the loop.
   */
 object ShortestPath {
 
@@ -65,10 +68,10 @@ object ShortestPath {
       // forward rows: path = source..key (ends at key);
       // backward rows: path = key..target (starts at key)
       var frontF = Seq((from.key, Seq(from.key)))
-        .toDF("key", "path").localCheckpoint()
+        .toDF("key", "path").transform(graft.core.Lifecycle.stage(_, eager = true))
       var visF = frontF
       var frontB = Seq((to.key, Seq(to.key)))
-        .toDF("key", "path").localCheckpoint()
+        .toDF("key", "path").transform(graft.core.Lifecycle.stage(_, eager = true))
       var visB = frontB
       var nF = 1L
       var nB = 1L
@@ -90,7 +93,7 @@ object ShortestPath {
           // One deterministic representative path per key and level: all
           // candidates have equal length, so array-min is the lex-min.
           .groupBy("key").agg(min(col("path")).as("path"))
-          .localCheckpoint(eager = false)
+          .transform(graft.core.Lifecycle.stage(_))
         // ONE driver-synchronized action per level (r8 ran up to four:
         // eager next checkpoint, meet-check collect, eager visited
         // checkpoint, frontier count). The meet check and the frontier
@@ -121,11 +124,11 @@ object ShortestPath {
         val n = row.getLong(0)
         if (!row.isNullAt(1)) found = Some(row.getStruct(1).getSeq[String](1))
         else if (forward) {
-          visF = visF.unionByName(next).localCheckpoint(eager = false)
+          visF = visF.unionByName(next).transform(graft.core.Lifecycle.stage(_))
           frontF = next
           nF = n
         } else {
-          visB = visB.unionByName(next).localCheckpoint(eager = false)
+          visB = visB.unionByName(next).transform(graft.core.Lifecycle.stage(_))
           frontB = next
           nB = n
         }
@@ -169,11 +172,11 @@ object ShortestPath {
     try {
       val p = pairs
         .select(col("src").cast(StringType), col("dst").cast(StringType))
-        .distinct().localCheckpoint() // eager: seeds four frames below
+        .distinct().transform(graft.core.Lifecycle.stage(_, eager = true)) // eager: seeds four frames below
       val live = p.filter(col("src") =!= col("dst"))
       var found = p.filter(col("src") === col("dst"))
         .select(col("src"), col("dst"), array(col("src")).as("path"))
-        .localCheckpoint(eager = false)
+        .transform(graft.core.Lifecycle.stage(_))
       // forward rows: path = src..key; backward rows: path = key..dst
       var frontF = live.select(col("src"), col("dst"),
         col("src").as("key"), array(col("src")).as("path"))
@@ -199,7 +202,7 @@ object ShortestPath {
           .join(visited, Seq("src", "dst", "key"), "left_anti")
           // one lex-min representative per (pair, key) and level
           .groupBy("src", "dst", "key").agg(min(col("path")).as("path"))
-          .localCheckpoint(eager = false)
+          .transform(graft.core.Lifecycle.stage(_))
         // meet: the freshly expanded keys against the OTHER side's whole
         // visited set, PER PAIR; candidates' lengths differ (the meet key
         // sits at varying depths over there), so length orders before the
@@ -217,7 +220,7 @@ object ShortestPath {
           .agg(min(struct(size(col("full")).as("len"), col("full").as("p")))
             .as("best"))
           .select(col("src"), col("dst"), col("best").getField("p").as("path"))
-          .localCheckpoint(eager = false)
+          .transform(graft.core.Lifecycle.stage(_))
         // action 1: how many pairs met this level (materializes `finished`
         // and, through it, `next`'s checkpoint)
         val nDone = finished.count()
@@ -227,19 +230,19 @@ object ShortestPath {
           // `done` is bounded by the pair count and already materialized
           else df.join(broadcast(done), Seq("src", "dst"), "left_anti")
         if (nDone > 0)
-          found = found.unionByName(finished).localCheckpoint(eager = false)
-        val nextLive = prune(next).localCheckpoint(eager = false)
+          found = found.unionByName(finished).transform(graft.core.Lifecycle.stage(_))
+        val nextLive = prune(next).transform(graft.core.Lifecycle.stage(_))
         if (forward) {
-          visF = prune(visF).unionByName(nextLive).localCheckpoint(eager = false)
-          visB = prune(visB).localCheckpoint(eager = false)
-          frontB = prune(frontB).localCheckpoint(eager = false)
+          visF = prune(visF).unionByName(nextLive).transform(graft.core.Lifecycle.stage(_))
+          visB = prune(visB).transform(graft.core.Lifecycle.stage(_))
+          frontB = prune(frontB).transform(graft.core.Lifecycle.stage(_))
           frontF = nextLive
           nF = frontF.count() // action 2 (materializes the new frontier)
           if (nDone > 0) nB = frontB.count() // action 3, meet levels only
         } else {
-          visB = prune(visB).unionByName(nextLive).localCheckpoint(eager = false)
-          visF = prune(visF).localCheckpoint(eager = false)
-          frontF = prune(frontF).localCheckpoint(eager = false)
+          visB = prune(visB).unionByName(nextLive).transform(graft.core.Lifecycle.stage(_))
+          visF = prune(visF).transform(graft.core.Lifecycle.stage(_))
+          frontF = prune(frontF).transform(graft.core.Lifecycle.stage(_))
           frontB = nextLive
           nB = frontB.count()
           if (nDone > 0) nF = frontF.count()

@@ -105,25 +105,26 @@ object RelQueryPlanner {
     // per-stage checkpoints cost ~5 driver-synchronized jobs per anchored
     // query; now it is collect + final action).
     //
-    // The matched-edge set is materialized once with a LAZY localCheckpoint
-    // — the prefix collect computes and caches it in one job, and the
-    // caller's action reads it back instead of rescanning the edge store.
-    // Unlike Dataset.persist (whose entry the session's CacheManager pins
-    // until an explicit unpersist, leaking per query), checkpoint blocks
-    // belong to the RDD alone and the ContextCleaner frees them as soon as
-    // the result Dataset goes unreferenced.
+    // The matched-edge set is materialized once with a LAZY stage
+    // checkpoint — the prefix collect computes and caches it in one job,
+    // and the caller's action reads it back instead of rescanning the edge
+    // store. Unlike Dataset.persist (whose entry the session's
+    // CacheManager pins until an explicit unpersist, leaking per query),
+    // checkpoint blocks belong to the RDD alone and the ContextCleaner
+    // frees them as soon as the result Dataset goes unreferenced.
     //
-    // Caveat: localCheckpoint truncates lineage and keeps blocks only on
-    // executors — if an executor is lost (or decommissioned under dynamic
-    // allocation) mid-query, the job fails instead of recomputing. That is
-    // the accepted trade for leak-free lifecycle on these small anchored
-    // intermediates; a deployment running with dynamic allocation should
-    // disable it or use reliable checkpointing for long-lived results.
+    // The materialization POLICY is graft.core.Lifecycle's config switch
+    // (`graft.lifecycle.checkpoint` = local | reliable | off): the default
+    // localCheckpoint keeps blocks only on executors — executor loss or
+    // dynamic-allocation decommissioning fails the query instead of
+    // recomputing — so a deployment running dynamic allocation sets
+    // `reliable` (checkpoint dir required) or `off`. Identical results in
+    // every mode (LifecycleSpec).
     // materialize=false keeps the full un-truncated lineage — the dry-run
     // trace path (GraphDocument.debugQuery), where plan READABILITY beats
     // stage reuse (the pruning collect then re-derives from the scans).
     def stage(df: DataFrame) =
-      if (materialize) df.localCheckpoint(eager = false) else df
+      if (materialize) df.transform(graft.core.Lifecycle.stage(_)) else df
     val matched = stage(matchEdges(g, anchor, q))
     val (fromPfx, toPfx) = sidePrefixes(g, anchor, q, matched)
     // withFrom is ALSO lazily checkpointed (no action — the caller's one
@@ -288,7 +289,7 @@ object RelQueryPlanner {
     val start = anchors.select(col("anchor_key")).distinct()
       .select(col("anchor_key").as("origin"), col("anchor_key").as("key"),
         lit(0).as("hops"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Lifecycle.stage(_))
     var visited = start
     var frontier = start.select("origin", "key")
     var hop = 0
@@ -304,11 +305,11 @@ object RelQueryPlanner {
         .select(col("origin"), col("other_key").as("key")).distinct()
         .join(visited.select("origin", "key"), Seq("origin", "key"),
           "left_anti")
-        .localCheckpoint(eager = false)
+        .transform(graft.core.Lifecycle.stage(_))
       if (next.count() == 0) exhausted = true
       else {
         visited = visited.unionByName(next.withColumn("hops", lit(hop)))
-          .localCheckpoint(eager = false)
+          .transform(graft.core.Lifecycle.stage(_))
         frontier = next
       }
     }
@@ -346,7 +347,7 @@ object RelQueryPlanner {
       s"unknown collection: $c"))
     val reach = expand(g, anchors,
         q.copy(whereDocument = None, collection = None), minHops, maxHops)
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Lifecycle.stage(_))
     // candidate pruning — one bounded action, doubling as the reach set's
     // checkpoint materialization (the hydration union below references it
     // once per candidate collection)
@@ -406,14 +407,14 @@ object RelQueryPlanner {
     // relationships() for the executor-loss caveat), then the final
     // aggregate over both keys-only existence joins. r8 shipped a
     // per-hydration collect + checkpoint chain (~5 jobs for one scalar).
-    val matched = matchEdges(g, anchor, q).localCheckpoint(eager = false)
+    val matched = matchEdges(g, anchor, q).transform(graft.core.Lifecycle.stage(_))
     val (fromPfx, toPfx) = sidePrefixes(g, anchor, q, matched)
     // the first hydration's lazy checkpoint (no extra action) keeps the
     // second hydration's union branches from re-executing it per branch —
     // see relationships()
     val rels = hydrateWith(g, anchor, q,
       hydrateWith(g, anchor, q, matched, "_from", None, Some(fromPfx))
-        .localCheckpoint(eager = false),
+        .transform(graft.core.Lifecycle.stage(_)),
       "_to", None, Some(toPfx))
     val target = part match {
       case "r" | "*" => col("_rel_id")
