@@ -67,6 +67,33 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(reach(loaded) == mem)
   }
 
+  test("expandDocuments and findPaths over a store-backed graph match " +
+      "the in-memory results (stored-key hydration + mirror routing)") {
+    saved
+    import graft.core.DocGraph.Direction
+    val loaded = GraphStore.load(spark, db)
+    def hydrated(graph: DocGraph) =
+      GraphDocument(graph, DocRef("people", "3"))
+        .expandDocuments("knows", Direction.Outgoing, 1, 3)
+        .select(col("node_key"), col("hops"),
+          get_json_object(col("doc"), "$.name"))
+        .collect().map(_.toSeq).toSet
+    val memH = hydrated(g)
+    assert(memH == Set(Seq("people:1", 1L, "alice"),
+      Seq("people:2", 2L, "bob")))
+    assert(hydrated(loaded) == memH)
+    def paths(graph: DocGraph) =
+      graft.graph.ShortestPath.findPaths(graph,
+          Seq(("people:3", "people:2"), ("people:2", "people:3"))
+            .toDF("src", "dst"), Seq("knows"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getSeq[String](2).toList)).toSet
+    val memP = paths(g)
+    assert(memP == Set(("people:3", "people:2",
+      List("people:3", "people:1", "people:2"))))
+    assert(paths(loaded) == memP)
+  }
+
   test("schemas survive the round-trip (graphability enforced on load)") {
     saved
     val loaded = GraphStore.load(spark, db)
