@@ -740,6 +740,24 @@ object SparkEntry {
           col("node_key"))
         .orderBy("src", "dst", "pos")
     }),
+    "q79_multi_paths_hydrated" -> ((s, dir) => {
+      // the set-oriented J3: q78's batch of shortest paths hydrated back
+      // to documents in ONE join union across all pairs (the reference
+      // hydrates every path result,
+      // /root/reference/src/processtools.coffee:215-248)
+      val g = Testbed.graph(s, dir)
+      val c = g.collection("customer").filter(col("c_custkey") <= 5)
+      val n = g.collection("nation")
+      val pairs = c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(concat(lit("customer:"), c("_id")).as("src"),
+          concat(lit("region:"), n("n_regionkey")).as("dst"))
+      ShortestPath.findPathsDocuments(g, pairs)
+        .select(col("src"), col("dst"), col("pos"),
+          col("_doc_key").as("node_key"),
+          coalesce(jstr("doc", "c_name"), jstr("doc", "n_name"),
+            jstr("doc", "r_name")).as("doc_name"))
+        .orderBy("src", "dst", "pos")
+    }),
     "q77_knn_ivf_appended" -> ((s, dir) => {
       // incremental IVF maintenance: the index is trained on the first
       // corpus slice, grown by append (assignment to the EXISTING
@@ -1449,5 +1467,23 @@ object SparkEntry {
          FROM cust
          UNION ALL
          SELECT src, dst, CAST(2 AS BIGINT), dst FROM cust
+         ORDER BY src, dst, pos""",
+    "q79_multi_paths_hydrated" ->
+      """WITH cust AS (
+           SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+                  'region:' || CAST(n_regionkey AS VARCHAR) AS dst,
+                  c_name, c_nationkey, n_name, n_regionkey
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE c_custkey <= 5)
+         SELECT src, dst, CAST(0 AS BIGINT) AS pos, src AS node_key,
+                c_name AS doc_name
+         FROM cust
+         UNION ALL
+         SELECT src, dst, CAST(1 AS BIGINT),
+                'nation:' || CAST(c_nationkey AS VARCHAR), n_name
+         FROM cust
+         UNION ALL
+         SELECT src, dst, CAST(2 AS BIGINT), dst, r_name
+         FROM cust JOIN region ON r_regionkey = n_regionkey
          ORDER BY src, dst, pos""")
 }

@@ -270,11 +270,40 @@ object ShortestPath {
       maxDepth: Int = 15, collection: Option[String] = None): DataFrame = {
     val spark = g.spark
     import spark.implicits._
-    collection.foreach(c => require(g.collections.contains(c),
-      s"unknown collection: $c"))
     val path = findPath(g, from, to, types, maxDepth).getOrElse(Seq.empty)
     val pathDf = path.zipWithIndex.map { case (k, i) => (i, k) }
       .toDF("pos", "_doc_key")
+    hydrateNodes(g, pathDf, whereDocument, collection)
+      .select(col("pos"), col("_doc_key"), col("doc")).orderBy("pos")
+  }
+
+  /** [[findPaths]] hydrated to documents — the set-oriented J3: one row
+    * per (pair, path position), with exactly [[shortestPathTo]]'s post-hoc
+    * semantics (`whereDocument` drops failing path nodes AFTER the search;
+    * `collection` populates only that collection, other-collection nodes
+    * keep their position with a null `doc`). Output: `(src, dst, pos,
+    * _doc_key, doc)` ordered within each pair. The hydration is ONE join
+    * union across all pairs' paths — k pairs cost the same plan as one. */
+  def findPathsDocuments(g: DocGraph, pairs: DataFrame,
+      types: Seq[String] = Nil, whereDocument: Option[MongoQuery] = None,
+      maxDepth: Int = 15, collection: Option[String] = None): DataFrame = {
+    val exploded = findPaths(g, pairs, types, maxDepth)
+      .select(col("src"), col("dst"),
+        posexplode(col("path")).as(Seq("pos", "_doc_key")))
+    hydrateNodes(g, exploded, whereDocument, collection)
+      .select(col("src"), col("dst"), col("pos").cast("long").as("pos"),
+        col("_doc_key"), col("doc"))
+      .orderBy("src", "dst", "pos")
+  }
+
+  /** Shared J3 hydration: join rows carrying `_doc_key` to their documents
+    * as JSON, with the post-hoc predicate + distinct-collection semantics
+    * both path operators share (reference `:641-648`, `:274-285`). */
+  private def hydrateNodes(g: DocGraph, left: DataFrame,
+      whereDocument: Option[MongoQuery],
+      collection: Option[String]): DataFrame = {
+    collection.foreach(c => require(g.collections.contains(c),
+      s"unknown collection: $c"))
     val docs = g.collections.keys.toSeq.sorted
       .filter(n => collection.forall(_ == n))
       .map { name =>
@@ -288,15 +317,13 @@ object ShortestPath {
       }.reduce(_.unionByName(_))
     // distinct-collection mode keeps unpopulated path nodes (left join) —
     // but whereDocument still DROPS named-collection nodes that fail it
-    val joined =
-      if (collection.isEmpty) pathDf.join(docs, Seq("_doc_key"), "inner")
-      else {
-        val out = pathDf.join(docs, Seq("_doc_key"), "left")
-        if (whereDocument.isEmpty) out
-        else out.filter(!(col("doc").isNull &&
-          substring_index(col("_doc_key"), ":", 1) === lit(collection.get)))
-      }
-    joined.select(col("pos"), col("_doc_key"), col("doc")).orderBy("pos")
+    if (collection.isEmpty) left.join(docs, Seq("_doc_key"), "inner")
+    else {
+      val out = left.join(docs, Seq("_doc_key"), "left")
+      if (whereDocument.isEmpty) out
+      else out.filter(!(col("doc").isNull &&
+        substring_index(col("_doc_key"), ":", 1) === lit(collection.get)))
+    }
   }
 
   private def StringType = org.apache.spark.sql.types.StringType

@@ -266,6 +266,32 @@ class ShortestPathSpec extends AnyFunSuite {
     }
   }
 
+  test("findPathsDocuments ≡ per-pair shortestPathTo: post-hoc predicate " +
+      "and distinct-collection semantics carry over set-oriented") {
+    import spark.implicits._
+    val pairs = Seq((alice.key, zoe.key), (alice.key, bar.key))
+    def perPair(pred: Option[Map[String, Any]], coll: Option[String]) =
+      pairs.flatMap { case (s, d) =>
+        ShortestPath.shortestPathTo(g, graft.model.DocRef.fromKey(s),
+            graft.model.DocRef.fromKey(d), Nil, pred, collection = coll)
+          .collect().map(r => (s, d, r.getInt(0).toLong, r.getString(1),
+            Option(r.getString(2))))
+      }.toSet
+    def setOriented(pred: Option[Map[String, Any]], coll: Option[String]) =
+      ShortestPath.findPathsDocuments(g, pairs.toDF("src", "dst"), Nil,
+          pred, collection = coll)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getString(3), Option(r.getString(4)))).toSet
+    // plain hydration
+    assert(setOriented(None, None) == perPair(None, None))
+    assert(setOriented(None, None).nonEmpty)
+    // post-hoc predicate drops failing path nodes, set-oriented too
+    val pred = Some(Map[String, Any]("name" -> "o".r))
+    assert(setOriented(pred, None) == perPair(pred, None))
+    // distinct-collection population with predicate drop
+    assert(setOriented(pred, Some("people")) == perPair(pred, Some("people")))
+  }
+
   test("findPaths: jobs per level do not grow with the pair count") {
     import spark.implicits._
     import graft.core.DocGraph
