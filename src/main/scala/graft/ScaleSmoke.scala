@@ -31,9 +31,14 @@ object ScaleSmoke {
   val Offset = 100000000L
   val MaxRatio = 15.0
 
-  /** The five most expensive ops of the r9 bench tail. */
+  /** The five most expensive ops of the r9 bench tail, plus the round-10
+    * traversal additions (hydrated expand, set-oriented paths) — both
+    * iterative operators whose scale posture deserves direct evidence.
+    * q77 (IVF append) is omitted by construction: it trains on a fixed
+    * 150-vector slice, so its cost is scale-invariant. */
   val Probes = Seq("q40_connected_components", "q67_pagerank_converged",
-    "q75_expand", "q66_cross_minhash", "q56_decontaminate")
+    "q75_expand", "q66_cross_minhash", "q56_decontaminate",
+    "q76_expand_hydrated", "q78_multi_shortest_paths")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
