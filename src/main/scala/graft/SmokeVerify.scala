@@ -377,6 +377,55 @@ object SmokeVerify {
         (if (ids16 == Set(100L, 1L, 3L)) "OK" else "BROKEN"))
     }
 
+    // 17. semantic (embedding) blocker on the ingest stream, run with the
+    // ops-side stage checkpoints routed through reliable mode: doc 2 shares
+    // no shingles with batch-1's admitted doc 1 but has cosine ~0.995 to
+    // its embedding, so ONLY the vecCol blocker can drop it — and every
+    // Dedup/Similarity stage inside the micro-batch pins via
+    // sparkContext.checkpoint instead of localCheckpoint.
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EventStreams
+      implicit val sq = spark.sqlContext
+      spark.sparkContext.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("smoke-reliable").toString)
+      spark.conf.set("graft.lifecycle.checkpoint", "reliable")
+      val store17 = java.nio.file.Files
+        .createTempDirectory("smoke-ingest-sem").toString + "/corpus"
+      Seq((100L, "seed corpus text entirely unlike anything that follows",
+          Seq(0f, 0f, 1f, 0f)))
+        .toDF("doc_id", "text", "embedding").write.parquet(store17)
+      val mem17 = MemoryStream[EventStreams.DocEmb]
+      val q17 = EventStreams.nearDupIngestStream(mem17.toDF(),
+        () => spark.read.parquet(store17), "doc_id", "text",
+        vecCol = Some("embedding")) { (clean, _) =>
+        clean.select(col("doc_id"), col("text"), col("embedding"))
+          .write.mode("append").parquet(store17)
+      }
+      try {
+        mem17.addData(EventStreams.DocEmb(1L,
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00"),
+          "discussion of fiscal policy in the northern province",
+          Seq(1f, 0f, 0f, 0f)))
+        q17.processAllAvailable()
+        mem17.addData(
+          EventStreams.DocEmb(2L,
+            java.sql.Timestamp.valueOf("2024-01-01 10:05:00"),
+            "a chat about monetary matters up north",
+            Seq(0.99f, 0.1f, 0f, 0f)),
+          EventStreams.DocEmb(3L,
+            java.sql.Timestamp.valueOf("2024-01-01 10:06:00"),
+            "marine biology survey of reef ecosystems",
+            Seq(0f, 1f, 0f, 0f)))
+        q17.processAllAvailable()
+      } finally q17.stop()
+      spark.conf.set("graft.lifecycle.checkpoint", "local")
+      val ids17 = spark.read.parquet(store17)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      println(s"SMOKE17 semanticIngest(reliable): store=$ids17 => " +
+        (if (ids17 == Set(100L, 1L, 3L)) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

@@ -2,9 +2,12 @@ package graft.core
 
 import org.apache.spark.sql.DataFrame
 
-/** Stage-materialization policy for the iterative/anchored query paths
-  * (RelQueryPlanner, ShortestPath): how intermediates are pinned between
-  * the driver-synchronized steps of a query.
+/** Stage-materialization policy for every stage-checkpointing path in the
+  * engine — the iterative/anchored query planners (RelQueryPlanner,
+  * ShortestPath) AND the batch ops that pin shared intermediates
+  * (Dedup signatures, Similarity prep frames, IvfIndex append,
+  * GraphStore save): how intermediates are pinned between the
+  * driver-synchronized steps of an operation.
   *
   * Config: `graft.lifecycle.checkpoint` (Spark runtime conf, read per
   * call so a session can switch it between queries):

@@ -123,7 +123,7 @@ object Dedup {
       charShingles(col(textCol), shingleN).as("shingles"))
       .select(col("id"),
         array_sort(array_distinct(shingleHashes(col("shingles")))).as("_hs"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Lifecycle.stage(_))
     // Candidate generation runs on SCALARS only — (id, band, bhash) — so
     // the bucket-size window, the bucket self-join, and the multi-band
     // distinct never shuffle a hash array. A pair colliding in several
@@ -202,7 +202,7 @@ object Dedup {
         .select(col(s"id_$side"),
           array_sort(array_distinct(shingleHashes(col("shingles"))))
             .as(s"_hs_$side"))
-        .localCheckpoint(eager = false)
+        .transform(graft.core.Lifecycle.stage(_))
     def band(df: DataFrame, side: String) =
       df.withColumn("sig", minhashFromHashes(col(s"_hs_$side"), k))
         .select(col(s"id_$side"),
@@ -333,7 +333,7 @@ object Dedup {
     // separate select over `sigs`, so an un-materialized signature plan
     // (shingling + the 64-bit fold) would otherwise execute per branch
     val byChunk = sigs.select(col("id"), col("simhash"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Lifecycle.stage(_))
     val exploded = simhashChunks(byChunk, "id", "simhash", nChunks)
     val a = exploded.select(col("chunk"), col("ckey"),
       col("id").as("id_a"), col("simhash").as("h_a"))
@@ -376,8 +376,8 @@ object Dedup {
     // would otherwise re-run the full signature pass (shingling + fold)
     // once per branch — nChunks-1 redundant corpus scans. Signatures are
     // 16 bytes/row, so the corpus-side checkpoint is cheap even at 100 TB.
-    val c = sigs(corpus, "a").localCheckpoint(eager = false)
-    val n = sigs(newBatch, "b").localCheckpoint(eager = false)
+    val c = sigs(corpus, "a").transform(graft.core.Lifecycle.stage(_))
+    val n = sigs(newBatch, "b").transform(graft.core.Lifecycle.stage(_))
     val hint = OpsUtil.gatedHint("crossSimhashNearPairs", "newBatch", n,
       maxBroadcastRows)
     chunked(c, "a").join(hint(chunked(n, "b")), Seq("chunk", "ckey"))

@@ -346,7 +346,7 @@ object IvfIndex {
       .filter(col("_pr") === 1)
       .withColumn("cell", col("_mc"))
       .select(newVecs.columns.map(col) :+ col("cell") :+ col("_d2"): _*)
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Lifecycle.stage(_))
     val batchMean = assigned.agg(avg(col("_d2"))).collect()(0) match {
       case r if r.isNullAt(0) => 0.0
       case r => r.getDouble(0)
@@ -431,7 +431,7 @@ object IvfIndex {
       .select(col(idCol).cast("long").as("id_b"), col(vecCol).as("v_b"),
         Similarity.l2Norm(col(vecCol)).as("nrm_b"))
       .filter(col("nrm_b") > 0)
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Lifecycle.stage(_))
     val bcast = OpsUtil.broadcastGate("IvfIndex.topKPerQuery", "queries",
       q.count(), maxBroadcastRows)
     def hint(df: DataFrame) = if (bcast) broadcast(df) else df

@@ -107,7 +107,7 @@ object Similarity {
       col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"),
       signRandomProjection(col(vecCol), planes * rotations).as("_acc"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Lifecycle.stage(_))
     // bucket of rotation r = bits [r·planes, (r+1)·planes) of the
     // accumulator (plane p lands at bit total−1−p, so slice by right-shift)
     val mask = (1L << planes) - 1
@@ -177,8 +177,8 @@ object Similarity {
           call_function("shiftrightunsigned", col(s"_acc_$side"),
             (lit(rotations - 1) - r) * planes).bitwiseAND(lit(mask))))
           .as(Seq("rot", "bucket")))
-    val t = prep(train, "a").localCheckpoint(eager = false)
-    val e = prep(evalEmb, "b").localCheckpoint(eager = false)
+    val t = prep(train, "a").transform(graft.core.Lifecycle.stage(_))
+    val e = prep(evalEmb, "b").transform(graft.core.Lifecycle.stage(_))
     // One count of the EVAL side only: gates both hints below and
     // materializes the lazy checkpoint once for every downstream use. The
     // banded side is rotations×(this count) scalar rows — one count
@@ -260,7 +260,7 @@ object Similarity {
       OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
           col(vecCol).as(s"v_$side"), l2Norm(col(vecCol)).as(s"nrm_$side"))
         .filter(col(s"nrm_$side") > 0)
-    val e = prep(evalEmb, "b").localCheckpoint(eager = false)
+    val e = prep(evalEmb, "b").transform(graft.core.Lifecycle.stage(_))
     val hint = OpsUtil.gatedHint("crossNearDupsExact", "evalEmb", e,
       maxBroadcastRows)
     prep(train, "a").join(hint(e), lit(true))

@@ -74,7 +74,7 @@ object GraphStore {
     val edgesOnce =
       if (g.edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
         g.edges
-      else g.edges.localCheckpoint()
+      else g.edges.transform(graft.core.Lifecycle.stage(_, eager = true))
     write(edgesOnce, "edges_by_from", "_from")
     write(edgesOnce, "edges_by_to", "_to")
     ensureWritable(spark, db, SchemaTable)
@@ -205,7 +205,7 @@ object GraphStore {
       .bucketSpec.getOrElse(sys.error(s"$db.edges_by_to is not a bucketed table"))
     // the primary must be fully materialized before the mirror location is
     // truncated — same table-drop discipline as save()
-    val primary = spark.table(s"$db.edges_by_from").localCheckpoint()
+    val primary = spark.table(s"$db.edges_by_from").transform(graft.core.Lifecycle.stage(_, eager = true))
     ensureWritable(spark, db, "edges_by_to")
     primary.write.mode(SaveMode.Overwrite)
       .bucketBy(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.head,

@@ -150,22 +150,33 @@ object EventStreams {
   }
 
   /** One micro-batch of NEAR-dup ingest: drop batch documents whose
-    * near-duplicate already exists in the static corpus, by EITHER blocker
-    * — MinHash/n-gram Jaccard ≥ `minJaccard`
-    * ([[graft.ops.Dedup.crossCandidatePairs]]) or SimHash Hamming distance
-    * ≤ `simhashMaxDist` ([[graft.ops.Dedup.crossSimhashNearPairs]]). The
-    * corpus side never shuffles in either op; the (tiny) matched-id set
-    * anti-joins the batch away. Factored out of [[nearDupIngestStream]] so
-    * batch ≡ stream parity is directly testable on static frames. */
+    * near-duplicate already exists in the static corpus, by ANY enabled
+    * blocker — MinHash/n-gram Jaccard ≥ `minJaccard`
+    * ([[graft.ops.Dedup.crossCandidatePairs]]), SimHash Hamming distance
+    * ≤ `simhashMaxDist` ([[graft.ops.Dedup.crossSimhashNearPairs]]), and,
+    * when `vecCol` names an embedding column present on both frames,
+    * embedding cosine ≥ `minCosine`
+    * ([[graft.ops.Similarity.crossNearDups]] — the SEMANTIC blocker that
+    * catches paraphrases sharing no shingles). The corpus side never
+    * shuffles in any of them; the (tiny) matched-id set anti-joins the
+    * batch away. Factored out of [[nearDupIngestStream]] so batch ≡
+    * stream parity is directly testable on static frames. */
   def dropCorpusNearDups(batch: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, minJaccard: Double = 0.5,
-      simhashMaxDist: Int = 3): DataFrame = {
-    import graft.ops.Dedup
+      simhashMaxDist: Int = 3, vecCol: Option[String] = None,
+      minCosine: Double = 0.95): DataFrame = {
+    import graft.ops.{Dedup, Similarity}
     val mh = Dedup.crossCandidatePairs(batch, corpus, idCol, textCol,
       minJaccard = minJaccard).select(col("id_b"))
     val sh = Dedup.crossSimhashNearPairs(batch, corpus, idCol, textCol,
       maxDist = simhashMaxDist).select(col("id_b"))
-    val dupIds = mh.unionByName(sh).distinct()
+    // crossNearDups sides: (train = corpus, eval = batch) — the batch is
+    // the count-gated broadcast side, the corpus never shuffles; id_b is
+    // the batch id, matching the text blockers' orientation
+    val sem = vecCol.toSeq.map(v =>
+      Similarity.crossNearDups(corpus, batch, idCol, v,
+        threshold = minCosine).select(col("id_b")))
+    val dupIds = (Seq(mh, sh) ++ sem).reduce(_.unionByName(_)).distinct()
     batch.join(dupIds, batch(idCol).cast("long") === dupIds("id_b"),
       "left_anti")
   }
@@ -199,7 +210,8 @@ object EventStreams {
   def nearDupIngestStream(docStream: DataFrame, corpus: () => DataFrame,
       idCol: String, textCol: String, tsCol: String = "ts",
       watermark: String = "1 hour", minJaccard: Double = 0.5,
-      simhashMaxDist: Int = 3, checkpointDir: Option[String] = None)(
+      simhashMaxDist: Int = 3, checkpointDir: Option[String] = None,
+      vecCol: Option[String] = None, minCosine: Double = 0.95)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(docStream.isStreaming,
@@ -221,12 +233,17 @@ object EventStreams {
             Seq(key), "left_anti")
           .drop(key)
         sink(dropCorpusNearDups(exactClean, snapshot, idCol, textCol,
-          minJaccard, simhashMaxDist), id)
+          minJaccard, simhashMaxDist, vecCol, minCosine), id)
       }
       .start()
   }
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** [[Doc]] with an embedding column — the shape the semantic blocker
+    * ([[dropCorpusNearDups]] `vecCol`) ingests. */
+  final case class DocEmb(doc_id: Long, ts: Timestamp, text: String,
+      embedding: Seq[Float])
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -72,4 +72,22 @@ class LifecycleSpec extends AnyFunSuite {
     assert(off == local, "off mode diverged from local")
   }
 
+  test("ops-side stages honor the switch too: MinHash candidate pairs " +
+      "identical under local, reliable, and off") {
+    import spark.implicits._
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-reliable").toString)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every day"),
+      (2L, "the quick brown fox jumps over the lazy dog every week"),
+      (3L, "a completely different report about unrelated matters"))
+      .toDF("doc_id", "text")
+    def run() = rowsOf(graft.ops.Dedup.candidatePairs(
+      docs, "doc_id", "text", minJaccard = 0.3))
+    val local = inMode("local")(run())
+    assert(local.nonEmpty)
+    assert(inMode("reliable")(run()) == local)
+    assert(inMode("off")(run()) == local)
+  }
+
 }

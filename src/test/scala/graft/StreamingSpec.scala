@@ -182,6 +182,51 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ids == Set(100L, 1L, 3L), s"near-dup of batch-1 output not dropped: $ids")
   }
 
+  test("nearDupIngestStream: the embedding blocker drops a SEMANTIC " +
+      "near-dup of the stream's own output that shares no shingles") {
+    import EventStreams.DocEmb
+    val store = java.nio.file.Files.createTempDirectory("ingest-sem")
+      .toString + "/corpus"
+    Seq((100L, "seed corpus text entirely unlike anything that follows",
+        Seq(0f, 0f, 1f, 0f)))
+      .toDF("doc_id", "text", "embedding").write.parquet(store)
+    val corpus = () => spark.read.parquet(store)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[DocEmb]
+    val q = EventStreams.nearDupIngestStream(mem.toDF(), corpus,
+      "doc_id", "text", vecCol = Some("embedding")) { (clean, _) =>
+      clean.select(col("doc_id"), col("text"), col("embedding"))
+        .write.mode("append").parquet(store)
+    }
+    try {
+      mem.addData(DocEmb(1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        "discussion of fiscal policy in the northern province",
+        Seq(1f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      mem.addData(
+        // cosine 0.995 to batch 1's output, text disjoint — only the
+        // semantic blocker can catch it
+        DocEmb(2L, Timestamp.valueOf("2024-01-01 10:05:00"),
+          "a chat about monetary matters up north",
+          Seq(0.99f, 0.1f, 0f, 0f)),
+        DocEmb(3L, Timestamp.valueOf("2024-01-01 10:06:00"),
+          "marine biology survey of reef ecosystems",
+          Seq(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = corpus().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(100L, 1L, 3L),
+      s"semantic near-dup of batch-1 output not dropped: $ids")
+    // sanity: without the embedding blocker the same composition admits
+    // doc 2 (proving the drop above came from the semantic path)
+    val textOnly = EventStreams.dropCorpusNearDups(
+      Seq((2L, Timestamp.valueOf("2024-01-01 10:05:00"),
+        "a chat about monetary matters up north",
+        Seq(0.99f, 0.1f, 0f, 0f))).toDF("doc_id", "ts", "text", "embedding"),
+      corpus(), "doc_id", "text")
+    assert(textOnly.count() == 1)
+  }
+
   test("sessionize: gap split, ordering, totals") {
     implicit val s = spark
     val sessions = EventStreams.sessionize(events.toDS(), 3600 * 1000L)
