@@ -24,8 +24,12 @@ import org.apache.spark.sql.DataFrame
   *   - `off` — no materialization: plans keep full lineage (recompute-
   *     safe, optimizer sees everything) but iterative loops re-execute
   *     from the scans each level and multi-branch hydrations re-run
-  *     shared subtrees per branch. Correct for any query (loops here are
-  *     depth-capped); costly beyond toy inputs.
+  *     shared subtrees per branch. Correct for any QUERY (loops here are
+  *     depth-capped); costly beyond toy inputs. Destructive-write
+  *     barriers (drop-then-rewrite paths like GraphStore.save) are NOT
+  *     governed by this switch — they stage with `required = true`,
+  *     which maps `off` to a local checkpoint, so setting `off` globally
+  *     can never void a data-safety invariant.
   */
 object Lifecycle {
 
@@ -40,8 +44,17 @@ object Lifecycle {
 
   /** Materialize `df` per the session's policy. `eager` forces immediate
     * computation (seed frames of iterative loops); lazy stages
-    * materialize with the caller's next action. */
-  def stage(df: DataFrame, eager: Boolean = false): DataFrame =
+    * materialize with the caller's next action.
+    *
+    * `required` marks a WRITE BARRIER, not a performance pin: callers that
+    * materialize a frame *before destroying its inputs* (GraphStore's
+    * save/repairMirror truncate the very tables their lineage reads) pass
+    * `required = true`, and `off` then degrades to `local` instead of a
+    * no-op — a no-op there would execute the un-truncated lineage against
+    * deleted files, i.e. data loss, which no configuration switch may
+    * opt into. `off` stays a pure-latency knob for recompute-SAFE stages. */
+  def stage(df: DataFrame, eager: Boolean = false,
+      required: Boolean = false): DataFrame =
     mode(df) match {
       case "local" => df.localCheckpoint(eager)
       case "reliable" =>
@@ -49,6 +62,7 @@ object Lifecycle {
           df.sparkSession.sparkContext.getCheckpointDir.isDefined,
           s"$ConfKey=reliable needs sparkContext.setCheckpointDir(...)")
         df.checkpoint(eager)
+      case "off" if required => df.localCheckpoint(eager)
       case "off" => df
     }
 }

@@ -53,13 +53,43 @@ object GraphStore {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
+  /** True when `df`'s lineage scans files under `db`'s warehouse location —
+    * the re-saving-a-loaded-graph case, where [[ensureWritable]]'s delete
+    * would destroy the very files the subsequent write reads. Walked over
+    * the optimized plan so catalog relations are already resolved to their
+    * file indexes. */
+  private def readsFromDb(df: DataFrame, spark: SparkSession,
+      db: String): Boolean = {
+    val dbPath = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getDatabaseMetadata(db).locationUri)
+      .toUri.getPath.stripSuffix("/") + "/"
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(
+              _.toUri.getPath.stripSuffix("/").concat("/").startsWith(dbPath))
+          case _ => false
+        }
+    }.exists(identity)
+  }
+
   /** Write `g` as bucketed tables under database `db` (created if absent). */
   def save(g: DocGraph, db: String, buckets: Int = 32): Unit = {
     val spark = g.spark
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     def write(df: DataFrame, table: String, bucketCol: String): Unit = {
+      // Write barrier for self-referencing saves: a frame whose lineage
+      // reads THIS db (a graph loaded from it and re-saved) is fully
+      // materialized BEFORE ensureWritable deletes its input files —
+      // required = true, so no lifecycle mode can void it. Frames that
+      // read elsewhere skip the extra materialization.
+      val safe =
+        if (readsFromDb(df, spark, db))
+          df.transform(graft.core.Lifecycle.stage(_, eager = true, required = true))
+        else df
       ensureWritable(spark, db, table)
-      df.write.mode(SaveMode.Overwrite)
+      safe.write.mode(SaveMode.Overwrite)
         .bucketBy(buckets, bucketCol).sortBy(bucketCol)
         .format("parquet").saveAsTable(s"$db.$table")
     }
@@ -69,12 +99,18 @@ object GraphStore {
           concat(lit(name + ":"), col("_id").cast(StringType))),
         s"coll_$name", "_doc_key")
     }
-    // materialize the edge lineage once: both bucketed copies read the
-    // checkpoint blocks instead of re-executing the edge-construction job
+    // materialize the edge lineage once — both bucketed copies read the
+    // checkpoint blocks instead of re-executing the edge-construction job,
+    // AND (the data-safety half) the edges of a graph loaded from THIS db
+    // must be fully computed before ensureWritable deletes the very files
+    // their lineage reads. `required = true`: this is a write barrier, so
+    // lifecycle=off may not turn it into a no-op (re-saving a loaded graph
+    // would otherwise execute un-truncated lineage against deleted files).
     val edgesOnce =
       if (g.edges.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
         g.edges
-      else g.edges.transform(graft.core.Lifecycle.stage(_, eager = true))
+      else g.edges.transform(
+        graft.core.Lifecycle.stage(_, eager = true, required = true))
     write(edgesOnce, "edges_by_from", "_from")
     write(edgesOnce, "edges_by_to", "_to")
     ensureWritable(spark, db, SchemaTable)
@@ -204,8 +240,10 @@ object GraphStore {
         "edges_by_to", Some(db)))
       .bucketSpec.getOrElse(sys.error(s"$db.edges_by_to is not a bucketed table"))
     // the primary must be fully materialized before the mirror location is
-    // truncated — same table-drop discipline as save()
-    val primary = spark.table(s"$db.edges_by_from").transform(graft.core.Lifecycle.stage(_, eager = true))
+    // truncated — same table-drop discipline as save(); required = a write
+    // barrier lifecycle=off may not void
+    val primary = spark.table(s"$db.edges_by_from").transform(
+      graft.core.Lifecycle.stage(_, eager = true, required = true))
     ensureWritable(spark, db, "edges_by_to")
     primary.write.mode(SaveMode.Overwrite)
       .bucketBy(bucketSpec.numBuckets, bucketSpec.bucketColumnNames.head,

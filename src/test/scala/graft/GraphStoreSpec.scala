@@ -332,6 +332,30 @@ class GraphStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(before >= 1 && after == before)
   }
 
+  test("re-saving a loaded graph to its own db survives lifecycle=off " +
+      "(write barriers are required stages, not config-dependent no-ops)") {
+    // save() drops each table and deletes its files before rewriting; a
+    // graph LOADED from that db has lineage reading those very files, so
+    // the pre-delete materialization is a data-safety barrier that the
+    // 'off' mode must not void (ADVICE r10). Round-trip twice under 'off'
+    // and verify both edges and collections arrive intact.
+    val db2 = "graft_store_resave_spec"
+    withConf(graft.core.Lifecycle.ConfKey -> "off") {
+      GraphStore.save(g, db2, buckets = 4)
+      val loaded = GraphStore.load(spark, db2)
+      GraphStore.save(loaded, db2, buckets = 4) // lineage reads db2 itself
+      val again = GraphStore.load(spark, db2)
+      assert(again.edges.count() == g.edges.count() && g.edges.count() >= 2)
+      assert(again.collection("people").select("_id", "name", "age")
+        .collect().map(_.toSeq).toSet ==
+        g.collection("people").select("_id", "name", "age")
+          .collect().map(_.toSeq).toSet)
+      val n = GraphDocument(again, DocRef("people", "1"))
+        .incomingRelationships("knows").count()
+      assert(n == 1) // zoe->alice
+    }
+  }
+
   test("anchored edge lookup prunes to a single bucket in both directions") {
     saved
     // filter-only scans: the auto-bucketed-scan heuristic would drop the
