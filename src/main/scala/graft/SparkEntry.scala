@@ -53,6 +53,28 @@ object SparkEntry {
       emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
       "vec_id", "embedding", key = s"$dir#knn200", k = 8)
 
+  /** q80's PRE-BUILT appended IVF store: train on the first corpus slice,
+    * save, append the remainder — once per (session, sf dir), untimed when
+    * Bench's build phase warms it — so q80 measures the steady-state probe
+    * over an appended index, while the maintenance cycle itself stays
+    * q77's measurement. Same corpus/probe population as q77, so the two
+    * entries separate maintenance cost from query cost over identical
+    * work. */
+  private val appendedIx = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), ops.IvfIndex.Index]()
+  private[graft] def appendedKnnIvfIndex(s: SparkSession, emb: DataFrame,
+      dir: String): ops.IvfIndex.Index =
+    appendedIx.computeIfAbsent((s.hashCode, dir), _ => {
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-ivf-appended").toString
+      ops.IvfIndex.save(ops.IvfIndex.build(
+        corpus.filter(col("vec_id") < 150), "vec_id", "embedding", k = 8),
+        store)
+      ops.IvfIndex.append(s, store,
+        corpus.filter(col("vec_id") >= 150), "vec_id", "embedding")._1
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- node overlay (S2/P1, §2.1/§2.2) --------------------------------
     "q01_nodes_per_collection" -> ((s, dir) => {
@@ -775,6 +797,20 @@ object SparkEntry {
         store)
       val (ix, _) = ops.IvfIndex.append(s, store,
         corpus.filter(col("vec_id") >= 150), "vec_id", "embedding")
+      ops.IvfIndex.topKPerQuery(emb.filter(col("vec_id") % 50 === 0), ix,
+          "vec_id", "embedding", topK = 5, nProbe = 6)
+        .orderBy("query_id", "rank")
+    }),
+    "q80_knn_ivf_appended_probe" -> ((s, dir) => {
+      // steady-state probe over the PRE-BUILT appended IVF store (built
+      // once, untimed in Bench's build phase) — q77 measures the full
+      // train+save+append+probe maintenance cycle; this entry isolates
+      // what a steady-state query against the grown index costs (≈ q69).
+      // rows-only like q69/q77 (k-means cells are seed-deterministic but
+      // not SQL-oracle-able); appended-recall ≥ 0.9 is CI-asserted in
+      // IvfIndexSpec.
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val ix = appendedKnnIvfIndex(s, emb, dir)
       ops.IvfIndex.topKPerQuery(emb.filter(col("vec_id") % 50 === 0), ix,
           "vec_id", "embedding", topK = 5, nProbe = 6)
         .orderBy("query_id", "rank")

@@ -282,8 +282,12 @@ object ShortestPath {
     * semantics (`whereDocument` drops failing path nodes AFTER the search;
     * `collection` populates only that collection, other-collection nodes
     * keep their position with a null `doc`). Output: `(src, dst, pos,
-    * _doc_key, doc)` ordered within each pair. The hydration is ONE join
-    * union across all pairs' paths — k pairs cost the same plan as one. */
+    * _doc_key, doc)`, UNORDERED — `pos` carries each node's position, and
+    * a global ORDER BY is a total-sort exchange every caller would pay
+    * even when downstream doesn't need order (a join, an agg, a sink);
+    * callers that want display order sort at their own edge. The
+    * hydration is ONE join union across all pairs' paths — k pairs cost
+    * the same plan as one. */
   def findPathsDocuments(g: DocGraph, pairs: DataFrame,
       types: Seq[String] = Nil, whereDocument: Option[MongoQuery] = None,
       maxDepth: Int = 15, collection: Option[String] = None): DataFrame = {
@@ -293,7 +297,6 @@ object ShortestPath {
     hydrateNodes(g, exploded, whereDocument, collection)
       .select(col("src"), col("dst"), col("pos").cast("long").as("pos"),
         col("_doc_key"), col("doc"))
-      .orderBy("src", "dst", "pos")
   }
 
   /** Shared J3 hydration: join rows carrying `_doc_key` to their documents

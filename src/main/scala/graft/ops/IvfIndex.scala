@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * [[load]]ed form reads only the probed cells' files (partition pruning —
   * asserted in IvfIndexSpec) and a restarted cluster never retrains.
   * Corpus growth is [[append]], not retrain: new vectors are assigned to
-  * the EXISTING centroids (one transform — no k-means) and appended to the
-  * cell partitions, with a drift metric saying when retraining is actually
-  * warranted.
+  * the EXISTING centroids (one transform — no k-means) and committed as a
+  * new cell-partitioned batch directory behind the meta pointer (crash-
+  * atomic, like [[save]]'s version swap), with a drift metric saying when
+  * retraining is actually warranted.
   */
 object IvfIndex {
 
@@ -38,8 +39,10 @@ object IvfIndex {
 
   /** Storage layout version. Bumped whenever the on-disk shape or the
     * quantizer space changes — a stored index with a different `fmt` is
-    * retrained, never reinterpreted. */
-  private val FormatVersion = 2
+    * retrained, never reinterpreted. v3: cells live in meta-listed BATCH
+    * directories (crash-atomic [[append]]) and the drift baseline is a
+    * weighted running mean over the indexed corpus. */
+  private val FormatVersion = 3
 
   final case class Index(cells: DataFrame, centroids: Array[(Int, Seq[Float])])
 
@@ -52,10 +55,15 @@ object IvfIndex {
 
   /** What `$dir/meta` holds: the current version-directory name (the
     * atomic-swap pointer), the build identity (fields null for an
-    * identity-less direct [[save]]), and the training-time mean assigned
-    * distance (the [[append]] drift baseline). */
+    * identity-less direct [[save]]), the mean assigned distance² over the
+    * indexed corpus with its row count (the [[append]] drift baseline,
+    * folded forward as a weighted running mean on every append), and the
+    * batch subdirectories of the version that together hold the cells —
+    * a batch directory not listed here does not exist as far as readers
+    * are concerned, which is what makes [[append]] crash-atomic. */
   private final case class Meta(fmt: Int, version: String,
-      identity: Option[Identity], meanDist: Double)
+      identity: Option[Identity], meanDist: Double, nRows: Long,
+      batches: Seq[String])
 
   /** `vec / ||vec||` as doubles; zero-norm vectors pass through raw. */
   private def normalized(vecCol: Column, norm: Column): Column =
@@ -65,8 +73,13 @@ object IvfIndex {
   // One trained index per (session, corpus key, k, seed): an ANN index
   // outlives any single query — training per probe would be like rebuilding
   // a B-tree per lookup. Mirrors Testbed.graph's "load once, query many".
+  // Keyed on the (sessionHash, Identity) TUPLE, not its toString: case-class
+  // toString is comma-joined, so two distinct parameterizations whose fields
+  // straddle a comma would stringify identically — the very delimiter
+  // collision the field-wise stored identity exists to rule out. Tuple
+  // equals/hashCode compare field-wise for free.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Index]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Identity), Index]()
 
   /** Test hook: forget session memoizations (simulates a fresh session so
     * the [[buildCached]] storage fall-through is observable in-process).
@@ -102,7 +115,7 @@ object IvfIndex {
     require(key.nonEmpty, "buildCached needs a non-empty corpus key")
     val id = Identity(key, idCol, vecCol, k, seed)
     val ix = cache.computeIfAbsent(
-      (emb.sparkSession.hashCode, id).toString, _ => {
+      (emb.sparkSession.hashCode, id), _ => {
         val spark = emb.sparkSession
         val stored = storageDir.filter(dir =>
           readMeta(spark, dir).exists { m =>
@@ -197,16 +210,19 @@ object IvfIndex {
       .parquet(s"$dir/$version/centroids")
     // training-time drift baseline: mean normalized-space distance² of
     // every stored vector to its assigned centroid (one map-side-partial
-    // aggregate over the — typically still persisted — cell assignment).
-    // The vector column comes from the identity when we have one, else
-    // from the schema (unique array<float> column); a save that can't
-    // name it stores a zero baseline, which disables the drift signal
-    // rather than guessing at a column.
-    val baseline = identity.map(_.vecCol).orElse(vecColOf(ix))
+    // aggregate over the — typically still persisted — cell assignment),
+    // with the corpus row count so later appends can fold their batch
+    // means into a weighted running baseline. The vector column comes
+    // from the identity when we have one, else from the schema (unique
+    // array<float> column); a save that can't name it stores a zero
+    // baseline, which disables the drift signal rather than guessing at
+    // a column.
+    val (baseline, nRows) = identity.map(_.vecCol).orElse(vecColOf(ix))
       .map(v => meanAssignedDist(ix.cells, ix.centroids, "cell", v))
-      .getOrElse(0.0)
+      .getOrElse((0.0, ix.cells.count()))
     val previous = readMeta(spark, dir).map(_.version)
-    writeMeta(spark, dir, Meta(FormatVersion, version, identity, baseline))
+    writeMeta(spark, dir,
+      Meta(FormatVersion, version, identity, baseline, nRows, Seq("cells")))
     gcVersions(spark, dir, keep = Set(version) ++ previous)
   }
 
@@ -247,26 +263,27 @@ object IvfIndex {
       .otherwise(col("_cn2"))
   }
 
-  /** Mean [[normDist2]] of each row to its ASSIGNED centroid. One
-    * broadcast join against k rows + one partial-agg pass — no shuffle of
-    * the data. */
+  /** Mean [[normDist2]] of each row to its ASSIGNED centroid, with the row
+    * count (same pass). One broadcast join against k rows + one partial-agg
+    * pass — no shuffle of the data. */
   private def meanAssignedDist(cells: DataFrame,
       cents: Array[(Int, Seq[Float])], cellCol: String,
-      vecCol: String): Double =
+      vecCol: String): (Double, Long) =
     cells.join(broadcast(centroidsWithNorm(cells.sparkSession, cents)),
         col(cellCol) === col("_mc"))
-      .agg(avg(normDist2(vecCol))).collect()(0) match {
-        case r if r.isNullAt(0) => 0.0
-        case r => r.getDouble(0)
+      .agg(avg(normDist2(vecCol)), count(lit(1))).collect()(0) match {
+        case r if r.isNullAt(0) => (0.0, r.getLong(1))
+        case r => (r.getDouble(0), r.getLong(1))
       }
 
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     import spark.implicits._
     Seq((m.fmt, m.version, m.identity.map(_.key).orNull,
         m.identity.map(_.idCol).orNull, m.identity.map(_.vecCol).orNull,
-        m.identity.map(_.k), m.identity.map(_.seed), m.meanDist))
+        m.identity.map(_.k), m.identity.map(_.seed), m.meanDist,
+        m.nRows, m.batches))
       .toDF("fmt", "version", "key", "id_col", "vec_col", "k", "seed",
-        "mean_dist")
+        "mean_dist", "n_rows", "batches")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
   }
 
@@ -282,7 +299,9 @@ object IvfIndex {
           r.getInt(r.fieldIndex("k")), r.getLong(r.fieldIndex("seed"))))
       Meta(r.getInt(r.fieldIndex("fmt")),
         r.getString(r.fieldIndex("version")), id,
-        r.getDouble(r.fieldIndex("mean_dist")))
+        r.getDouble(r.fieldIndex("mean_dist")),
+        r.getLong(r.fieldIndex("n_rows")),
+        r.getSeq[String](r.fieldIndex("batches")))
     }.toOption.filter(_.fmt == FormatVersion)
 
   /** Best-effort removal of version directories no longer reachable from
@@ -300,7 +319,8 @@ object IvfIndex {
 
   /** Re-open a [[save]]d index at its current version. The cells scan
     * stays file-backed — cell filters prune to the probed partitions'
-    * files; nothing is retrained. */
+    * files in EVERY batch directory (the cell filter pushes into each
+    * union branch); nothing is retrained. */
   def load(spark: SparkSession, dir: String): Index = {
     val m = readMeta(spark, dir).getOrElse(
       sys.error(s"no readable IvfIndex meta at $dir"))
@@ -308,26 +328,39 @@ object IvfIndex {
       .map(r => (r.getInt(r.fieldIndex("cell")),
         r.getSeq[Float](r.fieldIndex("centroid"))))
       .sortBy(_._1)
-    Index(spark.read.parquet(s"$dir/${m.version}/cells"), cents)
+    // one partition-discovered scan per meta-listed batch directory — a
+    // batch dir meta doesn't list (a crashed append's staging) is invisible
+    val cells = m.batches
+      .map(b => spark.read.parquet(s"$dir/${m.version}/$b"))
+      .reduce(_.unionByName(_))
+    Index(cells, cents)
   }
 
   /** Incremental index maintenance — corpus growth WITHOUT retraining.
     * `newVecs` (same schema as the indexed corpus frame) are assigned to
     * the EXISTING centroids (one broadcast-join transform over k rows — no
-    * k-means) and appended to the current version's cell partitions; the
-    * swap-pointer meta is untouched, so the operation is one parquet
-    * append. Returns the re-opened index and the DRIFT RATIO: the new
-    * batch's mean assigned distance² over the training-time baseline
-    * stored in meta. Ratio ≈ 1 means the new vectors fit the trained
-    * quantizer; a ratio past `retrainAbove` logs a warning that retraining
-    * is warranted (the centroids no longer describe the corpus — recall
-    * degrades even though results stay well-formed).
+    * k-means) and landed as a NEW cell-partitioned batch directory of the
+    * current version, which meta's batch list is swapped to include — the
+    * same commit discipline as [[save]]'s version pointer, at O(batch)
+    * cost. A crash mid-append leaves an orphan directory no meta lists
+    * (invisible to every reader, reclaimed when the next [[save]] rotates
+    * the version); readers can never see a partially-committed batch.
+    * Returns the re-opened index and the DRIFT RATIO: the new batch's mean
+    * assigned distance² over the baseline in meta (the weighted running
+    * mean over everything indexed so far, seeded at training time). Ratio
+    * ≈ 1 means the new vectors fit the trained quantizer; a ratio past
+    * `retrainAbove` logs a warning that retraining is warranted (the
+    * centroids no longer describe the corpus — recall degrades even though
+    * results stay well-formed). The batch's mean is folded into the stored
+    * baseline (weighted by row counts), so after many appends drift is
+    * measured against the corpus as indexed, not an ever-staler snapshot.
     *
-    * Concurrency note: appends add files to the current version; a reader
-    * that listed the cells before the append simply keeps its snapshot.
-    * Session caches keyed by the same identity still hold the pre-append
-    * assignment — use the returned index (or a fresh [[buildCached]] after
-    * [[clearCache]]) when the appended rows must be visible. */
+    * Concurrency: ONE writer at a time (same as [[save]] — both end in a
+    * read-modify-write of meta); readers are safe throughout. A reader
+    * that resolved meta before the append keeps its immutable snapshot.
+    * Session caches keyed by the stored identity are INVALIDATED here, so
+    * a same-session [[buildCached]] after an append re-resolves the store
+    * and sees the appended rows. */
   def append(spark: SparkSession, dir: String, newVecs: DataFrame,
       idCol: String, vecCol: String,
       retrainAbove: Double = 1.5): (Index, Double) = {
@@ -347,17 +380,39 @@ object IvfIndex {
       .withColumn("cell", col("_mc"))
       .select(newVecs.columns.map(col) :+ col("cell") :+ col("_d2"): _*)
       .transform(graft.core.Lifecycle.stage(_))
-    val batchMean = assigned.agg(avg(col("_d2"))).collect()(0) match {
-      case r if r.isNullAt(0) => 0.0
-      case r => r.getDouble(0)
-    }
+    val (batchMean, nBatch) =
+      assigned.agg(avg(col("_d2")), count(lit(1))).collect()(0) match {
+        case r if r.isNullAt(0) => (0.0, r.getLong(1))
+        case r => (r.getDouble(0), r.getLong(1))
+      }
     val drift = if (m.meanDist > 1e-12) batchMean / m.meanDist else 1.0
     if (drift > retrainAbove)
       logger.warn(f"IvfIndex.append at $dir: drift ratio $drift%.2f " +
         f"(batch mean dist² $batchMean%.4f vs baseline ${m.meanDist}%.4f) " +
         s"exceeds $retrainAbove — retraining is warranted")
-    assigned.drop("_d2").write.mode(SaveMode.Append)
-      .partitionBy("cell").parquet(s"$dir/${m.version}/cells")
+    // land the batch fully in its own directory, THEN swap meta to list it
+    val batchDir = s"cells-${java.util.UUID.randomUUID()}"
+    assigned.drop("_d2").write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$dir/${m.version}/$batchDir")
+    val newBaseline =
+      if (m.meanDist > 1e-12 && m.nRows + nBatch > 0)
+        (m.meanDist * m.nRows + batchMean * nBatch) / (m.nRows + nBatch)
+      else m.meanDist // zero baseline = drift signal disabled; keep it so
+    writeMeta(spark, dir, m.copy(meanDist = newBaseline,
+      nRows = m.nRows + nBatch, batches = m.batches :+ batchDir))
+    // the appended store is the truth now — evict every session memoization
+    // of this identity (any session in the JVM) so the next buildCached
+    // re-resolves the store instead of serving the pre-append assignment
+    m.identity.foreach { id =>
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._2 == id) {
+          e.getValue.cells.unpersist(blocking = false)
+          it.remove()
+        }
+      }
+    }
     (load(spark, dir), drift)
   }
 

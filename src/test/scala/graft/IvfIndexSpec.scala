@@ -154,6 +154,50 @@ class IvfIndexSpec extends AnyFunSuite {
       s"appended-IVF recall@5 $recall < 0.9 (${ivf.size}/${exact.size})")
   }
 
+  test("append invalidates the session cache: a same-session buildCached " +
+      "with the same identity sees appended-only vectors") {
+    val where = tmpDir
+    val base = emb.filter(col("vec_id") < 300)
+    val extra = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    IvfIndex.clearCache()
+    val key = s"cacheinval:$where"
+    val ix = IvfIndex.buildCached(base, "vec_id", "embedding",
+      key = key, k = 8, storageDir = Some(where))
+    assert(ix.cells.filter(col("vec_id") === 350).count() == 0)
+    IvfIndex.append(spark, where, extra, "vec_id", "embedding")
+    // NO clearCache: append itself must evict the stale memoization. The
+    // input frame is still `base`, so only the storage fall-through (which
+    // holds the appended batch) can produce vec_id 350.
+    val again = IvfIndex.buildCached(base, "vec_id", "embedding",
+      key = key, k = 8, storageDir = Some(where))
+    assert(again.cells.filter(col("vec_id") === 350).count() == 1,
+      "post-append buildCached served the pre-append assignment")
+    IvfIndex.clearCache()
+  }
+
+  test("append is crash-atomic: a batch directory meta does not list is " +
+      "invisible to load") {
+    val where = tmpDir
+    val base = emb.filter(col("vec_id") < 100)
+    IvfIndex.save(IvfIndex.build(base, "vec_id", "embedding", k = 4), where)
+    val n0 = IvfIndex.load(spark, where).cells.count()
+    // simulate a crashed append: a fully-written batch dir that never got
+    // committed into meta's batch list
+    val versionDir = new java.io.File(where).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v-")).head
+    val extra = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .withColumn("cell", lit(0))
+    extra.write.partitionBy("cell")
+      .parquet(s"${versionDir.getAbsolutePath}/cells-orphan")
+    assert(IvfIndex.load(spark, where).cells.count() == n0,
+      "an uncommitted batch directory leaked into the loaded index")
+    // a real append commits and becomes visible
+    IvfIndex.append(spark, where,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150),
+      "vec_id", "embedding")
+    assert(IvfIndex.load(spark, where).cells.count() == n0 + 50)
+  }
+
   test("drift gate: an out-of-distribution append reports a ratio that " +
       "says retraining is warranted") {
     import spark.implicits._

@@ -292,6 +292,19 @@ class ShortestPathSpec extends AnyFunSuite {
     assert(setOriented(pred, Some("people")) == perPair(pred, Some("people")))
   }
 
+  test("findPathsDocuments embeds no global sort: ordering is the " +
+      "caller's choice, not a total-sort exchange every caller pays") {
+    import spark.implicits._
+    val plan = ShortestPath.findPathsDocuments(g,
+        Seq((alice.key, zoe.key)).toDF("src", "dst"))
+      .queryExecution.executedPlan.toString
+    // a GLOBAL sort node prints as "Sort [...], true, 0" — join-local
+    // sorts (SMJ children, global=false) are not the operator's doing
+    withClue(plan) {
+      assert(!plan.linesIterator.exists(_.matches(""".*Sort \[.*\], true, 0.*""")))
+    }
+  }
+
   test("findPaths: jobs per level do not grow with the pair count") {
     import spark.implicits._
     import graft.core.DocGraph
