@@ -26,6 +26,13 @@ import org.apache.spark.sql.SparkSession
   *   - per-rep process-CPU deltas ("reps_cpu_sec"; "c" next to "w" for the
   *     headline's 3 slowest) distinguish waiting from working PER QUERY:
   *     wall up with flat CPU = host taint, CPU ~ cores × wall = real work;
+  *   - deterministic CPU calibration probes (single-thread + all-core)
+  *     run before and after the suite ("calib_sec") and
+  *     "normalized_total" rescales each query by reference/measured,
+  *     blended by the query's own CPU-parallelism — a drifted host
+  *     inflates the raw totals and the probes together, so the
+  *     normalized number stays comparable ACROSS rounds without manual
+  *     forensics (see the calibration doc below);
   *   - a query that throws on every rep is recorded as the string "err";
   *     a query that succeeded on some reps reports the median of those
   *     (its error still appears in "q_errors"), so a single flaky rep
@@ -43,6 +50,67 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
+
+  /** Host-drift calibration: a fixed, deterministic spin of integer work
+    * (xorshift64), timed as the MEDIAN of three runs after one JIT
+    * warmup, in TWO shapes — one thread ("s"), and one thread per bench
+    * core timed until the last finishes ("m"). Two shapes because drift
+    * has two mechanisms with different signatures, measured empirically
+    * with 24 background spinners on the 32-core build host:
+    *
+    *   - uniform cycle slowdown (hypervisor steal, thermal caps — the
+    *     r9/r10 taint): every thread slows equally, both probes inflate
+    *     by the same factor;
+    *   - partial scheduler contention (other processes): the all-core
+    *     probe inflated 2.1× while the suite — whose queries measure
+    *     only ~10-30% CPU-parallel (cpu ≈ 0.1 × cores × wall) —
+    *     inflated just 1.14×, because mostly-idle cores still had room
+    *     for it; a pure all-core normalization would have OVER-corrected
+    *     a loaded run into reading faster than a quiet one.
+    *
+    * So the correction is PER QUERY, blended by how CPU-parallel that
+    * query measured in this very run: f = min(1, cpu/(wall × cores)),
+    * ratio = (1-f)·(refS/measS) + f·(refM/measM), and
+    * `normalized_total` = Σ wall_q × ratio_q. A query that saturates the
+    * box normalizes by aggregate-throughput drift; an overhead-bound
+    * query normalizes by single-core drift; both collapse to the same
+    * factor under the uniform slowdown that actually bit rounds 9/10.
+    * Both probes, both readings (before/after), and the pinned reference
+    * constants land in every JSON line — a tainted run self-identifies
+    * AND self-normalizes instead of demanding forensics. References are
+    * this probe on the round-11 build host at its quietest observed
+    * state (see BENCHNOTES_r11.md); they are the absolute anchor every
+    * later round normalizes back to. */
+  private val CalibIters = 400000000L // ~0.7 s/thread at the reference host
+  private val RefCalibSingle = 0.700 // pinned: see BENCHNOTES_r11.md
+  private val RefCalibAllCore = 0.800 // pinned: see BENCHNOTES_r11.md
+  @volatile private var calibSink = 0L // defeats dead-code elimination
+
+  private def calibSpin(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0L
+        while (i < CalibIters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        calibSink = x
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** (single-thread sec, all-core sec), each the median of 3 after warmup. */
+  private def calibrate(cores: Int): (Double, Double) = {
+    calibSpin(cores) // JIT + scheduler warmup
+    def med3(threads: Int) =
+      Seq(calibSpin(threads), calibSpin(threads), calibSpin(threads)).sorted.apply(1)
+    (med3(1), med3(cores))
+  }
 
   /** Cumulative process CPU time (ns). Per-rep CPU deltas separate host-
     * load taint from real work: a genuinely expensive query burns CPU
@@ -74,6 +142,7 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
     val loadBefore = loadAvg
+    val calibBefore = calibrate(cpus.toInt)
     val tBuild = System.nanoTime()
     val g = Testbed.graph(spark, sfDir)
     // Pre-warm the shared GraphX overlay and the IVF index too (force
@@ -152,6 +221,24 @@ object Bench {
     val total = results.collect { case (_, ts, _, _) if ts.nonEmpty => median(ts) }.sum
     val nErr = results.count(_._4.nonEmpty)
     val loadAfter = loadAvg
+    val calibAfter = calibrate(cpus.toInt)
+    // Mean of the before/after probes per shape: the suite ran between
+    // them, so their average is the least-biased witness of the host
+    // speed the queries actually saw. Then the per-query parallelism
+    // blend (class doc): overhead-bound queries normalize by the single-
+    // core ratio, saturated ones by the all-core ratio.
+    val measS = (calibBefore._1 + calibAfter._1) / 2
+    val measM = (calibBefore._2 + calibAfter._2) / 2
+    val nCores = cpus.toInt
+    val normTotal = results.collect {
+      case (_, ts, cs, _) if ts.nonEmpty =>
+        val w = median(ts)
+        val f =
+          if (cs.nonEmpty) math.min(1.0, median(cs) / (w * nCores))
+          else 0.5 // CPU clock unavailable: split the difference
+        w * ((1 - f) * (RefCalibSingle / measS)
+          + f * (RefCalibAllCore / measM))
+    }.sum
     // Three lines, biggest FIRST: the channel reading stdout captures a
     // bounded TAIL (~2.9 KB observed), so anything the driver must see has
     // to fit inside the LAST few hundred bytes. Line 1 = raw diagnostics
@@ -172,9 +259,12 @@ object Bench {
       .map { case (k, w, c) =>
         "\"" + k + "\":{\"w\":" + s2(w) + ",\"c\":" + s2(c) + "}"
       }.mkString("{", ",", "}")
+    val calibJson =
+      s"""{"single":{"before":${calibBefore._1},"after":${calibAfter._1},"ref":$RefCalibSingle},""" +
+      s""""allcore":{"before":${calibBefore._2},"after":${calibAfter._2},"ref":$RefCalibAllCore}}"""
     println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps,"reps_cpu_sec":$repsCpu}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"headline","value":${s2(total)},"unit":"sec","build_sec":${s2(buildSec)},"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":$normTotal,"calib_sec":$calibJson,"build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","value":${s2(total)},"unit":"sec","norm_total":${s2(normTotal)},"calib":{"s":[${s2(calibBefore._1)},${s2(calibAfter._1)},$RefCalibSingle],"m":[${s2(calibBefore._2)},${s2(calibAfter._2)},$RefCalibAllCore]},"build_sec":${s2(buildSec)},"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
