@@ -664,10 +664,11 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q67_pagerank_converged" -> ((s, dir) => {
-      // tolerance-converged PageRank: iteration count is data-dependent so
-      // there is no unrollable SQL oracle — rows-only. Agreement with the
-      // oracled fixed-iteration variant (q41) is CI-asserted in
-      // GraphAnalyticsSpec (rank ordering + personalized locality).
+      // tolerance-converged PageRank: synchronous power iteration whose
+      // checkpointed stopping rule is replicated VERBATIM by a
+      // convergence-gated recursive CTE in DuckDB — both engines stop at
+      // the same iteration, so this hash-matches despite the
+      // data-dependent iteration count.
       graph.GraphAnalytics.pageRankConverged(Testbed.graph(s, dir),
           tol = 0.0001)
         .select(col("doc_key"), round(col("pagerank"), 4).as("pagerank"))
@@ -676,9 +677,9 @@ object SparkEntry {
     "q68_personalized_pagerank" -> ((s, dir) => {
       // personalized PageRank from a fixed anchor: walks restart at
       // customer:1, so ranks measure link-structure proximity to that one
-      // document. Data-dependent iteration count → no unrollable SQL
-      // oracle; rows-only. Source-on-top + locality are CI-asserted in
-      // GraphAnalyticsSpec.
+      // document. Same convergence-gated recursive-CTE oracle discipline
+      // as q67 (source-concentrated r0/reset) — hash-matched; locality is
+      // additionally CI-asserted in GraphAnalyticsSpec.
       graph.GraphAnalytics.personalizedPageRank(Testbed.graph(s, dir),
           "customer:1", tol = 0.0001)
         .select(col("doc_key"), round(col("pagerank"), 4).as("pagerank"))
@@ -851,6 +852,76 @@ object SparkEntry {
           col("r.top_ngram_frac").as("top_ngram_frac"))
         .orderBy("doc_id")
     }))
+
+  /** The document-graph overlay as DuckDB CTEs (no leading WITH): DISTINCT
+    * canonical keys as vertices — testdata lineitem's composite key is not
+    * unique, and the engine's key semantics merge same-key documents into
+    * one node (all their edges kept as parallel edges) — plus the directed
+    * edge list and out-degrees. Shared by the PageRank oracles (q41, q67,
+    * q68). */
+  private val graphOracleCtes: String =
+    """nodes AS (SELECT DISTINCT key FROM (
+           SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS key FROM customer
+           UNION ALL SELECT 'documents:' || CAST(doc_id AS VARCHAR) FROM documents
+           UNION ALL SELECT 'embeddings:' || CAST(vec_id AS VARCHAR) FROM embeddings
+           UNION ALL SELECT 'events:' || CAST(event_id AS VARCHAR) FROM events
+           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+           UNION ALL SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) FROM orders
+           UNION ALL SELECT 'part:' || CAST(p_partkey AS VARCHAR) FROM part
+           UNION ALL SELECT 'region:' || CAST(r_regionkey AS VARCHAR) FROM region
+           UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier) raw),
+         edges AS (
+           SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS f,
+                  'customer:' || CAST(o_custkey AS VARCHAR) AS t FROM orders
+           UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+                  'nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+           UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+                  'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+           UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+                  'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR),
+                  'orders:' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR),
+                  'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
+                            || CAST(l_linenumber AS VARCHAR),
+                  'supplier:' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
+         deg AS (SELECT f, count(*) AS d FROM edges GROUP BY f)"""
+
+  /** Convergence-gated power-iteration PageRank as a DuckDB recursive CTE —
+    * the VERBATIM replica of GraphAnalytics.powerIteration's stopping rule:
+    * each row carries (rank, previous rank, iter); the recursion continues
+    * unless iter is a checkpoint (every 8th) where the max relative delta
+    * max |r - rp| / max(|r|, 1) over the working table is ≤ tol (1e-4), or
+    * iter hits maxIters (200). Both engines therefore stop at the SAME
+    * iteration and agree to float noise; ranks normalize to sum to the
+    * vertex count and round to 4 decimals before ordering. `r0Sql` /
+    * `resetSql` select the uniform (q67) vs source-concentrated (q68)
+    * variants; `c` is the working-table alias in resetSql's scope. */
+  private def convergedPrOracle(r0Sql: String, resetSql: String): String =
+    s"""WITH RECURSIVE $graphOracleCtes,
+         pr AS (
+           SELECT key, CAST($r0Sql AS DOUBLE) AS r, CAST(NULL AS DOUBLE) AS rp,
+                  0 AS iter
+           FROM nodes
+           UNION ALL
+           SELECT c.key, $resetSql + 0.85 * coalesce(m.s, 0) AS r, c.r AS rp,
+                  c.iter + 1 AS iter
+           FROM pr c
+           LEFT JOIN (SELECT e.t AS key, sum(p.r / d.d) AS s FROM edges e
+                      JOIN deg d ON e.f = d.f JOIN pr p ON e.f = p.key
+                      GROUP BY e.t) m ON c.key = m.key
+           WHERE c.iter < 200 AND NOT (c.iter % 8 = 0 AND c.iter > 0 AND
+             (SELECT max(abs(r - rp) / greatest(abs(r), 1.0)) FROM pr) <= 0.0001)),
+         fin AS (SELECT key, r FROM pr WHERE iter = (SELECT max(iter) FROM pr))
+         SELECT key AS doc_key,
+                round(r * (SELECT count(*) FROM nodes) / (SELECT sum(r) FROM fin), 4)
+                  AS pagerank
+         FROM fin ORDER BY pagerank DESC, doc_key LIMIT 20"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_nodes_per_collection" ->
@@ -1080,41 +1151,9 @@ object SparkEntry {
       // GraphX staticPageRank(5, 0.15) replica, semantics pinned by probe:
       // r0 = 1.0; r_k = 0.15 + 0.85 * sum(r_{k-1}/outdeg) over in-edges
       // (parallel edges each count; dangling mass is NOT redistributed);
-      // final ranks scale to sum to the vertex count. Vertices are the
-      // DISTINCT canonical keys — testdata lineitem's composite key is not
-      // unique, and the engine's key semantics merge same-key documents
-      // into one node (all their edges kept as parallel edges).
-      """WITH nodes AS (SELECT DISTINCT key FROM (
-           SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS key FROM customer
-           UNION ALL SELECT 'documents:' || CAST(doc_id AS VARCHAR) FROM documents
-           UNION ALL SELECT 'embeddings:' || CAST(vec_id AS VARCHAR) FROM embeddings
-           UNION ALL SELECT 'events:' || CAST(event_id AS VARCHAR) FROM events
-           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
-                            || CAST(l_linenumber AS VARCHAR) FROM lineitem
-           UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
-           UNION ALL SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) FROM orders
-           UNION ALL SELECT 'part:' || CAST(p_partkey AS VARCHAR) FROM part
-           UNION ALL SELECT 'region:' || CAST(r_regionkey AS VARCHAR) FROM region
-           UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR) FROM supplier) raw),
-         edges AS (
-           SELECT 'orders:' || CAST(o_orderkey AS VARCHAR) AS f,
-                  'customer:' || CAST(o_custkey AS VARCHAR) AS t FROM orders
-           UNION ALL SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
-                  'nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
-           UNION ALL SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
-                  'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
-           UNION ALL SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
-                  'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
-           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
-                            || CAST(l_linenumber AS VARCHAR),
-                  'orders:' || CAST(l_orderkey AS VARCHAR) FROM lineitem
-           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
-                            || CAST(l_linenumber AS VARCHAR),
-                  'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
-           UNION ALL SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || '-'
-                            || CAST(l_linenumber AS VARCHAR),
-                  'supplier:' || CAST(l_suppkey AS VARCHAR) FROM lineitem),
-         deg AS (SELECT f, count(*) AS d FROM edges GROUP BY f),
+      // final ranks scale to sum to the vertex count. Vertex/edge CTEs
+      // shared with the converged variants (graphOracleCtes).
+      s"""WITH $graphOracleCtes,
          r0 AS (SELECT key, CAST(1.0 AS DOUBLE) AS r FROM nodes),
          r1 AS (SELECT n.key, 0.15 + 0.85 * coalesce(m.s, 0) AS r FROM nodes n
                 LEFT JOIN (SELECT e.t AS key, sum(p.r / d.d) AS s FROM edges e
@@ -1140,6 +1179,12 @@ object SparkEntry {
                 round(r * (SELECT count(*) FROM nodes) / (SELECT sum(r) FROM r5), 4)
                   AS pagerank
          FROM r5 ORDER BY pagerank DESC, doc_key LIMIT 20""",
+    "q67_pagerank_converged" ->
+      convergedPrOracle(r0Sql = "1.0", resetSql = "0.15"),
+    "q68_personalized_pagerank" ->
+      convergedPrOracle(
+        r0Sql = "CASE WHEN key = 'customer:1' THEN 1.0 ELSE 0.0 END",
+        resetSql = "CASE WHEN c.key = 'customer:1' THEN 0.15 ELSE 0.0 END"),
     "q42_set_anchored_counts" ->
       """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS anchor_key,
                 count(*) AS n_orders

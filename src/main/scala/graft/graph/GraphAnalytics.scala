@@ -20,6 +20,8 @@ import graft.core.DocGraph
   */
 object GraphAnalytics {
 
+  private val logger = org.slf4j.LoggerFactory.getLogger("graft.graph")
+
   // One GraphX graph per DocGraph instance: the three algorithms typically
   // run over the same overlay, and rebuilding vertex/edge RDDs per call
   // costs more than any of them. Weak keys: entries die with the DocGraph.
@@ -88,40 +90,135 @@ object GraphAnalytics {
       .toDF("doc_key", "pagerank")
   }
 
-  /** Tolerance-converged PageRank: iterates until every vertex's rank moves
-    * by less than `tol` — the variant users reach for when they want "the"
-    * PageRank rather than a fixed iteration budget. Iteration count becomes
-    * data-dependent (each round is one Pregel superstep over the cached
-    * overlay, the same cost profile as [[pageRank]]); ranks are
-    * deterministic for a given (graph, tol, resetProb). */
+  /** Tolerance-converged PageRank: synchronous power iteration until the
+    * max per-vertex RELATIVE rank change at a CHECKPOINT iteration is ≤
+    * `tol`, then ranks normalized to sum to the vertex count (the same
+    * pinned formulation as [[pageRank]]'s oracle: r0 = 1, r' = reset +
+    * (1-reset)·Σ in-contribs/outdeg, parallel edges each count, dangling
+    * mass not redistributed). Relative means |Δr| / max(|r'|, 1):
+    * scale-free for hub ranks (which reach ~indegree × mean and would
+    * otherwise demand tens of extra iterations just to settle their 4th
+    * absolute decimal), plain absolute below rank 1 (the reset term
+    * floors every reachable rank at `resetProb`, so the denominator
+    * guard only relaxes what was already sub-resolution).
+    *
+    * Why not GraphX's `pageRank(tol)`: its delta-message Pregel semantics
+    * (vertices stop sending individually) compute an approximation no SQL
+    * oracle can replicate. This power iteration is the textbook fixed
+    * point, and its stopping rule — "check max|Δr| every `checkEvery`
+    * iterations, stop at the first checkpoint where it is ≤ tol" — is
+    * replicated VERBATIM by a convergence-gated recursive CTE in DuckDB,
+    * so engine and oracle stop at the same iteration and agree to float
+    * noise (CORRECTNESS hash-matches; see q67's oracle SQL). `checkEvery`
+    * batches `checkEvery` lazily-chained iterations into one Spark job
+    * between driver synchronizations — deltas contract by (1-reset) per
+    * iteration, so fine-grained checks buy nothing but job overhead.
+    *
+    * Scale shape: links and ranks are hash-co-partitioned RDDs (the join
+    * is narrow); the only shuffle per iteration is the contribution
+    * reduceByKey (map-side combined). No GraphX overlay, no deserialized
+    * vertex working set. */
   def pageRankConverged(g: DocGraph, tol: Double = 0.001,
-      resetProb: Double = 0.15): DataFrame = {
-    val spark = g.spark
-    import spark.implicits._
-    val gx = toGraphX(g)
-    gx.pageRank(tol, resetProb).vertices.join(gx.vertices)
-      .map { case (_, (pr, key)) => (key, pr) }
-      .toDF("doc_key", "pagerank")
-  }
+      resetProb: Double = 0.15, checkEvery: Int = 8,
+      maxIters: Int = 200): DataFrame =
+    powerIteration(g, tol, resetProb, checkEvery, maxIters, srcId = None)
 
-  /** Personalized PageRank, converged to `tol`: random walks restart at
-    * `sourceDocKey` (canonical `"collection:id"`) instead of uniformly, so
-    * ranks measure proximity to the source — "documents most related to
-    * THIS one through the link structure". The source key is hashed with
-    * the engine's vertex-id derivation, so no id-translation table. */
+  /** Personalized PageRank, converged like [[pageRankConverged]] but with
+    * the reset vector concentrated at `sourceDocKey` (canonical
+    * `"collection:id"`): r0 = 1 at the source / 0 elsewhere, and only the
+    * source receives the reset term — so ranks measure proximity to THIS
+    * document through the link structure, and nodes unreachable from it
+    * stay at exactly zero. Same checkpointed stopping rule, same DuckDB
+    * oracle discipline (q68). */
   def personalizedPageRank(g: DocGraph, sourceDocKey: String,
-      tol: Double = 0.001, resetProb: Double = 0.15): DataFrame = {
-    val spark = g.spark
-    import spark.implicits._
-    val srcId = g.nodes
+      tol: Double = 0.001, resetProb: Double = 0.15, checkEvery: Int = 8,
+      maxIters: Int = 200): DataFrame = {
+    val found = g.nodes
       .select(col("_node_id"))
       .filter(concat_ws(":", col("_collection"), col("_id")) === sourceDocKey)
       .collect() // 1-row anchor lookup, constant-size at any scale
-    require(srcId.nonEmpty, s"unknown source document: $sourceDocKey")
-    val gx = toGraphX(g)
-    gx.personalizedPageRank(srcId(0).getLong(0), tol, resetProb)
-      .vertices.join(gx.vertices)
-      .map { case (_, (pr, key)) => (key, pr) }
+    require(found.nonEmpty, s"unknown source document: $sourceDocKey")
+    powerIteration(g, tol, resetProb, checkEvery, maxIters,
+      srcId = Some(found(0).getLong(0)))
+  }
+
+  /** Shared synchronous power iteration (doc at [[pageRankConverged]]). */
+  private def powerIteration(g: DocGraph, tol: Double, resetProb: Double,
+      checkEvery: Int, maxIters: Int,
+      srcId: Option[Long]): DataFrame = {
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    val spark = g.spark
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val p = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
+    val damp = 1.0 - resetProb
+    // vertex set (id -> canonical key) and out-adjacency (id -> targets,
+    // parallel edges kept: each occurrence carries rank/outdeg), both
+    // hash-co-partitioned so every per-iteration join is narrow;
+    // serialized storage — the iteration working set is the scale
+    // pressure point, and these are compact Long arrays
+    val SER = StorageLevel.MEMORY_AND_DISK_SER
+    // distinct on _node_id: same-key documents merge into ONE vertex (the
+    // engine's key semantics, same as the GraphX overlay's id dedup) —
+    // without it duplicate-key docs would double-count rank mass and n
+    val verts = g.nodes
+      .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
+      .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
+      .reduceByKey(p, (a, _) => a).persist(SER)
+    val links = g.edges
+      .select(xxhash64(col("_from")), xxhash64(col("_to")))
+      .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
+      .groupByKey(p).mapValues(_.toArray).persist(SER)
+    val n = verts.count()
+    def resetAt(id: Long): Double = srcId match {
+      case Some(s) => if (id == s) resetProb else 0.0
+      case None => resetProb
+    }
+    def next(ranks: org.apache.spark.rdd.RDD[(Long, Double)]) = {
+      val contribs = links.join(ranks).values
+        .flatMap { case (dsts, r) =>
+          val share = r / dsts.length
+          dsts.iterator.map((_, share))
+        }
+        .reduceByKey(p, _ + _) // the iteration's one shuffle, map-side combined
+      verts.leftOuterJoin(contribs).mapPartitions(
+        _.map { case (id, (_, c)) => (id, resetAt(id) + damp * c.getOrElse(0.0)) },
+        preservesPartitioning = true)
+    }
+    var ranks = verts.mapPartitions(
+      _.map { case (id, _) => (id, srcId.fold(1.0)(s => if (id == s) 1.0 else 0.0)) },
+      preservesPartitioning = true).persist(SER)
+    ranks.count()
+    var iters = 0
+    var delta = Double.MaxValue
+    while (delta > tol && iters < maxIters) {
+      // chain `checkEvery` iterations lazily; cache the second-to-last so
+      // the single delta action materializes the whole chain once
+      val steps = math.min(checkEvery, maxIters - iters)
+      var cur = ranks
+      var prev = ranks
+      var i = 0
+      while (i < steps) { prev = cur; cur = next(cur); i += 1 }
+      if (steps > 1) prev.persist(SER)
+      cur.persist(SER)
+      delta = prev.join(cur).values // the chunk's one action
+        .map { case (a, b) => math.abs(b - a) / math.max(math.abs(b), 1.0) }
+        .max()
+      ranks.unpersist(blocking = false)
+      if (steps > 1 && (prev ne ranks)) prev.unpersist(blocking = false)
+      ranks = cur
+      iters += steps
+    }
+    val sum = ranks.values.sum()
+    logger.info(s"powerIteration: converged=${delta <= tol} iters=$iters " +
+      f"delta=$delta%.2e tol=$tol%.1e n=$n")
+    val out = ranks.join(verts).values
+      .map { case (r, key) => (key, r * n / sum) }
       .toDF("doc_key", "pagerank")
+      .transform(graft.core.Lifecycle.stage(_, eager = true))
+    ranks.unpersist(blocking = false)
+    verts.unpersist(blocking = false)
+    links.unpersist(blocking = false)
+    out
   }
 }
