@@ -54,9 +54,12 @@ object GraphAnalytics {
       .select(xxhash64(col("_from")), xxhash64(col("_to")), col("rel_type"))
       .rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
       .coalesce(p)
+    // serialized storage: the cached overlay is the bench heap's largest
+    // resident; its remaining consumers (degrees, static PageRank) pay a
+    // per-use deserialize but the resident set shrinks several-fold
     Graph(verts, edges, defaultVertexAttr = null.asInstanceOf[String],
-      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
-      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK_SER,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK_SER)
   }
 
   /** Per-node total degree, keyed by canonical doc key. */
@@ -70,14 +73,77 @@ object GraphAnalytics {
   }
 
   /** Connected components: (doc_key, component id). Component ids are the
-    * min vertex id in the component — deterministic. */
+    * min vertex id in the component — deterministic, identical labels to
+    * GraphX's `connectedComponents` (min-id semantics), but computed by
+    * [[componentsOfEdges]] with no GraphX overlay: the 10× scale probe
+    * showed the deserialized overlay + Pregel working set is the engine's
+    * first memory-bound operator, and CC is its heaviest consumer.
+    * Isolated documents (no edges) are their own component, as with the
+    * overlay construction. */
   def connectedComponents(g: DocGraph): DataFrame = {
     val spark = g.spark
     import spark.implicits._
-    val gx = toGraphX(g)
-    gx.connectedComponents().vertices.join(gx.vertices)
-      .map { case (_, (cc, key)) => (key, cc) }
+    val p = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    val edgeRdd = g.edges
+      .select(xxhash64(col("_from")), xxhash64(col("_to")))
+      .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
+    val labels = componentsOfEdges(edgeRdd, p)
+    val verts = g.nodes
+      .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
+      .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
+      .reduceByKey(p, (a, _) => a) // same-key docs = one vertex (id dedup)
+    val out = verts.leftOuterJoin(labels) // labels partitioned by p: narrow
+      .map { case (id, (key, lbl)) => (key, lbl.getOrElse(id)) }
       .toDF("doc_key", "component")
+      .transform(graft.core.Lifecycle.stage(_, eager = true))
+    labels.unpersist(blocking = false)
+    out
+  }
+
+  /** Connected components over a raw undirected edge list: `(node, label)`
+    * for every node appearing in `edges`, label = MIN member id (the
+    * GraphX convention). Min-label propagation with pointer jumping:
+    *
+    *   cc'(v) = min(cc(v), min over neighbors u of cc(u), cc(cc(v)))
+    *
+    * Labels start at `min(v, min neighbor)`, only ever decrease, and are
+    * always ids of nodes in v's own component, so the fixed point is
+    * exactly the component minimum; the pointer-jumping term halves tree
+    * depth per round, giving O(log n) rounds on chain-shaped components
+    * (a plain neighbor-min propagation would need O(diameter)). Per
+    * round: one narrow join against the co-partitioned neighbor list, one
+    * shuffle join for the label-of-label hop, one map-side-combined
+    * reduce, one count action — no GraphX, no deserialized vertex
+    * working set; everything persisted serialized. */
+  def componentsOfEdges(edges: org.apache.spark.rdd.RDD[(Long, Long)],
+      p: org.apache.spark.HashPartitioner): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val SER = StorageLevel.MEMORY_AND_DISK_SER
+    val sym = edges.filter(e => e._1 != e._2)
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(p).persist(SER)
+    var cc = sym.reduceByKey(p, math.min(_: Long, _: Long)) // min neighbor, map-side combined
+      .mapPartitions(_.map { case (v, m) => (v, math.min(v, m)) },
+        preservesPartitioning = true)
+      .persist(SER)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val viaNbr = sym.join(cc) // narrow: both partitioned by p
+        .values.map { case (nbr, lbl) => (nbr, lbl) }
+      val jump = cc.map { case (v, l) => (l, v) }.join(cc)
+        .values.map { case (v, ll) => (v, ll) }
+      val next = cc.union(viaNbr).union(jump)
+        .reduceByKey(p, math.min(_: Long, _: Long)).persist(SER)
+      changed = next.join(cc).values // narrow: both partitioned by p
+        .filter { case (a, b) => a != b }.count()
+      cc.unpersist(blocking = false)
+      cc = next
+      rounds += 1
+    }
+    logger.info(s"componentsOfEdges: converged in $rounds rounds")
+    sym.unpersist(blocking = false)
+    cc
   }
 
   /** Static PageRank (`numIter` Pregel rounds), joined back to doc keys. */

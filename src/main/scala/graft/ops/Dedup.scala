@@ -389,21 +389,25 @@ object Dedup {
 
   /** Duplicate clusters from a near-dup pair list: `(id, component)` where
     * `component` is the MIN id in the transitively-connected cluster —
-    * GraphX connected components over the pair graph (the same Pregel
-    * machinery as [[graft.graph.GraphAnalytics]]; a duplicate-pair graph at
-    * corpus scale has one vertex per DUPLICATED doc, typically a small
-    * fraction of the corpus). Singleton ids absent from `pairs` are not
-    * emitted — they are their own cluster by definition. */
+    * the shared min-label-propagation kernel
+    * ([[graft.graph.GraphAnalytics.componentsOfEdges]]) over the pair
+    * graph; a duplicate-pair graph at corpus scale has one vertex per
+    * DUPLICATED doc, typically a small fraction of the corpus. Singleton
+    * ids absent from `pairs` are not emitted — they are their own cluster
+    * by definition. */
   def duplicateComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    val p = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
     val edgeRdd = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
-    org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
-      .connectedComponents().vertices
-      .map { case (id, comp) => (id, comp) }
-      .toDF("id", "component")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.graph.GraphAnalytics.componentsOfEdges(edgeRdd, p)
+    val out = labels.toDF("id", "component")
+      .transform(graft.core.Lifecycle.stage(_, eager = true))
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** End-to-end near-dedup: keep each duplicate cluster's representative

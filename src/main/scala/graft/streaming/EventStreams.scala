@@ -193,7 +193,9 @@ object EventStreams {
     * thunk reads, batch N+1 is deduplicated against batch N's OUTPUT —
     * exact and near alike — not just against the corpus as of stream
     * start. Pass `() => spark.read.parquet(dir)` for a growing path store,
-    * or `() => spark.table(name)` for a catalog table. The cross blockers
+    * or `() => spark.table(name)` for a catalog table (the engine
+    * refreshes the plan's catalog tables before each resolution — see
+    * [[refreshCatalogTables]]). The cross blockers
     * are batch ops by design (their broadcast-gating counts and lazy
     * checkpoints need a bounded batch, which is exactly what a
     * micro-batch is).
@@ -226,6 +228,7 @@ object EventStreams {
       .writeStream.outputMode("append")
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        refreshCatalogTables(corpus())
         val snapshot = corpus() // fresh listing — sees the sink's appends
         val exactClean = batch.toDF()
           .withColumn(key, unhex(md5(col(textCol))))
@@ -236,6 +239,28 @@ object EventStreams {
           minJaccard, simhashMaxDist, vecCol, minCosine), id)
       }
       .start()
+  }
+
+  /** Refresh every catalog table in `df`'s plan, in the SESSION THE THUNK
+    * RESOLVED AGAINST. Needed for the `() => spark.table(name)` corpus
+    * form: the sink's appends run on the micro-batch's cloned session and
+    * refresh only the CLONE's relation cache, so the user session the
+    * thunk closes over would keep serving the file listing cached at the
+    * first resolution — batch N+1 would silently near-dup against a
+    * corpus frozen at stream start, the exact seam the thunk exists to
+    * close. Path-based thunks (`spark.read.parquet`) re-list on every
+    * resolution and hit the no-op branch. */
+  private def refreshCatalogTables(df: DataFrame): Unit = {
+    val cat = df.sparkSession.catalog
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.foreach(t => cat.refreshTable(t.identifier.quotedString))
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        cat.refreshTable(h.tableMeta.identifier.quotedString)
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.identifier.foreach(i => cat.refreshTable(i.toString))
+      case _ => ()
+    }
   }
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)

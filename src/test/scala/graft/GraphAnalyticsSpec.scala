@@ -69,4 +69,28 @@ class GraphAnalyticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown source"))
   }
+
+  test("native components match GraphX on seeded random graphs and a chain") {
+    // differential: the min-label kernel must produce EXACTLY GraphX's
+    // (node -> min member id) labeling on arbitrary shapes — seeded sparse
+    // random graphs (many small components) plus a 64-node chain, the
+    // worst case for plain neighbor-min propagation and the shape the
+    // pointer-jumping term exists for
+    val sc = spark.sparkContext
+    val p = new org.apache.spark.HashPartitioner(4)
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (0 until 200).map(_ => (rnd.nextLong() % 50, rnd.nextLong() % 50)),
+      (0 until 100).map(_ => (rnd.nextInt(400).toLong, rnd.nextInt(400).toLong)),
+      (0L until 63L).map(i => (i, i + 1)) // chain 0-1-...-63
+    )
+    cases.zipWithIndex.foreach { case (edges, i) =>
+      val rdd = sc.parallelize(edges, 4)
+      val native = GraphAnalytics.componentsOfEdges(rdd, p).collect().toMap
+      val gx = org.apache.spark.graphx.Graph
+        .fromEdges(rdd.map(e => org.apache.spark.graphx.Edge(e._1, e._2, ())), ())
+        .connectedComponents().vertices.collect().toMap
+      assert(native == gx, s"case $i: native labeling diverges from GraphX")
+    }
+  }
 }

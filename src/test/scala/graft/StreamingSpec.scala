@@ -182,6 +182,47 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ids == Set(100L, 1L, 3L), s"near-dup of batch-1 output not dropped: $ids")
   }
 
+  test("nearDupIngestStream: the documented catalog-table corpus form " +
+      "(() => spark.table) sees its own appends") {
+    // the second documented corpus shape: a catalog table the sink appends
+    // to via saveAsTable — the thunk re-resolves the table per micro-batch,
+    // so batch N+1 near-dups against batch N's committed output exactly as
+    // with the path store
+    import EventStreams.Doc
+    val textA =
+      "the quick brown fox jumps over the lazy dog repeatedly every single day"
+    val textAvariant =
+      "the quick brown fox jumps over the lazy dog repeatedly every single week"
+    val fresh = "an entirely different report on completely unrelated matters"
+    val tbl = "ingest_corpus_catalog"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Seq((100L, "the seed corpus document that matches nothing else here"))
+      .toDF("doc_id", "text").write.saveAsTable(tbl)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = EventStreams.nearDupIngestStream(mem.toDF(), () => spark.table(tbl),
+      "doc_id", "text") { (clean, _) =>
+      clean.select(col("doc_id"), col("text"))
+        .write.mode("append").saveAsTable(tbl)
+    }
+    try {
+      mem.addData(Doc(1L, Timestamp.valueOf("2024-01-01 10:00:00"), textA))
+      q.processAllAvailable()
+      mem.addData(
+        Doc(2L, Timestamp.valueOf("2024-01-01 10:05:00"), textAvariant),
+        Doc(3L, Timestamp.valueOf("2024-01-01 10:06:00"), fresh))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the sink's appends ran on the micro-batch session: any OTHER reader
+    // session refreshes before reading, standard Spark table semantics
+    spark.catalog.refreshTable(tbl)
+    val ids = spark.table(tbl).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    assert(ids == Set(100L, 1L, 3L),
+      s"catalog-table corpus missed an append: $ids")
+  }
+
   test("nearDupIngestStream: the embedding blocker drops a SEMANTIC " +
       "near-dup of the stream's own output that shares no shingles") {
     import EventStreams.DocEmb
