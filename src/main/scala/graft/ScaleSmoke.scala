@@ -77,10 +77,33 @@ object ScaleSmoke {
   }
 
   final case class Probe(name: String, baseSec: Double, scaledSec: Double,
-      baseRows: Long, scaledRows: Long, err: Option[String]) {
+      baseRows: Long, scaledRows: Long, err: Option[String],
+      baseInMB: Double = 0, baseShufMB: Double = 0,
+      scaledInMB: Double = 0, scaledShufMB: Double = 0) {
     def ratio: Double = scaledSec / math.max(baseSec, 1e-9)
+    def shufRatio: Double = scaledShufMB / math.max(baseShufMB, 1e-9)
     def ok: Boolean = err.isEmpty && baseRows > 0 && scaledRows > 0 &&
       ratio <= MaxRatio
+  }
+
+  /** Task-metric tally for the measured rep: parquet input bytes and
+    * shuffle-write bytes (the canonical shuffle volume — read ≈ write).
+    * The 1× vs 10× byte series is what the 100× posture extrapolates
+    * from (SCALE-100X.md); wall ratios alone can hide a super-linear
+    * shuffle behind driver overhead. */
+  private final class ByteTally
+      extends org.apache.spark.scheduler.SparkListener {
+    val in = new java.util.concurrent.atomic.AtomicLong
+    val shuf = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        in.addAndGet(m.inputMetrics.bytesRead)
+        shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { in.set(0); shuf.set(0) }
   }
 
   /** Run every probe against both directories (overlay build excluded
@@ -96,26 +119,32 @@ object ScaleSmoke {
     Seq(base, scaledDir).foreach { dir =>
       val gx = graft.graph.GraphAnalytics.toGraphX(Testbed.graph(spark, dir))
       gx.numVertices; gx.numEdges
+      graft.graph.GraphAnalytics.rddOverlay(Testbed.graph(spark, dir))
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!baseline.contains(id)) rdd.unpersist(blocking = false)
       }
-    def time(fn: => DataFrame): (Double, Long) = {
+    val tally = new ByteTally
+    spark.sparkContext.addSparkListener(tally)
+    def time(fn: => DataFrame): (Double, Long, Double, Double) = {
       fn.count(); cleanup() // warm: JIT, code cache, file listings
+      tally.reset()
       val t0 = System.nanoTime()
       val rows = fn.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the listener bus drain the last task events
+      val (inMB, shufMB) = (tally.in.get / 1e6, tally.shuf.get / 1e6)
       cleanup()
-      (sec, rows)
+      (sec, rows, inMB, shufMB)
     }
     Probes.map { name =>
       val fn = SparkEntry.queries(name)
       try {
-        val (bSec, bRows) = time(fn(spark, base))
-        val (sSec, sRows) = time(fn(spark, scaledDir))
-        Probe(name, bSec, sSec, bRows, sRows, None)
+        val (bSec, bRows, bIn, bShuf) = time(fn(spark, base))
+        val (sSec, sRows, sIn, sShuf) = time(fn(spark, scaledDir))
+        Probe(name, bSec, sSec, bRows, sRows, None, bIn, bShuf, sIn, sShuf)
       } catch { case e: Throwable =>
         Probe(name, 0, 0, 0, 0,
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)))
@@ -134,6 +163,8 @@ object ScaleSmoke {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
@@ -144,6 +175,11 @@ object ScaleSmoke {
         f"x10=${p.scaledSec}%7.2fs ratio=${p.ratio}%5.2f " +
         f"rows=${p.baseRows}%d->${p.scaledRows}%d " +
         p.err.fold(if (p.ok) "OK" else "SLOW")(e => s"ERR $e"))
+    }
+    results.filter(_.err.isEmpty).foreach { p =>
+      println(f"SCALEB ${p.name}%-27s in=${p.baseInMB}%8.1f->" +
+        f"${p.scaledInMB}%8.1fMB shuf=${p.baseShufMB}%8.1f->" +
+        f"${p.scaledShufMB}%8.1fMB shuf_ratio=${p.shufRatio}%5.2f")
     }
     println(s"SCALESMOKE ${if (results.forall(_.ok)) "PASS" else "FAIL"} " +
       s"(${Copies}x data, bar ${MaxRatio}x wall)")

@@ -13,13 +13,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Build the overlay first, then keep per-query cache growth bounded
     // (same hygiene as Bench — 45 queries in one JVM otherwise accumulate
     // every query's persisted intermediates).
-    Testbed.graph(spark, sfDir)
+    graft.graph.GraphAnalytics.rddOverlay(Testbed.graph(spark, sfDir))
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

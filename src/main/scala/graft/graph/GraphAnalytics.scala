@@ -83,22 +83,94 @@ object GraphAnalytics {
   def connectedComponents(g: DocGraph): DataFrame = {
     val spark = g.spark
     import spark.implicits._
-    val p = new org.apache.spark.HashPartitioner(
-      spark.sparkContext.defaultParallelism)
-    val edgeRdd = g.edges
-      .select(xxhash64(col("_from")), xxhash64(col("_to")))
-      .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
-    val labels = componentsOfEdges(edgeRdd, p)
-    val verts = g.nodes
-      .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
-      .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
-      .reduceByKey(p, (a, _) => a) // same-key docs = one vertex (id dedup)
-    val out = verts.leftOuterJoin(labels) // labels partitioned by p: narrow
+    val ov = rddOverlay(g)
+    val labels = componentsOfAdj(ov.symAdj, ov.symIdx, ov.p)
+    val out = ov.verts.leftOuterJoin(labels) // labels partitioned by p: narrow
       .map { case (id, (key, lbl)) => (key, lbl.getOrElse(id)) }
       .toDF("doc_key", "component")
       .transform(graft.core.Lifecycle.stage(_, eager = true))
     labels.unpersist(blocking = false)
     out
+  }
+
+  /** Per-DocGraph cached RDD overlay for the native iterative algorithms
+    * (CC, PageRank power iteration) — the same per-instance amortization
+    * the GraphX overlay gets from [[toGraphX]]'s cache: the vertex dedup
+    * and edge scans are paid once, not per call. `verts` is the deduped
+    * (id → canonical key) set, `links` the out-adjacency with parallel
+    * edges kept (PageRank's contribution fan-out), `symAdj` the
+    * undirected adjacency (CC's propagation frontier), all
+    * hash-co-partitioned on `p` and persisted serialized — compact Long
+    * arrays, not deserialized vertex objects. */
+  final case class RddOverlay(p: org.apache.spark.HashPartitioner,
+      verts: org.apache.spark.rdd.RDD[(Long, String)],
+      ids: org.apache.spark.rdd.RDD[(Long, Unit)],
+      links: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      symAdj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      linksIdx: org.apache.spark.rdd.RDD[scala.collection.mutable.LongMap[Array[Long]]],
+      symIdx: org.apache.spark.rdd.RDD[scala.collection.mutable.LongMap[Array[Long]]],
+      idsIdx: org.apache.spark.rdd.RDD[Array[Long]],
+      n: Long)
+
+  private val rddCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DocGraph, RddOverlay]())
+
+  def rddOverlay(g: DocGraph): RddOverlay = {
+    val cached = rddCache.get(g)
+    if (cached != null) return cached
+    val SER = StorageLevel.MEMORY_AND_DISK_SER
+    val p = new org.apache.spark.HashPartitioner(
+      g.spark.sparkContext.defaultParallelism)
+    // distinct on _node_id: same-key documents merge into ONE vertex (the
+    // engine's key semantics, same as the GraphX overlay's id dedup) —
+    // without it duplicate-key docs would double-count rank mass and n
+    val verts = g.nodes
+      .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
+      .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
+      .reduceByKey(p, (a, _) => a).persist(SER)
+    // keys-only twin of verts: the per-iteration vertex frame for the
+    // iterative algorithms — same partitioning, no doc-key strings to
+    // deserialize 50 times over (keys join back through `verts` once,
+    // at output time)
+    val ids = verts.mapValues(_ => ()).persist(SER)
+    val pairs = g.edges
+      .select(xxhash64(col("_from")), xxhash64(col("_to")))
+      .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
+      .persist(StorageLevel.MEMORY_AND_DISK) // scanned twice just below
+    val links = pairs.groupByKey(p).mapValues(_.toArray).persist(SER)
+    val symAdj = pairs.filter(e => e._1 != e._2)
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .groupByKey(p).mapValues(_.toArray).persist(SER)
+    // Per-partition indexed forms, built once and shared by every
+    // iterative run over this graph: adjacency LongMaps (a frontier
+    // fan-out or rank fan-out is a lookup, not a fresh hash-join build
+    // per round — ~50 PageRank iterations would otherwise rebuild the
+    // cogroup table 50 times) and the vertex-id array (the stable
+    // per-partition iteration order rank vectors follow, letting delta
+    // checks zip positionally with no join). Deserialized storage — the
+    // point is no per-round deserialize; MEMORY_AND_DISK spills whole
+    // partitions under pressure, and this is the engine's knowing
+    // memory-for-CPU trade at scale (the raw SER RDDs stay authoritative).
+    def indexed(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])]) =
+      adj.mapPartitions({ it =>
+        val m = new scala.collection.mutable.LongMap[Array[Long]]()
+        it.foreach { case (v, ns) => m.update(v, ns) }
+        Iterator.single(m)
+      }, preservesPartitioning = false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val linksIdx = indexed(links)
+    val symIdx = indexed(symAdj)
+    val idsIdx = ids.mapPartitions(
+      it => Iterator.single(it.map(_._1).toArray),
+      preservesPartitioning = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val built = RddOverlay(p, verts, ids, links, symAdj,
+      linksIdx, symIdx, idsIdx, verts.count())
+    ids.count(); links.count(); symAdj.count()
+    linksIdx.count(); symIdx.count(); idsIdx.count()
+    pairs.unpersist(blocking = false)
+    rddCache.put(g, built)
+    built
   }
 
   /** Connected components over a raw undirected edge list: `(node, label)`
@@ -111,39 +183,96 @@ object GraphAnalytics {
     * always ids of nodes in v's own component, so the fixed point is
     * exactly the component minimum; the pointer-jumping term halves tree
     * depth per round, giving O(log n) rounds on chain-shaped components
-    * (a plain neighbor-min propagation would need O(diameter)). Per
-    * round: one narrow join against the co-partitioned neighbor list, one
-    * shuffle join for the label-of-label hop, one map-side-combined
-    * reduce, one count action — no GraphX, no deserialized vertex
-    * working set; everything persisted serialized. */
+    * (a plain neighbor-min propagation would need O(diameter)). */
   def componentsOfEdges(edges: org.apache.spark.rdd.RDD[(Long, Long)],
       p: org.apache.spark.HashPartitioner): org.apache.spark.rdd.RDD[(Long, Long)] = {
-    val SER = StorageLevel.MEMORY_AND_DISK_SER
-    val sym = edges.filter(e => e._1 != e._2)
+    val symAdj = edges.filter(e => e._1 != e._2)
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(p).persist(SER)
-    var cc = sym.reduceByKey(p, math.min(_: Long, _: Long)) // min neighbor, map-side combined
-      .mapPartitions(_.map { case (v, m) => (v, math.min(v, m)) },
-        preservesPartitioning = true)
-      .persist(SER)
+      .groupByKey(p).mapValues(_.toArray)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+    val symIdx = symAdj.mapPartitions({ it =>
+      val m = new scala.collection.mutable.LongMap[Array[Long]]()
+      it.foreach { case (v, ns) => m.update(v, ns) }
+      Iterator.single(m)
+    }, preservesPartitioning = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cc = componentsOfAdj(symAdj, symIdx, p)
+    symAdj.unpersist(blocking = false)
+    symIdx.unpersist(blocking = false)
+    cc
+  }
+
+  /** Rounds of plain (jump-free) propagation before pointer jumping
+    * kicks in. Delta propagation alone converges in ~diameter rounds —
+    * cheap ones, since only changed vertices fan out — which covers
+    * star/tree-shaped document graphs; a chain-shaped component would
+    * propagate one hop per round, so after this many rounds the loop
+    * starts adding the label-of-label hop (a full re-key shuffle per
+    * round) to halve the remaining chain depth per round: O(diameter)
+    * common case, O(log n) worst case, never both costs at once. */
+  private val JumpAfterRounds = 8
+
+  /** The propagation loop over a co-partitioned undirected adjacency (doc
+    * at [[componentsOfEdges]]). Delta-based: a vertex fans its label out
+    * to its neighbors only in the round after the label changed (every
+    * label a vertex ever holds is offered to every neighbor exactly once,
+    * so the fixed point — no change anywhere — implies cc(u) ≤ cc(v) for
+    * every edge, i.e. labels are component-constant and hence the
+    * component min). Per round: one narrow join against the shrinking
+    * frontier, one map-side-combined reduce of the fan-out, a NARROW
+    * cogroup that takes the min and tallies changed labels through an
+    * accumulator — one action per round, no separate compare join. A
+    * task retry can only inflate the tally (labels are deterministic; an
+    * extra round is a no-op), so the accumulator is a safe convergence
+    * signal. */
+  private def componentsOfAdj(
+      symAdj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      adjIdx: org.apache.spark.rdd.RDD[scala.collection.mutable.LongMap[Array[Long]]],
+      p: org.apache.spark.HashPartitioner): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val SER = StorageLevel.MEMORY_AND_DISK_SER
+    val sc = symAdj.sparkContext
+    val minL = math.min(_: Long, _: Long)
+    // state = (label, changed-last-round); round 0 = min(v, neighbors),
+    // everyone changed — so round 1 offers every initial label
+    var state = symAdj.mapPartitions(
+      _.map { case (v, ns) => (v, (math.min(v, ns.min), true)) },
+      preservesPartitioning = true).persist(SER)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
-      val viaNbr = sym.join(cc) // narrow: both partitioned by p
-        .values.map { case (nbr, lbl) => (nbr, lbl) }
-      val jump = cc.map { case (v, l) => (l, v) }.join(cc)
-        .values.map { case (v, ll) => (v, ll) }
-      val next = cc.union(viaNbr).union(jump)
-        .reduceByKey(p, math.min(_: Long, _: Long)).persist(SER)
-      changed = next.join(cc).values // narrow: both partitioned by p
-        .filter { case (a, b) => a != b }.count()
-      cc.unpersist(blocking = false)
-      cc = next
+      val acc = sc.longAccumulator
+      val cc = state.mapValues(_._1) // narrow reads of the persisted state
+      val frontier = state.filter(_._2._2).mapValues(_._1)
+      val viaNbr = frontier.zipPartitions(adjIdx) { (fit, mit) =>
+        val m = mit.next() // co-partitioned with frontier by construction
+        fit.flatMap { case (v, l) =>
+          m.getOrElse(v, Array.emptyLongArray).iterator.map((_, l))
+        }
+      }.reduceByKey(p, minL)
+      val jump = if (rounds < JumpAfterRounds) sc.emptyRDD[(Long, Long)]
+        else cc.map { case (v, l) => (l, v) }.join(cc)
+          .values.map { case (v, ll) => (v, ll) }
+          .reduceByKey(p, minL)
+      val prev = state
+      state = cc.cogroup(viaNbr, jump, p).mapPartitions(
+        _.map { case (v, (olds, ns, js)) =>
+          val old = olds.head // cc has exactly one label per node
+          var m = old
+          ns.foreach(x => if (x < m) m = x)
+          js.foreach(x => if (x < m) m = x)
+          if (m != old) acc.add(1)
+          (v, (m, m != old))
+        }, preservesPartitioning = true).persist(SER)
+      state.count() // the round's one action; also fills the accumulator
+      changed = acc.value
+      prev.unpersist(blocking = false)
       rounds += 1
     }
-    logger.info(s"componentsOfEdges: converged in $rounds rounds")
-    sym.unpersist(blocking = false)
-    cc
+    logger.info(s"componentsOfAdj: converged in $rounds rounds")
+    val labels = state.mapValues(_._1).persist(SER)
+    labels.count()
+    state.unpersist(blocking = false)
+    labels
   }
 
   /** Static PageRank (`numIter` Pregel rounds), joined back to doc keys. */
@@ -215,43 +344,43 @@ object GraphAnalytics {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val spark = g.spark
     import spark.implicits._
-    val sc = spark.sparkContext
-    val p = new org.apache.spark.HashPartitioner(sc.defaultParallelism)
-    val damp = 1.0 - resetProb
-    // vertex set (id -> canonical key) and out-adjacency (id -> targets,
-    // parallel edges kept: each occurrence carries rank/outdeg), both
+    // cached per-DocGraph overlay: verts deduped, links/ranks
     // hash-co-partitioned so every per-iteration join is narrow;
     // serialized storage — the iteration working set is the scale
     // pressure point, and these are compact Long arrays
     val SER = StorageLevel.MEMORY_AND_DISK_SER
-    // distinct on _node_id: same-key documents merge into ONE vertex (the
-    // engine's key semantics, same as the GraphX overlay's id dedup) —
-    // without it duplicate-key docs would double-count rank mass and n
-    val verts = g.nodes
-      .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
-      .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
-      .reduceByKey(p, (a, _) => a).persist(SER)
-    val links = g.edges
-      .select(xxhash64(col("_from")), xxhash64(col("_to")))
-      .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
-      .groupByKey(p).mapValues(_.toArray).persist(SER)
-    val n = verts.count()
+    val ov = rddOverlay(g)
+    val p = ov.p
+    val verts = ov.verts
+    val ids = ov.ids // keys-only: the per-iteration work skips the strings
+    val n = ov.n
+    val damp = 1.0 - resetProb
     def resetAt(id: Long): Double = srcId match {
       case Some(s) => if (id == s) resetProb else 0.0
       case None => resetProb
     }
+    // shared per-partition indexes from the overlay (doc at [[rddOverlay]])
+    val linksIdx = ov.linksIdx
+    val idsIdx = ov.idsIdx
     def next(ranks: org.apache.spark.rdd.RDD[(Long, Double)]) = {
-      val contribs = links.join(ranks).values
-        .flatMap { case (dsts, r) =>
-          val share = r / dsts.length
-          dsts.iterator.map((_, share))
+      val contribs = ranks.zipPartitions(linksIdx) { (rit, lit) =>
+        val m = lit.next() // co-partitioned with ranks by construction
+        rit.flatMap { case (v, r) =>
+          val dsts = m.getOrElse(v, null)
+          if (dsts == null) Iterator.empty
+          else { val share = r / dsts.length; dsts.iterator.map((_, share)) }
         }
-        .reduceByKey(p, _ + _) // the iteration's one shuffle, map-side combined
-      verts.leftOuterJoin(contribs).mapPartitions(
-        _.map { case (id, (_, c)) => (id, resetAt(id) + damp * c.getOrElse(0.0)) },
-        preservesPartitioning = true)
+      }.reduceByKey(p, _ + _) // the iteration's one shuffle, map-side combined
+      // contribs (partitioner p) leads the zip, so the output stays
+      // p-partitioned AND in idsIdx's stable per-partition order
+      contribs.zipPartitions(idsIdx, preservesPartitioning = true) { (cit, iit) =>
+        val order = iit.next()
+        val m = new scala.collection.mutable.LongMap[Double]()
+        cit.foreach { case (v, c) => m.update(v, c) } // unique post-reduce
+        order.iterator.map(id => (id, resetAt(id) + damp * m.getOrElse(id, 0.0)))
+      }
     }
-    var ranks = verts.mapPartitions(
+    var ranks = ids.mapPartitions( // ids order == idsIdx order (same store)
       _.map { case (id, _) => (id, srcId.fold(1.0)(s => if (id == s) 1.0 else 0.0)) },
       preservesPartitioning = true).persist(SER)
     ranks.count()
@@ -267,9 +396,18 @@ object GraphAnalytics {
       while (i < steps) { prev = cur; cur = next(cur); i += 1 }
       if (steps > 1) prev.persist(SER)
       cur.persist(SER)
-      delta = prev.join(cur).values // the chunk's one action
-        .map { case (a, b) => math.abs(b - a) / math.max(math.abs(b), 1.0) }
-        .max()
+      // every post-round-0 rank vector follows idsIdx's per-partition
+      // order, so prev and cur align positionally — a zip, not a join
+      delta = prev.zipPartitions(cur) { (ait, bit) =>
+        var mx = 0.0
+        while (ait.hasNext) {
+          val a = ait.next(); val b = bit.next()
+          require(a._1 == b._1, "rank vectors out of order")
+          val d = math.abs(b._2 - a._2) / math.max(math.abs(b._2), 1.0)
+          if (d > mx) mx = d
+        }
+        Iterator.single(mx)
+      }.max() // the chunk's one action
       ranks.unpersist(blocking = false)
       if (steps > 1 && (prev ne ranks)) prev.unpersist(blocking = false)
       ranks = cur
@@ -282,9 +420,7 @@ object GraphAnalytics {
       .map { case (r, key) => (key, r * n / sum) }
       .toDF("doc_key", "pagerank")
       .transform(graft.core.Lifecycle.stage(_, eager = true))
-    ranks.unpersist(blocking = false)
-    verts.unpersist(blocking = false)
-    links.unpersist(blocking = false)
+    ranks.unpersist(blocking = false) // verts/links stay: shared overlay
     out
   }
 }

@@ -11,6 +11,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(s)
