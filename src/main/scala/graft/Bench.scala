@@ -152,8 +152,6 @@ object Bench {
     // Pre-warm the shared GraphX overlay and the IVF index too (force
     // materialization) so per-query numbers measure query work and the
     // per-query cache cleanup below treats both as part of the baseline.
-    val gx = graft.graph.GraphAnalytics.toGraphX(g)
-    gx.numVertices; gx.numEdges
     graft.graph.GraphAnalytics.rddOverlay(g) // native CC/PageRank overlay
     graft.ops.IvfIndex.buildCached(g.collection("embeddings"),
       "vec_id", "embedding", key = sfDir, k = 16)

@@ -117,8 +117,6 @@ object ScaleSmoke {
     // evict them between the warm and measured reps (q40/q67 would
     // otherwise re-materialize the overlay inside the measured rep)
     Seq(base, scaledDir).foreach { dir =>
-      val gx = graft.graph.GraphAnalytics.toGraphX(Testbed.graph(spark, dir))
-      gx.numVertices; gx.numEdges
       graft.graph.GraphAnalytics.rddOverlay(Testbed.graph(spark, dir))
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet

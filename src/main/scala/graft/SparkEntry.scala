@@ -371,7 +371,7 @@ object SparkEntry {
         .select(col("c_name"))
     }),
 
-    // ---- GraphX whole-graph analytics -----------------------------------
+    // ---- whole-graph analytics (native RDD overlay) ---------------------
     "q39_degrees" -> ((s, dir) => {
       graph.GraphAnalytics.degrees(Testbed.graph(s, dir))
         .filter(col("doc_key").startsWith("region:"))

@@ -22,16 +22,21 @@ object GraphAnalytics {
 
   private val logger = org.slf4j.LoggerFactory.getLogger("graft.graph")
 
-  // One GraphX graph per DocGraph instance: the three algorithms typically
-  // run over the same overlay, and rebuilding vertex/edge RDDs per call
-  // costs more than any of them. Weak keys: entries die with the DocGraph.
+  // One GraphX graph per DocGraph instance. Weak keys: entries die with
+  // the DocGraph.
   private val gxCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DocGraph, Graph[String, String]]())
 
   /** The overlay as a GraphX property graph: vertex attr = canonical doc
     * key, edge attr = relationship type. Isolated documents (no edges) are
     * included as vertices — component counts mirror the document corpus.
-    * Cached (and RDD-persisted) per DocGraph instance. */
+    * Cached (and RDD-persisted) per DocGraph instance.
+    *
+    * Interop bridge only: every shipped analytic (degrees, CC, PageRank
+    * ×3) now runs natively on [[rddOverlay]] — this exists so users with
+    * their own GraphX/Pregel code can get the overlay in GraphX form,
+    * and the test suite uses it as a differential reference for the
+    * native algorithms. Not built by Bench/Verify warm phases. */
   def toGraphX(g: DocGraph): Graph[String, String] = {
     val cached = gxCache.get(g)
     if (cached != null) return cached
@@ -62,14 +67,16 @@ object GraphAnalytics {
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK_SER)
   }
 
-  /** Per-node total degree, keyed by canonical doc key. */
+  /** Per-node total degree, keyed by canonical doc key. Pure DataFrame —
+    * one union + one map-side-combined aggregation, no graph overlay at
+    * all: endpoint keys ARE the canonical doc keys, so grouping by them
+    * is also the same-key vertex merge. GraphX `degrees` semantics:
+    * parallel edges each count, self-loops count twice, isolated
+    * documents are absent. */
   def degrees(g: DocGraph): DataFrame = {
-    val spark = g.spark
-    import spark.implicits._
-    val gx = toGraphX(g)
-    gx.degrees.join(gx.vertices)
-      .map { case (_, (deg, key)) => (key, deg.toLong) }
-      .toDF("doc_key", "degree")
+    val ends = g.edges.select(col("_from").as("doc_key"))
+      .unionAll(g.edges.select(col("_to").as("doc_key")))
+    ends.groupBy("doc_key").agg(count(lit(1)).as("degree"))
   }
 
   /** Connected components: (doc_key, component id). Component ids are the
@@ -84,13 +91,29 @@ object GraphAnalytics {
     val spark = g.spark
     import spark.implicits._
     val ov = rddOverlay(g)
-    val labels = componentsOfAdj(ov.symAdj, ov.symIdx, ov.p)
-    val out = ov.verts.leftOuterJoin(labels) // labels partitioned by p: narrow
+    val labels = componentsOfAdj(ov.symArr, ov.p)
+    // keyed join on purpose: labels' positional alignment ends at the
+    // operator boundary (one n-row shuffle, once per call)
+    val out = ov.verts.leftOuterJoin(labels)
       .map { case (id, (key, lbl)) => (key, lbl.getOrElse(id)) }
       .toDF("doc_key", "component")
       .transform(graft.core.Lifecycle.stage(_, eager = true))
     labels.unpersist(blocking = false)
     out
+  }
+
+  /** Per-partition array-indexed adjacency: `keys` holds the partition's
+    * vertex ids SORTED ascending, `nbrs(i)` the neighbor list of
+    * `keys(i)` (possibly null = none). Lookups are binary searches —
+    * O(log n) but zero per-entry object overhead, and, unlike insertion-
+    * order structures, REBUILDS ARE DETERMINISTIC: a partition recomputed
+    * after cache eviction sorts to the identical layout, so array state
+    * aligned to an earlier materialization stays valid. One AdjArr per
+    * partition, persisted deserialized (primitive arrays are as compact
+    * deserialized as serialized — the iterative algorithms read them
+    * every round and should never pay a deserialize for it). */
+  final case class AdjArr(keys: Array[Long], nbrs: Array[Array[Long]]) {
+    def indexOf(v: Long): Int = java.util.Arrays.binarySearch(keys, v)
   }
 
   /** Per-DocGraph cached RDD overlay for the native iterative algorithms
@@ -100,20 +123,38 @@ object GraphAnalytics {
     * (id → canonical key) set, `links` the out-adjacency with parallel
     * edges kept (PageRank's contribution fan-out), `symAdj` the
     * undirected adjacency (CC's propagation frontier), all
-    * hash-co-partitioned on `p` and persisted serialized — compact Long
-    * arrays, not deserialized vertex objects. */
+    * hash-co-partitioned on `p` and persisted serialized. `vertIdx`
+    * (every vertex + its out-links) and `symArr` (the symmetric
+    * adjacency) are the [[AdjArr]] forms the per-round inner loops run
+    * on: iteration state lives in primitive arrays aligned to their
+    * sorted key order, so a round costs array scans plus the one
+    * irreducible message shuffle — no per-round hash-join builds, no
+    * per-round tuple streams over the full vertex set, no serialized-
+    * cache churn. */
   final case class RddOverlay(p: org.apache.spark.HashPartitioner,
       verts: org.apache.spark.rdd.RDD[(Long, String)],
-      ids: org.apache.spark.rdd.RDD[(Long, Unit)],
       links: org.apache.spark.rdd.RDD[(Long, Array[Long])],
       symAdj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
-      linksIdx: org.apache.spark.rdd.RDD[scala.collection.mutable.LongMap[Array[Long]]],
-      symIdx: org.apache.spark.rdd.RDD[scala.collection.mutable.LongMap[Array[Long]]],
-      idsIdx: org.apache.spark.rdd.RDD[Array[Long]],
+      vertIdx: org.apache.spark.rdd.RDD[AdjArr],
+      symArr: org.apache.spark.rdd.RDD[AdjArr],
       n: Long)
 
   private val rddCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DocGraph, RddOverlay]())
+
+  /** Sorted-array form of a co-partitioned adjacency (doc at [[AdjArr]]). */
+  private def toAdjArr(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])]) =
+    adj.mapPartitions({ it =>
+      val buf = it.toArray
+      scala.util.Sorting.stableSort(buf,
+        (a: (Long, Array[Long]), b: (Long, Array[Long])) => a._1 < b._1)
+      val keys = new Array[Long](buf.length)
+      val nbrs = new Array[Array[Long]](buf.length)
+      var i = 0
+      while (i < buf.length) { keys(i) = buf(i)._1; nbrs(i) = buf(i)._2; i += 1 }
+      Iterator.single(AdjArr(keys, nbrs))
+    }, preservesPartitioning = false)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   def rddOverlay(g: DocGraph): RddOverlay = {
     val cached = rddCache.get(g)
@@ -128,11 +169,6 @@ object GraphAnalytics {
       .select(col("_node_id"), concat_ws(":", col("_collection"), col("_id")))
       .rdd.map((r: Row) => (r.getLong(0), r.getString(1)))
       .reduceByKey(p, (a, _) => a).persist(SER)
-    // keys-only twin of verts: the per-iteration vertex frame for the
-    // iterative algorithms — same partitioning, no doc-key strings to
-    // deserialize 50 times over (keys join back through `verts` once,
-    // at output time)
-    val ids = verts.mapValues(_ => ()).persist(SER)
     val pairs = g.edges
       .select(xxhash64(col("_from")), xxhash64(col("_to")))
       .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
@@ -141,33 +177,23 @@ object GraphAnalytics {
     val symAdj = pairs.filter(e => e._1 != e._2)
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .groupByKey(p).mapValues(_.toArray).persist(SER)
-    // Per-partition indexed forms, built once and shared by every
-    // iterative run over this graph: adjacency LongMaps (a frontier
-    // fan-out or rank fan-out is a lookup, not a fresh hash-join build
-    // per round — ~50 PageRank iterations would otherwise rebuild the
-    // cogroup table 50 times) and the vertex-id array (the stable
-    // per-partition iteration order rank vectors follow, letting delta
-    // checks zip positionally with no join). Deserialized storage — the
-    // point is no per-round deserialize; MEMORY_AND_DISK spills whole
-    // partitions under pressure, and this is the engine's knowing
-    // memory-for-CPU trade at scale (the raw SER RDDs stay authoritative).
-    def indexed(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])]) =
-      adj.mapPartitions({ it =>
-        val m = new scala.collection.mutable.LongMap[Array[Long]]()
-        it.foreach { case (v, ns) => m.update(v, ns) }
-        Iterator.single(m)
-      }, preservesPartitioning = false)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    val linksIdx = indexed(links)
-    val symIdx = indexed(symAdj)
-    val idsIdx = ids.mapPartitions(
-      it => Iterator.single(it.map(_._1).toArray),
-      preservesPartitioning = false)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val built = RddOverlay(p, verts, ids, links, symAdj,
-      linksIdx, symIdx, idsIdx, verts.count())
-    ids.count(); links.count(); symAdj.count()
-    linksIdx.count(); symIdx.count(); idsIdx.count()
+    // vertIdx covers EVERY vertex (rank vectors span the whole graph);
+    // nbrs = out-links where present. symArr covers symAdj's own vertex
+    // set (isolated vertices are their own component by construction).
+    val vertIdx = verts.zipPartitions(links) { (vit, lit) =>
+      val keys = vit.map(_._1).toArray
+      java.util.Arrays.sort(keys)
+      val nbrs = new Array[Array[Long]](keys.length)
+      lit.foreach { case (v, dsts) =>
+        val i = java.util.Arrays.binarySearch(keys, v)
+        if (i >= 0) nbrs(i) = dsts
+      }
+      Iterator.single(AdjArr(keys, nbrs))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val symArr = toAdjArr(symAdj)
+    val built = RddOverlay(p, verts, links, symAdj, vertIdx, symArr,
+      verts.count())
+    links.count(); symAdj.count(); vertIdx.count(); symArr.count()
     pairs.unpersist(blocking = false)
     rddCache.put(g, built)
     built
@@ -189,16 +215,9 @@ object GraphAnalytics {
     val symAdj = edges.filter(e => e._1 != e._2)
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .groupByKey(p).mapValues(_.toArray)
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val symIdx = symAdj.mapPartitions({ it =>
-      val m = new scala.collection.mutable.LongMap[Array[Long]]()
-      it.foreach { case (v, ns) => m.update(v, ns) }
-      Iterator.single(m)
-    }, preservesPartitioning = false)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cc = componentsOfAdj(symAdj, symIdx, p)
-    symAdj.unpersist(blocking = false)
-    symIdx.unpersist(blocking = false)
+    val symArr = toAdjArr(symAdj) // persists itself
+    val cc = componentsOfAdj(symArr, p)
+    symArr.unpersist(blocking = false)
     cc
   }
 
@@ -218,72 +237,117 @@ object GraphAnalytics {
     * label a vertex ever holds is offered to every neighbor exactly once,
     * so the fixed point — no change anywhere — implies cc(u) ≤ cc(v) for
     * every edge, i.e. labels are component-constant and hence the
-    * component min). Per round: one narrow join against the shrinking
-    * frontier, one map-side-combined reduce of the fan-out, a NARROW
-    * cogroup that takes the min and tallies changed labels through an
-    * accumulator — one action per round, no separate compare join. A
-    * task retry can only inflate the tally (labels are deterministic; an
-    * extra round is a no-op), so the accumulator is a safe convergence
-    * signal. */
-  private def componentsOfAdj(
-      symAdj: org.apache.spark.rdd.RDD[(Long, Array[Long])],
-      adjIdx: org.apache.spark.rdd.RDD[scala.collection.mutable.LongMap[Array[Long]]],
+    * component min).
+    *
+    * State is a pair of primitive arrays per partition — labels and
+    * changed flags, positionally aligned to the [[AdjArr]]'s sorted key
+    * order — so a round is: scan the flags, fan changed labels out to
+    * neighbors (the one message shuffle, map-side min-combined), apply
+    * arriving messages by binary search into a cloned label array, tally
+    * newly-changed vertices through an accumulator, one count action.
+    * No per-round hash-join builds, no per-round tuple stream over the
+    * full vertex set, no serialized-cache churn. A task retry can only
+    * inflate the tally (labels are deterministic; an extra round is a
+    * no-op), so the accumulator is a safe convergence signal. */
+  private def componentsOfAdj(symArr: org.apache.spark.rdd.RDD[AdjArr],
       p: org.apache.spark.HashPartitioner): org.apache.spark.rdd.RDD[(Long, Long)] = {
-    val SER = StorageLevel.MEMORY_AND_DISK_SER
-    val sc = symAdj.sparkContext
+    val sc = symArr.sparkContext
     val minL = math.min(_: Long, _: Long)
-    // state = (label, changed-last-round); round 0 = min(v, neighbors),
+    // state = (labels, changed-last-round); round 0 = min(v, neighbors),
     // everyone changed — so round 1 offers every initial label
-    var state = symAdj.mapPartitions(
-      _.map { case (v, ns) => (v, (math.min(v, ns.min), true)) },
-      preservesPartitioning = true).persist(SER)
+    var state = symArr.mapPartitions(_.map { a =>
+      val lab = new Array[Long](a.keys.length)
+      var i = 0
+      while (i < lab.length) {
+        var m = a.keys(i)
+        val ns = a.nbrs(i)
+        var j = 0
+        while (j < ns.length) { if (ns(j) < m) m = ns(j); j += 1 }
+        lab(i) = m
+        i += 1
+      }
+      (lab, Array.fill(lab.length)(true))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
       val acc = sc.longAccumulator
-      val cc = state.mapValues(_._1) // narrow reads of the persisted state
-      val frontier = state.filter(_._2._2).mapValues(_._1)
-      val viaNbr = frontier.zipPartitions(adjIdx) { (fit, mit) =>
-        val m = mit.next() // co-partitioned with frontier by construction
-        fit.flatMap { case (v, l) =>
-          m.getOrElse(v, Array.emptyLongArray).iterator.map((_, l))
+      // delta fan-out: only vertices whose label changed last round
+      // notify their neighbors
+      val fanOut = state.zipPartitions(symArr) { (sit, ait) =>
+        val (lab, chg) = sit.next()
+        val a = ait.next()
+        Iterator.range(0, lab.length).filter(chg(_)).flatMap { i =>
+          val l = lab(i)
+          a.nbrs(i).iterator.map((_, l))
         }
-      }.reduceByKey(p, minL)
-      val jump = if (rounds < JumpAfterRounds) sc.emptyRDD[(Long, Long)]
-        else cc.map { case (v, l) => (l, v) }.join(cc)
-          .values.map { case (v, ll) => (v, ll) }
-          .reduceByKey(p, minL)
+      }
+      // pointer jumping asks label l's partition for l's own label and
+      // routes the answer back — two shuffles, only in gated rounds
+      val jumpRaw = if (rounds < JumpAfterRounds) sc.emptyRDD[(Long, Long)]
+        else {
+          val asks = state.zipPartitions(symArr) { (sit, ait) =>
+            val (lab, _) = sit.next()
+            val a = ait.next()
+            Iterator.range(0, lab.length)
+              .filter(i => lab(i) != a.keys(i))
+              .map(i => (lab(i), a.keys(i)))
+          }.partitionBy(p)
+          asks.zipPartitions(state, symArr) { (qit, sit, ait) =>
+            val (lab, _) = sit.next()
+            val a = ait.next()
+            qit.flatMap { case (l, v) =>
+              val i = a.indexOf(l)
+              if (i >= 0 && lab(i) < l) Iterator.single((v, lab(i)))
+              else Iterator.empty
+            }
+          }
+        }
+      val msgs = fanOut.union(jumpRaw).reduceByKey(p, minL)
       val prev = state
-      state = cc.cogroup(viaNbr, jump, p).mapPartitions(
-        _.map { case (v, (olds, ns, js)) =>
-          val old = olds.head // cc has exactly one label per node
-          var m = old
-          ns.foreach(x => if (x < m) m = x)
-          js.foreach(x => if (x < m) m = x)
-          if (m != old) acc.add(1)
-          (v, (m, m != old))
-        }, preservesPartitioning = true).persist(SER)
+      state = prev.zipPartitions(msgs, symArr) { (sit, mit, ait) =>
+        val (lab, _) = sit.next()
+        val a = ait.next()
+        val lab2 = lab.clone()
+        val chg2 = new Array[Boolean](lab2.length)
+        var newly = 0L
+        mit.foreach { case (v, l) =>
+          val i = a.indexOf(v)
+          if (i >= 0 && l < lab2(i)) {
+            lab2(i) = l
+            if (!chg2(i)) { chg2(i) = true; newly += 1 }
+          }
+        }
+        acc.add(newly)
+        Iterator.single((lab2, chg2))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
       state.count() // the round's one action; also fills the accumulator
       changed = acc.value
       prev.unpersist(blocking = false)
       rounds += 1
     }
     logger.info(s"componentsOfAdj: converged in $rounds rounds")
-    val labels = state.mapValues(_._1).persist(SER)
+    val labels = state.zipPartitions(symArr) { (sit, ait) =>
+      val (lab, _) = sit.next()
+      val a = ait.next()
+      Iterator.range(0, lab.length).map(i => (a.keys(i), lab(i)))
+    }.persist(StorageLevel.MEMORY_AND_DISK_SER)
     labels.count()
     state.unpersist(blocking = false)
     labels
   }
 
-  /** Static PageRank (`numIter` Pregel rounds), joined back to doc keys. */
-  def pageRank(g: DocGraph, numIter: Int = 5, resetProb: Double = 0.15): DataFrame = {
-    val spark = g.spark
-    import spark.implicits._
-    val gx = toGraphX(g)
-    gx.staticPageRank(numIter, resetProb).vertices.join(gx.vertices)
-      .map { case (_, (pr, key)) => (key, pr) }
-      .toDF("doc_key", "pagerank")
-  }
+  /** Static PageRank: exactly `numIter` power-iteration rounds on the
+    * shared RDD overlay (r0 = 1, r' = reset + (1-reset)·Σ in-contribs/
+    * outdeg, parallel edges each count, dangling mass not redistributed,
+    * final ranks normalized to sum to the vertex count) — the same
+    * pinned formulation as the converged variants and their DuckDB
+    * oracles (q41's unrolled fixed-point CTE). tol = 0 with
+    * checkEvery = numIter runs the full budget as ONE lazily-chained
+    * job, so a 5-iteration rank costs 5 shuffles and a single action. */
+  def pageRank(g: DocGraph, numIter: Int = 5, resetProb: Double = 0.15): DataFrame =
+    powerIteration(g, tol = 0.0, resetProb = resetProb,
+      checkEvery = numIter, maxIters = numIter, srcId = None)
 
   /** Tolerance-converged PageRank: synchronous power iteration until the
     * max per-vertex RELATIVE rank change at a CHECKPOINT iteration is ≤
@@ -309,10 +373,11 @@ object GraphAnalytics {
     * between driver synchronizations — deltas contract by (1-reset) per
     * iteration, so fine-grained checks buy nothing but job overhead.
     *
-    * Scale shape: links and ranks are hash-co-partitioned RDDs (the join
-    * is narrow); the only shuffle per iteration is the contribution
-    * reduceByKey (map-side combined). No GraphX overlay, no deserialized
-    * vertex working set. */
+    * Scale shape: ranks live in per-partition primitive arrays aligned
+    * to the overlay's sorted vertex order; the only shuffle per
+    * iteration is the contribution reduceByKey (map-side combined). No
+    * GraphX overlay — the resident working set is the [[AdjArr]] index
+    * plus two double arrays (16 bytes per vertex). */
   def pageRankConverged(g: DocGraph, tol: Double = 0.001,
       resetProb: Double = 0.15, checkEvery: Int = 8,
       maxIters: Int = 200): DataFrame =
@@ -344,45 +409,58 @@ object GraphAnalytics {
     require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val spark = g.spark
     import spark.implicits._
-    // cached per-DocGraph overlay: verts deduped, links/ranks
-    // hash-co-partitioned so every per-iteration join is narrow;
-    // serialized storage — the iteration working set is the scale
-    // pressure point, and these are compact Long arrays
-    val SER = StorageLevel.MEMORY_AND_DISK_SER
     val ov = rddOverlay(g)
     val p = ov.p
     val verts = ov.verts
-    val ids = ov.ids // keys-only: the per-iteration work skips the strings
+    val vi = ov.vertIdx // sorted vertex ids + out-links (doc at [[AdjArr]])
     val n = ov.n
     val damp = 1.0 - resetProb
     def resetAt(id: Long): Double = srcId match {
       case Some(s) => if (id == s) resetProb else 0.0
       case None => resetProb
     }
-    // shared per-partition indexes from the overlay (doc at [[rddOverlay]])
-    val linksIdx = ov.linksIdx
-    val idsIdx = ov.idsIdx
-    def next(ranks: org.apache.spark.rdd.RDD[(Long, Double)]) = {
-      val contribs = ranks.zipPartitions(linksIdx) { (rit, lit) =>
-        val m = lit.next() // co-partitioned with ranks by construction
-        rit.flatMap { case (v, r) =>
-          val dsts = m.getOrElse(v, null)
-          if (dsts == null) Iterator.empty
-          else { val share = r / dsts.length; dsts.iterator.map((_, share)) }
+    // Rank vectors are ONE primitive Array[Double] per partition,
+    // positionally aligned to vi's sorted key order: an iteration is the
+    // contribution fan-out (the one message shuffle, map-side
+    // sum-combined), then a binary-search scatter into a fresh array —
+    // no per-iteration tuple stream over the vertex set, no hash-map
+    // builds, no serialized-cache churn; delta checks zip arrays.
+    def next(ranks: org.apache.spark.rdd.RDD[Array[Double]]) = {
+      val contribs = ranks.zipPartitions(vi) { (rit, ait) =>
+        val r = rit.next() // exactly one array per partition
+        val a = ait.next()
+        Iterator.range(0, r.length).filter(a.nbrs(_) != null).flatMap { i =>
+          val dsts = a.nbrs(i)
+          val share = r(i) / dsts.length
+          dsts.iterator.map((_, share))
         }
       }.reduceByKey(p, _ + _) // the iteration's one shuffle, map-side combined
-      // contribs (partitioner p) leads the zip, so the output stays
-      // p-partitioned AND in idsIdx's stable per-partition order
-      contribs.zipPartitions(idsIdx, preservesPartitioning = true) { (cit, iit) =>
-        val order = iit.next()
-        val m = new scala.collection.mutable.LongMap[Double]()
-        cit.foreach { case (v, c) => m.update(v, c) } // unique post-reduce
-        order.iterator.map(id => (id, resetAt(id) + damp * m.getOrElse(id, 0.0)))
+      contribs.zipPartitions(vi) { (cit, ait) =>
+        val a = ait.next()
+        val out = new Array[Double](a.keys.length)
+        cit.foreach { case (v, c) =>
+          val i = a.indexOf(v)
+          if (i >= 0) out(i) = c
+        }
+        var i = 0
+        while (i < out.length) {
+          out(i) = resetAt(a.keys(i)) + damp * out(i)
+          i += 1
+        }
+        Iterator.single(out)
       }
     }
-    var ranks = ids.mapPartitions( // ids order == idsIdx order (same store)
-      _.map { case (id, _) => (id, srcId.fold(1.0)(s => if (id == s) 1.0 else 0.0)) },
-      preservesPartitioning = true).persist(SER)
+    val DESER = StorageLevel.MEMORY_AND_DISK // primitive arrays: compact as-is
+    var ranks = vi.mapPartitions(_.map { a =>
+      val r = new Array[Double](a.keys.length)
+      srcId match {
+        case Some(s) =>
+          val i = a.indexOf(s)
+          if (i >= 0) r(i) = 1.0
+        case None => java.util.Arrays.fill(r, 1.0)
+      }
+      r
+    }).persist(DESER)
     ranks.count()
     var iters = 0
     var delta = Double.MaxValue
@@ -394,17 +472,17 @@ object GraphAnalytics {
       var prev = ranks
       var i = 0
       while (i < steps) { prev = cur; cur = next(cur); i += 1 }
-      if (steps > 1) prev.persist(SER)
-      cur.persist(SER)
-      // every post-round-0 rank vector follows idsIdx's per-partition
-      // order, so prev and cur align positionally — a zip, not a join
+      if (steps > 1) prev.persist(DESER)
+      cur.persist(DESER)
       delta = prev.zipPartitions(cur) { (ait, bit) =>
+        val a = ait.next()
+        val b = bit.next()
         var mx = 0.0
-        while (ait.hasNext) {
-          val a = ait.next(); val b = bit.next()
-          require(a._1 == b._1, "rank vectors out of order")
-          val d = math.abs(b._2 - a._2) / math.max(math.abs(b._2), 1.0)
+        var i = 0
+        while (i < a.length) {
+          val d = math.abs(b(i) - a(i)) / math.max(math.abs(b(i)), 1.0)
           if (d > mx) mx = d
+          i += 1
         }
         Iterator.single(mx)
       }.max() // the chunk's one action
@@ -413,14 +491,20 @@ object GraphAnalytics {
       ranks = cur
       iters += steps
     }
-    val sum = ranks.values.sum()
+    val sum = ranks.map(_.sum).sum()
     logger.info(s"powerIteration: converged=${delta <= tol} iters=$iters " +
       f"delta=$delta%.2e tol=$tol%.1e n=$n")
-    val out = ranks.join(verts).values
+    // keyed join on purpose: the positional alignment ends at the
+    // operator boundary (one n-row shuffle, once per call)
+    val out = ranks.zipPartitions(vi) { (rit, ait) =>
+      val r = rit.next()
+      val a = ait.next()
+      Iterator.range(0, r.length).map(i => (a.keys(i), r(i)))
+    }.join(verts).values
       .map { case (r, key) => (key, r * n / sum) }
       .toDF("doc_key", "pagerank")
       .transform(graft.core.Lifecycle.stage(_, eager = true))
-    ranks.unpersist(blocking = false) // verts/links stay: shared overlay
+    ranks.unpersist(blocking = false) // verts/vertIdx stay: shared overlay
     out
   }
 }
