@@ -276,6 +276,17 @@ object IvfIndex {
         case r => (r.getDouble(0), r.getLong(1))
       }
 
+  /** Meta is the COMMIT POINT of both [[save]]'s version swap and
+    * [[append]]'s batch-list swap, so its own write must not have a
+    * window where no valid meta exists — Spark's Overwrite on the meta
+    * directory is delete-job-then-write, and a crash in between would
+    * leave every version's data files intact but the store unreadable.
+    * Instead the new meta lands COMPLETE in `meta-next`, then a delete +
+    * O(1) filesystem rename swaps it in. Both crash points recover:
+    * before the delete, `meta` is untouched (the commit simply never
+    * happened; the stale staging is overwritten by the next write);
+    * after it, `meta-next` is complete and [[readMeta]] reads it as the
+    * rolled-forward commit. */
   private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
     import spark.implicits._
     Seq((m.fmt, m.version, m.identity.map(_.key).orNull,
@@ -284,13 +295,26 @@ object IvfIndex {
         m.nRows, m.batches))
       .toDF("fmt", "version", "key", "id_col", "vec_col", "k", "seed",
         "mean_dist", "n_rows", "batches")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/meta-next")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/meta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/meta-next"),
+      new org.apache.hadoop.fs.Path(s"$dir/meta"))
   }
 
+  /** `meta` when present (a complete-but-unswapped `meta-next` alongside
+    * it is an uncommitted write — ignored, rolled back by the next
+    * [[writeMeta]]); `meta-next` when `meta` is absent (the swap's delete
+    * ran, so the staged meta IS the commit — read it forward). */
   private def readMeta(spark: SparkSession, dir: String): Option[Meta] =
-    if (!pathExists(spark, s"$dir/meta")) None
+    readMetaAt(spark, s"$dir/meta")
+      .orElse(readMetaAt(spark, s"$dir/meta-next"))
+
+  private def readMetaAt(spark: SparkSession, metaDir: String): Option[Meta] =
+    if (!pathExists(spark, metaDir)) None
     else scala.util.Try {
-      val r = spark.read.parquet(s"$dir/meta").collect()(0)
+      val r = spark.read.parquet(metaDir).collect()(0)
       val id =
         if (r.isNullAt(r.fieldIndex("key"))) None
         else Some(Identity(r.getString(r.fieldIndex("key")),

@@ -198,6 +198,38 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.load(spark, where).cells.count() == n0 + 50)
   }
 
+  test("meta swap is crash-recoverable at both interruption points: " +
+      "staged-but-unswapped rolls back, deleted-but-unrenamed rolls forward") {
+    val where = tmpDir
+    val base = emb.filter(col("vec_id") < 100)
+    IvfIndex.save(IvfIndex.build(base, "vec_id", "embedding", k = 4), where)
+    val n0 = IvfIndex.load(spark, where).cells.count()
+
+    // crash between the staging write and the delete: a complete
+    // meta-next sits alongside the still-valid meta — the commit never
+    // happened, so load must serve the OLD meta (roll back)
+    val meta = new java.io.File(where, "meta")
+    val next = new java.io.File(where, "meta-next")
+    org.apache.commons.io.FileUtils.copyDirectory(meta, next)
+    assert(IvfIndex.load(spark, where).cells.count() == n0,
+      "an uncommitted meta-next shadowed the committed meta")
+
+    // crash between the delete and the rename: meta is gone, meta-next is
+    // complete — the delete marks the commit, so load must read meta-next
+    // forward instead of declaring the store unreadable
+    org.apache.commons.io.FileUtils.deleteDirectory(meta)
+    assert(IvfIndex.load(spark, where).cells.count() == n0,
+      "a deleted meta with a complete meta-next was not rolled forward")
+
+    // and the next real write converges the layout back to a single meta
+    IvfIndex.append(spark, where,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 150),
+      "vec_id", "embedding")
+    assert(meta.exists && !next.exists,
+      "writeMeta did not converge the crash-recovery layout")
+    assert(IvfIndex.load(spark, where).cells.count() == n0 + 50)
+  }
+
   test("drift gate: an out-of-distribution append reports a ratio that " +
       "says retraining is warranted") {
     import spark.implicits._
