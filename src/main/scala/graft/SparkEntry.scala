@@ -275,10 +275,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q28_minhash_pairs" -> ((s, dir) => {
-      // not oracle-able (xxhash64 banding); rows-only check
+      // portable 60-bit md5 base hash: the full MinHash/LSH pipeline
+      // (permutations, banding, bucket join, Jaccard verify) is replayed
+      // verbatim by the DuckDB oracle — exact hash-match, not rows-only
       ops.Dedup.candidatePairs(Testbed.graph(s, dir).collection("documents"),
           "doc_id", "text", shingleN = 3, k = 16, bands = 4, minJaccard = 0.5,
-          maxBucket = 200)
+          maxBucket = 200, hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b")
     }),
     "q29_ngram_jaccard" -> ((s, dir) => {
@@ -288,18 +290,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q30_simhash" -> ((s, dir) => {
-      // not oracle-able (xxhash64 bit votes); rows-only check
+      // portable 60-bit md5 base hash: bit votes confined to bits 0-59,
+      // replayed exactly by the DuckDB oracle's per-bit vote CTE
       implicit val sp: SparkSession = s
       ops.Dedup.simhash(Testbed.graph(s, dir).collection("documents"),
-          "doc_id", "text")
+          "doc_id", "text", hash = ops.BaseHash.Md5)
         .orderBy("id")
     }),
     "q31_simhash_hamming" -> ((s, dir) => {
-      // hamming distance of every doc to doc 0 — rows-only check
+      // hamming distance of every doc to doc 0 — md5 base hash makes the
+      // signatures (and so the distances) engine-portable: exact oracle
       implicit val sp: SparkSession = s
       // checkpoint: sigs feed both the reference row and the main scan
       val sigs = ops.Dedup.simhash(
-        Testbed.graph(s, dir).collection("documents"), "doc_id", "text")
+        Testbed.graph(s, dir).collection("documents"), "doc_id", "text",
+          hash = ops.BaseHash.Md5)
         .localCheckpoint()
       val ref = sigs.filter(col("id") === 0)
         .select(col("simhash").as("ref_hash"))
@@ -324,9 +329,11 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     "q34_ann_lsh" -> ((s, dir) => {
-      // not oracle-able (xxhash64 hyperplanes); rows-only check
+      // md5-derived ±1 hyperplanes: bucket assignment AND the exact
+      // cosine rescore replay in DuckDB — exact hash-match oracle
       ops.Similarity.annPairs(Testbed.graph(s, dir).collection("embeddings"),
-          "vec_id", "embedding", planes = 4, minCosine = 0.25)
+          "vec_id", "embedding", planes = 4, minCosine = 0.25,
+          hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b")
     }),
 
@@ -653,14 +660,15 @@ object SparkEntry {
     "q66_cross_minhash" -> ((s, dir) => {
       // incremental cross-corpus MinHash dedup: a new ingest batch banded
       // + broadcast against the existing corpus under the same
-      // permutations — not oracle-able (xxhash64 banding); rows-only.
-      // Parity with the self-join on the union is CI-asserted in OpsSpec.
+      // permutations — md5 base hash, so the whole cross pipeline
+      // (shared permutations, new-side bucket cap, verify) oracles
+      // exactly. Self-join parity is still CI-asserted in OpsSpec.
       val docs = Testbed.graph(s, dir).collection("documents")
       ops.Dedup.crossCandidatePairs(
           docs.filter(col("doc_id") % 7 === 0),
           docs.filter(col("doc_id") % 7 =!= 0),
           "doc_id", "text", shingleN = 3, k = 16, bands = 4,
-          minJaccard = 0.5, maxNewBucket = 200)
+          minJaccard = 0.5, maxNewBucket = 200, hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b")
     }),
     "q67_pagerank_converged" -> ((s, dir) => {
@@ -819,14 +827,16 @@ object SparkEntry {
     "q73_cross_simhash" -> ((s, dir) => {
       // incremental cross-corpus SimHash: new batch chunk-keys broadcast
       // against the corpus signatures — completes the rolling-ingest
-      // triple (q66 n-gram, q62 embedding). Not oracle-able (xxhash64 bit
-      // votes); rows-only. Parity with the self-join on the union is
-      // CI-asserted in OpsSpec.
+      // triple (q66 n-gram, q62 embedding). Md5 base hash + the pigeonhole
+      // full-recall guarantee (maxDist+1 chunks) mean the oracle needs NO
+      // blocking simulation: a brute-force hamming filter is provably the
+      // same set. Self-join parity is still CI-asserted in OpsSpec.
       val docs = Testbed.graph(s, dir).collection("documents")
       ops.Dedup.crossSimhashNearPairs(
           docs.filter(col("doc_id") % 7 === 0),
           docs.filter(col("doc_id") % 7 =!= 0),
-          "doc_id", "text", shingleN = 3, maxDist = 3)
+          "doc_id", "text", shingleN = 3, maxDist = 3,
+          hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b")
     }),
     "q72_token_budget_sample" -> ((s, dir) => {
@@ -1073,6 +1083,46 @@ object SparkEntry {
          ORDER BY doc_id""",
     "q27_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+    "q28_minhash_pairs" ->
+      """WITH sh AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_sort(list_distinct(list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                         & 2147483647))) AS hs
+           FROM documents),
+         sig AS (
+           SELECT id, hs, list_transform(range(0, 16), s ->
+             list_min(list_transform(hs, h ->
+               ((((s + 1) * 2654435761) % 2147483647 + 1) * h
+                + ((s + 1) * 972663749) % 2147483647) % 2147483647))) AS sig
+           FROM sh),
+         banded AS (
+           SELECT id, CAST(b AS INT) AS band,
+             CAST(concat('0x', substr(md5(concat(b, ':',
+               array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ','))), 1, 15))
+               AS BIGINT) AS bhash
+           FROM sig, range(0, 4) t(b)),
+         bucketed AS (
+           SELECT band, bhash, id FROM (
+             SELECT *, count(*) OVER (PARTITION BY band, bhash) AS bucket_n
+             FROM banded)
+           WHERE bucket_n <= 200),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM bucketed a JOIN bucketed b USING (band, bhash) WHERE a.id < b.id),
+         verified AS (
+           SELECT id_a, id_b, round(
+               CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+               / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4)
+             AS jaccard
+           FROM pairs JOIN sh ha ON ha.id = pairs.id_a
+                      JOIN sh hb ON hb.id = pairs.id_b)
+         SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+         ORDER BY id_a, id_b""",
     "q29_ngram_jaccard" ->
       """WITH s AS (
            SELECT doc_id,
@@ -1098,12 +1148,79 @@ object SparkEntry {
            FROM embeddings, q WHERE vec_id != 0)
          SELECT vec_id, score FROM scored
          ORDER BY score DESC, vec_id LIMIT 10""",
+    "q30_simhash" ->
+      """WITH hs AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+           FROM documents),
+         sig AS (
+           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+             AS simhash
+           FROM hs)
+         SELECT id, simhash FROM sig ORDER BY id""",
+    "q31_simhash_hamming" ->
+      """WITH hs AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+           FROM documents),
+         sig AS (
+           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+             AS simhash
+           FROM hs),
+         ref AS (SELECT simhash AS ref_hash FROM sig WHERE id = 0)
+         SELECT id, CAST(bit_count(xor(simhash, ref_hash)) AS INT) AS hamming
+         FROM sig, ref ORDER BY id""",
     "q33_embedding_norms" ->
       """SELECT vec_id,
                 round(sqrt(list_sum(list_transform(range(1, 65),
                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4)
                   AS l2
          FROM embeddings ORDER BY vec_id""",
+    "q34_ann_lsh" ->
+      """WITH b AS (
+           SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS nrm,
+             CAST(list_sum(list_transform(range(0, 4), p ->
+               CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                      CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+                      (CASE WHEN CAST(concat('0x',
+                                  substr(md5(concat(p, ':', i)), 1, 15))
+                                  AS BIGINT) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END))) >= 0
+                    THEN (CAST(1 AS BIGINT) << CAST(3 - p AS INT)) ELSE 0 END))
+               AS BIGINT) AS bucket
+           FROM embeddings),
+         pairs AS (
+           SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+           FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id),
+         scored AS (
+           SELECT id_a, id_b, round(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(va.v[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(vb.v[CAST(i AS INT)] AS DOUBLE)))
+               / (va.nrm * vb.nrm), 4) AS score
+           FROM pairs JOIN b va ON va.id = pairs.id_a
+                      JOIN b vb ON vb.id = pairs.id_b)
+         SELECT id_a, id_b, score FROM scored WHERE score >= 0.25
+         ORDER BY id_a, id_b""",
     "q35_multimodal_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1179,6 +1296,47 @@ object SparkEntry {
                 round(r * (SELECT count(*) FROM nodes) / (SELECT sum(r) FROM r5), 4)
                   AS pagerank
          FROM r5 ORDER BY pagerank DESC, doc_key LIMIT 20""",
+    "q66_cross_minhash" ->
+      """WITH sh AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_sort(list_distinct(list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                         & 2147483647))) AS hs
+           FROM documents),
+         sig AS (
+           SELECT id, hs, list_transform(range(0, 16), s ->
+             list_min(list_transform(hs, h ->
+               ((((s + 1) * 2654435761) % 2147483647 + 1) * h
+                + ((s + 1) * 972663749) % 2147483647) % 2147483647))) AS sig
+           FROM sh),
+         banded AS (
+           SELECT id, CAST(b AS INT) AS band,
+             CAST(concat('0x', substr(md5(concat(b, ':',
+               array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ','))), 1, 15))
+               AS BIGINT) AS bhash
+           FROM sig, range(0, 4) t(b)),
+         cb AS (SELECT * FROM banded WHERE id % 7 != 0),
+         nb AS (
+           SELECT band, bhash, id FROM (
+             SELECT *, count(*) OVER (PARTITION BY band, bhash) AS bucket_n
+             FROM banded WHERE id % 7 = 0)
+           WHERE bucket_n <= 200),
+         pairs AS (
+           SELECT DISTINCT cb.id AS id_a, nb.id AS id_b
+           FROM cb JOIN nb USING (band, bhash)),
+         verified AS (
+           SELECT id_a, id_b, round(
+               CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+               / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4)
+             AS jaccard
+           FROM pairs JOIN sh ha ON ha.id = pairs.id_a
+                      JOIN sh hb ON hb.id = pairs.id_b)
+         SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+         ORDER BY id_a, id_b""",
     "q67_pagerank_converged" ->
       convergedPrOracle(r0Sql = "1.0", resetSql = "0.15"),
     "q68_personalized_pagerank" ->
@@ -1480,6 +1638,29 @@ object SparkEntry {
                     AS cum
            FROM documents)
          WHERE cum - n < 800 ORDER BY doc_id""",
+    "q73_cross_simhash" ->
+      """WITH hs AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+           FROM documents),
+         sig AS (
+           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+             AS simhash
+           FROM hs)
+         SELECT c.id AS id_a, n.id AS id_b,
+                CAST(bit_count(xor(c.simhash, n.simhash)) AS INT) AS hamming
+         FROM sig c, sig n
+         WHERE c.id % 7 != 0 AND n.id % 7 = 0
+           AND bit_count(xor(c.simhash, n.simhash)) <= 3
+         ORDER BY id_a, id_b""",
     "q74_unigram_logprob" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS t

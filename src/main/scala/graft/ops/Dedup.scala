@@ -49,19 +49,21 @@ object Dedup {
   }
 
   /** k-permutation MinHash signature of a shingle array. Each shingle is
-    * hashed ONCE (xxhash64, reduced to 31 bits); the k permutations are
+    * hashed ONCE (via `hash`, reduced to 31 bits); the k permutations are
     * cheap universal-hash rearrangements `(a_s·h + b_s) mod p` — k·|sh|
     * multiplies instead of k·|sh| string hashes (the classic one-hash
     * minhash construction). All arithmetic stays under 2^62, ANSI-safe. */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    minhashFromHashes(shingleHashes(shingles), k)
+  def minhashSignature(shingles: Column, k: Int,
+      hash: BaseHash = BaseHash.Xx): Column =
+    minhashFromHashes(shingleHashes(shingles, hash), k)
 
   /** 31-bit base hashes of the shingles — compute these in their OWN
     * projection (e.g. `withColumn`) before [[minhashFromHashes]]: the k-way
     * fold references them k times, and a separate column boundary stops
     * CollapseProject from inlining (= recomputing) the string hashing. */
-  def shingleHashes(shingles: Column): Column =
-    transform(shingles, sh => xxhash64(sh).bitwiseAND(lit(0x7fffffffL)))
+  def shingleHashes(shingles: Column,
+      hash: BaseHash = BaseHash.Xx): Column =
+    transform(shingles, sh => hash.bits31(sh))
 
   /** Native codegen'd kernel ([[graft.functions.MinhashSignature]], one
     * pass, k primitive accumulators) when the engine functions are
@@ -88,10 +90,11 @@ object Dedup {
 
   /** LSH band hashes: split the k-signature into `bands` rows of width
     * k/bands, hash each. Two docs collide in a band ⇒ candidate pair. */
-  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+  def bandHashes(sig: Column, k: Int, bands: Int,
+      hash: BaseHash = BaseHash.Xx): Column = {
     val width = k / bands
     transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(sig, b * lit(width) + 1, lit(width)), b))
+      b => hash.band(slice(sig, b * lit(width) + 1, lit(width)), b))
   }
 
   /** MinHash/LSH candidate pairs with exact Jaccard verification.
@@ -105,7 +108,8 @@ object Dedup {
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-      minJaccard: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 1000,
+      hash: BaseHash = BaseHash.Xx): DataFrame = {
     // Jaccard verification runs on the 64-bit shingle HASH sets, not the
     // string shingles: the pair join then shuffles/intersects long arrays
     // (8 bytes/element, primitive comparisons) instead of ~n-char strings.
@@ -122,7 +126,8 @@ object Dedup {
     val sh = OpsUtil.widen(df).select(col(idCol).cast("long").as("id"),
       charShingles(col(textCol), shingleN).as("shingles"))
       .select(col("id"),
-        array_sort(array_distinct(shingleHashes(col("shingles")))).as("_hs"))
+        array_sort(array_distinct(shingleHashes(col("shingles"), hash)))
+          .as("_hs"))
       .transform(graft.core.Lifecycle.stage(_))
     // Candidate generation runs on SCALARS only — (id, band, bhash) — so
     // the bucket-size window, the bucket self-join, and the multi-band
@@ -133,7 +138,8 @@ object Dedup {
     val banded = sh
       .withColumn("sig", minhashFromHashes(col("_hs"), k))
       .select(col("id"),
-        posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bhash")))
+        posexplode(bandHashes(col("sig"), k, bands, hash))
+          .as(Seq("band", "bhash")))
     val bucketed = banded.withColumn("bucket_n",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bhash"))))
@@ -194,19 +200,20 @@ object Dedup {
   def crossCandidatePairs(newBatch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
       bands: Int = 4, minJaccard: Double = 0.5,
-      maxNewBucket: Int = 1000, maxBroadcastRows: Long = 1000000L): DataFrame = {
+      maxNewBucket: Int = 1000, maxBroadcastRows: Long = 1000000L,
+      hash: BaseHash = BaseHash.Xx): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def prep(df: DataFrame, side: String) =
       OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
           charShingles(col(textCol), shingleN).as("shingles"))
         .select(col(s"id_$side"),
-          array_sort(array_distinct(shingleHashes(col("shingles"))))
+          array_sort(array_distinct(shingleHashes(col("shingles"), hash)))
             .as(s"_hs_$side"))
         .transform(graft.core.Lifecycle.stage(_))
     def band(df: DataFrame, side: String) =
       df.withColumn("sig", minhashFromHashes(col(s"_hs_$side"), k))
         .select(col(s"id_$side"),
-          posexplode(bandHashes(col("sig"), k, bands))
+          posexplode(bandHashes(col("sig"), k, bands, hash))
             .as(Seq("band", "bhash")))
     val c = prep(corpus, "a")
     val n = prep(newBatch, "b")
@@ -258,10 +265,11 @@ object Dedup {
     * [[simhash64]] — the whole pipeline stays inside whole-stage codegen,
     * no per-row serde. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3)(implicit spark: SparkSession): DataFrame = {
+      shingleN: Int = 3, hash: BaseHash = BaseHash.Xx)(
+      implicit spark: SparkSession): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     OpsUtil.widen(df).select(col(idCol).cast("long").as("id"),
-        transform(charShingles(col(textCol), shingleN), sh => xxhash64(sh))
+        transform(charShingles(col(textCol), shingleN), sh => hash.full(sh))
           .as("_hs"))
       .select(col("id"), simhash64(col("_hs")).as("simhash"))
   }
@@ -364,11 +372,12 @@ object Dedup {
     * `id_b` from the new batch (distinct corpora — every pair is real). */
   def crossSimhashNearPairs(newBatch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, maxDist: Int = 3,
-      maxBroadcastRows: Long = 1000000L): DataFrame = {
+      maxBroadcastRows: Long = 1000000L,
+      hash: BaseHash = BaseHash.Xx): DataFrame = {
     implicit val spark: SparkSession = corpus.sparkSession
     val nChunks = chunksFor(maxDist)
     def sigs(df: DataFrame, side: String) =
-      simhash(df, idCol, textCol, shingleN)
+      simhash(df, idCol, textCol, shingleN, hash)
         .select(col("id").as(s"id_$side"), col("simhash").as(s"h_$side"))
     def chunked(df: DataFrame, side: String) =
       simhashChunks(df, s"id_$side", s"h_$side", nChunks)

@@ -59,22 +59,26 @@ object Similarity {
     * operator, fused multiply-adds per row) when the engine functions are
     * registered on the active session; falls back to the value-identical
     * Column fold otherwise. */
-  def signRandomProjection(vec: Column, planes: Int): Column = {
+  def signRandomProjection(vec: Column, planes: Int,
+      hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): Column = {
     // 0 planes is meaningless (and sequence(0, -1) would make the fold
     // iterate a descending range) — refuse rather than diverge
     require(planes > 0, s"planes must be positive, got $planes")
-    if (graft.functions.GraftFunctions.registeredOnActiveSession("sign_projection"))
+    // the native kernel embeds xxhash64 — only the Xx variant may use it
+    if (hash.native &&
+        graft.functions.GraftFunctions.registeredOnActiveSession("sign_projection"))
       call_function("sign_projection", vec, lit(planes))
-    else signRandomProjectionFold(vec, planes)
+    else signRandomProjectionFold(vec, planes, hash)
   }
 
   /** Registration-free pure-Column construction — the parity reference for
     * the native kernel. */
-  def signRandomProjectionFold(vec: Column, planes: Int): Column =
+  def signRandomProjectionFold(vec: Column, planes: Int,
+      hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): Column =
     aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => d(x) * when(pmod(xxhash64(p, i), lit(2)) === 0, lit(1.0))
+          (x, i) => d(x) * when(hash.planeBit(p, i) === 0, lit(1.0))
             .otherwise(lit(-1.0))),
         lit(0.0), (s, v) => s + v)
       acc * 2 + when(proj >= 0, 1L).otherwise(0L)
@@ -93,7 +97,8 @@ object Similarity {
     * the (CPU-heavy) exact rescore, so the dot product runs exactly once
     * per unique candidate pair. */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
-      planes: Int = 8, minCosine: Double = 0.8, rotations: Int = 1): DataFrame = {
+      planes: Int = 8, minCosine: Double = 0.8, rotations: Int = 1,
+      hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): DataFrame = {
     require(rotations > 0, s"rotations must be positive, got $rotations")
     require(planes * rotations <= 62,
       s"planes*rotations must fit a long bucket accumulator, got ${planes * rotations}")
@@ -106,7 +111,7 @@ object Similarity {
     val bucketed = OpsUtil.widen(emb).select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"),
       l2Norm(col(vecCol)).as("nrm"),
-      signRandomProjection(col(vecCol), planes * rotations).as("_acc"))
+      signRandomProjection(col(vecCol), planes * rotations, hash).as("_acc"))
       .transform(graft.core.Lifecycle.stage(_))
     // bucket of rotation r = bits [r·planes, (r+1)·planes) of the
     // accumulator (plane p lands at bit total−1−p, so slice by right-shift)
