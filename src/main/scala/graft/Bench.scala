@@ -123,6 +123,17 @@ object Bench {
       case _ => -1L
     }
 
+  /** Cumulative stop-the-world GC milliseconds across all collectors.
+    * Per-rep deltas separate the two causes a rep can run slow with CPU
+    * tracking wall: real plan work vs. collector pressure from the long-
+    * running suite JVM (the q56 bimodality of rounds 10-11 — diagnosable
+    * from the artifact alone once this rides along). */
+  private def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -178,10 +189,11 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => args.exists(n.startsWith) }
-    val results: Seq[(String, Seq[Double], Seq[Double], Option[String])] =
+    val results: Seq[(String, Seq[Double], Seq[Double], Seq[Double], Option[String])] =
       selected.map { case (name, fn) =>
         val times = Seq.newBuilder[Double]
         val cpus = Seq.newBuilder[Double]
+        val gcs = Seq.newBuilder[Double]
         var err: Option[String] = None
         var rep = 0
         // stop at the first error: bench errors are deterministic in
@@ -189,6 +201,7 @@ object Bench {
         while (rep < Reps && err.isEmpty) {
           val t0 = System.nanoTime()
           val c0 = cpuNs
+          val g0 = gcMs
           try {
             fn(spark, sfDir).count()
             times += (System.nanoTime() - t0) / 1e9
@@ -197,6 +210,7 @@ object Bench {
             // "waiting, not working"
             val c1 = cpuNs
             if (c0 >= 0 && c1 >= 0) cpus += (c1 - c0) / 1e9
+            gcs += (gcMs - g0) / 1e3
           } catch {
             case e: Throwable =>
               err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -205,24 +219,27 @@ object Bench {
           rep += 1
         }
         err.foreach(m => System.err.println(s"[bench] $name FAILED: ${m.take(300)}"))
-        (name, times.result(), cpus.result(), err)
+        (name, times.result(), cpus.result(), gcs.result(), err)
     }
     def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
     val qs = results.map {
-      case (k, ts, _, _) if ts.nonEmpty => "\"" + k + "\":" + median(ts)
-      case (k, _, _, _)                 => "\"" + k + "\":\"err\""
+      case (k, ts, _, _, _) if ts.nonEmpty => "\"" + k + "\":" + median(ts)
+      case (k, _, _, _, _)                 => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
-    val reps = results.collect { case (k, ts, _, _) if ts.nonEmpty =>
+    val reps = results.collect { case (k, ts, _, _, _) if ts.nonEmpty =>
       "\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val repsCpu = results.collect { case (k, _, cs, _) if cs.nonEmpty =>
+    val repsCpu = results.collect { case (k, _, cs, _, _) if cs.nonEmpty =>
       "\"" + k + "\":[" + cs.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val qErrors = results.collect { case (k, _, _, Some(m)) =>
+    val repsGc = results.collect { case (k, _, _, gs, _) if gs.nonEmpty =>
+      "\"" + k + "\":[" + gs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val qErrors = results.collect { case (k, _, _, _, Some(m)) =>
       "\"" + k + "\":\"" + m.take(200).replaceAll("[\"\\\\\n\r\t]", " ") + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, ts, _, _) if ts.nonEmpty => median(ts) }.sum
-    val nErr = results.count(_._4.nonEmpty)
+    val total = results.collect { case (_, ts, _, _, _) if ts.nonEmpty => median(ts) }.sum
+    val nErr = results.count(_._5.nonEmpty)
     val loadAfter = loadAvg
     val calibAfter = calibrate(cpus.toInt)
     // Mean of the before/after probes per shape: the suite ran between
@@ -234,7 +251,7 @@ object Bench {
     val measM = (calibBefore._2 + calibAfter._2) / 2
     val nCores = cpus.toInt
     val normTotal = results.collect {
-      case (_, ts, cs, _) if ts.nonEmpty =>
+      case (_, ts, cs, _, _) if ts.nonEmpty =>
         val w = median(ts)
         val f =
           if (cs.nonEmpty) math.min(1.0, median(cs) / (w * nCores))
@@ -254,7 +271,7 @@ object Bench {
     // slowest 3 carry wall AND process-CPU medians ("w"/"c"): w >> c/cores
     // means the query was waiting (host taint), w ~ c/cores means real work
     val slowest = results.collect {
-        case (k, ts, cs, _) if ts.nonEmpty =>
+        case (k, ts, cs, _, _) if ts.nonEmpty =>
           // c = -1 marks "CPU time unavailable", never a measured zero
           (k, median(ts), if (cs.nonEmpty) median(cs) else -1.0)
       }
@@ -265,7 +282,7 @@ object Bench {
     val calibJson =
       s"""{"single":{"before":${calibBefore._1},"after":${calibAfter._1},"ref":$RefCalibSingle},""" +
       s""""allcore":{"before":${calibBefore._2},"after":${calibAfter._2},"ref":$RefCalibAllCore}}"""
-    println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps,"reps_cpu_sec":$repsCpu}""")
+    println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps,"reps_cpu_sec":$repsCpu,"reps_gc_sec":$repsGc}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":$normTotal,"calib_sec":$calibJson,"build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"headline","value":${s2(total)},"unit":"sec","norm_total":${s2(normTotal)},"calib":{"s":[${s2(calibBefore._1)},${s2(calibAfter._1)},$RefCalibSingle],"m":[${s2(calibBefore._2)},${s2(calibAfter._2)},$RefCalibAllCore]},"build_sec":${s2(buildSec)},"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
