@@ -861,6 +861,59 @@ object SparkEntry {
           col("r.dup_ngram_ratio").as("dup_ngram_ratio"),
           col("r.top_ngram_frac").as("top_ngram_frac"))
         .orderBy("doc_id")
+    }),
+    "q81_segment_dedup" -> ((s, dir) => {
+      // corpus-level exact segment dedup (the C4 "remove duplicated
+      // lines" step on 8-word segments): every distinct segment keeps
+      // only its first (id, pos) occurrence corpus-wide; docs rebuild
+      // from survivors. Md5 segment keys — the keeper choice, collisions
+      // included, replays exactly in the DuckDB oracle.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Dedup.dedupSegments(docs, "doc_id", "text", words = 8,
+          hash = ops.BaseHash.Md5)
+        .orderBy("id")
+    }),
+    "q82_pii_scrub" -> ((s, dir) => {
+      // PII redaction demo over deterministically-injected PII (the
+      // synthetic corpus carries none): email + phone + IPv4 appended
+      // per doc, then scrubbed in one codegen'd map pass. The oracle
+      // replays both the injection and the RE2-compatible regexes.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      docs.select(col("doc_id"),
+          ops.TextOps.scrubPii(concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@example.com or 555-12"),
+            pmod(col("doc_id"), lit(10)), lit("-90"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
+            .as("text_scrubbed"))
+        .orderBy("doc_id")
+    }),
+    "q83_hash_sample" -> ((s, dir) => {
+      // deterministic hash-Bernoulli mixture thinning: per-source rates
+      // (src<n> keeps (n mod 5 + 1)/5 of its docs) via a pure map-side
+      // filter — no shuffle, no sample() nondeterminism. Md5 keys make
+      // the keep/drop decision replay bit-for-bit in the oracle.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val rate = (pmod(regexp_extract(col("source"), "([0-9]+)$", 1)
+        .cast("long"), lit(5)) + 1) / lit(5.0)
+      ops.Corpus.hashSample(docs, concat(col("source"), lit(":"),
+            col("doc_id")), rate, hash = ops.BaseHash.Md5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+    "q84_triangles" -> ((s, dir) => {
+      // triangle enumeration (degree-oriented compact-forward, pure
+      // DataFrame joins) over the simhash near-dup graph at hamming <= 6
+      // — cluster-density analysis of the duplicate structure. Md5
+      // signatures + pigeonhole full recall let the oracle brute-force
+      // the same edge set, then close wedges with two SQL self-joins.
+      implicit val sp: SparkSession = s
+      val sigs = ops.Dedup.simhash(
+        Testbed.graph(s, dir).collection("documents"), "doc_id", "text",
+          hash = ops.BaseHash.Md5)
+      val edges = ops.Dedup.simhashNearPairs(sigs, maxDist = 6)
+      graph.GraphAnalytics.triangles(edges)
+        .orderBy("id_a", "id_b", "id_c")
     }))
 
   /** The document-graph overlay as DuckDB CTEs (no leading WITH): DISTINCT
@@ -1747,5 +1800,78 @@ object SparkEntry {
          UNION ALL
          SELECT src, dst, CAST(2 AS BIGINT), dst, r_name
          FROM cust JOIN region ON r_regionkey = n_regionkey
-         ORDER BY src, dst, pos""")
+         ORDER BY src, dst, pos""",
+    "q81_segment_dedup" ->
+      """WITH segs AS (
+           SELECT CAST(doc_id AS BIGINT) AS id, CAST(i AS INT) AS pos,
+                  array_to_string(list_slice(string_split(text, ' '),
+                    CAST(i*8+1 AS INT), CAST(i*8+8 AS INT)), ' ') AS seg
+           FROM documents,
+                UNNEST(range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0)
+                  AS BIGINT))) AS t(i)),
+         hashed AS (
+           SELECT *, CAST(concat('0x', substr(md5(seg), 1, 15)) AS BIGINT) AS h
+           FROM segs),
+         keep AS (
+           SELECT id, pos, seg FROM (
+             SELECT *, row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+             FROM hashed)
+           WHERE rn = 1),
+         rebuilt AS (
+           SELECT id, string_agg(seg, ' ' ORDER BY pos) AS text_deduped
+           FROM keep GROUP BY id)
+         SELECT d.id, coalesce(r.text_deduped, '') AS text_deduped
+         FROM (SELECT CAST(doc_id AS BIGINT) AS id FROM documents) d
+         LEFT JOIN rebuilt r ON d.id = r.id
+         ORDER BY d.id""",
+    "q82_pii_scrub" ->
+      """WITH injected AS (
+           SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.com or 555-12'
+                  || (doc_id % 10) || '-90'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' from 10.0.' || (doc_id % 256) || '.7' AS t
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+             '<IP>', 'g')
+           AS text_scrubbed
+         FROM injected ORDER BY doc_id""",
+    "q83_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(concat('0x', substr(md5(source || ':' || doc_id), 1, 15))
+                 AS BIGINT) % 1000000
+             < ((CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 5)
+                + 1) / 5.0 * 1000000
+         ORDER BY doc_id""",
+    "q84_triangles" ->
+      """WITH hs AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+           FROM documents),
+         sig AS (
+           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+             AS simhash
+           FROM hs),
+         e AS (
+           SELECT a.id AS u, b.id AS v FROM sig a, sig b
+           WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 6)
+         SELECT e1.u AS id_a, e1.v AS id_b, e2.v AS id_c
+         FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+         ORDER BY id_a, id_b, id_c""")
 }

@@ -94,6 +94,26 @@ object Corpus {
       .drop("_rn")
   }
 
+  /** Deterministic hash-Bernoulli sample at a (possibly per-row) `rate`:
+    * keep a row iff `hash(key) mod 1e6 < rate·1e6`. THE way to thin a
+    * mixture at 100 TB: a pure map-side filter — no shuffle, no global
+    * count, no `sample()` nondeterminism (Spark's `sample` draws
+    * per-partition, so a task retry or repartition changes the sample;
+    * this is a pure function of the key). `rate` is any Column, so
+    * per-source mixture weights are one join or expression away —
+    * down-weight a crawl dump to 10% and keep curated sources at 100% in
+    * the same pass. With [[graft.ops.BaseHash.Md5]] the decision
+    * replays bit-for-bit in any engine with `md5` (the DuckDB oracle);
+    * the default xxhash64 is faster and Spark-local.
+    *
+    * The key must be unique per row (an id) or sampling is per-GROUP:
+    * all rows sharing a key survive or drop together — occasionally what
+    * you want (e.g. key = cluster id keeps near-dup clusters intact). */
+  def hashSample(df: DataFrame, key: Column, rate: Column,
+      hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): DataFrame =
+    df.filter(pmod(hash.full(key.cast("string")), lit(1000000L))
+      < rate * 1000000L)
+
   /** Corpus vocabulary with term/document frequency and IDF, top `k` terms
     * by frequency. The 100 TB formulation: per-(doc, token) counts first —
     * a map-side-combinable shuffle whose reduce side is bounded by

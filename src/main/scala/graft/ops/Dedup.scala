@@ -396,6 +396,56 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Corpus-level exact segment dedup — the C4/MassiveText "remove
+    * duplicated lines" step generalized to any segmentation: text splits
+    * into consecutive `words`-word segments, each DISTINCT segment keeps
+    * exactly its first occurrence corpus-wide (first = minimum
+    * `(id, position)` — deterministic across retries), and every document
+    * is rebuilt from its surviving segments in order (possibly to the
+    * empty string; the row survives so callers can count/filter).
+    *
+    * Scale shape: one `posexplode` (no shuffle), one map-side-combinable
+    * `groupBy` on the 60-bit SEGMENT HASH — the shuffle moves an 8-byte
+    * key + a 12-byte keeper struct per distinct segment, never the
+    * segment text — one sort-merge join back (hash + position equality),
+    * and one `groupBy(id)` rebuild. Keying on the hash instead of the
+    * segment string is what keeps both shuffles skinny at 100 TB; a
+    * 60-bit collision merges two segment groups (drops a non-duplicate
+    * segment), with probability ~n²/2^61 — and deterministically, so the
+    * externally-replayed oracle computes the identical result.
+    *
+    * @param words segment width in whitespace tokens; the final short
+    *   remainder of a document is its own segment. */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      words: Int = 8, hash: BaseHash = BaseHash.Xx): DataFrame = {
+    require(words >= 1, s"segment width must be positive, got $words")
+    val toks = split(col(textCol), " ")
+    val nSeg = ceil(size(toks).cast("double") / words).cast("int")
+    val segs = OpsUtil.widen(df)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => concat_ws(" ", slice(toks, i * words + 1, lit(words)))))
+          .as(Seq("pos", "seg")))
+      .withColumn("_h", hash.full(col("seg")))
+      // staged: feeds the keeper aggregation AND the survivor join — an
+      // un-materialized lineage would re-run the explode + hashing twice
+      .transform(graft.core.Lifecycle.stage(_))
+    // keeper per distinct segment hash: min (id, pos) — struct min is a
+    // single partially-aggregated shuffle on the 8-byte hash
+    val keepers = segs.groupBy(col("_h"))
+      .agg(min(struct(col("id"), col("pos"))).as("_keep"))
+      .select(col("_h"), col("_keep.id").as("_kid"), col("_keep.pos").as("_kpos"))
+    segs.join(keepers, Seq("_h"))
+      .filter(col("id") === col("_kid") && col("pos") === col("_kpos"))
+      .groupBy(col("id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg"))).as("text_deduped"))
+      // left join back so fully-deduplicated documents keep a row
+      .join(df.select(col(idCol).cast("long").as("id")), Seq("id"), "right")
+      .na.fill(Map("text_deduped" -> ""))
+  }
+
   /** Duplicate clusters from a near-dup pair list: `(id, component)` where
     * `component` is the MIN id in the transitively-connected cluster —
     * the shared min-label-propagation kernel

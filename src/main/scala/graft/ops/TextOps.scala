@@ -65,6 +65,28 @@ object TextOps {
     }
   }
 
+  /** PII redaction: emails, North-American-style phone numbers, and IPv4
+    * addresses replaced by typed placeholder tokens — the scrubbing pass a
+    * training-data pipeline runs before anything else sees the text. Three
+    * chained `regexp_replace` calls, all codegen'd, zero shuffles — a pure
+    * map over the corpus, which is the only shape this op is allowed to
+    * have at 100 TB. The patterns deliberately use only syntax shared by
+    * Java regex and RE2 (character classes, `\b`, bounded repetition; no
+    * lookaround, no backreferences) so external engines replay the scrub
+    * identically — the DuckDB oracle runs the same three patterns. Order
+    * matters and is fixed: emails first (their local part may contain
+    * digit runs a later pattern could shred), then phones, then IPs. */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    val ipv4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        phone, "<PHONE>"),
+      ipv4, "<IP>")
+  }
+
   /** Document fingerprints. `md5` for exact identity; the rolling
     * polynomial hash (base-31 over character codes, 63-bit) is the
     * shift-resistant variant used for near-dup blocking. */

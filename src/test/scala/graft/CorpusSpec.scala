@@ -52,6 +52,26 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept2.toSeq == Seq(11L, 12L)) // floor 2 spares the 1-gram doc
   }
 
+  test("hashSample: deterministic, rate-0 empty, rate-1 total, Md5 " +
+      "replays the oracle's keep set") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val key = concat(col("source"), lit(":"), col("doc_id"))
+    assert(Corpus.hashSample(df, key, lit(0.0)).count() == 0L)
+    assert(Corpus.hashSample(df, key, lit(1.0)).count() == 200L)
+    val half1 = Corpus.hashSample(df, key, lit(0.5),
+      hash = graft.ops.BaseHash.Md5).select("doc_id").collect().map(_.getLong(0)).sorted
+    val half2 = Corpus.hashSample(df, key, lit(0.5),
+      hash = graft.ops.BaseHash.Md5).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(half1.sameElements(half2)) // pure function of the key
+    assert(half1.length > 60 && half1.length < 140) // ~rate, not degenerate
+    // per-row rate column: rate 1.0 stratum survives whole
+    val rated = Corpus.hashSample(df, key,
+      when(col("source") === "src0", lit(1.0)).otherwise(lit(0.0)))
+    assert(rated.count() == 50L)
+  }
+
   test("stratifiedTopK takes exactly k per stratum in total order") {
     val df = Seq(
       ("s1", 3L), ("s1", 1L), ("s1", 2L),

@@ -17,6 +17,29 @@ class GraphAnalyticsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(total == 2L * g.edges.count()) // every edge contributes 2 degrees
   }
 
+  test("triangles: K4 yields all 4 triples; pendant edges close nothing") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) plus pendant edge 4-5 (no new triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val tri = GraphAnalytics.triangles(edges)
+      .orderBy("id_a", "id_b", "id_c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri.toSeq == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+  }
+
+  test("triangles: direction, duplication, and self-loops are canonicalized") {
+    import spark.implicits._
+    // triangle listed with mixed directions, a duplicated edge, a self-loop
+    val edges = Seq((2L, 1L), (1L, 3L), (3L, 2L), (3L, 2L), (2L, 2L))
+      .toDF("id_a", "id_b")
+    val tri = GraphAnalytics.triangles(edges).collect()
+    assert(tri.length == 1)
+    assert((tri(0).getLong(0), tri(0).getLong(1), tri(0).getLong(2))
+      == ((1L, 2L, 3L)))
+  }
+
   test("connected components: one social component + isolated docs") {
     val cc = GraphAnalytics.connectedComponents(g)
     val social = cc.filter(col("doc_key").startsWith("people:")

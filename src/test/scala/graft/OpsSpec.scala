@@ -26,6 +26,38 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(0).getLong(0) == 0L && out(0).getLong(1) == 2L)
   }
 
+  test("dedupSegments keeps first (id,pos) occurrence corpus-wide") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d x y"),   // segs (w=2): "a b", "c d", "x y"
+      (1L, "c d a b q"),     // "c d" and "a b" dup doc 0; "q" survives
+      (2L, "x y"),           // fully duplicated -> empty rebuild
+      (3L, "a b a b")        // within-doc dup: second "a b" dropped too
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dedupSegments(df, "doc_id", "text", words = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (0L, "a b c d x y"),
+      (1L, "q"),
+      (2L, ""),
+      (3L, "")))
+  }
+
+  test("scrubPii redacts email/phone/ip and leaves clean text alone") {
+    import spark.implicits._
+    val out = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call 415-555-1234 or 415 555 9876",
+      "host 192.168.0.1 up",
+      "clean text with numbers 12345 and a.b").toDF("t")
+      .select(graft.ops.TextOps.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "host <IP> up")
+    assert(out(3) == "clean text with numbers 12345 and a.b")
+  }
+
   test("char shingles: distinct n-grams, short-text fallback") {
     val sh = Seq(("abcd", 1), ("ab", 2)).toDF("t", "i")
       .select(Dedup.charShingles(col("t"), 3).as("sh"))
