@@ -48,14 +48,23 @@ object Testbed {
 
   def build(spark: SparkSession, sfDir: String): DocGraph = {
     graft.functions.GraftFunctions.register(spark)
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses natively;
-    // read the raw int96-free nanos as long and rebuild a (micro) timestamp.
+    // events.parquet's `ts` encoding has varied across driver generations:
+    // TIMESTAMP(NANOS) (which Spark 4 refuses natively — read nanos as long
+    // and rebuild), or plain timestamp[us] (reads as TIMESTAMP_NTZ). Adapt to
+    // whichever shape is on disk, always landing on session-zone TIMESTAMP
+    // (Verify/Bench pin the session zone to UTC, so NTZ→LTZ keeps the same
+    // wall-clock values DuckDB's oracle sees reading the parquet directly).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
     def keyed(df: DataFrame, pk: Column) =
       df.withColumn("_id", pk.cast(StringType))
-    def withTs(df: DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def withTs(df: DataFrame) = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
     val collections = Map(
       "region" -> keyed(t("region"), col("r_regionkey")),
