@@ -159,22 +159,34 @@ object Bench {
     val loadBefore = loadAvg
     val calibBefore = calibrate(cpus.toInt)
     val tBuild = System.nanoTime()
-    val g = Testbed.graph(spark, sfDir)
-    // Pre-warm the shared GraphX overlay and the IVF index too (force
-    // materialization) so per-query numbers measure query work and the
-    // per-query cache cleanup below treats both as part of the baseline.
-    graft.graph.GraphAnalytics.rddOverlay(g) // native CC/PageRank overlay
-    graft.ops.IvfIndex.buildCached(g.collection("embeddings"),
-      "vec_id", "embedding", key = sfDir, k = 16)
-    // q69's batched-kNN index is over the SLICED corpus (a different cache
-    // key) — train it in the build phase too, so its reps measure probing,
-    // not first-rep k-means training; the slice+key definition is shared
-    // with the query so the cache cannot silently miss
-    SparkEntry.knnIvfIndex(g.collection("embeddings"), sfDir)
-    // q80's appended store likewise: the train+save+append cycle runs here
-    // untimed, so q80's reps measure the steady-state probe (the cycle
-    // itself stays q77's measurement)
-    SparkEntry.appendedKnnIvfIndex(spark, g.collection("embeddings"), sfDir)
+    // A build-phase crash must NOT kill the run: rounds 11-12 produced
+    // rc=1 and an unparseable artifact because Testbed.build threw an
+    // AnalysisException before any per-query try — two rounds of zero
+    // data from one upstream schema drift. Record the error, keep going;
+    // each query re-hits it individually and lands in q_errors, and the
+    // headline line still prints with "build_error" set.
+    var buildErr: Option[String] = None
+    try {
+      val g = Testbed.graph(spark, sfDir)
+      // Pre-warm the shared GraphX overlay and the IVF index too (force
+      // materialization) so per-query numbers measure query work and the
+      // per-query cache cleanup below treats both as part of the baseline.
+      graft.graph.GraphAnalytics.rddOverlay(g) // native CC/PageRank overlay
+      graft.ops.IvfIndex.buildCached(g.collection("embeddings"),
+        "vec_id", "embedding", key = sfDir, k = 16)
+      // q69's batched-kNN index is over the SLICED corpus (a different cache
+      // key) — train it in the build phase too, so its reps measure probing,
+      // not first-rep k-means training; the slice+key definition is shared
+      // with the query so the cache cannot silently miss
+      SparkEntry.knnIvfIndex(g.collection("embeddings"), sfDir)
+      // q80's appended store likewise: the train+save+append cycle runs here
+      // untimed, so q80's reps measure the steady-state probe (the cycle
+      // itself stays q77's measurement)
+      SparkEntry.appendedKnnIvfIndex(spark, g.collection("embeddings"), sfDir)
+    } catch { case e: Throwable =>
+      buildErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+      System.err.println(s"[bench] BUILD FAILED: ${buildErr.get.take(500)}")
+    }
     val buildSec = (System.nanoTime() - tBuild) / 1e9
     // Queries persist bounded intermediates; across ~50 of them the leftovers
     // accumulate and can push the heap into GC thrash. Drop anything a query
@@ -282,9 +294,14 @@ object Bench {
     val calibJson =
       s"""{"single":{"before":${calibBefore._1},"after":${calibAfter._1},"ref":$RefCalibSingle},""" +
       s""""allcore":{"before":${calibBefore._2},"after":${calibAfter._2},"ref":$RefCalibAllCore}}"""
+    // "" when the build phase succeeded — absent key keeps the happy-path
+    // lines byte-identical to earlier rounds' shape.
+    val buildErrJson = buildErr.map(m =>
+      ",\"build_error\":\"" + m.take(200).replaceAll("[\"\\\\\n\r\t]", " ") + "\"")
+      .getOrElse("")
     println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps,"reps_cpu_sec":$repsCpu,"reps_gc_sec":$repsGc}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":$normTotal,"calib_sec":$calibJson,"build_sec":$buildSec,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"headline","value":${s2(total)},"unit":"sec","norm_total":${s2(normTotal)},"calib":{"s":[${s2(calibBefore._1)},${s2(calibAfter._1)},$RefCalibSingle],"m":[${s2(calibBefore._2)},${s2(calibAfter._2)},$RefCalibAllCore]},"build_sec":${s2(buildSec)},"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":$normTotal,"calib_sec":$calibJson,"build_sec":$buildSec$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline","value":${s2(total)},"unit":"sec","norm_total":${s2(normTotal)},"calib":{"s":[${s2(calibBefore._1)},${s2(calibAfter._1)},$RefCalibSingle],"m":[${s2(calibBefore._2)},${s2(calibAfter._2)},$RefCalibAllCore]},"build_sec":${s2(buildSec)}$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

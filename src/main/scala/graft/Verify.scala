@@ -18,21 +18,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Build the overlay first, then keep per-query cache growth bounded
-    // (same hygiene as Bench — 45 queries in one JVM otherwise accumulate
-    // every query's persisted intermediates).
-    graft.graph.GraphAnalytics.rddOverlay(Testbed.graph(spark, sfDir))
-    val baseline = spark.sparkContext.getPersistentRDDs.keySet
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!baseline.contains(id)) rdd.unpersist(blocking = false)
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,7 +32,30 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // Written FIRST (needs no Spark work): a crash anywhere below must
+    // leave the oracle map on disk so the driver can still grade whatever
+    // per-query dumps did land — rounds 11-12 lost ALL correctness data to
+    // one pre-loop AnalysisException.
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Build the overlay first, then keep per-query cache growth bounded
+    // (same hygiene as Bench — 45 queries in one JVM otherwise accumulate
+    // every query's persisted intermediates). Best-effort: a build-phase
+    // failure surfaces per query below instead of killing the run here.
+    try graft.graph.GraphAnalytics.rddOverlay(Testbed.graph(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] overlay prewarm failed: ${e.getMessage}")
+    }
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!baseline.contains(id)) rdd.unpersist(blocking = false)
+      }
+    }
     spark.stop()
   }
 }
