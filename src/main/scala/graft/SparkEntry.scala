@@ -914,6 +914,35 @@ object SparkEntry {
       val edges = ops.Dedup.simhashNearPairs(sigs, maxDist = 6)
       graph.GraphAnalytics.triangles(edges)
         .orderBy("id_a", "id_b", "id_c")
+    }),
+    "q85_knn_quantized" -> ((s, dir) => {
+      // batched kNN over an int8 scalar-quantized corpus (the 4×-smaller
+      // storage/bandwidth path for 100 TB embedding scans): same slices
+      // as q65's exact join, but both sides coded under the corpus's
+      // per-dim params and scored on dequantized doubles. Everything —
+      // params, codes, scores — is deterministic double math, so the
+      // whole ANN pipeline replays exactly in the oracle (the IVF path
+      // q69 can't: trained cells). Recall vs q65 is CI-asserted.
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      ops.Similarity.topKPerQueryQuantized(
+          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q86_hash_split" -> ((s, dir) => {
+      // deterministic 80/10/10 train/val/test split: a pure map over the
+      // hashed doc key — stable under retries and repartitioning (unlike
+      // randomSplit), leakage-free by construction. Integer-millionth
+      // thresholds rounded on the driver + md5 buckets make every row's
+      // assignment replay exactly in the oracle; gate aggregates to
+      // per-split document and character totals.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Corpus.hashSplit(docs, col("doc_id"), Seq(0.8, 0.1, 0.1),
+          Seq("train", "val", "test"), hash = ops.BaseHash.Md5)
+        .groupBy("split")
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("split")
     }))
 
   /** The document-graph overlay as DuckDB CTEs (no leading WITH): DISTINCT
@@ -1873,5 +1902,68 @@ object SparkEntry {
          SELECT e1.u AS id_a, e1.v AS id_b, e2.v AS id_c
          FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
                    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
-         ORDER BY id_a, id_b, id_c""")
+         ORDER BY id_a, id_b, id_c""",
+    "q85_knn_quantized" ->
+      """WITH c0 AS (
+           SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % 50 <> 0 AND vec_id < 200),
+         q0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         mm AS (
+           SELECT CAST(i AS INT) AS pos,
+                  min(CAST(embedding[i] AS DOUBLE)) AS mn,
+                  max(CAST(embedding[i] AS DOUBLE)) AS mx
+           FROM c0, UNNEST(range(1, 65)) AS t(i)
+           GROUP BY 1),
+         mml AS (
+           SELECT list(mn ORDER BY pos) AS mnl,
+                  list(mx - mn ORDER BY pos) AS sl
+           FROM mm),
+         cdeq AS (
+           SELECT vec_id, list_transform(range(1, 65), i ->
+             mnl[i] + CAST(
+               CASE WHEN sl[i] = 0 THEN 0
+                    ELSE least(255, greatest(0, CAST(floor(
+                      (CAST(embedding[i] AS DOUBLE) - mnl[i]) / sl[i] * 255.0)
+                      AS BIGINT))) END
+               AS DOUBLE) * sl[i] / 255.0) AS v
+           FROM c0, mml),
+         qdeq AS (
+           SELECT vec_id, list_transform(range(1, 65), i ->
+             mnl[i] + CAST(
+               CASE WHEN sl[i] = 0 THEN 0
+                    ELSE least(255, greatest(0, CAST(floor(
+                      (CAST(embedding[i] AS DOUBLE) - mnl[i]) / sl[i] * 255.0)
+                      AS BIGINT))) END
+               AS DOUBLE) * sl[i] / 255.0) AS v
+           FROM q0, mml),
+         cn AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, 65),
+                    i -> v[i] * v[i]))) AS nrm
+           FROM cdeq),
+         qn AS (
+           SELECT vec_id, v, sqrt(list_sum(list_transform(range(1, 65),
+                    i -> v[i] * v[i]))) AS nrm
+           FROM qdeq),
+         p AS (
+           SELECT qn.vec_id AS query_id, cn.vec_id AS neighbor_id,
+                  round(list_sum(list_transform(range(1, 65),
+                      i -> cn.v[i] * qn.v[i])) / (cn.nrm * qn.nrm), 4) AS score
+           FROM cn, qn WHERE cn.nrm > 0 AND qn.nrm > 0),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS INT) AS "rank"
+           FROM p)
+         SELECT query_id, neighbor_id, score, "rank" FROM r
+         WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+    "q86_hash_split" ->
+      """SELECT CASE
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                         1, 15)) AS BIGINT) % 1000000 < 800000 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                         1, 15)) AS BIGINT) % 1000000 < 900000 THEN 'val'
+                  ELSE 'test'
+                END AS split,
+                count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY 1 ORDER BY split""")
 }

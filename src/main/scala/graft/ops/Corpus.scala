@@ -114,6 +114,38 @@ object Corpus {
     df.filter(pmod(hash.full(key.cast("string")), lit(1000000L))
       < rate * 1000000L)
 
+  /** Deterministic disjoint split (train/val/test and friends): adds a
+    * `split` column assigning each row to the first name whose cumulative
+    * weight bucket its hashed key falls under. Same scale posture as
+    * [[hashSample]] — a pure map, no shuffle, no `randomSplit`
+    * nondeterminism (task retries can re-draw Spark's `randomSplit`; this
+    * is a pure function of the key, so the split is stable across runs,
+    * engines, and data layout, and a row can never land in two splits).
+    * Thresholds are integer millionths rounded ON THE DRIVER — both the
+    * engine and an external replayer (the DuckDB oracle) compare the
+    * bucket against the same integer literals, so no float-boundary row
+    * can flip sides. Key uniqueness caveat as [[hashSample]]: a shared
+    * key (e.g. a dedup-cluster id) moves the whole group together —
+    * exactly what leakage-free splitting of near-duplicates wants. */
+  def hashSplit(df: DataFrame, key: Column, weights: Seq[Double],
+      names: Seq[String],
+      hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): DataFrame = {
+    require(names.nonEmpty && names.length == weights.length,
+      s"names (${names.length}) and weights (${weights.length}) must pair up")
+    require(weights.forall(_ > 0), s"weights must be positive, got $weights")
+    require(names.distinct.length == names.length,
+      s"split names must be distinct, got $names")
+    val total = weights.sum
+    val thresholds = weights.scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c / total * 1000000L))
+    val bucket = pmod(hash.full(key.cast("string")), lit(1000000L))
+    val assigned = names.zip(thresholds).dropRight(1)
+      .foldRight(lit(names.last): Column) { case ((n, t), acc) =>
+        when(bucket < t, lit(n)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Corpus vocabulary with term/document frequency and IDF, top `k` terms
     * by frequency. The 100 TB formulation: per-(doc, token) counts first —
     * a map-side-combinable shuffle whose reduce side is bounded by

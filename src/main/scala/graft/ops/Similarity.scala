@@ -275,6 +275,86 @@ object Similarity {
       .filter(col("score") >= threshold)
   }
 
+  /** Per-dimension scalar-quantization parameters over a corpus: the
+    * (min, max) of every dimension, collected to the driver as a tiny
+    * sidecar (dim-sized — the same bounded-collect pattern as the IVF
+    * centroid sidecar). At 100 TB this is one map-side-combined shuffle
+    * whose reduce side is `dim × partitions` rows, independent of corpus
+    * size; the result is pasted into the quantization expression as
+    * literals, so quantization itself is a pure map with nothing
+    * broadcast. */
+  def quantizationParams(emb: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val mm = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(d(col("x"))).as("mn"), max(d(col("x"))).as("mx"))
+      .orderBy("pos")
+      .collect()
+    (mm.map(_.getDouble(1)).toSeq, mm.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Int8-range scalar quantization: code_d = floor((x_d − mn_d) / s_d ·
+    * 255) clamped to [0, 255], degenerate dimensions (mx = mn) coding to
+    * 0. Floor, not round — floor is unambiguous across engines while
+    * round's half-way rule is not, so the codes replay bit-for-bit in any
+    * SQL engine (the DuckDB oracle). The payoff at scale: a stored
+    * int8 corpus is 4× smaller than float32 — scan-bound ANN becomes
+    * memory-bandwidth-bound at a quarter the bytes. */
+  def quantizeScalar(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mnA = array(mins.map(lit): _*)
+    val sA = array(mins.zip(maxs).map { case (mn, mx) => lit(mx - mn) }: _*)
+    zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => {
+      val mn = element_at(mnA, (i + 1).cast("int"))
+      val s = element_at(sA, (i + 1).cast("int"))
+      when(s === 0, lit(0L)).otherwise(
+        least(lit(255L), greatest(lit(0L),
+          floor((d(x) - mn) / s * lit(255.0)).cast("long"))))
+    })
+  }
+
+  /** Dequantized reconstruction: x̂_d = mn_d + code_d · s_d / 255. The
+    * asymmetric-distance scoring kernel reads int8 codes and rebuilds
+    * doubles on the fly — identical IEEE operation order on both the
+    * engine and oracle side. */
+  def dequantizeScalar(qv: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mnA = array(mins.map(lit): _*)
+    val sA = array(mins.zip(maxs).map { case (mn, mx) => lit(mx - mn) }: _*)
+    zip_with(qv, sequence(lit(0), size(qv) - 1), (q, i) =>
+      element_at(mnA, (i + 1).cast("int"))
+        + q.cast("double") * element_at(sA, (i + 1).cast("int")) / lit(255.0))
+  }
+
+  /** Batched kNN join over a scalar-quantized corpus: both sides code
+    * under the CORPUS's per-dimension params, scoring is exact cosine
+    * over the dequantized vectors (asymmetric reconstruction — queries
+    * clamp into the corpus range, standard SQ behavior). Fully
+    * deterministic — params, codes, and scores all replay in the oracle —
+    * unlike the k-means IVF path, which trades that for trained cells.
+    * Recall vs [[topKPerQueryExact]] is bounded by the quantization error
+    * (1/255 of each dimension's range) and CI-asserted in OpsSpec. */
+  def topKPerQueryQuantized(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val (mins, maxs) = quantizationParams(corpus, vecCol)
+    def prep(df: DataFrame, side: String) = {
+      val deq = dequantizeScalar(
+        quantizeScalar(col(vecCol), mins, maxs), mins, maxs)
+      OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
+          deq.as(s"v_$side"),
+          sqrt(aggregate(transform(deq, x => x * x), lit(0.0), (s, v) => s + v))
+            .as(s"nrm_$side"))
+        .filter(col(s"nrm_$side") > 0)
+    }
+    val e = prep(queries, "b").transform(graft.core.Lifecycle.stage(_))
+    val hint = OpsUtil.gatedHint("topKPerQueryQuantized", "queries", e,
+      maxBroadcastRows)
+    val scored = prep(corpus, "a").join(hint(e), lit(true))
+      .select(col("id_a"), col("id_b"),
+        round(dotFold(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("score"))
+    rankTopK(scored, k)
+  }
+
   /** EXACT embedding-cosine near-duplicate pairs — all-pairs scoring, no
     * bucketing. Quadratic by construction: this is the ground-truth /
     * verification path for [[embeddingNearDups]] and the right tool only on

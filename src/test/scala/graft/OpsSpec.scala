@@ -676,4 +676,74 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(feats.length == 4)
     assert(feats == (1 to 4).map(d => ((m0.n_bytes * d) % 101).toFloat / 101f))
   }
+
+  test("scalar quantization: codes bounded, reconstruction within one " +
+      "step, and quantized kNN recall@5 >= 0.8 vs exact on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val (mins, maxs) = Similarity.quantizationParams(corpus, "embedding")
+    assert(mins.length == 64 && maxs.length == 64)
+    assert(mins.zip(maxs).forall { case (mn, mx) => mn <= mx })
+    // codes live in [0, 255]; reconstruction error of an IN-RANGE vector
+    // is below one quantization step per dimension
+    val step = mins.zip(maxs).map { case (mn, mx) => (mx - mn) / 255.0 }
+    val rows = corpus
+      .select(col("vec_id"),
+        col("embedding"),
+        Similarity.quantizeScalar(col("embedding"), mins, maxs).as("qv"),
+        Similarity.dequantizeScalar(
+          Similarity.quantizeScalar(col("embedding"), mins, maxs),
+          mins, maxs).as("deq"))
+      .collect()
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](2)
+      assert(qv.forall(q => q >= 0 && q <= 255), s"code out of range: $qv")
+      val x = r.getSeq[Float](1)
+      val deq = r.getSeq[Double](3)
+      x.indices.foreach { i =>
+        assert(math.abs(x(i) - deq(i)) <= step(i) + 1e-12,
+          s"dim $i of vec ${r.getLong(0)}: |${x(i)} - ${deq(i)}| > ${step(i)}")
+      }
+    }
+    // ANN quality: top-5 under quantized scoring vs the exact join
+    def top5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = top5(Similarity.topKPerQueryExact(
+      queries, corpus, "vec_id", "embedding", k = 5))
+    val quant = top5(Similarity.topKPerQueryQuantized(
+      queries, corpus, "vec_id", "embedding", k = 5))
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall < 0.8")
+  }
+
+  test("hashSplit: disjoint + exhaustive, deterministic under " +
+      "repartitioning, proportional to weights, group keys move together") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val split = graft.ops.Corpus.hashSplit(docs, col("doc_id"),
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = docs.count()
+    assert(counts.values.sum == n) // exhaustive, disjoint by construction
+    assert(counts.keySet == Set("train", "val", "test"))
+    // hash-Bernoulli proportions at n=500: generous 3-sigma-ish bands
+    assert(counts("train") > 0.7 * n && counts("train") < 0.9 * n)
+    assert(counts("val") > 0.04 * n && counts("val") < 0.18 * n)
+    // stable under physical re-layout (randomSplit is not)
+    val re = graft.ops.Corpus.hashSplit(docs.repartition(13), col("doc_id"),
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val base = split.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(re == base)
+    // a shared key moves its whole group to one split (leakage-free
+    // near-dup splitting: key = cluster id)
+    val grouped = graft.ops.Corpus.hashSplit(docs, pmod(col("doc_id"), lit(7)),
+      Seq(0.5, 0.5), Seq("a", "b"))
+      .groupBy(pmod(col("doc_id"), lit(7)))
+      .agg(countDistinct("split").as("k")).collect()
+    assert(grouped.forall(_.getLong(1) == 1L))
+  }
 }
