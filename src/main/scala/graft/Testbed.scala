@@ -46,6 +46,20 @@ object Testbed {
     "embeddings" -> GraphSchema("embeddings"),
     "events" -> GraphSchema("events"))
 
+  /** Land `ts` on session-zone TIMESTAMP regardless of how the driver
+    * generation encoded it. The unconditional nanos-as-long rebuild this
+    * replaces failed Spark analysis when the testdata switched to
+    * timestamp[us] — and that one pre-query exception zeroed two full
+    * rounds of artifacts. Pinned by `TestbedSpec` for every encoding. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) read as long
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType => // plain timestamp[us]
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already session-zone TIMESTAMP (or driver changed again)
+    }
+
   def build(spark: SparkSession, sfDir: String): DocGraph = {
     graft.functions.GraftFunctions.register(spark)
     // events.parquet's `ts` encoding has varied across driver generations:
@@ -58,13 +72,6 @@ object Testbed {
     def t(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
     def keyed(df: DataFrame, pk: Column) =
       df.withColumn("_id", pk.cast(StringType))
-    def withTs(df: DataFrame) = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
-    }
 
     val collections = Map(
       "region" -> keyed(t("region"), col("r_regionkey")),
@@ -78,7 +85,7 @@ object Testbed {
         concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
       "documents" -> keyed(t("documents"), col("doc_id")),
       "embeddings" -> keyed(t("embeddings"), col("vec_id")),
-      "events" -> keyed(withTs(t("events")), col("event_id")))
+      "events" -> keyed(normalizeTs(t("events")), col("event_id")))
 
     def pairs(df: DataFrame, fromColl: String, fromId: Column,
         toColl: String, toId: Column, props: Column = null): DataFrame = {
