@@ -33,12 +33,20 @@ object ScaleSmoke {
 
   /** The five most expensive ops of the r9 bench tail, plus the round-10
     * traversal additions (hydrated expand, set-oriented paths) — both
-    * iterative operators whose scale posture deserves direct evidence.
-    * q77 (IVF append) is omitted by construction: it trains on a fixed
-    * 150-vector slice, so its cost is scale-invariant. */
+    * iterative operators whose scale posture deserves direct evidence —
+    * plus the round-13 additions: corpus-wide segment dedup (full-table
+    * explode + hash groupBy), DEGREE-CAPPED triangle enumeration (q87 —
+    * probing uncapped q84 measured the inherent Θ(clique³) output
+    * blow-up, 23k → 3.5e9 rows at 10×: that is the op's documented
+    * bounded-scale audit role, while q87 is the scale path this probe
+    * pins), and quantized kNN (scale-fixed corpus slice, 10× query
+    * batch — measures the broadcast/rescore side). q77 (IVF append) is
+    * omitted by construction: it trains on a fixed 150-vector slice, so
+    * its cost is scale-invariant. */
   val Probes = Seq("q40_connected_components", "q67_pagerank_converged",
     "q75_expand", "q66_cross_minhash", "q56_decontaminate",
-    "q76_expand_hydrated", "q78_multi_shortest_paths")
+    "q76_expand_hydrated", "q78_multi_shortest_paths",
+    "q81_segment_dedup", "q87_triangles_capped", "q85_knn_quantized")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

@@ -915,6 +915,24 @@ object SparkEntry {
       graph.GraphAnalytics.triangles(edges)
         .orderBy("id_a", "id_b", "id_c")
     }),
+    "q87_triangles_capped" -> ((s, dir) => {
+      // degree-capped triangle enumeration — the scale-safe variant of
+      // q84. Full enumeration output is Θ(Σ clique³): the 10× scale probe
+      // measured 23k → 3.5e9 triangles on the uncapped op over the
+      // near-dup graph. Dropping vertices with full-graph degree > 20
+      // bounds the output (hubs belong in collapsed dedup clusters, not
+      // triangle lists); at the sf0.01 oracle scale max degree is 9, so
+      // the cap provably changes nothing there while ScaleSmoke pins the
+      // 10× behavior. Same exact oracle machinery as q84 + a SQL degree
+      // filter.
+      implicit val sp: SparkSession = s
+      val sigs = ops.Dedup.simhash(
+        Testbed.graph(s, dir).collection("documents"), "doc_id", "text",
+          hash = ops.BaseHash.Md5)
+      val edges = ops.Dedup.simhashNearPairs(sigs, maxDist = 6)
+      graph.GraphAnalytics.triangles(edges, maxDegree = Some(20L))
+        .orderBy("id_a", "id_b", "id_c")
+    }),
     "q85_knn_quantized" -> ((s, dir) => {
       // batched kNN over an int8 scalar-quantized corpus (the 4×-smaller
       // storage/bandwidth path for 100 TB embedding scans): same slices
@@ -1899,6 +1917,39 @@ object SparkEntry {
          e AS (
            SELECT a.id AS u, b.id AS v FROM sig a, sig b
            WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 6)
+         SELECT e1.u AS id_a, e1.v AS id_b, e2.v AS id_c
+         FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+         ORDER BY id_a, id_b, id_c""",
+    "q87_triangles_capped" ->
+      """WITH hs AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+           FROM documents),
+         sig AS (
+           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+             AS simhash
+           FROM hs),
+         e0 AS (
+           SELECT a.id AS u, b.id AS v FROM sig a, sig b
+           WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+         d0 AS (
+           SELECT x, count(*) AS d
+           FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+           GROUP BY x),
+         keep AS (SELECT x FROM d0 WHERE d <= 20),
+         e AS (
+           SELECT u, v FROM e0
+           JOIN keep ka ON ka.x = e0.u
+           JOIN keep kb ON kb.x = e0.v)
          SELECT e1.u AS id_a, e1.v AS id_b, e2.v AS id_c
          FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
                    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v

@@ -97,18 +97,39 @@ object GraphAnalytics {
     *
     * At 100 TB-derived graphs all three shuffles key on vertex ids
     * (degree agg, orientation join, wedge/closing joins) — AQE handles a
-    * skewed hub because the orientation has already capped its out-fan. */
+    * skewed hub because the orientation has already capped its out-fan.
+    *
+    * `maxDegree` is the scale guard for DENSE inputs: enumeration output
+    * is inherently Θ(Σ per-clique n³) — a near-clique near-dup cluster of
+    * 3k vertices alone yields ~4.5e9 triangles (the round-13 10× probe
+    * measured exactly this blow-up on the uncapped op: 23k → 3.5e9 rows,
+    * 13,556× shuffle growth). Capping drops every vertex whose FULL-graph
+    * degree exceeds the cap before orientation — the standard hub-removal
+    * policy for output-bounded enumeration; dense clusters should instead
+    * be collapsed via [[connectedComponents]] / Dedup clusters, where a
+    * near-clique is one row, not C(n,3). Deterministic and replayable
+    * (the q87 oracle applies the same filter in SQL). */
   def triangles(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b"): DataFrame = {
+      bCol: String = "id_b", maxDegree: Option[Long] = None): DataFrame = {
     // staged: `und` feeds the degree count (twice) and the orientation
     // join; `oriented` feeds both wedge sides and the closing join — an
     // un-materialized lineage would re-run the distinct + degree joins
     // once per reference (5 redundant edge-list passes at scale)
-    val und = edges.select(
+    val undAll = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .transform(graft.core.Lifecycle.stage(_))
+    val und = maxDegree.fold(undAll) { cap =>
+      require(cap >= 1, s"maxDegree must be positive, got $cap")
+      val keep = undAll.select(col("u").as("x"))
+        .unionAll(undAll.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+        .filter(col("d") <= cap).select("x")
+      undAll.join(keep.select(col("x").as("u")), Seq("u"))
+        .join(keep.select(col("x").as("v")), Seq("v"))
+        .transform(graft.core.Lifecycle.stage(_))
+    }
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))

@@ -40,6 +40,28 @@ class GraphAnalyticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       == ((1L, 2L, 3L)))
   }
 
+  test("triangles: maxDegree drops hub vertices before orientation, " +
+      "keeps low-degree triangles intact") {
+    import spark.implicits._
+    // hub 9 connects to everything (degree 6); triangle {1,2,3} and the
+    // hub-closed triangles {9,x,y} coexist. cap=3: hub drops, so only
+    // the low-degree triangle survives; cap covering the hub reproduces
+    // the uncapped output.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (9L, 5L), (9L, 6L))
+      .toDF("id_a", "id_b")
+    val capped = GraphAnalytics.triangles(edges, maxDegree = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 3L)))
+    val uncapped = GraphAnalytics.triangles(edges)
+      .orderBy("id_a", "id_b", "id_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wideCap = GraphAnalytics.triangles(edges, maxDegree = Some(6L))
+      .orderBy("id_a", "id_b", "id_c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(wideCap.toSeq == uncapped.toSeq && uncapped.length == 4)
+  }
+
   test("connected components: one social component + isolated docs") {
     val cc = GraphAnalytics.connectedComponents(g)
     val social = cc.filter(col("doc_key").startsWith("people:")
