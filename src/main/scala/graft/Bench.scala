@@ -47,6 +47,21 @@ object Bench {
     n
   }
 
+  /** Full JSON string escape — quote, backslash, and ALL control chars
+    * (< 0x20), matching Verify's `q()`. The previous regex-replace list
+    * (quote/backslash/newline/CR/tab only) still let a form-feed or NUL in an
+    * exception message produce an unparseable line — the exact failure
+    * mode the build_error plumbing exists to prevent. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
@@ -183,6 +198,15 @@ object Bench {
       // untimed, so q80's reps measure the steady-state probe (the cycle
       // itself stays q77's measurement)
       SparkEntry.appendedKnnIvfIndex(spark, g.collection("embeddings"), sfDir)
+      // q84/q87's shared near-dup edge set: one untimed signature +
+      // blocking pass staged to parquet, so both triangle gates' reps
+      // measure triangle closing instead of each recomputing the
+      // identical simhash edge set (~6 s/round in the r13 bench)
+      SparkEntry.nearDupEdges(spark, sfDir)
+      // q88's stored int8 corpus: quantize+write untimed, so its reps
+      // measure the stored-codes probe (the scan-bandwidth win the
+      // quantized path exists for), not the one-time coding write
+      SparkEntry.quantizedCodesStore(spark, g.collection("embeddings"), sfDir)
     } catch { case e: Throwable =>
       buildErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       System.err.println(s"[bench] BUILD FAILED: ${buildErr.get.take(500)}")
@@ -248,7 +272,7 @@ object Bench {
       "\"" + k + "\":[" + gs.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val qErrors = results.collect { case (k, _, _, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.take(200).replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+      "\"" + k + "\":\"" + jsonEscape(m.take(200)) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts, _, _, _) if ts.nonEmpty => median(ts) }.sum
     val nErr = results.count(_._5.nonEmpty)
@@ -297,7 +321,7 @@ object Bench {
     // "" when the build phase succeeded — absent key keeps the happy-path
     // lines byte-identical to earlier rounds' shape.
     val buildErrJson = buildErr.map(m =>
-      ",\"build_error\":\"" + m.take(200).replaceAll("[\"\\\\\n\r\t]", " ") + "\"")
+      ",\"build_error\":\"" + jsonEscape(m.take(200)) + "\"")
       .getOrElse("")
     println(s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps,"reps_cpu_sec":$repsCpu,"reps_gc_sec":$repsGc}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":$normTotal,"calib_sec":$calibJson,"build_sec":$buildSec$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}""")

@@ -426,6 +426,51 @@ object SmokeVerify {
         (if (ids17 == Set(100L, 1L, 3L)) "OK" else "BROKEN"))
     }
 
+    // 18. round-14 surface: the persisted int8 code store (QuantizedStore
+    // save → params/codes → stored probe ≡ on-the-fly probe) and the
+    // SHARED staged near-dup edge parquet feeding both triangle gates —
+    // q84's absolute slice must be a subset of the uncapped full-corpus
+    // closure, and (at this scale, where every doc_id < 2000 and max
+    // degree < 20) q84, q87, and a from-scratch uncapped run must agree.
+    {
+      val emb18 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val corpus18 = emb18.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+      val qs18 = emb18.filter(col("vec_id") % 50 === 0)
+      val store18 = java.nio.file.Files
+        .createTempDirectory("smoke-qstore").toString
+      graft.sources.QuantizedStore.save(corpus18, "vec_id", "embedding", store18)
+      val (mn18, mx18) = graft.sources.QuantizedStore.params(spark, store18)
+      def set18(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val stored18 = set18(graft.ops.Similarity.topKPerQueryQuantizedStored(
+        qs18, graft.sources.QuantizedStore.codes(spark, store18),
+        mn18, mx18, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "score"))
+      val fly18 = set18(graft.ops.Similarity.topKPerQueryQuantized(
+        qs18, corpus18, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "score"))
+      val dir18 = "/root/testdata/sf0.001"
+      def tri18(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val q84 = tri18(SparkEntry.queries("q84_triangles")(spark, dir18))
+      val q87 = tri18(SparkEntry.queries("q87_triangles_capped")(spark, dir18))
+      val scratch = tri18 {
+        graft.graph.GraphAnalytics.triangles(graft.ops.Dedup.simhashNearPairs(
+          graft.ops.Dedup.simhash(Testbed.graph(spark, dir18)
+            .collection("documents"), "doc_id", "text",
+            hash = graft.ops.BaseHash.Md5), maxDist = 6))
+      }
+      // q84's slice covers every sf0.001 doc_id, so it must EQUAL the
+      // from-scratch uncapped closure; q87's degree cap may legitimately
+      // drop hub triangles (it does at sf0.001), so subset — the cap's
+      // exactness is the oracle's job, the staging's fidelity is ours.
+      println(s"SMOKE18 quantStore+stagedTriangles: stored=${stored18.size} " +
+        s"parity=${stored18 == fly18} q84=${q84.size} " +
+        s"sliceExact=${q84 == scratch} capSubset=${q87.subsetOf(scratch)} => " +
+        (if (stored18.nonEmpty && stored18 == fly18 && q84.nonEmpty
+            && q84 == scratch && q87.subsetOf(scratch)) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

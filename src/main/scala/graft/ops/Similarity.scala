@@ -290,6 +290,20 @@ object Similarity {
       .agg(min(d(col("x"))).as("mn"), max(d(col("x"))).as("mx"))
       .orderBy("pos")
       .collect()
+    // Guard the two degenerate corpora that would otherwise fail far from
+    // their cause: an empty corpus (or all-null/empty vectors) collects
+    // zero rows — quantizeScalar would then build empty literal arrays and
+    // element_at would misbehave silently — and a dimension whose every
+    // value is NULL aggregates to null min/max, where getDouble would NPE.
+    require(mm.nonEmpty,
+      s"quantizationParams: corpus has no vector values in '$vecCol' " +
+        "(empty corpus, or every vector is null/empty)")
+    mm.foreach { r =>
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"quantizationParams: dimension ${r.get(0)} of '$vecCol' is NULL " +
+          "in every corpus row — drop or impute null entries before " +
+          "quantizing")
+    }
     (mm.map(_.getDouble(1)).toSeq, mm.map(_.getDouble(2)).toSeq)
   }
 
@@ -349,6 +363,42 @@ object Similarity {
     val hint = OpsUtil.gatedHint("topKPerQueryQuantized", "queries", e,
       maxBroadcastRows)
     val scored = prep(corpus, "a").join(hint(e), lit(true))
+      .select(col("id_a"), col("id_b"),
+        round(dotFold(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("score"))
+    rankTopK(scored, k)
+  }
+
+  /** Batched kNN probe over a PERSISTED int8 corpus
+    * ([[graft.sources.QuantizedStore]]): the corpus side scans stored
+    * 1-byte codes — the 4×-less-bandwidth scan the quantized path exists
+    * for — shifts them back from the on-disk −128 offset, and dequantizes
+    * under the STORED params; the query side quantize-dequantizes on the
+    * fly under those same params, exactly as [[topKPerQueryQuantized]]
+    * does. Identical IEEE operation order to the on-the-fly path, so for
+    * the same corpus this returns bit-identical results (pinned in
+    * OpsSpec) and q88 reuses q85's exact oracle. */
+  def topKPerQueryQuantizedStored(queries: DataFrame, codedCorpus: DataFrame,
+      mins: Seq[Double], maxs: Seq[Double], idCol: String, vecCol: String,
+      k: Int, maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val deqA = dequantizeScalar(
+      transform(col("codes"), c => c.cast("long") + 128L), mins, maxs)
+    val a = codedCorpus.select(col("id").cast("long").as("id_a"),
+      deqA.as("v_a"),
+      sqrt(aggregate(transform(deqA, x => x * x), lit(0.0), (s, v) => s + v))
+        .as("nrm_a"))
+      .filter(col("nrm_a") > 0)
+    val deqB = dequantizeScalar(
+      quantizeScalar(col(vecCol), mins, maxs), mins, maxs)
+    val b = OpsUtil.widen(queries)
+      .select(col(idCol).cast("long").as("id_b"), deqB.as("v_b"),
+        sqrt(aggregate(transform(deqB, x => x * x), lit(0.0), (s, v) => s + v))
+          .as("nrm_b"))
+      .filter(col("nrm_b") > 0)
+      .transform(graft.core.Lifecycle.stage(_))
+    val hint = OpsUtil.gatedHint("topKPerQueryQuantizedStored", "queries", b,
+      maxBroadcastRows)
+    val scored = a.join(hint(b), lit(true))
       .select(col("id_a"), col("id_b"),
         round(dotFold(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("score"))

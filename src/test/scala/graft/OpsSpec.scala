@@ -717,6 +717,52 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(recall >= 0.8, s"quantized recall $recall < 0.8")
   }
 
+  test("quantized store: int8 codes on disk, params round-trip, stored " +
+      "probe bit-identical to on-the-fly quantized kNN") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-qstore-spec").toString
+    graft.sources.QuantizedStore.save(corpus, "vec_id", "embedding", store)
+    // genuinely int8 on disk — the 4×-smaller-scan claim rests on the
+    // stored element type being 1 byte, not a widened integer
+    val codes = graft.sources.QuantizedStore.codes(spark, store)
+    assert(codes.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType)
+    val (mins, maxs) = graft.sources.QuantizedStore.params(spark, store)
+    val (m2, x2) = Similarity.quantizationParams(corpus, "embedding")
+    assert(mins == m2 && maxs == x2)
+    // the −128 disk shift + stored params reproduce the on-the-fly path
+    // EXACTLY (same IEEE op order) — q88 reuses q85's oracle on this basis
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    assert(rows(Similarity.topKPerQueryQuantizedStored(
+        queries, codes, mins, maxs, "vec_id", "embedding", k = 5))
+      == rows(Similarity.topKPerQueryQuantized(
+        queries, corpus, "vec_id", "embedding", k = 5)))
+  }
+
+  test("quantizationParams: empty corpus and all-null dimensions fail " +
+      "with clear errors, not NPE/silent misbehavior") {
+    val one = spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS id, array(1.0, 2.0) AS v")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.quantizationParams(one.filter(lit(false)), "v")
+    }
+    assert(e1.getMessage.contains("no vector values"))
+    val nullDim = spark.sql(
+      """SELECT CAST(1 AS BIGINT) AS id,
+                array(1.0, CAST(NULL AS DOUBLE)) AS v
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), array(2.0, CAST(NULL AS DOUBLE))""")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.quantizationParams(nullDim, "v")
+    }
+    assert(e2.getMessage.contains("NULL"))
+  }
+
   test("hashSplit: disjoint + exhaustive, deterministic under " +
       "repartitioning, proportional to weights, group keys move together") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
