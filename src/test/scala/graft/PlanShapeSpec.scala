@@ -208,6 +208,44 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"count ran ${atExec - before} jobs end-to-end, expected <= 6")
   }
 
+  test("q88 stored-codes probe: corpus side scans the int8 code store, " +
+      "never the float embedding parquet") {
+    // the 4×-scan-bandwidth claim is a PLAN property: the corpus side must
+    // read the QuantizedStore codes files with a tinyint-array ReadSchema.
+    // (The query side's small float scan is staged behind a checkpoint and
+    // so may not appear in the final plan at all — the corpus-scale scan
+    // is the one that matters.)
+    val plan = planOf("q88_knn_quantized_stored")
+    val codeScans = scanLines(plan, "graft-quant-store")
+    assert(codeScans.nonEmpty,
+      "corpus side does not scan the stored codes:\n" + plan.take(3000))
+    assert(codeScans.exists(_.contains("array<tinyint>")),
+      "codes scan is not tinyint:\n" + codeScans.mkString("\n"))
+    assert(scanLines(plan, "embeddings.parquet").isEmpty,
+      "a float embeddings scan leaked into the stored-codes probe plan:\n" +
+        scanLines(plan, "embeddings.parquet").mkString("\n"))
+  }
+
+  test("q84 bounded slice: both endpoint bounds are pushed down to the " +
+      "staged near-dup edge scan") {
+    // the absolute bound is what makes the uncapped gate constant-work at
+    // any corpus scale — it must prune at the parquet scan (row-group
+    // min/max stats), not filter post-scan. triangles() checkpoints its
+    // canonicalized edge frame, hiding the scan from the gate's final
+    // plan, so assert on the exact input frame the gate builds.
+    import org.apache.spark.sql.functions.col
+    val bound = SparkEntry.TriangleSliceBound
+    val edgeScans = scanLines(
+      SparkEntry.nearDupEdges(spark, dir)
+        .filter(col("id_a") < bound && col("id_b") < bound)
+        .queryExecution.executedPlan.toString,
+      "graft-neardup-edges")
+    assert(edgeScans.nonEmpty)
+    assert(edgeScans.exists(s => s.contains(s"LessThan(id_a,$bound)")
+        && s.contains(s"LessThan(id_b,$bound)")),
+      edgeScans.mkString("\n"))
+  }
+
   test("q34 ANN bucketing runs on the codegen'd projection kernel, " +
       "candidates on scalars") {
     // no object serde anywhere in the pair pipeline (the checkpointed
