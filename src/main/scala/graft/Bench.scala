@@ -207,6 +207,10 @@ object Bench {
       // measure the stored-codes probe (the scan-bandwidth win the
       // quantized path exists for), not the one-time coding write
       SparkEntry.quantizedCodesStore(spark, g.collection("embeddings"), sfDir)
+      // q89's appended store likewise: save+append cycle untimed, reps
+      // measure the steady-state probe over the grown store
+      SparkEntry.appendedQuantizedCodesStore(spark,
+        g.collection("embeddings"), sfDir)
     } catch { case e: Throwable =>
       buildErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       System.err.println(s"[bench] BUILD FAILED: ${buildErr.get.take(500)}")

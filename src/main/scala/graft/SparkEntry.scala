@@ -127,6 +127,27 @@ object SparkEntry {
       out
     })
 
+  /** q89's APPENDED int8 store: save q85's corpus slice below vec_id 150,
+    * then append the 150-200 remainder coded under the SAVED params —
+    * the incremental-ingest shape of a 100 TB coded corpus (codes written
+    * batch by batch, params fixed at save time, clamp semantics). Built
+    * once per (session, sf dir), warmed by Bench's build phase so q89's
+    * reps measure the steady-state probe over the appended store. */
+  private val appendedQuantStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def appendedQuantizedCodesStore(s: SparkSession,
+      emb: DataFrame, dir: String): String =
+    appendedQuantStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-quant-appended").toString
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+      sources.QuantizedStore.save(
+        corpus.filter(col("vec_id") < 150), "vec_id", "embedding", out)
+      sources.QuantizedStore.append(s, out,
+        corpus.filter(col("vec_id") >= 150), "vec_id", "embedding")
+      out
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- node overlay (S2/P1, §2.1/§2.2) --------------------------------
     "q01_nodes_per_collection" -> ((s, dir) => {
@@ -1018,6 +1039,26 @@ object SparkEntry {
       // slice).
       val emb = Testbed.graph(s, dir).collection("embeddings")
       val store = quantizedCodesStore(s, emb, dir)
+      val (mins, maxs) = sources.QuantizedStore.params(s, store)
+      ops.Similarity.topKPerQueryQuantizedStored(
+          emb.filter(col("vec_id") % 50 === 0),
+          sources.QuantizedStore.codes(s, store),
+          mins, maxs, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q89_knn_quantized_appended" -> ((s, dir) => {
+      // steady-state probe over an APPENDED int8 store: params fixed when
+      // the first 150-vector slice was saved, the 150-200 remainder
+      // appended as codes under those params (clamp semantics — values
+      // outside the saved range code to 0/255). Same probe shape as q88;
+      // the store's build cycle runs untimed (Bench build phase / first
+      // call). Exactly oracled: params over the SAVE slice only, coding
+      // over the union — all deterministic double math, so the whole
+      // incremental-ingest pipeline replays in SQL. Companion to q77/q80's
+      // IVF append split: q88 measures the snapshot store, q89 the grown
+      // one.
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val store = appendedQuantizedCodesStore(s, emb, dir)
       val (mins, maxs) = sources.QuantizedStore.params(s, store)
       ops.Similarity.topKPerQueryQuantizedStored(
           emb.filter(col("vec_id") % 50 === 0),
@@ -2036,6 +2077,7 @@ object SparkEntry {
     // q88 probes the PERSISTED codes; the math (params, codes, scores) is
     // bit-identical to q85's on-the-fly path, so the oracle is the same.
     "q88_knn_quantized_stored" -> KnnQuantizedOracleSql,
+    "q89_knn_quantized_appended" -> KnnQuantizedAppendedOracleSql,
     "q86_hash_split" ->
       """SELECT CASE
                   WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
@@ -2046,6 +2088,21 @@ object SparkEntry {
                 END AS split,
                 count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents GROUP BY 1 ORDER BY split""")
+
+  /** q89's oracle: q85's SQL with the quantization params computed over
+    * the SAVE slice only (vec_id < 150) — the appended remainder codes
+    * under those params by clamping, exactly as
+    * `QuantizedStore.append` does, so the grown store replays in SQL.
+    * Derived by one marker substitution (the `mm` CTE's FROM) so the two
+    * oracles cannot drift apart anywhere else. */
+  private lazy val KnnQuantizedAppendedOracleSql = {
+    val marker = "FROM c0, UNNEST(range(1, 65)) AS t(i)"
+    require(KnnQuantizedOracleSql.contains(marker),
+      "q85 oracle changed; update q89's params-slice substitution")
+    KnnQuantizedOracleSql.replace(marker,
+      "FROM (SELECT * FROM c0 WHERE vec_id < 150) csave, " +
+        "UNNEST(range(1, 65)) AS t(i)")
+  }
 
   /** Shared by q85 (on-the-fly quantization) and q88 (persisted codes):
     * the two engines' outputs are bit-identical by construction, so one

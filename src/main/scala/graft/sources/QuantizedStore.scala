@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{OpsUtil, Similarity}
@@ -62,4 +62,51 @@ object QuantizedStore {
     * on disk; [[Similarity.topKPerQueryQuantizedStored]] shifts back). */
   def codes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codes")
+
+  /** Append a batch coded under the STORED params — clamp semantics, the
+    * same asymmetric coding the query side uses, so appended codes stay
+    * comparable with the existing corpus and nothing is re-coded. This is
+    * the append posture of a 100 TB coded corpus: ingest writes 1-byte
+    * codes incrementally; a full re-code is an explicit, rare maintenance
+    * event (see [[drift]] for when). Deterministic end to end — an
+    * appended store replays exactly in SQL (params over the ORIGINAL save
+    * set, codes over the union), which is what gives q89 its exact
+    * oracle. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val (mins, maxs) = params(spark, path)
+    OpsUtil.widen(batch).select(col(idCol).cast("long").as("id"),
+        transform(
+          Similarity.quantizeScalar(col(vecCol), mins, maxs),
+          c => (c - 128).cast("byte")).as("codes"))
+      .write.mode(SaveMode.Append).parquet(s"$path/codes")
+  }
+
+  /** Param drift of a candidate batch against the stored params: the max
+    * over dimensions of the fraction of the stored range the batch's
+    * observed [min, max] extends OUTSIDE it (0 = fully in range; 0.5 = a
+    * dimension overshoots by half its coded range). Out-of-range values
+    * clamp to code 0/255 — correct but lossy — so drift is the signal for
+    * the rare re-code: the operational rule mirrors
+    * [[graft.ops.IvfIndex]]'s append drift gate (append freely below a
+    * threshold, re-code beyond it). One bounded aggregate over the batch;
+    * nothing corpus-sized is read. Degenerate stored dimensions
+    * (mx = mn, range 0) count any batch extension as full drift 1.0 —
+    * they carry no resolution to clamp into. */
+  def drift(spark: SparkSession, path: String, batch: DataFrame,
+      vecCol: String): Double = {
+    val (mins, maxs) = params(spark, path)
+    val (bmn, bmx) = Similarity.quantizationParams(
+      OpsUtil.widen(batch), vecCol)
+    require(bmn.length == mins.length,
+      s"batch dimension ${bmn.length} != stored dimension ${mins.length}")
+    mins.indices.map { i =>
+      val range = maxs(i) - mins(i)
+      val outside = math.max(0.0, mins(i) - bmn(i)) +
+        math.max(0.0, bmx(i) - maxs(i))
+      if (outside == 0.0) 0.0
+      else if (range == 0.0) 1.0
+      else outside / range
+    }.max
+  }
 }

@@ -744,6 +744,44 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
         queries, corpus, "vec_id", "embedding", k = 5)))
   }
 
+  test("quantized store append: batch codes under the SAVED params, " +
+      "drift gate flags out-of-range batches") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+    val save = corpus.filter(col("vec_id") < 150)
+    val batch = corpus.filter(col("vec_id") >= 150)
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-qappend-spec").toString
+    graft.sources.QuantizedStore.save(save, "vec_id", "embedding", store)
+    val (mins, maxs) = graft.sources.QuantizedStore.params(spark, store)
+    graft.sources.QuantizedStore.append(spark, store, batch,
+      "vec_id", "embedding")
+    // params must be UNCHANGED by append (fixed at save time)...
+    assert(graft.sources.QuantizedStore.params(spark, store) == (mins, maxs))
+    // ...and the appended rows must equal coding the batch under those
+    // saved params directly — clamp semantics, no re-code of anything
+    val stored = graft.sources.QuantizedStore.codes(spark, store)
+    assert(stored.count() == corpus.count())
+    val appendedRows = stored.join(batch.select(
+        col("vec_id").cast("long").as("id")), Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1)))
+    val directRows = batch.select(col("vec_id").cast("long").as("id"),
+        transform(Similarity.quantizeScalar(col("embedding"), mins, maxs),
+          c => (c - 128).cast("byte")).as("codes"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1)))
+    assert(appendedRows.toSeq == directRows.toSeq)
+    // drift: a batch inside the stored range reports 0; one shifted past
+    // the stored max reports the overshoot fraction
+    assert(graft.sources.QuantizedStore.drift(spark, store, save,
+      "embedding") == 0.0)
+    val shifted = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+    assert(graft.sources.QuantizedStore.drift(spark, store, shifted,
+      "embedding") > 0.5)
+  }
+
   test("quantizationParams: empty corpus and all-null dimensions fail " +
       "with clear errors, not NPE/silent misbehavior") {
     val one = spark.sql(
