@@ -241,6 +241,55 @@ object EventStreams {
       .start()
   }
 
+  /** Stream embeddings into a persisted int8 code store
+    * ([[graft.sources.QuantizedStore]]) — the streaming half of the
+    * incremental coded-corpus story (q89 is the batch half): each
+    * micro-batch is drift-checked against the params FIXED at save time
+    * and append-coded under them (clamp semantics), so the growing corpus
+    * stays probe-comparable without ever re-coding. A batch whose
+    * [[graft.sources.QuantizedStore.drift]] exceeds `maxDrift` is routed
+    * to `onDrift` instead of being clamp-coded — a full re-code rewrites
+    * the whole corpus and is an explicit maintenance event, never
+    * something a micro-batch triggers implicitly.
+    *
+    * Replay safety: parquet Append is not idempotent, so on top of the
+    * within-watermark id dedup each batch anti-joins the store's OWN id
+    * column (pruned scan — ids only) and appends only unseen ids; a
+    * replayed batch after a checkpoint restart re-drops to zero rows.
+    * Same `checkpointDir` contract as [[nearDupIngestStream]]. */
+  def quantizedIngestStream(embStream: DataFrame, storePath: String,
+      idCol: String, vecCol: String, tsCol: String = "ts",
+      watermark: String = "1 hour", maxDrift: Double = 0.25,
+      checkpointDir: Option[String] = None)(
+      onDrift: (DataFrame, Long, Double) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(embStream.isStreaming,
+      "quantizedIngestStream needs a streaming frame; call " +
+        "QuantizedStore.append directly for batch input")
+    val writer = embStream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+      .writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.toDF().join(
+          graft.sources.QuantizedStore.codes(spark, storePath)
+            .select(col("id").as("_stored_id")),
+          batch(idCol).cast("long") === col("_stored_id"), "left_anti")
+        // guard BEFORE drift(): quantizationParams refuses empty input,
+        // and an all-replayed batch legitimately arrives empty here
+        if (!fresh.isEmpty) {
+          val d = graft.sources.QuantizedStore.drift(
+            spark, storePath, fresh, vecCol)
+          if (d > maxDrift) onDrift(fresh, id, d)
+          else graft.sources.QuantizedStore.append(
+            spark, storePath, fresh, idCol, vecCol)
+        }
+      }
+      .start()
+  }
+
   /** Refresh every catalog table in `df`'s plan, in the SESSION THE THUNK
     * RESOLVED AGAINST. Needed for the `() => spark.table(name)` corpus
     * form: the sink's appends run on the micro-batch's cloned session and

@@ -268,6 +268,56 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(textOnly.count() == 1)
   }
 
+  test("quantizedIngestStream: appends code under SAVED params, replayed " +
+      "ids drop, drifted batch routes to onDrift without touching the store") {
+    import EventStreams.DocEmb
+    val store = java.nio.file.Files
+      .createTempDirectory("quant-ingest").toString
+    // seed: values spanning [0, 1] per dim fix the params
+    graft.sources.QuantizedStore.save(
+      Seq((100L, Seq(0f, 0f, 0f, 0f)), (101L, Seq(1f, 1f, 1f, 1f)))
+        .toDF("doc_id", "embedding"),
+      "doc_id", "embedding", store)
+    val (mins, maxs) = graft.sources.QuantizedStore.params(spark, store)
+    implicit val sq = spark.sqlContext
+    val drifted =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]
+    val mem = MemoryStream[DocEmb]
+    val q = EventStreams.quantizedIngestStream(mem.toDF(), store,
+      "doc_id", "embedding", maxDrift = 0.25) { (batch, _, d) =>
+      batch.select("doc_id").collect()
+        .foreach(r => drifted.add((r.getLong(0), d)))
+    }
+    try {
+      mem.addData(DocEmb(1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+        "in range", Seq(0.5f, 0.25f, 0f, 1f)))
+      q.processAllAvailable()
+      mem.addData(
+        // replayed id: must NOT append twice
+        DocEmb(1L, Timestamp.valueOf("2024-01-01 10:05:00"),
+          "replay", Seq(0.5f, 0.25f, 0f, 1f)),
+        // 10.0 on a [0,1] dim = drift 9.0 >> 0.25: diverted, not coded
+        DocEmb(2L, Timestamp.valueOf("2024-01-01 10:06:00"),
+          "drifted", Seq(10f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = graft.sources.QuantizedStore.codes(spark, store)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Byte](1)))
+    assert(stored.map(_._1).toSeq == Seq(1L, 100L, 101L),
+      s"store ids: ${stored.map(_._1).mkString(",")}")
+    // params unchanged by streaming appends, and doc 1's codes equal
+    // batch-coding it under those params directly
+    assert(graft.sources.QuantizedStore.params(spark, store) == (mins, maxs))
+    val direct = Seq((1L, Seq(0.5f, 0.25f, 0f, 1f)))
+      .toDF("doc_id", "embedding")
+      .select(transform(graft.ops.Similarity.quantizeScalar(
+          col("embedding"), mins, maxs), c => (c - 128).cast("byte")))
+      .collect()(0).getSeq[Byte](0)
+    assert(stored.find(_._1 == 1L).get._2 == direct)
+    assert(drifted.asScala.toSeq == Seq((2L, 9.0)),
+      s"drift routing: ${drifted.asScala.toSeq}")
+  }
+
   test("sessionize: gap split, ordering, totals") {
     implicit val s = spark
     val sessions = EventStreams.sessionize(events.toDS(), 3600 * 1000L)
