@@ -27,9 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  val Copies = 10
+  /** Copy count is env-overridable (default 10): the per-round probe runs
+    * at 10×; `SPARK_GRAFT_SCALE_COPIES=100` materializes a true 100× set
+    * for direct (not extrapolated) 100× evidence on selected probes. The
+    * pass bar scales with the data ratio (1.5 × copies — linear with
+    * host-noise margin, same slack as the original 15 for 10). */
+  val Copies: Int = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    require(n >= 2 && n <= 1000, s"copies must be in [2, 1000], got $n")
+    n
+  }
   val Offset = 100000000L
-  val MaxRatio = 15.0
+  val MaxRatio: Double = 1.5 * Copies
 
   /** The five most expensive ops of the r9 bench tail, plus the round-10
     * traversal additions (hydrated expand, set-oriented paths) — both
@@ -122,22 +131,41 @@ object ScaleSmoke {
   /** Run every probe against both directories (overlay build excluded
     * from walls, one warm rep then one measured rep per side — the probe
     * compares the same measurement discipline across scales). */
-  def run(spark: SparkSession, base: String, scaledDir: String): Seq[Probe] = {
+  def run(spark: SparkSession, base: String, scaledDir: String,
+      probes: Seq[String] = Probes): Seq[Probe] = {
     materialize(spark, base, scaledDir)
     // ingest + overlay cost excluded, as in Bench's build phase: the edge
     // frames AND the shared GraphX overlays are warmed BEFORE the cleanup
     // baseline snapshot, so the per-query cache hygiene below can never
     // evict them between the warm and measured reps (q40/q67 would
     // otherwise re-materialize the overlay inside the measured rep)
+    // Warm ONLY what the selected probes need — a subset run (the 100×
+    // path probes a budgeted selection) must not pay a 100× overlay or
+    // edge-staging build for operators it never touches. The memory-
+    // cached overlay MUST be warmed before the baseline snapshot below
+    // (per-probe cache hygiene would evict it between reps); the
+    // file-backed staged inputs (near-dup edge parquet, int8 code
+    // stores) are unpersist-immune, so warming them here only keeps the
+    // one-time staging write out of the first probe's WARM rep timing —
+    // measured reps never pay it either way.
+    val graphProbes = Set("q15", "q37", "q38", "q39", "q40", "q41", "q67",
+      "q68", "q75", "q76", "q78", "q79")
+    def selectedHas(prefixes: String*) =
+      probes.exists(p => prefixes.exists(p.startsWith))
     Seq(base, scaledDir).foreach { dir =>
-      graft.graph.GraphAnalytics.rddOverlay(Testbed.graph(spark, dir))
-      // the q87/q88 staged inputs (near-dup edge parquet, int8 code
-      // store) are one-time builds shared across reps — warm them here,
-      // as Bench's build phase does, so the measured rep times the
-      // probe/closing work, not the staging write
-      SparkEntry.nearDupEdges(spark, dir)
-      SparkEntry.quantizedCodesStore(spark,
-        Testbed.graph(spark, dir).collection("embeddings"), dir)
+      // the DocGraph itself (with its persisted edge frame) is shared by
+      // every probe and must predate the baseline snapshot
+      Testbed.graph(spark, dir)
+      if (probes.exists(p => graphProbes.exists(p.startsWith)))
+        graft.graph.GraphAnalytics.rddOverlay(Testbed.graph(spark, dir))
+      if (selectedHas("q84", "q87"))
+        SparkEntry.nearDupEdges(spark, dir)
+      if (selectedHas("q85", "q88"))
+        SparkEntry.quantizedCodesStore(spark,
+          Testbed.graph(spark, dir).collection("embeddings"), dir)
+      if (selectedHas("q89"))
+        SparkEntry.appendedQuantizedCodesStore(spark,
+          Testbed.graph(spark, dir).collection("embeddings"), dir)
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =
@@ -157,12 +185,19 @@ object ScaleSmoke {
       cleanup()
       (sec, rows, inMB, shufMB)
     }
-    Probes.map { name =>
+    probes.map { name =>
       val fn = SparkEntry.queries(name)
       try {
         val (bSec, bRows, bIn, bShuf) = time(fn(spark, base))
         val (sSec, sRows, sIn, sShuf) = time(fn(spark, scaledDir))
-        Probe(name, bSec, sSec, bRows, sRows, None, bIn, bShuf, sIn, sShuf)
+        val p = Probe(name, bSec, sSec, bRows, sRows, None, bIn, bShuf, sIn, sShuf)
+        // incremental line per probe: a long 100× run that dies mid-way
+        // still leaves every completed probe's numbers on stdout
+        println(f"SCALE ${p.name}%-28s base=${p.baseSec}%6.2fs " +
+          f"x$Copies=${p.scaledSec}%7.2fs ratio=${p.ratio}%5.2f " +
+          f"rows=${p.baseRows}%d->${p.scaledRows}%d " +
+          (if (p.ok) "OK" else "SLOW"))
+        p
       } catch { case e: Throwable =>
         Probe(name, 0, 0, 0, 0,
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300)))
@@ -187,12 +222,17 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
-    val results = run(spark, base, scaledDir)
-    results.foreach { p =>
-      println(f"SCALE ${p.name}%-28s base=${p.baseSec}%6.2fs " +
-        f"x10=${p.scaledSec}%7.2fs ratio=${p.ratio}%5.2f " +
-        f"rows=${p.baseRows}%d->${p.scaledRows}%d " +
-        p.err.fold(if (p.ok) "OK" else "SLOW")(e => s"ERR $e"))
+    // optional args: probe-name prefixes over ALL gate queries (a 100×
+    // run picks a budgeted subset; no args = the standard Probes list)
+    val selected =
+      if (args.isEmpty) Probes
+      else SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => args.exists(n.startsWith))
+    val results = run(spark, base, scaledDir, selected)
+    // completed probes already printed their SCALE line incrementally;
+    // surface the errored ones here
+    results.filter(_.err.nonEmpty).foreach { p =>
+      println(s"SCALE ${p.name} ERR ${p.err.get}")
     }
     results.filter(_.err.isEmpty).foreach { p =>
       println(f"SCALEB ${p.name}%-27s in=${p.baseInMB}%8.1f->" +
