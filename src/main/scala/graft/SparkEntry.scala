@@ -620,9 +620,15 @@ object SparkEntry {
     }),
     "q55_count_distinct_approx" -> ((s, dir) => {
       // A2 at the 100 TB shape: HLL++ sketch instead of the full-shuffle
-      // exact countDistinct. Not oracle-able (sketch estimate); rows-only.
-      doc(s, dir, "nation", "0").countRelationships("located_in",
-        Direction.Both, part = "b", distinct = true, approx = true)
+      // exact countDistinct. The sketch estimate itself is not
+      // SQL-replayable, so the gate runs the one-pass audit form: exact
+      // distinct + a 3·rsd bound verdict on the sketch — both
+      // deterministic, both hashed against the oracle (which computes
+      // the exact count and asserts the bound holds). The production
+      // sketch-only path stays countRelationships(approx = true),
+      // CI-pinned in RelQuerySpec.
+      doc(s, dir, "nation", "0").countRelationshipsAudit("located_in",
+        Direction.Both, part = "b")
     }),
     "q56_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: distinct 3-grams each training doc
@@ -1079,6 +1085,18 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
         .orderBy("split")
+    }),
+    "q90_kmv_distinct" -> ((s, dir) => {
+      // KMV distinct-count sketch: distinct parts per returnflag via the
+      // k-minimum-values estimator over the portable md5 hash. Unlike
+      // HLL++ (q55, bound-gated), the sketch state is a pure function of
+      // the input set, so the ESTIMATE itself hash-matches a DuckDB
+      // window replay — a deterministic, mergeable approx-distinct whose
+      // map-side partials ship ≤ k longs per group instead of every key.
+      val li = Testbed.graph(s, dir).collection("lineitem")
+      ops.Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_partkey"),
+          k = 256, hasher = ops.BaseHash.Md5)
+        .orderBy("l_returnflag")
     }))
 
   /** The document-graph overlay as DuckDB CTEs (no leading WITH): DISTINCT
@@ -1674,6 +1692,18 @@ object SparkEntry {
                 CAST(u.i * 100 AS BIGINT) AS "offset"
          FROM m, UNNEST(range(0, n // 100)) AS u(i)
          ORDER BY doc_id, frame_idx""",
+    // q55: the oracle computes the exact distinct (q08's relationship
+    // semantics) and asserts the sketch bound holds (hll_ok = 1); the
+    // gate's hll_ok is computed from Spark's actual HLL++ estimate, so a
+    // sketch drifting past 3·rsd breaks the hash.
+    "q55_count_distinct_approx" ->
+      """SELECT count(*) AS count_b_exact, CAST(1 AS BIGINT) AS hll_ok
+         FROM (
+           SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS k
+           FROM customer WHERE c_nationkey = 0
+           UNION
+           SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR)
+           FROM supplier WHERE s_nationkey = 0) t""",
     "q56_decontaminate" ->
       """WITH g AS (
            SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2087,7 +2117,31 @@ object SparkEntry {
                   ELSE 'test'
                 END AS split,
                 count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
-         FROM documents GROUP BY 1 ORDER BY split""")
+         FROM documents GROUP BY 1 ORDER BY split""",
+    // q90: the KMV sketch is a pure function of the distinct hash set,
+    // so the oracle ranks the same md5 hashes and reads off the k-th
+    // smallest; the estimator is written in the gate's exact IEEE op
+    // order ((k-1) / (kth / 2^60)) so the doubles collide bit-for-bit.
+    "q90_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT l_returnflag,
+                  CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS h
+           FROM lineitem),
+         r AS (
+           SELECT l_returnflag, h,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY h)
+                    AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS nd
+           FROM h)
+         SELECT l_returnflag,
+                CAST(LEAST(nd, 256) AS BIGINT) AS n_retained,
+                h AS kth_hash,
+                CASE WHEN nd < 256 THEN CAST(nd AS DOUBLE)
+                     ELSE 255.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0)
+                END AS estimate
+         FROM r WHERE rn = LEAST(nd, 256)
+         ORDER BY l_returnflag""")
 
   /** q89's oracle: q85's SQL with the quantization params computed over
     * the SAVE slice only (vec_id < 150) — the appended remainder codes

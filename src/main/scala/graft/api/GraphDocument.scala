@@ -70,6 +70,15 @@ final case class GraphDocument(g: DocGraph, ref: DocRef) {
     RelQueryPlanner.relCount(g, ref, q(Seq(types), dir, None, where), part,
       distinct, approx)
 
+  /** HLL++ vs exact distinct in one pass, with a bound verdict column —
+    * the gateable audit form of `countRelationships(approx = true)`; see
+    * [[RelQueryPlanner.relCountAudit]]. */
+  def countRelationshipsAudit(types: String = "*",
+      dir: Direction = Direction.Both, part: String = "r",
+      where: RelWhere = RelWhere(), rsd: Double = 0.05): DataFrame =
+    RelQueryPlanner.relCountAudit(g, ref, q(Seq(types), dir, None, where),
+      part, rsd)
+
   // --- bounded var-length traversal (beyond ref; Cypher *min..max) ------
   /** Nodes within `minHops..maxHops` hops of this document along matching
     * edges — [[RelQueryPlanner.expand]] anchored here: `(anchor_key,

@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Simhash64.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Simhash64(children(0))))
+    ext.injectFunction((FunctionIdentifier("kmv_distinct"),
+      KmvDistinct.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvDistinct.fromChildren(children)))
   }
 }
 
@@ -65,6 +69,11 @@ object GraftFunctions {
       "simhash64",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Simhash64(children(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvDistinct.fromChildren(children),
       "built-in")
   }
 }

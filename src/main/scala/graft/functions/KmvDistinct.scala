@@ -1,0 +1,147 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** KMV (k-minimum-values) distinct-count sketch over a 60-bit hash column
+  * — the DETERMINISTIC approximate-distinct: where HyperLogLog++'s
+  * register internals are engine-private (q55 gates a bound, not the
+  * estimate), KMV's entire state is "the k smallest distinct hash
+  * values", a pure function of the input SET — order-free, retry-free,
+  * partitioning-free — so the sketch itself replays bit-for-bit in any
+  * SQL engine that can rank hashes (the gate hashes the estimate against
+  * a DuckDB window query; see q90's oracle).
+  *
+  * Estimator (Bar-Yossef et al. 2002, "Counting distinct elements in a
+  * data stream"): with hashes uniform on [0, 2^60), the k-th smallest
+  * distinct hash h_(k) estimates density — distinct ≈ (k−1) / (h_(k) /
+  * 2^60), unbiased with relative std-error ≈ 1/√(k−2). Below k distinct
+  * values the sketch holds ALL of them and the count is exact.
+  *
+  * Output struct (all deterministic):
+  *   - `n_retained`  = min(k, distinct) — exact-mode indicator
+  *   - `kth_hash`    = largest retained hash (0 when empty)
+  *   - `estimate`    = exact count below k, else the KMV estimator,
+  *                     computed as `(k−1) / (kth / 2^60)` in that exact
+  *                     IEEE op order so any replaying engine lands on
+  *                     the identical double
+  *
+  * Scale shape: state is a bounded TreeSet ≤ k longs per group —
+  * map-side partial aggregation ships k·8 bytes per (partition, group)
+  * instead of every distinct key, the same traffic shape as HLL++ with
+  * a tunable accuracy/size dial, and sketches MERGE (union, keep k
+  * smallest), so per-file/per-day sketches roll up without rescanning —
+  * the 100 TB pattern this exists for. The expected input is the
+  * engine's portable base hash ([[graft.ops.BaseHash.Md5]], 60 bits,
+  * non-negative); any `bigint` in [0, 2^60) works.
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_distinct needs k >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kmv_distinct expects a bigint hash column, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_retained", LongType, nullable = false),
+    StructField("kth_hash", LongType, nullable = false),
+    StructField("estimate", DoubleType, nullable = false)))
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "kmv_distinct"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v)) buf.pollLast() }
+    // v >= current k-th smallest: cannot be among the k minima — drop.
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val n = buf.size.toLong
+    val kth = if (buf.isEmpty) 0L else buf.last.longValue()
+    val estimate =
+      if (n < k) n.toDouble
+      else (k - 1).toDouble / (kth.toDouble / KmvDistinct.TwoPow60)
+    InternalRow(n, kth, estimate)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+}
+
+object KmvDistinct {
+  /** 2^60 — exactly representable; the hash domain's upper bound. */
+  val TwoPow60: Double = 1152921504606846976.0
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[KmvDistinct].getName, "kmv_distinct")
+
+  /** SQL builder: `kmv_distinct(hash_col, k)` with `k` a foldable int. */
+  def fromChildren(children: Seq[Expression]): KmvDistinct = {
+    require(children.size == 2,
+      s"kmv_distinct expects (hash_col, k), got ${children.size} args")
+    val k = children(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"kmv_distinct: k must be an integer literal, got $other")
+    }
+    KmvDistinct(children(0), k)
+  }
+}

@@ -428,6 +428,42 @@ object RelQueryPlanner {
     else rels.agg(count(target).as(s"count_$part"))
   }
 
+  /** A2 audit surface: the HLL++ sketch AND the exact distinct in ONE
+    * aggregate pass over the same hydrated edge set, plus a verdict
+    * column `hll_ok` = 1 iff |approx − exact| ≤ max(3·rsd·exact, 1) —
+    * the 3-sigma envelope of the sketch's relative standard deviation,
+    * floored at ±1 so tiny cardinalities (where HLL++ is exact anyway)
+    * can't fail on integer rounding. This is what makes the sketch
+    * DETERMINISTICALLY gateable: no SQL engine replays Spark's HLL++
+    * registers, but any engine can compute the exact count and assert
+    * the bound — so the gate hashes (exact, hll_ok) and the oracle
+    * emits (exact, 1). NOT a production path (it pays the exact
+    * countDistinct shuffle the sketch exists to avoid); it exists for
+    * correctness gates and sketch-drift canaries on data samples. */
+  def relCountAudit(g: DocGraph, anchor: DocRef, q: RelQuery,
+      part: String = "r", rsd: Double = 0.05): DataFrame = {
+    val matched = matchEdges(g, anchor, q).transform(graft.core.Lifecycle.stage(_))
+    val (fromPfx, toPfx) = sidePrefixes(g, anchor, q, matched)
+    val rels = hydrateWith(g, anchor, q,
+      hydrateWith(g, anchor, q, matched, "_from", None, Some(fromPfx))
+        .transform(graft.core.Lifecycle.stage(_)),
+      "_to", None, Some(toPfx))
+    val target = part match {
+      case "r" | "*" => col("_rel_id")
+      case "b"       => col("other_key")
+      case "a"       => col("anchor_key")
+      case other     => sys.error(s"unknown count part: $other")
+    }
+    rels
+      .agg(countDistinct(target).as(s"count_${part}_exact"),
+        approx_count_distinct(target, rsd).as("_approx"))
+      .withColumn("hll_ok",
+        (abs(col("_approx") - col(s"count_${part}_exact")) <=
+          greatest(lit(3 * rsd) * col(s"count_${part}_exact"), lit(1.0)))
+          .cast("long"))
+      .drop("_approx")
+  }
+
   /** G19 `applyGraphRelationships`: materialize per-document adjacency
     * grouped by relationship type —
     * `_relationships: Map[type, Array[Struct(from, to)]]` — and join it back
