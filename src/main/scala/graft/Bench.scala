@@ -164,6 +164,7 @@ object Bench {
         "org.apache.spark.serializer.KryoSerializer")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Lifecycle.applyEnv(spark)
     // The per-query cleanup below unpersists lazily-localCheckpointed RDDs;
     // RDD.unpersist warns that each one "cannot be recomputed" — true but
     // irrelevant once the query's action has completed (nothing references

@@ -222,6 +222,14 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.RDD", org.apache.logging.log4j.Level.ERROR)
+    // SPARK_GRAFT_LIFECYCLE=reliable runs the SAME probes with stage
+    // materialization routed through Dataset.checkpoint to reliable
+    // storage — the cluster posture SCALE-100X.md names as the first
+    // switch on a real deployment (executor loss survival under dynamic
+    // allocation). The probe's job here is end-to-end evidence:
+    // identical rows to a `local` run of the same probes, and the wall
+    // cost of the reliable-write barrier measured rather than asserted.
+    graft.core.Lifecycle.applyEnv(spark)
     // optional args: probe-name prefixes over ALL gate queries (a 100×
     // run picks a budgeted subset; no args = the standard Probes list)
     val selected =

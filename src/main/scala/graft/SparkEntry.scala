@@ -1097,6 +1097,20 @@ object SparkEntry {
       ops.Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_partkey"),
           k = 256, hasher = ops.BaseHash.Md5)
         .orderBy("l_returnflag")
+    }),
+    "q91_kmv_rollup" -> ((s, dir) => {
+      // sketches as data: one KMV sketch per (returnflag, linestatus)
+      // shard, then a sketch-only rollup to returnflag — NO source
+      // rescan. The k-min-of-union property makes the rollup exactly
+      // equal to sketching the union directly, so this shares q90's
+      // oracle verbatim: the strongest possible check that per-shard
+      // sketch + rollup loses nothing.
+      val li = Testbed.graph(s, dir).collection("lineitem")
+      val shards = ops.Sketches.kmvShardSketches(li, Seq("l_returnflag"),
+        Seq("l_linestatus"), col("l_partkey"), k = 256,
+        hasher = ops.BaseHash.Md5)
+      ops.Sketches.kmvRollup(shards, Seq("l_returnflag"), k = 256)
+        .orderBy("l_returnflag")
     }))
 
   /** The document-graph overlay as DuckDB CTEs (no leading WITH): DISTINCT
@@ -2122,7 +2136,12 @@ object SparkEntry {
     // so the oracle ranks the same md5 hashes and reads off the k-th
     // smallest; the estimator is written in the gate's exact IEEE op
     // order ((k-1) / (kth / 2^60)) so the doubles collide bit-for-bit.
-    "q90_kmv_distinct" ->
+    // q91 (shard sketches + rollup) shares it verbatim: the k-min-of-
+    // union property makes the rollup equal the direct sketch exactly.
+    "q90_kmv_distinct" -> KmvDistinctOracleSql,
+    "q91_kmv_rollup" -> KmvDistinctOracleSql)
+
+  private lazy val KmvDistinctOracleSql =
       """WITH h AS (
            SELECT DISTINCT l_returnflag,
                   CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),
@@ -2141,7 +2160,7 @@ object SparkEntry {
                      ELSE 255.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0)
                 END AS estimate
          FROM r WHERE rn = LEAST(nd, 256)
-         ORDER BY l_returnflag""")
+         ORDER BY l_returnflag"""
 
   /** q89's oracle: q85's SQL with the quantization params computed over
     * the SAVE slice only (vec_id < 150) — the appended remainder codes

@@ -35,6 +35,20 @@ object Lifecycle {
 
   val ConfKey = "graft.lifecycle.checkpoint"
 
+  /** Honor `SPARK_GRAFT_LIFECYCLE` (and, for `reliable`,
+    * `SPARK_GRAFT_CHECKPOINT_DIR`, default /tmp/graft_ckpt) on the
+    * driver mains (Bench / Verify / ScaleSmoke) — mode-switch smoke
+    * runs without code edits, the way a cluster deployment would flip
+    * the same conf via spark-submit. */
+  def applyEnv(spark: org.apache.spark.sql.SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_LIFECYCLE").foreach { m =>
+      spark.conf.set(ConfKey, m)
+      if (m == "reliable")
+        spark.sparkContext.setCheckpointDir(
+          sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft_ckpt"))
+      println(s"[graft] lifecycle=$m (env)")
+    }
+
   private def mode(df: DataFrame): String = {
     val m = df.sparkSession.conf.get(ConfKey, "local")
     require(Set("local", "reliable", "off")(m),

@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmvDistinct.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvDistinct.fromChildren(children)))
+    ext.injectFunction((FunctionIdentifier("kmv_hashes"),
+      KmvHashes.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvHashes.fromChildren(children)))
   }
 }
 
@@ -74,6 +78,11 @@ object GraftFunctions {
       "kmv_distinct",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvDistinct.fromChildren(children),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_hashes",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvHashes.fromChildren(children),
       "built-in")
   }
 }

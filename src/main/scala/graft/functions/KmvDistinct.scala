@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** KMV (k-minimum-values) distinct-count sketch over a 60-bit hash column
   * — the DETERMINISTIC approximate-distinct: where HyperLogLog++'s
@@ -137,11 +137,86 @@ object KmvDistinct {
   def fromChildren(children: Seq[Expression]): KmvDistinct = {
     require(children.size == 2,
       s"kmv_distinct expects (hash_col, k), got ${children.size} args")
-    val k = children(1) match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"kmv_distinct: k must be an integer literal, got $other")
-    }
-    KmvDistinct(children(0), k)
+    KmvDistinct(children(0), literalK("kmv_distinct", children(1)))
+  }
+
+  private[functions] def literalK(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: k must be an integer literal, got $other")
+  }
+}
+
+/** [[KmvDistinct]]'s state, not its verdict: the retained k smallest
+  * distinct hashes as a SORTED `array<bigint>`. This is what makes KMV
+  * sketches first-class DATA — per-shard/per-day sketch columns persist,
+  * union into coarser slices ([[graft.ops.Sketches.kmvRollup]]: the k
+  * smallest of unioned k-min sets ARE the k-min set of the union), and
+  * re-estimate at any rollup level without touching the source rows.
+  * Same buffer discipline as [[KmvDistinct]]; only eval differs. */
+case class KmvHashes(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k >= 2, s"kmv_hashes needs k >= 2, got $k")
+
+  private val impl = KmvDistinct(child, k)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    impl.checkInputDataTypes()
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "kmv_hashes"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    impl.createAggregationBuffer()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    impl.update(buf, input)
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    impl.merge(buf, other)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 } // TreeSet: ascending
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    impl.serialize(buf)
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    impl.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvHashes =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvHashes =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildInternal(newChild: Expression): KmvHashes =
+    copy(child = newChild)
+}
+
+object KmvHashes {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[KmvHashes].getName, "kmv_hashes")
+
+  def fromChildren(children: Seq[Expression]): KmvHashes = {
+    require(children.size == 2,
+      s"kmv_hashes expects (hash_col, k), got ${children.size} args")
+    KmvHashes(children(0), KmvDistinct.literalK("kmv_hashes", children(1)))
   }
 }

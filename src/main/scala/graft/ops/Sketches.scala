@@ -46,6 +46,47 @@ object Sketches {
     } else kmvDistinctExact(df, groupCols, h, k)
   }
 
+  /** Per-shard KMV sketches as DATA: `groupCols* , shardCols* , sketch`
+    * with `sketch` the sorted `array<bigint>` of retained hashes
+    * ([[graft.functions.KmvHashes]]). This is the 100 TB accounting
+    * pattern: sketch each shard/day/source ONCE at ingest (one map-side-
+    * combined pass), persist the k·8-byte arrays, and answer every
+    * coarser distinct-count question from the sketches alone via
+    * [[kmvRollup]] — no source rescan, ever. Requires the native
+    * registration ([[graft.functions.GraftExtensions]]); there is no
+    * fallback because persisting EXACT distinct sets as "sketches" would
+    * silently store unbounded arrays. */
+  def kmvShardSketches(df: DataFrame, groupCols: Seq[String],
+      shardCols: Seq[String], key: Column, k: Int,
+      hasher: BaseHash = BaseHash.Xx): DataFrame = {
+    require(
+      graft.functions.GraftFunctions.registeredOnActiveSession("kmv_hashes"),
+      "kmvShardSketches needs the native kmv_hashes aggregate — register " +
+        "graft.functions.GraftExtensions on this session")
+    df.groupBy((groupCols ++ shardCols).map(col): _*)
+      .agg(call_function("kmv_hashes", hasher.full(key), lit(k))
+        .as("sketch"))
+  }
+
+  /** Merge shard sketches up to `groupCols` and re-estimate. EXACTLY
+    * equivalent to sketching the unioned rows directly (pinned in
+    * SketchesSpec): the k smallest of a union of per-shard k-min sets
+    * are the union's k-min set, because any hash a shard dropped was
+    * preceded by k smaller hashes in that same shard — still present.
+    * So rollups lose NOTHING relative to a full rescan, at any nesting
+    * depth — provided shard k ≥ rollup k (same k everywhere is the
+    * sane default; a shard sketched SMALLER than the rollup's k has
+    * genuinely discarded hashes the equivalence needs).
+    * Pure-Column (explode → distinct → rank): the input is
+    * #shards × k longs, noise even at thousands of shards; output
+    * columns match [[kmvDistinct]]. */
+  def kmvRollup(sketches: DataFrame, groupCols: Seq[String],
+      k: Int, sketchCol: String = "sketch"): DataFrame =
+    kmvDistinctExact(
+      sketches.select(groupCols.map(col) :+
+        explode(col(sketchCol)).as("_h"): _*),
+      groupCols, col("_h"), k)
+
   /** Registration-free parity reference: rank the full distinct hash set
     * per group and read off the k-th smallest — the same output columns
     * via the exact path (this IS the shape of q90's DuckDB oracle).

@@ -61,6 +61,30 @@ class SketchesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(native.map(_.toSeq).toSeq == fallback.map(_.toSeq).toSeq)
   }
 
+  test("shard sketches + rollup equal the direct sketch exactly") {
+    // 2 groups × 4 shards, values overlapping across shards so the
+    // rollup's distinct-union logic is actually exercised
+    val df = (0 until 4000)
+      .map(i => (i % 2L, s"s${(i / 2) % 4}", s"key_${i % 700}"))
+      .toDF("g", "shard", "v")
+    val direct = Sketches.kmvDistinct(df, Seq("g"), col("v"), k = 64,
+      hasher = BaseHash.Md5).orderBy("g").collect()
+    val shards = Sketches.kmvShardSketches(df, Seq("g"), Seq("shard"),
+      col("v"), k = 64, hasher = BaseHash.Md5)
+    assert(shards.count() == 8)
+    val rolled = Sketches.kmvRollup(shards, Seq("g"), k = 64)
+      .orderBy("g").collect()
+    assert(rolled.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+
+  test("sketch arrays are sorted ascending and bounded by k") {
+    val df = (0 until 300).map(i => ("g", s"key_$i")).toDF("g", "v")
+    val arr = Sketches.kmvShardSketches(df, Seq("g"), Nil, col("v"),
+      k = 32, hasher = BaseHash.Md5).collect()(0).getSeq[Long](1)
+    assert(arr.length == 32)
+    assert(arr == arr.sorted)
+  }
+
   test("nulls are skipped, not counted") {
     val df = Seq(("g", Some("a")), ("g", None), ("g", Some("b")))
       .toDF("g", "v")
