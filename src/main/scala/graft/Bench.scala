@@ -212,6 +212,13 @@ object Bench {
       // measure the steady-state probe over the grown store
       SparkEntry.appendedQuantizedCodesStore(spark,
         g.collection("embeddings"), sfDir)
+      // q92/q93's signature index and q94's appended one: the one-time
+      // corpus indexing runs here untimed, so the gates' reps measure the
+      // stored cross probes (the per-micro-batch cost at scale), not the
+      // index build
+      SparkEntry.signatureStorePath(spark, g.collection("documents"), sfDir)
+      SparkEntry.appendedSignatureStorePath(spark,
+        g.collection("documents"), sfDir)
     } catch { case e: Throwable =>
       buildErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       System.err.println(s"[bench] BUILD FAILED: ${buildErr.get.take(500)}")

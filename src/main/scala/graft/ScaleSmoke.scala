@@ -166,6 +166,12 @@ object ScaleSmoke {
       if (selectedHas("q89"))
         SparkEntry.appendedQuantizedCodesStore(spark,
           Testbed.graph(spark, dir).collection("embeddings"), dir)
+      if (selectedHas("q92", "q93"))
+        SparkEntry.signatureStorePath(spark,
+          Testbed.graph(spark, dir).collection("documents"), dir)
+      if (selectedHas("q94"))
+        SparkEntry.appendedSignatureStorePath(spark,
+          Testbed.graph(spark, dir).collection("documents"), dir)
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =

@@ -471,6 +471,62 @@ object SmokeVerify {
             && q84 == scratch && q87.subsetOf(scratch)) "OK" else "BROKEN"))
     }
 
+    // 19. round-14 signature index: store built from the real documents
+    // table, stored cross probes ≡ recompute blockers, and one indexed
+    // ingest micro-batch through the real streaming path (kept docs land
+    // in the sink AND grow the index).
+    {
+      val dir19 = java.nio.file.Files
+        .createTempDirectory("smoke-sigstore").toString
+      val store19 = s"$dir19/store"
+      val corpus19 = docs.filter(col("doc_id") % 7 =!= 0)
+      val batch19 = docs.filter(col("doc_id") % 7 === 0)
+      graft.sources.SignatureStore.save(corpus19, "doc_id", "text", store19)
+      def keyset(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mh19 = keyset(graft.sources.SignatureStore
+        .crossCandidatePairsStored(spark, store19, batch19, "doc_id", "text"))
+      val mh19d = keyset(graft.ops.Dedup.crossCandidatePairs(
+        batch19, corpus19, "doc_id", "text"))
+      val sh19 = keyset(graft.sources.SignatureStore
+        .crossSimhashNearPairsStored(spark, store19, batch19, "doc_id", "text"))
+      val sh19d = keyset(graft.ops.Dedup.crossSimhashNearPairs(
+        batch19, corpus19, "doc_id", "text"))
+      val sink19 = s"$dir19/sink"
+      val before19 = graft.sources.SignatureStore.sigs(spark, store19).count()
+      implicit val sq = spark.sqlContext
+      import spark.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.EventStreams.Doc]
+      val dupText = corpus19.orderBy("doc_id").limit(1)
+        .select("text").collect().head.getString(0)
+      mem.addData(
+        graft.streaming.EventStreams.Doc(900000001L,
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), dupText),
+        graft.streaming.EventStreams.Doc(900000002L,
+          java.sql.Timestamp.valueOf("2024-01-01 10:01:00"),
+          "a genuinely fresh smoke nineteen document unlike the corpus"))
+      val q19 = graft.streaming.EventStreams.nearDupIngestStreamIndexed(
+        mem.toDF(), store19, "doc_id", "text") { (clean, _) =>
+        clean.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(sink19)
+      }
+      val kept19 =
+        try {
+          q19.processAllAvailable()
+          spark.read.parquet(sink19).select("doc_id")
+            .collect().map(_.getLong(0)).toSet
+        } finally q19.stop()
+      val after19 = graft.sources.SignatureStore.sigs(spark, store19).count()
+      println(s"SMOKE19 sigStore: mhPairs=${mh19.size} mhParity=${mh19 == mh19d} " +
+        s"shPairs=${sh19.size} shParity=${sh19 == sh19d} " +
+        s"ingestKept=$kept19 indexGrew=${after19 - before19} => " +
+        (if (mh19.nonEmpty && mh19 == mh19d && sh19 == sh19d
+            && kept19 == Set(900000002L) && after19 - before19 == 1)
+          "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

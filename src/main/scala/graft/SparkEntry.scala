@@ -148,6 +148,46 @@ object SparkEntry {
       out
     })
 
+  /** q92/q93's persisted near-dup signature index: q66/q73's corpus slice
+    * (doc_id % 7 != 0) indexed ONCE per (session, sf dir) via
+    * [[sources.SignatureStore.save]] under the md5 base hash — the stored
+    * probes then read only the index (bands / chunks / per-candidate hs),
+    * never the corpus text, and share q66/q73's exact oracles because
+    * stored signatures ≡ recomputed signatures bit-for-bit. Warmed by
+    * Bench's build phase so the gate reps measure the stored probe. */
+  private val sigStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def signatureStorePath(s: SparkSession, docs: DataFrame,
+      dir: String): String =
+    sigStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sig-store").toString
+      sources.SignatureStore.save(docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", out, hash = ops.BaseHash.Md5)
+      out
+    })
+
+  /** q94's APPENDED signature index: two-thirds of the corpus slice saved,
+    * the last third appended — the rolling-ingest shape. Because the
+    * signature params carry no corpus statistics (unlike q89's
+    * quantization min/max), the appended store is BIT-IDENTICAL to a full
+    * rebuild, so q94 shares q66's oracle verbatim: the strongest check
+    * that incremental indexing loses nothing. */
+  private val appendedSigStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def appendedSignatureStorePath(s: SparkSession,
+      docs: DataFrame, dir: String): String =
+    appendedSigStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-sig-appended").toString
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      sources.SignatureStore.save(corpus.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", out, hash = ops.BaseHash.Md5)
+      sources.SignatureStore.append(s, out,
+        corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      out
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- node overlay (S2/P1, §2.1/§2.2) --------------------------------
     "q01_nodes_per_collection" -> ((s, dir) => {
@@ -1111,6 +1151,45 @@ object SparkEntry {
         hasher = ops.BaseHash.Md5)
       ops.Sketches.kmvRollup(shards, Seq("l_returnflag"), k = 256)
         .orderBy("l_returnflag")
+    }),
+    "q92_cross_minhash_stored" -> ((s, dir) => {
+      // q66's cross-corpus MinHash probe against the PERSISTED signature
+      // index: the batch bands broadcast against the stored band table and
+      // Jaccard-verify against stored shingle hashes — no corpus text is
+      // read, no corpus row re-hashed (the per-micro-batch 100 TB scan the
+      // recompute blocker implies at scale). Stored signatures are
+      // bit-identical to recomputed ones, so q66's oracle applies
+      // verbatim — the index round-trip is hash-verified end to end.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = signatureStorePath(s, docs, dir)
+      sources.SignatureStore.crossCandidatePairsStored(s, path,
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          minJaccard = 0.5, maxNewBucket = 200)
+        .orderBy("id_a", "id_b")
+    }),
+    "q93_cross_simhash_stored" -> ((s, dir) => {
+      // q73's cross-corpus SimHash probe against the stored chunk index —
+      // same oracle as q73 (pigeonhole full recall means the oracle needs
+      // no blocking simulation, stored or not).
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = signatureStorePath(s, docs, dir)
+      sources.SignatureStore.crossSimhashNearPairsStored(s, path,
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q94_cross_minhash_appended" -> ((s, dir) => {
+      // q92 against an index built INCREMENTALLY (save two-thirds, append
+      // the rest): signature params are pure config, so append ≡ rebuild
+      // bit-for-bit and q66's oracle still applies verbatim — the
+      // incremental-ingest path is exactly as verified as the snapshot
+      // build.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = appendedSignatureStorePath(s, docs, dir)
+      sources.SignatureStore.crossCandidatePairsStored(s, path,
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          minJaccard = 0.5, maxNewBucket = 200)
+        .orderBy("id_a", "id_b")
     }))
 
   /** The document-graph overlay as DuckDB CTEs (no leading WITH): DISTINCT
@@ -1546,47 +1625,7 @@ object SparkEntry {
                 round(r * (SELECT count(*) FROM nodes) / (SELECT sum(r) FROM r5), 4)
                   AS pagerank
          FROM r5 ORDER BY pagerank DESC, doc_key LIMIT 20""",
-    "q66_cross_minhash" ->
-      """WITH sh AS (
-           SELECT CAST(doc_id AS BIGINT) AS id,
-                  list_sort(list_distinct(list_transform(
-                    CASE WHEN length(text) >= 3
-                         THEN list_distinct(list_transform(range(1, length(text) - 1),
-                                i -> substr(text, CAST(i AS INT), 3)))
-                         ELSE [text] END,
-                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
-                         & 2147483647))) AS hs
-           FROM documents),
-         sig AS (
-           SELECT id, hs, list_transform(range(0, 16), s ->
-             list_min(list_transform(hs, h ->
-               ((((s + 1) * 2654435761) % 2147483647 + 1) * h
-                + ((s + 1) * 972663749) % 2147483647) % 2147483647))) AS sig
-           FROM sh),
-         banded AS (
-           SELECT id, CAST(b AS INT) AS band,
-             CAST(concat('0x', substr(md5(concat(b, ':',
-               array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ','))), 1, 15))
-               AS BIGINT) AS bhash
-           FROM sig, range(0, 4) t(b)),
-         cb AS (SELECT * FROM banded WHERE id % 7 != 0),
-         nb AS (
-           SELECT band, bhash, id FROM (
-             SELECT *, count(*) OVER (PARTITION BY band, bhash) AS bucket_n
-             FROM banded WHERE id % 7 = 0)
-           WHERE bucket_n <= 200),
-         pairs AS (
-           SELECT DISTINCT cb.id AS id_a, nb.id AS id_b
-           FROM cb JOIN nb USING (band, bhash)),
-         verified AS (
-           SELECT id_a, id_b, round(
-               CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-               / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4)
-             AS jaccard
-           FROM pairs JOIN sh ha ON ha.id = pairs.id_a
-                      JOIN sh hb ON hb.id = pairs.id_b)
-         SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
-         ORDER BY id_a, id_b""",
+    "q66_cross_minhash" -> CrossMinhashOracleSql,
     "q67_pagerank_converged" ->
       convergedPrOracle(r0Sql = "1.0", resetSql = "0.15"),
     "q68_personalized_pagerank" ->
@@ -1900,29 +1939,7 @@ object SparkEntry {
                     AS cum
            FROM documents)
          WHERE cum - n < 800 ORDER BY doc_id""",
-    "q73_cross_simhash" ->
-      """WITH hs AS (
-           SELECT CAST(doc_id AS BIGINT) AS id,
-                  list_transform(
-                    CASE WHEN length(text) >= 3
-                         THEN list_distinct(list_transform(range(1, length(text) - 1),
-                                i -> substr(text, CAST(i AS INT), 3)))
-                         ELSE [text] END,
-                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
-           FROM documents),
-         sig AS (
-           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
-             CASE WHEN list_sum(list_transform(h, x ->
-                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
-                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
-             AS simhash
-           FROM hs)
-         SELECT c.id AS id_a, n.id AS id_b,
-                CAST(bit_count(xor(c.simhash, n.simhash)) AS INT) AS hamming
-         FROM sig c, sig n
-         WHERE c.id % 7 != 0 AND n.id % 7 = 0
-           AND bit_count(xor(c.simhash, n.simhash)) <= 3
-         ORDER BY id_a, id_b""",
+    "q73_cross_simhash" -> CrossSimhashOracleSql,
     "q74_unigram_logprob" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS t
@@ -2139,7 +2156,90 @@ object SparkEntry {
     // q91 (shard sketches + rollup) shares it verbatim: the k-min-of-
     // union property makes the rollup equal the direct sketch exactly.
     "q90_kmv_distinct" -> KmvDistinctOracleSql,
-    "q91_kmv_rollup" -> KmvDistinctOracleSql)
+    "q91_kmv_rollup" -> KmvDistinctOracleSql,
+    // The stored/appended signature-index probes produce bit-identical
+    // output to their recompute twins (stored signatures ≡ recomputed
+    // signatures — pure per-doc functions of fixed params), so they share
+    // q66/q73's oracles verbatim: the index round-trip and the
+    // incremental append are hash-verified end to end.
+    "q92_cross_minhash_stored" -> CrossMinhashOracleSql,
+    "q93_cross_simhash_stored" -> CrossSimhashOracleSql,
+    "q94_cross_minhash_appended" -> CrossMinhashOracleSql)
+
+  /** q66's oracle — the full MinHash/LSH cross pipeline replayed over the
+    * portable md5 base hash: shingles → 31-bit hashes → 16-permutation
+    * signature → 4 band hashes → new-side bucket cap → band join → exact
+    * Jaccard verify. Shared verbatim by q92 (stored index) and q94
+    * (appended index), whose outputs are bit-identical by construction. */
+  private val CrossMinhashOracleSql =
+    """WITH sh AS (
+         SELECT CAST(doc_id AS BIGINT) AS id,
+                list_sort(list_distinct(list_transform(
+                  CASE WHEN length(text) >= 3
+                       THEN list_distinct(list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INT), 3)))
+                       ELSE [text] END,
+                  s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                       & 2147483647))) AS hs
+         FROM documents),
+       sig AS (
+         SELECT id, hs, list_transform(range(0, 16), s ->
+           list_min(list_transform(hs, h ->
+             ((((s + 1) * 2654435761) % 2147483647 + 1) * h
+              + ((s + 1) * 972663749) % 2147483647) % 2147483647))) AS sig
+         FROM sh),
+       banded AS (
+         SELECT id, CAST(b AS INT) AS band,
+           CAST(concat('0x', substr(md5(concat(b, ':',
+             array_to_string(sig[CAST(b*4+1 AS INT):CAST(b*4+4 AS INT)], ','))), 1, 15))
+             AS BIGINT) AS bhash
+         FROM sig, range(0, 4) t(b)),
+       cb AS (SELECT * FROM banded WHERE id % 7 != 0),
+       nb AS (
+         SELECT band, bhash, id FROM (
+           SELECT *, count(*) OVER (PARTITION BY band, bhash) AS bucket_n
+           FROM banded WHERE id % 7 = 0)
+         WHERE bucket_n <= 200),
+       pairs AS (
+         SELECT DISTINCT cb.id AS id_a, nb.id AS id_b
+         FROM cb JOIN nb USING (band, bhash)),
+       verified AS (
+         SELECT id_a, id_b, round(
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))), 4)
+           AS jaccard
+         FROM pairs JOIN sh ha ON ha.id = pairs.id_a
+                    JOIN sh hb ON hb.id = pairs.id_b)
+       SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+       ORDER BY id_a, id_b"""
+
+  /** q73's oracle — SimHash signatures over md5 shingle hashes, brute-force
+    * Hamming filter (the pigeonhole chunk blocking is provably full-recall,
+    * so the oracle needs no blocking simulation). Shared verbatim by q93
+    * (stored chunk index). */
+  private val CrossSimhashOracleSql =
+    """WITH hs AS (
+         SELECT CAST(doc_id AS BIGINT) AS id,
+                list_transform(
+                  CASE WHEN length(text) >= 3
+                       THEN list_distinct(list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INT), 3)))
+                       ELSE [text] END,
+                  s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+         FROM documents),
+       sig AS (
+         SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+           CASE WHEN list_sum(list_transform(h, x ->
+                  CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+           AS simhash
+         FROM hs)
+       SELECT c.id AS id_a, n.id AS id_b,
+              CAST(bit_count(xor(c.simhash, n.simhash)) AS INT) AS hamming
+       FROM sig c, sig n
+       WHERE c.id % 7 != 0 AND n.id % 7 = 0
+         AND bit_count(xor(c.simhash, n.simhash)) <= 3
+       ORDER BY id_a, id_b"""
 
   private lazy val KmvDistinctOracleSql =
       """WITH h AS (

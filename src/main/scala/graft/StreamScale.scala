@@ -1,0 +1,180 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Doc
+
+/** Streaming scale probe — the per-MICRO-BATCH cost of near-dup ingest at
+  * 1× vs 10× corpus, for both ingest variants:
+  *
+  *   - `recompute` ([[EventStreams.nearDupIngestStream]]): every
+  *     corpus-facing check re-reads and re-hashes the corpus per batch.
+  *     Its per-batch wall should track corpus size — correct, but the
+  *     form that cannot survive 100 TB (a per-batch full-corpus scan).
+  *   - `indexed` ([[EventStreams.nearDupIngestStreamIndexed]] over a
+  *     [[graft.sources.SignatureStore]]): the corpus is indexed ONCE
+  *     (untimed build, the "load once, ingest forever" accounting);
+  *     per-batch work is the batch's own signatures plus narrow index
+  *     joins. Its per-batch wall should be near-FLAT in corpus size —
+  *     that flatness is the probe's pass bar, and the entire reason the
+  *     signature store exists.
+  *
+  * Method: the SAME fixed-size batches (drawn deterministically from the
+  * BASE corpus, so batch content is identical at both scales) stream
+  * through each variant against the 1× and 10× corpora — one warm batch,
+  * `MeasuredBatches` measured, median per-batch wall compared. Batch
+  * composition exercises all three drop paths (exact digest, MinHash,
+  * SimHash) plus a kept-fresh remainder, and the kept-id sets must agree
+  * between the two variants at every scale (stored ≡ recompute parity,
+  * asserted here end-to-end on top of SignatureStoreSpec's unit parity).
+  *
+  * Pass bar: indexed ratio ≤ 3× for 10× data (flat + host noise; the
+  * recompute ratio is REPORTED as the contrast, not gated — measuring
+  * its growth is the point), parity holds, kept > 0. Output committed
+  * per-round as STREAMSCALE_r*.md.
+  */
+object StreamScale {
+
+  val WarmBatches = 1
+  val MeasuredBatches = 3
+  val IndexedMaxRatio = 3.0
+
+  /** Deterministic batch `b`: 100 exact corpus dups, 50 near dups (one
+    * appended word), 50 fresh docs unique to this batch. Built from base
+    * corpus texts passed in (bounded driver-side slice). */
+  def mkBatch(b: Int, baseTexts: Seq[String]): Seq[Doc] = {
+    val t0 = 1700000000000L + b * 3600000L
+    def ts(i: Int) = new Timestamp(t0 + i * 1000L)
+    val ids = Iterator.from(0)
+    def id(i: Int) = 2000000000L + b * 1000L + i
+    val exact = (0 until 100).map(i =>
+      Doc(id(ids.next()), ts(i), baseTexts(i % baseTexts.size)))
+    val near = (0 until 50).map(i =>
+      Doc(id(ids.next()), ts(100 + i),
+        baseTexts((i + 7) % baseTexts.size) + s" trailing"))
+    val fresh = (0 until 50).map(i =>
+      Doc(id(ids.next()), ts(150 + i),
+        s"probe batch $b fresh document $i carrying its own unmistakably " +
+          s"unique payload marker x${b}y${i}z end"))
+    exact ++ near ++ fresh
+  }
+
+  final case class Run(perBatchSec: Seq[Double], keptIds: Set[Long]) {
+    def median: Double = {
+      val s = perBatchSec.sorted
+      s(s.size / 2)
+    }
+  }
+
+  /** Drive `variant` ("recompute" | "indexed") against the corpus at
+    * `docsPath`. Store/working-dir builds are untimed; each addData →
+    * processAllAvailable round-trip is one measured micro-batch. */
+  def runVariant(spark: SparkSession, variant: String, docsPath: String,
+      baseTexts: Seq[String]): Run = {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory(s"streamscale-$variant").toString
+    val sinkDir = s"$work/sink"
+    val kept = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val sink: (DataFrame, Long) => Unit = (clean, _) => {
+      clean.select(col("doc_id"), col("ts"), col("text"))
+        .write.mode("append").parquet(sinkDir)
+      clean.select("doc_id").collect().foreach(r => kept.add(r.getLong(0)))
+    }
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = variant match {
+      case "recompute" =>
+        // production shape: the corpus dir grows by the sink's appends,
+        // the thunk re-lists it per batch
+        val corpusDir = s"$work/corpus"
+        spark.read.parquet(docsPath).select(
+            col("doc_id"), lit(new Timestamp(1690000000000L)).as("ts"),
+            col("text"))
+          .write.parquet(corpusDir)
+        EventStreams.nearDupIngestStream(mem.toDF(),
+          () => spark.read.parquet(corpusDir), "doc_id", "text") {
+          (clean, id) =>
+            sink(clean, id)
+            clean.select(col("doc_id"), col("ts"), col("text"))
+              .write.mode("append").parquet(corpusDir)
+        }
+      case "indexed" =>
+        val storePath = s"$work/sigstore"
+        graft.sources.SignatureStore.save(
+          spark.read.parquet(docsPath), "doc_id", "text", storePath)
+        EventStreams.nearDupIngestStreamIndexed(mem.toDF(), storePath,
+          "doc_id", "text")(sink)
+    }
+    try {
+      val walls = (0 until WarmBatches + MeasuredBatches).map { b =>
+        mem.addData(mkBatch(b, baseTexts): _*)
+        val t = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t) / 1e9
+      }
+      import scala.jdk.CollectionConverters._
+      Run(walls.drop(WarmBatches), kept.asScala.toSet)
+    } finally q.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/tmp/graft_scale10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.core.Lifecycle.applyEnv(spark)
+    ScaleSmoke.materialize(spark, base, scaledDir)
+    // batch content comes from the BASE corpus at both scales, so the
+    // measured delta is corpus size alone (the 10× corpus CONTAINS copy
+    // 0 = the base corpus verbatim, so the drop semantics are identical)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val baseTexts = spark.read.parquet(s"$base/documents.parquet")
+      .orderBy("doc_id").limit(120)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val sides = Seq("base" -> s"$base/documents.parquet",
+      "x10" -> s"$scaledDir/documents.parquet")
+    val results = for (variant <- Seq("recompute", "indexed")) yield {
+      val runs = sides.map { case (label, path) =>
+        val r = runVariant(spark, variant, path, baseTexts)
+        println(f"STREAMBATCH $variant%-10s $label%-5s " +
+          f"per-batch=[${r.perBatchSec.map(s => f"$s%.2f").mkString(", ")}]s " +
+          f"median=${r.median}%.2fs kept=${r.keptIds.size}")
+        r
+      }
+      val Seq(b, s) = runs
+      val ratio = s.median / math.max(b.median, 1e-9)
+      println(f"STREAMSCALE $variant%-10s base=${b.median}%5.2fs/batch " +
+        f"x10=${s.median}%5.2fs/batch ratio=$ratio%5.2f " +
+        f"kept=${b.keptIds.size}->${s.keptIds.size}")
+      (variant, b, s, ratio)
+    }
+    val Seq((_, rb, rs, _), (_, ib, is, iRatio)) = results
+    // stored ≡ recompute parity, end-to-end at both scales
+    val parity = rb.keptIds == ib.keptIds && rs.keptIds == is.keptIds
+    if (!parity)
+      println(s"STREAMSCALE PARITY MISMATCH recompute-vs-indexed: " +
+        s"base ${rb.keptIds.size}/${ib.keptIds.size} " +
+        s"x10 ${rs.keptIds.size}/${is.keptIds.size}")
+    val pass = parity && ib.keptIds.nonEmpty && iRatio <= IndexedMaxRatio
+    println(s"STREAMSCALE ${if (pass) "PASS" else "FAIL"} " +
+      s"(indexed bar ${IndexedMaxRatio}x for 10x corpus; " +
+      "recompute ratio reported as contrast)")
+    spark.stop()
+  }
+}

@@ -304,7 +304,7 @@ object Dedup {
     * bit-identical. The 64 signature bits split into `nChunks` contiguous
     * chunks (width 64/nChunks, the remainder spread one bit at a time);
     * `nChunks = 4` reproduces the classic 16-bit scheme exactly. */
-  private def simhashChunks(df: DataFrame, idC: String,
+  private[graft] def simhashChunks(df: DataFrame, idC: String,
       sigC: String, nChunks: Int = 4): DataFrame =
     (0 until nChunks).map { c =>
       val lo = c * 64 / nChunks
@@ -328,7 +328,7 @@ object Dedup {
     * now throws where it previously returned silent partial-recall
     * results. A caller that really wants a larger radius was getting
     * wrong answers before; failing loudly is the fix, not a regression. */
-  private def chunksFor(maxDist: Int): Int = {
+  private[graft] def chunksFor(maxDist: Int): Int = {
     require(maxDist >= 0 && maxDist <= 15,
       s"maxDist must be in [0, 15], got $maxDist (chunk blocking needs " +
         "maxDist+1 chunks; past 15 the buckets approach a cross join)")

@@ -241,6 +241,57 @@ object EventStreams {
       .start()
   }
 
+  /** [[nearDupIngestStream]] against a persisted signature index
+    * ([[graft.sources.SignatureStore]]) instead of the corpus itself —
+    * the form that survives 100 TB. The thunk-based variant re-shingles
+    * and re-hashes the ENTIRE corpus every micro-batch (its cross
+    * blockers are recompute ops); here every corpus-facing check — exact
+    * digest, MinHash/LSH, SimHash — reads only the narrow stored index,
+    * and after the sink accepts a cleaned batch its signatures are
+    * APPENDED to the index, so batch N+1 deduplicates against batch N's
+    * output exactly as the thunk variant does. Per-batch cost scales
+    * with the batch and its bucket collisions, not with corpus size —
+    * `graft.StreamScale` measures the two variants side by side at 1×
+    * and 10× corpus to pin exactly this.
+    *
+    * Ordering: the sink runs BEFORE the index append. A crash between
+    * the two replays the batch into the sink (its signatures never
+    * landed, so the replay passes dedup) — duplicates-on-replay, never
+    * silent loss; make the sink idempotent by id (or write doc store and
+    * index in one transaction) for exactly-once. A replayed batch whose
+    * append DID land re-drops to zero via the stored digests, and
+    * [[graft.sources.SignatureStore.append]] itself skips stored ids, so
+    * the index never double-counts. Same `checkpointDir` contract as
+    * [[nearDupIngestStream]]. */
+  def nearDupIngestStreamIndexed(docStream: DataFrame, storePath: String,
+      idCol: String, textCol: String, tsCol: String = "ts",
+      watermark: String = "1 hour", minJaccard: Double = 0.5,
+      simhashMaxDist: Int = 3, checkpointDir: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docStream.isStreaming,
+      "nearDupIngestStreamIndexed needs a streaming frame; call " +
+        "SignatureStore.dropStoredDups + append directly for batch input")
+    val key = "_graft_text_key"
+    val writer = docStream
+      .withColumn(key, unhex(md5(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(key)
+      .drop(key)
+      .writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val clean = graft.core.Lifecycle.stage(
+          graft.sources.SignatureStore.dropStoredDups(spark, storePath,
+            batch.toDF(), idCol, textCol, minJaccard, simhashMaxDist))
+        sink(clean, id)
+        graft.sources.SignatureStore.append(spark, storePath, clean,
+          idCol, textCol)
+      }
+      .start()
+  }
+
   /** Stream embeddings into a persisted int8 code store
     * ([[graft.sources.QuantizedStore]]) — the streaming half of the
     * incremental coded-corpus story (q89 is the batch half): each
