@@ -46,7 +46,12 @@ object StreamScale {
 
   /** Deterministic batch `b`: 100 exact corpus dups, 50 near dups (one
     * appended word), 50 fresh docs unique to this batch. Built from base
-    * corpus texts passed in (bounded driver-side slice). */
+    * corpus texts passed in (bounded driver-side slice). Fresh docs are
+    * gibberish-word payloads seeded by (b, i, word position) — char
+    * trigrams across batches stay disjoint, so every batch's fresh docs
+    * survive BOTH blockers and the append path is exercised per measured
+    * batch (English filler would near-dup against the previous batch's
+    * fresh docs and starve the appends after batch 0). */
   def mkBatch(b: Int, baseTexts: Seq[String]): Seq[Doc] = {
     val t0 = 1700000000000L + b * 3600000L
     def ts(i: Int) = new Timestamp(t0 + i * 1000L)
@@ -57,11 +62,39 @@ object StreamScale {
     val near = (0 until 50).map(i =>
       Doc(id(ids.next()), ts(100 + i),
         baseTexts((i + 7) % baseTexts.size) + s" trailing"))
+    def gibberish(b: Int, i: Int) = (0 until 20).map { j =>
+      java.lang.Long.toString(math.abs(
+        b * 73856093L ^ i * 19349663L ^ j * 83492791L ^
+          (b + i + j) * 2654435761L), 36)
+    }.mkString(" ")
     val fresh = (0 until 50).map(i =>
-      Doc(id(ids.next()), ts(150 + i),
-        s"probe batch $b fresh document $i carrying its own unmistakably " +
-          s"unique payload marker x${b}y${i}z end"))
+      Doc(id(ids.next()), ts(150 + i), gibberish(b, i)))
     exact ++ near ++ fresh
+  }
+
+  /** Key-offset copies of the DOCUMENTS table only (same tagging scheme as
+    * [[ScaleSmoke.materialize]]: copy 0 byte-identical, copies > 0
+    * word-tagged so cross-copy shingle sets stay disjoint). The streaming
+    * probe only consumes a corpus, so a 100× side needs none of the other
+    * tables materialized. Idempotent via a completion marker. */
+  def materializeDocs(spark: SparkSession, base: String, out: String,
+      copies: Int): String = {
+    val path = s"$out/documents_x$copies"
+    val marker = new java.io.File(s"$path/_GRAFT_DOCS_COMPLETE")
+    if (marker.exists) return s"$path/documents.parquet"
+    val df = spark.read.parquet(s"$base/documents.parquet")
+    (0 until copies).map { i =>
+      val shifted = df.withColumn("doc_id",
+        (col("doc_id") + lit(i * ScaleSmoke.Offset))
+          .cast(df.schema("doc_id").dataType))
+      if (i > 0)
+        shifted.withColumn("text",
+          regexp_replace(col("text"), "(\\w+)", s"c${i}_$$1"))
+      else shifted
+    }.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$path/documents.parquet")
+    marker.createNewFile()
+    s"$path/documents.parquet"
   }
 
   final case class Run(perBatchSec: Seq[Double], keptIds: Set[Long]) {
@@ -139,16 +172,19 @@ object StreamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Lifecycle.applyEnv(spark)
-    ScaleSmoke.materialize(spark, base, scaledDir)
-    // batch content comes from the BASE corpus at both scales, so the
-    // measured delta is corpus size alone (the 10× corpus CONTAINS copy
-    // 0 = the base corpus verbatim, so the drop semantics are identical)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // batch content comes from the BASE corpus at every scale, so the
+    // measured delta is corpus size alone (every scaled corpus CONTAINS
+    // copy 0 = the base corpus verbatim, so drop semantics are identical)
     val baseTexts = spark.read.parquet(s"$base/documents.parquet")
       .orderBy("doc_id").limit(120)
       .select("text").collect().map(_.getString(0)).toSeq
-    val sides = Seq("base" -> s"$base/documents.parquet",
-      "x10" -> s"$scaledDir/documents.parquet")
+    // documents-only materialization: the 100× side exists to expose the
+    // recompute variant's corpus-proportional per-batch term, which at
+    // 10× of sf0.1 is still hidden under per-batch driver overhead
+    val copies = Seq(10, 100)
+    val sides = ("base" -> s"$base/documents.parquet") +: copies.map(c =>
+      s"x$c" -> materializeDocs(spark, base, scaledDir, c))
     val results = for (variant <- Seq("recompute", "indexed")) yield {
       val runs = sides.map { case (label, path) =>
         val r = runVariant(spark, variant, path, baseTexts)
@@ -157,24 +193,24 @@ object StreamScale {
           f"median=${r.median}%.2fs kept=${r.keptIds.size}")
         r
       }
-      val Seq(b, s) = runs
-      val ratio = s.median / math.max(b.median, 1e-9)
-      println(f"STREAMSCALE $variant%-10s base=${b.median}%5.2fs/batch " +
-        f"x10=${s.median}%5.2fs/batch ratio=$ratio%5.2f " +
-        f"kept=${b.keptIds.size}->${s.keptIds.size}")
-      (variant, b, s, ratio)
+      val ratios = runs.tail.map(_.median / math.max(runs.head.median, 1e-9))
+      println(f"STREAMSCALE $variant%-10s base=${runs.head.median}%6.2fs/batch " +
+        sides.tail.zip(ratios).map { case ((l, _), r) =>
+          f"$l=${r}%5.2fx" }.mkString(" ") +
+        f" kept=${runs.map(_.keptIds.size).mkString("->")}")
+      (variant, runs, ratios)
     }
-    val Seq((_, rb, rs, _), (_, ib, is, iRatio)) = results
-    // stored ≡ recompute parity, end-to-end at both scales
-    val parity = rb.keptIds == ib.keptIds && rs.keptIds == is.keptIds
+    val Seq((_, rRuns, _), (_, iRuns, iRatios)) = results
+    // stored ≡ recompute parity, end-to-end at every scale
+    val parity = rRuns.map(_.keptIds) == iRuns.map(_.keptIds)
     if (!parity)
       println(s"STREAMSCALE PARITY MISMATCH recompute-vs-indexed: " +
-        s"base ${rb.keptIds.size}/${ib.keptIds.size} " +
-        s"x10 ${rs.keptIds.size}/${is.keptIds.size}")
-    val pass = parity && ib.keptIds.nonEmpty && iRatio <= IndexedMaxRatio
+        s"${rRuns.map(_.keptIds.size)} vs ${iRuns.map(_.keptIds.size)}")
+    val pass = parity && iRuns.head.keptIds.nonEmpty &&
+      iRatios.forall(_ <= IndexedMaxRatio)
     println(s"STREAMSCALE ${if (pass) "PASS" else "FAIL"} " +
-      s"(indexed bar ${IndexedMaxRatio}x for 10x corpus; " +
-      "recompute ratio reported as contrast)")
+      s"(indexed bar ${IndexedMaxRatio}x per-batch at every corpus scale " +
+      "up to 100x; recompute ratios reported as contrast)")
     spark.stop()
   }
 }

@@ -261,4 +261,32 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(projPlan.contains("sign_projection"), projPlan.take(2000))
   }
+
+  test("q92 stored cross-dedup: batch side broadcasts against the index, " +
+      "corpus text is never scanned, corpus-sized tables never shuffle") {
+    val plan = planOf("q92_cross_minhash_stored")
+    // every corpus-facing join is a broadcast of the (tiny) batch side —
+    // a SortMergeJoin here would mean the stored index shuffles per batch
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "a corpus-sized shuffle join appeared in the stored probe:\n" +
+        plan.take(3000))
+    // the whole point of the store: the documents TEXT is read only for
+    // the batch slice; the corpus side reads the index parquet instead
+    val docScans = scanLines(plan, "documents.parquet")
+    assert(docScans.forall(_.contains("doc_id")), docScans.mkString("\n"))
+    assert(scanLines(plan, "graft-sig-store").nonEmpty,
+      "no signature-store scan in the stored probe plan:\n" + plan.take(3000))
+    // exactly one Window — the new-side bucket cap; the stored side must
+    // never pay one (same invariant as q66's recompute form)
+    val windows = plan.linesIterator.count(_.contains("+- Window ["))
+    assert(windows == 1, s"expected 1 window (new-side cap), got $windows")
+  }
+
+  test("q93 stored simhash probe: chunk join broadcasts the batch side") {
+    val plan = planOf("q93_cross_simhash_stored")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "the stored chunk table shuffled to meet the batch:\n" + plan.take(3000))
+  }
 }
