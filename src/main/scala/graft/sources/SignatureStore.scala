@@ -173,27 +173,15 @@ object SignatureStore {
         SaveMode.Append)
   }
 
-  /** MinHash/LSH cross pairs of `newBatch` against the STORED index —
-    * output-identical to [[Dedup.crossCandidatePairs]] with the stored
-    * params (parity asserted in SignatureStoreSpec), but the corpus side
-    * is the index: no corpus text is read, no corpus row is re-hashed,
-    * and nothing corpus-sized shuffles. Reads: the narrow `bands` table
-    * (batch bands broadcast against it under the count gate) + the
-    * `sigs` (id, hs) columns for candidate rows only (row-group pruned
-    * via the id-sorted layout). Output `(id_a, id_b, jaccard)`, `id_a`
-    * from the store. */
-  def crossCandidatePairsStored(spark: SparkSession, path: String,
-      newBatch: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.5, maxNewBucket: Int = 1000,
-      maxBroadcastRows: Long = 1000000L): DataFrame = {
-    val p = params(spark, path)
-    val n = graft.core.Lifecycle.stage(
-      sigFrame(newBatch, idCol, textCol, p)
-        .select(col("id").as("id_b"), col("hs").as("_hs_b")))
-    val hint = OpsUtil.gatedHint("crossCandidatePairsStored", "newBatch",
-      n, maxBroadcastRows)
-    val nBanded = bandFrame(n.select(col("id_b").as("id"),
-        col("_hs_b").as("hs")), p)
+  /** MinHash probe given an already-staged batch sig frame (`id`, `hs`
+    * at least) — the shared engine of [[crossCandidatePairsStored]] and
+    * [[dropStoredDups]], which computes batch signatures ONCE and feeds
+    * every check from them. */
+  private def minhashPairsFromSigs(spark: SparkSession, path: String,
+      nSigs: DataFrame, p: Params, minJaccard: Double, maxNewBucket: Int,
+      hint: DataFrame => DataFrame): DataFrame = {
+    val n = nSigs.select(col("id").as("id_b"), col("hs").as("_hs_b"))
+    val nBanded = bandFrame(nSigs.select(col("id"), col("hs")), p)
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bhash"))))
@@ -218,6 +206,48 @@ object SignatureStore {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** SimHash probe given an already-staged batch sig frame (`id`,
+    * `simhash` at least) — shared engine, as [[minhashPairsFromSigs]]. */
+  private def simhashPairsFromSigs(spark: SparkSession, path: String,
+      nSigs: DataFrame, p: Params, maxDist: Int,
+      hint: DataFrame => DataFrame): DataFrame = {
+    require(maxDist <= p.maxDist,
+      s"maxDist=$maxDist exceeds the stored index's max_dist=${p.maxDist}" +
+        " — the chunk blocking only guarantees recall up to the stored " +
+        "bound; rebuild the store for a wider radius")
+    val n = nSigs.select(col("id").as("id_b"), col("simhash").as("h_b"))
+    val nChunked = Dedup.simhashChunks(n, "id_b", "h_b", p.nChunks)
+    chunks(spark, path)
+      .select(col("chunk"), col("ckey"), col("id").as("id_a"),
+        col("simhash").as("h_a"))
+      .join(hint(nChunked), Seq("chunk", "ckey"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .distinct() // a pair may collide on several chunks
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** MinHash/LSH cross pairs of `newBatch` against the STORED index —
+    * output-identical to [[Dedup.crossCandidatePairs]] with the stored
+    * params (parity asserted in SignatureStoreSpec), but the corpus side
+    * is the index: no corpus text is read, no corpus row is re-hashed,
+    * and nothing corpus-sized shuffles. Reads: the narrow `bands` table
+    * (batch bands broadcast against it under the count gate) + the
+    * `sigs` (id, hs) columns for candidate rows only (row-group pruned
+    * via the id-sorted layout). Output `(id_a, id_b, jaccard)`, `id_a`
+    * from the store. */
+  def crossCandidatePairsStored(spark: SparkSession, path: String,
+      newBatch: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, maxNewBucket: Int = 1000,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val p = params(spark, path)
+    val n = graft.core.Lifecycle.stage(
+      sigFrame(newBatch, idCol, textCol, p).select(col("id"), col("hs")))
+    val hint = OpsUtil.gatedHint("crossCandidatePairsStored", "newBatch",
+      n, maxBroadcastRows)
+    minhashPairsFromSigs(spark, path, n, p, minJaccard, maxNewBucket, hint)
+  }
+
   /** SimHash cross pairs of `newBatch` against the STORED chunk index —
     * output-identical to [[Dedup.crossSimhashNearPairs]] (parity in
     * SignatureStoreSpec). `maxDist` may be tightened below the stored
@@ -230,24 +260,48 @@ object SignatureStore {
       newBatch: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBroadcastRows: Long = 1000000L): DataFrame = {
     val p = params(spark, path)
-    require(maxDist <= p.maxDist,
-      s"maxDist=$maxDist exceeds the stored index's max_dist=${p.maxDist}" +
-        " — the chunk blocking only guarantees recall up to the stored " +
-        "bound; rebuild the store for a wider radius")
     val n = graft.core.Lifecycle.stage(
       sigFrame(newBatch, idCol, textCol, p)
-        .select(col("id").as("id_b"), col("simhash").as("h_b")))
+        .select(col("id"), col("simhash")))
     val hint = OpsUtil.gatedHint("crossSimhashNearPairsStored", "newBatch",
       n, maxBroadcastRows)
-    val nChunked = Dedup.simhashChunks(n, "id_b", "h_b", p.nChunks)
-    chunks(spark, path)
-      .select(col("chunk"), col("ckey"), col("id").as("id_a"),
-        col("simhash").as("h_a"))
-      .join(hint(nChunked), Seq("chunk", "ckey"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .distinct() // a pair may collide on several chunks
-      .filter(col("hamming") <= maxDist)
+    simhashPairsFromSigs(spark, path, n, p, maxDist, hint)
+  }
+
+  /** [[dropStoredDups]] plus the kept rows' SIGNATURES — the ingest-loop
+    * form: ONE signature pass over the batch feeds the exact digest
+    * check, both near-dup blockers, AND (via [[appendSigs]]) the index
+    * append, so the steady-state per-batch cost is one shingle+hash pass
+    * over the batch and three narrow index joins. Returns (cleaned batch
+    * rows, kept sig rows matching the `sigs` table schema). */
+  private[graft] def dropStoredDupsWithSigs(spark: SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, maxDist: Int = 3, maxNewBucket: Int = 1000,
+      maxBroadcastRows: Long = 1000000L): (DataFrame, DataFrame) = {
+    val p = params(spark, path)
+    val bs = graft.core.Lifecycle.stage(sigFrame(batch, idCol, textCol, p))
+    val hint = OpsUtil.gatedHint("dropStoredDups", "batch", bs,
+      maxBroadcastRows)
+    // exact check: stored digests stream past the broadcast batch digests
+    // — nothing corpus-sized shuffles, same posture as the blockers
+    val dupExact = sigs(spark, path).select(col("digest"))
+      .join(hint(bs.select(col("id"), col("digest"))), Seq("digest"))
+      .select(col("id")).distinct()
+    // staged: the anti-join result feeds both blockers and the kept-row
+    // computation — without the stage each use would rescan the stored
+    // digest column
+    val survivors = graft.core.Lifecycle.stage(
+      bs.join(dupExact, Seq("id"), "left_anti"))
+    val mh = minhashPairsFromSigs(spark, path, survivors, p, minJaccard,
+      maxNewBucket, hint).select(col("id_b").as("id"))
+    val sh = simhashPairsFromSigs(spark, path, survivors, p, maxDist,
+      hint).select(col("id_b").as("id"))
+    val nearIds = mh.unionByName(sh).distinct()
+    val keptSigs = graft.core.Lifecycle.stage(
+      survivors.join(nearIds, Seq("id"), "left_anti"))
+    val clean = batch.join(keptSigs.select(col("id").as("_keep_id")),
+      batch(idCol).cast("long") === col("_keep_id"), "left_semi")
+    (clean, keptSigs)
   }
 
   /** Drop from `batch` every document that is an exact or near duplicate
@@ -260,21 +314,22 @@ object SignatureStore {
   def dropStoredDups(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String, minJaccard: Double = 0.5,
       maxDist: Int = 3, maxNewBucket: Int = 1000,
-      maxBroadcastRows: Long = 1000000L): DataFrame = {
-    val exactClean = batch
-      .withColumn("_graft_digest", unhex(md5(col(textCol))))
-      .join(sigs(spark, path).select(col("digest").as("_graft_digest"))
-          .distinct(),
-        Seq("_graft_digest"), "left_anti")
-      .drop("_graft_digest")
-    val mh = crossCandidatePairsStored(spark, path, exactClean, idCol,
-      textCol, minJaccard, maxNewBucket, maxBroadcastRows)
-      .select(col("id_b"))
-    val sh = crossSimhashNearPairsStored(spark, path, exactClean, idCol,
-      textCol, maxDist, maxBroadcastRows)
-      .select(col("id_b"))
-    val dupIds = mh.unionByName(sh).distinct()
-    exactClean.join(dupIds,
-      exactClean(idCol).cast("long") === dupIds("id_b"), "left_anti")
+      maxBroadcastRows: Long = 1000000L): DataFrame =
+    dropStoredDupsWithSigs(spark, path, batch, idCol, textCol, minJaccard,
+      maxDist, maxNewBucket, maxBroadcastRows)._1
+
+  /** Append PRE-COMPUTED signature rows (the `sigs` schema —
+    * [[dropStoredDupsWithSigs]]'s second result) under the stored
+    * params: the ingest loop indexes its kept docs without a second
+    * signature pass. Same replay safety as [[append]] (stored ids
+    * skipped). */
+  private[graft] def appendSigs(spark: SparkSession, path: String,
+      keptSigs: DataFrame): Unit = {
+    val p = params(spark, path)
+    val fresh = keptSigs.join(
+      sigs(spark, path).select(col("id").as("_stored_id")),
+      keptSigs("id") === col("_stored_id"), "left_anti")
+    if (!fresh.isEmpty)
+      writeTables(fresh, p, path, SaveMode.Append)
   }
 }

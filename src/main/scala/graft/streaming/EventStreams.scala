@@ -282,12 +282,13 @@ object EventStreams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        val clean = graft.core.Lifecycle.stage(
-          graft.sources.SignatureStore.dropStoredDups(spark, storePath,
-            batch.toDF(), idCol, textCol, minJaccard, simhashMaxDist))
-        sink(clean, id)
-        graft.sources.SignatureStore.append(spark, storePath, clean,
-          idCol, textCol)
+        // the WithSigs form: one signature pass serves the dedup checks
+        // AND the index append — the kept rows are never re-shingled
+        val (clean, keptSigs) = graft.sources.SignatureStore
+          .dropStoredDupsWithSigs(spark, storePath, batch.toDF(), idCol,
+            textCol, minJaccard, simhashMaxDist)
+        sink(graft.core.Lifecycle.stage(clean), id)
+        graft.sources.SignatureStore.appendSigs(spark, storePath, keptSigs)
       }
       .start()
   }
