@@ -1178,6 +1178,31 @@ object SparkEntry {
           maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
+    "q95_kmv_quantiles" -> ((s, dir) => {
+      // KMV-sample quantile sketch: doc-length p50/p90/p99 per source
+      // over a deterministic uniform sample of distinct doc_ids (the 64
+      // smallest md5 key-hashes). Like q90, the ESTIMATE itself
+      // hash-matches a DuckDB replay — a mergeable approx-quantile whose
+      // map-side partials ship ≤ k (hash, value) pairs per group instead
+      // of every row, where percentile_approx's sketch is engine-private.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Sketches.kmvSampleQuantiles(docs, Seq("source"), col("doc_id"),
+          col("n_chars"), k = 64, hasher = ops.BaseHash.Md5)
+        .orderBy("source")
+    }),
+    "q96_kmv_quantile_rollup" -> ((s, dir) => {
+      // sketches as data: one KMV sample per (source, lang) shard, then
+      // a sketch-only rollup to source — NO source rescan. k-min-of-union
+      // makes the rollup exactly equal the direct sketch, so this shares
+      // q95's oracle verbatim (the strongest check that per-shard
+      // sample + rollup loses nothing).
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val shards = ops.Sketches.kmvSampleShards(docs, Seq("source"),
+        Seq("lang"), col("doc_id"), col("n_chars"), k = 64,
+        hasher = ops.BaseHash.Md5)
+      ops.Sketches.kmvSampleRollup(shards, Seq("source"), k = 64)
+        .orderBy("source")
+    }),
     "q94_cross_minhash_appended" -> ((s, dir) => {
       // q92 against an index built INCREMENTALLY (save two-thirds, append
       // the rest): signature params are pure config, so append ≡ rebuild
@@ -2164,7 +2189,39 @@ object SparkEntry {
     // incremental append are hash-verified end to end.
     "q92_cross_minhash_stored" -> CrossMinhashOracleSql,
     "q93_cross_simhash_stored" -> CrossSimhashOracleSql,
-    "q94_cross_minhash_appended" -> CrossMinhashOracleSql)
+    "q94_cross_minhash_appended" -> CrossMinhashOracleSql,
+    // q96 (shard samples + rollup) shares q95's oracle verbatim — the
+    // k-min-of-union property makes the rollup equal the direct sketch
+    // exactly, values included (per-hash min over shard minima is the
+    // global min).
+    "q95_kmv_quantiles" -> KmvQuantilesOracleSql,
+    "q96_kmv_quantile_rollup" -> KmvQuantilesOracleSql)
+
+  /** q95's oracle — the KMV-sample quantile pipeline replayed: md5 key
+    * hashes, per-hash min value, the 64 smallest hashes per group,
+    * nearest-rank-lower quantiles over the sorted sample values (integer
+    * positions — no interpolation arithmetic to disagree on). */
+  private lazy val KmvQuantilesOracleSql =
+    """WITH hv AS (
+         SELECT source,
+                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                  1, 15)) AS BIGINT) AS h,
+                CAST(n_chars AS DOUBLE) AS v
+         FROM documents
+         WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+       ded AS (SELECT source, h, min(v) AS v FROM hv GROUP BY 1, 2),
+       rk AS (
+         SELECT source, h, v,
+                row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         FROM ded),
+       agg AS (
+         SELECT source, list_sort(list(v)) AS vs, count(*) AS n
+         FROM rk WHERE rn <= 64 GROUP BY source)
+       SELECT source, CAST(n AS BIGINT) AS n_retained,
+              vs[CAST(floor(0.5 * (n - 1)) AS INT) + 1] AS p50,
+              vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1] AS p90,
+              vs[CAST(floor(0.99 * (n - 1)) AS INT) + 1] AS p99
+       FROM agg ORDER BY source"""
 
   /** q66's oracle — the full MinHash/LSH cross pipeline replayed over the
     * portable md5 base hash: shingles → 31-bit hashes → 16-permutation

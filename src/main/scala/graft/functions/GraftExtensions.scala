@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmvHashes.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvHashes.fromChildren(children)))
+    ext.injectFunction((FunctionIdentifier("kmv_sample"),
+      KmvSample.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvSample.fromChildren(children)))
   }
 }
 
@@ -83,6 +87,11 @@ object GraftFunctions {
       "kmv_hashes",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvHashes.fromChildren(children),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sample",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KmvSample.fromChildren(children),
       "built-in")
   }
 }

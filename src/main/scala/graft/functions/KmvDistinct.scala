@@ -220,3 +220,138 @@ object KmvHashes {
     KmvHashes(children(0), KmvDistinct.literalK("kmv_hashes", children(1)))
   }
 }
+
+/** KMV-sample: the k smallest distinct KEY HASHES with one associated
+  * VALUE each — a DETERMINISTIC uniform sample over distinct keys (the
+  * hash order is a fixed random permutation of the key space), which is
+  * what [[graft.ops.Sketches.kmvSampleQuantiles]] turns into mergeable,
+  * exactly-replayable quantile sketches. Where `percentile_approx`'s
+  * internal sketch is engine-private and `reservoir`-style samples are
+  * retry/partitioning-dependent, this state is a pure function of the
+  * input SET: (hash → min value) for the k smallest hashes. `min` on a
+  * hash collision keeps the reduction order-free; since the hash is over
+  * the KEY, a collision only matters when two distinct keys collide in
+  * 60 bits (~n²/2^61) — and even then both engines resolve it
+  * identically.
+  *
+  * Output: `array<struct<h: bigint, v: double>>` sorted by `h` — sketch
+  * DATA, mergeable by union-then-k-min exactly like [[KmvHashes]] (any
+  * hash in the union's k-min is in every contributing shard's k-min, so
+  * shard-min values reduce to the global min — rollup ≡ direct, pinned
+  * in SketchesSpec). Null hash or null value rows are skipped. */
+case class KmvSample(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Double]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 2, s"kmv_sample needs k >= 2, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kmv_sample expects (bigint hash, double value), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "kmv_sample"
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Double] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+
+  override def update(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      add(buf, h.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      other: java.util.TreeMap[java.lang.Long, java.lang.Double]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      add(buf, e.getKey.longValue(), e.getValue.doubleValue())
+    }
+    buf
+  }
+
+  private def add(buf: java.util.TreeMap[java.lang.Long, java.lang.Double],
+      h: Long, v: Double): Unit = {
+    val existing = buf.get(h)
+    if (existing != null) {
+      // retained hash: order-free min reduction of its values
+      if (v < existing.doubleValue()) { buf.put(h, v); () }
+    } else if (buf.size < k) { buf.put(h, v); () }
+    else if (h < buf.lastKey()) { buf.put(h, v); buf.pollLastEntry(); () }
+    // h >= current k-th smallest: cannot be among the k minima — drop.
+  }
+
+  override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) { // TreeMap: ascending key order
+      val e = it.next()
+      out(i) = InternalRow(e.getKey.longValue(), e.getValue.doubleValue())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[java.lang.Long, java.lang.Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey.longValue())
+      bb.putDouble(e.getValue.doubleValue())
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeMap[java.lang.Long, java.lang.Double]()
+    var i = 0
+    while (i < n) { buf.put(bb.getLong, bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSample =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSample =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): KmvSample =
+    copy(left = newLeft, right = newRight)
+}
+
+object KmvSample {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[KmvSample].getName, "kmv_sample")
+
+  /** SQL builder: `kmv_sample(hash_col, value_col, k)`, `k` foldable. */
+  def fromChildren(children: Seq[Expression]): KmvSample = {
+    require(children.size == 3,
+      s"kmv_sample expects (hash_col, value_col, k), got ${children.size} args")
+    KmvSample(children(0), children(1),
+      KmvDistinct.literalK("kmv_sample", children(2)))
+  }
+}

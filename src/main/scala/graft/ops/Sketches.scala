@@ -87,6 +87,119 @@ object Sketches {
         explode(col(sketchCol)).as("_h"): _*),
       groupCols, col("_h"), k)
 
+  /** Quantile name for an output column: 0.5 → `p50`, 0.99 → `p99`,
+    * 0.999 → `p99_9`. */
+  def quantileName(q: Double): String =
+    "p" + BigDecimal(q * 100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_").replace("-", "")
+
+  /** Quantile columns from a KMV-sample array (`array<struct<h, v>>`):
+    * nearest-rank-lower on the SORTED sample values — `v_(floor(q·(n−1)))`
+    * 0-based — which both Spark and any replaying engine compute from
+    * integer positions, no interpolation arithmetic to disagree on. */
+  private def quantileCols(sample: Column, qs: Seq[Double]): Seq[Column] = {
+    val vals = array_sort(transform(sample, s => s.getField("v")))
+    val n = size(vals)
+    Seq(n.cast("long").as("n_retained")) ++ qs.map { q =>
+      // null for an empty sample (every row null-keyed/valued) — ANSI
+      // element_at would otherwise fault on position 0
+      when(n > 0, element_at(vals,
+          (floor(lit(q) * (n - 1).cast("double")) + 1).cast("int")))
+        .as(quantileName(q))
+    }
+  }
+
+  /** Shared tail of every quantile path: `(group, _h, _v)` rows →
+    * per-hash min value → k smallest hashes → quantile columns. This IS
+    * the exact-replay shape (q95's DuckDB oracle mirrors it verbatim). */
+  private def quantilesFromHv(rows: DataFrame, groupCols: Seq[String],
+      k: Int, qs: Seq[Double]): DataFrame = {
+    val gc = groupCols.map(col)
+    val per = rows.filter(col("_h").isNotNull && col("_v").isNotNull)
+      .groupBy(gc :+ col("_h"): _*).agg(min(col("_v")).as("_v"))
+    val w = Window.partitionBy(gc: _*).orderBy(col("_h"))
+    per.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .groupBy(gc: _*)
+      .agg(collect_list(struct(col("_h").as("h"), col("_v").as("v")))
+        .as("_s"))
+      .select(gc ++ quantileCols(col("_s"), qs): _*)
+  }
+
+  /** Deterministic approximate quantiles of `value` over DISTINCT `key`s
+    * per group — the quantile face of the KMV sketch ([[graft.functions
+    * .KmvSample]]): the k smallest key-hashes are a uniform sample of the
+    * distinct keys (the hash order is a fixed random permutation), and
+    * the sample's nearest-rank quantiles estimate the population's with
+    * the usual √k error — EXACT when the group has ≤ k keys. Unlike
+    * `percentile_approx` (engine-private sketch) or reservoir samples
+    * (retry/partition-dependent), the output is a pure function of the
+    * input set and replays bit-for-bit in any engine that can rank md5
+    * hashes (q95's oracle). One map-side-combined aggregation, ≤ k·16
+    * bytes per (partition, group); the pure-Column fallback pays the
+    * distinct-key shuffle the native path exists to avoid. */
+  def kmvSampleQuantiles(df: DataFrame, groupCols: Seq[String],
+      key: Column, value: Column, k: Int,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      hasher: BaseHash = BaseHash.Xx): DataFrame = {
+    require(k >= 2, s"kmvSampleQuantiles needs k >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must be in [0, 1], got $qs")
+    val h = hasher.full(key)
+    if (graft.functions.GraftFunctions.registeredOnActiveSession("kmv_sample")) {
+      df.groupBy(groupCols.map(col): _*)
+        .agg(call_function("kmv_sample", h, value.cast("double"), lit(k))
+          .as("_s"))
+        .select(groupCols.map(col) ++ quantileCols(col("_s"), qs): _*)
+    } else kmvSampleQuantilesExact(df, groupCols, h, value, k, qs)
+  }
+
+  /** Registration-free parity reference for [[kmvSampleQuantiles]] (the
+    * shape of q95's DuckDB oracle): rank the full distinct hash set and
+    * keep the k smallest — pays the distinct-key shuffle the native
+    * aggregate avoids. Public like [[kmvDistinctExact]] so the parity
+    * spec pins native ≡ exact on the same data. */
+  def kmvSampleQuantilesExact(df: DataFrame, groupCols: Seq[String],
+      h: Column, value: Column, k: Int, qs: Seq[Double]): DataFrame =
+    quantilesFromHv(
+      df.select(groupCols.map(col) :+ h.as("_h")
+        :+ value.cast("double").as("_v"): _*),
+      groupCols, k, qs)
+
+  /** Per-shard KMV-sample sketches as DATA (`array<struct<h, v>>`
+    * columns), the quantile counterpart of [[kmvShardSketches]]: sketch
+    * each shard once at ingest, answer every coarser quantile question
+    * from the sketches via [[kmvSampleRollup]] — no source rescan.
+    * Native-only, as [[kmvShardSketches]] (an exact fallback would
+    * persist unbounded state). */
+  def kmvSampleShards(df: DataFrame, groupCols: Seq[String],
+      shardCols: Seq[String], key: Column, value: Column, k: Int,
+      hasher: BaseHash = BaseHash.Xx): DataFrame = {
+    require(
+      graft.functions.GraftFunctions.registeredOnActiveSession("kmv_sample"),
+      "kmvSampleShards needs the native kmv_sample aggregate — register " +
+        "graft.functions.GraftExtensions on this session")
+    df.groupBy((groupCols ++ shardCols).map(col): _*)
+      .agg(call_function("kmv_sample", hasher.full(key),
+        value.cast("double"), lit(k)).as("sketch"))
+  }
+
+  /** Merge shard sample-sketches up to `groupCols` and re-read the
+    * quantiles — EXACTLY equal to [[kmvSampleQuantiles]] over the
+    * unioned rows (pinned in SketchesSpec): any hash in the union's
+    * k-min is in every contributing shard's k-min (the [[kmvRollup]]
+    * argument), so the per-hash min over shard minima IS the global
+    * min. Input is #shards × k structs — pure Column work. */
+  def kmvSampleRollup(sketches: DataFrame, groupCols: Seq[String],
+      k: Int, qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      sketchCol: String = "sketch"): DataFrame =
+    quantilesFromHv(
+      sketches.select(groupCols.map(col) :+
+          explode(col(sketchCol)).as("_e"): _*)
+        .select(groupCols.map(col) :+ col("_e.h").as("_h")
+          :+ col("_e.v").as("_v"): _*),
+      groupCols, k, qs)
+
   /** Registration-free parity reference: rank the full distinct hash set
     * per group and read off the k-th smallest — the same output columns
     * via the exact path (this IS the shape of q90's DuckDB oracle).

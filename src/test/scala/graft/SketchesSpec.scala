@@ -92,4 +92,83 @@ class SketchesSpec extends org.scalatest.funsuite.AnyFunSuite {
       hasher = BaseHash.Md5).collect()(0)
     assert(out.getLong(1) == 2L)
   }
+
+  // ---- KMV-sample quantiles ---------------------------------------------
+
+  test("sample quantiles are exact below k and match a hand computation") {
+    // one group, 9 distinct keys with values 10..90; k = 16 > 9 → the
+    // sample IS the population: p50 = 5th of 9 sorted values = 50
+    val df = (1 to 9).map(i => ("g", i.toLong, i * 10.0)).toDF("g", "key", "v")
+    val out = Sketches.kmvSampleQuantiles(df, Seq("g"), col("key"),
+      col("v"), k = 16, qs = Seq(0.0, 0.5, 1.0), hasher = BaseHash.Md5)
+      .collect()(0)
+    assert(out.getLong(1) == 9L)
+    assert(out.getDouble(2) == 10.0) // p0 = min
+    assert(out.getDouble(3) == 50.0) // p50: floor(0.5*8)=4 → 5th value
+    assert(out.getDouble(4) == 90.0) // p100 = max
+  }
+
+  test("sample quantiles track true quantiles within sampling error") {
+    // values ARE the key index → true p50 = 5000; k = 256 → rel err
+    // ~1/sqrt(k); assert a generous 4x band
+    val n = 10000
+    val df = (0 until n).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("g", "key", "v")
+    val out = Sketches.kmvSampleQuantiles(df, Seq("g"), col("key"),
+      col("v"), k = 256, qs = Seq(0.5, 0.9), hasher = BaseHash.Md5)
+      .collect()(0)
+    assert(math.abs(out.getDouble(2) - 5000) / n < 4.0 / math.sqrt(256),
+      s"p50 ${out.getDouble(2)}")
+    assert(math.abs(out.getDouble(3) - 9000) / n < 4.0 / math.sqrt(256),
+      s"p90 ${out.getDouble(3)}")
+  }
+
+  test("native sample aggregate matches the pure-Column fallback, and is " +
+      "invariant under repartitioning, duplication, and value order") {
+    val base = (0 until 2000).map(i => ("g", (i % 700).toLong,
+      (i % 700) * 3.0))
+    val a = base.toDF("g", "key", "v")
+    val b = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(base), 13))
+      .toDF("g", "key", "v")
+    def native(df: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvSampleQuantiles(df, Seq("g"), col("key"), col("v"),
+        k = 64, hasher = BaseHash.Md5).collect()(0)
+    val (ra, rb) = (native(a), native(b))
+    assert(ra == rb) // bit-identical across partitionings
+    val viaExact = Sketches.kmvSampleQuantilesExact(
+      a, Seq("g"), BaseHash.Md5.full(col("key")), col("v"), k = 64,
+      qs = Seq(0.5, 0.9, 0.99)).collect()(0)
+    assert(ra == viaExact)
+  }
+
+  test("shard sample-sketches + rollup equal the direct quantiles exactly") {
+    val df = (0 until 3000).map(i =>
+      ("g", s"shard${i % 7}", i.toLong, math.sin(i) * 100))
+      .toDF("g", "shard", "key", "v")
+    val direct = Sketches.kmvSampleQuantiles(df, Seq("g"), col("key"),
+      col("v"), k = 64, hasher = BaseHash.Md5).collect()(0)
+    val shards = Sketches.kmvSampleShards(df, Seq("g"), Seq("shard"),
+      col("key"), col("v"), k = 64, hasher = BaseHash.Md5)
+    assert(shards.count() == 7)
+    val rolled = Sketches.kmvSampleRollup(shards, Seq("g"), k = 64)
+      .collect()(0)
+    assert(direct == rolled) // bit-identical, values included
+  }
+
+  test("sample: hash-collision value reduction is min, and null keys or " +
+      "values are skipped; empty groups yield null quantiles") {
+    // same key twice with different values → one sample entry, min value
+    val df = Seq(("g", Some(1L), Some(9.0)), ("g", Some(1L), Some(4.0)),
+      ("g", Some(2L), Some(7.0)), ("g", None, Some(1.0)),
+      ("g", Some(3L), None), ("empty", None, None))
+      .toDF("g", "key", "v")
+    val out = Sketches.kmvSampleQuantiles(df, Seq("g"), col("key"),
+      col("v"), k = 8, qs = Seq(0.0), hasher = BaseHash.Md5)
+      .orderBy("g").collect()
+    val empty = out(0); val g = out(1)
+    assert(empty.getLong(1) == 0L && empty.isNullAt(2))
+    assert(g.getLong(1) == 2L) // keys 1 and 2; null key/value rows skipped
+    assert(g.getDouble(2) == 4.0) // min over {min(9,4), 7}
+  }
 }
