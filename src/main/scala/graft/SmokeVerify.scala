@@ -527,6 +527,54 @@ object SmokeVerify {
           "OK" else "BROKEN"))
     }
 
+    // 20. Round-14 sketch additions end-to-end on real tables: CMS
+    // heavy hitters vs exact counts, bloom-pruned decontamination vs the
+    // plain anti-join, priority-sample subset-sum estimator vs truth.
+    {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val cnt20 = graft.ops.Sketches.cmsCounters(li, Seq("l_returnflag"),
+        Nil, col("l_suppkey"), depth = 4, width = 2048,
+        hasher = graft.ops.BaseHash.Md5)
+      val est20 = graft.ops.Sketches.cmsEstimate(cnt20, Seq("l_returnflag"),
+        li, col("l_suppkey"), depth = 4, width = 2048,
+        hasher = graft.ops.BaseHash.Md5)
+      val exact20 = li.groupBy(col("l_returnflag"),
+          col("l_suppkey").cast("string").as("key"))
+        .agg(count(lit(1)).as("exact"))
+      val joined20 = est20.join(exact20, Seq("l_returnflag", "key"))
+      val under20 = joined20.filter(col("estimate") < col("exact")).count()
+      val over20 = joined20.filter(col("estimate") > col("exact") * 2).count()
+      val probedKeys = joined20.count()
+
+      val contam20 = docs.filter(col("doc_id") % 7 === 0)
+      val got20 = graft.ops.Bloom.prunedAntiJoin(docs,
+          graft.ops.BaseHash.Md5.full(col("text")),
+          contam20, graft.ops.BaseHash.Md5.full(col("text")),
+          numBits = 4096, numHashes = 3, hasher = graft.ops.BaseHash.Md5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want20 = docs.join(contam20.select(col("text").as("_t")),
+          col("text") === col("_t"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+      val ps20 = graft.ops.Sketches.prioritySample(docs, Seq("lang"),
+        col("doc_id"), col("n_chars"), k = 20,
+        hasher = graft.ops.BaseHash.Md5)
+      val estTot20 = ps20.groupBy("lang")
+        .agg(sum(col("w_hat")).as("est")).orderBy("lang")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val truth20 = docs.filter(col("n_chars") > 0).groupBy("lang")
+        .agg(sum(col("n_chars")).cast("double").as("t")).orderBy("lang")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val maxRel20 = truth20.map { case (l, t) =>
+        math.abs(estTot20.getOrElse(l, 0.0) - t) / t }.max
+
+      println(f"SMOKE20 sketches14: cmsProbed=$probedKeys under=$under20 " +
+        f"over2x=$over20 bloomOk=${got20 == want20} " +
+        f"psMaxRelErr=$maxRel20%.3f => " +
+        (if (probedKeys > 0 && under20 == 0 && over20 == 0
+            && got20 == want20 && maxRel20 < 0.5) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

@@ -200,6 +200,201 @@ object Sketches {
           :+ col("_e.v").as("_v"): _*),
       groupCols, k, qs)
 
+  // ---- Count-min sketch -------------------------------------------------
+
+  /** Bucket of `key` in row `r` of a count-min sketch: the salted base
+    * hash mod `width`. The salt is a plain string prefix (`"r:"`), so an
+    * external engine replays it as `hash(concat(r, ':', key))` — q97's
+    * DuckDB oracle does exactly that. */
+  private def cmsBucket(key: Column, r: Int, width: Int,
+      hasher: BaseHash): Column =
+    pmod(hasher.full(concat(lit(r.toString), lit(":"), key.cast("string"))),
+      lit(width.toLong))
+
+  /** Count-min sketch counters as DATA: rows `groupCols* , shardCols* ,
+    * r, bucket, cnt` — the sparse form of the d×w counter matrix
+    * (absent (r, bucket) ⇔ counter 0). Counters are SUMS, so the sketch
+    * is a pure function of the input multiset — order- and partitioning-
+    * independent, mergeable by addition ([[cmsRollup]]), and exactly
+    * replayable by any engine with the base hash (q97/q98 hash-match the
+    * DuckDB replay end to end, estimates included — unlike
+    * `count_min_sketch`'s engine-private binary blob).
+    *
+    * Plan shape: the input explodes ×`depth` BEFORE the one map-side-
+    * combined aggregation, but partial aggregation collapses each
+    * partition to ≤ depth×width rows per group — the shuffle carries
+    * counter fragments, not keys. At 100 TB this is the frequency
+    * counterpart of [[kmvShardSketches]]: sketch each shard at ingest,
+    * answer every heavy-hitter / frequency question from the counters
+    * alone, no source rescan. */
+  def cmsCounters(df: DataFrame, groupCols: Seq[String],
+      shardCols: Seq[String], key: Column, depth: Int, width: Int,
+      weight: Column = lit(1L), hasher: BaseHash = BaseHash.Xx): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth must be 1..16, got $depth")
+    require(width >= 2, s"cms width must be >= 2, got $width")
+    val gc = (groupCols ++ shardCols).map(col)
+    df.filter(key.isNotNull && weight.isNotNull)
+      .select(gc ++ Seq(weight.cast("long").as("_w"),
+        explode(array((0 until depth).map(r => struct(
+          lit(r).as("r"),
+          cmsBucket(key, r, width, hasher).as("bucket"))): _*)).as("_rb")): _*)
+      .select(gc ++ Seq(col("_rb.r").as("r"), col("_rb.bucket").as("bucket"),
+        col("_w")): _*)
+      .groupBy((groupCols ++ shardCols ++ Seq("r", "bucket")).map(col): _*)
+      .agg(sum(col("_w")).as("cnt"))
+  }
+
+  /** Merge shard counters up to `groupCols` — element-wise sum, EXACTLY
+    * equal to sketching the unioned rows directly (counter addition is
+    * associative/commutative; pinned in SketchesSpec and by q98 sharing
+    * q97's oracle verbatim). Input is ≤ #shards × depth × width rows. */
+  def cmsRollup(counters: DataFrame, groupCols: Seq[String]): DataFrame =
+    counters.groupBy((groupCols ++ Seq("r", "bucket")).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates from a counter table: for each probe key, the MIN
+    * over the depth rows of its bucket counters (absent bucket → 0).
+    * Guarantees: estimate ≥ true count always (counters only ever add),
+    * and ≤ true + 2N/width with probability 1 − 2^-depth — both pinned
+    * in SketchesSpec. Output: `groupCols* , keyName, estimate`.
+    *
+    * The counter side is provably ≤ #groups × depth × width rows —
+    * broadcast it (default) so the probe side stays map-only plus one
+    * bounded-key aggregation; at 100 TB the probes are the big side. */
+  def cmsEstimate(counters: DataFrame, groupCols: Seq[String],
+      probes: DataFrame, probeKey: Column, depth: Int, width: Int,
+      hasher: BaseHash = BaseHash.Xx, keyName: String = "key",
+      broadcastCounters: Boolean = true): DataFrame = {
+    val gc = groupCols.map(col)
+    val pb = probes.select(gc :+ probeKey.cast("string").as(keyName): _*)
+      .filter(col(keyName).isNotNull).distinct()
+      .select(gc ++ Seq(col(keyName),
+        explode(array((0 until depth).map(r => struct(
+          lit(r).as("r"),
+          cmsBucket(col(keyName), r, width, hasher).as("bucket"))): _*))
+          .as("_rb")): _*)
+      .select(gc ++ Seq(col(keyName), col("_rb.r").as("r"),
+        col("_rb.bucket").as("bucket")): _*)
+    val right = if (broadcastCounters) broadcast(counters) else counters
+    pb.join(right, groupCols ++ Seq("r", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy(gc :+ col(keyName): _*)
+      .agg(min(col("cnt")).as("estimate"))
+  }
+
+  /** Heavy hitters: top-`k` probe keys per group by CMS estimate
+    * (deterministic tie-break on the key). One `row_number` window whose
+    * `rn <= k` filter Catalyst rewrites to a WindowGroupLimit rank
+    * pushdown — no group materializes fully. */
+  def cmsTopK(counters: DataFrame, groupCols: Seq[String],
+      probes: DataFrame, probeKey: Column, k: Int, depth: Int, width: Int,
+      hasher: BaseHash = BaseHash.Xx, keyName: String = "key"): DataFrame = {
+    require(k >= 1, s"cmsTopK needs k >= 1, got $k")
+    val est = cmsEstimate(counters, groupCols, probes, probeKey, depth,
+      width, hasher, keyName)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("estimate").desc, col(keyName))
+    est.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k).drop("_rn")
+  }
+
+  // ---- Priority sampling (weighted) -------------------------------------
+
+  /** 2^60 as a double (exact): the normalizer that maps the 60-bit hash
+    * to a uniform u ∈ (0, 1]. */
+  private val TwoPow60d = 1152921504606846976.0
+
+  /** `groupCols* , _key, weight, priority` with priority = w / u,
+    * u = (double(h mod 2^60) + 1) / 2^60 — the priority-sampling race
+    * (Duffield, Lund, Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007). Every arithmetic step is a
+    * correctly-rounded IEEE-754 op (cast, add, divide — deliberately NO
+    * pow/ln, whose libm implementations differ across engines), so the
+    * priorities are BIT-IDENTICAL in any replaying engine: q101/q102
+    * hash-match a DuckDB replay, doubles included. Rows with null or
+    * non-positive weight carry no priority mass and are dropped. */
+  private def prioritized(df: DataFrame, groupCols: Seq[String],
+      key: Column, weight: Column, hasher: BaseHash): DataFrame = {
+    val h60 = pmod(hasher.full(key), lit(1152921504606846976L)) // 2^60
+    val u = (h60.cast("double") + lit(1.0)) / lit(TwoPow60d)
+    df.filter(key.isNotNull && weight.isNotNull && weight > 0)
+      .select(groupCols.map(col) ++ Seq(key.as("_key"),
+        weight.cast("long").as("weight"),
+        (weight.cast("double") / u).as("priority")): _*)
+  }
+
+  /** Top-`k` rows per group by priority, plus the threshold τ (the
+    * (k+1)-th priority, 0 when the group has ≤ k rows) and the
+    * unbiased per-item weight estimator ŵ = max(weight, τ): for ANY
+    * subset S, Σ_{i ∈ S ∩ sample} ŵ_i is an unbiased estimate of
+    * Σ_{i ∈ S} w_i — the subset-sum query a k-row sample can answer
+    * about a 100 TB corpus. Exact (τ = 0, ŵ = w) when the group fits
+    * in k. Output: `groupCols* , keyName, weight, priority, tau, w_hat`. */
+  private def topkPrioritized(pri: DataFrame, groupCols: Seq[String],
+      k: Int, keyName: String): DataFrame = {
+    val gc = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*)
+      .orderBy(col("priority").desc, col("_key"))
+    val top = pri.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k + 1)
+    // second window over ≤ k+1 rows per group, same partitioning — no
+    // additional exchange; τ is the (k+1)-th priority iff one exists
+    val wg = Window.partitionBy(gc: _*)
+    top
+      .withColumn("_n", count(lit(1)).over(wg))
+      .withColumn("tau",
+        when(col("_n") === k + 1, min(col("priority")).over(wg))
+          .otherwise(lit(0.0)))
+      .filter(col("_rn") <= k)
+      .select(gc ++ Seq(col("_key").as(keyName), col("weight"),
+        col("priority"), col("tau"),
+        greatest(col("weight").cast("double"), col("tau")).as("w_hat")): _*)
+  }
+
+  /** Deterministic weighted sample without replacement: top-`k` per
+    * group by the priority race ([[prioritized]]). P(i sampled) grows
+    * with w_i; the ŵ estimator column makes the sample answer subset-sum
+    * questions unbiasedly. One window shuffle, rank-pushdown limited. */
+  def prioritySample(df: DataFrame, groupCols: Seq[String], key: Column,
+      weight: Column, k: Int, hasher: BaseHash = BaseHash.Xx,
+      keyName: String = "key"): DataFrame = {
+    require(k >= 1, s"prioritySample needs k >= 1, got $k")
+    topkPrioritized(prioritized(df, groupCols, key, weight, hasher),
+      groupCols, k, keyName)
+  }
+
+  /** Per-shard priority samples as DATA: the top k+1 rows per
+    * (group, shard) WITH their priorities — k+1, not k, so a rollup's
+    * threshold is exact (the union's (k+1)-th priority is in some
+    * shard's top k+1, but not necessarily its top k: all k+1 global
+    * leaders can share one shard). Output: `groupCols* , shardCols* ,
+    * _key, weight, priority`. */
+  def prioritySampleShards(df: DataFrame, groupCols: Seq[String],
+      shardCols: Seq[String], key: Column, weight: Column, k: Int,
+      hasher: BaseHash = BaseHash.Xx): DataFrame = {
+    require(k >= 1, s"prioritySampleShards needs k >= 1, got $k")
+    val all = groupCols ++ shardCols
+    val w = Window.partitionBy(all.map(col): _*)
+      .orderBy(col("priority").desc, col("_key"))
+    prioritized(df, all, key, weight, hasher)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k + 1).drop("_rn")
+  }
+
+  /** Merge shard samples up to `groupCols` and re-take the top-k —
+    * EXACTLY equal to [[prioritySample]] over the unioned rows, τ and ŵ
+    * included (pinned in SketchesSpec; q102 shares q101's oracle):
+    * any row a shard dropped was preceded by k+1 higher priorities in
+    * that shard, so it is outside the union's top k+1 too. Priorities
+    * ride as data — nothing is re-hashed. Input is #shards × (k+1)
+    * rows: pure window work. */
+  def priorityRollup(shards: DataFrame, groupCols: Seq[String], k: Int,
+      keyName: String = "key"): DataFrame =
+    topkPrioritized(
+      shards.select((groupCols.map(col) ++
+        Seq(col("_key"), col("weight"), col("priority"))): _*),
+      groupCols, k, keyName)
+
   /** Registration-free parity reference: rank the full distinct hash set
     * per group and read off the k-th smallest — the same output columns
     * via the exact path (this IS the shape of q90's DuckDB oracle).

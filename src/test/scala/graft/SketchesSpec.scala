@@ -156,6 +156,132 @@ class SketchesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(direct == rolled) // bit-identical, values included
   }
 
+  // ---- Count-min sketch -------------------------------------------------
+
+  test("cms: estimate never undercounts, is exact when width is ample, " +
+      "and overshoot respects the 2N/width bound") {
+    // 2 groups × 200 keys with frequency = key index + 1 (so truth is
+    // known per key); width 1024 ≫ 200 keys → few collisions
+    val df = (0 until 2).flatMap { g =>
+      (1 to 200).flatMap(key => Seq.fill(key)((g.toLong, s"k$key")))
+    }.toDF("g", "v")
+    val counters = Sketches.cmsCounters(df, Seq("g"), Nil, col("v"),
+      depth = 4, width = 1024, hasher = BaseHash.Md5)
+    val est = Sketches.cmsEstimate(counters, Seq("g"), df, col("v"),
+      depth = 4, width = 1024, hasher = BaseHash.Md5)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val n = (1 to 200).sum // per-group total count
+    (0 until 2).foreach { g =>
+      (1 to 200).foreach { key =>
+        val e = est((g.toLong, s"k$key"))
+        assert(e >= key, s"undercount: g=$g k$key est=$e true=$key")
+        assert(e <= key + 2L * n / 1024,
+          s"overshoot beyond CMS bound: g=$g k$key est=$e true=$key")
+      }
+    }
+  }
+
+  test("cms: counters are partitioning-invariant and shard rollup equals " +
+      "the direct sketch exactly") {
+    val base = (0 until 5000).map(i =>
+      (i % 2L, s"s${i % 5}", s"key_${i % 131}"))
+    val a = base.toDF("g", "shard", "v")
+    val b = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(base), 23))
+      .toDF("g", "shard", "v")
+    def direct(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsCounters(df, Seq("g"), Nil, col("v"), depth = 3,
+          width = 64, hasher = BaseHash.Md5)
+        .orderBy("g", "r", "bucket").collect().map(_.toSeq).toSeq
+    assert(direct(a) == direct(b))
+    val sharded = Sketches.cmsCounters(a, Seq("g"), Seq("shard"), col("v"),
+      depth = 3, width = 64, hasher = BaseHash.Md5)
+    val rolled = Sketches.cmsRollup(sharded, Seq("g"))
+      .orderBy("g", "r", "bucket").collect().map(_.toSeq).toSeq
+    assert(rolled == direct(a))
+  }
+
+  test("cms: topK ranks by estimate with deterministic key tie-break, " +
+      "weighted counts and null keys handled") {
+    val df = Seq(("g", Some("a"), 10L), ("g", Some("a"), 5L),
+      ("g", Some("b"), 7L), ("g", Some("c"), 7L), ("g", None, 99L))
+      .toDF("g", "v", "w")
+    val counters = Sketches.cmsCounters(df, Seq("g"), Nil, col("v"),
+      depth = 4, width = 256, weight = col("w"), hasher = BaseHash.Md5)
+    val top = Sketches.cmsTopK(counters, Seq("g"), df, col("v"), k = 2,
+      depth = 4, width = 256, hasher = BaseHash.Md5)
+      .orderBy(col("estimate").desc, col("key")).collect()
+    assert(top.length == 2)
+    assert(top(0).getString(1) == "a" && top(0).getLong(2) == 15L)
+    assert(top(1).getString(1) == "b" && top(1).getLong(2) == 7L) // b<c tie
+  }
+
+  // ---- Priority sampling ------------------------------------------------
+
+  test("priority sample: exact when the group fits in k (tau=0, w_hat=w) " +
+      "and the estimator recovers the exact total") {
+    val df = (1 to 8).map(i => ("g", i.toLong, i * 10L)).toDF("g", "id", "w")
+    val out = Sketches.prioritySample(df, Seq("g"), col("id"), col("w"),
+      k = 16, hasher = BaseHash.Md5).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getDouble(4) == 0.0) // tau
+      assert(r.getDouble(5) == r.getLong(2).toDouble) // w_hat = w
+    }
+    assert(out.map(_.getDouble(5)).sum == (1 to 8).map(_ * 10).sum.toDouble)
+  }
+
+  test("priority sample: subset-sum estimator lands near the true total " +
+      "and higher weights are sampled preferentially") {
+    // weights 1..1000, total 500500; k=200 of n=1000
+    val n = 1000
+    val df = (1 to n).map(i => ("g", i.toLong, i.toLong)).toDF("g", "id", "w")
+    val out = Sketches.prioritySample(df, Seq("g"), col("id"), col("w"),
+      k = 200, hasher = BaseHash.Md5).collect()
+    assert(out.length == 200)
+    val estTotal = out.map(_.getDouble(5)).sum
+    val truth = n.toLong * (n + 1) / 2
+    assert(math.abs(estTotal - truth) / truth < 0.2,
+      s"estimator $estTotal vs $truth")
+    // the sampled mean weight must exceed the population mean: the race
+    // favors heavy rows
+    val meanW = out.map(_.getLong(2)).sum.toDouble / 200
+    assert(meanW > (n + 1) / 2.0, s"sampled mean weight $meanW")
+  }
+
+  test("priority sample: partitioning-invariant, and shard samples + " +
+      "rollup equal the direct sample exactly (tau included)") {
+    val base = (0 until 3000).map(i =>
+      (i % 2L, s"s${i % 7}", i.toLong, (i % 97 + 1).toLong))
+    val a = base.toDF("g", "shard", "id", "w")
+    val b = spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.util.Random.shuffle(base), 19))
+      .toDF("g", "shard", "id", "w")
+    def direct(df: org.apache.spark.sql.DataFrame) =
+      Sketches.prioritySample(df, Seq("g"), col("id"), col("w"), k = 25,
+          hasher = BaseHash.Md5)
+        .orderBy("g", "key").collect().map(_.toSeq).toSeq
+    assert(direct(a) == direct(b))
+    val shards = Sketches.prioritySampleShards(a, Seq("g"), Seq("shard"),
+      col("id"), col("w"), k = 25, hasher = BaseHash.Md5)
+    // each (g, shard) retains at most k+1 rows
+    assert(shards.groupBy("g", "shard").count()
+      .filter(col("count") > 26).count() == 0)
+    val rolled = Sketches.priorityRollup(shards, Seq("g"), k = 25)
+      .orderBy("g", "key").collect().map(_.toSeq).toSeq
+    assert(rolled == direct(a))
+  }
+
+  test("priority sample: null and non-positive weights are excluded") {
+    val df = Seq(("g", Some(1L), Some(5L)), ("g", Some(2L), None),
+      ("g", Some(3L), Some(0L)), ("g", Some(4L), Some(-2L)),
+      ("g", None, Some(9L))).toDF("g", "id", "w")
+    val out = Sketches.prioritySample(df, Seq("g"), col("id"), col("w"),
+      k = 10, hasher = BaseHash.Md5).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 1L)
+  }
+
   test("sample: hash-collision value reduction is min, and null keys or " +
       "values are skipped; empty groups yield null quantiles") {
     // same key twice with different values → one sample entry, min value
