@@ -1215,6 +1215,102 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
           minJaccard = 0.5, maxNewBucket = 200)
         .orderBy("id_a", "id_b")
+    }),
+    "q97_cms_topk" -> ((s, dir) => {
+      // Count-min heavy hitters: top-10 suppliers per returnflag by CMS
+      // estimate from a 4x512 counter table built in ONE map-side-combined
+      // pass (the shuffle carries counter fragments, never supplier keys).
+      // Counters are sums -> the sketch is a pure function of the input
+      // multiset, so the ESTIMATES themselves hash-match a DuckDB replay
+      // (unlike count_min_sketch's engine-private blob).
+      val li = Testbed.graph(s, dir).collection("lineitem")
+      val counters = ops.Sketches.cmsCounters(li, Seq("l_returnflag"), Nil,
+        col("l_suppkey"), depth = 4, width = 512, hasher = ops.BaseHash.Md5)
+      ops.Sketches.cmsTopK(counters, Seq("l_returnflag"), li,
+          col("l_suppkey"), k = 10, depth = 4, width = 512,
+          hasher = ops.BaseHash.Md5, keyName = "l_suppkey")
+        .orderBy(col("l_returnflag"), col("estimate").desc, col("l_suppkey"))
+    }),
+    "q98_cms_rollup" -> ((s, dir) => {
+      // counters as data: one CMS per (returnflag, linestatus) shard at
+      // "ingest", summed up to returnflag with NO source rescan, then the
+      // same heavy-hitter probe. Counter addition is exact (sums commute),
+      // so this shares q97's oracle verbatim -- the strongest check that
+      // shard sketch + rollup loses nothing.
+      val li = Testbed.graph(s, dir).collection("lineitem")
+      val shards = ops.Sketches.cmsCounters(li, Seq("l_returnflag"),
+        Seq("l_linestatus"), col("l_suppkey"), depth = 4, width = 512,
+        hasher = ops.BaseHash.Md5)
+      val rolled = ops.Sketches.cmsRollup(
+        shards.drop("l_linestatus"), Seq("l_returnflag"))
+      ops.Sketches.cmsTopK(rolled, Seq("l_returnflag"), li,
+          col("l_suppkey"), k = 10, depth = 4, width = 512,
+          hasher = ops.BaseHash.Md5, keyName = "l_suppkey")
+        .orderBy(col("l_returnflag"), col("estimate").desc, col("l_suppkey"))
+    }),
+    "q99_bloom_membership" -> ((s, dir) => {
+      // Bloom filter as data: build the 4096-bit / 3-hash filter over the
+      // blocklisted customers, densify to 128 words (cardinality-
+      // independent!), and probe EVERY customer with the pure map-side
+      // membership Column -- zero joins on the probe side. The filter is a
+      // pure function of the key set, so the probe verdicts -- the
+      // deterministic false positives included -- hash-match a DuckDB
+      // replay of build + probe.
+      val cust = Testbed.graph(s, dir).collection("customer")
+      val member = col("c_custkey") % 10 < 2
+      val words = ops.Bloom.denseWords(ops.Bloom.wordsOf(
+        cust.filter(member), Nil, col("c_custkey"),
+        numBits = 4096, numHashes = 3, hasher = ops.BaseHash.Md5), 4096)
+      cust.select(col("c_custkey"),
+          when(ops.Bloom.mightContain(col("c_custkey"), words.toSeq,
+            numBits = 4096, numHashes = 3, hasher = ops.BaseHash.Md5),
+            1L).otherwise(0L).as("might_contain"),
+          when(member, 1L).otherwise(0L).as("is_member"))
+        .orderBy("c_custkey")
+    }),
+    "q100_bloom_decontaminate" -> ((s, dir) => {
+      // Bloom-pruned decontamination: drop every document whose text
+      // fingerprint appears in the contamination slice (doc_id % 7 = 0).
+      // The bloom words prune map-side so only the bloom-POSITIVE sliver
+      // reaches the exact verification join -- the shape that survives a
+      // contamination set too large to broadcast. No false negatives +
+      // exact verify => result is EXACTLY the plain anti-join, which is
+      // the oracle.
+      val docs = Testbed.graph(s, dir).collection("documents")
+        .filter(col("text").isNotNull)
+      val fp = ops.BaseHash.Md5.full(col("text"))
+      ops.Bloom.prunedAntiJoin(docs, fp,
+          docs.filter(col("doc_id") % 7 === 0), fp,
+          numBits = 4096, numHashes = 3, hasher = ops.BaseHash.Md5)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+    "q101_priority_sample" -> ((s, dir) => {
+      // Priority sampling (Duffield-Lund-Thorup JACM'07): a deterministic
+      // char-weighted 10-doc sample per language, with the threshold tau
+      // and the unbiased subset-sum estimator w_hat = max(w, tau) -- the
+      // k-row sample that answers "how many chars does slice S hold" about
+      // a corpus. Priorities use only correctly-rounded IEEE ops (cast /
+      // add / divide -- deliberately no pow/ln), so the doubles themselves
+      // hash-match the DuckDB replay.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Sketches.prioritySample(docs, Seq("lang"), col("doc_id"),
+          col("n_chars"), k = 10, hasher = ops.BaseHash.Md5,
+          keyName = "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
+    "q102_priority_rollup" -> ((s, dir) => {
+      // samples as data: per (lang, source) shard keep the top k+1
+      // prioritized rows (k+1 so the union's threshold is exact), then
+      // re-take the top-k at lang level from the stored priorities alone
+      // -- no source rescan, nothing re-hashed. Exactly equal to q101
+      // (tau and w_hat included), so it shares q101's oracle verbatim.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val shards = ops.Sketches.prioritySampleShards(docs, Seq("lang"),
+        Seq("source"), col("doc_id"), col("n_chars"), k = 10,
+        hasher = ops.BaseHash.Md5)
+      ops.Sketches.priorityRollup(shards.drop("source"), Seq("lang"),
+          k = 10, keyName = "doc_id")
+        .orderBy("lang", "doc_id")
     }))
 
   /** The document-graph overlay as DuckDB CTEs (no leading WITH): DISTINCT
@@ -2195,7 +2291,134 @@ object SparkEntry {
     // exactly, values included (per-hash min over shard minima is the
     // global min).
     "q95_kmv_quantiles" -> KmvQuantilesOracleSql,
-    "q96_kmv_quantile_rollup" -> KmvQuantilesOracleSql)
+    "q96_kmv_quantile_rollup" -> KmvQuantilesOracleSql,
+    "q97_cms_topk" -> CmsTopkOracleSql,
+    "q98_cms_rollup" -> CmsTopkOracleSql,
+    "q99_bloom_membership" -> BloomMembershipOracleSql,
+    "q100_bloom_decontaminate" -> BloomDecontaminateOracleSql,
+    "q101_priority_sample" -> PrioritySampleOracleSql,
+    "q102_priority_rollup" -> PrioritySampleOracleSql)
+
+  /** Shared by q97 (direct counters) and q98 (shard counters + rollup):
+    * counter addition commutes, so the two engines' counter tables are
+    * identical and one oracle verifies both. Replays the full CMS
+    * pipeline: salted md5 bucket hash, counter sums, min-over-rows
+    * estimates for every distinct probe key, top-10 per group. */
+  private lazy val CmsTopkOracleSql =
+      """WITH base AS (
+           SELECT l_returnflag AS g, CAST(l_suppkey AS VARCHAR) AS key
+           FROM lineitem),
+         cnt AS (
+           SELECT g, r,
+                  CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR),
+                    ':', key)), 1, 15)) AS BIGINT) % 512 AS bucket,
+                  count(*) AS cnt
+           FROM base, UNNEST(range(0, 4)) AS t(r)
+           GROUP BY 1, 2, 3),
+         probes AS (SELECT DISTINCT g, key FROM base),
+         pb AS (
+           SELECT g, key, r,
+                  CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR),
+                    ':', key)), 1, 15)) AS BIGINT) % 512 AS bucket
+           FROM probes, UNNEST(range(0, 4)) AS t(r)),
+         est AS (
+           SELECT pb.g, pb.key, min(coalesce(cnt.cnt, 0)) AS estimate
+           FROM pb LEFT JOIN cnt
+             ON pb.g = cnt.g AND pb.r = cnt.r AND pb.bucket = cnt.bucket
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT g, key, estimate,
+                  row_number() OVER (PARTITION BY g
+                    ORDER BY estimate DESC, key) AS rn
+           FROM est)
+         SELECT g AS l_returnflag, key AS l_suppkey,
+                CAST(estimate AS BIGINT) AS estimate
+         FROM rk WHERE rn <= 10
+         ORDER BY l_returnflag, estimate DESC, l_suppkey"""
+
+  /** q99: bloom build over the blocklisted customers + probe of every
+    * customer, replayed bit-for-bit — 32-bit words via bit_or of shifted
+    * bits, membership = all three salted-hash bits set. */
+  private lazy val BloomMembershipOracleSql =
+      """WITH contam AS (
+           SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+           WHERE c_custkey % 10 < 2),
+         pos AS (
+           SELECT CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR),
+             '#', key)), 1, 15)) AS BIGINT) % 4096 AS p
+           FROM contam, UNNEST(range(0, 3)) AS t(i)),
+         words AS (
+           SELECT p // 32 AS word_ix,
+                  bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+           FROM pos GROUP BY 1),
+         pp AS (
+           SELECT c_custkey,
+                  CAST(concat('0x', substr(md5(concat(CAST(i AS VARCHAR),
+                    '#', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                    % 4096 AS p
+           FROM customer, UNNEST(range(0, 3)) AS t(i)),
+         chk AS (
+           SELECT pp.c_custkey,
+                  min(CASE WHEN coalesce(
+                        (w.word >> CAST(pp.p % 32 AS INT)) & 1, 0) = 1
+                      THEN 1 ELSE 0 END) AS allbits
+           FROM pp LEFT JOIN words w ON pp.p // 32 = w.word_ix
+           GROUP BY 1)
+         SELECT c_custkey,
+                CAST(CASE WHEN allbits = 1 THEN 1 ELSE 0 END AS BIGINT)
+                  AS might_contain,
+                CAST(CASE WHEN c_custkey % 10 < 2 THEN 1 ELSE 0 END
+                  AS BIGINT) AS is_member
+         FROM chk ORDER BY c_custkey"""
+
+  /** q100: the bloom prune has no false negatives and candidates are
+    * exactly verified, so the result IS the plain anti-join on the text
+    * fingerprint — which is what the oracle computes. */
+  private lazy val BloomDecontaminateOracleSql =
+      """WITH fp AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                    AS h
+           FROM documents WHERE text IS NOT NULL),
+         contam AS (SELECT h FROM fp WHERE doc_id % 7 = 0)
+         SELECT doc_id FROM fp
+         WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.h = fp.h)
+         ORDER BY doc_id"""
+
+  /** Shared by q101 (direct sample) and q102 (shard samples + rollup):
+    * the rollup is exactly the direct sample, so one oracle verifies
+    * both. Priorities use only correctly-rounded IEEE-754 ops (cast,
+    * add, divide), so the DOUBLES hash-match across engines — no
+    * pow/ln, whose libm implementations differ. */
+  private lazy val PrioritySampleOracleSql =
+      """WITH base AS (
+           SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS h
+           FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars > 0
+             AND doc_id IS NOT NULL),
+         pr AS (
+           SELECT lang, doc_id, weight,
+                  CAST(weight AS DOUBLE) /
+                    ((CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+                    AS priority
+           FROM base),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY lang
+             ORDER BY priority DESC, doc_id) AS rn
+           FROM pr),
+         top1 AS (SELECT * FROM rk WHERE rn <= 11),
+         tt AS (
+           SELECT lang,
+                  CASE WHEN count(*) = 11 THEN min(priority)
+                       ELSE 0.0 END AS tau
+           FROM top1 GROUP BY 1)
+         SELECT t.lang, t.doc_id, t.weight, t.priority, tt.tau,
+                greatest(CAST(t.weight AS DOUBLE), tt.tau) AS w_hat
+         FROM top1 t JOIN tt ON t.lang = tt.lang
+         WHERE t.rn <= 10
+         ORDER BY t.lang, t.doc_id"""
 
   /** q95's oracle — the KMV-sample quantile pipeline replayed: md5 key
     * hashes, per-hash min value, the 64 smallest hashes per group,
