@@ -60,7 +60,14 @@ object ScaleSmoke {
     "q75_expand", "q66_cross_minhash", "q56_decontaminate",
     "q76_expand_hydrated", "q78_multi_shortest_paths",
     "q81_segment_dedup", "q87_triangles_capped", "q85_knn_quantized",
-    "q88_knn_quantized_stored", "q84_triangles")
+    "q88_knn_quantized_stored", "q84_triangles",
+    // round-14 sketch families: CMS heavy hitters (counter build scans
+    // the full fact table; counters and probe-key count are
+    // scale-invariant at fixed key domains... except probes grow with
+    // the distinct key set — here suppliers × copies), bloom membership
+    // (build + pure map probe, both linear), priority sampling (one
+    // rank-pushdown window over the corpus)
+    "q97_cms_topk", "q99_bloom_membership", "q101_priority_sample")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

@@ -289,4 +289,65 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       "the stored chunk table shuffled to meet the batch:\n" + plan.take(3000))
   }
+
+  test("q97 CMS top-k: counters broadcast to the probe side, heavy-hitter " +
+      "rank is group-limited map-side, probe scan is column-pruned") {
+    val plan = planOf("q97_cms_topk")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      "counter lookup must broadcast the bounded counter table:\n" +
+        plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      "top-k must rank-push down before the group exchange:\n" +
+        plan.take(3000))
+    scanLines(plan, "lineitem").foreach { s =>
+      val rs = s.substring(s.indexOf("ReadSchema:"))
+      assert(!rs.contains("l_comment") && !rs.contains("l_extendedprice"),
+        s"CMS probe scan reads columns it never uses: $rs")
+    }
+  }
+
+  test("q99 bloom membership: probing is a pure map over one scan — the " +
+      "densified filter is a literal, zero joins, zero shuffles before " +
+      "the output sort") {
+    val plan = planOf("q99_bloom_membership")
+    assert(!plan.contains("Join"), "bloom probe must not join:\n" +
+      plan.take(3000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, // only the ORDER BY range partitioning
+      s"expected 1 exchange (output sort), got $exchanges:\n" +
+        plan.take(3000))
+    assert(plan.contains("shiftright"), "membership bits must be inline")
+  }
+
+  test("q100 bloom decontamination: only the bloom-positive sliver " +
+      "reaches the verification anti-join; the clean branch is map-only") {
+    val plan = planOf("q100_bloom_decontaminate")
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(plan.contains("Union"), plan.take(3000))
+    // the anti-join's corpus input must already be bloom-filtered: the
+    // membership expression (shiftright over the word literal) appears in
+    // a Filter, not only in the join
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("shiftright")),
+      "bloom prune must filter the corpus BEFORE the anti-join:\n" +
+        plan.take(3000))
+  }
+
+  test("q101 priority sample: priorities compute map-side before ONE " +
+      "group exchange, rank is group-limited, weight filter reaches " +
+      "the parquet scan") {
+    val plan = planOf("q101_priority_sample")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      plan.take(3000))
+    val hashEx = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected exactly one group exchange, got $hashEx:\n" +
+        plan.take(3000))
+    val scans = scanLines(plan, "documents")
+    assert(scans.nonEmpty && scans.forall(
+        _.contains("GreaterThan(n_chars,0)")),
+      "weight filter must push to the scan:\n" + scans.mkString("\n"))
+  }
 }
