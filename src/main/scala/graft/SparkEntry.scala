@@ -1311,7 +1311,44 @@ object SparkEntry {
       ops.Sketches.priorityRollup(shards.drop("source"), Seq("lang"),
           k = 10, keyName = "doc_id")
         .orderBy("lang", "doc_id")
+    }),
+    "q103_cms_stored" -> ((s, dir) => {
+      // q97's heavy-hitter probe against the PERSISTED counter store,
+      // built incrementally: save over the l_linenumber <= 3 slice, then
+      // append the remainder as one committed batch (the streaming-ingest
+      // path in batch form — EventStreams.cmsIngestStream lands exactly
+      // these appends per micro-batch). Counter addition is exact, so
+      // save + append == one pass over the full table and q97's oracle
+      // applies verbatim -- the store round-trip is hash-verified end to
+      // end.
+      val li = Testbed.graph(s, dir).collection("lineitem")
+      val path = cmsStorePath(s, li, dir)
+      sources.SketchStore.topKStored(s, path, li, col("l_suppkey"),
+          k = 10, keyName = "l_suppkey")
+        .orderBy(col("l_returnflag"), col("estimate").desc, col("l_suppkey"))
     }))
+
+  /** Build-once (per session, sf dir) CMS counter store for q103:
+    * snapshot save over the `l_linenumber <= 3` slice, one committed
+    * append of the remainder — the incremental-ingest shape whose
+    * counters must equal a single full-table pass. Same session-staging
+    * discipline as the signature/quantized stores (the build cost
+    * belongs to Bench's untimed build phase, not the probe rep). */
+  private val cmsStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def cmsStorePath(s: SparkSession, li: DataFrame,
+      dir: String): String =
+    cmsStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-cms-store").toString
+      sources.SketchStore.save(li.filter(col("l_linenumber") <= 3),
+        Seq("l_returnflag"), col("l_suppkey"), out, depth = 4,
+        width = 512, hasher = ops.BaseHash.Md5)
+      sources.SketchStore.append(s, out,
+        li.filter(col("l_linenumber") > 3), col("l_suppkey"),
+        batchId = "rest")
+      out
+    })
 
   /** The document-graph overlay as DuckDB CTEs (no leading WITH): DISTINCT
     * canonical keys as vertices — testdata lineitem's composite key is not
@@ -2297,7 +2334,8 @@ object SparkEntry {
     "q99_bloom_membership" -> BloomMembershipOracleSql,
     "q100_bloom_decontaminate" -> BloomDecontaminateOracleSql,
     "q101_priority_sample" -> PrioritySampleOracleSql,
-    "q102_priority_rollup" -> PrioritySampleOracleSql)
+    "q102_priority_rollup" -> PrioritySampleOracleSql,
+    "q103_cms_stored" -> CmsTopkOracleSql)
 
   /** Shared by q97 (direct counters) and q98 (shard counters + rollup):
     * counter addition commutes, so the two engines' counter tables are

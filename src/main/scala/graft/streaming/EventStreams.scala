@@ -342,6 +342,40 @@ object EventStreams {
       .start()
   }
 
+  /** Per-micro-batch counter ingest into a [[graft.sources.SketchStore]]:
+    * each batch lands its CMS deltas (≤ depth × width counter rows under
+    * the store's saved params) keyed by the micro-batch id — so the
+    * store's live counters equal a batch [[graft.ops.Sketches
+    * .cmsCounters]] over everything the stream has delivered
+    * (StreamingSpec pins batch ≡ stream). Per-micro-batch cost tracks
+    * the BATCH, never the corpus: one map-side-combined pass over the
+    * batch plus a 1-row meta commit.
+    *
+    * Replay safety is the store's batch-id guard: counter addition is
+    * not idempotent, so a replayed micro-batch (checkpoint restart)
+    * must land ZERO deltas — `SketchStore.append` skips ids already in
+    * the committed meta list, making the ingest exactly-once without
+    * any within-batch id bookkeeping. `keyCol`/`weightCol` name the
+    * batch columns, as the batch stores do. */
+  def cmsIngestStream(docStream: DataFrame, storePath: String,
+      keyCol: String, weightCol: Option[String] = None,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docStream.isStreaming,
+      "cmsIngestStream needs a streaming frame; call SketchStore.append " +
+        "directly for batch input")
+    val writer = docStream.writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.SketchStore.append(batch.sparkSession, storePath,
+          batch.toDF(), col(keyCol),
+          weight = weightCol.map(col).getOrElse(lit(1L)),
+          batchId = s"stream-$id")
+        ()
+      }
+      .start()
+  }
+
   /** Refresh every catalog table in `df`'s plan, in the SESSION THE THUNK
     * RESOLVED AGAINST. Needed for the `() => spark.table(name)` corpus
     * form: the sink's appends run on the micro-batch's cloned session and
