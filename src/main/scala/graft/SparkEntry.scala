@@ -1326,6 +1326,22 @@ object SparkEntry {
       sources.SketchStore.topKStored(s, path, li, col("l_suppkey"),
           k = 10, keyName = "l_suppkey")
         .orderBy(col("l_returnflag"), col("estimate").desc, col("l_suppkey"))
+    }),
+    "q104_kmv_overlap" -> ((s, dir) => {
+      // Cross-slice overlap accounting from sketches ALONE: how many
+      // distinct parts do the F and O linestatus slices share, per
+      // returnflag — answered from two k=256 KMV sketches per group
+      // without rescanning lineitem. The union k-min, the per-side
+      // membership, the coincidence estimator, and the two
+      // correctly-rounded double ops all replay in DuckDB, so the
+      // ESTIMATES (jaccard and intersection included) hash-match.
+      val li = Testbed.graph(s, dir).collection("lineitem")
+      def side(st: String) = ops.Sketches.kmvShardSketches(
+        li.filter(col("l_linestatus") === st), Seq("l_returnflag"), Nil,
+        col("l_partkey"), k = 256, hasher = ops.BaseHash.Md5)
+      ops.Sketches.kmvOverlap(side("F"), side("O"), Seq("l_returnflag"),
+          k = 256)
+        .orderBy("l_returnflag")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2335,7 +2351,54 @@ object SparkEntry {
     "q100_bloom_decontaminate" -> BloomDecontaminateOracleSql,
     "q101_priority_sample" -> PrioritySampleOracleSql,
     "q102_priority_rollup" -> PrioritySampleOracleSql,
-    "q103_cms_stored" -> CmsTopkOracleSql)
+    "q103_cms_stored" -> CmsTopkOracleSql,
+    "q104_kmv_overlap" -> KmvOverlapOracleSql)
+
+  /** q104: the KMV overlap estimator replayed end-to-end — per-side
+    * k-min sets via hash ranking, union k-min, per-side membership (a
+    * union-k-min hash in side X is in X's k-min — the rollup argument),
+    * then the same correctly-rounded double arithmetic. */
+  private lazy val KmvOverlapOracleSql =
+      """WITH h AS (
+           SELECT l_returnflag AS g, l_linestatus AS st,
+                  CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS h
+           FROM lineitem WHERE l_linestatus IN ('F', 'O')),
+         d AS (SELECT DISTINCT g, st, h FROM h),
+         r AS (
+           SELECT g, st, h,
+                  row_number() OVER (PARTITION BY g, st ORDER BY h) AS rn
+           FROM d),
+         km AS (SELECT g, st, h FROM r WHERE rn <= 256),
+         gboth AS (
+           SELECT g FROM km WHERE st = 'F'
+           INTERSECT SELECT g FROM km WHERE st = 'O'),
+         ud AS (SELECT DISTINCT g, h FROM km WHERE g IN (SELECT g FROM gboth)),
+         ur AS (
+           SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+           FROM ud),
+         uk AS (SELECT g, h FROM ur WHERE rn <= 256),
+         m AS (
+           SELECT uk.g, count(*) AS matches
+           FROM uk
+           JOIN km kf ON kf.g = uk.g AND kf.st = 'F' AND kf.h = uk.h
+           JOIN km ko ON ko.g = uk.g AND ko.st = 'O' AND ko.h = uk.h
+           GROUP BY 1),
+         a2 AS (SELECT g, count(*) AS n_u, max(h) AS kth FROM uk GROUP BY 1)
+         SELECT a2.g AS l_returnflag,
+                CAST(n_u AS BIGINT) AS n_union_retained,
+                CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                     ELSE 255.0 / (CAST(kth AS DOUBLE) /
+                       1152921504606846976.0) END AS union_estimate,
+                CAST(coalesce(m.matches, 0) AS DOUBLE) /
+                  CAST(n_u AS DOUBLE) AS jaccard,
+                (CAST(coalesce(m.matches, 0) AS DOUBLE) /
+                  CAST(n_u AS DOUBLE)) *
+                (CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                      ELSE 255.0 / (CAST(kth AS DOUBLE) /
+                        1152921504606846976.0) END) AS intersect_estimate
+         FROM a2 LEFT JOIN m ON a2.g = m.g
+         ORDER BY l_returnflag"""
 
   /** Shared by q97 (direct counters) and q98 (shard counters + rollup):
     * counter addition commutes, so the two engines' counter tables are

@@ -200,6 +200,45 @@ object Sketches {
           :+ col("_e.v").as("_v"): _*),
       groupCols, k, qs)
 
+  /** Set-overlap estimates from two KMV sketch tables ALONE — the
+    * "how many distinct keys do slices A and B share" question answered
+    * without touching source data. Join on `groupCols`, then per group:
+    * the union's k-min set is the k smallest of the two sketch arrays
+    * (the [[kmvRollup]] argument), and membership of a union-k-min hash
+    * in A is decidable from A's sketch (if h is in the union's k-min and
+    * h ∈ A, fewer than k union hashes precede it, so fewer than k of A's
+    * do — h is in A's k-min). ρ = matches/|k-min| estimates Jaccard;
+    * |A∩B| ≈ ρ · |A∪B|-estimate (the KMV coincidence estimator). EXACT
+    * when both groups fit in k. Every arithmetic step is integer ranking
+    * plus correctly-rounded IEEE divide/multiply, so the estimates
+    * replay bit-for-bit externally (q104's DuckDB oracle).
+    *
+    * Output: `groupCols* , n_union_retained, union_estimate, jaccard,
+    * intersect_estimate`. Input is two sketch rows per group — pure
+    * Column work at any corpus scale. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int, sketchCol: String = "sketch"): DataFrame = {
+    require(k >= 2, s"kmvOverlap needs k >= 2, got $k")
+    val gc = groupCols.map(col)
+    val joined = a.select(gc :+ col(sketchCol).as("_sa"): _*)
+      .join(b.select(gc :+ col(sketchCol).as("_sb"): _*), groupCols)
+    val u = slice(array_sort(array_union(col("_sa"), col("_sb"))), 1, k)
+    val nU = size(u)
+    val kth = element_at(u, nU) // union's largest retained hash
+    joined.select(gc ++ Seq(
+      nU.cast("long").as("n_union_retained"),
+      when(nU < k, nU.cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          (kth.cast("double") / lit(TwoPow60d)))
+        .as("union_estimate"),
+      when(nU > 0,
+        size(array_intersect(array_intersect(u, col("_sa")), col("_sb")))
+          .cast("double") / nU.cast("double"))
+        .otherwise(lit(0.0)).as("jaccard")): _*)
+      .withColumn("intersect_estimate",
+        col("jaccard") * col("union_estimate"))
+  }
+
   // ---- Count-min sketch -------------------------------------------------
 
   /** Bucket of `key` in row `r` of a count-min sketch: the salted base

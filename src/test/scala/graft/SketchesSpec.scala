@@ -156,6 +156,59 @@ class SketchesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(direct == rolled) // bit-identical, values included
   }
 
+  // ---- KMV overlap ------------------------------------------------------
+
+  test("overlap: exact below k — jaccard and intersection from sketches " +
+      "equal the true set arithmetic") {
+    // A = {0..59}, B = {40..99}: |A∩B| = 20, |A∪B| = 100, J = 0.2
+    val a = (0 until 60).map(i => ("g", s"k$i")).toDF("g", "v")
+    val b = (40 until 100).map(i => ("g", s"k$i")).toDF("g", "v")
+    val sa = Sketches.kmvShardSketches(a, Seq("g"), Nil, col("v"),
+      k = 128, hasher = BaseHash.Md5)
+    val sb = Sketches.kmvShardSketches(b, Seq("g"), Nil, col("v"),
+      k = 128, hasher = BaseHash.Md5)
+    val out = Sketches.kmvOverlap(sa, sb, Seq("g"), k = 128).collect()(0)
+    assert(out.getLong(1) == 100L) // n_union_retained
+    assert(out.getDouble(2) == 100.0) // union exact below k
+    assert(out.getDouble(3) == 0.2) // jaccard exact
+    assert(out.getDouble(4) == 20.0) // intersection exact
+  }
+
+  test("overlap: estimates track truth at 10k keys with 50% overlap") {
+    val a = (0 until 10000).map(i => ("g", s"k$i")).toDF("g", "v")
+    val b = (5000 until 15000).map(i => ("g", s"k$i")).toDF("g", "v")
+    val k = 256
+    val sa = Sketches.kmvShardSketches(a, Seq("g"), Nil, col("v"),
+      k = k, hasher = BaseHash.Md5)
+    val sb = Sketches.kmvShardSketches(b, Seq("g"), Nil, col("v"),
+      k = k, hasher = BaseHash.Md5)
+    val out = Sketches.kmvOverlap(sa, sb, Seq("g"), k = k).collect()(0)
+    // truth: union 15000, jaccard 1/3, intersection 5000
+    assert(math.abs(out.getDouble(2) - 15000) / 15000 < 0.2,
+      s"union ${out.getDouble(2)}")
+    assert(math.abs(out.getDouble(3) - 1.0 / 3) < 0.12,
+      s"jaccard ${out.getDouble(3)}")
+    assert(math.abs(out.getDouble(4) - 5000) / 5000 < 0.3,
+      s"intersection ${out.getDouble(4)}")
+  }
+
+  test("overlap: disjoint sets report zero, identical sets report " +
+      "jaccard 1 with the union equal to either side") {
+    val a = (0 until 500).map(i => ("g", s"a$i")).toDF("g", "v")
+    val b = (0 until 500).map(i => ("g", s"b$i")).toDF("g", "v")
+    val k = 64
+    def sk(d: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvShardSketches(d, Seq("g"), Nil, col("v"), k = k,
+        hasher = BaseHash.Md5)
+    val disj = Sketches.kmvOverlap(sk(a), sk(b), Seq("g"), k).collect()(0)
+    assert(disj.getDouble(3) == 0.0 && disj.getDouble(4) == 0.0)
+    val self = Sketches.kmvOverlap(sk(a), sk(a), Seq("g"), k).collect()(0)
+    assert(self.getDouble(3) == 1.0)
+    val est = Sketches.kmvDistinct(a, Seq("g"), col("v"), k,
+      hasher = BaseHash.Md5).collect()(0).getDouble(3)
+    assert(self.getDouble(2) == est) // union of X with X = X's estimate
+  }
+
   // ---- Count-min sketch -------------------------------------------------
 
   test("cms: estimate never undercounts, is exact when width is ample, " +
