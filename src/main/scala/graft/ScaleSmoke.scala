@@ -66,8 +66,11 @@ object ScaleSmoke {
     // scale-invariant at fixed key domains... except probes grow with
     // the distinct key set — here suppliers × copies), bloom membership
     // (build + pure map probe, both linear), priority sampling (one
-    // rank-pushdown window over the corpus)
-    "q97_cms_topk", "q99_bloom_membership", "q101_priority_sample")
+    // rank-pushdown window over the corpus), plus the persisted counter
+    // store's probe (store build staged untimed, like the other stores)
+    // and the sketch-only overlap estimator
+    "q97_cms_topk", "q99_bloom_membership", "q101_priority_sample",
+    "q103_cms_stored", "q104_kmv_overlap")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -179,6 +182,9 @@ object ScaleSmoke {
       if (selectedHas("q94"))
         SparkEntry.appendedSignatureStorePath(spark,
           Testbed.graph(spark, dir).collection("documents"), dir)
+      if (selectedHas("q103"))
+        SparkEntry.cmsStorePath(spark,
+          Testbed.graph(spark, dir).collection("lineitem"), dir)
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =
