@@ -2400,27 +2400,31 @@ object SparkEntry {
          FROM a2 LEFT JOIN m ON a2.g = m.g
          ORDER BY l_returnflag"""
 
-  /** Shared by q97 (direct counters) and q98 (shard counters + rollup):
-    * counter addition commutes, so the two engines' counter tables are
-    * identical and one oracle verifies both. Replays the full CMS
-    * pipeline: salted md5 bucket hash, counter sums, min-over-rows
-    * estimates for every distinct probe key, top-10 per group. */
+  /** Shared by q97 (direct counters), q98 (shard counters + rollup), and
+    * q103 (persisted store): counter addition commutes, so the engines'
+    * counter tables are identical and one oracle verifies all three.
+    * Replays the full CMS pipeline: the two Kirsch-Mitzenmacher base
+    * hashes, derived row buckets h1 + r·h2 mod width, counter sums,
+    * min-over-rows estimates for every distinct probe key, top-10 per
+    * group. */
   private lazy val CmsTopkOracleSql =
       """WITH base AS (
            SELECT l_returnflag AS g, CAST(l_suppkey AS VARCHAR) AS key
            FROM lineitem),
+         kh AS (
+           SELECT g, key,
+                  CAST(concat('0x', substr(md5(concat('c0:', key)), 1, 15))
+                    AS BIGINT) AS h1,
+                  CAST(concat('0x', substr(md5(concat('c1:', key)), 1, 15))
+                    AS BIGINT) & 2147483647 AS h2
+           FROM base),
          cnt AS (
-           SELECT g, r,
-                  CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR),
-                    ':', key)), 1, 15)) AS BIGINT) % 512 AS bucket,
-                  count(*) AS cnt
-           FROM base, UNNEST(range(0, 4)) AS t(r)
+           SELECT g, r, (h1 + r * h2) % 512 AS bucket, count(*) AS cnt
+           FROM kh, UNNEST(range(0, 4)) AS t(r)
            GROUP BY 1, 2, 3),
-         probes AS (SELECT DISTINCT g, key FROM base),
+         probes AS (SELECT DISTINCT g, key, h1, h2 FROM kh),
          pb AS (
-           SELECT g, key, r,
-                  CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR),
-                    ':', key)), 1, 15)) AS BIGINT) % 512 AS bucket
+           SELECT g, key, r, (h1 + r * h2) % 512 AS bucket
            FROM probes, UNNEST(range(0, 4)) AS t(r)),
          est AS (
            SELECT pb.g, pb.key, min(coalesce(cnt.cnt, 0)) AS estimate

@@ -241,14 +241,23 @@ object Sketches {
 
   // ---- Count-min sketch -------------------------------------------------
 
-  /** Bucket of `key` in row `r` of a count-min sketch: the salted base
-    * hash mod `width`. The salt is a plain string prefix (`"r:"`), so an
-    * external engine replays it as `hash(concat(r, ':', key))` — q97's
-    * DuckDB oracle does exactly that. */
-  private def cmsBucket(key: Column, r: Int, width: Int,
-      hasher: BaseHash): Column =
-    pmod(hasher.full(concat(lit(r.toString), lit(":"), key.cast("string"))),
-      lit(width.toLong))
+  /** The two base hashes every CMS row bucket derives from
+    * (Kirsch-Mitzenmacher: g_r = h1 + r·h2 mod width preserves the CMS
+    * guarantees with TWO hash computations per key instead of depth) —
+    * staged as columns BEFORE the explode so the expensive hash runs
+    * exactly twice per input row, not per (row, depth) pair. h1 is
+    * masked to 62 bits (an identity for the 60-bit md5 variant) and h2
+    * to 31, so h1 + r·h2 stays under 2^63 for depth ≤ 7 — no ANSI
+    * overflow, and an external engine replays the same integer
+    * arithmetic (q97's DuckDB oracle does). */
+  private def cmsHashes(key: Column, hasher: BaseHash): (Column, Column) = (
+    hasher.full(concat(lit("c0:"), key.cast("string")))
+      .bitwiseAND(lit(0x3fffffffffffffffL)),
+    hasher.bits31(concat(lit("c1:"), key.cast("string"))))
+
+  private def cmsBucketOf(h1: Column, h2: Column, r: Int,
+      width: Int): Column =
+    pmod(h1 + lit(r.toLong) * h2, lit(width.toLong))
 
   /** Count-min sketch counters as DATA: rows `groupCols* , shardCols* ,
     * r, bucket, cnt` — the sparse form of the d×w counter matrix
@@ -269,14 +278,18 @@ object Sketches {
   def cmsCounters(df: DataFrame, groupCols: Seq[String],
       shardCols: Seq[String], key: Column, depth: Int, width: Int,
       weight: Column = lit(1L), hasher: BaseHash = BaseHash.Xx): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"cms depth must be 1..16, got $depth")
+    require(depth >= 1 && depth <= 7, s"cms depth must be 1..7, got $depth")
     require(width >= 2, s"cms width must be >= 2, got $width")
     val gc = (groupCols ++ shardCols).map(col)
+    val (h1, h2) = cmsHashes(key, hasher)
     df.filter(key.isNotNull && weight.isNotNull)
       .select(gc ++ Seq(weight.cast("long").as("_w"),
+        h1.as("_h1"), h2.as("_h2")): _*)
+      .select(gc ++ Seq(col("_w"),
         explode(array((0 until depth).map(r => struct(
           lit(r).as("r"),
-          cmsBucket(key, r, width, hasher).as("bucket"))): _*)).as("_rb")): _*)
+          cmsBucketOf(col("_h1"), col("_h2"), r, width).as("bucket"))): _*))
+          .as("_rb")): _*)
       .select(gc ++ Seq(col("_rb.r").as("r"), col("_rb.bucket").as("bucket"),
         col("_w")): _*)
       .groupBy((groupCols ++ shardCols ++ Seq("r", "bucket")).map(col): _*)
@@ -305,12 +318,14 @@ object Sketches {
       hasher: BaseHash = BaseHash.Xx, keyName: String = "key",
       broadcastCounters: Boolean = true): DataFrame = {
     val gc = groupCols.map(col)
+    val (h1, h2) = cmsHashes(col(keyName), hasher)
     val pb = probes.select(gc :+ probeKey.cast("string").as(keyName): _*)
       .filter(col(keyName).isNotNull).distinct()
+      .select(gc ++ Seq(col(keyName), h1.as("_h1"), h2.as("_h2")): _*)
       .select(gc ++ Seq(col(keyName),
         explode(array((0 until depth).map(r => struct(
           lit(r).as("r"),
-          cmsBucket(col(keyName), r, width, hasher).as("bucket"))): _*))
+          cmsBucketOf(col("_h1"), col("_h2"), r, width).as("bucket"))): _*))
           .as("_rb")): _*)
       .select(gc ++ Seq(col(keyName), col("_rb.r").as("r"),
         col("_rb.bucket").as("bucket")): _*)

@@ -45,7 +45,10 @@ object SketchStore {
     case BaseHash.Md5 => "md5"
   }
 
-  private val Version = 1
+  // v2: bucket derivation moved to the two-hash Kirsch-Mitzenmacher form
+  // (h1 + r·h2 mod width) — counters built under the v1 per-row salted
+  // hash land in different buckets, so old stores must not be read
+  private val Version = 2
 
   private def writeMeta(spark: SparkSession, path: String,
       p: Params): Unit = {

@@ -225,14 +225,22 @@ class SketchesSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
       .toMap
     val n = (1 to 200).sum // per-group total count
+    // never-undercount is a HARD guarantee (counters only add); the
+    // overshoot bound est <= true + 2N/width is probabilistic —
+    // P(violate) <= 2^-depth per key — so assert the RATE across the
+    // 400 probes (expected <= 25 at depth 4; allow 2x margin), not
+    // each key
+    var violations = 0
     (0 until 2).foreach { g =>
       (1 to 200).foreach { key =>
         val e = est((g.toLong, s"k$key"))
         assert(e >= key, s"undercount: g=$g k$key est=$e true=$key")
-        assert(e <= key + 2L * n / 1024,
-          s"overshoot beyond CMS bound: g=$g k$key est=$e true=$key")
+        if (e > key + 2L * n / 1024) violations += 1
       }
     }
+    assert(violations <= 50,
+      s"$violations of 400 estimates exceed the 2N/width bound " +
+        "(expected <= 25 at depth 4)")
   }
 
   test("cms: counters are partitioning-invariant and shard rollup equals " +
