@@ -310,8 +310,10 @@ object Sketches {
     * and ≤ true + 2N/width with probability 1 − 2^-depth — both pinned
     * in SketchesSpec. Output: `groupCols* , keyName, estimate`.
     *
-    * The counter side is provably ≤ #groups × depth × width rows —
-    * broadcast it (default) so the probe side stays map-only plus one
+    * The counter side is ≤ #groups × depth × width rows — broadcast it
+    * (default, behind the standard count gate so a pathological
+    * many-group counter table falls back to an unhinted join instead of
+    * OOMing the driver) and the probe side stays map-only plus one
     * bounded-key aggregation; at 100 TB the probes are the big side. */
   def cmsEstimate(counters: DataFrame, groupCols: Seq[String],
       probes: DataFrame, probeKey: Column, depth: Int, width: Int,
@@ -329,7 +331,14 @@ object Sketches {
           .as("_rb")): _*)
       .select(gc ++ Seq(col(keyName), col("_rb.r").as("r"),
         col("_rb.bucket").as("bucket")): _*)
-    val right = if (broadcastCounters) broadcast(counters) else counters
+    val right =
+      if (broadcastCounters) {
+        // stage before gating: the gate's count() would otherwise run the
+        // counter aggregation once for the count and again for the join
+        val staged = graft.core.Lifecycle.stage(counters)
+        OpsUtil.gatedHint("cmsEstimate", "counters", staged,
+          maxRows = 4L * 1000 * 1000)(staged)
+      } else counters
     pb.join(right, groupCols ++ Seq("r", "bucket"), "left")
       .na.fill(0L, Seq("cnt"))
       .groupBy(gc :+ col(keyName): _*)
