@@ -38,6 +38,13 @@ object ScaleSmoke {
     n
   }
   val Offset = 100000000L
+
+  /** Offset for INT-typed key columns (the nation/region domain — INT
+    * consistently across every table that carries it, so per-dtype
+    * offsets keep referential integrity). 2e6 × copies stays under
+    * 2^31 up to the 1000-copy cap where the 64-bit offset would
+    * overflow an int cast at copy 22 of a 100× run. */
+  val IntOffset = 2000000L
   val MaxRatio: Double = 1.5 * Copies
 
   /** The five most expensive ops of the r9 bench tail, plus the round-10
@@ -93,9 +100,14 @@ object ScaleSmoke {
     keyCols.foreach { case (t, keys) =>
       val df = spark.read.parquet(s"$base/$t.parquet")
       val scaled = (0 until Copies).map { i =>
-        val shifted = keys.foldLeft(df)((d, k) =>
+        val shifted = keys.foldLeft(df)((d, k) => {
+          val off =
+            if (df.schema(k).dataType ==
+              org.apache.spark.sql.types.IntegerType) i * IntOffset
+            else i * Offset
           d.withColumn(k,
-            (col(k) + lit(i * Offset)).cast(df.schema(k).dataType)))
+            (col(k) + lit(off)).cast(df.schema(k).dataType))
+        })
         // word-tag text on copies > 0 (copy 0 stays byte-identical to
         // the base corpus) — see class doc
         if (t == "documents" && i > 0)

@@ -1342,6 +1342,25 @@ object SparkEntry {
       ops.Sketches.kmvOverlap(side("F"), side("O"), Seq("l_returnflag"),
           k = 256)
         .orderBy("l_returnflag")
+    }),
+    "q105_normalized_dedup" -> ((s, dir) => {
+      // exact dedup AFTER canonicalization (the C4/RefinedWeb step):
+      // lowercase, punctuation->space, whitespace collapse — so
+      // case/punctuation variants of a document collapse into one dedup
+      // group. One map-side-combined groupBy on the normalized-text HASH
+      // (the shuffle never carries text); keeper = min doc_id, exactly as
+      // q23's raw-text dedup. The normalization regexes live in the
+      // Java ∩ RE2 subset, so DuckDB replays them byte-for-byte.
+      val docs = Testbed.graph(s, dir).collection("documents")
+        .filter(col("text").isNotNull)
+      val normKey = ops.BaseHash.Md5.full(
+        ops.TextOps.normalizeText(col("text")))
+      docs.select(col("doc_id"), normKey.as("norm_key"))
+        .groupBy("norm_key")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_cnt"))
+        .select(col("keep_id"), col("norm_key"), col("dup_cnt"))
+        .orderBy("keep_id")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2352,7 +2371,18 @@ object SparkEntry {
     "q101_priority_sample" -> PrioritySampleOracleSql,
     "q102_priority_rollup" -> PrioritySampleOracleSql,
     "q103_cms_stored" -> CmsTopkOracleSql,
-    "q104_kmv_overlap" -> KmvOverlapOracleSql)
+    "q104_kmv_overlap" -> KmvOverlapOracleSql,
+    "q105_normalized_dedup" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  CAST(concat('0x', substr(md5(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
+                    '\s+', ' ', 'g'))), 1, 15)) AS BIGINT) AS norm_key
+           FROM documents WHERE text IS NOT NULL)
+         SELECT min(doc_id) AS keep_id, norm_key,
+                count(*) AS dup_cnt
+         FROM n GROUP BY norm_key
+         ORDER BY keep_id""")
 
   /** q104: the KMV overlap estimator replayed end-to-end — per-side
     * k-min sets via hash ranking, union k-min, per-side membership (a

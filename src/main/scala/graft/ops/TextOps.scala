@@ -87,6 +87,18 @@ object TextOps {
       ipv4, "<IP>")
   }
 
+  /** Canonicalization before dedup (the C4/RefinedWeb step): lowercase,
+    * fold every non-letter/digit to a space, collapse runs, trim. Makes
+    * exact dedup catch case/punctuation/whitespace variants of the same
+    * document — the difference between "exact" and "trivially evaded" at
+    * corpus scale. Patterns stay in the Java-regex ∩ RE2 subset (like
+    * [[scrubPii]]) so external engines replay the normalization
+    * byte-for-byte (q105's oracle). Pure Column, zero shuffles. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", " "),
+      "\\s+", " "))
+
   /** Document fingerprints. `md5` for exact identity; the rolling
     * polynomial hash (base-31 over character codes, 63-bit) is the
     * shift-resistant variant used for near-dup blocking. */

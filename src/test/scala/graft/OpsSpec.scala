@@ -58,6 +58,21 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(3) == "clean text with numbers 12345 and a.b")
   }
 
+  test("normalizeText folds case, punctuation, and whitespace so " +
+      "variants collapse to one dedup key") {
+    import spark.implicits._
+    val out = Seq(
+      "Hello,   WORLD!", "hello world", "  hello --- world\t",
+      "Unicode: Déjà Vu 42!", "deja different").toDF("t")
+      .select(graft.ops.TextOps.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "hello world")
+    assert(out(1) == "hello world")
+    assert(out(2) == "hello world")
+    assert(out(3) == "unicode déjà vu 42") // letters (incl. accented) kept
+    assert(out(4) == "deja different")
+  }
+
   test("char shingles: distinct n-grams, short-text fallback") {
     val sh = Seq(("abcd", 1), ("ab", 2)).toDF("t", "i")
       .select(Dedup.charShingles(col("t"), 3).as("sh"))
