@@ -573,6 +573,42 @@ object SmokeVerify {
         f"psMaxRelErr=$maxRel20%.3f => " +
         (if (probedKeys > 0 && under20 == 0 && over20 == 0
             && got20 == want20 && maxRel20 < 0.5) "OK" else "BROKEN"))
+
+      // 21. Lexical retrieval end-to-end: BM25 over the real corpus text,
+      // direct vs posting-store vs appended-store (all three must agree
+      // row-for-row), retrieval sanity (every hit contains a query term),
+      // and keyword extraction rank bounds.
+      val q21 = Seq("dup", "vector", "batch")
+      val direct21 = graft.ops.Lexical.bm25TopK(docs, "doc_id", "text",
+        q21, 10).collect().map(_.toSeq).toSeq
+      val store21 = java.nio.file.Files
+        .createTempDirectory("smoke-posting").toString
+      graft.sources.PostingStore.save(docs, "doc_id", "text", store21)
+      val stored21 = graft.sources.PostingStore.searchTopK(spark, store21,
+        q21, 10).collect().map(_.toSeq).toSeq
+      val grown21 = java.nio.file.Files
+        .createTempDirectory("smoke-posting-app").toString
+      graft.sources.PostingStore.save(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", grown21)
+      graft.sources.PostingStore.append(spark, grown21,
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      val appended21 = graft.sources.PostingStore.searchTopK(spark,
+        grown21, q21, 10).collect().map(_.toSeq).toSeq
+      val hitIds21 = direct21.map(_.head.asInstanceOf[Long]).toSet
+      val hitsContain21 = docs
+        .filter(col("doc_id").isin(hitIds21.toSeq: _*))
+        .filter(!q21.map(t => col("text").contains(t)).reduce(_ || _))
+        .count()
+      val kw21 = graft.ops.Lexical.tfidfKeywords(docs, "doc_id", "text", 3)
+      val kwBad21 = kw21.filter(col("rnk") > 3 || col("score_micro") < 0)
+        .count()
+      println(s"SMOKE21 lexical: hits=${direct21.size} " +
+        s"storedParity=${stored21 == direct21} " +
+        s"appendParity=${appended21 == direct21} " +
+        s"offTopicHits=$hitsContain21 kwBadRows=$kwBad21 => " +
+        (if (direct21.nonEmpty && stored21 == direct21 &&
+            appended21 == direct21 && hitsContain21 == 0 && kwBad21 == 0)
+          "OK" else "BROKEN"))
     }
 
     spark.stop()

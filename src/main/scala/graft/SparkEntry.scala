@@ -1361,6 +1361,40 @@ object SparkEntry {
           count(lit(1)).as("dup_cnt"))
         .select(col("keep_id"), col("norm_key"), col("dup_cnt"))
         .orderBy("keep_id")
+    }),
+
+    // ---- lexical retrieval: TF-IDF keywords + BM25 search (direct,
+    // stored index, appended index) ----------------------------------
+    "q106_tfidf_keywords" -> ((s, dir) => {
+      // top-3 keywords per document by tf × rational-idf — integer
+      // micro-unit scores, rank-pushdown per-doc window; every double op
+      // correctly rounded so DuckDB replays the scores bit-for-bit
+      ops.Lexical.tfidfKeywords(
+        Testbed.graph(s, dir).collection("documents"), "doc_id", "text",
+        k = 3)
+    }),
+    "q107_bm25_topk" -> ((s, dir) => {
+      // BM25 top-10 from the corpus text (one postings pass): the direct
+      // form whose stored twins are q108/q109
+      ops.Lexical.bm25TopK(
+        Testbed.graph(s, dir).collection("documents"), "doc_id", "text",
+        Bm25QueryTerms, k = 10)
+    }),
+    "q108_bm25_stored" -> ((s, dir) => {
+      // same search against the persisted term-bucketed inverted index:
+      // reads only the query terms' posting buckets + docstats, never
+      // the corpus text — shares q107's oracle verbatim
+      val path = postingStorePath(s,
+        Testbed.graph(s, dir).collection("documents"), dir)
+      sources.PostingStore.searchTopK(s, path, Bm25QueryTerms, k = 10)
+    }),
+    "q109_bm25_appended" -> ((s, dir) => {
+      // same search against a store built save(two-thirds)+append(rest):
+      // append ≡ rebuild bit-for-bit (params are pure config), so this
+      // too shares q107's oracle verbatim
+      val path = appendedPostingStorePath(s,
+        Testbed.graph(s, dir).collection("documents"), dir)
+      sources.PostingStore.searchTopK(s, path, Bm25QueryTerms, k = 10)
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -1382,6 +1416,46 @@ object SparkEntry {
       sources.SketchStore.append(s, out,
         li.filter(col("l_linenumber") > 3), col("l_suppkey"),
         batchId = "rest")
+      out
+    })
+
+  /** q107/q108/q109's shared BM25 query — one rare term ("dup", df ≈ 5%
+    * of docs) against two common ones, so the rational idf's
+    * rare-term dominance is actually exercised by the gate. */
+  private[graft] val Bm25QueryTerms = Seq("dup", "vector", "batch")
+
+  /** q108's posting store: the full documents corpus indexed ONCE per
+    * (session, sf dir) via [[sources.PostingStore.save]]; the gate then
+    * probes the stored term buckets — no corpus text read. Warmed by
+    * Bench's build phase so the gate reps measure the stored search. */
+  private val postingStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def postingStorePath(s: SparkSession, docs: DataFrame,
+      dir: String): String =
+    postingStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-posting-store").toString
+      sources.PostingStore.save(docs, "doc_id", "text", out)
+      out
+    })
+
+  /** q109's APPENDED posting store: two-thirds saved, the last third
+    * appended — the rolling-ingest shape. The posting-store params are
+    * pure config (no corpus statistics; df/N/Σdl derive from the stored
+    * tables at probe time), so the appended store is BIT-IDENTICAL to a
+    * full rebuild and q109 shares q107's oracle verbatim — the strongest
+    * check that incremental indexing loses nothing. */
+  private val appendedPostingStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def appendedPostingStorePath(s: SparkSession,
+      docs: DataFrame, dir: String): String =
+    appendedPostingStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-posting-appended").toString
+      sources.PostingStore.save(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", out)
+      sources.PostingStore.append(s, out,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
       out
     })
 
@@ -2382,7 +2456,82 @@ object SparkEntry {
          SELECT min(doc_id) AS keep_id, norm_key,
                 count(*) AS dup_cnt
          FROM n GROUP BY norm_key
-         ORDER BY keep_id""")
+         ORDER BY keep_id""",
+    "q106_tfidf_keywords" -> TfidfKeywordsOracleSql,
+    "q107_bm25_topk" -> Bm25OracleSql,
+    "q108_bm25_stored" -> Bm25OracleSql,
+    "q109_bm25_appended" -> Bm25OracleSql)
+
+  /** Shared tokenization + postings CTEs (no leading WITH) for the
+    * lexical oracles: q105's proven normalization regexes, split on
+    * single spaces, empties dropped, tf per (doc, term) — the byte
+    * replica of [[ops.Lexical.postings]]. */
+  private val lexPostingsCtes: String =
+    """tok AS (
+           SELECT doc_id, unnest(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
+                    '\s+', ' ', 'g')), ' ')) AS term
+           FROM documents WHERE text IS NOT NULL),
+         post AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+           GROUP BY doc_id, term)"""
+
+  /** q106: tf × rational-idf keyword scores replayed end-to-end — same
+    * exactly-representable constants, same op order, floor-to-micro
+    * BIGINTs, rank with the (score desc, term asc) tie-break. */
+  private lazy val TfidfKeywordsOracleSql =
+    s"""WITH $lexPostingsCtes,
+         corp AS (SELECT count(DISTINCT doc_id) AS n FROM post),
+         stat AS (
+           SELECT doc_id, term, tf,
+                  count(*) OVER (PARTITION BY term) AS df
+           FROM post),
+         scored AS (
+           SELECT s.doc_id, s.term, s.tf, s.df,
+                  CAST(floor((CAST(s.tf AS DOUBLE) *
+                    ((CAST(c.n - s.df AS DOUBLE) + 0.5) /
+                     (CAST(s.df AS DOUBLE) + 0.5))) * 1000000.0) AS BIGINT)
+                    AS score_micro
+           FROM stat s CROSS JOIN corp c),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_micro DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, rnk, term, tf, df, score_micro
+         FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk"""
+
+  /** q107/q108/q109's shared oracle: the BM25 pipeline replayed — df
+    * over the query sliver, rational idf, k1 = 1.25 / b = 0.75 length
+    * normalization with avgdl computed from the two exact longs, per-term
+    * micro quantization, BIGINT sum, top-10 by (score desc, doc_id). The
+    * stored/appended gates share it verbatim because stored postings ≡
+    * recomputed postings (pure per-doc functions of fixed config). */
+  private lazy val Bm25OracleSql = {
+    val terms = Bm25QueryTerms.map("'" + _ + "'").mkString(", ")
+    s"""WITH $lexPostingsCtes,
+         dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+         corp AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dls),
+         sliver AS (
+           SELECT doc_id, term, tf,
+                  count(*) OVER (PARTITION BY term) AS df
+           FROM post WHERE term IN ($terms)),
+         scored AS (
+           SELECT s.doc_id,
+             CAST(floor((
+               ((CAST(c.n - s.df AS DOUBLE) + 0.5) /
+                (CAST(s.df AS DOUBLE) + 0.5))
+               * ((CAST(s.tf AS DOUBLE) * 2.25) /
+                  (CAST(s.tf AS DOUBLE) + 1.25 *
+                   (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) /
+                     (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE))))))
+               ) * 1000000.0) AS BIGINT) AS m
+           FROM sliver s JOIN dls d ON s.doc_id = d.doc_id
+           CROSS JOIN corp c)
+         SELECT doc_id, count(*) AS n_terms_hit,
+                CAST(sum(m) AS BIGINT) AS score_micro
+         FROM scored GROUP BY doc_id
+         ORDER BY score_micro DESC, doc_id LIMIT 10"""
+  }
 
   /** q104: the KMV overlap estimator replayed end-to-end — per-side
     * k-min sets via hash ranking, union k-min, per-side membership (a

@@ -31,7 +31,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Optional iteration filter: SPARK_GRAFT_VERIFY_ONLY=q106,q107 dumps
+    // (and lists oracles for) just the named query prefixes — the driver
+    // never sets it, so driver runs always grade the full suite.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     // Written FIRST (needs no Spark work): a crash anywhere below must
     // leave the oracle map on disk so the driver can still grade whatever
@@ -47,7 +55,7 @@ object Verify {
       System.err.println(s"[verify] overlay prewarm failed: ${e.getMessage}")
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Lifecycle
+
+/** Lexical retrieval over a document corpus: TF-IDF keyword extraction
+  * and BM25 ranked search. The retrieval side of a training-data
+  * pipeline — eval-set decontamination by query ("which training docs
+  * would a benchmark question retrieve?"), targeted data selection, and
+  * corpus QA all start from "give me the top-k documents for these
+  * terms" — and the one text capability the engine lacked next to its
+  * hash-based near-dup blockers (reference surface: the engine's text
+  * ops; the reference itself has no text search —
+  * `/root/reference/src/mongraph.coffee:1-60` delegates all querying to
+  * its stores, so this follows the same extension precedent as §2.6
+  * windows).
+  *
+  * Determinism contract (what makes the gates exactly oracle-able):
+  *
+  *   - Tokens are [[TextOps.normalizeText]] output split on single
+  *     spaces — the same Java∩RE2 regex subset q105 already proved
+  *     DuckDB replays byte-for-byte.
+  *   - Every constant is an exactly-representable double (k1 = 1.25,
+  *     b = 0.75, hence k1+1 = 2.25 and 1-b = 0.25; the micro scale is
+  *     1e6), so literal parsing cannot differ across engines.
+  *   - Scores use ONLY correctly-rounded IEEE ops (cast, add, subtract,
+  *     multiply, divide — deliberately NO ln: the classical
+  *     `ln((N-df+0.5)/(df+0.5))` idf is replaced by its RATIONAL
+  *     argument, which is the same per-term ranking and replays
+  *     bit-for-bit where `ln` is only correctly rounded to 1 ulp on
+  *     some platforms). Multi-term weighting therefore differs from
+  *     ln-idf BM25 by design: rare terms weigh MORE relative to common
+  *     ones than under the log — acceptable for dedup/decontamination
+  *     retrieval, and stated here so nobody mistakes it for Robertson
+  *     BM25.
+  *   - Cross-term summation happens in integer micro-units
+  *     (`floor(score * 1e6)` per term, BIGINT sum) — the repo's
+  *     money-cents discipline: parallel summation order can never flip
+  *     a low bit because there are no low bits to flip.
+  *
+  * Scale posture: one explode + one map-side-combined groupBy builds
+  * postings (the shuffle carries (id, term, tf) rows, never text); df
+  * comes from a window over the query-term SLIVER (search) or one
+  * postings-wide window (keywords); top-k per doc is a rank-pushdown
+  * window and corpus top-k is TakeOrdered — no global single-partition
+  * sort anywhere. The persisted form (term-bucketed postings, probes
+  * that read only the query's buckets) is [[graft.sources.PostingStore]].
+  */
+object Lexical {
+
+  /** BM25 length-normalization parameters — exactly-representable
+    * doubles on purpose (see determinism contract above). */
+  val K1 = 1.25
+  val B = 0.75
+
+  /** The micro-unit quantizer: per-term scores become
+    * `floor(score * 1e6)` BIGINTs before any cross-term sum. */
+  private def micro(score: Column): Column =
+    floor(score * lit(1000000.0)).cast("long")
+
+  /** Rational idf: `((N - df) + 0.5) / (df + 0.5)` — the argument of the
+    * classical BM25 idf with the non-replayable `ln` dropped. Positive
+    * for every df ≤ N, monotone decreasing in df. */
+  private def idf(nDocs: Column, df: Column): Column =
+    ((nDocs - df).cast("double") + lit(0.5)) /
+      (df.cast("double") + lit(0.5))
+
+  /** BM25 term component with the exact op order the oracle SQL
+    * mirrors: `(tf * 2.25) / (tf + 1.25 * (0.25 + 0.75 * (dl / avgdl)))`. */
+  private def tfComponent(tf: Column, dl: Column, avgdl: Column): Column =
+    (tf.cast("double") * lit(2.25)) /
+      (tf.cast("double") +
+        lit(1.25) * (lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl)))
+
+  /** Non-empty canonical tokens of `text` (null-safe: null text → no
+    * tokens at the call sites, which filter nulls before exploding). */
+  def terms(text: Column): Column =
+    filter(split(TextOps.normalizeText(text), " "), t => t =!= lit(""))
+
+  /** Postings `(id, term, tf)` — ONE explode plus one map-side-combined
+    * groupBy; the only shuffle carries narrow posting rows. This is the
+    * single tokenization definition [[tfidfKeywords]], [[bm25TopK]] and
+    * [[graft.sources.PostingStore]] all share, so stored-vs-direct
+    * parity is structural. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    OpsUtil.widen(docs).filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        explode(terms(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Document lengths `(id, dl)` derived from postings — no second text
+    * pass; dl = token count after canonicalization. */
+  def docLengths(post: DataFrame): DataFrame =
+    post.groupBy("id").agg(sum("tf").as("dl"))
+
+  /** Top-`k` keywords per document by `tf × rational-idf`, with full
+    * provenance columns. Two shuffles total (df window over term, rank
+    * window over doc — the rank filter compiles to WindowGroupLimit so
+    * partial ranks prune before the final shuffle). Output
+    * `(doc_id, rnk, term, tf, df, score_micro)`, ordered (doc_id, rnk).
+    *
+    * Tie-break: equal scores rank by term ascending — deterministic at
+    * any parallelism. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val post = Lifecycle.stage(postings(docs, idCol, textCol))
+    // Corpus size: one scalar driver action over the staged postings
+    // (bounded collect — a single long).
+    val nDocs = post.select(col("id")).distinct().count()
+    val scored = post
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("score_micro",
+        micro(col("tf").cast("double") * idf(lit(nDocs), col("df"))))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("id")
+        .orderBy(col("score_micro").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col("id").as("doc_id"), col("rnk"), col("term"), col("tf"),
+        col("df"), col("score_micro"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** The shared BM25 ranking engine: score `post` (at least the query
+    * sliver; extra terms are filtered out here) against `dls` doc
+    * lengths under corpus stats (`nDocs`, `sumDl`), return the top-`k`
+    * docs by summed micro score. Both the direct [[bm25TopK]] and the
+    * stored [[graft.sources.PostingStore.searchTopK]] call THIS, so the
+    * stored gate shares the direct gate's oracle verbatim.
+    *
+    * df is counted over the sliver's term partitions — identical to a
+    * corpus-wide df because the sliver contains every posting of every
+    * query term. `avgdl` is computed on the driver from the two exact
+    * longs (correctly-rounded double division — bit-identical to the
+    * oracle computing it inline). Output
+    * `(doc_id, n_terms_hit, score_micro)`, top-k by
+    * (score desc, doc_id asc) via TakeOrdered — no global sort. */
+  private[graft] def bm25RankFromPostings(post: DataFrame, dls: DataFrame,
+      nDocs: Long, sumDl: Long, queryTerms: Seq[String], k: Int): DataFrame = {
+    val qt = normalizedQuery(queryTerms)
+    require(nDocs > 0, "bm25RankFromPostings: empty corpus")
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    post.filter(col("term").isin(qt: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dls, Seq("id"))
+      .withColumn("m", micro(
+        idf(lit(nDocs), col("df")) *
+          tfComponent(col("tf"), col("dl"), lit(avgdl))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("m").as("score_micro"))
+      .select(col("id").as("doc_id"), col("n_terms_hit"),
+        col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+  }
+
+  /** Query terms must already be single canonical tokens — refuse
+    * anything normalization would have changed, rather than silently
+    * searching for a token that cannot exist in the postings. */
+  private[graft] def normalizedQuery(queryTerms: Seq[String]): Seq[String] = {
+    val qt = queryTerms.distinct
+    require(qt.nonEmpty, "query needs at least one term")
+    qt.foreach { t =>
+      require(t.nonEmpty && t == t.toLowerCase && !t.exists(_.isWhitespace)
+          && t.forall(c => c.isLetterOrDigit),
+        s"query term '$t' is not a single canonical token " +
+          "(lowercase letters/digits, no whitespace)")
+    }
+    qt
+  }
+
+  /** BM25 top-`k` documents for `queryTerms`, computed directly from the
+    * corpus text (one postings pass). The persisted-index form that skips
+    * this pass entirely is [[graft.sources.PostingStore.searchTopK]]. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val post = Lifecycle.stage(postings(docs, idCol, textCol))
+    val dls = Lifecycle.stage(docLengths(post))
+    // Two exact longs off the staged lengths — one bounded driver action.
+    val stats = dls.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+      .collect()(0)
+    bm25RankFromPostings(post, dls, stats.getLong(0), stats.getLong(1),
+      queryTerms, k)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Lexical
+
+/** TF-IDF keyword extraction and BM25 ranked search: tokenization parity
+  * with the canonicalizer, hand-computed tf/df, ranking semantics (rare
+  * terms dominate, length normalization penalizes long docs), the
+  * micro-unit determinism contract (identical output at any
+  * parallelism), and the query-term contract. */
+class LexicalSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("postings: canonicalized tokens, tf counts, null/empty dropped") {
+    val d = docs(
+      1L -> "The quick, QUICK fox!",
+      2L -> "   ",
+      3L -> (null: String),
+      4L -> "fox")
+    val got = Lexical.postings(d, "doc_id", "text")
+      .orderBy("id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // doc 1: the/quick/quick/fox (case folded, punctuation stripped);
+    // doc 2 tokenizes to nothing; doc 3 is null; doc 4 is one token
+    assert(got == Seq((1L, "fox", 1L), (1L, "quick", 2L), (1L, "the", 1L),
+      (4L, "fox", 1L)))
+  }
+
+  test("docLengths: dl = token count after canonicalization") {
+    val post = Lexical.postings(
+      docs(1L -> "a b b c", 2L -> "a"), "doc_id", "text")
+    val dls = Lexical.docLengths(post).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dls == Seq((1L, 4L), (2L, 1L)))
+  }
+
+  test("tfidfKeywords: rare terms outrank common ones, ties break by term") {
+    // 'rare' appears in 1 of 4 docs; 'common' in all 4. In doc 1 both
+    // have tf=1, so the rare term must rank first. 'aaa'/'bbb' in doc 4
+    // have identical tf AND df — the tie must break alphabetically.
+    val d = docs(
+      1L -> "rare common",
+      2L -> "common x",
+      3L -> "common y",
+      4L -> "common aaa bbb")
+    val kw = Lexical.tfidfKeywords(d, "doc_id", "text", k = 2)
+    val byDoc = kw.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(r =>
+        (r.getString(2), r.getLong(5))).toSeq).toMap
+    assert(byDoc(1L).map(_._1) == Seq("rare", "common"))
+    assert(byDoc(4L).map(_._1) == Seq("aaa", "bbb")) // tie → term asc
+    assert(byDoc(4L)(0)._2 == byDoc(4L)(1)._2) // it WAS a tie
+    assert(kw.filter(col("rnk") > 2).isEmpty)
+    // hand check: doc 1 'rare' tf=1 df=1 n=4 →
+    // 1.0 * ((4-1+0.5)/(1+0.5)) = 2.333... → micro 2333333
+    val rareScore = kw.filter(col("doc_id") === 1 && col("term") === "rare")
+      .select("score_micro").collect()(0).getLong(0)
+    assert(rareScore == 2333333L)
+  }
+
+  test("bm25TopK: rare-term docs first, length normalization, n_terms_hit") {
+    // 'common' is in every doc (df=4 → idf 0.111); 'rare' in two
+    // (df=2 → idf 1.0). The rational idf must make both rare-term docs
+    // beat the tf-stuffed all-common doc, and between the two rare docs
+    // length normalization must prefer the short one.
+    val d = docs(
+      1L -> "rare common", // both terms, short
+      2L -> "common common common common common common common", // stuffed
+      3L -> "rare filler filler filler filler filler common",   // rare, long
+      4L -> "nothing relevant here common")
+    val top = Lexical.bm25TopK(d, "doc_id", "text",
+      Seq("rare", "common"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(top.map(_._1) == Seq(1L, 3L, 2L, 4L))
+    assert(top.map(_._2) == Seq(2L, 2L, 1L, 1L)) // terms hit per doc
+    // doc 1 (short, rare) must beat doc 3 (same rare term, longer doc)
+    assert(top(0)._3 > top(1)._3)
+    // and the rare-term docs beat the tf-stuffed common-only doc
+    assert(top(1)._3 > top(2)._3)
+  }
+
+  test("bm25 scores are partitioning-invariant (micro-unit determinism)") {
+    val base = (0L until 60L).map(i =>
+      i -> s"term${i % 7} term${i % 3} filler$i common common").toSeq
+    val q = Seq("term1", "term2", "common")
+    val a = Lexical.bm25TopK(docs(base: _*), "doc_id", "text", q, 20)
+      .collect().map(_.toSeq).toSeq
+    val b = Lexical.bm25TopK(docs(base: _*).repartition(13), "doc_id",
+      "text", q, 20).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("query-term contract: non-canonical tokens are refused") {
+    val d = docs(1L -> "a b")
+    for (bad <- Seq("UPPER", "two words", "", "punct!", "tab\tx"))
+      intercept[IllegalArgumentException] {
+        Lexical.bm25TopK(d, "doc_id", "text", Seq(bad), 5)
+      }
+    intercept[IllegalArgumentException] { // empty query
+      Lexical.bm25TopK(d, "doc_id", "text", Seq.empty, 5)
+    }
+  }
+
+  test("empty corpus is refused with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      Lexical.bm25TopK(docs(1L -> (null: String)), "doc_id", "text",
+        Seq("x"), 5)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+}
