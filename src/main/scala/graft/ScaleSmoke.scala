@@ -77,7 +77,13 @@ object ScaleSmoke {
     // store's probe (store build staged untimed, like the other stores)
     // and the sketch-only overlap estimator
     "q97_cms_topk", "q99_bloom_membership", "q101_priority_sample",
-    "q103_cms_stored", "q104_kmv_overlap")
+    "q103_cms_stored", "q104_kmv_overlap",
+    // lexical retrieval: keyword extraction is the full-postings window
+    // path (linear work, 10× vocabulary after word-tagging), the stored
+    // BM25 search reads only the query terms' posting buckets — its wall
+    // should stay FAR below the linear bar even though docstats (N/Σdl)
+    // grows with the corpus
+    "q106_tfidf_keywords", "q108_bm25_stored")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -197,6 +203,9 @@ object ScaleSmoke {
       if (selectedHas("q103"))
         SparkEntry.cmsStorePath(spark,
           Testbed.graph(spark, dir).collection("lineitem"), dir)
+      if (selectedHas("q108"))
+        SparkEntry.postingStorePath(spark,
+          Testbed.graph(spark, dir).collection("documents"), dir)
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =

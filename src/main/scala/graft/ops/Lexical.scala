@@ -124,28 +124,29 @@ object Lexical {
       .orderBy("doc_id", "rnk")
   }
 
-  /** The shared BM25 ranking engine: score `post` (at least the query
-    * sliver; extra terms are filtered out here) against `dls` doc
-    * lengths under corpus stats (`nDocs`, `sumDl`), return the top-`k`
-    * docs by summed micro score. Both the direct [[bm25TopK]] and the
-    * stored [[graft.sources.PostingStore.searchTopK]] call THIS, so the
-    * stored gate shares the direct gate's oracle verbatim.
+  /** The shared BM25 ranking engine: score a posting SLIVER
+    * `(id, term, tf, dl)` (at least every posting of every query term;
+    * extra terms are filtered out here) under corpus stats (`nDocs`,
+    * `sumDl`), return the top-`k` docs by summed micro score. Both the
+    * direct [[bm25TopK]] and the stored
+    * [[graft.sources.PostingStore.searchTopK]] call THIS, so the stored
+    * gate shares the direct gate's oracle verbatim.
     *
     * df is counted over the sliver's term partitions — identical to a
     * corpus-wide df because the sliver contains every posting of every
     * query term. `avgdl` is computed on the driver from the two exact
     * longs (correctly-rounded double division — bit-identical to the
-    * oracle computing it inline). Output
-    * `(doc_id, n_terms_hit, score_micro)`, top-k by
-    * (score desc, doc_id asc) via TakeOrdered — no global sort. */
-  private[graft] def bm25RankFromPostings(post: DataFrame, dls: DataFrame,
+    * oracle computing it inline). The sliver carries `dl` so no join
+    * happens here: one window, one groupBy, TakeOrdered — no global
+    * sort. Output `(doc_id, n_terms_hit, score_micro)`, top-k by
+    * (score desc, doc_id asc). */
+  private[graft] def bm25RankFromSliver(sliver: DataFrame,
       nDocs: Long, sumDl: Long, queryTerms: Seq[String], k: Int): DataFrame = {
     val qt = normalizedQuery(queryTerms)
-    require(nDocs > 0, "bm25RankFromPostings: empty corpus")
+    require(nDocs > 0, "bm25RankFromSliver: empty corpus")
     val avgdl = sumDl.toDouble / nDocs.toDouble
-    post.filter(col("term").isin(qt: _*))
+    sliver.filter(col("term").isin(qt: _*))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      .join(dls, Seq("id"))
       .withColumn("m", micro(
         idf(lit(nDocs), col("df")) *
           tfComponent(col("tf"), col("dl"), lit(avgdl))))
@@ -182,7 +183,7 @@ object Lexical {
     // Two exact longs off the staged lengths — one bounded driver action.
     val stats = dls.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
       .collect()(0)
-    bm25RankFromPostings(post, dls, stats.getLong(0), stats.getLong(1),
-      queryTerms, k)
+    bm25RankFromSliver(post.join(dls, Seq("id")), stats.getLong(0),
+      stats.getLong(1), queryTerms, k)
   }
 }

@@ -8,75 +8,102 @@ import graft.ops.Lexical
 /** Persisted inverted index — the storage half of [[Lexical.bm25TopK]],
   * which recomputes postings from corpus TEXT on every call. At 100 TB
   * that is a full-corpus tokenization per query; this store tokenizes
-  * each document exactly once, at ingest, and a search then reads ONLY
-  * the narrow posting rows of the query's own term buckets:
+  * each document exactly once, at ingest, and a search then touches
+  * ONLY the query's own term buckets — no corpus text, no docstats
+  * scan, no join at all on the probe path:
   *
-  *   - `postings/`: `(term, id, tf)` parquet, directory-partitioned by
-  *     `bucket = pmod(xxhash64(term), buckets)` — a probe for q query
+  *   - `postings/`: `(term, id, tf, dl)` parquet, directory-partitioned
+  *     by `bucket = pmod(xxhash64(term), buckets)` — a probe for q query
   *     terms reads at most q of the `buckets` directories (partition
-  *     pruning on the directory column; pinned in PostingStoreSpec), so
-  *     probe cost tracks the query's term popularity, never corpus
-  *     size. The bucket hash is engine-internal (it never reaches
-  *     output or oracle), so the fast xxhash64 is fine here.
-  *   - `docstats/`: `(id, dl)` — document lengths, the per-doc COMMIT
-  *     MARKER (written last; see crash discipline below).
-  *   - `meta/`: one row `(version, buckets)` — pure config, fixed at
-  *     [[save]]. Like [[SignatureStore]] (and unlike
-  *     [[QuantizedStore]]'s min/max), the params carry no corpus
-  *     statistics, so an appended store is EXACTLY the store a full
-  *     rebuild would produce — corpus stats (N, Σdl) and df are derived
-  *     from the stored tables at probe time, never frozen at save time.
+  *     pruning on the directory column; pinned in PostingStoreSpec).
+  *     `dl` (the doc's token count) is DENORMALIZED into the posting row
+  *     — the classic search-index move (postings carry their norms) that
+  *     deletes the probe-time docstats join: +8 bytes per row buys a
+  *     join-free, single-scan probe. Rows are repartitioned by bucket
+  *     and term-sorted before the write, so each save/append lands ONE
+  *     file per non-empty bucket (not tasks × buckets small files) with
+  *     parquet min/max term stats that prune row groups inside a bucket.
+  *     (A cluster-scale ingest wanting more write parallelism per bucket
+  *     raises the repartition factor; file count per probe is bounded by
+  *     batches × the query's buckets either way.)
+  *   - `docstats/`: `(id, dl)` — the per-doc COMMIT MARKER (written
+  *     after postings) and the ground truth the meta stats derive from.
+  *     The probe never reads it; [[append]] reads it once (narrow) to
+  *     skip already-stored ids and to refresh the meta stats.
+  *   - `meta/`: one row `(version, buckets, n_docs, sum_dl)`. Config is
+  *     fixed at [[save]]; the two corpus stats are RE-DERIVED from
+  *     docstats (exact long aggregates) and rewritten at every [[save]]/
+  *     [[append]] — last, as the store-level commit. Because they are
+  *     pure aggregates of docstats, an appended store is EXACTLY the
+  *     store a full rebuild would produce, and a replayed append
+  *     self-heals a crashed one (see below).
   *
-  * Crash discipline: [[append]] writes postings first and docstats
-  * last, and skips ids already present in DOCSTATS — so a replayed
-  * append lands nothing, and a crash between the two writes leaves
-  * orphan postings that the NEXT replay re-writes. The probe collapses
-  * such exact-duplicate posting rows structurally (`max(tf)` per
-  * (term, id) over the pruned sliver — duplicates from a replayed
-  * crashed append are bit-identical rows, so `max` restores them to one)
-  * and joins through docstats, so a half-appended document is either
-  * invisible (no docstats row) or scored exactly once — never
-  * double-counted. That is the same effectively-idempotent posture as
-  * [[SignatureStore.append]], hardened one step further.
+  * Crash discipline, per append: postings → docstats → meta. A crash
+  * after postings leaves orphan posting rows with no docstats/meta
+  * trace; the REPLAY re-appends the same docs (skip-detection looks at
+  * docstats), landing bit-identical duplicate rows, which the probe
+  * collapses structurally (`max` per (term, id) — duplicates of a pure
+  * per-doc function are bit-identical). A crash after docstats leaves
+  * meta stats stale; the replay appends nothing but STILL re-derives and
+  * rewrites meta from docstats, healing the stats. So "replay the last
+  * append after any crash" restores exactly the rebuild state — pinned
+  * in PostingStoreSpec.
   *
-  * Scale posture: at a fixed bucket count the probe reads q directories
-  * of (term, id, tf) triples; the only corpus-sized read in a search is
-  * `docstats` (two long columns) for N/Σdl/dl — and a deployment that
-  * cannot afford even that scan maintains (N, Σdl) in meta by exact
-  * integer addition at each append (noted here rather than implemented:
-  * deriving them from docstats keeps append ≡ rebuild structural, which
-  * is what the q109 gate proves). Candidate-set work (df window, score,
-  * top-k) is bounded by the postings of the query's terms — inherent to
-  * lexical search, not to this layout.
+  * Scale posture: probe cost tracks the query's term popularity
+  * (posting rows of q buckets, window over the sliver, TakeOrdered
+  * top-k), never corpus size; the only corpus-sized reads anywhere are
+  * at ingest (tokenization) and in [[append]]'s narrow docstats pass.
   */
 object PostingStore {
 
-  private val Version = 1
+  /** v2: postings carry `dl`; meta carries exact (n_docs, sum_dl). The
+    * v1 layout (one pre-release commit) joined docstats at probe time
+    * and must not be read with v2 scoring. */
+  private val Version = 2
 
-  final case class Params(buckets: Int)
+  final case class Params(buckets: Int, nDocs: Long, sumDl: Long)
 
   private def bucketCol(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
 
-  /** One tokenization pass over `docs` → (postings with bucket, docstats)
-    * — the single definition [[save]] and [[append]] share, built on
-    * [[Lexical.postings]] so stored-vs-direct parity is structural. */
+  /** One tokenization pass over `docs` → (postings with bucket+dl,
+    * docstats) — the single definition [[save]] and [[append]] share,
+    * built on [[Lexical.postings]] so stored-vs-direct parity is
+    * structural. */
   private def frames(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int): (DataFrame, DataFrame) = {
     val post = graft.core.Lifecycle.stage(
       Lexical.postings(docs, idCol, textCol))
-    (post.select(col("term"), col("id"), col("tf"),
-      bucketCol(col("term"), buckets).as("bucket")),
-      Lexical.docLengths(post))
+    val dls = Lexical.docLengths(post)
+    (post.join(dls, Seq("id"))
+      .select(col("term"), col("id"), col("tf"), col("dl"),
+        bucketCol(col("term"), buckets).as("bucket")),
+      dls)
   }
 
   private def writeTables(docs: DataFrame, idCol: String, textCol: String,
       buckets: Int, path: String, mode: SaveMode): Unit = {
     val (post, dls) = frames(docs, idCol, textCol, buckets)
-    post.write.mode(mode).partitionBy("bucket")
-      .parquet(s"$path/postings")
-    // docstats LAST — the per-doc commit marker (class doc).
+    // One file per non-empty bucket per batch, term-sorted for
+    // row-group pruning (class doc).
+    post.repartition(buckets, col("bucket"))
+      .sortWithinPartitions("term", "id")
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+    // docstats after postings — the per-doc commit marker (class doc).
     dls.write.mode(mode).parquet(s"$path/docstats")
+  }
+
+  /** Meta rewrite — LAST in every save/append: config plus the two
+    * exact corpus stats re-derived from docstats, so meta always
+    * reflects every committed document. */
+  private def writeMeta(spark: SparkSession, path: String,
+      buckets: Int): Unit = {
+    import spark.implicits._
+    val r = docstats(spark, path)
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
+    Seq((Version, buckets, r.getLong(0), r.getLong(1)))
+      .toDF("version", "buckets", "n_docs", "sum_dl")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
   /** Build the index over `docs` and persist it under `path` (overwrite
@@ -85,15 +112,11 @@ object PostingStore {
       buckets: Int = 64): Unit = {
     require(buckets >= 1 && buckets <= 100000,
       s"buckets must be in [1, 100000], got $buckets")
-    val spark = docs.sparkSession
-    import spark.implicits._
     writeTables(docs, idCol, textCol, buckets, path, SaveMode.Overwrite)
-    // meta last overall — its presence marks a complete store
-    Seq((Version, buckets)).toDF("version", "buckets")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    writeMeta(docs.sparkSession, path, buckets)
   }
 
-  /** The stored parameters — a 1-row driver read. */
+  /** The stored parameters and corpus stats — a 1-row driver read. */
   def params(spark: SparkSession, path: String): Params = {
     val rows = spark.read.parquet(s"$path/meta").collect()
     require(rows.nonEmpty, s"no posting-store meta at $path/meta")
@@ -101,7 +124,7 @@ object PostingStore {
     require(r.getInt(0) == Version,
       s"posting store at $path has version ${r.getInt(0)}, " +
         s"this engine reads version $Version")
-    Params(r.getInt(1))
+    Params(r.getInt(1), r.getLong(2), r.getLong(3))
   }
 
   def postings(spark: SparkSession, path: String): DataFrame =
@@ -109,14 +132,10 @@ object PostingStore {
   def docstats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/docstats")
 
-  /** Append `batch` under the stored params. Ids already committed (in
-    * docstats) are skipped, so a replayed append lands nothing; a
-    * replayed CRASHED append (orphan postings, no docstats) re-lands the
-    * identical posting rows, which the probe's max-collapse reads as
-    * one. Because the params are pure config, an appended store is
-    * bit-identical to a rebuild over the union (q109 shares q107's
-    * oracle on exactly this claim; table-level identity asserted in
-    * PostingStoreSpec). */
+  /** Append `batch` under the stored config. Ids already committed (in
+    * docstats) are skipped; meta stats are re-derived and rewritten
+    * even when nothing is fresh, so a replayed crashed append heals the
+    * store to exactly the rebuild state (class doc). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
@@ -125,14 +144,15 @@ object PostingStore {
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
     if (!fresh.isEmpty)
       writeTables(fresh, idCol, textCol, p.buckets, path, SaveMode.Append)
+    writeMeta(spark, path, p.buckets)
   }
 
   /** BM25 top-`k` documents for `queryTerms` against the STORED index —
     * output-identical to [[Lexical.bm25TopK]] over the same corpus
     * (parity asserted in PostingStoreSpec; the q108/q109 gates share
-    * q107's oracle verbatim). Reads: the query terms' posting buckets
-    * (directory-pruned) + the two-column docstats table. The corpus
-    * text is never touched. */
+    * q107's oracle verbatim). The probe reads the query terms' posting
+    * buckets (directory-pruned, row-group-pruned on the term sort) and
+    * meta — nothing else: no corpus text, no docstats, no join. */
   def searchTopK(spark: SparkSession, path: String,
       queryTerms: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -146,12 +166,10 @@ object PostingStore {
       .collect().map(_.getInt(0)).toSeq
     val sliver = postings(spark, path)
       .filter(col("bucket").isin(qBuckets: _*)) // directory pruning
-      .filter(col("term").isin(qt: _*))
-      .groupBy("term", "id").agg(max("tf").as("tf")) // orphan collapse
-    val dls = graft.core.Lifecycle.stage(docstats(spark, path))
-    val stats = dls.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
-      .collect()(0)
-    Lexical.bm25RankFromPostings(sliver, dls, stats.getLong(0),
-      stats.getLong(1), qt, k)
+      .filter(col("term").isin(qt: _*)) // row-group pruning (term-sorted)
+      // orphan collapse: duplicate rows from a replayed crashed append
+      // are bit-identical, so max() restores them to one
+      .groupBy("term", "id").agg(max("tf").as("tf"), max("dl").as("dl"))
+    Lexical.bm25RankFromSliver(sliver, p.nDocs, p.sumDl, qt, k)
   }
 }

@@ -58,10 +58,14 @@ class PostingStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     PostingStore.append(spark, grown,
       corpus.filter($"doc_id" % 3 === 0), "doc_id", "text")
     assert(dump(PostingStore.postings(spark, grown),
-        "term", "id", "tf", "bucket") ==
-      dump(PostingStore.postings(spark, full), "term", "id", "tf", "bucket"))
+        "term", "id", "tf", "dl", "bucket") ==
+      dump(PostingStore.postings(spark, full),
+        "term", "id", "tf", "dl", "bucket"))
     assert(dump(PostingStore.docstats(spark, grown), "id", "dl") ==
       dump(PostingStore.docstats(spark, full), "id", "dl"))
+    // meta stats re-derived at append = the rebuild's stats, exactly
+    assert(PostingStore.params(spark, grown) ==
+      PostingStore.params(spark, full))
     assert(rows(PostingStore.searchTopK(spark, grown, query, 15)) ==
       rows(PostingStore.searchTopK(spark, full, query, 15)))
   }
@@ -85,10 +89,10 @@ class PostingStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     // re-created so the write never reads the directory it appends to.
     val orphanRows = PostingStore.postings(spark, path)
       .filter($"id" % 7 === 0)
-      .select("term", "id", "tf", "bucket").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
-      .toSeq
-    orphanRows.toDF("term", "id", "tf", "bucket")
+      .select("term", "id", "tf", "dl", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    orphanRows.toDF("term", "id", "tf", "dl", "bucket")
       .write.mode(SaveMode.Append).partitionBy("bucket")
       .parquet(s"$path/postings")
     assert(rows(PostingStore.searchTopK(spark, path, query, 15)) == clean)
@@ -106,14 +110,41 @@ class PostingStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(s.contains("PartitionFilters") && s.contains("bucket#"),
         s"posting scan not partition-pruned: $s")
     }
-    // the search plan never touches a corpus text column
+    // the search plan never touches a corpus text column, and the
+    // join-free probe never reads docstats either
     assert(!plan.contains("text#"), plan)
+    assert(!plan.contains("docstats"), plan)
+  }
+
+  test("replayed append heals a crash that left meta stats stale") {
+    val path = tmp("post-heal")
+    val first = corpus.filter($"doc_id" < 60)
+    val batch = corpus.filter($"doc_id" >= 60)
+    PostingStore.save(first, "doc_id", "text", path)
+    val stale = PostingStore.params(spark, path)
+    // Crash simulation: the append's postings+docstats landed but the
+    // meta rewrite did not — splice the old meta back in after a real
+    // append to reproduce that exact on-disk state.
+    PostingStore.append(spark, path, batch, "doc_id", "text")
+    Seq((2, stale.buckets, stale.nDocs, stale.sumDl))
+      .toDF("version", "buckets", "n_docs", "sum_dl").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    assert(PostingStore.params(spark, path) == stale) // crashed state
+    // replaying the SAME append lands no rows but rewrites meta
+    PostingStore.append(spark, path, batch, "doc_id", "text")
+    val rebuilt = tmp("post-heal-rebuild")
+    PostingStore.save(corpus, "doc_id", "text", rebuilt)
+    assert(PostingStore.params(spark, path) ==
+      PostingStore.params(spark, rebuilt))
+    assert(rows(PostingStore.searchTopK(spark, path, query, 15)) ==
+      rows(PostingStore.searchTopK(spark, rebuilt, query, 15)))
   }
 
   test("unknown store version is refused") {
     val path = tmp("post-version")
     PostingStore.save(corpus, "doc_id", "text", path)
-    Seq((99, 64)).toDF("version", "buckets").coalesce(1)
+    Seq((99, 64, 0L, 0L)).toDF("version", "buckets", "n_docs", "sum_dl")
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     val e = intercept[IllegalArgumentException] {
       PostingStore.searchTopK(spark, path, query, 5)
@@ -128,9 +159,16 @@ class PostingStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       .filter(col("bucket") =!=
         pmod(xxhash64(col("term")), lit(16L)).cast("int"))
     assert(bad.isEmpty)
-    // and more than one bucket directory is actually in use
+    // more than one bucket directory is actually in use, and the
+    // repartition-by-bucket write landed ONE file per non-empty bucket
+    // (not tasks × buckets fragments)
     val used = PostingStore.postings(spark, path)
       .select("bucket").distinct().count()
     assert(used > 1)
+    val files = new java.io.File(path, "postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.length == used)
+    files.foreach { case (b, n) => assert(n == 1, s"$b has $n files") }
   }
 }
