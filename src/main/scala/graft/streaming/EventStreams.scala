@@ -376,6 +376,39 @@ object EventStreams {
       .start()
   }
 
+  /** Per-micro-batch posting ingest into a
+    * [[graft.sources.PostingStore]]: each batch is tokenized ONCE and its
+    * postings/docstats appended under the stored config, then the meta
+    * corpus stats are re-derived — so a stored BM25 search equals the
+    * direct search over everything the stream has delivered
+    * (PostingStoreSpec pins batch ≡ stream). Per-micro-batch cost tracks
+    * the BATCH (one tokenize pass + ≤ buckets one-file writes + the
+    * narrow docstats re-aggregate), never the corpus text.
+    *
+    * Replay safety is structural rather than id-bookkept: a replayed
+    * micro-batch's docs are already in docstats, so
+    * [[graft.sources.PostingStore.append]] lands nothing and the meta
+    * rewrite is value-neutral; a batch that CRASHED mid-append heals on
+    * replay (orphan posting rows collapse at probe time, stale meta
+    * stats re-derive). `idCol`/`textCol` name the batch columns, as the
+    * batch store does. */
+  def postingIngestStream(docStream: DataFrame, storePath: String,
+      idCol: String, textCol: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docStream.isStreaming,
+      "postingIngestStream needs a streaming frame; call " +
+        "PostingStore.append directly for batch input")
+    val writer = docStream.writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.PostingStore.append(batch.sparkSession, storePath,
+          batch.toDF(), idCol, textCol)
+        ()
+      }
+      .start()
+  }
+
   /** Refresh every catalog table in `df`'s plan, in the SESSION THE THUNK
     * RESOLVED AGAINST. Needed for the `() => spark.table(name)` corpus
     * form: the sink's appends run on the micro-batch's cloned session and

@@ -140,6 +140,40 @@ class PostingStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       rows(PostingStore.searchTopK(spark, rebuilt, query, 15)))
   }
 
+  test("streaming ingest: MemoryStream micro-batches land exactly the " +
+      "rebuild store, search parity included") {
+    val path = tmp("post-stream")
+    PostingStore.save(mkDocs(0 until 30), "doc_id", "text", path)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.postingIngestStream(
+      mem.toDF().toDF("doc_id", "text"), path, "doc_id", "text")
+    try {
+      mem.addData(mkDocs(30 until 55).as[(Long, String)]
+        .collect().toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(mkDocs(55 until 80).as[(Long, String)]
+        .collect().toSeq: _*)
+      q.processAllAvailable()
+      // replayed content inside a later batch: already-stored ids land
+      // nothing
+      mem.addData(mkDocs(0 until 10).as[(Long, String)]
+        .collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rebuilt = tmp("post-stream-rebuild")
+    PostingStore.save(corpus, "doc_id", "text", rebuilt)
+    assert(PostingStore.params(spark, path) ==
+      PostingStore.params(spark, rebuilt))
+    assert(dump(PostingStore.postings(spark, path),
+        "term", "id", "tf", "dl", "bucket") ==
+      dump(PostingStore.postings(spark, rebuilt),
+        "term", "id", "tf", "dl", "bucket"))
+    assert(rows(PostingStore.searchTopK(spark, path, query, 15)) ==
+      rows(PostingStore.searchTopK(spark, rebuilt, query, 15)))
+  }
+
   test("unknown store version is refused") {
     val path = tmp("post-version")
     PostingStore.save(corpus, "doc_id", "text", path)
