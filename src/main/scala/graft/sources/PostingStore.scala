@@ -31,12 +31,14 @@ import graft.ops.Lexical
   *     The probe never reads it; [[append]] reads it once (narrow) to
   *     skip already-stored ids and to refresh the meta stats.
   *   - `meta/`: one row `(version, buckets, n_docs, sum_dl)`. Config is
-  *     fixed at [[save]]; the two corpus stats are RE-DERIVED from
-  *     docstats (exact long aggregates) and rewritten at every [[save]]/
-  *     [[append]] — last, as the store-level commit. Because they are
-  *     pure aggregates of docstats, an appended store is EXACTLY the
-  *     store a full rebuild would produce, and a replayed append
-  *     self-heals a crashed one (see below).
+  *     fixed at [[save]]; the two corpus stats are maintained by EXACT
+  *     long addition of each fresh batch's (count, Σdl) — the same
+  *     integers a rebuild would sum, so an appended store is EXACTLY
+  *     the store a full rebuild would produce while the hot ingest path
+  *     never rescans the corpus-sized docstats table. The rare
+  *     empty-fresh append (a replay) re-derives the stats from docstats
+  *     instead, which is what heals a crashed append (see below). Meta
+  *     is rewritten last, as the store-level commit.
   *
   * Crash discipline, per append: postings → docstats → meta. A crash
   * after postings leaves orphan posting rows with no docstats/meta
@@ -81,29 +83,37 @@ object PostingStore {
       dls)
   }
 
+  /** Write one batch's postings then docstats; returns the batch's exact
+    * (doc count, Σdl) so callers can maintain meta by addition. */
   private def writeTables(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int, path: String, mode: SaveMode): Unit = {
+      buckets: Int, path: String, mode: SaveMode): (Long, Long) = {
     val (post, dls) = frames(docs, idCol, textCol, buckets)
+    val staged = graft.core.Lifecycle.stage(dls)
     // One file per non-empty bucket per batch, term-sorted for
     // row-group pruning (class doc).
     post.repartition(buckets, col("bucket"))
       .sortWithinPartitions("term", "id")
       .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
     // docstats after postings — the per-doc commit marker (class doc).
-    dls.write.mode(mode).parquet(s"$path/docstats")
+    staged.write.mode(mode).parquet(s"$path/docstats")
+    statsOf(staged)
   }
 
-  /** Meta rewrite — LAST in every save/append: config plus the two
-    * exact corpus stats re-derived from docstats, so meta always
-    * reflects every committed document. */
-  private def writeMeta(spark: SparkSession, path: String,
-      buckets: Int): Unit = {
+  /** Meta rewrite — LAST in every save/append. */
+  private def writeMeta(spark: SparkSession, path: String, buckets: Int,
+      nDocs: Long, sumDl: Long): Unit = {
     import spark.implicits._
-    val r = docstats(spark, path)
-      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
-    Seq((Version, buckets, r.getLong(0), r.getLong(1)))
+    Seq((Version, buckets, nDocs, sumDl))
       .toDF("version", "buckets", "n_docs", "sum_dl")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** The exact (count, Σdl) of a docstats-shaped frame — one bounded
+    * driver action. */
+  private def statsOf(dls: DataFrame): (Long, Long) = {
+    val r = dls.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Build the index over `docs` and persist it under `path` (overwrite
@@ -112,8 +122,9 @@ object PostingStore {
       buckets: Int = 64): Unit = {
     require(buckets >= 1 && buckets <= 100000,
       s"buckets must be in [1, 100000], got $buckets")
-    writeTables(docs, idCol, textCol, buckets, path, SaveMode.Overwrite)
-    writeMeta(docs.sparkSession, path, buckets)
+    val (n, s) =
+      writeTables(docs, idCol, textCol, buckets, path, SaveMode.Overwrite)
+    writeMeta(docs.sparkSession, path, buckets, n, s)
   }
 
   /** The stored parameters and corpus stats — a 1-row driver read. */
@@ -133,18 +144,29 @@ object PostingStore {
     spark.read.parquet(s"$path/docstats")
 
   /** Append `batch` under the stored config. Ids already committed (in
-    * docstats) are skipped; meta stats are re-derived and rewritten
-    * even when nothing is fresh, so a replayed crashed append heals the
-    * store to exactly the rebuild state (class doc). */
+    * docstats) are skipped. Meta stats are maintained by EXACT long
+    * addition of the fresh batch's (count, Σdl) — addition of the same
+    * integers a rebuild would sum, so append ≡ rebuild stays
+    * bit-for-bit without touching the corpus-sized docstats table on
+    * the hot ingest path. Only the empty-fresh path (a replayed batch —
+    * including the replay that heals a crash which landed docstats but
+    * not meta) re-derives the stats from docstats: the one case where
+    * addition has nothing to add but meta may be stale (class doc). */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
     val fresh = batch.join(
       docstats(spark, path).select(col("id").as("_stored_id")),
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
-    if (!fresh.isEmpty)
-      writeTables(fresh, idCol, textCol, p.buckets, path, SaveMode.Append)
-    writeMeta(spark, path, p.buckets)
+    if (!fresh.isEmpty) {
+      val (n, s) =
+        writeTables(fresh, idCol, textCol, p.buckets, path, SaveMode.Append)
+      writeMeta(spark, path, p.buckets, p.nDocs + n, p.sumDl + s)
+    } else {
+      val (n, s) = statsOf(docstats(spark, path))
+      if (n != p.nDocs || s != p.sumDl)
+        writeMeta(spark, path, p.buckets, n, s)
+    }
   }
 
   /** BM25 top-`k` documents for `queryTerms` against the STORED index —
