@@ -1395,6 +1395,26 @@ object SparkEntry {
       val path = appendedPostingStorePath(s,
         Testbed.graph(s, dir).collection("documents"), dir)
       sources.PostingStore.searchTopK(s, path, Bm25QueryTerms, k = 10)
+    }),
+    "q110_bm25_join" -> ((s, dir) => {
+      // batched retrieval — the decontamination shape: every ~97th doc
+      // plays an eval query (its distinct tokens), ONE corpus pass
+      // answers all of them; maxDf=400 exercises the common-term cutoff
+      // (the stopword-pruning analog) under the exact oracle
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Lexical.bm25TopKJoin(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        k = 5, maxDf = Some(400L))
+    }),
+    "q111_bm25_join_stored" -> ((s, dir) => {
+      // the same batched retrieval against the persisted index: corpus
+      // text untouched, probe reads the union of the queries' term
+      // buckets — shares q110's oracle verbatim
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = postingStorePath(s, docs, dir)
+      sources.PostingStore.searchTopKJoin(s, path,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        k = 5, maxDf = Some(400L))
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2460,7 +2480,9 @@ object SparkEntry {
     "q106_tfidf_keywords" -> TfidfKeywordsOracleSql,
     "q107_bm25_topk" -> Bm25OracleSql,
     "q108_bm25_stored" -> Bm25OracleSql,
-    "q109_bm25_appended" -> Bm25OracleSql)
+    "q109_bm25_appended" -> Bm25OracleSql,
+    "q110_bm25_join" -> Bm25JoinOracleSql,
+    "q111_bm25_join_stored" -> Bm25JoinOracleSql)
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on
@@ -2532,6 +2554,48 @@ object SparkEntry {
          FROM scored GROUP BY doc_id
          ORDER BY score_micro DESC, doc_id LIMIT 10"""
   }
+
+  /** q110/q111's shared oracle: the batched retrieval join replayed —
+    * query docs (every 97th) tokenize to distinct (query_id, term)
+    * pairs; df per term over the query-term sliver (corpus-wide,
+    * counted ONCE, before the per-query fan-out); the maxDf=400 cutoff;
+    * then the identical per-term arithmetic, micro sums per
+    * (query, doc), and rank ≤ 5 per query. The stored gate shares it
+    * verbatim because stored postings ≡ recomputed postings. */
+  private lazy val Bm25JoinOracleSql =
+    s"""WITH $lexPostingsCtes,
+         dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+         corp AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dls),
+         qt AS (SELECT doc_id AS query_id, term FROM post
+                WHERE doc_id % 97 = 0),
+         sliver AS (
+           SELECT p.doc_id, p.term, p.tf, d.dl,
+                  count(*) OVER (PARTITION BY p.term) AS df
+           FROM post p JOIN dls d ON p.doc_id = d.doc_id
+           WHERE p.term IN (SELECT DISTINCT term FROM qt)),
+         scored AS (
+           SELECT q.query_id, s.doc_id,
+             CAST(floor((
+               ((CAST(c.n - s.df AS DOUBLE) + 0.5) /
+                (CAST(s.df AS DOUBLE) + 0.5))
+               * ((CAST(s.tf AS DOUBLE) * 2.25) /
+                  (CAST(s.tf AS DOUBLE) + 1.25 *
+                   (0.25 + 0.75 * (CAST(s.dl AS DOUBLE) /
+                     (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE))))))
+               ) * 1000000.0) AS BIGINT) AS m
+           FROM sliver s JOIN qt q ON s.term = q.term
+           CROSS JOIN corp c
+           WHERE s.df <= 400),
+         agg AS (
+           SELECT query_id, doc_id, count(*) AS n_terms_hit,
+                  CAST(sum(m) AS BIGINT) AS score_micro
+           FROM scored GROUP BY query_id, doc_id),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY score_micro DESC, doc_id) AS rnk
+           FROM agg)
+         SELECT query_id, rnk, doc_id, n_terms_hit, score_micro
+         FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   /** q104: the KMV overlap estimator replayed end-to-end — per-side
     * k-min sets via hash ranking, union k-min, per-side membership (a

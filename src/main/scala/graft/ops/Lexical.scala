@@ -172,6 +172,70 @@ object Lexical {
     qt
   }
 
+  /** The shared BATCHED ranking engine: many queries against one posting
+    * sliver in a single pass. `qterms` is the distinct (query_id, term)
+    * set; `sliver` must contain every corpus posting of every term in
+    * it. df is computed per TERM over the sliver (corpus-wide document
+    * frequency — shared across queries), THEN the qterms join fans each
+    * term's postings out to the queries that asked for it, so a term
+    * shared by many queries is scored once per (query, doc) but its df
+    * is counted once. `maxDf` drops terms more frequent than the bound
+    * BEFORE the fan-out — the stopword-pruning analog that keeps the
+    * per-query cost at Σ df(rare terms) instead of Σ df(all terms) at
+    * scale (replayable: the cutoff is a plain integer filter on df).
+    * Top-`k` per query via a rank-pushdown window. Output
+    * `(query_id, rnk, doc_id, n_terms_hit, score_micro)`. */
+  private[graft] def bm25JoinFromSliver(sliver: DataFrame,
+      qterms: DataFrame, nDocs: Long, sumDl: Long, k: Int,
+      maxDf: Option[Long]): DataFrame = {
+    require(nDocs > 0, "bm25JoinFromSliver: empty corpus")
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val scored = sliver
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .filter(maxDf.fold(lit(true))(b => col("df") <= b))
+      .join(qterms, Seq("term"))
+      .withColumn("m", micro(
+        idf(lit(nDocs), col("df")) *
+          tfComponent(col("tf"), col("dl"), lit(avgdl))))
+      .groupBy("query_id", "id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("m").as("score_micro"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("id").as("doc_id"),
+        col("n_terms_hit"), col("score_micro"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Batched BM25 retrieval join — the decontamination shape: ONE pass
+    * over the corpus answers every query in `queries` (each query = the
+    * distinct canonical tokens of its text; classic "which training docs
+    * would this benchmark question retrieve"). Costs one corpus postings
+    * pass + one query tokenization + the fan-out join; the query side is
+    * broadcast under the usual count gate. The persisted-index form is
+    * [[graft.sources.PostingStore.searchTopKJoin]]. */
+  def bm25TopKJoin(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      maxDf: Option[Long] = None,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val post = Lifecycle.stage(postings(docs, idCol, textCol))
+    val dls = Lifecycle.stage(docLengths(post))
+    val stats = dls.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+      .collect()(0)
+    val qterms = Lifecycle.stage(
+      postings(queries, qidCol, qtextCol)
+        .select(col("id").as("query_id"), col("term")))
+    val hint = OpsUtil.gatedHint("bm25TopKJoin", "queries", qterms,
+      maxBroadcastRows)
+    val sliver = post
+      .join(hint(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .join(dls, Seq("id"))
+    bm25JoinFromSliver(sliver, hint(qterms), stats.getLong(0),
+      stats.getLong(1), k, maxDf)
+  }
+
   /** BM25 top-`k` documents for `queryTerms`, computed directly from the
     * corpus text (one postings pass). The persisted-index form that skips
     * this pass entirely is [[graft.sources.PostingStore.searchTopK]]. */

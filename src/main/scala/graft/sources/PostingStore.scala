@@ -194,4 +194,35 @@ object PostingStore {
       .groupBy("term", "id").agg(max("tf").as("tf"), max("dl").as("dl"))
     Lexical.bm25RankFromSliver(sliver, p.nDocs, p.sumDl, qt, k)
   }
+
+  /** Batched BM25 retrieval join against the STORED index —
+    * output-identical to [[Lexical.bm25TopKJoin]] over the same corpus
+    * (the q111 gate shares q110's oracle verbatim). One query
+    * tokenization pass; the probe reads only the bucket directories of
+    * the union of query terms (pruned by the ≤ `buckets` distinct
+    * bucket ids — a bounded driver collect regardless of query count),
+    * and the query-term set broadcasts under the usual count gate. The
+    * `maxDf` cutoff prunes fan-out exactly as in the direct form. */
+  def searchTopKJoin(spark: SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      maxDf: Option[Long] = None,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = params(spark, path)
+    val qterms = graft.core.Lifecycle.stage(
+      Lexical.postings(queries, qidCol, qtextCol)
+        .select(col("id").as("query_id"), col("term")))
+    val hint = graft.ops.OpsUtil.gatedHint("searchTopKJoin", "queries",
+      qterms, maxBroadcastRows)
+    val qBuckets = qterms
+      .select(bucketCol(col("term"), p.buckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by `buckets`
+    val sliver = postings(spark, path)
+      .filter(col("bucket").isin(qBuckets: _*)) // directory pruning
+      .join(hint(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .groupBy("term", "id").agg(max("tf").as("tf"), max("dl").as("dl"))
+    Lexical.bm25JoinFromSliver(sliver, hint(qterms), p.nDocs, p.sumDl,
+      k, maxDf)
+  }
 }

@@ -97,6 +97,46 @@ class LexicalSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(a == b)
   }
 
+  test("bm25TopKJoin ≡ a per-query bm25TopK loop (batched = sequential)") {
+    val corpus = docs((0L until 50L).map(i =>
+      i -> s"t${i % 9} t${i % 4} shared filler$i").toSeq: _*)
+    val queries = docs(
+      100L -> "t1 shared", 101L -> "t2 t3", 102L -> "absentterm")
+    val batched = Lexical.bm25TopKJoin(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 7)
+    val byQuery = batched.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq).toMap
+    for ((qid, terms) <- Seq(100L -> Seq("t1", "shared"),
+        101L -> Seq("t2", "t3"))) {
+      val solo = Lexical.bm25TopK(corpus, "doc_id", "text", terms, 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(byQuery(qid) == solo, s"query $qid")
+      assert(solo.nonEmpty)
+    }
+    // a query matching nothing simply has no rows
+    assert(!byQuery.contains(102L))
+  }
+
+  test("bm25TopKJoin maxDf cuts common terms before the fan-out") {
+    val corpus = docs((0L until 40L).map(i =>
+      (i, if (i < 4) s"needle common filler$i" else s"common filler$i")
+    ).toSeq: _*)
+    val queries = docs(500L -> "needle common")
+    // common has df=40, needle df=4: the cutoff must make the batched
+    // result identical to querying the rare term alone
+    val cut = Lexical.bm25TopKJoin(corpus, "doc_id", "text", queries,
+      "doc_id", "text", k = 10, maxDf = Some(10L))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val rareOnly = Lexical.bm25TopK(corpus, "doc_id", "text",
+      Seq("needle"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cut == rareOnly && cut.size == 4)
+    // every hit counts exactly the one surviving term
+    assert(cut.forall(_._2 == 1L))
+  }
+
   test("query-term contract: non-canonical tokens are refused") {
     val d = docs(1L -> "a b")
     for (bad <- Seq("UPPER", "two words", "", "punct!", "tab\tx"))

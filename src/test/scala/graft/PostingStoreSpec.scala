@@ -140,6 +140,21 @@ class PostingStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
       rows(PostingStore.searchTopK(spark, rebuilt, query, 15)))
   }
 
+  test("stored batched join ≡ direct bm25TopKJoin (the q111-shares-q110 " +
+      "claim), maxDf included") {
+    val path = tmp("post-join")
+    PostingStore.save(corpus, "doc_id", "text", path)
+    val queries = mkDocs(200 until 206)
+    for (maxDf <- Seq(None, Some(30L))) {
+      val stored = PostingStore.searchTopKJoin(spark, path, queries,
+        "doc_id", "text", k = 8, maxDf = maxDf)
+      val direct = graft.ops.Lexical.bm25TopKJoin(corpus, "doc_id",
+        "text", queries, "doc_id", "text", k = 8, maxDf = maxDf)
+      assert(rows(stored) == rows(direct), s"maxDf=$maxDf")
+      assert(rows(stored).nonEmpty)
+    }
+  }
+
   test("streaming ingest: MemoryStream micro-batches land exactly the " +
       "rebuild store, search parity included") {
     val path = tmp("post-stream")
