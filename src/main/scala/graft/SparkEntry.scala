@@ -1415,6 +1415,22 @@ object SparkEntry {
       sources.PostingStore.searchTopKJoin(s, path,
         docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
         k = 5, maxDf = Some(400L))
+    }),
+
+    // ---- behavioral event-sequence analytics ------------------------
+    "q112_funnel" -> ((s, dir) => {
+      // earliest-completion ordered funnel, whole-funnel window anchored
+      // at step 1 — k-1 co-partitioned join+min rounds on the user key
+      ops.Behavior.funnelCounts(
+        Testbed.graph(s, dir).collection("events"), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        windowDays = 7)
+    }),
+    "q113_cohort_retention" -> ((s, dir) => {
+      // weekly cohorts by first event; distinct active users per
+      // (cohort, offset) cell — two map-side-combined aggregations
+      ops.Behavior.cohortRetention(
+        Testbed.graph(s, dir).collection("events"), "user_id", "ts")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2482,7 +2498,48 @@ object SparkEntry {
     "q108_bm25_stored" -> Bm25OracleSql,
     "q109_bm25_appended" -> Bm25OracleSql,
     "q110_bm25_join" -> Bm25JoinOracleSql,
-    "q111_bm25_join_stored" -> Bm25JoinOracleSql)
+    "q111_bm25_join_stored" -> Bm25JoinOracleSql,
+    // q112: the sequential-min funnel replayed — per-step earliest
+    // timestamps chained by strict ordering inside the t1-anchored
+    // 7-day window, then per-step reach counts
+    "q112_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT 1 AS step, 'view' AS step_type,
+                  (SELECT count(*) FROM s1) AS n_users
+           UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+           UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+         ORDER BY step""",
+    // q113: weekly cohorts (ISO Monday truncation both engines),
+    // integer week offsets (day differences are exact multiples of 7)
+    "q113_cohort_retention" ->
+      """WITH fc AS (
+           SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY user_id),
+         act AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+           FROM events)
+         SELECT CAST(f.cw AS DATE) AS cohort_week,
+                CAST(datediff('day', CAST(f.cw AS DATE),
+                  CAST(a.aw AS DATE)) / 7 AS INTEGER) AS week_offset,
+                count(*) AS n_users
+         FROM act a JOIN fc f ON a.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

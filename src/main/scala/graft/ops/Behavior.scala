@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event-sequence analytics: ordered funnels and cohort
+  * retention — the two classic event-table questions (reference surface:
+  * the engine's event queries q20/q21/q36; the reference itself has no
+  * event analytics — this follows the same beyond-reference precedent as
+  * §2.6 windows and the streaming surface).
+  *
+  * Both ops are pure declarative plans over exact types (timestamps,
+  * longs), so they oracle exactly:
+  *
+  *   - [[funnelUsers]]/[[funnelCounts]]: ordered k-step funnel with an
+  *     absolute completion window anchored at the FIRST step ("complete
+  *     all steps within W of first doing step 1"). Step k's timestamp is
+  *     the earliest event of type k STRICTLY AFTER the user's step-(k-1)
+  *     timestamp and inside the window — the standard
+  *     earliest-completion semantics, computed as k-1 co-partitioned
+  *     join+groupBy rounds on the user key (each round is one
+  *     filter + broadcast-or-shuffle join + map-side-combined min — no
+  *     per-user event arrays collected anywhere, so a heavy-hitter user
+  *     costs max-rows-per-key in a shuffle partition, not driver or
+  *     executor memory).
+  *   - [[cohortRetention]]: users cohorted by the ISO week of their
+  *     first event; (cohort week, week offset) cells count DISTINCT
+  *     active users — two map-side-combined aggregations (per-user min,
+  *     then per-cell distinct), both on co-partitionable keys.
+  *
+  * Scale posture: every shuffle is keyed by user (or cohort cell);
+  * nothing collects, nothing is quadratic; `date_trunc('week')` and
+  * timestamp INTERVAL arithmetic are exact and engine-portable (both
+  * Spark and DuckDB truncate to ISO Monday and add calendar-free
+  * day intervals on timezone-less timestamps).
+  */
+object Behavior {
+
+  /** Earliest-completion funnel, per user: one row per user who did
+    * step 1, with `t1..tk` timestamps (null from the first step not
+    * reached). `windowDays` bounds the WHOLE funnel from t1. */
+  def funnelUsers(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowDays: Int): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ev = events.select(col(userCol).cast("long").as("user_id"),
+      col(typeCol).as("_type"), col(tsCol).as("_ts"))
+    val first = ev.filter(col("_type") === steps.head)
+      .groupBy("user_id").agg(min(col("_ts")).as("t1"))
+      .withColumn("_deadline",
+        col("t1") + expr(s"INTERVAL $windowDays DAYS"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val tPrev = s"t$i"
+        val tThis = s"t${i + 1}"
+        val reached = ev.filter(col("_type") === step)
+          .join(prev.select(col("user_id"), col(tPrev), col("_deadline")),
+            Seq("user_id"))
+          .filter(col("_ts") > col(tPrev) && col("_ts") <= col("_deadline"))
+          .groupBy("user_id").agg(min(col("_ts")).as(tThis))
+        prev.join(reached, Seq("user_id"), "left")
+    }
+    full.drop("_deadline")
+  }
+
+  /** Funnel summary for dashboards and gates: one row per step with the
+    * number of users who reached it (a user reaches step k iff t1..tk
+    * are all set — monotone by construction). */
+  def funnelCounts(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowDays: Int): DataFrame = {
+    val users = funnelUsers(events, userCol, typeCol, tsCol, steps,
+      windowDays)
+    val perStep = steps.zipWithIndex.map { case (step, i) =>
+      users.agg(count(col(s"t${i + 1}")).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("step_type"),
+          col("n_users"))
+    }
+    perStep.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** Weekly cohort retention: `(cohort_week, week_offset, n_users)` —
+    * users grouped by the ISO week of their first event; each cell
+    * counts distinct users active `week_offset` weeks later. Offsets
+    * are exact integer `datediff / 7` on the Monday-truncated dates. */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val ev = events.select(col(userCol).cast("long").as("user_id"),
+      col(tsCol).as("_ts"))
+    val cohorts = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("_ts"))).as("_cw"))
+    ev.select(col("user_id"), date_trunc("week", col("_ts")).as("_aw"))
+      .distinct()
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("_cw"), col("_aw"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(to_date(col("_cw")).as("cohort_week"),
+        (datediff(to_date(col("_aw")), to_date(col("_cw"))) / 7)
+          .cast("int").as("week_offset"),
+        col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+}

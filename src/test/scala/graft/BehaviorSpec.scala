@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Behavior
+
+/** Funnel and cohort semantics on hand-built event timelines: strict
+  * step ordering, the t1-anchored window, monotone reach counts, and
+  * exact week cohorting. */
+class BehaviorSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+
+  private def events(rows: (Long, String, Timestamp)*): DataFrame =
+    rows.toDF("user_id", "event_type", "ts")
+
+  private val steps = Seq("view", "click", "buy")
+
+  test("funnel: strict order, earliest completion, t1-anchored window") {
+    val ev = events(
+      // user 1 completes in order
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "buy", ts(3)),
+      // user 2: click BEFORE view never counts; no click after view
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "buy", ts(3)),
+      // user 3: completes but buy lands outside the 7-day window from t1
+      (3L, "view", ts(1)), (3L, "click", ts(4)), (3L, "buy", ts(20)),
+      // user 4: never views — not in the funnel at all
+      (4L, "click", ts(1)), (4L, "buy", ts(2)))
+    val got = Behavior.funnelCounts(ev, "user_id", "event_type", "ts",
+      steps, windowDays = 7).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 3L), (2, "click", 2L), (3, "buy", 1L)))
+    // per-user detail: user 2 stalls at view, user 3 at click
+    val u = Behavior.funnelUsers(ev, "user_id", "event_type", "ts",
+      steps, 7).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.isNullAt(2), r.isNullAt(3))).toSeq
+    assert(u == Seq((1L, false, false), (2L, true, true),
+      (3L, false, true)))
+  }
+
+  test("funnel: earliest qualifying step-2 event is chosen, not any") {
+    // click at day 2 qualifies; the buy between the two clicks must
+    // count because t2 = the EARLIEST click after view
+    val ev = events(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "buy", ts(3)),
+      (1L, "click", ts(5)))
+    val u = Behavior.funnelUsers(ev, "user_id", "event_type", "ts",
+      steps, 7).collect()(0)
+    assert(u.getTimestamp(1) == ts(1) && u.getTimestamp(2) == ts(2)
+      && u.getTimestamp(3) == ts(3))
+  }
+
+  test("funnel: window boundary is inclusive at exactly +windowDays") {
+    val ev = events(
+      (1L, "view", ts(1)), (1L, "click", ts(8)), // exactly +7 days
+      (2L, "view", ts(1)), (2L, "click", ts(8, 1))) // 1h past the edge
+    val got = Behavior.funnelCounts(ev, "user_id", "event_type", "ts",
+      Seq("view", "click"), windowDays = 7).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("view", 2L), ("click", 1L)))
+  }
+
+  test("cohort retention: week cohorts, distinct users per cell") {
+    // 2024-03-04 is a Monday. u1 first acts week 0 and returns week 1
+    // (twice — must count once); u2 first acts week 1 only.
+    val ev = events(
+      (1L, "view", ts(4)), (1L, "view", ts(12)), (1L, "click", ts(13)),
+      (2L, "view", ts(11)))
+    val got = Behavior.cohortRetention(ev, "user_id", "ts").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(("2024-03-04", 0, 1L), ("2024-03-04", 1, 1L),
+      ("2024-03-11", 0, 1L)))
+  }
+
+  test("funnel counts are monotone non-increasing on real testdata") {
+    val ev = Testbed.graph(spark, "/root/testdata/sf0.001")
+      .collection("events")
+    val counts = Behavior.funnelCounts(ev, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase"), windowDays = 14)
+      .collect().map(_.getLong(2)).toSeq
+    assert(counts.size == 4 && counts.head > 0)
+    assert(counts == counts.sorted.reverse, counts.toString)
+  }
+}
