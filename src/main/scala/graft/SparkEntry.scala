@@ -1431,6 +1431,47 @@ object SparkEntry {
       // (cohort, offset) cell — two map-side-combined aggregations
       ops.Behavior.cohortRetention(
         Testbed.graph(s, dir).collection("events"), "user_id", "ts")
+    }),
+
+    // ---- hybrid retrieval: rank fusion ------------------------------
+    "q114_hybrid_rrf" -> ((s, dir) => {
+      // reciprocal-rank fusion of the lexical (BM25 batched join) and
+      // semantic (exact batched kNN) retrievers over the SAME query doc
+      // set — the union-of-retrievers decontamination net; fusion runs
+      // on integer micro contributions so the whole hybrid replays
+      val g = Testbed.graph(s, dir)
+      val docs = g.collection("documents")
+      val emb = g.collection("embeddings")
+      val lex = ops.Lexical.bm25TopKJoin(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          k = 5, maxDf = Some(400L))
+        .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
+      val vec = ops.Similarity.topKPerQueryExact(
+          emb.filter(col("vec_id") % 97 === 0), emb, "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      ops.Fusion.rrf(Seq(lex, vec), k = 5).orderBy("query_id", "rnk")
+    }),
+    "q115_hybrid_rrf_stored" -> ((s, dir) => {
+      // same fusion with the lexical side answered from the persisted
+      // posting store (corpus text untouched) — shares q114's oracle
+      // verbatim, proving the stored probe is rank-identical inside the
+      // fused result
+      val g = Testbed.graph(s, dir)
+      val docs = g.collection("documents")
+      val emb = g.collection("embeddings")
+      val lex = sources.PostingStore.searchTopKJoin(s,
+          postingStorePath(s, docs, dir),
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          k = 5, maxDf = Some(400L))
+        .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
+      val vec = ops.Similarity.topKPerQueryExact(
+          emb.filter(col("vec_id") % 97 === 0), emb, "vec_id",
+          "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      ops.Fusion.rrf(Seq(lex, vec), k = 5).orderBy("query_id", "rnk")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2539,7 +2580,13 @@ object SparkEntry {
                   CAST(a.aw AS DATE)) / 7 AS INTEGER) AS week_offset,
                 count(*) AS n_users
          FROM act a JOIN fc f ON a.user_id = f.user_id
-         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+    // q114/q115: the whole hybrid replayed — BM25 batched join (q110's
+    // CTEs, same micro arithmetic), exact cosine kNN (q65's rounded
+    // scores + id tie-break), then integer-division RRF contributions
+    // summed as BIGINTs. The stored variant shares it verbatim.
+    "q114_hybrid_rrf" -> HybridRrfOracleSql,
+    "q115_hybrid_rrf_stored" -> HybridRrfOracleSql)
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on
@@ -2653,6 +2700,88 @@ object SparkEntry {
            FROM agg)
          SELECT query_id, rnk, doc_id, n_terms_hit, score_micro
          FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  /** q114/q115: reciprocal-rank fusion of the BM25 batched join (the
+    * exact CTE chain of [[Bm25JoinOracleSql]]) with exact cosine kNN
+    * (q65's round-to-4 scores, id tie-break); contributions are
+    * `1000000 // (k0 + rank)` exact integers, fused rank breaks ties by
+    * doc id — the byte replica of [[ops.Fusion.rrf]]. */
+  private lazy val HybridRrfOracleSql =
+    s"""WITH $lexPostingsCtes,
+         dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+         corp AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dls),
+         qt AS (SELECT doc_id AS query_id, term FROM post
+                WHERE doc_id % 97 = 0),
+         sliver AS (
+           SELECT p.doc_id, p.term, p.tf, d.dl,
+                  count(*) OVER (PARTITION BY p.term) AS df
+           FROM post p JOIN dls d ON p.doc_id = d.doc_id
+           WHERE p.term IN (SELECT DISTINCT term FROM qt)),
+         scored AS (
+           SELECT q.query_id, s.doc_id,
+             CAST(floor((
+               ((CAST(c.n - s.df AS DOUBLE) + 0.5) /
+                (CAST(s.df AS DOUBLE) + 0.5))
+               * ((CAST(s.tf AS DOUBLE) * 2.25) /
+                  (CAST(s.tf AS DOUBLE) + 1.25 *
+                   (0.25 + 0.75 * (CAST(s.dl AS DOUBLE) /
+                     (CAST(c.sumdl AS DOUBLE) / CAST(c.n AS DOUBLE))))))
+               ) * 1000000.0) AS BIGINT) AS m
+           FROM sliver s JOIN qt q ON s.term = q.term
+           CROSS JOIN corp c
+           WHERE s.df <= 400),
+         lexagg AS (
+           SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+           FROM scored GROUP BY query_id, doc_id),
+         lexrk AS (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, doc_id) AS "rank"
+           FROM lexagg),
+         lex AS (SELECT query_id, doc_id, "rank" FROM lexrk
+                 WHERE "rank" <= 5),
+         qv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings WHERE vec_id % 97 = 0),
+         cv AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS nrm
+           FROM embeddings),
+         vp AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                  round(list_sum(list_transform(range(1, 65),
+                      i -> CAST(c.embedding[i] AS DOUBLE)
+                           * CAST(q.embedding[i] AS DOUBLE)))
+                    / (c.nrm * q.nrm), 4) AS score
+           FROM cv c, qv q WHERE c.nrm > 0 AND q.nrm > 0),
+         vrk AS (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS "rank"
+           FROM vp),
+         vec AS (SELECT query_id, doc_id, "rank" FROM vrk
+                 WHERE "rank" <= 5),
+         u AS (
+           SELECT query_id, doc_id,
+                  CAST(1000000 // (60 + "rank") AS BIGINT) AS m FROM lex
+           UNION ALL
+           SELECT query_id, doc_id,
+                  CAST(1000000 // (60 + "rank") AS BIGINT) AS m FROM vec),
+         f AS (
+           SELECT query_id, doc_id, count(*) AS n_lists,
+                  CAST(sum(m) AS BIGINT) AS rrf_micro
+           FROM u GROUP BY query_id, doc_id),
+         fr AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_micro DESC, doc_id) AS INT) AS rnk
+           FROM f)
+         SELECT query_id, rnk, doc_id, n_lists, rrf_micro
+         FROM fr WHERE rnk <= 5 ORDER BY query_id, rnk"""
 
   /** q104: the KMV overlap estimator replayed end-to-end — per-side
     * k-min sets via hash ranking, union k-min, per-side membership (a
