@@ -1472,6 +1472,37 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank"))
       ops.Fusion.rrf(Seq(lex, vec), k = 5).orderBy("query_id", "rnk")
+    }),
+
+    "q116_event_transitions" -> ((s, dir) => {
+      // first-order Markov transition matrix of the event stream: one
+      // user-keyed ordering window (event_id breaks ts ties, so the
+      // order is total), then a map-side-combined count to |types|^2
+      // rows with exact integer-micro shares
+      ops.Behavior.transitions(
+          Testbed.graph(s, dir).collection("events"), "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type")
+    }),
+    "q117_snapshot_diff" -> ((s, dir) => {
+      // corpus snapshot diff: v1 = ids < 400, v2 = ids >= 100 with every
+      // 10th text amended — added/removed/changed/unchanged per doc via
+      // one id-keyed full outer sort-merge join
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val v1 = docs.filter(col("doc_id") < 400)
+      val v2 = docs.filter(col("doc_id") >= 100)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      ops.Corpus.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang"))
+        .orderBy("doc_id")
+    }),
+    "q118_boilerplate_ngrams" -> ((s, dir) => {
+      // C4-style boilerplate sweep: 3-grams in >= 1% of docs (distinct
+      // per doc), integer cross-multiplied cutoff, exact micro fractions
+      ops.Corpus.boilerplateNgrams(
+          Testbed.graph(s, dir).collection("documents"), "doc_id",
+          "text", n = 3, minDocFrac = 0.01)
+        .orderBy("gram")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2586,7 +2617,60 @@ object SparkEntry {
     // scores + id tie-break), then integer-division RRF contributions
     // summed as BIGINTs. The stored variant shares it verbatim.
     "q114_hybrid_rrf" -> HybridRrfOracleSql,
-    "q115_hybrid_rrf_stored" -> HybridRrfOracleSql)
+    "q115_hybrid_rrf_stored" -> HybridRrfOracleSql,
+    // q116: lead() over the same (ts, event_id) total order, then the
+    // integer-division micro shares
+    "q116_event_transitions" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, count(*) AS n FROM seq
+           WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         t AS (
+           SELECT *, sum(n) OVER (PARTITION BY from_type) AS ft FROM c)
+         SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+                CAST((n * 1000000) // ft AS BIGINT) AS p_micro
+         FROM t ORDER BY from_type, to_type""",
+    // q117: the same v1/v2 slices and null-safe column comparison
+    "q117_snapshot_diff" ->
+      """WITH v1 AS (
+           SELECT doc_id, text, lang FROM documents WHERE doc_id < 400),
+         v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                       ELSE text END AS text,
+                  lang
+           FROM documents WHERE doc_id >= 100)
+         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                CASE WHEN v1.doc_id IS NULL THEN 'added'
+                     WHEN v2.doc_id IS NULL THEN 'removed'
+                     WHEN v1.text IS DISTINCT FROM v2.text
+                       OR v1.lang IS DISTINCT FROM v2.lang THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         ORDER BY doc_id""",
+    // q118: distinct 3-grams per doc (q56's gram CTE), df per gram,
+    // integer cross-multiplied 1% cutoff, micro fractions
+    "q118_boilerplate_ngrams" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 2),
+                           ' ')))) AS gram
+           FROM documents WHERE text IS NOT NULL),
+         nd AS (SELECT count(*) AS n_docs FROM documents
+                WHERE text IS NOT NULL),
+         dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         SELECT gram, CAST(df AS BIGINT) AS df,
+                CAST((df * 1000000) // n_docs AS BIGINT)
+                  AS doc_frac_micro
+         FROM dfs CROSS JOIN nd
+         WHERE df * 1000000 >= 10000 * n_docs
+         ORDER BY gram""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -80,6 +80,41 @@ object Behavior {
     perStep.reduce(_.unionByName(_)).orderBy("step")
   }
 
+  /** Per-user next-event transition matrix (the first-order Markov view
+    * of the event stream): for every ordered pair of consecutive events
+    * of the same user, count the `(from_type, to_type)` transition and
+    * its share of all transitions leaving `from_type` — the
+    * "what do users do next" table behind flow diagrams and anomaly
+    * gates. Consecutive = adjacent when the user's events are totally
+    * ordered by `(ts, tieCol)`; `tieCol` must be unique per row (an
+    * event id) so the order — and therefore the output — is
+    * deterministic under ts ties at any parallelism.
+    *
+    * The share is exact integer micros (`n * 1000000 div from_total`),
+    * so the whole table replays in SQL. Cost: ONE user-keyed shuffle
+    * for the ordering window (per-user sequences must be co-located —
+    * inherent to the question), then a map-side-combined count to the
+    * |types|² output; a heavy user costs sort time in one partition,
+    * never memory (no per-user arrays). */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"), col(tsCol),
+        col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    counts
+      .withColumn("from_total", sum(col("n")).over(w2))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div from_total").as("p_micro"))
+  }
+
   /** Weekly cohort retention: `(cohort_week, week_offset, n_users)` —
     * users grouped by the ISO week of their first event; each cell
     * counts distinct users active `week_offset` weeks later. Offsets

@@ -313,4 +313,65 @@ object Corpus {
     val thr = df.agg(agg.as("_thr"))
     df.join(broadcast(thr), metric >= col("_thr")).drop("_thr")
   }
+
+  /** Corpus boilerplate detector: word `n`-grams whose DOCUMENT
+    * frequency reaches `minDocFrac` of the corpus — headers, footers,
+    * license blurbs, navigation chrome; the grams a C4-style cleaner
+    * strips and a dedup pass should never be distracted by. Duplicates
+    * inside one doc count once (distinct-per-doc, like
+    * [[contamination]]).
+    *
+    * The cutoff is exact integer cross-multiplication —
+    * `df * 1000000 >= thrMicro * n_docs` with `thrMicro` rounded ONCE on
+    * the driver — so no float boundary can flip a gram between engines
+    * (the [[hashSample]] discipline). Output `(gram, df,
+    * doc_frac_micro)` with the fraction in exact integer millionths.
+    *
+    * Scale posture: the explode is linear in corpus tokens and feeds a
+    * map-side-combined count per gram; the corpus doc count rides in as
+    * a 1-row broadcast; output is only the boilerplate survivors. One
+    * wide exchange, keyed by gram. */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocFrac: Double): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      s"minDocFrac must be in (0,1], got $minDocFrac")
+    val thrMicro = math.round(minDocFrac * 1000000.0)
+    val live = docs.filter(col(textCol).isNotNull)
+    val nd = live.agg(count(lit(1)).as("n_docs"))
+    live
+      .select(explode(array_distinct(wordNgrams(col(textCol), n)))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") * lit(1000000L) >= lit(thrMicro) * col("n_docs"))
+      .select(col("gram"), col("df"),
+        expr("(df * 1000000) div n_docs").as("doc_frac_micro"))
+  }
+
+  /** Snapshot diff between two corpus versions: one row per doc id with
+    * `status` added / removed / changed / unchanged — the incremental-
+    * pipeline primitive ("process only what moved since the last crawl")
+    * and the audit view of a re-ingest. `changed` means any of
+    * `compareCols` differs null-safely; ids must be unique per side.
+    *
+    * Scale posture: ONE id-keyed shuffle (a full outer sort-merge join —
+    * neither snapshot of a 100 TB corpus is broadcastable), columns
+    * pruned to the id + compared set. For wide rows, pass a precomputed
+    * content-hash column as the single compare col so the shuffle
+    * carries hashes, not bodies. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff needs >= 1 compare col")
+    def side(df: DataFrame, tag: String) =
+      df.select(col(idCol).cast("long").as("_id") +:
+        lit(true).as(s"_in$tag") +:
+        compareCols.map(c => col(c).as(s"_${tag}_$c")): _*)
+    side(v1, "a").join(side(v2, "b"), Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_ina").isNull, lit("added"))
+          .when(col("_inb").isNull, lit("removed"))
+          .when(compareCols.map(c => !(col(s"_a_$c") <=> col(s"_b_$c")))
+            .reduce(_ || _), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }

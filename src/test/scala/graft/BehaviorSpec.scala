@@ -78,6 +78,45 @@ class BehaviorSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("2024-03-11", 0, 1L)))
   }
 
+  test("transitions: adjacent pairs per user, exact micro shares, " +
+      "tie-break by the unique id column") {
+    // user 1: a -> b -> a; user 2: a -> a. Transitions from a:
+    // a->b (1), a->a (1); from b: b->a (1). Shares: 500000 each from a.
+    val ev = Seq(
+      (1L, "a", ts(1), 10L), (1L, "b", ts(2), 11L), (1L, "a", ts(3), 12L),
+      (2L, "a", ts(1), 20L), (2L, "a", ts(2), 21L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.transitions(ev, "user_id", "event_type", "ts",
+        "event_id")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("a", "a", 1L, 500000L), ("a", "b", 1L, 500000L),
+      ("b", "a", 1L, 1000000L)))
+    // same timestamp: the id column must decide the order (21 after 20
+    // above; now flip the ids and the a->a pair direction changes type)
+    val tie = Seq((3L, "x", ts(1), 2L), (3L, "y", ts(1), 1L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val t = Behavior.transitions(tie, "user_id", "event_type", "ts",
+      "event_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(t.toSeq == Seq(("y", "x")))
+  }
+
+  test("transitions: per-from shares sum to ~1e6 on real testdata") {
+    val ev = Testbed.graph(spark, "/root/testdata/sf0.001")
+      .collection("events")
+    val rows = Behavior.transitions(ev, "user_id", "event_type", "ts",
+      "event_id").collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(3)).sum)
+    // integer division drops < 1 micro per cell
+    byFrom.foreach { case (f, s) =>
+      val cells = rows.count(_.getString(0) == f)
+      assert(s <= 1000000L && s > 1000000L - cells, s"$f -> $s")
+    }
+  }
+
   test("funnel counts are monotone non-increasing on real testdata") {
     val ev = Testbed.graph(spark, "/root/testdata/sf0.001")
       .collection("events")

@@ -223,4 +223,46 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast-hash join for the eval gram set, got:\n$plan")
   }
+
+  test("boilerplateNgrams: distinct-per-doc df, exact cutoff boundary, " +
+      "micro fractions") {
+    // 'x y' in 2 of 4 docs (repeated inside doc 1 counts once) = 50%;
+    // 'y z' in 1 of 4 = 25%. minDocFrac 0.5 keeps exactly the boundary
+    // gram; 0.500001 must drop it (integer cross-multiplication).
+    val d = Seq((1L, "x y x y"), (2L, "x y"), (3L, "y z"), (4L, "q r"))
+      .toDF("doc_id", "text")
+    val got = Corpus.boilerplateNgrams(d, "doc_id", "text", n = 2,
+        minDocFrac = 0.5)
+      .orderBy("gram").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("x y", 2L, 500000L)))
+    assert(Corpus.boilerplateNgrams(d, "doc_id", "text", 2, 0.500001)
+      .count() == 0)
+    // null texts leave both the numerator and the denominator
+    val withNull = d.union(Seq((5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    assert(Corpus.boilerplateNgrams(withNull, "doc_id", "text", 2, 0.5)
+      .collect().map(_.getString(0)).toSeq == Seq("x y"))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe compare") {
+    val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, null, "de"),
+        (4L, "d", "en"))
+      .toDF("doc_id", "text", "lang")
+    val v2 = Seq((2L, "b", "en"), (3L, null, "de"), (4L, "d", "fr"),
+        (5L, "e", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 1 only in v1; 2 identical; 3 null text both sides (null-safe
+    // equal); 4 lang changed; 5 only in v2
+    assert(got == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "unchanged"), (4L, "changed"), (5L, "added")))
+    // null -> value and value -> null are both 'changed'
+    val n1 = Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val n2 = Seq((7L, "now set")).toDF("doc_id", "text")
+    assert(Corpus.snapshotDiff(n1, n2, "doc_id", Seq("text"))
+      .collect().head.getString(1) == "changed")
+  }
 }
