@@ -1503,6 +1503,24 @@ object SparkEntry {
           Testbed.graph(s, dir).collection("documents"), "doc_id",
           "text", n = 3, minDocFrac = 0.01)
         .orderBy("gram")
+    }),
+    "q119_fuzzy_nearest" -> ((s, dir) => {
+      // blocked fuzzy entity resolution over part names: block by the
+      // last word, verify with thresholded levenshtein, each part's
+      // single best match (ties -> smallest id) via rank-pushdown window
+      ops.Linkage.fuzzyNearest(
+          Testbed.graph(s, dir).collection("part"), "p_partkey",
+          "p_name", substring_index(col("p_name"), " ", -1),
+          maxDist = 3, maxBlock = 1000)
+        .withColumnRenamed("id", "p_partkey")
+        .orderBy("p_partkey")
+    }),
+    "q120_collocations" -> ((s, dir) => {
+      // top-50 PMI collocations (adjacent canonical-token bigrams,
+      // minCount 5): integer lift_micro ranking, ties by (t1, t2)
+      ops.Lexical.collocations(
+        Testbed.graph(s, dir).collection("documents"), "doc_id",
+        "text", minCount = 5, k = 50)
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2670,7 +2688,59 @@ object SparkEntry {
                   AS doc_frac_micro
          FROM dfs CROSS JOIN nd
          WHERE df * 1000000 >= 10000 * n_docs
-         ORDER BY gram""")
+         ORDER BY gram""",
+    // q119: same last-word blocking + maxBlock gate, plain levenshtein
+    // (Spark's thresholded kernel returns -1 past the cutoff; <= here),
+    // both pair directions, top-1 per id by (dist, match_id)
+    "q119_fuzzy_nearest" ->
+      """WITH p0 AS (
+           SELECT p_partkey AS id, p_name AS name,
+                  string_split(p_name, ' ')[-1] AS blk
+           FROM part WHERE p_name IS NOT NULL),
+         p AS (SELECT * FROM p0
+               QUALIFY count(*) OVER (PARTITION BY blk) <= 1000),
+         pr AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  levenshtein(a.name, b.name) AS dist
+           FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+           WHERE levenshtein(a.name, b.name) <= 3),
+         sym AS (
+           SELECT id_a AS id, id_b AS match_id, dist FROM pr
+           UNION ALL SELECT id_b, id_a, dist FROM pr)
+         SELECT id AS p_partkey, match_id, CAST(dist AS BIGINT) AS dist
+         FROM sym
+         QUALIFY row_number() OVER (PARTITION BY id
+           ORDER BY dist, match_id) = 1
+         ORDER BY p_partkey""",
+    // q120: q105's normalization regexes -> ordered token arrays;
+    // adjacent bigrams via 1-based index lists; unigram counts + total;
+    // the same BIGINT (n_xy * t_u * 1e6) div (n_x * n_y) lift
+    "q120_collocations" ->
+      """WITH arr AS (
+           SELECT list_filter(string_split(trim(regexp_replace(
+                    regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ',
+                      'g'),
+                    '\s+', ' ', 'g')), ' '), t -> t <> '') AS ts
+           FROM documents WHERE text IS NOT NULL),
+         uni AS (
+           SELECT t, count(*) AS n
+           FROM (SELECT unnest(ts) AS t FROM arr) GROUP BY t),
+         tu AS (SELECT CAST(sum(n) AS BIGINT) AS t_u FROM uni),
+         bc AS (
+           SELECT t1, t2, count(*) AS n_xy
+           FROM (SELECT unnest(list_transform(range(1, len(ts)),
+                          i -> {'t1': ts[i], 't2': ts[i+1]}),
+                        recursive := true)
+                 FROM arr WHERE len(ts) >= 2)
+           GROUP BY t1, t2 HAVING count(*) >= 5)
+         SELECT bc.t1, bc.t2, bc.n_xy, u1.n AS n_x, u2.n AS n_y,
+                CAST((bc.n_xy * tu.t_u * 1000000) // (u1.n * u2.n)
+                  AS BIGINT) AS lift_micro
+         FROM bc
+         JOIN uni u1 ON bc.t1 = u1.t
+         JOIN uni u2 ON bc.t2 = u2.t
+         CROSS JOIN tu
+         ORDER BY lift_micro DESC, bc.t1, bc.t2 LIMIT 50""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -250,4 +250,55 @@ object Lexical {
     bm25RankFromSliver(post.join(dls, Seq("id")), stats.getLong(0),
       stats.getLong(1), queryTerms, k)
   }
+
+  /** Top-`k` PMI collocations: adjacent-token bigrams ranked by how much
+    * more often they co-occur than their unigram frequencies predict —
+    * the phrase detector behind tokenizer-vocab curation ("new york",
+    * "machine learning" should be units) and corpus fingerprinting.
+    * Tokenization is [[terms]] — the same single canonical definition
+    * the whole lexical family shares.
+    *
+    * Ranking score: `lift_micro = (n_xy * t_u * 1000000) div (n_x *
+    * n_y)` on BIGINTs, where `t_u` is the total token count. Per
+    * corpus, `t_u` is a constant, so this is a strictly monotone
+    * transform of PMI `log(p(xy) / (p(x) p(y)))` — same order, zero
+    * floats, replayable bit-for-bit (the [[Fusion]] integer-micro
+    * discipline). Ties break by `(t1, t2)`. Bound: the product tops out
+    * near `n_xy · t_u · 10^6`; fine through ~10^9-token corpora — past
+    * that, rescale the micro factor or move the arithmetic to
+    * DECIMAL(38,0) (both engines support it; kept BIGINT here so the
+    * hash gate stays byte-identical).
+    *
+    * `minCount` is the classic sparse-bigram cutoff — PMI explodes for
+    * hapax pairs; ranking them is noise, and the cutoff also caps the
+    * join fan-in. Scale posture: two linear text passes (ordered
+    * bigrams can't be recovered from the unordered postings the unigram
+    * pass could otherwise share), each ending in a map-side-combined
+    * count; unigram counts join back on the term key (vocab-sized,
+    * Zipf-skewed — left to AQE, which splits the head terms); final
+    * top-k is TakeOrdered, never a global sort. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val arrs = docs.filter(col(textCol).isNotNull)
+      .select(terms(col(textCol)).as("_ts"))
+    val uni = arrs.select(explode(col("_ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n"))
+    val tu = uni.agg(coalesce(sum("n"), lit(0L)).as("t_u"))
+    val bi = arrs.filter(size(col("_ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_ts")) - 1),
+        i => struct(element_at(col("_ts"), i).as("t1"),
+          element_at(col("_ts"), i + 1).as("t2")))).as("_b"))
+      .select(col("_b.t1"), col("_b.t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    bi.join(uni.select(col("t").as("t1"), col("n").as("n_x")), Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("n").as("n_y")), Seq("t2"))
+      .crossJoin(broadcast(tu))
+      .select(col("t1"), col("t2"), col("n_xy"), col("n_x"), col("n_y"),
+        expr("(n_xy * t_u * 1000000) div (n_x * n_y)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
 }

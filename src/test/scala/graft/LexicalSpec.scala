@@ -155,4 +155,50 @@ class LexicalSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(e.getMessage.contains("empty corpus"))
   }
+
+  test("collocations: hand-computed lift, minCount cutoff, tie-break") {
+    // doc 1 tokens: a b a b a b (punctuation canonicalized away) ->
+    // bigrams (a,b)=3, (b,a)=2; doc 2 "a c" -> (a,c)=1; doc 3 "c c" ->
+    // (c,c)=1. Unigrams a:4 b:3 c:3, t_u = 10.
+    val d = docs(1L -> "a b. a b! a b", 2L -> "a c", 3L -> "c c")
+    val got = Lexical.collocations(d, "doc_id", "text", minCount = 1,
+        k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // lifts: (a,b) 3*10e6/(4*3)=2500000; (b,a) 2*10e6/(3*4)=1666666;
+    // (c,c) 1*10e6/9=1111111; (a,c) 1*10e6/(4*3)=833333
+    assert(got == Seq(("a", "b", 3L, 4L, 3L, 2500000L),
+      ("b", "a", 2L, 3L, 4L, 1666666L),
+      ("c", "c", 1L, 3L, 3L, 1111111L),
+      ("a", "c", 1L, 4L, 3L, 833333L)))
+    // minCount 2 drops the hapax pairs
+    assert(Lexical.collocations(d, "doc_id", "text", 2, 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b"), ("b", "a")))
+    // equal lift -> (t1, t2) lexicographic: "x y" and "y x" both 1 of 1
+    val tie = docs(1L -> "x y", 2L -> "y x")
+    val t = Lexical.collocations(tie, "doc_id", "text", 1, 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(t == Seq(("x", "y"), ("y", "x")))
+  }
+
+  test("collocations: k truncates after the full ranking; single-token " +
+      "and null docs contribute no bigrams") {
+    // doc 1 tokens a b a b -> (a,b)=2, (b,a)=1; unigrams a:2 b:2 c:1,
+    // t_u = 5 (the single-token doc still counts toward t_u)
+    val d = docs(1L -> "a b. a b", 2L -> "c", 3L -> (null: String))
+    val got = Lexical.collocations(d, "doc_id", "text", 1, 1).collect()
+    assert(got.length == 1 && got.head.getString(0) == "a")
+    assert(got.head.getLong(5) == 2L * 5L * 1000000L / (2L * 2L))
+  }
+
+  test("collocations: phrases rank above chance pairs on real testdata") {
+    val d = Testbed.graph(spark, "/root/testdata/sf0.001")
+      .collection("documents")
+    val rows = Lexical.collocations(d, "doc_id", "text", 5, 50).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // ranking is non-increasing in lift
+    val lifts = rows.map(_.getLong(5)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
 }
