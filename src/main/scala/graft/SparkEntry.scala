@@ -1521,6 +1521,22 @@ object SparkEntry {
       ops.Lexical.collocations(
         Testbed.graph(s, dir).collection("documents"), "doc_id",
         "text", minCount = 5, k = 50)
+    }),
+    "q121_rate_anomalies" -> ((s, dir) => {
+      // daily event-rate outliers, |z| >= 2 per event type, the whole
+      // z-test in integer cross-multiplication (no sqrt, no floats)
+      ops.Behavior.rateAnomalies(
+          Testbed.graph(s, dir).collection("events"), "event_type",
+          "ts", k = 2, minBuckets = 5)
+        .orderBy("event_type", "day")
+    }),
+    "q122_column_profile" -> ((s, dir) => {
+      // exact per-column profile of the documents table: one fused
+      // multi-distinct aggregation, unpivoted on the 1-row result
+      ops.Profile.columnStats(
+          Testbed.graph(s, dir).collection("documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2740,7 +2756,52 @@ object SparkEntry {
          JOIN uni u1 ON bc.t1 = u1.t
          JOIN uni u2 ON bc.t2 = u2.t
          CROSS JOIN tu
-         ORDER BY lift_micro DESC, bc.t1, bc.t2 LIMIT 50""")
+         ORDER BY lift_micro DESC, bc.t1, bc.t2 LIMIT 50""",
+    // q121: same daily cells, same integer z-test — (n*x-s)^2 vs
+    // k^2 * (n*ssq - s^2) — over observed days only
+    "q121_rate_anomalies" ->
+      """WITH c AS (
+           SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                    AS day, count(*) AS x
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT *,
+                  count(*) OVER (PARTITION BY event_type) AS n,
+                  sum(x) OVER (PARTITION BY event_type) AS s,
+                  sum(x*x) OVER (PARTITION BY event_type) AS ssq
+           FROM c)
+         SELECT event_type, day, CAST(x AS BIGINT) AS x,
+                CASE WHEN n*x - s > 0 THEN 'high' ELSE 'low' END
+                  AS direction,
+                CAST(((n*x - s)*(n*x - s) * 1000000)
+                  // (n*ssq - s*s) AS BIGINT) AS z2_micro
+         FROM st
+         WHERE n >= 5 AND n*ssq - s*s > 0
+           AND (n*x - s)*(n*x - s) >= 4 * (n*ssq - s*s)
+         ORDER BY event_type, day""",
+    // q122: one UNION ALL branch per column; COUNT(DISTINCT c)
+    // excludes nulls in both engines
+    "q122_column_profile" ->
+      """WITH p AS (
+           SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+                  count(*) - count(doc_id) AS n_null,
+                  count(DISTINCT doc_id) AS n_distinct FROM documents
+           UNION ALL
+           SELECT 'text', count(*), count(*) - count(text),
+                  count(DISTINCT text) FROM documents
+           UNION ALL
+           SELECT 'lang', count(*), count(*) - count(lang),
+                  count(DISTINCT lang) FROM documents
+           UNION ALL
+           SELECT 'source', count(*), count(*) - count(source),
+                  count(DISTINCT source) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                  count(DISTINCT n_chars) FROM documents)
+         SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_null AS BIGINT) AS n_null,
+                CAST(n_distinct AS BIGINT) AS n_distinct
+         FROM p ORDER BY col_name""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -115,6 +115,56 @@ object Behavior {
         expr("(n * 1000000) div from_total").as("p_micro"))
   }
 
+  /** Event-rate anomaly detection: daily buckets whose event count sits
+    * `k` or more standard deviations from that type's own mean — the
+    * monitoring gate over an ingest stream ("this source doubled
+    * overnight") and the data-quality tripwire before a training run.
+    * One row per anomalous `(event_type, day)` with the count, the
+    * deviation direction, and `z2_micro` (the squared z-score in
+    * integer millionths).
+    *
+    * The z-test runs ENTIRELY in integer arithmetic: with per-type
+    * bucket count `n`, sum `s`, and sum of squares `ssq`, the
+    * population z² of a bucket count `x` is `(n·x − s)² / (n·ssq − s²)`
+    * — both sides exact BIGINTs, so the flag `z² ≥ k²` is the integer
+    * cross-multiplication `(n·x − s)² ≥ k²·(n·ssq − s²)` and the whole
+    * op replays bit-for-bit in SQL (no sqrt, no float variance).
+    * Constant series (zero variance) flag nothing, by construction.
+    * Types with fewer than `minBuckets` observed days are skipped (a
+    * 2-day-old event type is all "anomaly"). Only OBSERVED days enter
+    * the statistics — a type absent on a day contributes no zero cell
+    * (documented choice; densify upstream to treat absence as signal).
+    *
+    * Bound: BIGINT holds while `|n·x − s| < 3·10^9` — i.e. per-bucket
+    * counts to ~10^8 at a year of daily buckets; past that, bucket
+    * finer or move the squares to DECIMAL(38,0). Scale posture: one
+    * map-side-combined count to |types|·|days| cells, then a type-keyed
+    * stats window over those CELLS (not events) — the raw stream is
+    * touched exactly once. */
+  def rateAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      k: Int, minBuckets: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minBuckets >= 2, s"minBuckets must be >= 2, got $minBuckets")
+    val cells = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    cells
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("ssq", sum(col("x") * col("x")).over(w))
+      .withColumn("_dev", col("n") * col("x") - col("s"))
+      .withColumn("_var", col("n") * col("ssq") - col("s") * col("s"))
+      .filter(col("n") >= minBuckets && col("_var") > 0 &&
+        col("_dev") * col("_dev") >= lit(k.toLong * k) * col("_var"))
+      .select(col("event_type"), col("day"), col("x"),
+        when(col("_dev") > 0, lit("high")).otherwise(lit("low"))
+          .as("direction"),
+        expr("(_dev * _dev * 1000000) div _var").as("z2_micro"))
+  }
+
   /** Weekly cohort retention: `(cohort_week, week_offset, n_users)` —
     * users grouped by the ISO week of their first event; each cell
     * counts distinct users active `week_offset` weeks later. Offsets

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, to_timestamp}
 
 import graft.ops.Behavior
 
@@ -115,6 +116,45 @@ class BehaviorSpec extends org.scalatest.funsuite.AnyFunSuite {
       val cells = rows.count(_.getString(0) == f)
       assert(s <= 1000000L && s > 1000000L - cells, s"$f -> $s")
     }
+  }
+
+  test("rateAnomalies: integer z-test, direction, guards") {
+    // type 'a': days with counts 1,1,1,1,6 -> n=5, s=10, ssq=40,
+    // var-term n*ssq-s^2 = 100; day5: dev = 5*6-10 = 20, dev^2 = 400
+    // >= 4*100 -> high, z2_micro = 400*1e6/100 = 4000000; days 1-4:
+    // dev = -5, 25 < 400 -> quiet. type 'b' constant -> zero variance,
+    // never flagged. type 'c' has 2 days < minBuckets -> skipped.
+    val ev = (
+      (1 to 4).map(d => Seq((s"2024-03-0$d", "a"))).flatten ++
+        Seq.fill(6)(("2024-03-05", "a")) ++
+        (1 to 5).map(d => (s"2024-03-0$d", "b")) ++
+        Seq(("2024-03-01", "c"), ("2024-03-02", "c"), ("2024-03-02", "c"),
+          ("2024-03-02", "c"), ("2024-03-02", "c")))
+      .toDF("d", "event_type")
+      .withColumn("ts", to_timestamp(col("d")))
+    val got = Behavior.rateAnomalies(ev, "event_type", "ts",
+        k = 2, minBuckets = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(("a", "2024-03-05", 6L, "high", 4000000L)))
+    // k = 1 also flags the four low days (dev^2 = 25 >= 1*100? no —
+    // 25 < 100; they stay quiet even at k=1; the spike alone flags)
+    val k1 = Behavior.rateAnomalies(ev, "event_type", "ts", 1, 5)
+      .collect().map(_.getString(1)).toSeq
+    assert(k1 == Seq("2024-03-05"))
+  }
+
+  test("rateAnomalies: low-side outliers flag with direction 'low'") {
+    // counts 5,5,5,5,0... absent days don't exist as cells; use an
+    // explicit low day: 5,5,5,5,5,1 -> n=6, s=26, ssq=126,
+    // var-term = 756-676 = 80; low day dev = 6-26 = -20, 400 >= 4*80
+    val ev = ((1 to 5).flatMap(d =>
+        Seq.fill(5)((s"2024-03-0$d", "a"))) ++ Seq(("2024-03-06", "a")))
+      .toDF("d", "event_type")
+      .withColumn("ts", to_timestamp(col("d")))
+    val got = Behavior.rateAnomalies(ev, "event_type", "ts", 2, 5)
+      .collect().map(r => (r.getString(1), r.getString(3))).toSeq
+    assert(got == Seq(("2024-03-06", "low")))
   }
 
   test("funnel counts are monotone non-increasing on real testdata") {
