@@ -83,7 +83,25 @@ object ScaleSmoke {
     // BM25 search reads only the query terms' posting buckets — its wall
     // should stay FAR below the linear bar even though docstats (N/Σdl)
     // grows with the corpus
-    "q106_tfidf_keywords", "q108_bm25_stored")
+    "q106_tfidf_keywords", "q108_bm25_stored",
+    // round-14 second half: batched retrieval join + hybrid fusion
+    // (one corpus pass per, fused rank windows), funnel/cohort/
+    // transition/anomaly event analytics (user- or cell-keyed, nothing
+    // quadratic), snapshot diff (id-keyed full outer join over fixed
+    // slices — near-flat by construction, pins the pushdown),
+    // collocations (linear explodes into map-side-combined counts),
+    // and the multi-distinct profile (one Expand pass). Two deliberate
+    // omissions: q119 fuzzy-nearest — key-shifted copies duplicate
+    // every p_name verbatim, so blocks grow past maxBlock and the skew
+    // gate (correctly) empties the output; covered by its Σ block²
+    // analysis and spec. q118 boilerplate — the synthetic corpus
+    // diversifies with sf (no gram reaches 1% of docs at sf0.1), so
+    // the gate is empty at the probe base; its cost shape (full-corpus
+    // gram explode + map-side-combined df count) is exactly q56's,
+    // which is probed.
+    "q110_bm25_join", "q112_funnel", "q113_cohort_retention",
+    "q114_hybrid_rrf", "q116_event_transitions", "q117_snapshot_diff",
+    "q120_collocations", "q121_rate_anomalies", "q122_column_profile")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
