@@ -90,16 +90,20 @@ object ScaleSmoke {
     // quadratic), snapshot diff (id-keyed full outer join over fixed
     // slices — near-flat by construction, pins the pushdown),
     // collocations (linear explodes into map-side-combined counts),
-    // and the multi-distinct profile (one Expand pass). Two deliberate
-    // omissions: q119 fuzzy-nearest — key-shifted copies duplicate
-    // every p_name verbatim, so blocks grow past maxBlock and the skew
-    // gate (correctly) empties the output; covered by its Σ block²
-    // analysis and spec. q118 boilerplate — the synthetic corpus
-    // diversifies with sf (no gram reaches 1% of docs at sf0.1), so
-    // the gate is empty at the probe base; its cost shape (full-corpus
-    // gram explode + map-side-combined df count) is exactly q56's,
-    // which is probed.
-    "q110_bm25_join", "q112_funnel", "q113_cohort_retention",
+    // and the multi-distinct profile (one Expand pass). Three
+    // deliberate omissions, all the same class — a FIXED gate
+    // parameter that a bigger corpus (correctly) dilutes to an empty
+    // result, failing the rows>0 bar while the op works as designed:
+    // q119 fuzzy-nearest (key-shifted copies duplicate every p_name
+    // verbatim, blocks grow past maxBlock, the skew gate empties the
+    // output — covered by its Σ block² analysis and spec), q118
+    // boilerplate (no gram reaches 1% of 5000 diversified docs; cost
+    // shape = q56's, which is probed), and q110 batched BM25 join
+    // (every query term's df ≥ 3816 > the gate's maxDf=400 at sf0.1 —
+    // the common-term cutoff doing its job on a small-vocabulary
+    // synthetic corpus; q114's fused run of the same join shape IS
+    // probed, without the cutoff).
+    "q112_funnel", "q113_cohort_retention",
     "q114_hybrid_rrf", "q116_event_transitions", "q117_snapshot_diff",
     "q120_collocations", "q121_rate_anomalies", "q122_column_profile")
 

@@ -1537,6 +1537,16 @@ object SparkEntry {
           Testbed.graph(s, dir).collection("documents"),
           Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy("col_name")
+    }),
+    "q123_winnow_matches" -> ((s, dir) => {
+      // MOSS-style text reuse: winnowing fingerprints (char 8-grams,
+      // window 4, md5 base hash so the selection replays), boilerplate
+      // cap 20 docs/fp, pairs sharing >= 30 fingerprints
+      ops.Dedup.winnowMatches(
+          Testbed.graph(s, dir).collection("documents"), "doc_id",
+          "text", k = 8, w = 4, minShared = 30, maxDocsPerFp = 20,
+          hash = ops.BaseHash.Md5)
+        .orderBy("id_a", "id_b")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2801,7 +2811,32 @@ object SparkEntry {
          SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
                 CAST(n_null AS BIGINT) AS n_null,
                 CAST(n_distinct AS BIGINT) AS n_distinct
-         FROM p ORDER BY col_name""")
+         FROM p ORDER BY col_name""",
+    // q123: the same 60-bit md5 gram hashes (bits 0-30), window minima
+    // via list slices, distinct per doc, the per-fp doc cap, then the
+    // shared-count self-join
+    "q123_winnow_matches" ->
+      """WITH hs AS (
+           SELECT doc_id AS id,
+                  list_transform(range(1, length(text) - 6),
+                    i -> CAST(concat('0x', substr(md5(substr(text,
+                           CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+                         & 2147483647) AS h
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) >= 8),
+         fp0 AS (
+           SELECT id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(h) - 3, 1) + 1),
+                    p -> list_min(h[CAST(p AS INT):CAST(p + 3 AS INT)]))))
+                    AS fp
+           FROM hs),
+         fpc AS (SELECT * FROM fp0
+                 QUALIFY count(*) OVER (PARTITION BY fp) <= 20)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(count(*) AS BIGINT) AS n_shared
+         FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.id < b.id
+         GROUP BY 1, 2 HAVING count(*) >= 30
+         ORDER BY id_a, id_b""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -19,6 +19,64 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     (4L, "der hund und die katze"),
     (5L, "zzz qqq xxx")).toDF("doc_id", "text")
 
+  test("winnowing: guarantee (shared substring >= k+w-1 chars shares a " +
+      "fingerprint), density, and short-doc convention") {
+    val d = Seq(
+      (0L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      // shares the 16-char run 'hijklmnopqrstuvw' (>= k+w-1 = 11)
+      (1L, "ZZZhijklmnopqrstuvwZZZZZZZZZ"),
+      (2L, "completely different content here!!"),
+      (3L, "shortdoc"), // exactly k chars -> one gram, one window
+      (4L, "tiny"), // < k chars -> no fingerprints
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, "doc_id", "text", k = 8, w = 4)
+    val byDoc = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: docs 0 and 1 share >= 1 fingerprint
+    assert((byDoc(0L) intersect byDoc(1L)).nonEmpty)
+    // unrelated docs share none
+    assert((byDoc(0L) intersect byDoc(2L)).isEmpty)
+    // density: ~2/(w+1) of grams selected, never more than gram count
+    assert(byDoc(0L).size < 36 - 8 + 1)
+    // k-char doc: exactly one fingerprint (its single gram's hash)
+    assert(byDoc(3L).size == 1)
+    // sub-k and null docs are absent entirely
+    assert(!byDoc.contains(4L) && !byDoc.contains(5L))
+  }
+
+  test("winnowMatches: shared-fingerprint pairs, boilerplate fp cap") {
+    val d = Seq(
+      (0L, "abcdefghijklmnopqrstuvwxyz"),
+      (1L, "abcdefghijklmnopqrstuvwxyz"), // identical -> max sharing
+      (2L, "abcdefghijklmnop__________"), // shares a prefix run
+      (3L, "nothing in common at all!!")).toDF("doc_id", "text")
+    val m = Dedup.winnowMatches(d, "doc_id", "text", 8, 4,
+        minShared = 1, maxDocsPerFp = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // identical docs share every fingerprint; the prefix pair shares
+    // some but fewer; doc 3 pairs with nobody
+    assert(m.contains((0L, 1L)) && m.contains((0L, 2L)))
+    assert(m((0L, 1L)) > m((0L, 2L)))
+    assert(!m.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // a cap of 2 docs/fp kills fingerprints shared by the triple
+    val capped = Dedup.winnowMatches(d, "doc_id", "text", 8, 4, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1,2) all share the early-prefix fingerprints -> those drop;
+    // 0 and 1 still match on fingerprints unique to the pair
+    assert(capped.contains((0L, 1L)) && !capped.contains((0L, 2L)))
+  }
+
+  test("winnowing is partitioning-invariant (fingerprints are per-row)") {
+    val d = Testbed.graph(spark, "/root/testdata/sf0.001")
+      .collection("documents")
+    val a = Dedup.winnowFingerprints(d, "doc_id", "text", 8, 4)
+      .groupBy("id").count()
+    val b = Dedup.winnowFingerprints(d.repartition(7), "doc_id", "text",
+      8, 4).groupBy("id").count()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("exact dedup keeps min id with multiplicity") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("keep_id", "dup_cnt").orderBy("keep_id").collect()
