@@ -1547,6 +1547,15 @@ object SparkEntry {
           "text", k = 8, w = 4, minShared = 30, maxDocsPerFp = 20,
           hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b")
+    }),
+    "q124_interarrival" -> ((s, dir) => {
+      // burstiness profile: exact DISCRETE min/median/p90/max
+      // inter-event gap per event type — integer rank selection, no
+      // interpolation, (ts, event_id) total order
+      ops.Behavior.interArrivalQuantiles(
+          Testbed.graph(s, dir).collection("events"), "event_type",
+          "ts", "event_id", Seq(0L, 500000L, 900000L, 1000000L))
+        .orderBy("event_type", "q_micro")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2836,7 +2845,26 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_shared
          FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.id < b.id
          GROUP BY 1, 2 HAVING count(*) >= 30
-         ORDER BY id_a, id_b""")
+         ORDER BY id_a, id_b""",
+    // q124: same (ts, event_id) lag order, same integer rank selection
+    // (q_micro * (n-1)) // 1e6 + 1 over gaps sorted ascending
+    "q124_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id)
+                    AS gap_us
+           FROM events),
+         r AS (
+           SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY gap_us) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM g WHERE gap_us IS NOT NULL),
+         q AS (SELECT unnest([0, 500000, 900000, 1000000]) AS q_micro)
+         SELECT event_type, CAST(q_micro AS BIGINT) AS q_micro, gap_us
+         FROM r JOIN q ON r.rn = (q.q_micro * (r.n - 1)) // 1000000 + 1
+         ORDER BY event_type, q_micro""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -165,6 +165,59 @@ object Behavior {
         expr("(_dev * _dev * 1000000) div _var").as("z2_micro"))
   }
 
+  /** Exact discrete inter-arrival quantiles per event type: the gap
+    * distribution between consecutive events of a type — the
+    * throughput/burstiness profile behind capacity planning and the
+    * companion to [[rateAnomalies]] (rates say HOW MUCH, gaps say HOW
+    * BURSTY). One row per `(event_type, q_micro)` with the gap in
+    * exact integer MICROseconds (timestamps carry sub-second
+    * precision; seconds-truncating here would silently zero most gaps
+    * in a high-rate stream).
+    *
+    * Quantiles are DISCRETE (an actual observed gap, never an
+    * interpolated float): for quantile `q` (in integer millionths) of
+    * `n` gaps, the selected rank is `(q_micro · (n−1)) div 10^6 + 1`
+    * — the zero-based lower-index convention, stated here because
+    * conventions differ across engines; with it the whole op is
+    * integer-exact and replays anywhere (q=0 → min, q=10^6 → max).
+    * Ties in gap value cannot change the selected VALUE (any rank
+    * within a tie run reads the same gap).
+    *
+    * Events are ordered by `(ts, tieCol)` with `tieCol` unique per row
+    * — the [[transitions]] determinism contract. Scale posture: two
+    * type-keyed sorts (the lag ordering and the gap ranking — same
+    * shuffle key, one exchange) plus a broadcast of the quantile list;
+    * a hot event type costs sort time in one partition, never memory.
+    * For per-type cardinalities beyond a partition's sort budget,
+    * pre-aggregate gaps to (type, gap, count) — same selection
+    * arithmetic over cumulative counts. */
+  def interArrivalQuantiles(events: DataFrame, typeCol: String,
+      tsCol: String, tieCol: String, qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty, "need >= 1 quantile")
+    require(qMicros.forall(q => q >= 0L && q <= 1000000L),
+      s"quantiles must be integer millionths in [0, 1000000]: $qMicros")
+    val spark = events.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val gaps = events
+      .select(col(typeCol).as("event_type"),
+        unix_micros(col(tsCol)).as("_t"), col(tieCol).as("_tie"))
+      .withColumn("gap_us", col("_t") - lag(col("_t"), 1).over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("_t"), col("_tie"))))
+      .filter(col("gap_us").isNotNull)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_us"))
+    val ranked = gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    import spark.implicits._
+    val qs = qMicros.toDF("q_micro")
+    ranked.join(broadcast(qs),
+        col("rn") === expr("(q_micro * (n - 1)) div 1000000") + 1)
+      .select(col("event_type"), col("q_micro"), col("gap_us"))
+  }
+
   /** Weekly cohort retention: `(cohort_week, week_offset, n_users)` —
     * users grouped by the ISO week of their first event; each cell
     * counts distinct users active `week_offset` weeks later. Offsets

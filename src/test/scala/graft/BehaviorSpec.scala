@@ -157,6 +157,31 @@ class BehaviorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == Seq(("2024-03-06", "low")))
   }
 
+  test("interArrivalQuantiles: discrete rank selection, micro gaps, " +
+      "single-gap and missing-type edges") {
+    // type 'a' at t = 0, 1, 3, 7, 15 s -> gaps (us): 1e6, 2e6, 4e6,
+    // 8e6 (n=4). Ranks: q0 -> 1 (1e6), median -> (5e5*3)div 1e6 + 1
+    // = 2 (2e6), p90 -> (9e5*3) div 1e6 + 1 = 3 (4e6), q1 -> 4 (8e6).
+    // type 'b' has ONE event -> no gaps -> absent.
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def at(sec: Long) = Timestamp.from(base.plusSeconds(sec))
+    val ev = (Seq(0L, 1L, 3L, 7L, 15L).zipWithIndex.map { case (t, i) =>
+        ("a", at(t), i.toLong) } :+ (("b", at(0L), 99L)))
+      .toDF("event_type", "ts", "event_id")
+    val got = Behavior.interArrivalQuantiles(ev, "event_type", "ts",
+        "event_id", Seq(0L, 500000L, 900000L, 1000000L))
+      .orderBy("event_type", "q_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 0L, 1000000L), ("a", 500000L, 2000000L),
+      ("a", 900000L, 4000000L), ("a", 1000000L, 8000000L)))
+    // one gap: every quantile selects it
+    val two = Seq(("c", at(0L), 1L), ("c", at(5L), 2L))
+      .toDF("event_type", "ts", "event_id")
+    val t2 = Behavior.interArrivalQuantiles(two, "event_type", "ts",
+      "event_id", Seq(0L, 1000000L)).collect().map(_.getLong(2)).toSeq
+    assert(t2 == Seq(5000000L, 5000000L))
+  }
+
   test("funnel counts are monotone non-increasing on real testdata") {
     val ev = Testbed.graph(spark, "/root/testdata/sf0.001")
       .collection("events")
