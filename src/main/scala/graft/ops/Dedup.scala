@@ -533,10 +533,15 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocsPerFp >= 2,
       s"maxDocsPerFp must be >= 2, got $maxDocsPerFp")
-    val fps = winnowFingerprints(docs, idCol, textCol, k, w, hash)
-      .withColumn("_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("_n") <= maxDocsPerFp).drop("_n")
+    // staged: the (hash every gram, winnow, cap) stream feeds BOTH
+    // sides of the self-join — without staging, Spark recomputes the
+    // full gram-hash pipeline once per branch (measured 2× on the
+    // gate)
+    val fps = graft.core.Lifecycle.stage(
+      winnowFingerprints(docs, idCol, textCol, k, w, hash)
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("_n") <= maxDocsPerFp).drop("_n"))
     fps.select(col("fp"), col("id").as("id_a"))
       .join(fps.select(col("fp"), col("id").as("id_b")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
