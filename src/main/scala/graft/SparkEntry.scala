@@ -1556,6 +1556,22 @@ object SparkEntry {
           Testbed.graph(s, dir).collection("events"), "event_type",
           "ts", "event_id", Seq(0L, 500000L, 900000L, 1000000L))
         .orderBy("event_type", "q_micro")
+    }),
+    "q125_oov_stats" -> ((s, dir) => {
+      // tokenizer-fit: per-doc OOV count/rate against the corpus's own
+      // top-100 vocabulary (tf desc, token asc at the cut), exact
+      // integer millionths
+      ops.Corpus.oovStats(
+          Testbed.graph(s, dir).collection("documents"), "doc_id",
+          "text", vocabSize = 100)
+        .orderBy("doc_id")
+    }),
+    "q126_length_histogram" -> ((s, dir) => {
+      // packing diagnostic: decimal-digit token-count buckets — exact
+      // integer bucketing, no float log at the boundaries
+      ops.Corpus.lengthHistogram(
+          Testbed.graph(s, dir).collection("documents"), "text")
+        .orderBy("digits")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2864,7 +2880,38 @@ object SparkEntry {
          q AS (SELECT unnest([0, 500000, 900000, 1000000]) AS q_micro)
          SELECT event_type, CAST(q_micro AS BIGINT) AS q_micro, gap_us
          FROM r JOIN q ON r.rn = (q.q_micro * (r.n - 1)) // 1000000 + 1
-         ORDER BY event_type, q_micro""")
+         ORDER BY event_type, q_micro""",
+    // q125: q60's vocabulary CTE (tf desc, token asc, LIMIT 100), then
+    // a per-doc left-join OOV count with integer-micro rates
+    "q125_oov_stats" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         pd AS (SELECT doc_id, token, count(*) AS c FROM tok
+                GROUP BY 1, 2),
+         v AS (SELECT token, sum(c) AS tf FROM pd GROUP BY token),
+         topv AS (SELECT token FROM v ORDER BY tf DESC, token LIMIT 100),
+         t2 AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE text IS NOT NULL)
+         SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(*) FILTER (tv.token IS NULL) AS BIGINT)
+                  AS n_oov,
+                CAST((count(*) FILTER (tv.token IS NULL) * 1000000)
+                  // count(*) AS BIGINT) AS oov_micro
+         FROM t2 LEFT JOIN topv tv ON t2.token = tv.token
+         GROUP BY t2.doc_id ORDER BY t2.doc_id""",
+    // q126: size(split) per doc, decimal-digit buckets, exact aggs
+    "q126_length_histogram" ->
+      """WITH n AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents WHERE text IS NOT NULL)
+         SELECT CAST(length(CAST(n AS VARCHAR)) AS INT) AS digits,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS sum_tokens,
+                CAST(min(n) AS BIGINT) AS min_tokens,
+                CAST(max(n) AS BIGINT) AS max_tokens
+         FROM n GROUP BY 1 ORDER BY 1""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -314,6 +314,52 @@ object Corpus {
     df.join(broadcast(thr), metric >= col("_thr")).drop("_thr")
   }
 
+  /** Tokenizer-fit analysis: per-doc out-of-vocabulary statistics
+    * against the corpus's own top-`vocabSize` token vocabulary (the
+    * [[vocabulary]] ranking: tf desc, token asc — deterministic at the
+    * cut). Output `(id, n_tokens, n_oov, oov_micro)` — the rate in
+    * exact integer millionths; docs whose every token is in-vocab
+    * report 0, docs with null text are absent. The curation question
+    * this answers: "how much of each document does a vocab-limited
+    * tokenizer actually cover", the screen for vocab sizing and for
+    * flagging out-of-domain docs.
+    *
+    * Scale posture: one token explode into a BROADCAST join against
+    * the k-row vocab (k is a tokenizer vocab, ≤ ~10^5 — always
+    * broadcastable), then a map-side-combined per-doc count. The vocab
+    * itself costs the [[vocabulary]] pass (tf ranking + TakeOrdered). */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = vocabulary(docs, idCol, textCol, vocabSize)
+      .select(col("token"), lit(1).as("_in"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol)))
+        .as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("_in").isNull, 1)).as("n_oov"))
+      .withColumn("oov_micro", expr("(n_oov * 1000000) div n_tokens"))
+  }
+
+  /** Token-length histogram in decimal-digit buckets: one row per
+    * order of magnitude of per-doc token count, with doc count, token
+    * sum, and the bucket's min/max — the packing/truncation
+    * diagnostic ("how much of the corpus is 4-digit-token docs").
+    * Digit buckets rather than log2 because `length(cast(n as
+    * string))` is exact integer arithmetic in every engine — no
+    * float log to drift at bucket boundaries.
+    *
+    * Scale posture: token counts come from `size(split(...))` inside
+    * the row (no explode), then ONE map-side-combined aggregation
+    * over ≤ ~20 buckets. */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(TextOps.tokenCount(col(textCol)).as("n"))
+      .groupBy(length(col("n").cast("string")).cast("int").as("digits"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
+        min("n").as("min_tokens"), max("n").as("max_tokens"))
+
   /** Corpus boilerplate detector: word `n`-grams whose DOCUMENT
     * frequency reaches `minDocFrac` of the corpus — headers, footers,
     * license blurbs, navigation chrome; the grams a C4-style cleaner

@@ -245,6 +245,41 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("x y"))
   }
 
+  test("oovStats: per-doc OOV against the corpus top-k vocab, exact " +
+      "micro rates, vocab cut tie-break") {
+    // tf: a=4, b=3, c=2, d=1 -> vocabSize=2 keeps {a, b}
+    val d = Seq((1L, "a a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val got = Corpus.oovStats(d, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 4L, 1L, 250000L), (2L, 3L, 1L, 333333L),
+      (3L, 3L, 1L, 333333L)))
+    // full vocab -> zero OOV everywhere; null text docs absent
+    val withNull = d.union(Seq((4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val full = Corpus.oovStats(withNull, "doc_id", "text", 10)
+      .collect()
+    assert(full.length == 3 && full.forall(_.getLong(2) == 0L))
+    // tie at the cut: tf(b)=tf(c) -> token asc keeps the earlier one
+    val tie = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val t = Corpus.oovStats(tie, "doc_id", "text", 2).collect().head
+    assert(t.getLong(2) == 1L) // c is out, b is in
+  }
+
+  test("lengthHistogram: digit buckets, exact aggregates") {
+    val d = Seq((1L, "a b c"), (2L, String.valueOf("x " * 11).trim),
+      (3L, "one"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // token counts: 3, 11, 1 -> buckets: digits 1 {3, 1}, digits 2 {11}
+    val got = Corpus.lengthHistogram(d, "text")
+      .orderBy("digits").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((1, 2L, 4L, 1L, 3L), (2, 1L, 11L, 11L, 11L)))
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-safe compare") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, null, "de"),
         (4L, "d", "en"))
