@@ -1572,6 +1572,18 @@ object SparkEntry {
       ops.Corpus.lengthHistogram(
           Testbed.graph(s, dir).collection("documents"), "text")
         .orderBy("digits")
+    }),
+    "q127_winnow_clusters" -> ((s, dir) => {
+      // winnowing matches feed the SAME cluster machinery as the other
+      // dedup modalities: CC over the match graph, per-cluster size —
+      // detection and survivor policy compose freely
+      val pairs = ops.Dedup.winnowMatches(
+        Testbed.graph(s, dir).collection("documents"), "doc_id",
+        "text", k = 8, w = 4, minShared = 30, maxDocsPerFp = 20,
+        hash = ops.BaseHash.Md5)
+      ops.Dedup.duplicateComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).as("n_docs"))
+        .orderBy("component")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2911,7 +2923,38 @@ object SparkEntry {
                 CAST(sum(n) AS BIGINT) AS sum_tokens,
                 CAST(min(n) AS BIGINT) AS min_tokens,
                 CAST(max(n) AS BIGINT) AS max_tokens
-         FROM n GROUP BY 1 ORDER BY 1""")
+         FROM n GROUP BY 1 ORDER BY 1""",
+    // q127: q123's pair pipeline + q50's recursive transitive closure,
+    // then per-component counts
+    "q127_winnow_clusters" ->
+      """WITH RECURSIVE hs AS (
+           SELECT doc_id AS id,
+                  list_transform(range(1, length(text) - 6),
+                    i -> CAST(concat('0x', substr(md5(substr(text,
+                           CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+                         & 2147483647) AS h
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) >= 8),
+         fp0 AS (
+           SELECT id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(h) - 3, 1) + 1),
+                    p -> list_min(h[CAST(p AS INT):CAST(p + 3 AS INT)]))))
+                    AS fp
+           FROM hs),
+         fpc AS (SELECT * FROM fp0
+                 QUALIFY count(*) OVER (PARTITION BY fp) <= 20),
+         pr AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.id < b.id
+           GROUP BY 1, 2 HAVING count(*) >= 30),
+         e AS (SELECT ia AS u, ib AS v FROM pr
+               UNION ALL SELECT ib, ia FROM pr),
+         r(u, v) AS (SELECT u, v FROM e
+                     UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         comp AS (SELECT u AS id, least(u, min(v)) AS c FROM r GROUP BY u)
+         SELECT CAST(c AS BIGINT) AS component,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM comp GROUP BY c ORDER BY component""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on
