@@ -1600,6 +1600,19 @@ object SparkEntry {
       ops.Dedup.duplicateComponents(winnowPairs(s, dir))
         .groupBy("component").agg(count(lit(1)).as("n_docs"))
         .orderBy("component")
+    }),
+    "q128_transition_pairs" -> ((s, dir) => {
+      // the streaming transition op's batch path (q36 discipline:
+      // batch ≡ stream is CI-asserted, the batch plan is what the
+      // oracle replays): one emitted row per consecutive same-user
+      // event pair
+      import s.implicits._
+      val evs = Testbed.graph(s, dir).collection("events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[streaming.EventStreams.Event]
+      streaming.EventStreams.transitionStream(evs, 60000L)(s).toDF()
+        .orderBy("user_id", "ts", "from_type", "to_type")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2970,7 +2983,20 @@ object SparkEntry {
          comp AS (SELECT u AS id, least(u, min(v)) AS c FROM r GROUP BY u)
          SELECT CAST(c AS BIGINT) AS component,
                 CAST(count(*) AS BIGINT) AS n_docs
-         FROM comp GROUP BY c ORDER BY component""")
+         FROM comp GROUP BY c ORDER BY component""",
+    // q128: q116's lead() order emitting the raw pair rows (the later
+    // event's ts rides along)
+    "q128_transition_pairs" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS from_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type,
+                  lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS ts
+           FROM events)
+         SELECT user_id, from_type, to_type, ts
+         FROM seq WHERE to_type IS NOT NULL
+         ORDER BY user_id, ts, from_type, to_type""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

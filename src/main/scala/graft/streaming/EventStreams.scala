@@ -550,4 +550,82 @@ object EventStreams {
           done.sortBy(_.start).map(toSession(userId, _)).iterator
         })
   }
+
+  /** One emitted next-event transition (the [[graft.ops.Behavior
+    * .transitions]] pair stream): `ts` is the LATER event's timestamp. */
+  final case class Transition(user_id: Long, from_type: String,
+      to_type: String, ts: Timestamp)
+  // Public for the janino state serializer (see SessionState).
+  final case class TransEvent(ts: Long, id: Long, tpe: String)
+  final case class TransState(events: Seq[TransEvent])
+
+  /** Streaming next-event transitions via `flatMapGroupsWithState` —
+    * the incremental feed behind a live transition matrix / user-flow
+    * monitor. Emits one row per consecutive (by `(ts, event_id)`)
+    * same-user event pair, exactly once, correct under the disorder
+    * the watermark admits.
+    *
+    * Finality argument: a pair `(e_i, e_{i+1})` is safe to emit once
+    * the watermark passes `e_{i+1}.ts` — any still-admissible event
+    * has `ts ≥ wm > e_{i+1}.ts` and therefore cannot slot between the
+    * two (pairs with an EARLIER second element are implied final too,
+    * so finality is a prefix property of the per-user sorted buffer).
+    * State per user is the undecided suffix: every event at or past
+    * the watermark plus ONE bridge event before it — steady-state
+    * O(1) per user, and the bridge is kept indefinitely by design (the
+    * user's next event may arrive hours later and must still pair).
+    * An event-time timeout is armed whenever a decided-but-unemitted
+    * pair could exist, so finalization does not wait for the user's
+    * next batch.
+    *
+    * Batch path: the `lead` window plan (one user-keyed sort, no
+    * per-key materialization) — same reasoning as [[sessionize]]'s
+    * batch branch; aggregate the pairs with an ordinary groupBy to get
+    * [[graft.ops.Behavior.transitions]]'s counts. */
+  def transitionStream(events: Dataset[Event], latenessMs: Long)(
+      implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+    if (!events.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events.toDF()
+        .withColumn("_nt", lead(col("event_type"), 1).over(w))
+        .withColumn("_nts", lead(col("ts"), 1).over(w))
+        .filter(col("_nt").isNotNull)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          col("_nt").as("to_type"), col("_nts").as("ts"))
+        .as[Transition]
+    } else
+      events.withWatermark("ts", s"$latenessMs milliseconds")
+        .groupByKey(_.user_id).flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (userId: Long, it: Iterator[Event],
+              state: GroupState[TransState]) => {
+            val incoming = if (state.hasTimedOut) Seq.empty
+              else it.map(e =>
+                TransEvent(e.ts.getTime, e.event_id, e.event_type)).toSeq
+            val all = (state.getOption.map(_.events)
+              .getOrElse(Seq.empty) ++ incoming)
+              .sortBy(e => (e.ts, e.id))
+            val wm = state.getCurrentWatermarkMs()
+            // prefix of events strictly behind the watermark: every
+            // adjacent pair inside it is final
+            val cut = all.lastIndexWhere(_.ts < wm)
+            val done = if (cut < 1) Seq.empty
+              else all.take(cut + 1).sliding(2).map { case Seq(a, b) =>
+                Transition(userId, a.tpe, b.tpe, new Timestamp(b.ts))
+              }.toSeq
+            val keep = if (cut < 0) all else all.drop(cut)
+            if (keep.isEmpty) state.remove()
+            else {
+              state.update(TransState(keep))
+              // a pending pair decides when wm passes its second
+              // element; with none, the lone bridge event waits for
+              // data (no timeout — O(1) state by design)
+              if (keep.size >= 2)
+                state.setTimeoutTimestamp(math.max(keep(1).ts + 1, wm + 1))
+            }
+            done.iterator
+          })
+  }
 }

@@ -553,4 +553,65 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(senders == Set("bob", "zoe")) // edge 3 aimed elsewhere, dropped
     } finally q.stop()
   }
+
+  test("transitionStream batch path ≡ Behavior.transitions pair counts") {
+    val evs = Seq(
+      ev(0, "2024-01-01 10:00:00", 1, "a", 0),
+      ev(1, "2024-01-01 10:01:00", 1, "b", 0),
+      ev(2, "2024-01-01 10:02:00", 1, "a", 0),
+      ev(3, "2024-01-01 10:00:30", 2, "a", 0),
+      ev(4, "2024-01-01 10:01:30", 2, "a", 0))
+    val pairs = EventStreams.transitionStream(evs.toDS(), 60000L)(spark)
+      .collect().map(t => (t.from_type, t.to_type))
+    val want = graft.ops.Behavior.transitions(
+        evs.toDF(), "user_id", "event_type", "ts", "event_id")
+      .collect().flatMap(r =>
+        Seq.fill(r.getLong(2).toInt)((r.getString(0), r.getString(1))))
+    assert(pairs.sorted.toSeq == want.sorted.toSeq)
+    assert(pairs.length == 3) // a->b, b->a (user 1), a->a (user 2)
+  }
+
+  test("transitionStream: exactly-once pairs across micro-batches, " +
+      "disorder within lateness repaired, batch ≡ stream") {
+    implicit val sq = spark.sqlContext
+    implicit val sp = spark
+    val b1 = Seq(
+      ev(0, "2024-01-01 10:00:00", 1, "a", 0),
+      ev(2, "2024-01-01 10:10:00", 1, "c", 0))
+    // arrives in batch 2, but slots BETWEEN the two batch-1 events
+    // (admissible: only ~5 min behind batch 1's max, lateness = 30 min)
+    val b2 = Seq(ev(1, "2024-01-01 10:05:00", 1, "b", 0))
+    // watermark pusher: a far-future lone event (emits nothing itself)
+    val b3 = Seq(ev(9, "2024-01-01 12:00:00", 99, "z", 0))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.transitionStream(mem.toDS(), 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("trans_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      // two more watermark advances: the first makes user 1's pairs
+      // final, the second finalizes the user-99 cross-batch pair
+      mem.addData(ev(10, "2024-01-01 13:00:00", 99, "z", 0))
+      q.processAllAvailable()
+      mem.addData(ev(11, "2024-01-01 15:00:00", 99, "z", 0))
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT from_type, to_type FROM trans_test WHERE user_id = 1")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      // the late 'b' slotted between: a->b, b->c — NOT a->c
+      assert(got.sorted == Seq(("a", "b"), ("b", "c")))
+      val all = spark.sql("SELECT from_type, to_type FROM trans_test")
+        .collect().length
+      // stream ≡ batch over the same events MINUS the one pair whose
+      // second element the watermark never passed (the final 13:00 ->
+      // 15:00 bridge stays pending by design — its successor could
+      // still arrive)
+      val batch = EventStreams.transitionStream(
+        (b1 ++ b2 ++ b3 :+ ev(10, "2024-01-01 13:00:00", 99, "z", 0))
+          .toDS(), 30 * 60 * 1000L)(spark).collect().length
+      assert(all == batch) // a->b, b->c, z->z (12:00->13:00)
+    } finally q.stop()
+  }
 }
