@@ -1613,6 +1613,23 @@ object SparkEntry {
         .as[streaming.EventStreams.Event]
       streaming.EventStreams.transitionStream(evs, 60000L)(s).toDF()
         .orderBy("user_id", "ts", "from_type", "to_type")
+    }),
+    "q129_scd2_apply" -> ((s, dir) => {
+      // SCD2 roll-forward: the q117 v1 slice as the open dimension,
+      // the q117 v2 snapshot applied at a stamped effective ts —
+      // unchanged stay open, changed/removed close, new/changed insert
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val dim = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"), col("lang"),
+          lit("2024-01-01").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))
+      val snap = docs.filter(col("doc_id") >= 100)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .select("doc_id", "text", "lang")
+      ops.Corpus.scd2Apply(dim, snap, "doc_id", Seq("text", "lang"),
+          "2024-06-01")
+        .orderBy("doc_id", "valid_from")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -2996,7 +3013,40 @@ object SparkEntry {
            FROM events)
          SELECT user_id, from_type, to_type, ts
          FROM seq WHERE to_type IS NOT NULL
-         ORDER BY user_id, ts, from_type, to_type""")
+         ORDER BY user_id, ts, from_type, to_type""",
+    // q129: q117's v1/v2 slices; full outer join of the open slice vs
+    // the snapshot, null-safe tracked-column compare, three branches
+    "q129_scd2_apply" ->
+      """WITH v1 AS (
+           SELECT doc_id, text, lang FROM documents WHERE doc_id < 400),
+         v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                       ELSE text END AS text,
+                  lang
+           FROM documents WHERE doc_id >= 100),
+         j AS (
+           SELECT v1.doc_id AS oid, v1.text AS ot, v1.lang AS ol,
+                  v2.doc_id AS sid, v2.text AS st, v2.lang AS sl
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+         outp AS (
+           SELECT oid AS doc_id, ot AS text, ol AS lang,
+                  '2024-01-01' AS valid_from,
+                  CAST(NULL AS VARCHAR) AS valid_to
+           FROM j WHERE oid IS NOT NULL AND sid IS NOT NULL
+             AND ot IS NOT DISTINCT FROM st
+             AND ol IS NOT DISTINCT FROM sl
+           UNION ALL
+           SELECT oid, ot, ol, '2024-01-01', '2024-06-01'
+           FROM j WHERE oid IS NOT NULL
+             AND (sid IS NULL OR ot IS DISTINCT FROM st
+                  OR ol IS DISTINCT FROM sl)
+           UNION ALL
+           SELECT sid, st, sl, '2024-06-01', CAST(NULL AS VARCHAR)
+           FROM j WHERE sid IS NOT NULL
+             AND (oid IS NULL OR ot IS DISTINCT FROM st
+                  OR ol IS DISTINCT FROM sl))
+         SELECT * FROM outp ORDER BY doc_id, valid_from""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -394,6 +394,68 @@ object Corpus {
         expr("(df * 1000000) div n_docs").as("doc_frac_micro"))
   }
 
+  /** SCD2 (slowly-changing-dimension, type 2) apply: roll a versioned
+    * dimension forward to a new snapshot, keeping full history — the
+    * "apply [[snapshotDiff]] as history" primitive behind corpus
+    * metadata tables (license, source ownership, quality tier) whose
+    * past values training-data audits must reproduce.
+    *
+    * `dim` carries `idCol`, the tracked columns, and `(valid_from,
+    * valid_to)` string timestamps with `valid_to IS NULL` marking the
+    * open row (≤ 1 open row per id). Given `snapshot` = the current
+    * state at `effectiveTs`:
+    *
+    *   - closed history rows pass through untouched;
+    *   - an open row whose tracked columns null-safely match its
+    *     snapshot row stays open;
+    *   - an open row whose id changed or vanished closes
+    *     (`valid_to = effectiveTs`);
+    *   - a snapshot row that is new or changed inserts a fresh open
+    *     row (`valid_from = effectiveTs`).
+    *
+    * `effectiveTs` is a caller-supplied STRING — stamped once, never
+    * read from a clock, so the op is deterministic and replays
+    * anywhere (the F4 injected-clock discipline). Scale posture: one
+    * id-keyed full outer join of the OPEN slice against the snapshot
+    * (history never joins), then unions — a 100 TB dimension's open
+    * slice is |live ids|, not |history|. */
+  def scd2Apply(dim: DataFrame, snapshot: DataFrame, idCol: String,
+      compareCols: Seq[String], effectiveTs: String): DataFrame = {
+    require(compareCols.nonEmpty, "scd2Apply needs >= 1 tracked col")
+    val outCols = (idCol +: compareCols ++: Seq("valid_from", "valid_to"))
+      .map(col)
+    val closed = dim.filter(col("valid_to").isNotNull).select(outCols: _*)
+    val open = dim.filter(col("valid_to").isNull)
+      .select((col(idCol).as("_oid") +: col("valid_from").as("_vf") +:
+        compareCols.map(c => col(c).as(s"_o_$c"))): _*)
+    val snap = snapshot
+      .select((col(idCol).as("_sid") +:
+        compareCols.map(c => col(c).as(s"_s_$c"))): _*)
+    val j = open.join(snap, col("_oid") === col("_sid"), "full_outer")
+    val same = compareCols.map(c => col(s"_o_$c") <=> col(s"_s_$c"))
+      .reduce(_ && _)
+    val unchanged = j.filter(col("_oid").isNotNull &&
+        col("_sid").isNotNull && same)
+      .select((col("_oid").as(idCol) +:
+        compareCols.map(c => col(s"_o_$c").as(c)) ++:
+        Seq(col("_vf").as("valid_from"),
+          lit(null).cast("string").as("valid_to"))): _*)
+    val closedNow = j.filter(col("_oid").isNotNull &&
+        (col("_sid").isNull || !same))
+      .select((col("_oid").as(idCol) +:
+        compareCols.map(c => col(s"_o_$c").as(c)) ++:
+        Seq(col("_vf").as("valid_from"),
+          lit(effectiveTs).as("valid_to"))): _*)
+    val inserted = j.filter(col("_sid").isNotNull &&
+        (col("_oid").isNull || !same))
+      .select((col("_sid").as(idCol) +:
+        compareCols.map(c => col(s"_s_$c").as(c)) ++:
+        Seq(lit(effectiveTs).as("valid_from"),
+          lit(null).cast("string").as("valid_to"))): _*)
+    closed.unionByName(unchanged).unionByName(closedNow)
+      .unionByName(inserted)
+  }
+
   /** Snapshot diff between two corpus versions: one row per doc id with
     * `status` added / removed / changed / unchanged — the incremental-
     * pipeline primitive ("process only what moved since the last crawl")

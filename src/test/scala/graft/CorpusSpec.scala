@@ -280,6 +280,44 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == Seq((1, 2L, 4L, 1L, 3L), (2, 1L, 11L, 11L, 11L)))
   }
 
+  test("scd2Apply: unchanged stays open, changed closes + inserts, " +
+      "removed closes, added inserts, history passes through") {
+    // dim: id 1 has a CLOSED historical row + an open one; 2 open;
+    // 3 open; 4 open with null text
+    val dim = Seq(
+      (1L, "old", "en", "2023-01-01", "2024-01-01"),
+      (1L, "a", "en", "2024-01-01", null),
+      (2L, "b", "en", "2024-01-01", null),
+      (3L, "c", "de", "2024-01-01", null),
+      (4L, null.asInstanceOf[String], "fr", "2024-01-01", null))
+      .toDF("doc_id", "text", "lang", "valid_from", "valid_to")
+    // snapshot: 1 unchanged, 2 changed, 3 gone, 4 null==null
+    // unchanged, 5 new
+    val snap = Seq((1L, "a", "en"), (2L, "B2", "en"),
+      (4L, null.asInstanceOf[String], "fr"), (5L, "e", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.scd2Apply(dim, snap, "doc_id", Seq("text", "lang"),
+        "2024-06-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3),
+        r.getString(4))).toSet
+    assert(got == Set(
+      (1L, "old", "2023-01-01", "2024-01-01"), // history untouched
+      (1L, "a", "2024-01-01", null), // unchanged, still open
+      (2L, "b", "2024-01-01", "2024-06-01"), // changed: closed...
+      (2L, "B2", "2024-06-01", null), // ...and re-inserted open
+      (3L, "c", "2024-01-01", "2024-06-01"), // removed: closed
+      (4L, null, "2024-01-01", null), // null ≡ null: unchanged
+      (5L, "e", "2024-06-01", null))) // added: new open row
+    // applying the SAME snapshot again is a no-op (idempotent roll)
+    val again = Corpus.scd2Apply(
+      Corpus.scd2Apply(dim, snap, "doc_id", Seq("text", "lang"),
+        "2024-06-01"),
+      snap, "doc_id", Seq("text", "lang"), "2024-07-01")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3),
+        r.getString(4))).toSet
+    assert(again == got)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-safe compare") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, null, "de"),
         (4L, "d", "en"))
