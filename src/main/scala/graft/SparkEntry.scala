@@ -1630,6 +1630,23 @@ object SparkEntry {
       ops.Corpus.scd2Apply(dim, snap, "doc_id", Seq("text", "lang"),
           "2024-06-01")
         .orderBy("doc_id", "valid_from")
+    }),
+    "q130_leakage_free_split" -> ((s, dir) => {
+      // dedup-aware train/val split: docs keyed by their winnow-cluster
+      // id (own id when unclustered), so near-duplicate clusters move
+      // to the SAME side — the leakage guard q86's scaladoc promises,
+      // composed end-to-end: winnowing -> CC -> hash split
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val comp = ops.Dedup.duplicateComponents(winnowPairs(s, dir))
+      val keyed = docs.join(comp,
+          docs("doc_id") === comp("id"), "left")
+        .withColumn("split_key",
+          coalesce(col("component"), col("doc_id").cast("long")))
+      ops.Corpus.hashSplit(keyed, col("split_key"), Seq(0.9, 0.1),
+          Seq("train", "val"), hash = ops.BaseHash.Md5)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("split_key"), col("split"))
+        .orderBy("doc_id")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -3046,7 +3063,46 @@ object SparkEntry {
            FROM j WHERE sid IS NOT NULL
              AND (oid IS NULL OR ot IS DISTINCT FROM st
                   OR ol IS DISTINCT FROM sl))
-         SELECT * FROM outp ORDER BY doc_id, valid_from""")
+         SELECT * FROM outp ORDER BY doc_id, valid_from""",
+    // q130: q127's component CTE labels each clustered doc; unclustered
+    // docs key by their own id; then q86's md5 bucket arithmetic with
+    // the 90/10 driver-rounded thresholds
+    "q130_leakage_free_split" ->
+      """WITH RECURSIVE hs AS (
+           SELECT doc_id AS id,
+                  list_transform(range(1, length(text) - 6),
+                    i -> CAST(concat('0x', substr(md5(substr(text,
+                           CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+                         & 2147483647) AS h
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) >= 8),
+         fp0 AS (
+           SELECT id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(h) - 3, 1) + 1),
+                    p -> list_min(h[CAST(p AS INT):CAST(p + 3 AS INT)]))))
+                    AS fp
+           FROM hs),
+         fpc AS (SELECT * FROM fp0
+                 QUALIFY count(*) OVER (PARTITION BY fp) <= 20),
+         pr AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.id < b.id
+           GROUP BY 1, 2 HAVING count(*) >= 30),
+         e AS (SELECT ia AS u, ib AS v FROM pr
+               UNION ALL SELECT ib, ia FROM pr),
+         r(u, v) AS (SELECT u, v FROM e
+                     UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         comp AS (SELECT u AS id, least(u, min(v)) AS c FROM r GROUP BY u),
+         keyed AS (
+           SELECT d.doc_id,
+                  CAST(coalesce(comp.c, d.doc_id) AS BIGINT) AS split_key
+           FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
+         SELECT doc_id, split_key,
+                CASE WHEN CAST(concat('0x', substr(md5(
+                         CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000000 < 900000 THEN 'train'
+                     ELSE 'val' END AS split
+         FROM keyed ORDER BY doc_id""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -77,6 +77,28 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("dedup-aware split: every near-dup cluster lands entirely on " +
+      "one side (no leakage)") {
+    val d = Testbed.graph(spark, "/root/testdata/sf0.001")
+      .collection("documents")
+    val pairs = Dedup.winnowMatches(d, "doc_id", "text", 8, 4, 30, 20,
+      graft.ops.BaseHash.Md5)
+    val comp = Dedup.duplicateComponents(pairs)
+    val keyed = d.join(comp, d("doc_id") === comp("id"), "left")
+      .withColumn("skey",
+        coalesce(col("component"), col("doc_id").cast("long")))
+    val split = graft.ops.Corpus.hashSplit(keyed, col("skey"),
+      Seq(0.9, 0.1), Seq("train", "val"))
+    // within a cluster: exactly one distinct split value
+    val leaky = split.filter(col("component").isNotNull)
+      .groupBy("component")
+      .agg(countDistinct(col("split")).as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(leaky == 0L)
+    // and both sides are non-empty overall
+    assert(split.select("split").distinct().count() == 2)
+  }
+
   test("exact dedup keeps min id with multiplicity") {
     val out = Dedup.exact(docs, Seq("text"), "doc_id")
       .select("keep_id", "dup_cnt").orderBy("keep_id").collect()
