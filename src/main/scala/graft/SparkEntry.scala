@@ -1647,6 +1647,14 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"),
           col("split_key"), col("split"))
         .orderBy("doc_id")
+    }),
+    "q131_cooccurrence" -> ((s, dir) => {
+      // market-basket view of the event stream: event-type pairs done
+      // by the same user, with exact integer lift over independence
+      ops.Behavior.coOccurrence(
+          Testbed.graph(s, dir).collection("events"), "user_id",
+          "event_type", minUsers = 2, maxPerUser = 50)
+        .orderBy("a", "b")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -3102,7 +3110,28 @@ object SparkEntry {
                          CAST(split_key AS VARCHAR)), 1, 15)) AS BIGINT)
                        % 1000000 < 900000 THEN 'train'
                      ELSE 'val' END AS split
-         FROM keyed ORDER BY doc_id""")
+         FROM keyed ORDER BY doc_id""",
+    // q131: distinct (user, item), the same per-user cap window, pair
+    // self-join, integer lift over the 1-row user universe
+    "q131_cooccurrence" ->
+      """WITH ui AS (
+           SELECT * FROM (
+             SELECT DISTINCT user_id AS u, event_type AS i
+             FROM events WHERE event_type IS NOT NULL)
+           QUALIFY count(*) OVER (PARTITION BY u) <= 50),
+         nu AS (SELECT count(DISTINCT u) AS n_users FROM ui),
+         pi AS (SELECT i, count(*) AS n FROM ui GROUP BY i),
+         bo AS (
+           SELECT x.i AS a, y.i AS b, count(*) AS n_both
+           FROM ui x JOIN ui y ON x.u = y.u AND x.i < y.i
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT bo.a, bo.b, CAST(bo.n_both AS BIGINT) AS n_both,
+                CAST(pa.n AS BIGINT) AS n_a, CAST(pb.n AS BIGINT) AS n_b,
+                CAST((bo.n_both * nu.n_users * 1000000)
+                  // (pa.n * pb.n) AS BIGINT) AS lift_micro
+         FROM bo JOIN pi pa ON bo.a = pa.i JOIN pi pb ON bo.b = pb.i
+         CROSS JOIN nu
+         ORDER BY a, b""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -218,6 +218,53 @@ object Behavior {
       .select(col("event_type"), col("q_micro"), col("gap_us"))
   }
 
+  /** Unordered co-occurrence ("users who did X also did Y"): for every
+    * pair of item/event types, how many users did BOTH, and the lift
+    * over independence — the market-basket view that complements
+    * [[transitions]]' ordered pairs. Output `(a, b, n_both, n_a, n_b,
+    * lift_micro)` with `a < b` lexicographically; `lift_micro =
+    * (n_both · n_users · 10^6) div (n_a · n_b)` — exact integers,
+    * a monotone transform of the support ratio at fixed user count
+    * (the [[graft.ops.Lexical.collocations]] discipline).
+    *
+    * `maxPerUser` caps each user's DISTINCT item set before pairing
+    * (a bot touching every item would otherwise contribute |items|²
+    * pairs — the [[graft.ops.Linkage]] `maxBlock` skew rule); capped
+    * users are dropped entirely so the counts stay interpretable, and
+    * the cap is replayable (a count window, not a sample).
+    *
+    * Scale posture: distinct (user, item) via one map-side-combined
+    * groupBy; the per-user self-join costs Σ per-user |items|² bounded
+    * by the cap; pair counts are map-side combined; the user universe
+    * rides in as a 1-row broadcast. */
+  def coOccurrence(events: DataFrame, userCol: String, itemCol: String,
+      minUsers: Long, maxPerUser: Int): DataFrame = {
+    require(minUsers >= 1, s"minUsers must be >= 1, got $minUsers")
+    require(maxPerUser >= 2, s"maxPerUser must be >= 2, got $maxPerUser")
+    val ui = events.filter(col(itemCol).isNotNull)
+      .select(col(userCol).as("_u"), col(itemCol).as("_i")).distinct()
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_u")))
+      .filter(col("_n") <= maxPerUser).drop("_n")
+    val nUsers = ui.select(col("_u")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val perItem = ui.groupBy(col("_i")).agg(count(lit(1)).as("n"))
+    val both = ui.select(col("_u"), col("_i").as("a"))
+      .join(ui.select(col("_u"), col("_i").as("b")), Seq("_u"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minUsers)
+    both
+      .join(perItem.select(col("_i").as("a"), col("n").as("n_a")),
+        Seq("a"))
+      .join(perItem.select(col("_i").as("b"), col("n").as("n_b")),
+        Seq("b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("a"), col("b"), col("n_both"), col("n_a"), col("n_b"),
+        expr("(n_both * n_users * 1000000) div (n_a * n_b)")
+          .as("lift_micro"))
+  }
+
   /** Weekly cohort retention: `(cohort_week, week_offset, n_users)` —
     * users grouped by the ISO week of their first event; each cell
     * counts distinct users active `week_offset` weeks later. Offsets

@@ -182,6 +182,38 @@ class BehaviorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(t2 == Seq(5000000L, 5000000L))
   }
 
+  test("coOccurrence: distinct-per-user pairs, exact lift, heavy-user " +
+      "cap drops the user entirely") {
+    // users: 1 {a,b}, 2 {a,b}, 3 {a,c}, 4 {b} -> n_users=4;
+    // n_a=3, n_b=3, n_c=1; both(a,b)=2, both(a,c)=1
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"))
+      .toDF("user_id", "event_type")
+    val got = Behavior.coOccurrence(ev, "user_id", "event_type",
+        minUsers = 1, maxPerUser = 10)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // lift(a,b) = 2*4e6/9 = 888888; lift(a,c) = 1*4e6/3 = 1333333
+    assert(got == Seq(("a", "b", 2L, 3L, 3L, 888888L),
+      ("a", "c", 1L, 3L, 1L, 1333333L)))
+    // minUsers=2 keeps only (a,b)
+    assert(Behavior.coOccurrence(ev, "user_id", "event_type", 2, 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a", "b")))
+    // cap = 2: every user's distinct set fits, same pairs as uncapped
+    assert(Behavior.coOccurrence(ev, "user_id", "event_type", 1, 2)
+      .count() == 2)
+    // a bot user touching 3 items is dropped ENTIRELY by cap 2: its
+    // pairs vanish and it leaves the user universe (lift recomputes)
+    val bot = ev.union(Seq((9L, "a"), (9L, "b"), (9L, "c"))
+      .toDF("user_id", "event_type"))
+    val g2 = Behavior.coOccurrence(bot, "user_id", "event_type", 1, 2)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(g2 == Seq(("a", "b", 2L), ("a", "c", 1L)))
+  }
+
   test("funnel counts are monotone non-increasing on real testdata") {
     val ev = Testbed.graph(spark, "/root/testdata/sf0.001")
       .collection("events")
