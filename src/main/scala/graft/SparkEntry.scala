@@ -1655,6 +1655,14 @@ object SparkEntry {
           Testbed.graph(s, dir).collection("events"), "user_id",
           "event_type", minUsers = 2, maxPerUser = 50)
         .orderBy("a", "b")
+    }),
+    "q132_clustering_coeff" -> ((s, dir) => {
+      // local clustering coefficient over the capped near-dup graph
+      // (q87's edge set): clique-vs-chain cohesion per doc, exact
+      // integer micro ratios
+      graph.GraphAnalytics.clusteringCoefficient(nearDupEdges(s, dir),
+          maxDegree = Some(20L))
+        .orderBy("id")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -3131,7 +3139,59 @@ object SparkEntry {
                   // (pa.n * pb.n) AS BIGINT) AS lift_micro
          FROM bo JOIN pi pa ON bo.a = pa.i JOIN pi pb ON bo.b = pb.i
          CROSS JOIN nu
-         ORDER BY a, b""")
+         ORDER BY a, b""",
+    // q132: q87's capped edge set; degrees over it; per-vertex triangle
+    // counts from the same closing join; integer micro coefficient
+    "q132_clustering_coeff" ->
+      """WITH hs AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+           FROM documents),
+         sig AS (
+           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+             AS simhash
+           FROM hs),
+         e0 AS (
+           SELECT a.id AS u, b.id AS v FROM sig a, sig b
+           WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+         d0 AS (
+           SELECT x, count(*) AS d
+           FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+           GROUP BY x),
+         keep AS (SELECT x FROM d0 WHERE d <= 20),
+         e AS (
+           SELECT u, v FROM e0
+           JOIN keep ka ON ka.x = e0.u
+           JOIN keep kb ON kb.x = e0.v),
+         deg AS (
+           SELECT x AS id, count(*) AS degree
+           FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+           GROUP BY x),
+         tri AS (
+           SELECT e1.u AS a, e1.v AS b, e2.v AS c
+           FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                     JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+         tv AS (
+           SELECT x AS id, count(*) AS t
+           FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+           GROUP BY x)
+         SELECT deg.id, CAST(deg.degree AS BIGINT) AS degree,
+                CAST(coalesce(tv.t, 0) AS BIGINT) AS triangles,
+                CAST((2 * coalesce(tv.t, 0) * 1000000)
+                  // (deg.degree * (deg.degree - 1)) AS BIGINT)
+                  AS cc_micro
+         FROM deg LEFT JOIN tv ON deg.id = tv.id
+         WHERE deg.degree >= 2
+         ORDER BY deg.id""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -109,18 +109,17 @@ object GraphAnalytics {
     * be collapsed via [[connectedComponents]] / Dedup clusters, where a
     * near-clique is one row, not C(n,3). Deterministic and replayable
     * (the q87 oracle applies the same filter in SQL). */
-  def triangles(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxDegree: Option[Long] = None): DataFrame = {
-    // staged: `und` feeds the degree count (twice) and the orientation
-    // join; `oriented` feeds both wedge sides and the closing join — an
-    // un-materialized lineage would re-run the distinct + degree joins
-    // once per reference (5 redundant edge-list passes at scale)
+  /** Canonical undirected edge set (`u < v`, deduped, self-loops out),
+    * optionally degree-capped, staged — the shared front of
+    * [[triangles]] and [[clusteringCoefficient]]. */
+  private def cappedUndirected(edges: DataFrame, aCol: String,
+      bCol: String, maxDegree: Option[Long]): DataFrame = {
     val undAll = edges.select(
         least(col(aCol), col(bCol)).cast("long").as("u"),
         greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .transform(graft.core.Lifecycle.stage(_))
-    val und = maxDegree.fold(undAll) { cap =>
+    maxDegree.fold(undAll) { cap =>
       require(cap >= 1, s"maxDegree must be positive, got $cap")
       val keep = undAll.select(col("u").as("x"))
         .unionAll(undAll.select(col("v").as("x")))
@@ -130,6 +129,15 @@ object GraphAnalytics {
         .join(keep.select(col("x").as("v")), Seq("v"))
         .transform(graft.core.Lifecycle.stage(_))
     }
+  }
+
+  def triangles(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxDegree: Option[Long] = None): DataFrame = {
+    // staged: `und` feeds the degree count (twice) and the orientation
+    // join; `oriented` feeds both wedge sides and the closing join — an
+    // un-materialized lineage would re-run the distinct + degree joins
+    // once per reference (5 redundant edge-list passes at scale)
+    val und = cappedUndirected(edges, aCol, bCol, maxDegree)
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
@@ -164,6 +172,38 @@ object GraphAnalytics {
           .as("id_b"),
         element_at(array_sort(array(col("x"), col("y"), col("z"))), 3)
           .as("id_c"))
+  }
+
+  /** Local clustering coefficient per vertex: `(id, degree, triangles,
+    * cc_micro)` with `cc_micro = (2·t·10^6) div (d·(d−1))` — exact
+    * integers end to end (the engine's micro discipline), over the SAME
+    * canonical (optionally degree-capped) undirected edge set as
+    * [[triangles]]. Vertices with degree < 2 are omitted (no wedge, no
+    * coefficient). The cohesion detector behind "is this near-dup
+    * neighborhood a clique or a chain" — cliques (cc → 1e6) collapse
+    * into one cluster row, chains warrant pairwise review.
+    *
+    * Cost: the [[triangles]] plan plus one explode of its output (3
+    * rows per triangle, map-side combined) and the degree count the
+    * orientation already needs. */
+  def clusteringCoefficient(edges: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxDegree: Option[Long] = None): DataFrame = {
+    val und = cappedUndirected(edges, aCol, bCol, maxDegree)
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    // the capped edge set is staged, so triangles() reuses its files
+    // rather than rebuilding the edge list
+    val tri = triangles(und, "u", "v", None)
+    val perVertex = tri.select(explode(array(col("id_a"), col("id_b"),
+        col("id_c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    deg.filter(col("degree") >= 2)
+      .join(perVertex, Seq("id"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .select(col("id"), col("degree"), col("triangles"),
+        expr("(2 * triangles * 1000000) div (degree * (degree - 1))")
+          .as("cc_micro"))
   }
 
   /** Connected components: (doc_key, component id). Component ids are the

@@ -29,6 +29,33 @@ class GraphAnalyticsSpec extends org.scalatest.funsuite.AnyFunSuite {
       (2L, 3L, 4L)))
   }
 
+  test("clusteringCoefficient: exact micro ratios on K4+pendant, " +
+      "degree<2 omitted, cap consistency with triangles") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant 4-5: inside K4 every vertex has d=3,
+    // t=3 -> cc = 2*3e6/(3*2) = 1e6 except vertex 4 (d=4, t=3 ->
+    // 2*3e6/12 = 500000); vertex 5 has d=1 -> omitted
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = GraphAnalytics.clusteringCoefficient(edges)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 3L, 1000000L), (2L, 3L, 3L, 1000000L),
+      (3L, 3L, 3L, 1000000L), (4L, 4L, 3L, 500000L)))
+    // a path graph has wedges but zero triangles -> cc 0 at the middle
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val mid = GraphAnalytics.clusteringCoefficient(path).collect()
+    assert(mid.length == 1 && mid.head.getLong(0) == 2L &&
+      mid.head.getLong(3) == 0L)
+    // cap: dropping the hub (vertex 4 at cap 3) leaves the K3 intact
+    val capped = GraphAnalytics
+      .clusteringCoefficient(edges, maxDegree = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(capped == Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L))
+  }
+
   test("triangles: direction, duplication, and self-loops are canonicalized") {
     import spark.implicits._
     // triangle listed with mixed directions, a duplicated edge, a self-loop
