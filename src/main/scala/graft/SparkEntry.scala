@@ -1663,6 +1663,15 @@ object SparkEntry {
       graph.GraphAnalytics.clusteringCoefficient(nearDupEdges(s, dir),
           maxDegree = Some(20L))
         .orderBy("id")
+    }),
+    "q133_time_to_convert" -> ((s, dir) => {
+      // conversion-latency distribution for q112's funnel: exact
+      // discrete min/median/p90/max first-view-to-purchase duration
+      ops.Behavior.timeToConvert(
+          Testbed.graph(s, dir).collection("events"), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"),
+          windowDays = 7, Seq(0L, 500000L, 900000L, 1000000L))
+        .orderBy("q_micro")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -3191,7 +3200,38 @@ object SparkEntry {
                   AS cc_micro
          FROM deg LEFT JOIN tv ON deg.id = tv.id
          WHERE deg.degree >= 2
-         ORDER BY deg.id""")
+         ORDER BY deg.id""",
+    // q133: q112's sequential-min funnel chain, completed users only,
+    // then the q124 integer rank selection over micro durations
+    "q133_time_to_convert" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL 7 DAY
+           GROUP BY e.user_id),
+         d AS (
+           SELECT epoch_us(s3.t3) - epoch_us(s1.t1) AS duration_us
+           FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+         r AS (
+           SELECT CAST(duration_us AS BIGINT) AS duration_us,
+                  row_number() OVER (ORDER BY duration_us) AS rn,
+                  count(*) OVER () AS n
+           FROM d),
+         q AS (SELECT unnest([0, 500000, 900000, 1000000]) AS q_micro)
+         SELECT CAST(q_micro AS BIGINT) AS q_micro, duration_us
+         FROM r JOIN q ON r.rn = (q.q_micro * (r.n - 1)) // 1000000 + 1
+         ORDER BY q_micro""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

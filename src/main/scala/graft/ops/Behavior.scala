@@ -218,6 +218,45 @@ object Behavior {
       .select(col("event_type"), col("q_micro"), col("gap_us"))
   }
 
+  /** Time-to-convert distribution: exact DISCRETE quantiles of the
+    * first-step-to-last-step duration over users who COMPLETED the
+    * funnel — the "how long does conversion take" companion to
+    * [[funnelCounts]]' "how many convert". One row per requested
+    * quantile, durations in integer microseconds, the
+    * [[interArrivalQuantiles]] rank-selection convention
+    * (`(q_micro·(n−1)) div 10^6 + 1` — an observed duration, never an
+    * interpolated float).
+    *
+    * Scale posture: the quantile selection sorts the COMPLETED-user
+    * set — the funnel's own (heavily filtered) output, orders of
+    * magnitude below the event volume; for funnels completing ~10^9+
+    * users, pre-aggregate to (duration, count) and select over
+    * cumulative counts instead. */
+  def timeToConvert(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowDays: Int,
+      qMicros: Seq[Long]): DataFrame = {
+    require(qMicros.nonEmpty, "need >= 1 quantile")
+    require(qMicros.forall(q => q >= 0L && q <= 1000000L),
+      s"quantiles must be integer millionths in [0, 1000000]: $qMicros")
+    val spark = events.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val tk = s"t${steps.size}"
+    val durs = funnelUsers(events, userCol, typeCol, tsCol, steps,
+        windowDays)
+      .filter(col(tk).isNotNull)
+      .select((unix_micros(col(tk)) - unix_micros(col("t1")))
+        .as("duration_us"))
+    val ranked = durs
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("duration_us"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    import spark.implicits._
+    ranked.join(broadcast(qMicros.toDF("q_micro")),
+        col("rn") === expr("(q_micro * (n - 1)) div 1000000") + 1)
+      .select(col("q_micro"), col("duration_us"))
+  }
+
   /** Unordered co-occurrence ("users who did X also did Y"): for every
     * pair of item/event types, how many users did BOTH, and the lift
     * over independence — the market-basket view that complements

@@ -214,6 +214,25 @@ class BehaviorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(g2 == Seq(("a", "b", 2L), ("a", "c", 1L)))
   }
 
+  test("timeToConvert: discrete quantiles over completed users only") {
+    // users 1,2,3 complete a->b in 1h, 2h, 4h; user 4 only does 'a'
+    // (incomplete -> excluded from the distribution)
+    val ev = Seq(
+      (1L, "a", ts(1)), (1L, "b", ts(1, 1)),
+      (2L, "a", ts(1)), (2L, "b", ts(1, 2)),
+      (3L, "a", ts(1)), (3L, "b", ts(1, 4)),
+      (4L, "a", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Behavior.timeToConvert(ev, "user_id", "event_type", "ts",
+        Seq("a", "b"), windowDays = 1,
+        Seq(0L, 500000L, 1000000L))
+      .orderBy("q_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // n=3: q0 -> rank 1 (1h), median -> rank 2 (2h), q1 -> rank 3 (4h)
+    val h = 3600L * 1000000L
+    assert(got == Seq((0L, h), (500000L, 2 * h), (1000000L, 4 * h)))
+  }
+
   test("funnel counts are monotone non-increasing on real testdata") {
     val ev = Testbed.graph(spark, "/root/testdata/sf0.001")
       .collection("events")
