@@ -1672,6 +1672,22 @@ object SparkEntry {
           "event_type", "ts", Seq("view", "click", "purchase"),
           windowDays = 7, Seq(0L, 500000L, 900000L, 1000000L))
         .orderBy("q_micro")
+    }),
+    "q134_rate_anomalies_robust" -> ((s, dir) => {
+      // median/MAD outliers per event type (k=2): robust to a
+      // contaminated baseline; exact discrete median + integer flag
+      ops.Behavior.rateAnomaliesRobust(
+          Testbed.graph(s, dir).collection("events"), "event_type",
+          "ts", k = 2, minBuckets = 5)
+        .orderBy("event_type", "day")
+    }),
+    "q135_source_concentration" -> ((s, dir) => {
+      // per-language Gini of the source distribution: exact integer
+      // concentration diagnostic for the data mixture
+      ops.Corpus.concentration(
+          Testbed.graph(s, dir).collection("documents"), "lang",
+          "source")
+        .orderBy("lang")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -3231,7 +3247,61 @@ object SparkEntry {
          q AS (SELECT unnest([0, 500000, 900000, 1000000]) AS q_micro)
          SELECT CAST(q_micro AS BIGINT) AS q_micro, duration_us
          FROM r JOIN q ON r.rn = (q.q_micro * (r.n - 1)) // 1000000 + 1
-         ORDER BY q_micro""")
+         ORDER BY q_micro""",
+    // q134: discrete median of daily counts (lower-index convention),
+    // discrete median of absolute deviations, integer k*MAD flag
+    "q134_rate_anomalies_robust" ->
+      """WITH c AS (
+           SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+                    AS day, count(*) AS x
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, x AS med FROM (
+             SELECT event_type, x,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY x) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM c)
+           WHERE rn = (500000 * (n - 1)) // 1000000 + 1),
+         cm AS (
+           SELECT c.*, m.med, abs(c.x - m.med) AS adev
+           FROM c JOIN m USING (event_type)),
+         md AS (
+           SELECT event_type, adev AS mad FROM (
+             SELECT event_type, adev,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY adev) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS n
+             FROM cm)
+           WHERE rn = (500000 * (n - 1)) // 1000000 + 1),
+         f AS (
+           SELECT cm.*, md.mad,
+                  count(*) OVER (PARTITION BY cm.event_type) AS n
+           FROM cm JOIN md USING (event_type))
+         SELECT event_type, day, CAST(x AS BIGINT) AS x,
+                CAST(med AS BIGINT) AS med, CAST(mad AS BIGINT) AS mad,
+                CASE WHEN x > med THEN 'high' ELSE 'low' END AS direction
+         FROM f
+         WHERE n >= 5 AND adev > 2 * mad
+         ORDER BY event_type, day""",
+    // q135: counts per (lang, source), rank ascending by (count,
+    // source), the integer Gini formula
+    "q135_source_concentration" ->
+      """WITH cells AS (
+           SELECT lang AS outer_v, source AS inner_v, count(*) AS x
+           FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY outer_v
+                    ORDER BY x, inner_v) AS i
+           FROM cells)
+         SELECT outer_v AS lang, CAST(count(*) AS BIGINT) AS n_inner,
+                CAST(sum(x) AS BIGINT) AS n_docs,
+                CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x))
+                  * 1000000) // (count(*) * sum(x)) AS BIGINT)
+                  AS gini_micro
+         FROM rk GROUP BY outer_v ORDER BY lang""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -257,6 +257,59 @@ object Behavior {
       .select(col("q_micro"), col("duration_us"))
   }
 
+  /** Robust (median/MAD) companion to [[rateAnomalies]]: flags daily
+    * buckets whose count deviates from the type's MEDIAN by more than
+    * `k` times the median absolute deviation — the estimator of choice
+    * when the baseline itself is contaminated (a week of incident
+    * traffic shifts a mean and inflates a stddev; the median and MAD
+    * shrug both off until half the window is bad). Output one row per
+    * anomalous `(event_type, day)` with the count, the median, the
+    * MAD, and the direction.
+    *
+    * Everything is exact integers: the median and MAD are DISCRETE
+    * (the [[interArrivalQuantiles]] rank selection — lower-index
+    * convention at even counts), and the flag is the cross-
+    * multiplication `|x − med| > k · mad`. Zero-MAD series (more than
+    * half the days identical) flag any deviation at all — documented;
+    * pass a larger `minBuckets` if that bites. Only observed days
+    * enter, as in [[rateAnomalies]].
+    *
+    * Scale posture: identical to [[rateAnomalies]] — one pass over the
+    * stream to |types|·|days| cells, then two rank windows over the
+    * CELLS on the same type key. */
+  def rateAnomaliesRobust(events: DataFrame, typeCol: String,
+      tsCol: String, k: Int, minBuckets: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minBuckets >= 2, s"minBuckets must be >= 2, got $minBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val cells = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy("event_type")
+    def discreteMedian(df: DataFrame, valueCol: String,
+        outCol: String): DataFrame = {
+      val w = byType.orderBy(col(valueCol))
+      val sel = df
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(byType))
+        .filter(col("_rn") === expr("(500000 * (_n - 1)) div 1000000") + 1)
+        .select(col("event_type"), col(valueCol).as(outCol))
+      df.join(sel, Seq("event_type"))
+    }
+    val withMed = discreteMedian(cells, "x", "med")
+      .withColumn("adev", abs(col("x") - col("med")))
+    val withMad = discreteMedian(withMed, "adev", "mad")
+      .withColumn("n", count(lit(1)).over(byType))
+    withMad
+      .filter(col("n") >= minBuckets &&
+        col("adev") > lit(k.toLong) * col("mad"))
+      .select(col("event_type"), col("day"), col("x"), col("med"),
+        col("mad"),
+        when(col("x") > col("med"), lit("high")).otherwise(lit("low"))
+          .as("direction"))
+  }
+
   /** Unordered co-occurrence ("users who did X also did Y"): for every
     * pair of item/event types, how many users did BOTH, and the lift
     * over independence — the market-basket view that complements

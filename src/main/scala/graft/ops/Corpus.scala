@@ -360,6 +360,40 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"),
         min("n").as("min_tokens"), max("n").as("max_tokens"))
 
+  /** Source-concentration diagnostic: the Gini coefficient of the doc
+    * distribution across `innerCol` values within each `outerCol`
+    * group — "is this language's data one crawl or a broad mix", the
+    * screen that catches a mixture silently collapsing onto one
+    * source. Output `(outer, n_inner, n_docs, gini_micro)` per group.
+    *
+    * Exact integer Gini: with inner counts sorted ascending and ranked
+    * `i = 1..n`, `G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)` — emitted as
+    * `gini_micro` via one integer cross-multiplied division, no
+    * floats. 0 = perfectly even, (n−1)/n = fully concentrated. Rank
+    * ties break by the inner value (deterministic; tied counts
+    * contribute the same regardless of order, so the coefficient is
+    * tie-invariant anyway).
+    *
+    * Scale posture: one map-side-combined count to |outer|·|inner|
+    * cells, one rank window over the CELLS, one aggregation. */
+  def concentration(docs: DataFrame, outerCol: String,
+      innerCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = docs.filter(col(outerCol).isNotNull &&
+        col(innerCol).isNotNull)
+      .groupBy(col(outerCol).as("outer"), col(innerCol).as("inner"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("outer").orderBy(col("x"), col("inner"))
+    cells
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("outer").as(outerCol))
+      .agg(count(lit(1)).as("n_inner"), sum("x").as("n_docs"),
+        sum(col("i") * col("x")).as("_ix"))
+      .select(col(outerCol), col("n_inner"), col("n_docs"),
+        expr("""((2 * _ix - (n_inner + 1) * n_docs) * 1000000)
+                div (n_inner * n_docs)""").as("gini_micro"))
+  }
+
   /** Corpus boilerplate detector: word `n`-grams whose DOCUMENT
     * frequency reaches `minDocFrac` of the corpus — headers, footers,
     * license blurbs, navigation chrome; the grams a C4-style cleaner

@@ -233,6 +233,38 @@ class BehaviorSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == Seq((0L, h), (500000L, 2 * h), (1000000L, 4 * h)))
   }
 
+  test("rateAnomaliesRobust: median/MAD flags survive a contaminated " +
+      "baseline that breaks the z-test") {
+    // type 'a', 11 days: counts 10x7, then 50, 52, 54, 9000 — three
+    // moderately-elevated days plus one gross spike. Median = 10,
+    // adevs = 0x7, 40, 42, 44, 8990 -> MAD = 0 at rank 6... use a
+    // baseline with jitter instead: 9,10,10,10,10,11,12 then 50,52,
+    // 54,9000. Median = 11? sorted: 9,10,10,10,10,11,12,50,52,54,
+    // 9000 (n=11) -> rank (5e5*10)//1e6+1 = 6 -> med = 11;
+    // adevs sorted: 0,1,1,1,1,1,2,39,41,43,8989 -> mad rank 6 = 1.
+    // Flag |x-med| > 2*1 = 2: days with 50,52,54,9000 AND 9 (adev 2?
+    // 9 -> adev 2 NOT > 2) -> exactly the four elevated days.
+    def day(i: Int) = f"2024-03-$i%02d"
+    val counts = Seq(9, 10, 10, 10, 10, 11, 12, 50, 52, 54, 9000)
+    val ev = counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((day(i + 1), "a")) }
+      .toDF("d", "event_type")
+      .withColumn("ts", to_timestamp(col("d")))
+    val got = Behavior.rateAnomaliesRobust(ev, "event_type", "ts",
+        k = 2, minBuckets = 5)
+      .orderBy("day").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got == Seq((day(8), 50L, 11L, 1L, "high"),
+      (day(9), 52L, 11L, 1L, "high"), (day(10), 54L, 11L, 1L, "high"),
+      (day(11), 9000L, 11L, 1L, "high")))
+    // the MEAN-based z-test at the same k misses the moderate days:
+    // the 9000 spike inflates sigma so 50/52/54 sit inside 2 sigma
+    val z = Behavior.rateAnomalies(ev, "event_type", "ts", 2, 5)
+      .collect().map(_.getString(1)).toSeq
+    assert(z == Seq(day(11)))
+  }
+
   test("funnel counts are monotone non-increasing on real testdata") {
     val ev = Testbed.graph(spark, "/root/testdata/sf0.001")
       .collection("events")

@@ -318,6 +318,26 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(again == got)
   }
 
+  test("concentration: exact integer Gini per group — even, skewed, " +
+      "and single-source extremes") {
+    // lang en: sources 10/10/10/10 -> G = 0; lang de: 1/1/1/97 ->
+    // G = (2*(1*1+2*1+3*1+4*97) - 5*100)*1e6 / (4*100)
+    //   = (2*394 - 500)*1e6/400 = 288*1e6/400 = 720000;
+    // lang fr: one source -> G = (2*1*n - 2*n)/n = 0
+    val rows =
+      (1 to 4).flatMap(s => Seq.fill(10)(("en", s"s$s"))) ++
+      Seq.fill(1)(("de", "s1")) ++ Seq.fill(1)(("de", "s2")) ++
+      Seq.fill(1)(("de", "s3")) ++ Seq.fill(97)(("de", "s4")) ++
+      Seq.fill(5)(("fr", "s1"))
+    val d = rows.toDF("lang", "source")
+    val got = Corpus.concentration(d, "lang", "source")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("de", 4L, 100L, 720000L),
+      ("en", 4L, 40L, 0L), ("fr", 1L, 5L, 0L)))
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-safe compare") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, null, "de"),
         (4L, "d", "en"))
