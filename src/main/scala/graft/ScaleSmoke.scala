@@ -105,7 +105,21 @@ object ScaleSmoke {
     // probed, without the cutoff).
     "q112_funnel", "q113_cohort_retention",
     "q114_hybrid_rrf", "q116_event_transitions", "q117_snapshot_diff",
-    "q120_collocations", "q121_rate_anomalies", "q122_column_profile")
+    "q120_collocations", "q121_rate_anomalies", "q122_column_profile",
+    // closing wave: OOV stats (explode + broadcast vocab join), length
+    // histogram (in-row counts), SCD2 (open-slice outer join),
+    // leakage-free split (winnow CC + hash split; the winnow pair list
+    // is empty at sf0.1 — minShared dilution, the q118/q110 class,
+    // which is also why q123/q127 are omitted — so the split
+    // degenerates to per-doc keys and still probes the join + hash
+    // path end-to-end), co-occurrence (capped per-user pairs),
+    // clustering coefficient (capped triangle family), time-to-convert
+    // (funnel + rank selection), robust anomalies (two rank windows
+    // over cells), concentration (one rank window + integer Gini)
+    "q125_oov_stats", "q126_length_histogram", "q129_scd2_apply",
+    "q130_leakage_free_split", "q131_cooccurrence",
+    "q132_clustering_coeff", "q133_time_to_convert",
+    "q134_rate_anomalies_robust", "q135_source_concentration")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
