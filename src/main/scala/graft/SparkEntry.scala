@@ -1688,6 +1688,27 @@ object SparkEntry {
           Testbed.graph(s, dir).collection("documents"), "lang",
           "source")
         .orderBy("lang")
+    }),
+    "q136_effective_size" -> ((s, dir) => {
+      // dedup ROI in one row: raw vs surviving docs/tokens after
+      // dropping winnow-detected text reuse (min-id survivor policy),
+      // drop ratio in exact millionths — the "what did dedup buy"
+      // headline number
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val kept = ops.Dedup.dropNearDuplicates(docs, "doc_id",
+        winnowPairs(s, dir))
+      def stats(d: org.apache.spark.sql.DataFrame, p: String) =
+        d.agg(count(lit(1)).as(s"${p}_docs"),
+          coalesce(sum(when(col("text").isNotNull,
+              ops.TextOps.tokenCount(col("text"))).otherwise(lit(0L))),
+            lit(0L)).as(s"${p}_tokens"))
+      stats(docs, "raw").crossJoin(stats(kept, "kept"))
+        .select(col("raw_docs"), col("raw_tokens"), col("kept_docs"),
+          col("kept_tokens"),
+          expr("((raw_docs - kept_docs) * 1000000) div raw_docs")
+            .as("doc_drop_micro"),
+          expr("((raw_tokens - kept_tokens) * 1000000) div raw_tokens")
+            .as("token_drop_micro"))
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -3301,7 +3322,54 @@ object SparkEntry {
                 CAST(((2 * sum(i * x) - (count(*) + 1) * sum(x))
                   * 1000000) // (count(*) * sum(x)) AS BIGINT)
                   AS gini_micro
-         FROM rk GROUP BY outer_v ORDER BY lang""")
+         FROM rk GROUP BY outer_v ORDER BY lang""",
+    // q136: the q127 winnow-pair + transitive-closure CTEs pick the
+    // losers (component < id); survivors aggregate raw-vs-kept
+    "q136_effective_size" ->
+      """WITH RECURSIVE hs AS (
+           SELECT doc_id AS id,
+                  list_transform(range(1, length(text) - 6),
+                    i -> CAST(concat('0x', substr(md5(substr(text,
+                           CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+                         & 2147483647) AS h
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) >= 8),
+         fp0 AS (
+           SELECT id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(h) - 3, 1) + 1),
+                    p -> list_min(h[CAST(p AS INT):CAST(p + 3 AS INT)]))))
+                    AS fp
+           FROM hs),
+         fpc AS (SELECT * FROM fp0
+                 QUALIFY count(*) OVER (PARTITION BY fp) <= 20),
+         pr AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.id < b.id
+           GROUP BY 1, 2 HAVING count(*) >= 30),
+         e AS (SELECT ia AS u, ib AS v FROM pr
+               UNION ALL SELECT ib, ia FROM pr),
+         r(u, v) AS (SELECT u, v FROM e
+                     UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         comp AS (SELECT u AS id, least(u, min(v)) AS c FROM r GROUP BY u),
+         losers AS (SELECT id FROM comp WHERE c < id),
+         tok AS (
+           SELECT doc_id,
+                  CASE WHEN text IS NULL THEN 0
+                       ELSE len(string_split(text, ' ')) END AS nt
+           FROM documents),
+         raw AS (SELECT count(*) AS raw_docs,
+                        CAST(sum(nt) AS BIGINT) AS raw_tokens FROM tok),
+         kept AS (
+           SELECT count(*) AS kept_docs,
+                  CAST(sum(nt) AS BIGINT) AS kept_tokens
+           FROM tok WHERE doc_id NOT IN (SELECT id FROM losers))
+         SELECT CAST(raw_docs AS BIGINT) AS raw_docs, raw_tokens,
+                CAST(kept_docs AS BIGINT) AS kept_docs, kept_tokens,
+                CAST(((raw_docs - kept_docs) * 1000000) // raw_docs
+                  AS BIGINT) AS doc_drop_micro,
+                CAST(((raw_tokens - kept_tokens) * 1000000) // raw_tokens
+                  AS BIGINT) AS token_drop_micro
+         FROM raw CROSS JOIN kept""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on
