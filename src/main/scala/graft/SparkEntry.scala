@@ -1709,6 +1709,15 @@ object SparkEntry {
             .as("doc_drop_micro"),
           expr("((raw_tokens - kept_tokens) * 1000000) div raw_tokens")
             .as("token_drop_micro"))
+    }),
+    "q137_percentile_rank" -> ((s, dir) => {
+      // threshold-free curation: each doc's n_chars percentile in
+      // exact millionths ((rank-1)*1e6 div (n-1), ties split by id)
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Corpus.percentileRank(docs, "doc_id", col("n_chars"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars"), col("pct_micro"))
+        .orderBy("doc_id")
     }))
 
   /** Build-once (per session, sf dir) CMS counter store for q103:
@@ -3369,7 +3378,20 @@ object SparkEntry {
                   AS BIGINT) AS doc_drop_micro,
                 CAST(((raw_tokens - kept_tokens) * 1000000) // raw_tokens
                   AS BIGINT) AS token_drop_micro
-         FROM raw CROSS JOIN kept""")
+         FROM raw CROSS JOIN kept""",
+    // q137: the same (metric, id) total order and integer millionth
+    // rank transform
+    "q137_percentile_rank" ->
+      """WITH r AS (
+           SELECT doc_id, n_chars,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+                  count(*) OVER () AS n
+           FROM documents)
+         SELECT doc_id, n_chars,
+                CASE WHEN n = 1 THEN 0
+                     ELSE CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT)
+                END AS pct_micro
+         FROM r ORDER BY doc_id""")
 
   /** Shared tokenization + postings CTEs (no leading WITH) for the
     * lexical oracles: q105's proven normalization regexes, split on

@@ -394,6 +394,30 @@ object Corpus {
                 div (n_inner * n_docs)""").as("gini_micro"))
   }
 
+  /** Percentile-rank normalization: replace a raw quality metric with
+    * its corpus percentile in exact integer millionths —
+    * `pct_micro = ((rank − 1) · 10^6) div (n − 1)` over a total
+    * `(metric, id)` order (average-free, so ties split by id
+    * deterministically; a single-row corpus maps to 0). The
+    * threshold-free curation transform: "keep the top 30%" stays
+    * meaningful as the corpus grows and the raw score distribution
+    * drifts, where a fixed raw cutoff silently changes selectivity.
+    *
+    * Scale posture: ONE global sort (rank window) over `(metric, id)`
+    * — the same cost class as any total ORDER BY the engine already
+    * does; n arrives from the same window, no extra pass. */
+  def percentileRank(df: DataFrame, idCol: String,
+      metric: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(metric, col(idCol))
+    df.withColumn("_rk", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("pct_micro",
+        when(col("_n") === 1L, lit(0L)).otherwise(
+          expr("((_rk - 1) * 1000000) div (_n - 1)")))
+      .drop("_rk", "_n")
+  }
+
   /** Corpus boilerplate detector: word `n`-grams whose DOCUMENT
     * frequency reaches `minDocFrac` of the corpus — headers, footers,
     * license blurbs, navigation chrome; the grams a C4-style cleaner

@@ -338,6 +338,20 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
       ("en", 4L, 40L, 0L), ("fr", 1L, 5L, 0L)))
   }
 
+  test("percentileRank: endpoints, ties by id, single row maps to 0") {
+    val d = Seq((1L, 30L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("doc_id", "m")
+    val got = Corpus.percentileRank(d, "doc_id", col("m"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // order: (10,2) (20,3) (20,4) (30,1) -> ranks 1..4, n-1 = 3
+    assert(got == Seq((1L, 1000000L), (2L, 0L), (3L, 333333L),
+      (4L, 666666L)))
+    val one = Corpus.percentileRank(
+      Seq((9L, 5L)).toDF("doc_id", "m"), "doc_id", col("m")).collect()
+    assert(one.head.getLong(2) == 0L)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-safe compare") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, null, "de"),
         (4L, "d", "en"))
