@@ -90,19 +90,15 @@ object ScaleSmoke {
     // quadratic), snapshot diff (id-keyed full outer join over fixed
     // slices — near-flat by construction, pins the pushdown),
     // collocations (linear explodes into map-side-combined counts),
-    // and the multi-distinct profile (one Expand pass). Three
-    // deliberate omissions, all the same class — a FIXED gate
-    // parameter that a bigger corpus (correctly) dilutes to an empty
-    // result, failing the rows>0 bar while the op works as designed:
-    // q119 fuzzy-nearest (key-shifted copies duplicate every p_name
-    // verbatim, blocks grow past maxBlock, the skew gate empties the
-    // output — covered by its Σ block² analysis and spec), q118
-    // boilerplate (no gram reaches 1% of 5000 diversified docs; cost
-    // shape = q56's, which is probed), and q110 batched BM25 join
-    // (every query term's df ≥ 3816 > the gate's maxDf=400 at sf0.1 —
-    // the common-term cutoff doing its job on a small-vocabulary
-    // synthetic corpus; q114's fused run of the same join shape IS
-    // probed, without the cutoff).
+    // and the multi-distinct profile (one Expand pass). The
+    // fixed-parameter gates q110/q118/q119 still dilute to empty at
+    // probe scale by design (a FIXED absolute threshold that a bigger
+    // corpus correctly overruns — the guard working as specified), so
+    // each now has a SCALE-STABLE twin probed in its place: q138 (df
+    // cutoff relative to corpus size, query docs drawn by content),
+    // q139 (absolute support threshold, output grows with the corpus),
+    // q140 (block cap relative to table size) — same operator code
+    // paths, non-vacuous rows at every scale.
     "q112_funnel", "q113_cohort_retention",
     "q114_hybrid_rrf", "q116_event_transitions", "q117_snapshot_diff",
     "q120_collocations", "q121_rate_anomalies", "q122_column_profile",
@@ -119,7 +115,13 @@ object ScaleSmoke {
     "q125_oov_stats", "q126_length_histogram", "q129_scd2_apply",
     "q130_leakage_free_split", "q131_cooccurrence",
     "q132_clustering_coeff", "q133_time_to_convert",
-    "q134_rate_anomalies_robust", "q135_source_concentration")
+    "q134_rate_anomalies_robust", "q135_source_concentration",
+    // scale-stable twins of the three dilution-vacuous fixed-parameter
+    // gates (comment above): batched BM25 join with a relative df
+    // cutoff, boilerplate sweep by absolute support, fuzzy resolution
+    // under the relative block cap
+    "q138_bm25_join_frac", "q139_boilerplate_support",
+    "q140_fuzzy_nearest_frac")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -134,9 +136,16 @@ object ScaleSmoke {
     "events" -> Seq("event_id", "user_id"))
 
   /** Write `copies` key-offset copies of every base table to `out`.
-    * Idempotent via a completion marker. */
+    * Idempotent via a VERSIONED completion marker — bumped whenever the
+    * materialization recipe changes, so a scaled dir built by an older
+    * recipe regenerates instead of silently serving stale shapes.
+    * v2: `part.p_name` is word-tagged on copies > 0 (same rationale as
+    * `documents.text` — verbatim name copies would manufacture copies²
+    * cross-copy fuzzy-match pairs, and the q140 probe would measure
+    * that artifact instead of the blocked-verification cost; tagging
+    * keeps per-copy block structure and makes pair growth linear). */
   def materialize(spark: SparkSession, base: String, out: String): Unit = {
-    val marker = new java.io.File(s"$out/_GRAFT_SCALE_COMPLETE")
+    val marker = new java.io.File(s"$out/_GRAFT_SCALE_COMPLETE_v2")
     if (marker.exists) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     keyCols.foreach { case (t, keys) =>
@@ -155,6 +164,11 @@ object ScaleSmoke {
         if (t == "documents" && i > 0)
           shifted.withColumn("text",
             regexp_replace(col("text"), "(\\w+)", s"c${i}_$$1"))
+        else if (t == "part" && i > 0)
+          // name-tag parts on copies > 0 (marker doc): fuzzy blocks stay
+          // per-copy, candidate pairs grow linearly with copies
+          shifted.withColumn("p_name",
+            regexp_replace(col("p_name"), "(\\w+)", s"c${i}_$$1"))
         else shifted
       }.reduce(_.unionByName(_))
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -1490,6 +1490,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
         k = 5, maxDf = Some(400L))
     }),
+    "q138_bm25_join_frac" -> ((s, dir) => {
+      // q110's batched retrieval with the RELATIVE common-term cutoff
+      // (maxDfPerMille: df bound = ⌊0.5 × N⌋) and the query set drawn by
+      // content (docs carrying the corpus's rare marker token) — the
+      // scale-stable parameterization: where q110's absolute maxDf
+      // correctly empties when corpus growth pushes every df past it,
+      // this gate's cutoff and query set both scale with the corpus, so
+      // the lexical fan-out stays non-vacuous at any probe scale
+      // (SCALESMOKE's 10×/100× runs exercise the join, not the guard).
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Lexical.bm25TopKJoin(docs, "doc_id", "text",
+        docs.filter(col("text").rlike("dup")), "doc_id", "text",
+        k = 5, maxDfPerMille = Some(500L))
+    }),
 
     // ---- behavioral event-sequence analytics ------------------------
     "q112_funnel" -> ((s, dir) => {
@@ -1578,6 +1592,20 @@ object SparkEntry {
           "text", n = 3, minDocFrac = 0.01)
         .orderBy("gram")
     }),
+    "q139_boilerplate_support" -> ((s, dir) => {
+      // q118's sweep under the ABSOLUTE support threshold (df >= 5 —
+      // the cost-model form: K repeated grams = K wasted training
+      // tokens, independent of corpus size). At the sf0.01 oracle scale
+      // the two coincide (1% of 500 = 5); at probe scale they diverge
+      // by design — the fractional gate dilutes to empty as the corpus
+      // diversifies while this one's output grows with it, which is
+      // what lets SCALESMOKE probe the explode→groupBy cost shape
+      // non-vacuously.
+      ops.Corpus.boilerplateNgramsBySupport(
+          Testbed.graph(s, dir).collection("documents"), "doc_id",
+          "text", n = 3, minDocs = 5L)
+        .orderBy("gram")
+    }),
     "q119_fuzzy_nearest" -> ((s, dir) => {
       // blocked fuzzy entity resolution over part names: block by the
       // last word, verify with thresholded levenshtein, each part's
@@ -1586,6 +1614,21 @@ object SparkEntry {
           Testbed.graph(s, dir).collection("part"), "p_partkey",
           "p_name", substring_index(col("p_name"), " ", -1),
           maxDist = 3, maxBlock = 1000)
+        .withColumnRenamed("id", "p_partkey")
+        .orderBy("p_partkey")
+    }),
+    "q140_fuzzy_nearest_frac" -> ((s, dir) => {
+      // q119's resolution under the RELATIVE skew gate: a block is
+      // degenerate past 20% of the table, not past an absolute row
+      // count (the part table's last-word key yields 8 uniform ~12.5%
+      // blocks — any absolute cap empties at SOME scale, the relative
+      // cap passes them at EVERY scale). SCALESMOKE then measures the
+      // Σ block² verification cost instead of the guard emptying the
+      // output; q119 stays the absolute-cap gate.
+      ops.Linkage.fuzzyNearest(
+          Testbed.graph(s, dir).collection("part"), "p_partkey",
+          "p_name", substring_index(col("p_name"), " ", -1),
+          maxDist = 3, maxBlock = 1000, maxBlockPerMille = Some(200L))
         .withColumnRenamed("id", "p_partkey")
         .orderBy("p_partkey")
     }),
@@ -2886,6 +2929,7 @@ object SparkEntry {
     "q109_bm25_appended" -> Bm25OracleSql,
     "q110_bm25_join" -> Bm25JoinOracleSql,
     "q111_bm25_join_stored" -> Bm25JoinOracleSql,
+    "q138_bm25_join_frac" -> Bm25JoinFracOracleSql,
     // q112: the sequential-min funnel replayed — per-step earliest
     // timestamps chained by strict ordering inside the t1-anchored
     // 7-day window, then per-step reach counts
@@ -2986,6 +3030,24 @@ object SparkEntry {
          FROM dfs CROSS JOIN nd
          WHERE df * 1000000 >= 10000 * n_docs
          ORDER BY gram""",
+    // q139: q118's chain with the absolute support threshold
+    "q139_boilerplate_support" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 2),
+                           ' ')))) AS gram
+           FROM documents WHERE text IS NOT NULL),
+         nd AS (SELECT count(*) AS n_docs FROM documents
+                WHERE text IS NOT NULL),
+         dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         SELECT gram, CAST(df AS BIGINT) AS df,
+                CAST((df * 1000000) // n_docs AS BIGINT)
+                  AS doc_frac_micro
+         FROM dfs CROSS JOIN nd
+         WHERE df >= 5
+         ORDER BY gram""",
     // q119: same last-word blocking + maxBlock gate, plain levenshtein
     // (Spark's thresholded kernel returns -1 past the cutoff; <= here),
     // both pair directions, top-1 per id by (dist, match_id)
@@ -2996,6 +3058,30 @@ object SparkEntry {
            FROM part WHERE p_name IS NOT NULL),
          p AS (SELECT * FROM p0
                QUALIFY count(*) OVER (PARTITION BY blk) <= 1000),
+         pr AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  levenshtein(a.name, b.name) AS dist
+           FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+           WHERE levenshtein(a.name, b.name) <= 3),
+         sym AS (
+           SELECT id_a AS id, id_b AS match_id, dist FROM pr
+           UNION ALL SELECT id_b, id_a, dist FROM pr)
+         SELECT id AS p_partkey, match_id, CAST(dist AS BIGINT) AS dist
+         FROM sym
+         QUALIFY row_number() OVER (PARTITION BY id
+           ORDER BY dist, match_id) = 1
+         ORDER BY p_partkey""",
+    // q140: q119's chain under the RELATIVE skew gate — a block passes
+    // while bn·1000 ≤ 200·N (N = named rows), the integer cross-multiply
+    // the engine applies
+    "q140_fuzzy_nearest_frac" ->
+      """WITH p0 AS (
+           SELECT p_partkey AS id, p_name AS name,
+                  string_split(p_name, ' ')[-1] AS blk
+           FROM part WHERE p_name IS NOT NULL),
+         nn AS (SELECT count(*) AS n FROM p0),
+         p AS (SELECT p0.* FROM p0 CROSS JOIN nn
+               QUALIFY count(*) OVER (PARTITION BY blk) * 1000 <= 200 * n),
          pr AS (
            SELECT a.id AS id_a, b.id AS id_b,
                   levenshtein(a.name, b.name) AS dist
@@ -3054,8 +3140,9 @@ object SparkEntry {
          SELECT event_type, day, CAST(x AS BIGINT) AS x,
                 CASE WHEN n*x - s > 0 THEN 'high' ELSE 'low' END
                   AS direction,
-                CAST(((n*x - s)*(n*x - s) * 1000000)
-                  // (n*ssq - s*s) AS BIGINT) AS z2_micro
+                CAST((((n*x - s)*(n*x - s)) // (n*ssq - s*s)) * 1000000
+                  + ((((n*x - s)*(n*x - s)) % (n*ssq - s*s)) * 1000000)
+                    // (n*ssq - s*s) AS BIGINT) AS z2_micro
          FROM st
          WHERE n >= 5 AND n*ssq - s*s > 0
            AND (n*x - s)*(n*x - s) >= 4 * (n*ssq - s*s)
@@ -3572,11 +3659,24 @@ object SparkEntry {
     * (query, doc), and rank ≤ 5 per query. The stored gate shares it
     * verbatim because stored postings ≡ recomputed postings. */
   private lazy val Bm25JoinOracleSql =
+    bm25JoinOracle("SELECT doc_id AS query_id, term FROM post\n" +
+      "                WHERE doc_id % 97 = 0", "s.df <= 400")
+
+  /** q138: q110's CTE chain with the two scale-stable substitutions —
+    * query docs drawn by content (the rare marker token) and the df
+    * cutoff relative to corpus size (df·1000 ≤ 500·n ⇔ df ≤ ⌊N/2⌋ for
+    * integers — the engine's exact floor bound). */
+  private lazy val Bm25JoinFracOracleSql =
+    bm25JoinOracle("SELECT p.doc_id AS query_id, p.term FROM post p\n" +
+      "                WHERE p.doc_id IN (SELECT doc_id FROM documents\n" +
+      "                  WHERE regexp_matches(text, 'dup'))",
+      "s.df * 1000 <= 500 * c.n")
+
+  private def bm25JoinOracle(qtSelect: String, dfFilter: String): String =
     s"""WITH $lexPostingsCtes,
          dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
          corp AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dls),
-         qt AS (SELECT doc_id AS query_id, term FROM post
-                WHERE doc_id % 97 = 0),
+         qt AS ($qtSelect),
          sliver AS (
            SELECT p.doc_id, p.term, p.tf, d.dl,
                   count(*) OVER (PARTITION BY p.term) AS df
@@ -3594,7 +3694,7 @@ object SparkEntry {
                ) * 1000000.0) AS BIGINT) AS m
            FROM sliver s JOIN qt q ON s.term = q.term
            CROSS JOIN corp c
-           WHERE s.df <= 400),
+           WHERE $dfFilter),
          agg AS (
            SELECT query_id, doc_id, count(*) AS n_terms_hit,
                   CAST(sum(m) AS BIGINT) AS score_micro

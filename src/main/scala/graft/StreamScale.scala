@@ -56,7 +56,12 @@ object StreamScale {
     val t0 = 1700000000000L + b * 3600000L
     def ts(i: Int) = new Timestamp(t0 + i * 1000L)
     val ids = Iterator.from(0)
-    def id(i: Int) = 2000000000L + b * 1000L + i
+    // batch id space far above any scaled-copy id (copy k shifts base
+    // ids by k × 1e8, ≤ ~1e11 at the 1000-copy cap): the posting-ingest
+    // probe's append skips ids already in the store, so a batch id
+    // colliding with a corpus id would silently shrink the append at
+    // exactly one scale and break the cross-scale growth parity check
+    def id(i: Int) = 4000000000000L + b * 1000L + i
     val exact = (0 until 100).map(i =>
       Doc(id(ids.next()), ts(i), baseTexts(i % baseTexts.size)))
     val near = (0 until 50).map(i =>
@@ -156,6 +161,60 @@ object StreamScale {
     } finally q.stop()
   }
 
+  /** Store-ingest probes: per-batch wall of
+    * [[EventStreams.postingIngestStream]] / [[EventStreams.cmsIngestStream]]
+    * against stores BUILT (untimed) over the 1×/10×/100× corpus — the
+    * flat-by-construction claims, measured rather than asserted. Posting
+    * append tokenizes only the batch and appends ≤ bucket files; its one
+    * corpus-proportional term is the narrow `(id, dl)` docstats
+    * skip/heal pass. Counter append lands ≤ depth × width deltas plus a
+    * meta commit — no corpus-sized term at all. Growth evidence per
+    * scale: the batch doc ids present in docstats (posting) / the
+    * committed stream batch ids in meta (cms); both sets must be
+    * IDENTICAL across corpus scales (same batches in, same growth out). */
+  def runIngest(spark: SparkSession, variant: String, docsPath: String,
+      baseTexts: Seq[String]): Run = {
+    import spark.implicits._
+    val work = java.nio.file.Files
+      .createTempDirectory(s"streamscale-$variant").toString
+    val store = s"$work/store"
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = variant match {
+      case "posting" =>
+        graft.sources.PostingStore.save(
+          spark.read.parquet(docsPath), "doc_id", "text", store)
+        EventStreams.postingIngestStream(mem.toDF(), store,
+          "doc_id", "text")
+      case "cms" =>
+        graft.sources.SketchStore.save(
+          spark.read.parquet(docsPath).withColumn("src", lit("corpus")),
+          Seq("src"), col("doc_id"), store, depth = 4, width = 512,
+          hasher = graft.ops.BaseHash.Md5)
+        EventStreams.cmsIngestStream(
+          mem.toDF().withColumn("src", lit("stream")), store, "doc_id")
+    }
+    try {
+      val walls = (0 until WarmBatches + MeasuredBatches).map { b =>
+        mem.addData(mkBatch(b, baseTexts): _*)
+        val t = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t) / 1e9
+      }
+      val grew: Set[Long] = variant match {
+        case "posting" =>
+          spark.read.parquet(s"$store/docstats")
+            .filter(col("id") >= 4000000000000L)
+            .select("id").collect().map(_.getLong(0)).toSet
+        case "cms" =>
+          graft.sources.SketchStore.params(spark, store)
+            .batches.filter(_.startsWith("b-stream-"))
+            .map(_.stripPrefix("b-stream-").toLong).toSet
+      }
+      Run(walls.drop(WarmBatches), grew)
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
@@ -206,11 +265,33 @@ object StreamScale {
     if (!parity)
       println(s"STREAMSCALE PARITY MISMATCH recompute-vs-indexed: " +
         s"${rRuns.map(_.keptIds.size)} vs ${iRuns.map(_.keptIds.size)}")
+    // store-ingest probes: posting + counter append paths, same sides
+    val ingest = for (variant <- Seq("posting", "cms")) yield {
+      val runs = sides.map { case (label, path) =>
+        val r = runIngest(spark, variant, path, baseTexts)
+        println(f"STREAMBATCH $variant%-10s $label%-5s " +
+          f"per-batch=[${r.perBatchSec.map(s => f"$s%.2f").mkString(", ")}]s " +
+          f"median=${r.median}%.2fs grew=${r.keptIds.size}")
+        r
+      }
+      val ratios = runs.tail.map(_.median / math.max(runs.head.median, 1e-9))
+      println(f"STREAMSCALE $variant%-10s base=${runs.head.median}%6.2fs/batch " +
+        sides.tail.zip(ratios).map { case ((l, _), r) =>
+          f"$l=${r}%5.2fx" }.mkString(" ") +
+        f" grew=${runs.map(_.keptIds.size).mkString("->")}")
+      (variant, runs, ratios)
+    }
+    val ingestPass = ingest.forall { case (_, runs, ratios) =>
+      runs.head.keptIds.nonEmpty &&
+        runs.map(_.keptIds).distinct.lengthIs == 1 &&
+        ratios.forall(_ <= IndexedMaxRatio)
+    }
     val pass = parity && iRuns.head.keptIds.nonEmpty &&
-      iRatios.forall(_ <= IndexedMaxRatio)
+      iRatios.forall(_ <= IndexedMaxRatio) && ingestPass
     println(s"STREAMSCALE ${if (pass) "PASS" else "FAIL"} " +
-      s"(indexed bar ${IndexedMaxRatio}x per-batch at every corpus scale " +
-      "up to 100x; recompute ratios reported as contrast)")
+      s"(indexed + store-ingest bar ${IndexedMaxRatio}x per-batch at " +
+      "every corpus scale up to 100x; recompute ratios reported as " +
+      "contrast)")
     spark.stop()
   }
 }

@@ -132,12 +132,19 @@ object GraphAnalytics {
   }
 
   def triangles(edges: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxDegree: Option[Long] = None): DataFrame = {
+      bCol: String = "id_b", maxDegree: Option[Long] = None): DataFrame =
+    trianglesOfCanonical(cappedUndirected(edges, aCol, bCol, maxDegree))
+
+  /** [[triangles]] given an ALREADY-canonical staged edge set (`u < v`,
+    * deduped, self-loop-free) — the entry [[clusteringCoefficient]] uses
+    * so the shared canonical set is built and staged exactly once, not
+    * re-canonicalized (an extra least/greatest + distinct pass and a
+    * second stage checkpoint) on every coefficient call. */
+  private def trianglesOfCanonical(und: DataFrame): DataFrame = {
     // staged: `und` feeds the degree count (twice) and the orientation
     // join; `oriented` feeds both wedge sides and the closing join — an
     // un-materialized lineage would re-run the distinct + degree joins
     // once per reference (5 redundant edge-list passes at scale)
-    val und = cappedUndirected(edges, aCol, bCol, maxDegree)
     val deg = und.select(col("u").as("x"))
       .unionAll(und.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
@@ -192,9 +199,9 @@ object GraphAnalytics {
     val deg = und.select(col("u").as("id"))
       .unionAll(und.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    // the capped edge set is staged, so triangles() reuses its files
-    // rather than rebuilding the edge list
-    val tri = triangles(und, "u", "v", None)
+    // the staged canonical set feeds the triangle plan directly — no
+    // re-canonicalization pass, no second stage checkpoint
+    val tri = trianglesOfCanonical(und)
     val perVertex = tri.select(explode(array(col("id_a"), col("id_b"),
         col("id_c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
@@ -250,14 +257,21 @@ object GraphAnalytics {
     * (id → canonical key) set, `links` the out-adjacency with parallel
     * edges kept (PageRank's contribution fan-out), `symAdj` the
     * undirected adjacency (CC's propagation frontier), all
-    * hash-co-partitioned on `p` and persisted serialized. `vertIdx`
-    * (every vertex + its out-links) and `symArr` (the symmetric
-    * adjacency) are the [[AdjArr]] forms the per-round inner loops run
-    * on: iteration state lives in primitive arrays aligned to their
-    * sorted key order, so a round costs array scans plus the one
-    * irreducible message shuffle — no per-round hash-join builds, no
-    * per-round tuple streams over the full vertex set, no serialized-
-    * cache churn. */
+    * hash-co-partitioned on `p`. `vertIdx` (every vertex + its out-links)
+    * and `symArr` (the symmetric adjacency) are the [[AdjArr]] forms the
+    * per-round inner loops run on: iteration state lives in primitive
+    * arrays aligned to their sorted key order, so a round costs array
+    * scans plus the one irreducible message shuffle — no per-round
+    * hash-join builds, no per-round tuple streams over the full vertex
+    * set, no serialized-cache churn.
+    *
+    * Only `verts`, `vertIdx`, and `symArr` stay persisted for the
+    * overlay's lifetime — `links`/`symAdj` are build-time lineage handles
+    * whose contents are subsumed by the arr forms, and keeping both
+    * resident would roughly double the cached adjacency footprint (the
+    * exact cache pressure that made the true-100× single-box PageRank
+    * probe spill and serialize through one disk — SCALESMOKE_r14.md
+    * addendum 4). */
   final case class RddOverlay(p: org.apache.spark.HashPartitioner,
       verts: org.apache.spark.rdd.RDD[(Long, String)],
       links: org.apache.spark.rdd.RDD[(Long, Array[Long])],
@@ -283,12 +297,37 @@ object GraphAnalytics {
     }, preservesPartitioning = false)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+  /** Overlay partition count GROWS WITH THE GRAPH (SCALE-100X.md item 1's
+    * executor-sizing rule, made mechanical): `max(defaultParallelism,
+    * ceil(E / edgesPerPartition))`, capped at 4096. Per-partition state is
+    * `E/P` adjacency longs + `V/P` rank doubles, so a fixed partition
+    * count means per-partition arrays grow linearly with the graph —
+    * at true 100× on one box that is what pushed the cached overlay past
+    * the storage pool and serialized every iteration through disk
+    * (SCALESMOKE_r14.md addendum 4). The default 4M edges/partition keeps
+    * a partition's adjacency at ~32 MB + per-vertex overhead (cluster
+    * rule of thumb: ~0.5 GB heap per 4M-edge partition covers arr + rank
+    * state + shuffle buffers with headroom); 10×-scale runs and below
+    * stay at `defaultParallelism`, so the committed probe baselines are
+    * unchanged. `spark.graft.graph.edgesPerPartition` tunes the rule;
+    * SPARK_GRAFT_GRAPH_PARTITIONS pins an absolute count for sweeps. */
+  private def overlayPartitions(g: DocGraph, edgeCount: Long): Int =
+    sys.env.get("SPARK_GRAFT_GRAPH_PARTITIONS").map(_.toInt).getOrElse {
+      val perPart = g.spark.conf
+        .get("spark.graft.graph.edgesPerPartition", "4000000").toLong
+      math.max(g.spark.sparkContext.defaultParallelism,
+        math.min(4096L, (edgeCount + perPart - 1) / perPart).toInt)
+    }
+
   def rddOverlay(g: DocGraph): RddOverlay = {
     val cached = rddCache.get(g)
     if (cached != null) return cached
     val SER = StorageLevel.MEMORY_AND_DISK_SER
+    // one count over the (session-cached) edge frame — the overlay build
+    // is already the amortized once-per-graph path, and sizing partitions
+    // blind would defeat the scaling rule above
     val p = new org.apache.spark.HashPartitioner(
-      g.spark.sparkContext.defaultParallelism)
+      overlayPartitions(g, g.edges.count()))
     // distinct on _node_id: same-key documents merge into ONE vertex (the
     // engine's key semantics, same as the GraphX overlay's id dedup) —
     // without it duplicate-key docs would double-count rank mass and n
@@ -300,10 +339,13 @@ object GraphAnalytics {
       .select(xxhash64(col("_from")), xxhash64(col("_to")))
       .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
       .persist(StorageLevel.MEMORY_AND_DISK) // scanned twice just below
-    val links = pairs.groupByKey(p).mapValues(_.toArray).persist(SER)
+    // NOT persisted: each is consumed exactly once to build its arr form
+    // below, and pairs (cached) backs any lineage recompute. Keeping them
+    // resident would double the cached adjacency footprint (class doc).
+    val links = pairs.groupByKey(p).mapValues(_.toArray)
     val symAdj = pairs.filter(e => e._1 != e._2)
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .groupByKey(p).mapValues(_.toArray).persist(SER)
+      .groupByKey(p).mapValues(_.toArray)
     // vertIdx covers EVERY vertex (rank vectors span the whole graph);
     // nbrs = out-links where present. symArr covers symAdj's own vertex
     // set (isolated vertices are their own component by construction).
@@ -320,7 +362,7 @@ object GraphAnalytics {
     val symArr = toAdjArr(symAdj)
     val built = RddOverlay(p, verts, links, symAdj, vertIdx, symArr,
       verts.count())
-    links.count(); symAdj.count(); vertIdx.count(); symArr.count()
+    vertIdx.count(); symArr.count() // materializes links/symAdj transiently
     pairs.unpersist(blocking = false)
     rddCache.put(g, built)
     built
@@ -357,6 +399,32 @@ object GraphAnalytics {
     * round) to halve the remaining chain depth per round: O(diameter)
     * common case, O(log n) worst case, never both costs at once. */
   private val JumpAfterRounds = 8
+
+  /** Rounds of iterative state between RELIABLE checkpoints (active only
+    * under `graft.lifecycle.checkpoint=reliable` with a checkpoint dir
+    * set — the cluster posture for preemptible/dynamic-allocation
+    * deployments). The overlay inputs are recompute-safe (persisted with
+    * parquet lineage), but the per-round state arrays chain lineage one
+    * round deeper per iteration: without truncation, losing an executor
+    * in round 40 replays all 40 rounds from the overlay. Checkpointing
+    * the state every N rounds bounds any replay to N rounds at the cost
+    * of one reliable write of the (V-proportional, GB-scale at 100 TB)
+    * state per N — write amortized, replay bounded. */
+  private val CheckpointRounds = 10
+
+  /** Mark `state` for reliable checkpointing when due: must be called
+    * after `persist` and BEFORE the round's action, so the checkpoint
+    * job reads the freshly cached blocks instead of recomputing the
+    * lineage it is about to truncate. No-op outside reliable mode. */
+  private def reliableCkpt(state: org.apache.spark.rdd.RDD[_],
+      roundsSinceCkpt: Int): Boolean = {
+    val due = roundsSinceCkpt >= CheckpointRounds &&
+      org.apache.spark.sql.SparkSession.active.conf
+        .get(graft.core.Lifecycle.ConfKey, "local") == "reliable" &&
+      state.sparkContext.getCheckpointDir.isDefined
+    if (due) state.checkpoint()
+    due
+  }
 
   /** The propagation loop over a co-partitioned undirected adjacency (doc
     * at [[componentsOfEdges]]). Delta-based: a vertex fans its label out
@@ -397,6 +465,7 @@ object GraphAnalytics {
     }).persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
     var rounds = 0
+    var roundsSinceCkpt = 0
     while (changed > 0) {
       val acc = sc.longAccumulator
       // delta fan-out: only vertices whose label changed last round
@@ -448,6 +517,9 @@ object GraphAnalytics {
         acc.add(newly)
         Iterator.single((lab2, chg2))
       }.persist(StorageLevel.MEMORY_AND_DISK)
+      roundsSinceCkpt =
+        if (reliableCkpt(state, roundsSinceCkpt + 1)) 0
+        else roundsSinceCkpt + 1
       state.count() // the round's one action; also fills the accumulator
       changed = acc.value
       prev.unpersist(blocking = false)
@@ -591,6 +663,7 @@ object GraphAnalytics {
     ranks.count()
     var iters = 0
     var delta = Double.MaxValue
+    var itersSinceCkpt = 0
     while (delta > tol && iters < maxIters) {
       // chain `checkEvery` iterations lazily; cache the second-to-last so
       // the single delta action materializes the whole chain once
@@ -601,6 +674,9 @@ object GraphAnalytics {
       while (i < steps) { prev = cur; cur = next(cur); i += 1 }
       if (steps > 1) prev.persist(DESER)
       cur.persist(DESER)
+      itersSinceCkpt =
+        if (reliableCkpt(cur, itersSinceCkpt + steps)) 0
+        else itersSinceCkpt + steps
       delta = prev.zipPartitions(cur) { (ait, bit) =>
         val a = ait.next()
         val b = bit.next()

@@ -135,9 +135,15 @@ object Behavior {
     * the statistics — a type absent on a day contributes no zero cell
     * (documented choice; densify upstream to treat absence as signal).
     *
-    * Bound: BIGINT holds while `|n·x − s| < 3·10^9` — i.e. per-bucket
-    * counts to ~10^8 at a year of daily buckets; past that, bucket
-    * finer or move the squares to DECIMAL(38,0). Scale posture: one
+    * Bound: the FLAG comparison holds in BIGINT while
+    * `|n·x − s| < 3·10^9` (i.e. per-bucket counts to ~10^8 at a year of
+    * daily buckets). The reported `z2_micro` is computed as
+    * `(dev² div var)·10^6 + ((dev² mod var)·10^6) div var` — exactly
+    * `(dev²·10^6) div var`, but without the ×10^6 blow-up of the
+    * numerator, so it shares the flag's 3·10^9 deviation bound and
+    * additionally needs `n·ssq − s² < 9·10^12` (the remainder term);
+    * past either, bucket finer or move the squares to DECIMAL(38,0).
+    * Scale posture: one
     * map-side-combined count to |types|·|days| cells, then a type-keyed
     * stats window over those CELLS (not events) — the raw stream is
     * touched exactly once. */
@@ -162,7 +168,10 @@ object Behavior {
       .select(col("event_type"), col("day"), col("x"),
         when(col("_dev") > 0, lit("high")).otherwise(lit("low"))
           .as("direction"),
-        expr("(_dev * _dev * 1000000) div _var").as("z2_micro"))
+        // split quotient form (class doc): ≡ (dev²·10⁶) div var, but the
+        // intermediate never exceeds max(dev², (var−1)·10⁶)
+        expr("((_dev * _dev) div _var) * 1000000 + " +
+          "(((_dev * _dev) % _var) * 1000000) div _var").as("z2_micro"))
   }
 
   /** Exact discrete inter-arrival quantiles per event type: the gap

@@ -374,6 +374,14 @@ object Corpus {
     * contribute the same regardless of order, so the coefficient is
     * tie-invariant anyway).
     *
+    * CONSUMER CONTRACT: Gini measures evenness AMONG the sources a
+    * group has, so a group with exactly one inner value — the fully
+    * collapsed case — scores `gini_micro = 0`, indistinguishable from
+    * a perfectly even mix. A concentration screen must therefore gate
+    * on BOTH columns: `n_inner` (diversity exists) AND `gini_micro`
+    * (the diversity is real, not one giant source plus crumbs);
+    * `n_inner = 1` is maximal concentration despite its zero Gini.
+    *
     * Scale posture: one map-side-combined count to |outer|·|inner|
     * cells, one rank window over the CELLS, one aggregation. */
   def concentration(docs: DataFrame, outerCol: String,
@@ -403,19 +411,32 @@ object Corpus {
     * meaningful as the corpus grows and the raw score distribution
     * drifts, where a fixed raw cutoff silently changes selectivity.
     *
-    * Scale posture: ONE global sort (rank window) over `(metric, id)`
-    * — the same cost class as any total ORDER BY the engine already
-    * does; n arrives from the same window, no extra pass. */
+    * Scale posture: a RANGE-PARTITIONED two-pass, never a global rank
+    * window (`Window.orderBy` without partitioning moves the whole
+    * corpus into ONE task — the single-executor bottleneck Spark itself
+    * warns about). Pass 1 range-shuffles on `(metric, id)` and sorts
+    * within partitions (exactly a total ORDER BY's plan); pass 2 turns
+    * per-partition counts into rank offsets (`zipWithIndex` — one
+    * bounded driver action over P counts) and stamps ranks with local
+    * arithmetic. Ranks depend only on the total order, not on where
+    * the sampled range boundaries fall, so the output is deterministic
+    * across runs and partition layouts. */
   def percentileRank(df: DataFrame, idCol: String,
       metric: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(metric, col(idCol))
-    df.withColumn("_rk", row_number().over(w).cast("long"))
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val n = df.count()
+    if (n <= 1L) return df.withColumn("pct_micro", lit(0L))
+    val sorted = df.withColumn("_m", metric)
+      .repartitionByRange(col("_m"), col(idCol))
+      .sortWithinPartitions(col("_m"), col(idCol))
+    val withRk = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(withRk, sorted.schema.add("_rk", LongType))
       .withColumn("pct_micro",
-        when(col("_n") === 1L, lit(0L)).otherwise(
-          expr("((_rk - 1) * 1000000) div (_n - 1)")))
-      .drop("_rk", "_n")
+        expr(s"((_rk - 1) * 1000000) div ${n - 1L}"))
+      .drop("_m", "_rk")
   }
 
   /** Corpus boilerplate detector: word `n`-grams whose DOCUMENT
@@ -448,6 +469,30 @@ object Corpus {
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
       .filter(col("df") * lit(1000000L) >= lit(thrMicro) * col("n_docs"))
+      .select(col("gram"), col("df"),
+        expr("(df * 1000000) div n_docs").as("doc_frac_micro"))
+  }
+
+  /** [[boilerplateNgrams]] with an ABSOLUTE support threshold (`df >=
+    * minDocs`) instead of a corpus fraction — the frequent-pattern-mining
+    * parameterization. The fractional form answers "what is boilerplate
+    * RELATIVE to this corpus" and correctly dilutes to empty when a
+    * growing corpus diversifies; this form answers "which grams repeat at
+    * least K times, period" — the threshold a pipeline fixes once from a
+    * cost model (K duplicated grams = K wasted training tokens), so its
+    * output GROWS with the corpus instead of vanishing. Same single
+    * explode → hash-groupBy pipeline and exact integer micro fractions. */
+  def boilerplateNgramsBySupport(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDocs: Long): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val live = docs.filter(col(textCol).isNotNull)
+    val nd = live.agg(count(lit(1)).as("n_docs"))
+    live
+      .select(explode(array_distinct(wordNgrams(col(textCol), n)))
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .crossJoin(broadcast(nd))
       .select(col("gram"), col("df"),
         expr("(df * 1000000) div n_docs").as("doc_frac_micro"))
   }

@@ -218,12 +218,22 @@ object Lexical {
   def bm25TopKJoin(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       maxDf: Option[Long] = None,
+      maxDfPerMille: Option[Long] = None,
       maxBroadcastRows: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDf.isEmpty || maxDfPerMille.isEmpty,
+      "give maxDf OR maxDfPerMille, not both")
     val post = Lifecycle.stage(postings(docs, idCol, textCol))
     val dls = Lifecycle.stage(docLengths(post))
     val stats = dls.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
       .collect()(0)
+    // RELATIVE common-term cutoff: bound = ⌊perMille × N / 1000⌋, so the
+    // stopword-pruning analog scales with the corpus instead of silently
+    // emptying the candidate set when N grows past a fixed absolute df
+    // (the q110-at-10× dilution class). Exact integer floor — the oracle
+    // replays it as (pm * n) // 1000.
+    val dfBound = maxDfPerMille
+      .map(pm => pm * stats.getLong(0) / 1000L).orElse(maxDf)
     val qterms = Lifecycle.stage(
       postings(queries, qidCol, qtextCol)
         .select(col("id").as("query_id"), col("term")))
@@ -233,7 +243,7 @@ object Lexical {
       .join(hint(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .join(dls, Seq("id"))
     bm25JoinFromSliver(sliver, hint(qterms), stats.getLong(0),
-      stats.getLong(1), k, maxDf)
+      stats.getLong(1), k, dfBound)
   }
 
   /** BM25 top-`k` documents for `queryTerms`, computed directly from the

@@ -39,16 +39,34 @@ object Linkage {
     * `(id_a, id_b, dist)`. Null names and blocks larger than
     * `maxBlock` are dropped (see object doc). */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
-      blockKey: Column, maxDist: Int, maxBlock: Int): DataFrame = {
+      blockKey: Column, maxDist: Int, maxBlock: Int,
+      maxBlockPerMille: Option[Long] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
-    val slim = df.filter(col(nameCol).isNotNull)
+    maxBlockPerMille.foreach(pm => require(pm >= 1 && pm <= 1000,
+      s"maxBlockPerMille must be in [1, 1000], got $pm"))
+    val named = df.filter(col(nameCol).isNotNull)
+    // RELATIVE skew gate: with `maxBlockPerMille` set, a block is
+    // degenerate when it concentrates more than pm/1000 of all records —
+    // the cap GROWS with the table, so a 10×-bigger corpus with the same
+    // blocking-key distribution keeps its candidate sets instead of
+    // silently emptying them past a fixed absolute cap (Σ block² still
+    // bounded: ≤ (1000/pm) × (pm·N/1000)² = pm·N²/1000). Exact integer
+    // cross-multiply, replayable in any SQL engine.
+    val gate: Column = maxBlockPerMille match {
+      case Some(pm) => col("_bn") * lit(1000L) <= lit(pm) * col("_n")
+      case None => col("_bn") <= maxBlock
+    }
+    val slim = named
       .select(col(idCol).as("_id"), col(nameCol).as("_name"),
         blockKey.as("_blk"))
       // the block-size gate shares the self-join's shuffle key, so the
-      // window costs no extra exchange
+      // window costs no extra exchange; the total count (relative form
+      // only) is a 1-row broadcast sidecar
       .withColumn("_bn", count(lit(1)).over(Window.partitionBy("_blk")))
-      .filter(col("_bn") <= maxBlock).drop("_bn")
+      .transform(d => maxBlockPerMille.fold(d)(_ =>
+        d.crossJoin(broadcast(named.agg(count(lit(1)).as("_n"))))))
+      .filter(gate).drop("_bn", "_n")
     val a = slim.select(col("_blk"), col("_id").as("id_a"),
       col("_name").as("_na"))
     val b = slim.select(col("_blk"), col("_id").as("id_b"),
@@ -68,9 +86,10 @@ object Linkage {
     * emit no row. The per-unordered-pair distance is computed ONCE
     * (via [[fuzzyPairs]]) and then viewed from both sides. */
   def fuzzyNearest(df: DataFrame, idCol: String, nameCol: String,
-      blockKey: Column, maxDist: Int, maxBlock: Int): DataFrame = {
+      blockKey: Column, maxDist: Int, maxBlock: Int,
+      maxBlockPerMille: Option[Long] = None): DataFrame = {
     val pairs = fuzzyPairs(df, idCol, nameCol, blockKey, maxDist,
-      maxBlock)
+      maxBlock, maxBlockPerMille)
     val sym = pairs.select(col("id_a").as("id"),
         col("id_b").as("match_id"), col("dist"))
       .unionByName(pairs.select(col("id_b").as("id"),
