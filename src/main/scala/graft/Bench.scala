@@ -199,6 +199,10 @@ object Bench {
       // untimed, so q80's reps measure the steady-state probe (the cycle
       // itself stays q77's measurement)
       SparkEntry.appendedKnnIvfIndex(spark, g.collection("embeddings"), sfDir)
+      // q77's staged BASE quantizer: training is index construction, so
+      // it runs here untimed and q77's reps measure the steady-state
+      // maintenance cycle (snapshot save + batch append + probe)
+      SparkEntry.knnIvfBaseIndex(g.collection("embeddings"), sfDir)
       // q84/q87's shared near-dup edge set: one untimed signature +
       // blocking pass staged to parquet, so both triangle gates' reps
       // measure triangle closing instead of each recomputing the

@@ -1618,16 +1618,18 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
     "q140_fuzzy_nearest_frac" -> ((s, dir) => {
-      // q119's resolution under the RELATIVE skew gate: a block is
-      // degenerate past 20% of the table, not past an absolute row
-      // count (the part table's last-word key yields 8 uniform ~12.5%
-      // blocks — any absolute cap empties at SOME scale, the relative
-      // cap passes them at EVERY scale). SCALESMOKE then measures the
-      // Σ block² verification cost instead of the guard emptying the
-      // output; q119 stays the absolute-cap gate.
+      // q119's resolution with the two scale-correct substitutions: a
+      // COMPOSITE blocking key (last TWO words — the standard refinement
+      // when a single-attribute key yields blocks that are a fixed
+      // fraction of the table: q119's last-word key gives 8 uniform
+      // ~12.5% blocks, so Σ block² grows quadratically with the corpus)
+      // and the RELATIVE skew gate (degenerate past 20% of the table,
+      // not past an absolute row count — any absolute cap empties at
+      // SOME scale). SCALESMOKE then measures the blocked verification
+      // cost non-vacuously; q119 stays the absolute-cap single-key gate.
       ops.Linkage.fuzzyNearest(
           Testbed.graph(s, dir).collection("part"), "p_partkey",
-          "p_name", substring_index(col("p_name"), " ", -1),
+          "p_name", substring_index(col("p_name"), " ", -2),
           maxDist = 3, maxBlock = 1000, maxBlockPerMille = Some(200L))
         .withColumnRenamed("id", "p_partkey")
         .orderBy("p_partkey")
@@ -3071,13 +3073,14 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY id
            ORDER BY dist, match_id) = 1
          ORDER BY p_partkey""",
-    // q140: q119's chain under the RELATIVE skew gate — a block passes
-    // while bn·1000 ≤ 200·N (N = named rows), the integer cross-multiply
-    // the engine applies
+    // q140: q119's chain under the composite last-two-words block key
+    // and the RELATIVE skew gate — a block passes while bn·1000 ≤ 200·N
+    // (N = named rows), the integer cross-multiply the engine applies
     "q140_fuzzy_nearest_frac" ->
       """WITH p0 AS (
            SELECT p_partkey AS id, p_name AS name,
-                  string_split(p_name, ' ')[-1] AS blk
+                  array_to_string(list_slice(
+                    string_split(p_name, ' '), -2, -1), ' ') AS blk
            FROM part WHERE p_name IS NOT NULL),
          nn AS (SELECT count(*) AS n FROM p0),
          p AS (SELECT p0.* FROM p0 CROSS JOIN nn

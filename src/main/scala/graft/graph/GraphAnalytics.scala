@@ -409,8 +409,11 @@ object GraphAnalytics {
     * in round 40 replays all 40 rounds from the overlay. Checkpointing
     * the state every N rounds bounds any replay to N rounds at the cost
     * of one reliable write of the (V-proportional, GB-scale at 100 TB)
-    * state per N — write amortized, replay bounded. */
-  private val CheckpointRounds = 10
+    * state per N — write amortized, replay bounded. Cadence via
+    * `spark.graft.graph.checkpointRounds` (default 10). */
+  private def checkpointRounds: Int =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.graph.checkpointRounds", "10").toInt
 
   /** Mark `state` for reliable checkpointing when due: must be called
     * after `persist` and BEFORE the round's action, so the checkpoint
@@ -418,7 +421,7 @@ object GraphAnalytics {
     * lineage it is about to truncate. No-op outside reliable mode. */
   private def reliableCkpt(state: org.apache.spark.rdd.RDD[_],
       roundsSinceCkpt: Int): Boolean = {
-    val due = roundsSinceCkpt >= CheckpointRounds &&
+    val due = roundsSinceCkpt >= checkpointRounds &&
       org.apache.spark.sql.SparkSession.active.conf
         .get(graft.core.Lifecycle.ConfKey, "local") == "reliable" &&
       state.sparkContext.getCheckpointDir.isDefined

@@ -72,6 +72,31 @@ class LifecycleSpec extends AnyFunSuite {
     assert(off == local, "off mode diverged from local")
   }
 
+  test("iteration-state reliable checkpoints: PageRank/CC under reliable " +
+      "mode write mid-iteration RDD checkpoints and match local-mode rows") {
+    val ckptDir =
+      java.nio.file.Files.createTempDirectory("graft-iter-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    // cadence 2 so even the fixture graph's short convergence crosses a
+    // checkpoint boundary (default 10 is sized for real iteration counts)
+    spark.conf.set("spark.graft.graph.checkpointRounds", "2")
+    def run() = Seq(
+      rowsOf(graft.graph.GraphAnalytics.pageRankConverged(g, tol = 1e-6)
+        .select(col("doc_key"), round(col("pagerank"), 6))),
+      rowsOf(graft.graph.GraphAnalytics.connectedComponents(g)))
+    try {
+      val local = inMode("local")(run())
+      val reliable = inMode("reliable")(run())
+      assert(local.exists(_.nonEmpty))
+      assert(reliable == local, "reliable-mode iteration diverged")
+      val ckptFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(ckptFiles > 0,
+        s"no mid-iteration RDD checkpoints landed under $ckptDir")
+    } finally spark.conf.unset("spark.graft.graph.checkpointRounds")
+  }
+
   test("ops-side stages honor the switch too: MinHash candidate pairs " +
       "identical under local, reliable, and off") {
     import spark.implicits._
