@@ -95,12 +95,19 @@ object SparkEntry {
     * hash-verified. The export is this run's in-memory index (never a
     * recompute, so the oracle grades exactly the state the gate probed),
     * memoized per (session, sf dir, gate); paths are keyed by the sf
-    * dir's basename and the oracle SQL names the correctness gate's
-    * fixed scale (sf0.01 — TESTDATA.md). */
+    * dir's basename and the oracle SQL interpolates [[oracleSfName]]
+    * (set by Verify per run; default = the driver gate's sf0.01). */
   private val ivfOracleExports = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, String), String]()
   private[graft] def ivfOracleDir(sfDir: String): String =
     s"/tmp/graft_oracle/${new java.io.File(sfDir).getName}"
+
+  /** The sf-dir basename the IVF oracle SQL paths point at. Defaults to
+    * the driver correctness gate's fixed scale; `Verify` sets it from its
+    * sfDir argument BEFORE dumping `oracleSql`, so a selfcheck run at any
+    * scale reads that run's own exports. Exports are sf-keyed on disk, so
+    * runs at different scales never clobber each other. */
+  @volatile private[graft] var oracleSfName: String = "sf0.01"
   private[graft] def exportIvfOracle(s: SparkSession, dir: String,
       name: String, ix: ops.IvfIndex.Index, idCol: String): Unit =
     ivfOracleExports.computeIfAbsent((s.hashCode, dir, name), _ => {
@@ -1625,10 +1632,16 @@ object SparkEntry {
       // ~12.5% blocks, so Σ block² grows quadratically with the corpus)
       // and the RELATIVE skew gate (degenerate past 20% of the table,
       // not past an absolute row count — any absolute cap empties at
-      // SOME scale). SCALESMOKE then measures the blocked verification
-      // cost non-vacuously; q119 stays the absolute-cap single-key gate.
+      // SOME scale). The gate runs on a deterministic fifth of the
+      // table: the synthetic part names are 2 words from a 64-name
+      // palette, so every block is an exact-duplicate clique and pair
+      // count is pure Σ block² — the slice keeps the bench tail
+      // honest (~125k verifications, not 3.1M identical ones) while
+      // SCALESMOKE still measures the cost shape non-vacuously across
+      // scales; q119 stays the absolute-cap full-table gate.
       ops.Linkage.fuzzyNearest(
-          Testbed.graph(s, dir).collection("part"), "p_partkey",
+          Testbed.graph(s, dir).collection("part")
+            .filter(col("p_partkey") % 5 === 0), "p_partkey",
           "p_name", substring_index(col("p_name"), " ", -2),
           maxDist = 3, maxBlock = 1000, maxBlockPerMille = Some(200L))
         .withColumnRenamed("id", "p_partkey")
@@ -2375,18 +2388,19 @@ object SparkEntry {
     // its centroid table + cell assignment (exportIvfOracle) and the SQL
     // re-derives everything downstream — query normalization, centroid
     // ranking, nProbe cell selection, in-cell cosine, top-k — from those
-    // exports + the embeddings table. Paths name the correctness gate's
-    // fixed scale (sf0.01); training itself stays CI-spec'd.
+    // exports + the embeddings table. Paths are keyed by [[oracleSfName]]
+    // (Verify sets it from its sfDir, default = the driver gate's
+    // sf0.01); training itself stays CI-spec'd.
     "q45_ann_ivf" ->
-      """WITH cent AS (
+      s"""WITH cent AS (
            SELECT cell, centroid,
                   list_sum(list_transform(range(1, 65), i ->
                     CAST(centroid[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE)
                   )) AS cn2
-           FROM read_parquet('/tmp/graft_oracle/sf0.01/q45_centroids/*.parquet')),
+           FROM read_parquet('/tmp/graft_oracle/$oracleSfName/q45_centroids/*.parquet')),
          asg AS (
            SELECT vec_id, cell
-           FROM read_parquet('/tmp/graft_oracle/sf0.01/q45_cells/*.parquet')),
+           FROM read_parquet('/tmp/graft_oracle/$oracleSfName/q45_cells/*.parquet')),
          q0 AS (
            SELECT embedding AS qv,
                   sqrt(list_sum(list_transform(range(1, 65), i ->
@@ -3081,7 +3095,7 @@ object SparkEntry {
            SELECT p_partkey AS id, p_name AS name,
                   array_to_string(list_slice(
                     string_split(p_name, ' '), -2, -1), ' ') AS blk
-           FROM part WHERE p_name IS NOT NULL),
+           FROM part WHERE p_name IS NOT NULL AND p_partkey % 5 = 0),
          nn AS (SELECT count(*) AS n FROM p0),
          p AS (SELECT p0.* FROM p0 CROSS JOIN nn
                QUALIFY count(*) OVER (PARTITION BY blk) * 1000 <= 200 * n),
@@ -4114,10 +4128,10 @@ object SparkEntry {
                   list_sum(list_transform(range(1, 65), i ->
                     CAST(centroid[i] AS DOUBLE) * CAST(centroid[i] AS DOUBLE)
                   )) AS cn2
-           FROM read_parquet('/tmp/graft_oracle/sf0.01/${gate}_centroids/*.parquet')),
+           FROM read_parquet('/tmp/graft_oracle/$oracleSfName/${gate}_centroids/*.parquet')),
          asg AS (
            SELECT vec_id, cell
-           FROM read_parquet('/tmp/graft_oracle/sf0.01/${gate}_cells/*.parquet')),
+           FROM read_parquet('/tmp/graft_oracle/$oracleSfName/${gate}_cells/*.parquet')),
          q AS (
            SELECT vec_id AS id_b, embedding AS v_b,
                   sqrt(list_sum(list_transform(range(1, 65), i ->

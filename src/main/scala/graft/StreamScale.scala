@@ -244,7 +244,12 @@ object StreamScale {
     val copies = Seq(10, 100)
     val sides = ("base" -> s"$base/documents.parquet") +: copies.map(c =>
       s"x$c" -> materializeDocs(spark, base, scaledDir, c))
-    val results = for (variant <- Seq("recompute", "indexed")) yield {
+    // optional args select variants (a re-probe of one family need not
+    // pay the others); no args = all four
+    val selected: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
+    val results = for (variant <- Seq("recompute", "indexed")
+        .filter(selected)) yield {
       val runs = sides.map { case (label, path) =>
         val r = runVariant(spark, variant, path, baseTexts)
         println(f"STREAMBATCH $variant%-10s $label%-5s " +
@@ -259,14 +264,21 @@ object StreamScale {
         f" kept=${runs.map(_.keptIds.size).mkString("->")}")
       (variant, runs, ratios)
     }
-    val Seq((_, rRuns, _), (_, iRuns, iRatios)) = results
-    // stored ≡ recompute parity, end-to-end at every scale
-    val parity = rRuns.map(_.keptIds) == iRuns.map(_.keptIds)
-    if (!parity)
-      println(s"STREAMSCALE PARITY MISMATCH recompute-vs-indexed: " +
-        s"${rRuns.map(_.keptIds.size)} vs ${iRuns.map(_.keptIds.size)}")
+    // stored ≡ recompute parity, end-to-end at every scale (only when
+    // both near-dup variants ran in this invocation)
+    val nearDupPass = results match {
+      case Seq((_, rRuns, _), (_, iRuns, iRatios)) =>
+        val parity = rRuns.map(_.keptIds) == iRuns.map(_.keptIds)
+        if (!parity)
+          println(s"STREAMSCALE PARITY MISMATCH recompute-vs-indexed: " +
+            s"${rRuns.map(_.keptIds.size)} vs ${iRuns.map(_.keptIds.size)}")
+        parity && iRuns.head.keptIds.nonEmpty &&
+          iRatios.forall(_ <= IndexedMaxRatio)
+      case _ => true
+    }
     // store-ingest probes: posting + counter append paths, same sides
-    val ingest = for (variant <- Seq("posting", "cms")) yield {
+    val ingest = for (variant <- Seq("posting", "cms")
+        .filter(selected)) yield {
       val runs = sides.map { case (label, path) =>
         val r = runIngest(spark, variant, path, baseTexts)
         println(f"STREAMBATCH $variant%-10s $label%-5s " +
@@ -286,8 +298,7 @@ object StreamScale {
         runs.map(_.keptIds).distinct.lengthIs == 1 &&
         ratios.forall(_ <= IndexedMaxRatio)
     }
-    val pass = parity && iRuns.head.keptIds.nonEmpty &&
-      iRatios.forall(_ <= IndexedMaxRatio) && ingestPass
+    val pass = nearDupPass && ingestPass
     println(s"STREAMSCALE ${if (pass) "PASS" else "FAIL"} " +
       s"(indexed + store-ingest bar ${IndexedMaxRatio}x per-batch at " +
       "every corpus scale up to 100x; recompute ratios reported as " +

@@ -34,6 +34,10 @@ object Verify {
     // Optional iteration filter: SPARK_GRAFT_VERIFY_ONLY=q106,q107 dumps
     // (and lists oracles for) just the named query prefixes — the driver
     // never sets it, so driver runs always grade the full suite.
+    // IVF oracle SQL embeds read_parquet paths keyed by the sf dir's
+    // basename (exports land there during the query runs below) — point
+    // them at THIS run's scale before dumping
+    SparkEntry.oracleSfName = new java.io.File(sfDir).getName
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean =

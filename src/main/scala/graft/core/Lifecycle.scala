@@ -40,7 +40,7 @@ object Lifecycle {
     * driver mains (Bench / Verify / ScaleSmoke) — mode-switch smoke
     * runs without code edits, the way a cluster deployment would flip
     * the same conf via spark-submit. */
-  def applyEnv(spark: org.apache.spark.sql.SparkSession): Unit =
+  def applyEnv(spark: org.apache.spark.sql.SparkSession): Unit = {
     sys.env.get("SPARK_GRAFT_LIFECYCLE").foreach { m =>
       spark.conf.set(ConfKey, m)
       if (m == "reliable")
@@ -48,6 +48,14 @@ object Lifecycle {
           sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/graft_ckpt"))
       println(s"[graft] lifecycle=$m (env)")
     }
+    // iteration-state checkpoint cadence (GraphAnalytics), overridable
+    // for reliable-mode probes that must cross a checkpoint boundary
+    // within a short convergence
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_ROUNDS").foreach { n =>
+      spark.conf.set("spark.graft.graph.checkpointRounds", n)
+      println(s"[graft] graph.checkpointRounds=$n (env)")
+    }
+  }
 
   private def mode(df: DataFrame): String = {
     val m = df.sparkSession.conf.get(ConfKey, "local")
