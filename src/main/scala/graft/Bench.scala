@@ -203,6 +203,11 @@ object Bench {
       // it runs here untimed and q77's reps measure the steady-state
       // maintenance cycle (snapshot save + batch append + probe)
       SparkEntry.knnIvfBaseIndex(g.collection("embeddings"), sfDir)
+      // q76/q79's shared traversal frames: the reach set / path frame
+      // their plain siblings (q75/q78) measure live, staged untimed so
+      // the hydrated gates' reps measure hydration only
+      SparkEntry.expandReach(spark, sfDir)
+      SparkEntry.multiPathsFrame(spark, sfDir)
       // q84/q87's shared near-dup edge set: one untimed signature +
       // blocking pass staged to parquet, so both triangle gates' reps
       // measure triangle closing instead of each recomputing the

@@ -236,6 +236,10 @@ object ScaleSmoke {
       Testbed.graph(spark, dir)
       if (probes.exists(p => graphProbes.exists(p.startsWith)))
         graft.graph.GraphAnalytics.rddOverlay(Testbed.graph(spark, dir))
+      if (selectedHas("q76"))
+        SparkEntry.expandReach(spark, dir)
+      if (selectedHas("q79"))
+        SparkEntry.multiPathsFrame(spark, dir)
       if (selectedHas("q84", "q87"))
         SparkEntry.nearDupEdges(spark, dir)
       if (selectedHas("q85", "q88"))

@@ -290,8 +290,18 @@ object ShortestPath {
     * the same plan as one. */
   def findPathsDocuments(g: DocGraph, pairs: DataFrame,
       types: Seq[String] = Nil, whereDocument: Option[MongoQuery] = None,
-      maxDepth: Int = 15, collection: Option[String] = None): DataFrame = {
-    val exploded = findPaths(g, pairs, types, maxDepth)
+      maxDepth: Int = 15, collection: Option[String] = None): DataFrame =
+    documentsOfPaths(g, findPaths(g, pairs, types, maxDepth),
+      whereDocument, collection)
+
+  /** [[findPathsDocuments]]'s hydration half over an ALREADY-computed
+    * [[findPaths]] result — the composable entry for callers that staged
+    * the (expensive, bidirectional-BFS) path frame once and hydrate it
+    * repeatedly or alongside other consumers; the search never re-runs. */
+  def documentsOfPaths(g: DocGraph, paths: DataFrame,
+      whereDocument: Option[MongoQuery] = None,
+      collection: Option[String] = None): DataFrame = {
+    val exploded = paths
       .select(col("src"), col("dst"),
         posexplode(col("path")).as(Seq("pos", "_doc_key")))
     hydrateNodes(g, exploded, whereDocument, collection)

@@ -342,12 +342,21 @@ object RelQueryPlanner {
     * union plans one join per collection actually reached, not per
     * catalog entry. */
   def expandDocuments(g: DocGraph, anchors: DataFrame, q: RelQuery,
-      minHops: Int = 1, maxHops: Int = 3): DataFrame = {
+      minHops: Int = 1, maxHops: Int = 3): DataFrame =
+    documentsOfReach(g, expand(g, anchors,
+        q.copy(whereDocument = None, collection = None), minHops, maxHops)
+      .transform(graft.core.Lifecycle.stage(_)), q)
+
+  /** [[expandDocuments]]'s hydration half over an ALREADY-computed
+    * [[expand]] reach frame (`anchor_key, node_key, hops`) — the
+    * composable entry for callers that staged the traversal once and
+    * hydrate it repeatedly or alongside other consumers; the BFS never
+    * re-runs. `q` contributes only the hydration knobs
+    * (`whereDocument` / `collection`). */
+  def documentsOfReach(g: DocGraph, reach: DataFrame,
+      q: RelQuery): DataFrame = {
     q.collection.foreach(c => require(g.collections.contains(c),
       s"unknown collection: $c"))
-    val reach = expand(g, anchors,
-        q.copy(whereDocument = None, collection = None), minHops, maxHops)
-      .transform(graft.core.Lifecycle.stage(_))
     // candidate pruning — one bounded action, doubling as the reach set's
     // checkpoint materialization (the hydration union below references it
     // once per candidate collection)

@@ -352,6 +352,56 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(one.head.getLong(2) == 0L)
   }
 
+  test("percentileRank: partitioning-invariant ranks over a frame too " +
+      "big for one comfortable partition") {
+    // 10k rows with heavy metric ties: ranks must depend only on the
+    // (metric, id) total order, not on physical layout
+    val d = (0L until 10000L).map(i => (i, i % 7)).toDF("doc_id", "m")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.percentileRank(df, "doc_id", col("m"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val a = run(d.repartition(32))
+    assert(a == run(d.repartition(3)) && a == run(d.coalesce(1)))
+    // spot-check the exact arithmetic at both ends: doc 0 is the first
+    // of the m=0 run (rank 1 -> 0); doc 9995 is the LAST row of the
+    // total order (m=6, highest id of the m=6 run)
+    val byId = a.toMap
+    assert(byId(0L) == 0L)
+    assert(byId(9995L) == 1000000L)
+    // rank of doc 1 (m=1): after all 1429 m=0 rows -> rank 1430
+    assert(byId(1L) == (1429L * 1000000L) / 9999L)
+  }
+
+  test("boilerplateNgramsBySupport: absolute threshold, output grows " +
+      "with the corpus where the fractional form dilutes") {
+    def corpusOf(copies: Int) = (0 until copies).flatMap(c => Seq(
+      (c * 10L + 1L, s"the legal footer c$c"),
+      (c * 10L + 2L, s"the legal footer c$c"),
+      (c * 10L + 3L, s"unique text ${c}a"),
+      (c * 10L + 4L, s"unique text ${c}b"),
+      (c * 10L + 5L, s"unique text ${c}c"),
+      (c * 10L + 6L, s"unique text ${c}d"),
+      (c * 10L + 7L, s"unique text ${c}e"),
+      (c * 10L + 8L, s"unique text ${c}f"))).toDF("doc_id", "text")
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      Corpus.boilerplateNgramsBySupport(df, "doc_id", "text", n = 3,
+        minDocs = 2L).collect().map(_.getString(0)).toSeq.sorted
+    // per copy, "the legal footer" + "legal footer cN" reach df=2
+    assert(grams(corpusOf(1)) == Seq("legal footer c0", "the legal footer"))
+    // 4 copies: the shared gram stays, each copy contributes its own
+    // tagged gram — output GROWS (5 rows), while the 25%-fraction form
+    // still needs df >= 8 and correctly shrinks to just the shared gram
+    assert(grams(corpusOf(4)).size == 5)
+    assert(Corpus.boilerplateNgrams(corpusOf(4), "doc_id", "text", 3, 0.25)
+      .collect().map(_.getString(0)).toSeq == Seq("the legal footer"))
+    // exact-integer doc_frac_micro rides along unchanged
+    val row = Corpus.boilerplateNgramsBySupport(corpusOf(1), "doc_id",
+        "text", 3, 2L)
+      .filter(col("gram") === "the legal footer").collect()(0)
+    assert(row.getLong(1) == 2L && row.getLong(2) == 250000L)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-safe compare") {
     val v1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, null, "de"),
         (4L, "d", "en"))

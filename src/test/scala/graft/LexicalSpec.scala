@@ -137,6 +137,36 @@ class LexicalSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cut.forall(_._2 == 1L))
   }
 
+  test("bm25TopKJoin maxDfPerMille: the cutoff scales with the corpus " +
+      "where an absolute maxDf silently empties") {
+    def corpusOf(n: Long) = docs((0L until n).map(i =>
+      (i, if (i < n / 10) s"needle common filler$i" else s"common filler$i")
+    ).toSeq: _*)
+    val queries = docs(500L -> "needle common")
+    def hits(corpus: org.apache.spark.sql.DataFrame,
+        maxDf: Option[Long] = None, pm: Option[Long] = None) =
+      Lexical.bm25TopKJoin(corpus, "doc_id", "text", queries,
+        "doc_id", "text", k = 100, maxDf = maxDf, maxDfPerMille = pm)
+        .collect().map(_.getLong(2)).toSeq
+    // pm=500: bound = N/2. needle df = N/10 passes, common df = N is
+    // cut — at BOTH corpus sizes, where the absolute bound tuned for
+    // the small corpus (maxDf=10 cuts common=40, keeps needle=4)
+    // empties entirely at 10x (needle df=40 > 10)
+    assert(hits(corpusOf(40), pm = Some(500L)).size == 4)
+    assert(hits(corpusOf(400), pm = Some(500L)).size == 40)
+    assert(hits(corpusOf(40), maxDf = Some(10L)).size == 4)
+    assert(hits(corpusOf(400), maxDf = Some(10L)).isEmpty)
+    // exact floor semantics: bound = ⌊pm·N/1000⌋ — pm=99 on N=40 gives
+    // bound 3, cutting even needle (df=4); pm=100 gives exactly 4
+    assert(hits(corpusOf(40), pm = Some(99L)).isEmpty)
+    assert(hits(corpusOf(40), pm = Some(100L)).size == 4)
+    // giving both forms is refused
+    intercept[IllegalArgumentException] {
+      Lexical.bm25TopKJoin(corpusOf(40), "doc_id", "text", queries,
+        "doc_id", "text", k = 5, maxDf = Some(5L), maxDfPerMille = Some(500L))
+    }
+  }
+
   test("query-term contract: non-canonical tokens are refused") {
     val d = docs(1L -> "a b")
     for (bad <- Seq("UPPER", "two words", "", "punct!", "tab\tx"))

@@ -42,6 +42,31 @@ class LinkageSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq((1L, 2L)))
   }
 
+  test("fuzzyPairs: maxBlockPerMille gates on the TABLE fraction, not " +
+      "an absolute count") {
+    // 4 named rows: bolt block = 3 rows = 750 permille, ring = 250.
+    // pm=500: bolt dropped, ring kept (alone -> no pairs).
+    assert(Linkage.fuzzyPairs(parts, "id", "name", blk, 2, maxBlock = 2,
+      maxBlockPerMille = Some(500L)).count() == 0)
+    // pm=750: bolt passes exactly at the boundary (bn*1000 <= pm*N)
+    val got = Linkage.fuzzyPairs(parts, "id", "name", blk, 2, maxBlock = 2,
+        maxBlockPerMille = Some(750L))
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (1L, 3L)))
+    // doubling the table with another same-shape block keeps the
+    // RELATIVE sizes (3/8 = 375 permille) -> pm=500 now passes what an
+    // absolute cap of 2 would still drop: the cap grew with the table
+    val doubled = parts.unionByName(Seq(
+      (6L, "abcd nut"), (7L, "abce nut"), (8L, "axyd nut"),
+      (9L, "golde ring")).toDF("id", "name")) // dist(gold,golde) = 1
+    val scaled = Linkage.fuzzyPairs(doubled, "id", "name", blk, 2,
+        maxBlock = 2, maxBlockPerMille = Some(500L))
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(scaled == Seq((1L, 2L), (1L, 3L), (4L, 9L), (6L, 7L), (6L, 8L)))
+  }
+
   test("fuzzyNearest: best match per id, ties to smallest match_id") {
     val got = Linkage.fuzzyNearest(parts, "id", "name", blk, 2, 100)
       .orderBy("id").collect()
