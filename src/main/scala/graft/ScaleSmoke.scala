@@ -121,7 +121,10 @@ object ScaleSmoke {
     // cutoff, boilerplate sweep by absolute support, fuzzy resolution
     // under the relative block cap
     "q138_bm25_join_frac", "q139_boilerplate_support",
-    "q140_fuzzy_nearest_frac")
+    "q140_fuzzy_nearest_frac",
+    // the RAG chunker: one generate over the corpus scan, output
+    // ~n/stride rows per doc — pure linear, pins the no-shuffle shape
+    "q141_chunk_windows")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

@@ -1668,6 +1668,16 @@ object SparkEntry {
         .withColumnRenamed("id", "p_partkey")
         .orderBy("p_partkey")
     }),
+    "q141_chunk_windows" -> ((s, dir) => {
+      // the RAG/embedding-ingestion chunker: 64-token windows every 48
+      // tokens (overlap 16) per document, exact token counts and stable
+      // chunk keys — one generate over the corpus scan, no shuffle
+      // (ordering here is the gate's compare discipline, not the op's)
+      ops.Corpus.chunkWindows(
+          Testbed.graph(s, dir).collection("documents"), "doc_id",
+          "text", winTokens = 64, strideTokens = 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "q140_fuzzy_nearest_frac" -> ((s, dir) => {
       // q119's resolution with the two scale-correct substitutions: a
       // COMPOSITE blocking key (last TWO words — the standard refinement
@@ -3131,6 +3141,30 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY id
            ORDER BY dist, match_id) = 1
          ORDER BY p_partkey""",
+    // q141: the chunker replayed — same space-split + empty-filter
+    // tokens, window k = [k·48, k·48 + 64), last = ceil((n-64)/48),
+    // 1-based inclusive list_slice ≡ Spark's (start, length) slice
+    "q141_chunk_windows" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         n AS (SELECT doc_id, toks, len(toks) AS n FROM t
+               WHERE len(toks) > 0),
+         w AS (SELECT doc_id, toks, n,
+                 CASE WHEN n <= 64 THEN 0
+                      ELSE CAST(ceil(CAST(n - 64 AS DOUBLE) / 48) AS INT)
+                 END AS last
+               FROM n),
+         e AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+                 list_slice(toks, CAST(k * 48 + 1 AS INT),
+                   CAST(k * 48 + 64 AS INT)) AS chunk_toks
+               FROM w, UNNEST(range(0, last + 1)) AS u(k))
+         SELECT doc_id, chunk_idx,
+                doc_id || ':' || chunk_idx AS chunk_key,
+                CAST(len(chunk_toks) AS BIGINT) AS n_tokens,
+                array_to_string(chunk_toks, ' ') AS chunk
+         FROM e ORDER BY doc_id, chunk_idx""",
     // q140: q119's chain under the composite last-two-words block key
     // and the RELATIVE skew gate — a block passes while bn·1000 ≤ 200·N
     // (N = named rows), the integer cross-multiply the engine applies

@@ -439,6 +439,49 @@ object Corpus {
       .drop("_m", "_rk")
   }
 
+  /** Overlapping fixed-size token windows per document — the chunker in
+    * front of every RAG / embedding-ingestion pipeline: long documents
+    * become windows of `winTokens` tokens starting every `strideTokens`
+    * (stride < window ⇒ overlap, so no sentence straddles a boundary
+    * unseen). Deterministic and SQL-replayable end to end: tokens are the
+    * engine's space-split baseline ([[TextOps.tokens]]), window k covers
+    * `[k·stride, k·stride + win)`, and the LAST window is the first one
+    * whose start reaches past `n − win` (every token covered, no
+    * duplicate tail window; a doc with ≤ `winTokens` tokens is exactly
+    * one chunk). Output one row per `(id, chunk_idx)` with the chunk
+    * text, its exact token count, and `chunk_key = id:idx` for stable
+    * downstream joins (the chunk's identity cannot drift when other
+    * documents change — the [[hashSample]] retry-stability discipline).
+    *
+    * Null/empty texts emit no rows (nothing to embed; callers wanting
+    * presence semantics left-join on id). Scale posture: one generate
+    * (explode) over the corpus scan, output ≈ n/stride rows per doc —
+    * linear, no shuffle at all until the caller aggregates. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      winTokens: Int, strideTokens: Int): DataFrame = {
+    require(winTokens >= 1, s"winTokens must be >= 1, got $winTokens")
+    require(strideTokens >= 1 && strideTokens <= winTokens,
+      s"strideTokens must be in [1, winTokens], got $strideTokens")
+    val toks = filter(TextOps.tokens(col(textCol)), t => t =!= "")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") > 0)
+      // last window index: 0 when n <= win, else ceil((n - win)/stride)
+      .withColumn("_last",
+        when(col("_n") <= winTokens, lit(0)).otherwise(
+          ceil((col("_n") - lit(winTokens)).cast("double") / strideTokens)
+            .cast("int")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("_last")),
+          k => slice(col("_toks"), k * strideTokens + 1, lit(winTokens))))
+          .as(Seq("chunk_idx", "_chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(":", col("doc_id"), col("chunk_idx")).as("chunk_key"),
+        size(col("_chunk")).cast("long").as("n_tokens"),
+        array_join(col("_chunk"), " ").as("chunk"))
+  }
+
   /** Corpus boilerplate detector: word `n`-grams whose DOCUMENT
     * frequency reaches `minDocFrac` of the corpus — headers, footers,
     * license blurbs, navigation chrome; the grams a C4-style cleaner

@@ -373,6 +373,38 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(byId(1L) == (1429L * 1000000L) / 9999L)
   }
 
+  test("chunkWindows: overlap, boundary, short-doc, and empty semantics") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y z"),               // fits one window
+      (3L, "p q r s"),            // exactly one window (n == win)
+      (4L, ""), (5L, null.asInstanceOf[String]),
+      (6L, "  m   n  ")            // empty tokens filtered -> 2 tokens
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkWindows(d, "doc_id", "text",
+        winTokens = 4, strideTokens = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getString(4))).toSeq
+    // doc 1: n=10, last = ceil(6/3)=2 -> windows at 0,3,6: every token
+    // covered, 1-token overlap between consecutive windows
+    assert(got == Seq(
+      (1L, 0L, "1:0", 4L, "a b c d"),
+      (1L, 1L, "1:1", 4L, "d e f g"),
+      (1L, 2L, "1:2", 4L, "g h i j"),
+      (2L, 0L, "2:0", 3L, "x y z"),
+      (3L, 0L, "3:0", 4L, "p q r s"),
+      (6L, 0L, "6:0", 2L, "m n")))
+    // every token of every doc appears in >= 1 chunk (coverage law)
+    val cov = Corpus.chunkWindows(d, "doc_id", "text", 4, 4)
+      .groupBy("doc_id").agg(sum("n_tokens").as("s")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cov == Map(1L -> 10L, 2L -> 3L, 3L -> 4L, 6L -> 2L))
+    intercept[IllegalArgumentException] {
+      Corpus.chunkWindows(d, "doc_id", "text", 4, 5) // stride > window
+    }
+  }
+
   test("boilerplateNgramsBySupport: absolute threshold, output grows " +
       "with the corpus where the fractional form dilutes") {
     def corpusOf(copies: Int) = (0 until copies).flatMap(c => Seq(
