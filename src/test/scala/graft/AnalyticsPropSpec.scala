@@ -177,4 +177,47 @@ class AnalyticsPropSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(got == want, s"trial $t differs")
     }
   }
+
+  test("chunkWindows ≡ driver-side sliding windows on random docs " +
+      "(coverage, overlap, and exact-text laws)") {
+    (0 until Trials).foreach { t =>
+      val r = rng(t)
+      val win = 2 + r.nextInt(6)
+      val stride = 1 + r.nextInt(win)
+      val docs = (0 until 20 + r.nextInt(30)).map { i =>
+        val n = r.nextInt(4 * win)
+        (i.toLong, (0 until n).map(_ => s"w${r.nextInt(9)}").mkString(" "))
+      }
+      val got = graft.ops.Corpus.chunkWindows(docs.toDF("doc_id", "text"),
+          "doc_id", "text", win, stride)
+        .collect()
+        .map(x => ((x.getLong(0), x.getLong(1)),
+          (x.getString(2), x.getLong(3), x.getString(4)))).toMap
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) Nil
+        else {
+          val last = if (toks.length <= win) 0
+            else math.ceil((toks.length - win).toDouble / stride).toInt
+          (0 to last).map { k =>
+            val c = toks.slice(k * stride, k * stride + win)
+            ((id, k.toLong), (s"$id:$k", c.length.toLong, c.mkString(" ")))
+          }
+        }
+      }.toMap
+      assert(got == want, s"trial $t (win=$win stride=$stride) differs")
+      // coverage law: chunk 0 starts at token 0, consecutive starts
+      // differ by stride <= win, and the last chunk reaches the end —
+      // implied by the reference above; asserted structurally here
+      val perDoc = got.keys.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      docs.foreach { case (id, text) =>
+        val n = text.split(" ").count(_.nonEmpty)
+        if (n > 0) {
+          val lastIdx = perDoc(id)
+          assert(lastIdx * stride + win >= n,
+            s"doc $id: last window must reach the end")
+        }
+      }
+    }
+  }
 }

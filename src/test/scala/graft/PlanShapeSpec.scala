@@ -350,4 +350,45 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
         _.contains("GreaterThan(n_chars,0)")),
       "weight filter must push to the scan:\n" + scans.mkString("\n"))
   }
+
+  test("q141 chunker: ZERO exchanges — one generate over a 2-column " +
+      "pruned scan (the gate's ORDER BY is the only sort)") {
+    // chunking must stay a per-row transform: any Exchange here means a
+    // shuffle crept into what is a pure scan→generate pipeline. Strip
+    // the gate's compare-discipline ORDER BY by planning the op itself.
+    val plan = graft.ops.Corpus.chunkWindows(
+        Testbed.graph(spark, dir).collection("documents"), "doc_id",
+        "text", 64, 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "chunker must not shuffle:\n" + plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000))
+    val scans = scanLines(plan, "documents")
+    assert(scans.nonEmpty)
+    val readSchema = scans.head.substring(scans.head.indexOf("ReadSchema:"))
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("lang") && !readSchema.contains("source"),
+      s"chunker scan must read only (doc_id, text): $readSchema")
+  }
+
+  test("q137 percentile rank: a RANGE exchange (the parallel total " +
+      "order), never a single-partition window") {
+    val plan = planOf("q137_percentile_rank")
+    assert(plan.contains("Exchange rangepartitioning"),
+      "percentileRank must range-partition:\n" + plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "percentileRank must not collapse to one partition:\n" +
+        plan.take(3000))
+  }
+
+  test("q138 relative-df retrieval join: the df cutoff is a Filter on " +
+      "the sliver window, query side broadcasts") {
+    val plan = planOf("q138_bm25_join_frac")
+    // the resolved bound is a literal by the time the plan exists — the
+    // cutoff must appear as a comparison on the window's df output
+    // BEFORE the qterms fan-out join
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Filter") && l.contains("df")), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
