@@ -124,7 +124,11 @@ object ScaleSmoke {
     "q140_fuzzy_nearest_frac",
     // the RAG chunker: one generate over the corpus scan, output
     // ~n/stride rows per doc — pure linear, pins the no-shuffle shape
-    "q141_chunk_windows")
+    "q141_chunk_windows",
+    // temperature mixing: one count agg + one rank window over the
+    // corpus — target counts stay budget-fixed while the ranked
+    // population grows
+    "q142_temperature_mix")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

@@ -1668,6 +1668,16 @@ object SparkEntry {
         .withColumnRenamed("id", "p_partkey")
         .orderBy("p_partkey")
     }),
+    "q142_temperature_mix" -> ((s, dir) => {
+      // temperature-2 (√n) source mixing over the skewed lang column
+      // (en is ~44% of the corpus raw; the √ rule allocates it ~30% of
+      // the 200-doc budget, redistributing to tail languages) —
+      // deterministic per-lang rank pick, exact floor targets
+      ops.Corpus.temperatureMixtureSqrt(
+          Testbed.graph(s, dir).collection("documents"), "doc_id",
+          "lang", budgetDocs = 200L)
+        .orderBy("doc_id")
+    }),
     "q141_chunk_windows" -> ((s, dir) => {
       // the RAG/embedding-ingestion chunker: 64-token windows every 48
       // tokens (overlap 16) per document, exact token counts and stable
@@ -3141,6 +3151,27 @@ object SparkEntry {
          QUALIFY row_number() OVER (PARTITION BY id
            ORDER BY dist, match_id) = 1
          ORDER BY p_partkey""",
+    // q142: √n mixing replayed — sqrt is correctly rounded in every
+    // IEEE engine, Σ√n is a source-ORDERED list fold (= the engine's
+    // driver-side foldLeft), targets are the same (budget·√n)/Σ floor,
+    // the pick the same per-source rank window
+    "q142_temperature_mix" ->
+      """WITH c AS (
+           SELECT lang AS src, count(*) AS n FROM documents
+           WHERE lang IS NOT NULL GROUP BY lang),
+         s AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY src))
+                 AS ss FROM c),
+         t AS (SELECT src,
+                 CAST(floor(200 * sqrt(CAST(n AS DOUBLE)) / ss) AS BIGINT)
+                   AS target
+               FROM c, s),
+         r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+                   AS rn
+               FROM documents WHERE lang IS NOT NULL)
+         SELECT r.doc_id, r.lang, t.target
+         FROM r JOIN t ON r.lang = t.src WHERE r.rn <= t.target
+         ORDER BY doc_id""",
     // q141: the chunker replayed — same space-split + empty-filter
     // tokens, window k = [k·48, k·48 + 64), last = ceil((n-64)/48),
     // 1-based inclusive list_slice ≡ Spark's (start, length) slice

@@ -439,6 +439,50 @@ object Corpus {
       .drop("_m", "_rk")
   }
 
+  /** Temperature-based source mixing at T = 2 (sampling probability
+    * ∝ √n_s — the multilingual/mT5 default): upweight tail sources,
+    * damp head sources, so a corpus where one crawl is 100× another
+    * doesn't train a model that has only seen the crawl. Returns the
+    * deterministic per-source pick: the first `target_s` documents of
+    * each source in `idCol` order, where
+    * `target_s = ⌊budgetDocs · √n_s / Σ_s √n_s⌋` (floor drift stays
+    * unallocated — callers wanting the budget exact distribute the
+    * ≤ |sources| remainder explicitly).
+    *
+    * Deterministic and SQL-replayable end to end, which is why the
+    * temperature is FIXED at √: sqrt is the one non-rational power IEEE
+    * 754 requires correctly rounded, so both engines compute identical
+    * doubles — an arbitrary `pow(n, 1/T)` is not and would drift across
+    * engines. Σ√n is summed over SOURCE-SORTED counts (left-to-right —
+    * replayable as an ordered list fold), computed in one bounded driver
+    * action over the ≤ |sources| count rows (the quantization-params
+    * pattern); the pick is a per-source rank window (rank-pushdown,
+    * map-side group limit). Null sources are excluded. */
+  def temperatureMixtureSqrt(docs: DataFrame, idCol: String,
+      sourceCol: String, budgetDocs: Long): DataFrame = {
+    require(budgetDocs >= 1, s"budgetDocs must be >= 1, got $budgetDocs")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val live = docs.filter(col(sourceCol).isNotNull)
+    val counts = live.groupBy(col(sourceCol).as("_src"))
+      .agg(count(lit(1)).as("_n"))
+      .orderBy("_src")
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    val sumSqrt = counts.foldLeft(0.0)((acc, c) => acc + math.sqrt(c._2.toDouble))
+    val targets = counts.map { case (src, n) =>
+      (src, n, math.floor(budgetDocs.toDouble * math.sqrt(n.toDouble)
+        / sumSqrt).toLong)
+    }.toSeq.toDF("_src", "n_source", "target")
+    live
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col(idCol))))
+      .join(broadcast(targets),
+        col(sourceCol).cast("string") === col("_src"))
+      .filter(col("_rn") <= col("target"))
+      .select(col(idCol), col(sourceCol), col("target"))
+  }
+
   /** Overlapping fixed-size token windows per document — the chunker in
     * front of every RAG / embedding-ingestion pipeline: long documents
     * become windows of `winTokens` tokens starting every `strideTokens`

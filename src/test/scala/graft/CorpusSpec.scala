@@ -373,6 +373,31 @@ class CorpusSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(byId(1L) == (1429L * 1000000L) / 9999L)
   }
 
+  test("temperatureMixtureSqrt: tail sources upweighted, head damped, " +
+      "deterministic rank pick, floor targets") {
+    // head 64 docs, tail 4 docs: raw head share 94%, sqrt shares
+    // 8/(8+2) = 80% -> with budget 10: head target 8, tail target 2
+    val d = ((0L until 64L).map(i => (i, "head")) ++
+      (100L until 104L).map(i => (i, "tail"))).toDF("doc_id", "src")
+    val got = Corpus.temperatureMixtureSqrt(d, "doc_id", "src", 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.count(_._2 == "head") == 8 && got.count(_._2 == "tail") == 2)
+    // the pick is the FIRST target docs per source in id order
+    assert(got.map(_._1) == ((0L until 8L) ++ Seq(100L, 101L)))
+    assert(got.forall(r => if (r._2 == "head") r._3 == 8L else r._3 == 2L))
+    // null sources never enter the counts or the pick
+    val withNull = d.unionByName(
+      Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "src"))
+    assert(Corpus.temperatureMixtureSqrt(withNull, "doc_id", "src", 10L)
+      .count() == 10L)
+    // uniform sources degrade to an even split (floor'd)
+    val uni = (0L until 30L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val u = Corpus.temperatureMixtureSqrt(uni, "doc_id", "src", 9L)
+      .collect().map(_.getString(1)).groupBy(identity).view.mapValues(_.length)
+    assert(u.values.toSet == Set(3))
+  }
+
   test("chunkWindows: overlap, boundary, short-doc, and empty semantics") {
     val d = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens
