@@ -186,31 +186,42 @@ object ScaleSmoke {
   final case class Probe(name: String, baseSec: Double, scaledSec: Double,
       baseRows: Long, scaledRows: Long, err: Option[String],
       baseInMB: Double = 0, baseShufMB: Double = 0,
-      scaledInMB: Double = 0, scaledShufMB: Double = 0) {
+      scaledInMB: Double = 0, scaledShufMB: Double = 0,
+      baseShufRec: Long = 0, scaledShufRec: Long = 0) {
     def ratio: Double = scaledSec / math.max(baseSec, 1e-9)
     def shufRatio: Double = scaledShufMB / math.max(baseShufMB, 1e-9)
+    def shufRecRatio: Double =
+      scaledShufRec.toDouble / math.max(baseShufRec.toDouble, 1e-9)
     def ok: Boolean = err.isEmpty && baseRows > 0 && scaledRows > 0 &&
       ratio <= MaxRatio
   }
 
   /** Task-metric tally for the measured rep: parquet input bytes and
-    * shuffle-write bytes (the canonical shuffle volume — read ≈ write).
-    * The 1× vs 10× byte series is what the 100× posture extrapolates
-    * from (SCALE-100X.md); wall ratios alone can hide a super-linear
-    * shuffle behind driver overhead. */
+    * shuffle-write bytes + RECORDS (the canonical shuffle volume —
+    * read ≈ write). The 1× vs 10× byte series is what the 100× posture
+    * extrapolates from (SCALE-100X.md); wall ratios alone can hide a
+    * super-linear shuffle behind driver overhead, and the record count
+    * separates genuine row growth from byte-width artifacts — and
+    * exposes SEMANTIC phase changes a byte ratio alone leaves ambiguous
+    * (q138's r15 probe: rec_ratio 67 at 10× data because the relative
+    * df cutoff correctly admits per-copy common terms once no term
+    * exceeds half the grown corpus — the fan-out is the true Σ df
+    * retrieval cost, not an operator blow-up). */
   private final class ByteTally
       extends org.apache.spark.scheduler.SparkListener {
     val in = new java.util.concurrent.atomic.AtomicLong
     val shuf = new java.util.concurrent.atomic.AtomicLong
+    val shufRec = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         in.addAndGet(m.inputMetrics.bytesRead)
         shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
       }
     }
-    def reset(): Unit = { in.set(0); shuf.set(0) }
+    def reset(): Unit = { in.set(0); shuf.set(0); shufRec.set(0) }
   }
 
   /** Run every probe against both directories (overlay build excluded
@@ -275,7 +286,7 @@ object ScaleSmoke {
       }
     val tally = new ByteTally
     spark.sparkContext.addSparkListener(tally)
-    def time(fn: => DataFrame): (Double, Long, Double, Double) = {
+    def time(fn: => DataFrame): (Double, Long, Double, Double, Long) = {
       fn.count(); cleanup() // warm: JIT, code cache, file listings
       tally.reset()
       val t0 = System.nanoTime()
@@ -283,15 +294,17 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // let the listener bus drain the last task events
       val (inMB, shufMB) = (tally.in.get / 1e6, tally.shuf.get / 1e6)
+      val shufRec = tally.shufRec.get
       cleanup()
-      (sec, rows, inMB, shufMB)
+      (sec, rows, inMB, shufMB, shufRec)
     }
     probes.map { name =>
       val fn = SparkEntry.queries(name)
       try {
-        val (bSec, bRows, bIn, bShuf) = time(fn(spark, base))
-        val (sSec, sRows, sIn, sShuf) = time(fn(spark, scaledDir))
-        val p = Probe(name, bSec, sSec, bRows, sRows, None, bIn, bShuf, sIn, sShuf)
+        val (bSec, bRows, bIn, bShuf, bRec) = time(fn(spark, base))
+        val (sSec, sRows, sIn, sShuf, sRec) = time(fn(spark, scaledDir))
+        val p = Probe(name, bSec, sSec, bRows, sRows, None, bIn, bShuf,
+          sIn, sShuf, bRec, sRec)
         // incremental line per probe: a long 100× run that dies mid-way
         // still leaves every completed probe's numbers on stdout
         println(f"SCALE ${p.name}%-28s base=${p.baseSec}%6.2fs " +
@@ -346,7 +359,8 @@ object ScaleSmoke {
     results.filter(_.err.isEmpty).foreach { p =>
       println(f"SCALEB ${p.name}%-27s in=${p.baseInMB}%8.1f->" +
         f"${p.scaledInMB}%8.1fMB shuf=${p.baseShufMB}%8.1f->" +
-        f"${p.scaledShufMB}%8.1fMB shuf_ratio=${p.shufRatio}%5.2f")
+        f"${p.scaledShufMB}%8.1fMB shuf_ratio=${p.shufRatio}%5.2f " +
+        f"rec_ratio=${p.shufRecRatio}%5.2f")
     }
     println(s"SCALESMOKE ${if (results.forall(_.ok)) "PASS" else "FAIL"} " +
       s"(${Copies}x data, bar ${MaxRatio}x wall)")
