@@ -611,6 +611,46 @@ object SmokeVerify {
           "OK" else "BROKEN"))
     }
 
+    // 22. Product quantization (round 15): ADC probe over fly-coded,
+    // stored, and appended corpora must agree bit-for-bit; recall vs the
+    // exact kNN join must clear the quantization-error screen.
+    {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val corpus22 = emb.filter(col("vec_id") % 10 =!= 0)
+      val queries22 = emb.filter(col("vec_id") % 10 === 0)
+      val model22 = graft.ops.Pq.train(corpus22, "embedding", m = 32, ks = 64)
+      val fly22 = graft.ops.Pq.topKPerQueryAdc(queries22,
+        graft.ops.Pq.encode(corpus22, "vec_id", "embedding", model22),
+        model22, "vec_id", "embedding", k = 10)
+        .collect().map(_.toSeq).toSet
+      val dir22 = java.nio.file.Files.createTempDirectory("smoke-pq").toString
+      graft.sources.PqStore.save(corpus22.filter(col("vec_id") < 300),
+        "vec_id", "embedding", model22, dir22)
+      graft.sources.PqStore.append(spark, dir22,
+        corpus22.filter(col("vec_id") >= 300), "vec_id", "embedding")
+      val stored22 = graft.ops.Pq.topKPerQueryAdc(queries22,
+        graft.sources.PqStore.codes(spark, dir22),
+        graft.sources.PqStore.codebooks(spark, dir22),
+        "vec_id", "embedding", k = 10)
+        .collect().map(_.toSeq).toSet
+      val exact22 = graft.ops.Similarity.crossNearDupsExact(
+          corpus22, queries22, "vec_id", "embedding", threshold = -1.0)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id_b")
+            .orderBy(col("score").desc, col("id_a"))))
+        .filter(col("rank") <= 10)
+        .select(col("id_b"), col("id_a"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adcPairs22 = fly22.map(s => (s(0), s(1)))
+        .map { case (q, n) => (q.asInstanceOf[Long], n.asInstanceOf[Long]) }
+      val rec22 = adcPairs22.count(exact22.contains).toDouble / exact22.size
+      println(s"SMOKE22 pqAdc: fly=${fly22.size} " +
+        s"storedAppendParity=${stored22 == fly22} " +
+        f"recall=$rec22%.2f => " +
+        (if (fly22.nonEmpty && stored22 == fly22 && rec22 >= 0.65)
+          "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }
