@@ -260,6 +260,75 @@ object SparkEntry {
       out
     })
 
+  /** q143's PQ model: trained once per (session, sf dir) on q85's corpus
+    * slice in normalized space (m=16 subspaces × ks=64 centroids — 16
+    * byte-codes per 64-dim vector, 16× below fp32), untimed like every
+    * index build. The model is what [[exportPqOracle]] hands the oracle. */
+  private val pqModels = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), ops.Pq.Model]()
+  private[graft] def pqModelFor(s: SparkSession, dir: String,
+      emb: DataFrame): ops.Pq.Model =
+    pqModels.computeIfAbsent((s.hashCode, dir), _ =>
+      ops.Pq.train(
+        emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
+        "embedding", m = 16, ks = 64))
+
+  /** q144's persisted PQ code store: q85's corpus slice coded under
+    * [[pqModelFor]]'s model and saved once per (session, sf dir) —
+    * warmed by Bench's build phase so the gate reps measure the stored
+    * ADC probe (an m-byte-code scan), never the save. */
+  private val pqStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def pqCodesStore(s: SparkSession, emb: DataFrame,
+      dir: String): String =
+    pqStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pq-store").toString
+      sources.PqStore.save(
+        emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
+        "vec_id", "embedding", pqModelFor(s, dir, emb), out)
+      out
+    })
+
+  /** q145's APPENDED PQ store: codebooks trained on (and saved with) the
+    * sub-150 corpus slice, the 150-200 remainder appended coded under
+    * those fixed codebooks — the rolling-ingest shape. Codebooks carry no
+    * corpus statistics beyond training, so the appended store is
+    * bit-identical to a rebuild under the same model (PqSpec pins it). */
+  private val appendedPqStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def appendedPqCodesStore(s: SparkSession, emb: DataFrame,
+      dir: String): String =
+    appendedPqStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pq-appended").toString
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200)
+      val model = ops.Pq.train(corpus.filter(col("vec_id") < 150),
+        "embedding", m = 16, ks = 64)
+      sources.PqStore.save(corpus.filter(col("vec_id") < 150),
+        "vec_id", "embedding", model, out)
+      sources.PqStore.append(s, out,
+        corpus.filter(col("vec_id") >= 150), "vec_id", "embedding")
+      out
+    })
+
+  /** PQ oracle export (the [[exportIvfOracle]] discipline): the gate's
+    * codebooks as an `m·ks`-row parquet the oracle reads back, replaying
+    * encode + ADC + top-k exactly — the probed model, never a retrain. */
+  private val pqOracleExports = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String), String]()
+  private[graft] def exportPqOracle(s: SparkSession, dir: String,
+      name: String, model: ops.Pq.Model): Unit =
+    pqOracleExports.computeIfAbsent((s.hashCode, dir, name), _ => {
+      import s.implicits._
+      val base = ivfOracleDir(dir)
+      (for { j <- 0 until model.m; c <- 0 until model.ks }
+        yield (j, c, model.codebooks(j)(c)))
+        .toDF("j", "c", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/${name}_codebooks")
+      base
+    })
+
   /** q92/q93's persisted near-dup signature index: q66/q73's corpus slice
     * (doc_id % 7 != 0) indexed ONCE per (session, sf dir) via
     * [[sources.SignatureStore.save]] under the md5 base hash — the stored
@@ -1678,6 +1747,56 @@ object SparkEntry {
           "lang", budgetDocs = 200L)
         .orderBy("doc_id")
     }),
+    "q143_knn_pq" -> ((s, dir) => {
+      // product-quantized ADC kNN (ops.Pq): q85's exact slices, corpus
+      // coded to m=16 byte codes (16× less scan bandwidth than fp32),
+      // queries collapsed to m×ks inner-product lookup tables. Codebooks
+      // train once per (session, sf dir), untimed — the IVF discipline —
+      // and are exported so the oracle replays ENCODE + ADC + top-k as
+      // pure IEEE double math (training stays CI-spec'd in PqSpec).
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val model = pqModelFor(s, dir, emb)
+      exportPqOracle(s, dir, "q143", model)
+      ops.Pq.topKPerQueryAdc(
+          emb.filter(col("vec_id") % 50 === 0),
+          ops.Pq.encode(
+            emb.filter(col("vec_id") % 50 =!= 0 && col("vec_id") < 200),
+            "vec_id", "embedding", model),
+          model, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q144_knn_pq_stored" -> ((s, dir) => {
+      // q143's probe over a PERSISTED code store (sources.PqStore): the
+      // scan reads m-byte codes, never the float corpus — the bandwidth
+      // claim banked, like q88 did for int8. Same model, same math ⇒
+      // bit-identical to q143 (pinned in PqSpec); its own export keeps
+      // the oracle self-contained per gate.
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val store = pqCodesStore(s, emb, dir)
+      val model = sources.PqStore.codebooks(s, store)
+      exportPqOracle(s, dir, "q144", model)
+      ops.Pq.topKPerQueryAdc(
+          emb.filter(col("vec_id") % 50 === 0),
+          sources.PqStore.codes(s, store),
+          model, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q145_knn_pq_appended" -> ((s, dir) => {
+      // steady-state probe over an APPENDED PQ store: codebooks trained
+      // when the sub-150 slice was saved, the 150-200 remainder coded
+      // under those FIXED codebooks (appended store ≡ rebuild, the q94
+      // property — PqSpec pins it). The oracle replays the whole corpus
+      // under the exported (stored) codebooks; build cycle untimed.
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val store = appendedPqCodesStore(s, emb, dir)
+      val model = sources.PqStore.codebooks(s, store)
+      exportPqOracle(s, dir, "q145", model)
+      ops.Pq.topKPerQueryAdc(
+          emb.filter(col("vec_id") % 50 === 0),
+          sources.PqStore.codes(s, store),
+          model, "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "q141_chunk_windows" -> ((s, dir) => {
       // the RAG/embedding-ingestion chunker: 64-token windows every 48
       // tokens (overlap 16) per document, exact token counts and stable
@@ -2952,6 +3071,12 @@ object SparkEntry {
     // bit-identical to q85's on-the-fly path, so the oracle is the same.
     "q88_knn_quantized_stored" -> KnnQuantizedOracleSql,
     "q89_knn_quantized_appended" -> KnnQuantizedAppendedOracleSql,
+    // PQ ADC probes replayed given the exported codebooks; q144 probes
+    // the persisted codes (bit-identical math) and q145 the appended
+    // store (its export IS the stored model, trained on the save slice).
+    "q143_knn_pq" -> PqProbeOracleSql("q143"),
+    "q144_knn_pq_stored" -> PqProbeOracleSql("q144"),
+    "q145_knn_pq_appended" -> PqProbeOracleSql("q145"),
     "q86_hash_split" ->
       """SELECT CASE
                   WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
@@ -4286,6 +4411,78 @@ object SparkEntry {
   /** Shared by q85 (on-the-fly quantization) and q88 (persisted codes):
     * the two engines' outputs are bit-identical by construction, so one
     * oracle verifies both. */
+  /** PQ ADC probes replayed GIVEN the trained codebooks (the
+    * [[IvfProbeOracleSql]] discipline, one stage deeper): the gate exports
+    * its m·ks-row codebook table ([[exportPqOracle]]) and the SQL
+    * re-derives EVERYTHING downstream — corpus/query normalization,
+    * per-subspace argmin encoding (first-index tie-break = `ORDER BY d2,
+    * c`), the per-query inner-product lookup tables, the ADC fold (list
+    * order = Spark's left-to-right `zip_with` fold), and top-k. m=16,
+    * subDim=4, dim=64, k=5 — the gate's fixed shape. Training stays
+    * CI-spec'd (PqSpec recall/parity). */
+  private def PqProbeOracleSql(gate: String): String =
+    s"""WITH cb AS (
+           SELECT j, c, centroid
+           FROM read_parquet('/tmp/graft_oracle/$oracleSfName/${gate}_codebooks/*.parquet')),
+         c0 AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65), i ->
+                    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  ))) AS nrm
+           FROM embeddings WHERE vec_id % 50 <> 0 AND vec_id < 200),
+         cu AS (
+           SELECT vec_id, list_transform(range(1, 65), i ->
+                    CAST(embedding[i] AS DOUBLE) / nrm) AS u
+           FROM c0 WHERE nrm > 0),
+         q0 AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65), i ->
+                    CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                  ))) AS nrm
+           FROM embeddings WHERE vec_id % 50 = 0),
+         qu AS (
+           SELECT vec_id, list_transform(range(1, 65), i ->
+                    CAST(embedding[i] AS DOUBLE) / nrm) AS u
+           FROM q0 WHERE nrm > 0),
+         cd AS (
+           SELECT cu.vec_id, cb.j, cb.c,
+                  list_sum(list_transform(range(1, 5), i ->
+                    (cu.u[cb.j * 4 + i] - CAST(cb.centroid[i] AS DOUBLE))
+                    * (cu.u[cb.j * 4 + i] - CAST(cb.centroid[i] AS DOUBLE))
+                  )) AS d2
+           FROM cu, cb),
+         codes AS (
+           SELECT vec_id, j, c AS code FROM (
+             SELECT vec_id, j, c, row_number() OVER (
+               PARTITION BY vec_id, j ORDER BY d2, c) AS rn FROM cd)
+           WHERE rn = 1),
+         codesl AS (
+           SELECT vec_id, list(code ORDER BY j) AS codes
+           FROM codes GROUP BY vec_id),
+         lut AS (
+           SELECT qu.vec_id, cb.j, cb.c,
+                  list_sum(list_transform(range(1, 5), i ->
+                    qu.u[cb.j * 4 + i] * CAST(cb.centroid[i] AS DOUBLE))) AS ip
+           FROM qu, cb),
+         lutj AS (
+           SELECT vec_id, j, list(ip ORDER BY c) AS ips
+           FROM lut GROUP BY vec_id, j),
+         lutl AS (
+           SELECT vec_id, list(ips ORDER BY j) AS lut
+           FROM lutj GROUP BY vec_id),
+         sc AS (
+           SELECT l.vec_id AS query_id, cl.vec_id AS neighbor_id,
+                  round(list_sum(list_transform(range(1, 17), j ->
+                    l.lut[j][cl.codes[j] + 1])), 4) AS score
+           FROM lutl l, codesl cl),
+         r AS (
+           SELECT query_id, neighbor_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS INT) AS "rank"
+           FROM sc)
+         SELECT query_id, neighbor_id, score, "rank" FROM r
+         WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
   private val KnnQuantizedOracleSql =
       """WITH c0 AS (
            SELECT vec_id, embedding FROM embeddings

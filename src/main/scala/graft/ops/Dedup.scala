@@ -548,4 +548,84 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Verbatim shared spans — the EXACT-substring complement to
+    * [[winnowMatches]]'s sampled fingerprints (the "ExactSubstr" dedup
+    * rule: training corpora carry long verbatim repeats that fuzzy
+    * per-doc scores miss; the remedy is to find and excise the literal
+    * span, cf. reference-free text dedup literature). For every ordered
+    * doc pair it emits each maximal run of ≥ `minLen` chars that appears
+    * VERBATIM in both, with both offsets:
+    * `(id_a, id_b, start_a, start_b, span_len)`, `id_a < id_b`, 1-based
+    * starts.
+    *
+    * Relational formulation (no suffix array, no per-task state): hash
+    * every stride-1 `k`-char window (31-bit `hash`, the winnow kernel);
+    * drop windows whose hash occurs more than `maxOccurrences` times
+    * corpus-wide (the boilerplate/skew cap — template chrome would
+    * otherwise drive the bucket² blow-up); self-join on the hash; then
+    * merge matched positions into maximal runs by DIAGONAL
+    * (`start_a − start_b` is constant along a shared span, so a
+    * lag-by-1 island detection per `(pair, diagonal)` ordered by
+    * position is the merge — two window functions, no iteration).
+    * Because islands are built from 1-step adjacency, a run of
+    * consecutive matching windows of length r covers r + k − 1 chars.
+    *
+    * `verify = true` (default) re-reads both texts for the EMITTED spans
+    * only (output-bounded, never pair-bounded) and keeps a span only if
+    * the substrings are byte-identical — with it the operator is exact
+    * even under 31-bit hash collisions; the shuffled stream itself
+    * carries `(hash, id, pos)` triples, never text. At 100 TB: run over
+    * [[winnowMatches]]' candidate pairs' docs (filter first), not the raw
+    * corpus — stride-1 windows are ~n_chars rows per doc, so the full-
+    * corpus form is a deliberate heavy pass, linear in corpus bytes. */
+  def verbatimSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minLen: Int, maxOccurrences: Int,
+      hash: BaseHash = BaseHash.Xx, verify: Boolean = true): DataFrame = {
+    require(k >= 4, s"window size k must be >= 4, got $k")
+    require(minLen >= k, s"minLen must be >= k=$k, got $minLen")
+    require(maxOccurrences >= 2,
+      s"maxOccurrences must be >= 2, got $maxOccurrences")
+    val w = org.apache.spark.sql.expressions.Window
+    val wins = graft.core.Lifecycle.stage(
+      docs.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+        .select(col(idCol).cast("long").as("id"),
+          transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+            i => struct(i.as("pos"),
+              hash.bits31(col(textCol).substr(i, lit(k))).as("h")))
+            .as("_ws"))
+        .select(col("id"), explode(col("_ws")).as("_w"))
+        .select(col("id"), col("_w.pos").as("pos"), col("_w.h").as("h"))
+        .withColumn("_n", count(lit(1)).over(w.partitionBy("h")))
+        .filter(col("_n") <= maxOccurrences).drop("_n"))
+    val pairs = wins.select(col("h"), col("id").as("id_a"),
+        col("pos").as("pa"))
+      .join(wins.select(col("h"), col("id").as("id_b"),
+        col("pos").as("pb")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val run = w.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    val spans = pairs
+      .withColumn("_brk",
+        when(col("pa") - lag("pa", 1).over(run) === 1, 0).otherwise(1))
+      .withColumn("_isl", sum("_brk").over(run))
+      .groupBy("id_a", "id_b", "diag", "_isl")
+      .agg(min("pa").as("start_a"),
+        (max("pa") - min("pa") + k).cast("int").as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .select(col("id_a"), col("id_b"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("span_len"))
+    if (!verify) spans
+    else {
+      val t = docs.select(col(idCol).cast("long"), col(textCol))
+      spans
+        .join(t.toDF("id_a", "_ta"), Seq("id_a"))
+        .join(t.toDF("id_b", "_tb"), Seq("id_b"))
+        .filter(col("_ta").substr(col("start_a"), col("span_len")) ===
+          col("_tb").substr(col("start_b"), col("span_len")))
+        .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+          col("span_len"))
+    }
+  }
 }

@@ -67,6 +67,60 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(capped.contains((0L, 1L)) && !capped.contains((0L, 2L)))
   }
 
+  test("verbatimSpans: maximal shared runs with exact 1-based offsets on " +
+      "both sides") {
+    val shared = "the quick brown fox jumps over the lazy dog" // 43 chars
+    val d = Seq(
+      (0L, "XXXXX" + shared + "YYYY"),
+      (1L, "AA" + shared + "BBBBBBB"),
+      (2L, "no shared content with anything else at all ok"))
+      .toDF("doc_id", "text")
+    val s = Dedup.verbatimSpans(d, "doc_id", "text", k = 8, minLen = 20,
+        maxOccurrences = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(s == Set((0L, 1L, 6, 3, 43)))
+  }
+
+  test("verbatimSpans: separate runs stay separate islands; minLen " +
+      "filters; the occurrence cap kills corpus-wide boilerplate") {
+    val run1 = "ABCDEFGHIJKLMNOPQRSTUVWX" // 24 chars
+    val run2 = "0123456789012345678901234567" // 28 chars
+    val d = Seq(
+      (0L, run1 + "______________" + run2),
+      (1L, "zzzz" + run1 + "@@@@@@@@@@@@@@@@@@@@" + run2 + "zz"))
+      .toDF("doc_id", "text")
+    val s = Dedup.verbatimSpans(d, "doc_id", "text", k = 8, minLen = 20,
+        maxOccurrences = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    // two disjoint maximal runs, each its own span row; note run2 is
+    // internally periodic (period 10), so the diagonal merge emits the
+    // maximal run on the aligned diagonal and shorter shifted echoes
+    // below minLen are filtered
+    assert(s.contains((0L, 1L, 1, 5, 24)))
+    assert(s.contains((0L, 1L, 39, 49, 28)))
+    // raising minLen past both spans empties the result
+    assert(Dedup.verbatimSpans(d, "doc_id", "text", k = 8, minLen = 50,
+      maxOccurrences = 10).isEmpty)
+    // three docs sharing the same span with a cap of 2 occurrences:
+    // every window of the span occurs 3 times -> dropped -> no spans
+    val trio = Seq((0L, "aa" + run1), (1L, "bb" + run1), (2L, "cc" + run1))
+      .toDF("doc_id", "text")
+    assert(Dedup.verbatimSpans(trio, "doc_id", "text", k = 8, minLen = 20,
+      maxOccurrences = 2).isEmpty)
+    // with the cap open, all three pairs emit
+    assert(Dedup.verbatimSpans(trio, "doc_id", "text", k = 8, minLen = 20,
+      maxOccurrences = 10).count() == 3)
+    // verification changes nothing without collisions
+    val unverified = Dedup.verbatimSpans(d, "doc_id", "text", 8, 20, 10,
+        verify = false)
+      .collect().map(_.toSeq).toSet
+    val verified = Dedup.verbatimSpans(d, "doc_id", "text", 8, 20, 10)
+      .collect().map(_.toSeq).toSet
+    assert(verified == unverified)
+  }
+
   test("winnowing is partitioning-invariant (fingerprints are per-row)") {
     val d = Testbed.graph(spark, "/root/testdata/sf0.001")
       .collection("documents")
