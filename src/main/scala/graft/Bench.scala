@@ -242,6 +242,13 @@ object Bench {
       SparkEntry.postingStorePath(spark, g.collection("documents"), sfDir)
       SparkEntry.appendedPostingStorePath(spark,
         g.collection("documents"), sfDir)
+      // q143's PQ codebooks (training is index construction — untimed;
+      // reps measure encode + ADC probe) and q144/q145's code stores
+      // (coding write untimed, reps measure the m-byte-code scan probe)
+      SparkEntry.pqModelFor(spark, sfDir, g.collection("embeddings"))
+      SparkEntry.pqCodesStore(spark, g.collection("embeddings"), sfDir)
+      SparkEntry.appendedPqCodesStore(spark, g.collection("embeddings"),
+        sfDir)
     } catch { case e: Throwable =>
       buildErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       System.err.println(s"[bench] BUILD FAILED: ${buildErr.get.take(500)}")

@@ -128,7 +128,18 @@ object ScaleSmoke {
     // temperature mixing: one count agg + one rank window over the
     // corpus — target counts stay budget-fixed while the ranked
     // population grows
-    "q142_temperature_mix")
+    "q142_temperature_mix",
+    // round-15 PQ family: fly encode+ADC (scale-fixed corpus slice,
+    // 10× query batch — the q85 posture) and the stored-codes probe
+    // (m-byte scan; store build staged untimed). q145 omitted like q89:
+    // it codes a fixed 150-200 slice, scale-invariant by construction.
+    "q143_knn_pq", "q144_knn_pq_stored",
+    // verbatim span extraction: stride-1 window hash join + diagonal
+    // merge. Word-tagged copies keep window sets DISJOINT across
+    // copies, so the occurrence cap does NOT dilute (counts stay
+    // per-copy) and pair growth is linear — the operator's real
+    // 10×-corpus cost shape, not a cap artifact.
+    "q146_verbatim_spans")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -278,6 +289,15 @@ object ScaleSmoke {
       if (selectedHas("q108"))
         SparkEntry.postingStorePath(spark,
           Testbed.graph(spark, dir).collection("documents"), dir)
+      if (selectedHas("q143"))
+        SparkEntry.pqModelFor(spark, dir,
+          Testbed.graph(spark, dir).collection("embeddings"))
+      if (selectedHas("q144"))
+        SparkEntry.pqCodesStore(spark,
+          Testbed.graph(spark, dir).collection("embeddings"), dir)
+      if (selectedHas("q145"))
+        SparkEntry.appendedPqCodesStore(spark,
+          Testbed.graph(spark, dir).collection("embeddings"), dir)
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =

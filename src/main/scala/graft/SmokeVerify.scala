@@ -651,6 +651,30 @@ object SmokeVerify {
           "OK" else "BROKEN"))
     }
 
+    // 23. Verbatim span extraction (round 15): every emitted span must be
+    // a REAL shared substring at the claimed 1-based offsets (re-checked
+    // here against the raw text, independently of the operator's own
+    // verify pass), maximal-run length >= minLen, and ids ordered.
+    {
+      val docs23 = spark.read.parquet(s"$sf/documents.parquet")
+      val spans23 = graft.ops.Dedup.verbatimSpans(
+          docs23, "doc_id", "text", k = 12, minLen = 30,
+          maxOccurrences = 50, hash = graft.ops.BaseHash.Md5)
+        .collect()
+      val text23 = docs23.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bad23 = spans23.count { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (sa, sb, len) = (r.getInt(2), r.getInt(3), r.getInt(4))
+        val subA = text23(a).substring(sa - 1, sa - 1 + len)
+        val subB = text23(b).substring(sb - 1, sb - 1 + len)
+        subA != subB || len < 30 || a >= b
+      }
+      println(s"SMOKE23 verbatimSpans: spans=${spans23.length} " +
+        s"badOffsets=$bad23 => " +
+        (if (spans23.nonEmpty && bad23 == 0) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

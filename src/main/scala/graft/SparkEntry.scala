@@ -1797,6 +1797,20 @@ object SparkEntry {
           model, "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    "q146_verbatim_spans" -> ((s, dir) => {
+      // exact-substring span extraction (the ExactSubstr dedup rule):
+      // every maximal verbatim run >= 30 chars shared by a doc pair,
+      // with both 1-based offsets — window-hash join + diagonal island
+      // merge + output-bounded substring verification, never an
+      // all-pairs compare. The occurrence cap (50) is the boilerplate
+      // guard on this template-heavy synthetic corpus. md5 base hash so
+      // the hashed pipeline (cap included) replays in the oracle.
+      ops.Dedup.verbatimSpans(
+          Testbed.graph(s, dir).collection("documents"), "doc_id", "text",
+          k = 12, minLen = 30, maxOccurrences = 50,
+          hash = ops.BaseHash.Md5)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    }),
     "q141_chunk_windows" -> ((s, dir) => {
       // the RAG/embedding-ingestion chunker: 64-token windows every 48
       // tokens (overlap 16) per document, exact token counts and stable
@@ -3074,6 +3088,45 @@ object SparkEntry {
     // PQ ADC probes replayed given the exported codebooks; q144 probes
     // the persisted codes (bit-identical math) and q145 the appended
     // store (its export IS the stored model, trained on the save slice).
+    // q146: the same 31-bit md5 window hashes, occurrence cap, diagonal
+    // island merge, and substring verification — the hashed pipeline
+    // replays bit-for-bit, and verification makes both sides exact.
+    "q146_verbatim_spans" ->
+      """WITH w0 AS (
+           SELECT doc_id AS id, CAST(i AS INT) AS pos,
+                  CAST(concat('0x', substr(md5(substr(text,
+                    CAST(i AS INT), 12)), 1, 15)) AS BIGINT)
+                    & 2147483647 AS h
+           FROM documents, UNNEST(range(1, length(text) - 10)) AS t(i)
+           WHERE text IS NOT NULL AND length(text) >= 12),
+         wc AS (SELECT * FROM w0
+                QUALIFY count(*) OVER (PARTITION BY h) <= 50),
+         m AS (
+           SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
+                  a.pos - b.pos AS diag
+           FROM wc a JOIN wc b ON a.h = b.h AND a.id < b.id),
+         i AS (
+           SELECT *, CASE WHEN pa - lag(pa) OVER (
+                    PARTITION BY id_a, id_b, diag ORDER BY pa) = 1
+                  THEN 0 ELSE 1 END AS brk
+           FROM m),
+         isl AS (
+           SELECT *, sum(brk) OVER (
+             PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
+           FROM i),
+         sp AS (
+           SELECT id_a, id_b, CAST(min(pa) AS INT) AS start_a,
+                  CAST(min(pa) - diag AS INT) AS start_b,
+                  CAST(max(pa) - min(pa) + 12 AS INT) AS span_len
+           FROM isl GROUP BY id_a, id_b, diag, island)
+         SELECT s.id_a, s.id_b, s.start_a, s.start_b, s.span_len
+         FROM sp s
+         JOIN documents da ON da.doc_id = s.id_a
+         JOIN documents db ON db.doc_id = s.id_b
+         WHERE s.span_len >= 30
+           AND substr(da.text, s.start_a, s.span_len)
+             = substr(db.text, s.start_b, s.span_len)
+         ORDER BY id_a, id_b, start_a, start_b""",
     "q143_knn_pq" -> PqProbeOracleSql("q143"),
     "q144_knn_pq_stored" -> PqProbeOracleSql("q144"),
     "q145_knn_pq_appended" -> PqProbeOracleSql("q145"),

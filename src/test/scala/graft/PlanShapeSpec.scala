@@ -226,6 +226,25 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
         scanLines(plan, "embeddings.parquet").mkString("\n"))
   }
 
+  test("q144 stored PQ probe: corpus side scans m-byte codes with " +
+      "map-side group-limit and a broadcast query side") {
+    // the PQ bandwidth claim as a plan property: the corpus-scale scan
+    // must read the PqStore codes files (tinyint arrays — 16 B/vec at
+    // the gate's m=16 vs 256 B float), the per-query top-k must group-
+    // limit before the window exchange, and the LUT side must broadcast
+    val plan = planOf("q144_knn_pq_stored")
+    val codeScans = scanLines(plan, "graft-pq-store")
+    assert(codeScans.nonEmpty,
+      "corpus side does not scan the stored PQ codes:\n" + plan.take(3000))
+    assert(codeScans.exists(_.contains("array<tinyint>")),
+      "PQ codes scan is not tinyint:\n" + codeScans.mkString("\n"))
+    assert(scanLines(plan, "embeddings.parquet").isEmpty,
+      "a float embeddings scan leaked into the stored-PQ probe plan:\n" +
+        scanLines(plan, "embeddings.parquet").mkString("\n"))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("q84 bounded slice: both endpoint bounds are pushed down to the " +
       "staged near-dup edge scan") {
     // the absolute bound is what makes the uncapped gate constant-work at
