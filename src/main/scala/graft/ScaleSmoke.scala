@@ -138,8 +138,13 @@ object ScaleSmoke {
     // merge. Word-tagged copies keep window sets DISJOINT across
     // copies, so the occurrence cap does NOT dilute (counts stay
     // per-copy) and pair growth is linear — the operator's real
-    // 10×-corpus cost shape, not a cap artifact.
-    "q146_verbatim_spans")
+    // 10×-corpus cost shape, not a cap artifact. The cross variant
+    // (q147) probes the decontamination shape: both splits grow 10×,
+    // the eval-side window frame crosses the broadcast gate and the
+    // plan must flip to the unhinted shuffle join without blowing up.
+    // q148 is q146 plus a cheap interval merge over the span output —
+    // its scale posture IS q146's, so it is not probed separately.
+    "q146_verbatim_spans", "q147_cross_verbatim_decontam")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

@@ -670,9 +670,29 @@ object SmokeVerify {
         val subB = text23(b).substring(sb - 1, sb - 1 + len)
         subA != subB || len < 30 || a >= b
       }
+      // excision re-check: rebuild each affected doc's clean text with
+      // plain Scala string surgery and compare to the operator's output
+      val cuts23 = spans23.map(r => (r.getLong(1), r.getInt(3), r.getInt(4)))
+        .groupBy(_._1)
+      val out23 = graft.ops.Dedup.exciseSpans(docs23, "doc_id", "text",
+          spark.createDataFrame(spans23.toSeq.map(r =>
+            (r.getLong(1), r.getInt(3), r.getInt(4))))
+            .toDF("id", "start", "len"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val badCut23 = cuts23.count { case (id, ss) =>
+        val t = text23(id)
+        val keep = Array.fill(t.length)(true)
+        ss.foreach { case (_, st, len) =>
+          (st - 1 until math.min(st - 1 + len, t.length))
+            .foreach(keep(_) = false) }
+        val expect = t.zipWithIndex.collect {
+          case (c, i) if keep(i) => c }.mkString
+        out23.get(id) != Some(expect)
+      }
       println(s"SMOKE23 verbatimSpans: spans=${spans23.length} " +
-        s"badOffsets=$bad23 => " +
-        (if (spans23.nonEmpty && bad23 == 0) "OK" else "BROKEN"))
+        s"badOffsets=$bad23 excisedDocs=${out23.size} badCuts=$badCut23 => " +
+        (if (spans23.nonEmpty && bad23 == 0 && out23.nonEmpty &&
+          badCut23 == 0) "OK" else "BROKEN"))
     }
 
     spark.stop()

@@ -1811,6 +1811,34 @@ object SparkEntry {
           hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b", "start_a", "start_b")
     }),
+    "q147_cross_verbatim_decontam" -> ((s, dir) => {
+      // eval-leak audit (the ExactSubstr decontamination form): WHERE and
+      // HOW LONG is the verbatim overlap between the training split and
+      // the held-out eval split (doc_id % 10 — the q130 holdout rule).
+      // The eval-side window frame is a count-gated broadcast; the
+      // corpus side streams through one hash join, no self-pair term.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Dedup.crossVerbatimSpans(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          k = 12, minLen = 30, maxOccurrences = 50,
+          hash = ops.BaseHash.Md5)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    }),
+    "q148_excise_spans" -> ((s, dir) => {
+      // the REMOVAL half of the ExactSubstr rule: keep-first — every
+      // q146 span is cut from the HIGHER doc (id_b side), overlapping
+      // cuts merged, text reassembled from the gaps. Output = the
+      // affected docs with their cleaned text and cut accounting.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val spans = ops.Dedup.verbatimSpans(docs, "doc_id", "text",
+          k = 12, minLen = 30, maxOccurrences = 50,
+          hash = ops.BaseHash.Md5)
+        .select(col("id_b").as("id"), col("start_b").as("start"),
+          col("span_len").as("len"))
+      ops.Dedup.exciseSpans(docs, "doc_id", "text", spans)
+        .orderBy("id")
+    }),
     "q141_chunk_windows" -> ((s, dir) => {
       // the RAG/embedding-ingestion chunker: 64-token windows every 48
       // tokens (overlap 16) per document, exact token counts and stable
@@ -3088,45 +3116,52 @@ object SparkEntry {
     // PQ ADC probes replayed given the exported codebooks; q144 probes
     // the persisted codes (bit-identical math) and q145 the appended
     // store (its export IS the stored model, trained on the save slice).
-    // q146: the same 31-bit md5 window hashes, occurrence cap, diagonal
-    // island merge, and substring verification — the hashed pipeline
-    // replays bit-for-bit, and verification makes both sides exact.
+    // q146-q148: the same 31-bit md5 window hashes, occurrence cap,
+    // diagonal island merge, and substring verification — the hashed
+    // pipeline replays bit-for-bit, and verification makes both sides
+    // exact. q147 runs it cross-corpus (held-out eval split), q148
+    // chains the keep-first excision (interval merge + gap reassembly).
     "q146_verbatim_spans" ->
-      """WITH w0 AS (
-           SELECT doc_id AS id, CAST(i AS INT) AS pos,
-                  CAST(concat('0x', substr(md5(substr(text,
-                    CAST(i AS INT), 12)), 1, 15)) AS BIGINT)
-                    & 2147483647 AS h
-           FROM documents, UNNEST(range(1, length(text) - 10)) AS t(i)
-           WHERE text IS NOT NULL AND length(text) >= 12),
-         wc AS (SELECT * FROM w0
-                QUALIFY count(*) OVER (PARTITION BY h) <= 50),
-         m AS (
-           SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
-                  a.pos - b.pos AS diag
-           FROM wc a JOIN wc b ON a.h = b.h AND a.id < b.id),
-         i AS (
-           SELECT *, CASE WHEN pa - lag(pa) OVER (
-                    PARTITION BY id_a, id_b, diag ORDER BY pa) = 1
-                  THEN 0 ELSE 1 END AS brk
-           FROM m),
-         isl AS (
-           SELECT *, sum(brk) OVER (
-             PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
-           FROM i),
-         sp AS (
-           SELECT id_a, id_b, CAST(min(pa) AS INT) AS start_a,
-                  CAST(min(pa) - diag AS INT) AS start_b,
-                  CAST(max(pa) - min(pa) + 12 AS INT) AS span_len
-           FROM isl GROUP BY id_a, id_b, diag, island)
-         SELECT s.id_a, s.id_b, s.start_a, s.start_b, s.span_len
-         FROM sp s
-         JOIN documents da ON da.doc_id = s.id_a
-         JOIN documents db ON db.doc_id = s.id_b
-         WHERE s.span_len >= 30
-           AND substr(da.text, s.start_a, s.span_len)
-             = substr(db.text, s.start_b, s.span_len)
+      s"""WITH ${VerbatimSpanCtes(SelfSpanSides)}
+         SELECT id_a, id_b, start_a, start_b, span_len FROM spans
          ORDER BY id_a, id_b, start_a, start_b""",
+    "q147_cross_verbatim_decontam" ->
+      s"""WITH ${VerbatimSpanCtes(CrossSpanSides)}
+         SELECT id_a, id_b, start_a, start_b, span_len FROM spans
+         ORDER BY id_a, id_b, start_a, start_b""",
+    "q148_excise_spans" ->
+      s"""WITH ${VerbatimSpanCtes(SelfSpanSides)},
+         cut AS (SELECT id_b AS id, CAST(start_b AS BIGINT) AS s,
+                        CAST(start_b + span_len AS BIGINT) AS e
+                 FROM spans),
+         mx AS (SELECT *, max(e) OVER (PARTITION BY id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS pmax
+                FROM cut),
+         br AS (SELECT *, CASE WHEN pmax IS NULL OR s > pmax
+                  THEN 1 ELSE 0 END AS brk FROM mx),
+         il AS (SELECT *, sum(brk) OVER (
+                  PARTITION BY id ORDER BY s, e) AS island FROM br),
+         mg AS (SELECT id, min(s) AS s, max(e) AS e
+                FROM il GROUP BY id, island),
+         g AS (SELECT id, s, e, coalesce(lag(e) OVER (
+                 PARTITION BY id ORDER BY s), 1) AS gs FROM mg),
+         rec AS (SELECT g.id,
+                   string_agg(substr(d.text, CAST(gs AS INT),
+                     CAST(g.s - gs AS INT)), '' ORDER BY g.s) AS head,
+                   max(g.e) AS tail_start, count(*) AS n_cuts
+                 FROM g JOIN documents d ON d.doc_id = g.id
+                 GROUP BY g.id)
+         SELECT CAST(r.id AS BIGINT) AS id,
+                r.head || substr(d.text, CAST(r.tail_start AS INT))
+                  AS clean_text,
+                CAST(length(d.text) AS INT) AS old_len,
+                CAST(length(r.head ||
+                  substr(d.text, CAST(r.tail_start AS INT))) AS INT)
+                  AS new_len,
+                CAST(r.n_cuts AS INT) AS n_cuts
+         FROM rec r JOIN documents d ON d.doc_id = r.id
+         ORDER BY id""",
     "q143_knn_pq" -> PqProbeOracleSql("q143"),
     "q144_knn_pq_stored" -> PqProbeOracleSql("q144"),
     "q145_knn_pq_appended" -> PqProbeOracleSql("q145"),
@@ -4460,6 +4495,73 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, score, "rank" FROM r
          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
+  /** The (srcA, srcB, pairPred) sides of the verbatim-span oracle: the
+    * self variant joins the corpus to itself under `id_a < id_b`; the
+    * cross variant joins the training split to the held-out eval split
+    * (doc_id % 10 — the q130-style deterministic holdout) with no pair
+    * predicate. Both `(id, text)` projections. */
+  private val SelfSpanSides = (
+    "SELECT doc_id AS id, text FROM documents",
+    "SELECT doc_id AS id, text FROM documents",
+    "AND a.id < b.id")
+  private val CrossSpanSides = (
+    "SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 0",
+    "SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0",
+    "")
+
+  /** DuckDB replay of the verbatim-span pipeline (q146-q148): stride-1
+    * 12-char windows hashed with the same md5-based 31-bit kernel as
+    * [[graft.ops.BaseHash.Md5]], a per-side occurrence cap of 50, the
+    * hash join, the diagonal island merge (maximal runs = consecutive
+    * window positions at constant `pa − pb`), minLen 30, and the
+    * substring-equality verification — ending in a `spans` CTE
+    * `(id_a, id_b, start_a, start_b, span_len)` for the caller's final
+    * SELECT. Window size/cap/minLen are the gates' fixed shape. */
+  private def VerbatimSpanCtes(
+      sides: (String, String, String)): String = {
+    val (srcA, srcB, pairPred) = sides
+    def windows(src: String) =
+      s"""SELECT id, CAST(i AS INT) AS pos,
+                CAST(concat('0x', substr(md5(substr(text,
+                  CAST(i AS INT), 12)), 1, 15)) AS BIGINT)
+                  & 2147483647 AS h
+         FROM ($src), UNNEST(range(1, length(text) - 10)) AS t(i)
+         WHERE text IS NOT NULL AND length(text) >= 12"""
+    s"""ta AS ($srcA), tb AS ($srcB),
+       wa0 AS (${windows("SELECT * FROM ta")}),
+       wb0 AS (${windows("SELECT * FROM tb")}),
+       wa AS (SELECT * FROM wa0
+              QUALIFY count(*) OVER (PARTITION BY h) <= 50),
+       wb AS (SELECT * FROM wb0
+              QUALIFY count(*) OVER (PARTITION BY h) <= 50),
+       m AS (
+         SELECT a.id AS id_a, b.id AS id_b, a.pos AS pa,
+                a.pos - b.pos AS diag
+         FROM wa a JOIN wb b ON a.h = b.h $pairPred),
+       i AS (
+         SELECT *, CASE WHEN pa - lag(pa) OVER (
+                  PARTITION BY id_a, id_b, diag ORDER BY pa) = 1
+                THEN 0 ELSE 1 END AS brk
+         FROM m),
+       isl AS (
+         SELECT *, sum(brk) OVER (
+           PARTITION BY id_a, id_b, diag ORDER BY pa) AS island
+         FROM i),
+       sp AS (
+         SELECT id_a, id_b, CAST(min(pa) AS INT) AS start_a,
+                CAST(min(pa) - diag AS INT) AS start_b,
+                CAST(max(pa) - min(pa) + 12 AS INT) AS span_len
+         FROM isl GROUP BY id_a, id_b, diag, island),
+       spans AS (
+         SELECT s.id_a, s.id_b, s.start_a, s.start_b, s.span_len
+         FROM sp s
+         JOIN ta da ON da.id = s.id_a
+         JOIN tb db ON db.id = s.id_b
+         WHERE s.span_len >= 30
+           AND substr(da.text, s.start_a, s.span_len)
+             = substr(db.text, s.start_b, s.span_len))"""
+  }
 
   /** Shared by q85 (on-the-fly quantization) and q88 (persisted codes):
     * the two engines' outputs are bit-identical by construction, so one

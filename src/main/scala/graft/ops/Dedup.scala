@@ -582,12 +582,67 @@ object Dedup {
   def verbatimSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int, minLen: Int, maxOccurrences: Int,
       hash: BaseHash = BaseHash.Xx, verify: Boolean = true): DataFrame = {
+    val wins = spanWindows(docs, idCol, textCol, k, maxOccurrences, hash)
+    val pairs = wins.select(col("h"), col("id").as("id_a"),
+        col("pos").as("pa"))
+      .join(wins.select(col("h"), col("id").as("id_b"),
+        col("pos").as("pb")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+    val spans = mergeDiagonalRuns(pairs, k, minLen)
+    if (!verify) spans
+    else verifySpans(spans,
+      docs.select(col(idCol).cast("long"), col(textCol)),
+      docs.select(col(idCol).cast("long"), col(textCol)))
+  }
+
+  /** Cross-corpus verbatim spans — the ExactSubstr DECONTAMINATION form:
+    * every maximal run of ≥ `minLen` chars that a corpus document shares
+    * verbatim with any benchmark/eval document, with both 1-based
+    * offsets: `(id_a, id_b, start_a, start_b, span_len)` where `id_a`
+    * is the corpus doc and `id_b` the benchmark doc (same columns as
+    * [[verbatimSpans]], so downstream excision/reporting is shared).
+    * The n-gram decontamination gate (`Corpus.decontaminate`) asks "does
+    * a contaminated n-gram exist"; this answers "WHERE is the leaked
+    * text and HOW LONG is it" — the evidence an eval-leak audit needs.
+    *
+    * Scale shape: benchmark suites are small (thousands of docs), so
+    * the bench-side window frame is a count-gated broadcast candidate;
+    * the corpus side streams its stride-1 windows through ONE hash join
+    * and never self-joins — no corpus×corpus pair term at all. The
+    * occurrence cap applies per side (template chrome in EITHER corpus
+    * would otherwise fan out). `verify` re-checks only emitted spans,
+    * exactly as in [[verbatimSpans]]. */
+  def crossVerbatimSpans(corpus: DataFrame, corpusId: String,
+      corpusText: String, bench: DataFrame, benchId: String,
+      benchText: String, k: Int, minLen: Int, maxOccurrences: Int,
+      hash: BaseHash = BaseHash.Xx, verify: Boolean = true): DataFrame = {
+    val cw = spanWindows(corpus, corpusId, corpusText, k,
+      maxOccurrences, hash)
+    val bw = spanWindows(bench, benchId, benchText, k,
+      maxOccurrences, hash)
+    val hint = OpsUtil.gatedHint("crossVerbatimSpans", "benchmark windows",
+      bw, maxRows = 2000000L)
+    val pairs = cw.select(col("h"), col("id").as("id_a"),
+        col("pos").as("pa"))
+      .join(hint(
+        bw.select(col("h"), col("id").as("id_b"), col("pos").as("pb"))),
+        Seq("h"))
+    val spans = mergeDiagonalRuns(pairs, k, minLen)
+    if (!verify) spans
+    else verifySpans(spans,
+      corpus.select(col(corpusId).cast("long"), col(corpusText)),
+      bench.select(col(benchId).cast("long"), col(benchText)))
+  }
+
+  /** Stride-1 k-char window hashes `(id, pos, h)` with the corpus-wide
+    * occurrence cap applied, staged (consumed twice by the span join). */
+  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxOccurrences: Int, hash: BaseHash): DataFrame = {
     require(k >= 4, s"window size k must be >= 4, got $k")
-    require(minLen >= k, s"minLen must be >= k=$k, got $minLen")
     require(maxOccurrences >= 2,
       s"maxOccurrences must be >= 2, got $maxOccurrences")
     val w = org.apache.spark.sql.expressions.Window
-    val wins = graft.core.Lifecycle.stage(
+    graft.core.Lifecycle.stage(
       docs.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
         .select(col(idCol).cast("long").as("id"),
           transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
@@ -598,15 +653,21 @@ object Dedup {
         .select(col("id"), col("_w.pos").as("pos"), col("_w.h").as("h"))
         .withColumn("_n", count(lit(1)).over(w.partitionBy("h")))
         .filter(col("_n") <= maxOccurrences).drop("_n"))
-    val pairs = wins.select(col("h"), col("id").as("id_a"),
-        col("pos").as("pa"))
-      .join(wins.select(col("h"), col("id").as("id_b"),
-        col("pos").as("pb")), Seq("h"))
-      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Diagonal island merge: matched window positions
+    * `(id_a, id_b, pa, pb)` → maximal runs ≥ `minLen`. A shared span
+    * keeps `pa − pb` constant, so a lag-by-1 island per
+    * `(pair, diagonal)` ordered by `pa` is the merge; a run of r
+    * consecutive windows covers r + k − 1 chars. */
+  private def mergeDiagonalRuns(pairs: DataFrame, k: Int,
+      minLen: Int): DataFrame = {
+    require(minLen >= k, s"minLen must be >= k=$k, got $minLen")
+    val w = org.apache.spark.sql.expressions.Window
+    val run = w.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    pairs
       .select(col("id_a"), col("id_b"), col("pa"),
         (col("pa") - col("pb")).as("diag"))
-    val run = w.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    val spans = pairs
       .withColumn("_brk",
         when(col("pa") - lag("pa", 1).over(run) === 1, 0).otherwise(1))
       .withColumn("_isl", sum("_brk").over(run))
@@ -616,16 +677,77 @@ object Dedup {
       .filter(col("span_len") >= minLen)
       .select(col("id_a"), col("id_b"), col("start_a"),
         (col("start_a") - col("diag")).as("start_b"), col("span_len"))
-    if (!verify) spans
-    else {
-      val t = docs.select(col(idCol).cast("long"), col(textCol))
-      spans
-        .join(t.toDF("id_a", "_ta"), Seq("id_a"))
-        .join(t.toDF("id_b", "_tb"), Seq("id_b"))
-        .filter(col("_ta").substr(col("start_a"), col("span_len")) ===
-          col("_tb").substr(col("start_b"), col("span_len")))
-        .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
-          col("span_len"))
-    }
+  }
+
+  /** Output-bounded exactness pass: keep a span only if the claimed
+    * substrings are byte-identical in the source texts. */
+  private def verifySpans(spans: DataFrame, textsA: DataFrame,
+      textsB: DataFrame): DataFrame =
+    spans
+      .join(textsA.toDF("id_a", "_ta"), Seq("id_a"))
+      .join(textsB.toDF("id_b", "_tb"), Seq("id_b"))
+      .filter(col("_ta").substr(col("start_a"), col("span_len")) ===
+        col("_tb").substr(col("start_b"), col("span_len")))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("span_len"))
+
+  /** Span excision — the REMOVAL half of the ExactSubstr rule: given
+    * flagged spans `(id, start, len)` (1-based, e.g. the keep-first
+    * projection of [[verbatimSpans]]' `(id_b, start_b, span_len)`), cut
+    * them out of the text. Overlapping or adjacent spans are first
+    * merged into disjoint intervals (sort + running-max island — the
+    * same two-window merge as the diagonal runs), intervals are clamped
+    * to the text, and the surviving text is the ordered concatenation
+    * of the gaps. Output, for docs with ≥ 1 span:
+    * `(id, clean_text, old_len, new_len, n_cuts)`.
+    *
+    * Scale shape: one shuffle to merge intervals (keyed by doc id), one
+    * join back to the text, and a per-doc `aggregate` fold over the
+    * collected interval array — per-doc state is the doc's OWN interval
+    * list (bounded by its span count, already capped upstream by the
+    * span extractor's occurrence cap), never a corpus-wide structure.
+    * Docs without spans are untouched and never shuffle. */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame, spanIdCol: String = "id",
+      startCol: String = "start", lenCol: String = "len"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byDoc = w.partitionBy("id").orderBy("s", "e")
+    // running max of PRECEDING ends: a new island starts where s > that
+    val merged = spans
+      .select(col(spanIdCol).cast("long").as("id"),
+        col(startCol).cast("long").as("s"),
+        (col(startCol) + col(lenCol)).cast("long").as("e"))
+      .withColumn("_pmax",
+        max("e").over(byDoc.rowsBetween(w.unboundedPreceding, -1)))
+      .withColumn("_brk",
+        when(col("_pmax").isNull || col("s") > col("_pmax"), 1)
+          .otherwise(0))
+      .withColumn("_isl", sum("_brk").over(byDoc))
+      .groupBy("id", "_isl")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("_cuts"))
+    docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("_t"))
+      .join(merged, Seq("id"))
+      .select(col("id"),
+        // fold over disjoint sorted intervals: state = (cursor, acc);
+        // each interval appends the gap before it and advances the
+        // cursor past it (clamped to the text)
+        aggregate(col("_cuts"),
+          struct(lit(1L).as("cur"), lit("").as("acc")),
+          (st, c) => struct(
+            greatest(st("cur"), least(c("e"),
+              length(col("_t")) + lit(1L))).as("cur"),
+            concat(st("acc"), col("_t").substr(
+              st("cur"), greatest(least(c("s"), length(col("_t")) +
+                lit(1L)) - st("cur"), lit(0L)))).as("acc")),
+          st => concat(st("acc"), col("_t").substr(st("cur"),
+            length(col("_t")) + lit(1L) - st("cur")))).as("clean_text"),
+        length(col("_t")).cast("int").as("old_len"),
+        size(col("_cuts")).as("n_cuts"))
+      .withColumn("new_len", length(col("clean_text")).cast("int"))
+      .select("id", "clean_text", "old_len", "new_len", "n_cuts")
   }
 }

@@ -121,6 +121,81 @@ class OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(verified == unverified)
   }
 
+  test("crossVerbatimSpans: corpus-vs-benchmark spans, caps per side, " +
+      "agrees with the self variant on the crossing pairs") {
+    val leak = "What is the capital of Assyria? I do not know that" // 50
+    val corpus = Seq(
+      (10L, "training doc containing " + leak + " verbatim"),
+      (11L, "clean training doc with nothing leaked in it at all"),
+      // corpus-internal duplicate: must NOT surface in the cross output
+      (12L, "training doc containing " + leak + " verbatim"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (900L, "Q: " + leak),
+      (901L, "Q: unrelated benchmark question about something else"))
+      .toDF("doc_id", "text")
+    val s = Dedup.crossVerbatimSpans(corpus, "doc_id", "text",
+        bench, "doc_id", "text", k = 8, minLen = 20, maxOccurrences = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    // both contaminated corpus docs hit bench 900; offsets are 1-based,
+    // and the maximal run includes the shared space BEFORE the leak
+    // (" What ... that" = 51 chars from corpus 24 / bench 3)
+    assert(s == Set((10L, 900L, 24, 3, 51), (12L, 900L, 24, 3, 51)))
+    // the corpus-side cap counts corpus occurrences only: with the leak
+    // present twice in the corpus, a cap of 2 must keep the spans (a
+    // pooled cap would see 3 occurrences and kill them)
+    val capped = Dedup.crossVerbatimSpans(corpus, "doc_id", "text",
+      bench, "doc_id", "text", k = 8, minLen = 20, maxOccurrences = 2)
+    assert(capped.count() == 2)
+  }
+
+  test("exciseSpans: cuts at exact offsets, merges overlapping and " +
+      "adjacent spans, clamps to the text, skips clean docs") {
+    val d = Seq(
+      (0L, "keepAAAAAkeepBBBBBkeep"), // two disjoint cuts
+      (1L, "xxHELLOWORLDxx"),         // two overlapping spans -> one cut
+      (2L, "headTAILTAIL"),           // adjacent spans -> one cut
+      (3L, "untouched document"))
+      .toDF("doc_id", "text")
+    val spans = Seq(
+      (0L, 5, 5), (0L, 14, 5),   // AAAAA at 5..9, BBBBB at 14..18
+      (1L, 3, 5), (1L, 6, 7),    // HELLO + LOWORLD overlap -> 3..12
+      (2L, 5, 4), (2L, 9, 4),    // TAIL TAIL adjacent -> 5..12
+      (3L, 50, 10))               // fully past the end -> no-op cut
+      .toDF("id", "start", "len")
+    val out = Dedup.exciseSpans(d, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(out(0L) == (("keepkeepkeep", 22, 12, 2)))
+    assert(out(1L) == (("xxxx", 14, 4, 1)))
+    assert(out(2L) == (("head", 12, 4, 1)))
+    // the out-of-range span merges to an empty cut: text unchanged
+    assert(out(3L)._1 == "untouched document")
+    // a doc covered end-to-end excises to the empty string
+    val full = Dedup.exciseSpans(
+      Seq((9L, "abc")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq((9L, 1, 3)).toDF("id", "start", "len"))
+      .collect().head
+    assert(full.getString(1) == "" && full.getInt(3) == 0)
+  }
+
+  test("excising the keep-first projection of verbatimSpans removes the " +
+      "shared run from the higher doc only") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val d = Seq(
+      (0L, "XXXXX" + shared + "YYYY"),
+      (1L, "AA" + shared + "BBBBBBB"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.verbatimSpans(d, "doc_id", "text", k = 8,
+        minLen = 20, maxOccurrences = 10)
+      .select(col("id_b").as("id"), col("start_b").as("start"),
+        col("span_len").as("len"))
+    val out = Dedup.exciseSpans(d, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "AABBBBBBB"))
+  }
+
   test("winnowing is partitioning-invariant (fingerprints are per-row)") {
     val d = Testbed.graph(spark, "/root/testdata/sf0.001")
       .collection("documents")

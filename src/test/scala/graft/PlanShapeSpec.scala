@@ -245,6 +245,16 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q147 cross-span decontamination: the eval-side window frame " +
+      "broadcasts under the count gate") {
+    // the decontamination scale shape: the corpus side streams its
+    // windows through ONE hash join against a broadcast eval side —
+    // no corpus self-join, no corpus-side shuffle for the pair step
+    val plan = planOf("q147_cross_verbatim_decontam")
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval-side window join did not broadcast:\n" + plan.take(3000))
+  }
+
   test("q84 bounded slice: both endpoint bounds are pushed down to the " +
       "staged near-dup edge scan") {
     // the absolute bound is what makes the uncapped gate constant-work at
