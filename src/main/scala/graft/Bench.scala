@@ -249,6 +249,11 @@ object Bench {
       SparkEntry.pqCodesStore(spark, g.collection("embeddings"), sfDir)
       SparkEntry.appendedPqCodesStore(spark, g.collection("embeddings"),
         sfDir)
+      // q149/q150's benchmark window stores (suite registration is
+      // index construction — untimed; reps measure the screen probe)
+      SparkEntry.spanStorePath(spark, g.collection("documents"), sfDir)
+      SparkEntry.appendedSpanStorePath(spark, g.collection("documents"),
+        sfDir)
     } catch { case e: Throwable =>
       buildErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       System.err.println(s"[bench] BUILD FAILED: ${buildErr.get.take(500)}")

@@ -12,13 +12,17 @@ import org.apache.spark.sql.functions._
   * broadcast to an unsalted shuffle, quadratic pair blow-ups, OOM at the
   * default heap — all show up as a wall ratio far above the data ratio.
   *
-  * Text disjointness: copies 1..9 tag every word of `documents.text` with
-  * the copy index, so shingle/gram sets are DISJOINT across copies and
-  * the near-dup workload (q56/q66) scales exactly linearly — without it,
-  * 10 verbatim text copies manufacture ~copies² cross-copy near-dup
-  * pairs, and the probe would measure that artifact instead of the
-  * engine. Per-copy dedup structure is preserved (same texts, same
-  * overlaps, renamed tokens).
+  * Text disjointness: copies 1..9 pass `documents.text` through a
+  * per-copy letter-substitution cipher (see [[cipherTo]]), so
+  * shingle/gram/window sets are DISJOINT across copies and the near-dup
+  * workload (q56/q66) scales exactly linearly — without it, 10 verbatim
+  * text copies manufacture ~copies² cross-copy near-dup pairs, and the
+  * probe would measure that artifact instead of the engine. Because the
+  * cipher is a bijection on the alphabet, EVERY per-copy statistic is
+  * preserved exactly — shingle counts, window frequencies, edit
+  * distances — which per-word tagging (the v2 recipe) did not achieve:
+  * tags diluted per-window content and manufactured occurrence-cap
+  * dilution in the span probes.
   *
   * Pass bar: every probe's wall ratio ≤ 15× for 10× data (linear with
   * host-noise margin — these run once, not as medians), zero errors,
@@ -79,7 +83,7 @@ object ScaleSmoke {
     "q97_cms_topk", "q99_bloom_membership", "q101_priority_sample",
     "q103_cms_stored", "q104_kmv_overlap",
     // lexical retrieval: keyword extraction is the full-postings window
-    // path (linear work, 10× vocabulary after word-tagging), the stored
+    // path (linear work, 10× vocabulary after the copy cipher), the stored
     // BM25 search reads only the query terms' posting buckets — its wall
     // should stay FAR below the linear bar even though docstats (N/Σdl)
     // grows with the corpus
@@ -135,16 +139,20 @@ object ScaleSmoke {
     // it codes a fixed 150-200 slice, scale-invariant by construction.
     "q143_knn_pq", "q144_knn_pq_stored",
     // verbatim span extraction: stride-1 window hash join + diagonal
-    // merge. Word-tagged copies keep window sets DISJOINT across
-    // copies, so the occurrence cap does NOT dilute (counts stay
-    // per-copy) and pair growth is linear — the operator's real
-    // 10×-corpus cost shape, not a cap artifact. The cross variant
+    // merge. Cipher-disjoint copies preserve per-copy window counts
+    // EXACTLY, so the occurrence cap does not dilute and both pair
+    // volume and span output grow linearly with copies — the
+    // operator's real 10×-corpus cost shape. The cross variant
     // (q147) probes the decontamination shape: both splits grow 10×,
     // the eval-side window frame crosses the broadcast gate and the
     // plan must flip to the unhinted shuffle join without blowing up.
     // q148 is q146 plus a cheap interval merge over the span output —
     // its scale posture IS q146's, so it is not probed separately.
-    "q146_verbatim_spans", "q147_cross_verbatim_decontam")
+    "q146_verbatim_spans", "q147_cross_verbatim_decontam",
+    // the stored screen: suite registration staged untimed, the probe
+    // measures corpus windowing + the join against the persisted index
+    // (q150 shares the shape — append is registration-time work)
+    "q149_cross_decontam_stored")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -162,13 +170,65 @@ object ScaleSmoke {
     * Idempotent via a VERSIONED completion marker — bumped whenever the
     * materialization recipe changes, so a scaled dir built by an older
     * recipe regenerates instead of silently serving stale shapes.
-    * v2: `part.p_name` is word-tagged on copies > 0 (same rationale as
+    * v2: `part.p_name` disjoint on copies > 0 (same rationale as
     * `documents.text` — verbatim name copies would manufacture copies²
     * cross-copy fuzzy-match pairs, and the q140 probe would measure
-    * that artifact instead of the blocked-verification cost; tagging
-    * keeps per-copy block structure and makes pair growth linear). */
+    * that artifact instead of the blocked-verification cost).
+    * v3: per-word `c${i}_` TAGS replaced by a per-copy letter-
+    * substitution CIPHER (seeded Fisher-Yates permutation of a-z,
+    * applied via `translate`). Tags injected 3+ chars of shared chrome
+    * into every word, so any fixed-width window/shingle carried LESS
+    * distinguishing content than in the base corpus — measured: tagged
+    * copies' stride-1 window counts blew past q146's occurrence cap and
+    * the span probe saw copies 1..9 contribute ZERO pairs (the
+    * q110-dilution class, manufactured by the probe corpus itself). A
+    * bijection on the alphabet preserves EVERY per-copy count exactly —
+    * shingle sets, window frequencies, edit distances, token lengths —
+    * while keeping word sets disjoint across copies (12-char windows
+    * collide across two distinct permutations with p ~ 26^-12).
+    * v4: the cipher fixes `d`,`u`,`p` so the content-drawn query gates
+    * (q138's `dup` marker) keep selecting in every copy — see
+    * [[cipherTo]]. */
+  /** Both alphabet cases — the cipher maps a letter's cases through the
+    * same permutation so casing survives the round trip. */
+  private val CipherFrom: String =
+    (('a' to 'z') ++ ('A' to 'Z')).mkString
+
+  /** Deterministic per-copy permutation of a-z (seeded LCG Fisher-Yates;
+    * copy 0 is the identity — the base corpus byte-identical). Two
+    * copies share a permutation with probability ~1/23! — effectively
+    * never, at any copy count this harness allows.
+    *
+    * `d`, `u`, `p` are FIXED POINTS of every permutation: the content-
+    * drawn gates select their query batch by the corpus's `dup` marker
+    * token (q138), and a cipher that renamed it would pin the query set
+    * to copy 0 — the probe would then measure a fixed batch against a
+    * grown corpus instead of both sides scaling. Three fixed letters
+    * shift no per-copy statistic (still a bijection) and cross-copy
+    * window collisions still need 12 identical chars through two
+    * different permutations. */
+  private[graft] def cipherTo(i: Int): String = {
+    if (i == 0) return CipherFrom
+    val keep = Set('d', 'u', 'p')
+    val arr = ('a' to 'z').filterNot(keep).toArray
+    var seed = i.toLong * 6364136223846793005L + 1442695040888963407L
+    def next(n: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    var j = arr.length - 1
+    while (j >= 1) {
+      val k = next(j + 1)
+      val t = arr(j); arr(j) = arr(k); arr(k) = t
+      j -= 1
+    }
+    val it = arr.iterator
+    val lower = ('a' to 'z').map(c => if (keep(c)) c else it.next()).mkString
+    lower + lower.toUpperCase
+  }
+
   def materialize(spark: SparkSession, base: String, out: String): Unit = {
-    val marker = new java.io.File(s"$out/_GRAFT_SCALE_COMPLETE_v2")
+    val marker = new java.io.File(s"$out/_GRAFT_SCALE_COMPLETE_v4")
     if (marker.exists) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     keyCols.foreach { case (t, keys) =>
@@ -182,16 +242,16 @@ object ScaleSmoke {
           d.withColumn(k,
             (col(k) + lit(off)).cast(df.schema(k).dataType))
         })
-        // word-tag text on copies > 0 (copy 0 stays byte-identical to
-        // the base corpus) — see class doc
+        // cipher text on copies > 0 (copy 0 stays byte-identical to
+        // the base corpus) — see class doc (v3)
         if (t == "documents" && i > 0)
           shifted.withColumn("text",
-            regexp_replace(col("text"), "(\\w+)", s"c${i}_$$1"))
+            translate(col("text"), CipherFrom, cipherTo(i)))
         else if (t == "part" && i > 0)
-          // name-tag parts on copies > 0 (marker doc): fuzzy blocks stay
-          // per-copy, candidate pairs grow linearly with copies
+          // same cipher for part names: fuzzy blocks stay per-copy with
+          // EXACT per-copy edit distances, pair growth linear in copies
           shifted.withColumn("p_name",
-            regexp_replace(col("p_name"), "(\\w+)", s"c${i}_$$1"))
+            translate(col("p_name"), CipherFrom, cipherTo(i)))
         else shifted
       }.reduce(_.unionByName(_))
       scaled.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -218,11 +278,11 @@ object ScaleSmoke {
     * extrapolates from (SCALE-100X.md); wall ratios alone can hide a
     * super-linear shuffle behind driver overhead, and the record count
     * separates genuine row growth from byte-width artifacts — and
-    * exposes SEMANTIC phase changes a byte ratio alone leaves ambiguous
-    * (q138's r15 probe: rec_ratio 67 at 10× data because the relative
-    * df cutoff correctly admits per-copy common terms once no term
-    * exceeds half the grown corpus — the fan-out is the true Σ df
-    * retrieval cost, not an operator blow-up). */
+    * exposes SEMANTIC phase changes a byte ratio alone leaves
+    * ambiguous (the v2-corpus q138 probe read rec_ratio 67 at 10× —
+    * per-word tags had shifted term-df shape so the relative cutoff
+    * admitted a different common-term set; under the v3+ cipher, which
+    * preserves per-copy df exactly, the same probe reads ~10×). */
   private final class ByteTally
       extends org.apache.spark.scheduler.SparkListener {
     val in = new java.util.concurrent.atomic.AtomicLong
@@ -303,6 +363,9 @@ object ScaleSmoke {
       if (selectedHas("q145"))
         SparkEntry.appendedPqCodesStore(spark,
           Testbed.graph(spark, dir).collection("embeddings"), dir)
+      if (selectedHas("q149"))
+        SparkEntry.spanStorePath(spark,
+          Testbed.graph(spark, dir).collection("documents"), dir)
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =

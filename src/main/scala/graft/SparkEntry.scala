@@ -1825,6 +1825,28 @@ object SparkEntry {
           hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b", "start_a", "start_b")
     }),
+    "q149_cross_decontam_stored" -> ((s, dir) => {
+      // q147 against the PERSISTED suite: the benchmark is windowed once
+      // at registration (SpanWindowStore) and the screen joins the
+      // stored (id, pos, h) frame — output-identical to the recompute
+      // op by construction, so it shares q147's oracle verbatim.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      sources.SpanWindowStore.crossSpans(s,
+          spanStorePath(s, docs, dir),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          minLen = 30)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    }),
+    "q150_cross_decontam_appended" -> ((s, dir) => {
+      // the appended suite (half registered, half appended later) must
+      // screen bit-identically to a rebuilt one — q147's oracle again.
+      val docs = Testbed.graph(s, dir).collection("documents")
+      sources.SpanWindowStore.crossSpans(s,
+          appendedSpanStorePath(s, docs, dir),
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          minLen = 30)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    }),
     "q148_excise_spans" -> ((s, dir) => {
       // the REMOVAL half of the ExactSubstr rule: keep-first — every
       // q146 span is cut from the HIGHER doc (id_b side), overlapping
@@ -2114,6 +2136,44 @@ object SparkEntry {
         "doc_id", "text", out)
       sources.PostingStore.append(s, out,
         docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+      out
+    })
+
+  /** q149's benchmark window store: the eval split (doc_id % 10 = 0)
+    * registered once under the q146/q147 params; the gate probes the
+    * training split against it. */
+  private val spanStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def spanStorePath(s: SparkSession, docs: DataFrame,
+      dir: String): String =
+    spanStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-span-store").toString
+      sources.SpanWindowStore.save(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", out, k = 12, maxOccurrences = 50,
+        hash = ops.BaseHash.Md5)
+      out
+    })
+
+  /** q150's APPENDED benchmark store: half the suite saved, the rest
+    * appended — the "new benchmark registered" shape. Windows carry no
+    * corpus statistics and the occurrence cap is probe-time state over
+    * the store's CURRENT contents, so the appended store probes
+    * bit-identically to a rebuild and q150 shares q147's oracle
+    * verbatim. */
+  private val appendedSpanStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def appendedSpanStorePath(s: SparkSession,
+      docs: DataFrame, dir: String): String =
+    appendedSpanStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-span-appended").toString
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      sources.SpanWindowStore.save(bench.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", out, k = 12, maxOccurrences = 50,
+        hash = ops.BaseHash.Md5)
+      sources.SpanWindowStore.append(s, out,
+        bench.filter(col("doc_id") % 20 =!= 0), "doc_id", "text")
       out
     })
 
@@ -3126,6 +3186,19 @@ object SparkEntry {
          SELECT id_a, id_b, start_a, start_b, span_len FROM spans
          ORDER BY id_a, id_b, start_a, start_b""",
     "q147_cross_verbatim_decontam" ->
+      s"""WITH ${VerbatimSpanCtes(CrossSpanSides)}
+         SELECT id_a, id_b, start_a, start_b, span_len FROM spans
+         ORDER BY id_a, id_b, start_a, start_b""",
+    // q149/q150 probe persisted (resp. appended) suite window stores;
+    // both are output-identical to the recompute op by construction
+    // (probe-time occurrence cap over the store's current contents), so
+    // they share q147's oracle verbatim — the strongest check that
+    // registration + append loses nothing.
+    "q149_cross_decontam_stored" ->
+      s"""WITH ${VerbatimSpanCtes(CrossSpanSides)}
+         SELECT id_a, id_b, start_a, start_b, span_len FROM spans
+         ORDER BY id_a, id_b, start_a, start_b""",
+    "q150_cross_decontam_appended" ->
       s"""WITH ${VerbatimSpanCtes(CrossSpanSides)}
          SELECT id_a, id_b, start_a, start_b, span_len FROM spans
          ORDER BY id_a, id_b, start_a, start_b""",

@@ -636,7 +636,7 @@ object Dedup {
 
   /** Stride-1 k-char window hashes `(id, pos, h)` with the corpus-wide
     * occurrence cap applied, staged (consumed twice by the span join). */
-  private def spanWindows(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def spanWindows(docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxOccurrences: Int, hash: BaseHash): DataFrame = {
     require(k >= 4, s"window size k must be >= 4, got $k")
     require(maxOccurrences >= 2,
@@ -660,7 +660,7 @@ object Dedup {
     * keeps `pa − pb` constant, so a lag-by-1 island per
     * `(pair, diagonal)` ordered by `pa` is the merge; a run of r
     * consecutive windows covers r + k − 1 chars. */
-  private def mergeDiagonalRuns(pairs: DataFrame, k: Int,
+  private[graft] def mergeDiagonalRuns(pairs: DataFrame, k: Int,
       minLen: Int): DataFrame = {
     require(minLen >= k, s"minLen must be >= k=$k, got $minLen")
     val w = org.apache.spark.sql.expressions.Window
@@ -681,7 +681,7 @@ object Dedup {
 
   /** Output-bounded exactness pass: keep a span only if the claimed
     * substrings are byte-identical in the source texts. */
-  private def verifySpans(spans: DataFrame, textsA: DataFrame,
+  private[graft] def verifySpans(spans: DataFrame, textsA: DataFrame,
       textsB: DataFrame): DataFrame =
     spans
       .join(textsA.toDF("id_a", "_ta"), Seq("id_a"))

@@ -409,6 +409,67 @@ object EventStreams {
       .start()
   }
 
+  /** Per-micro-batch contamination screen against a persisted benchmark
+    * suite ([[graft.sources.SpanWindowStore]]): each incoming doc batch
+    * is window-hashed and joined against the STORED suite index — the
+    * ExactSubstr eval-leak check as an ingest gate, so leaked benchmark
+    * text never reaches the training corpus in the first place. Docs
+    * with a verbatim overlap of ≥ `minLen` chars land under
+    * `quarantinePath` WITH their span evidence
+    * `(id_a, id_b, start_a, start_b, span_len)`; clean docs land under
+    * `acceptPath` unchanged. Per-batch cost tracks the BATCH (its
+    * windows) plus the fixed suite index — never a corpus scan, never a
+    * suite re-hash.
+    *
+    * Replay safety: both sinks anti-join their own id column before
+    * appending (the [[nearDupIngestStream]] discipline), so a replayed
+    * micro-batch after a checkpoint restart adds nothing to either
+    * side. A doc is never split across sinks: quarantine membership is
+    * decided per doc id, and the accept side is the anti-join of the
+    * batch against that id set. */
+  def contaminationScreenStream(docStream: DataFrame, storePath: String,
+      idCol: String, textCol: String, minLen: Int,
+      acceptPath: String, quarantinePath: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docStream.isStreaming,
+      "contaminationScreenStream needs a streaming frame; call " +
+        "SpanWindowStore.crossSpans directly for batch input")
+    val writer = docStream.writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = graft.core.Lifecycle.stage(batch.toDF())
+        val spans = graft.core.Lifecycle.stage(
+          graft.sources.SpanWindowStore.crossSpans(spark, storePath, b,
+            idCol, textCol, minLen))
+        def freshAgainst(df: DataFrame, sink: String): DataFrame = {
+          val seen = try spark.read.parquet(sink).select(
+              col(idCol).cast("long").as("_seen_id")).distinct()
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              return df }
+          df.join(seen, df(idCol).cast("long") === col("_seen_id"),
+            "left_anti")
+        }
+        val dirtyIds = spans.select(col("id_a").as("_dirty_id")).distinct()
+        val quarantined = b
+          .join(dirtyIds, b(idCol).cast("long") === col("_dirty_id"))
+          .drop("_dirty_id")
+          .join(spans, b(idCol).cast("long") === spans("id_a"))
+        val accepted = b.join(dirtyIds,
+          b(idCol).cast("long") === col("_dirty_id"), "left_anti")
+        val q = freshAgainst(quarantined, quarantinePath)
+        if (!q.isEmpty)
+          q.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(quarantinePath)
+        val a = freshAgainst(accepted, acceptPath)
+        if (!a.isEmpty)
+          a.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(acceptPath)
+      }
+      .start()
+  }
+
   /** Refresh every catalog table in `df`'s plan, in the SESSION THE THUNK
     * RESOLVED AGAINST. Needed for the `() => spark.table(name)` corpus
     * form: the sink's appends run on the micro-batch's cloned session and

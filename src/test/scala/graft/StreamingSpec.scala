@@ -614,4 +614,48 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(all == batch) // a->b, b->c, z->z (12:00->13:00)
     } finally q.stop()
   }
+
+  test("contaminationScreenStream: leaked docs quarantine with span " +
+      "evidence, clean docs pass, stream ≡ batch screen, replay-safe") {
+    import EventStreams.Doc
+    val leak = "What is the capital of Assyria? I do not know that at all"
+    val dir = java.nio.file.Files
+      .createTempDirectory("contam-screen").toString
+    val (store, accept, quarantine) =
+      (s"$dir/suite", s"$dir/accept", s"$dir/quarantine")
+    graft.sources.SpanWindowStore.save(
+      Seq((900L, "Q: " + leak)).toDF("doc_id", "text"),
+      "doc_id", "text", store, k = 8, maxOccurrences = 10)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val dirty = Doc(1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+      "a training doc containing " + leak + " verbatim")
+    val clean = Doc(2L, Timestamp.valueOf("2024-01-01 10:01:00"),
+      "an entirely original training document with no overlap")
+    val q = EventStreams.contaminationScreenStream(mem.toDF(), store,
+      "doc_id", "text", minLen = 20, accept, quarantine)
+    try {
+      mem.addData(dirty, clean)
+      q.processAllAvailable()
+      // replayed ids (same docs again) must append to NEITHER sink
+      mem.addData(dirty, clean)
+      q.processAllAvailable()
+    } finally q.stop()
+    val acc = spark.read.parquet(accept)
+    val quar = spark.read.parquet(quarantine)
+    assert(acc.select("doc_id").collect().map(_.getLong(0)).toSeq
+      == Seq(2L))
+    val qrows = quar.collect()
+    assert(qrows.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    // span evidence rides along and matches the batch screen exactly
+    val batchSpans = graft.sources.SpanWindowStore.crossSpans(spark,
+        store, Seq((1L, dirty.text)).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 20)
+      .collect().map(_.toSeq).toSet
+    assert(qrows.map(r => Seq(r.getAs[Long]("id_a"),
+      r.getAs[Long]("id_b"), r.getAs[Int]("start_a"),
+      r.getAs[Int]("start_b"), r.getAs[Int]("span_len"))).toSet
+      == batchSpans.map(_.toList: Seq[Any]))
+    assert(batchSpans.nonEmpty)
+  }
 }
