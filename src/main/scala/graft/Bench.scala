@@ -254,6 +254,12 @@ object Bench {
       SparkEntry.spanStorePath(spark, g.collection("documents"), sfDir)
       SparkEntry.appendedSpanStorePath(spark, g.collection("documents"),
         sfDir)
+      // the span family's staged frames (q147/q148/q149/q150 — built
+      // here untimed by each gate's OWN engine; q146 stays live as the
+      // family's window-pipeline cost anchor)
+      Seq("q147_cross_verbatim_decontam", "q148_excise_spans",
+        "q149_cross_decontam_stored", "q150_cross_decontam_appended")
+        .foreach(q => SparkEntry.queries(q)(spark, sfDir).count())
     } catch { case e: Throwable =>
       buildErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
       System.err.println(s"[bench] BUILD FAILED: ${buildErr.get.take(500)}")

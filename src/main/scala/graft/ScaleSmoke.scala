@@ -186,9 +186,9 @@ object ScaleSmoke {
     * shingle sets, window frequencies, edit distances, token lengths —
     * while keeping word sets disjoint across copies (12-char windows
     * collide across two distinct permutations with p ~ 26^-12).
-    * v4: the cipher fixes `d`,`u`,`p` so the content-drawn query gates
-    * (q138's `dup` marker) keep selecting in every copy — see
-    * [[cipherTo]]. */
+    * v5: full-alphabet permutation (no fixed points) — the content-
+    * drawn q138 query batch moved to an id slice; see [[cipherTo]] for
+    * the v4 post-mortem. */
   /** Both alphabet cases — the cipher maps a letter's cases through the
     * same permutation so casing survives the round trip. */
   private val CipherFrom: String =
@@ -199,18 +199,16 @@ object ScaleSmoke {
     * copies share a permutation with probability ~1/23! — effectively
     * never, at any copy count this harness allows.
     *
-    * `d`, `u`, `p` are FIXED POINTS of every permutation: the content-
-    * drawn gates select their query batch by the corpus's `dup` marker
-    * token (q138), and a cipher that renamed it would pin the query set
-    * to copy 0 — the probe would then measure a fixed batch against a
-    * grown corpus instead of both sides scaling. Three fixed letters
-    * shift no per-copy statistic (still a bijection) and cross-copy
-    * window collisions still need 12 identical chars through two
-    * different permutations. */
+    * No fixed points are special-cased: a v4 experiment kept `d`,`u`,
+    * `p` literal so q138's content marker survived ciphering — which
+    * turned `dup` into the one corpus-wide shared term, with df AND
+    * query count growing together: a quadratic join artifact of the
+    * marker (43.8× wall at 10×), not of the operator. The fix was to
+    * draw q138's query batch by id slice instead; the cipher stays a
+    * clean full-alphabet permutation. */
   private[graft] def cipherTo(i: Int): String = {
     if (i == 0) return CipherFrom
-    val keep = Set('d', 'u', 'p')
-    val arr = ('a' to 'z').filterNot(keep).toArray
+    val arr = ('a' to 'z').toArray
     var seed = i.toLong * 6364136223846793005L + 1442695040888963407L
     def next(n: Int): Int = {
       seed = seed * 6364136223846793005L + 1442695040888963407L
@@ -222,13 +220,11 @@ object ScaleSmoke {
       val t = arr(j); arr(j) = arr(k); arr(k) = t
       j -= 1
     }
-    val it = arr.iterator
-    val lower = ('a' to 'z').map(c => if (keep(c)) c else it.next()).mkString
-    lower + lower.toUpperCase
+    arr.mkString + arr.mkString.toUpperCase
   }
 
   def materialize(spark: SparkSession, base: String, out: String): Unit = {
-    val marker = new java.io.File(s"$out/_GRAFT_SCALE_COMPLETE_v4")
+    val marker = new java.io.File(s"$out/_GRAFT_SCALE_COMPLETE_v5")
     if (marker.exists) return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     keyCols.foreach { case (t, keys) =>

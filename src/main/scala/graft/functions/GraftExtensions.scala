@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmvSample.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvSample.fromChildren(children)))
+    ext.injectFunction((FunctionIdentifier("md5_bits60"),
+      Md5Bits60.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Bits60(children(0))))
+    ext.injectFunction((FunctionIdentifier("md5_window_hashes"),
+      Md5WindowHashes.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5WindowHashes(children(0), children(1))))
   }
 }
 
@@ -92,6 +100,16 @@ object GraftFunctions {
       "kmv_sample",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KmvSample.fromChildren(children),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_bits60",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Bits60(children(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_window_hashes",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5WindowHashes(children(0), children(1)),
       "built-in")
   }
 }

@@ -67,10 +67,19 @@ object BaseHash {
     * round-trip), so the hot production path should stay on [[Xx]]; use
     * this where external verifiability is worth the constant factor —
     * the DuckDB-oracled gate queries, cross-engine reproduction of a
-    * dedup run, or auditing a pipeline from another stack. */
+    * dedup run, or auditing a pipeline from another stack. On a session
+    * with the engine functions registered, the hash computes via the
+    * native [[graft.functions.Md5Bits60]] kernel (digest bytes → long,
+    * no hex round-trip — bit-identical by construction, parity pinned
+    * in BaseHashSpec); the pure-Column form is the registration-free
+    * fallback AND the cross-engine reference. */
   case object Md5 extends BaseHash {
     private def md5long(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+      if (graft.functions.GraftFunctions
+          .registeredOnActiveSession("md5_bits60"))
+        call_function("md5_bits60", c.cast("string"))
+      else
+        conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
     def full(c: Column): Column = md5long(c)
     def band(slice: Column, bandIx: Column): Column =
       md5long(concat(bandIx.cast("string"), lit(":"),

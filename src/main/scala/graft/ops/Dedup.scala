@@ -641,18 +641,33 @@ object Dedup {
     require(k >= 4, s"window size k must be >= 4, got $k")
     require(maxOccurrences >= 2,
       s"maxOccurrences must be >= 2, got $maxOccurrences")
+    // stride-1 windows hash ~n_chars values per document — register the
+    // native kernels so the portable Md5 variant runs the fused
+    // digest-direct window pass (one char-boundary scan per doc, zero
+    // per-window allocation) instead of per-window substr + hex churn
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
-    graft.core.Lifecycle.stage(
-      docs.filter(col(textCol).isNotNull && length(col(textCol)) >= k)
-        .select(col(idCol).cast("long").as("id"),
-          transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
-            i => struct(i.as("pos"),
-              hash.bits31(col(textCol).substr(i, lit(k))).as("h")))
-            .as("_ws"))
-        .select(col("id"), explode(col("_ws")).as("_w"))
-        .select(col("id"), col("_w.pos").as("pos"), col("_w.h").as("h"))
-        .withColumn("_n", count(lit(1)).over(w.partitionBy("h")))
-        .filter(col("_n") <= maxOccurrences).drop("_n"))
+    val live = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
+    val windowed =
+      if (hash == BaseHash.Md5 && graft.functions.GraftFunctions
+          .registeredOnActiveSession("md5_window_hashes"))
+        live.select(col(idCol).cast("long").as("id"),
+            posexplode(call_function("md5_window_hashes",
+              col(textCol), lit(k))).as(Seq("_p", "_h")))
+          .select(col("id"), (col("_p") + 1).as("pos"),
+            col("_h").bitwiseAND(lit(0x7fffffffL)).as("h"))
+      else
+        live.select(col(idCol).cast("long").as("id"),
+            transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
+              i => struct(i.as("pos"),
+                hash.bits31(col(textCol).substr(i, lit(k))).as("h")))
+              .as("_ws"))
+          .select(col("id"), explode(col("_ws")).as("_w"))
+          .select(col("id"), col("_w.pos").as("pos"), col("_w.h").as("h"))
+    graft.core.Lifecycle.stage(windowed
+      .withColumn("_n", count(lit(1)).over(w.partitionBy("h")))
+      .filter(col("_n") <= maxOccurrences).drop("_n"))
   }
 
   /** Diagonal island merge: matched window positions

@@ -62,16 +62,26 @@ object SpanWindowStore {
     * [[save]] and [[append]] share, identical to the recompute op's
     * window pass modulo the cap (applied at probe time here). */
   private def windowFrame(docs: DataFrame, idCol: String, textCol: String,
-      p: Params): DataFrame =
-    OpsUtil.widen(docs)
+      p: Params): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val live = OpsUtil.widen(docs)
       .filter(col(textCol).isNotNull && length(col(textCol)) >= p.k)
-      .select(col(idCol).cast("long").as("id"),
-        transform(sequence(lit(1), length(col(textCol)) - (p.k - 1)),
-          i => struct(i.as("pos"),
-            p.baseHash.bits31(col(textCol).substr(i, lit(p.k))).as("h")))
-          .as("_ws"))
-      .select(col("id"), explode(col("_ws")).as("_w"))
-      .select(col("id"), col("_w.pos").as("pos"), col("_w.h").as("h"))
+    if (p.baseHash == BaseHash.Md5 && graft.functions.GraftFunctions
+        .registeredOnActiveSession("md5_window_hashes"))
+      live.select(col(idCol).cast("long").as("id"),
+          posexplode(call_function("md5_window_hashes",
+            col(textCol), lit(p.k))).as(Seq("_p", "_h")))
+        .select(col("id"), (col("_p") + 1).as("pos"),
+          col("_h").bitwiseAND(lit(0x7fffffffL)).as("h"))
+    else
+      live.select(col(idCol).cast("long").as("id"),
+          transform(sequence(lit(1), length(col(textCol)) - (p.k - 1)),
+            i => struct(i.as("pos"),
+              p.baseHash.bits31(col(textCol).substr(i, lit(p.k))).as("h")))
+            .as("_ws"))
+        .select(col("id"), explode(col("_ws")).as("_w"))
+        .select(col("id"), col("_w.pos").as("pos"), col("_w.h").as("h"))
+  }
 
   private def writeTables(docs: DataFrame, idCol: String, textCol: String,
       p: Params, path: String, mode: SaveMode): Unit = {

@@ -28,6 +28,53 @@ class BaseHashSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.getLong(1) == (220461512654075614L & 0x7fffffffL))
   }
 
+  test("native md5_bits60 kernel ≡ the pure-Column portable form, " +
+      "byte-for-byte, across ascii/unicode/empty/long inputs") {
+    graft.functions.GraftFunctions.register(spark)
+    assert(graft.functions.GraftFunctions
+      .registeredOnActiveSession("md5_bits60"))
+    val inputs = Seq("", "a", "the quick brown fox", "ümläut " +
+      "中文 mixed", "x" * 5000, "0", "dup", "\n\t spaces \r")
+    val df = inputs.toDF("s")
+    val native = df.select(call_function("md5_bits60", col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    val portable = df.select(
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == portable)
+    // and the dispatching variant actually served the native kernel
+    val viaDispatch = df.select(BaseHash.Md5.full(col("s")))
+    assert(viaDispatch.queryExecution.analyzed.toString
+      .contains("md5_bits60"))
+    assert(viaDispatch.collect().map(_.getLong(0)).toSeq == portable)
+  }
+
+  test("md5_window_hashes ≡ per-window portable hashes (1-based " +
+      "substr), including multibyte chars and short strings") {
+    graft.functions.GraftFunctions.register(spark)
+    val inputs = Seq("the quick brown fox", "ümläut 中文 mixed", "abcdefgh",
+      "short", "", "exactly8")
+    val k = 8
+    val df = inputs.toDF("s")
+    val fused = df.select(
+        call_function("md5_window_hashes", col("s"), lit(k)).as("hs"))
+      .collect().map(_.getSeq[Long](0).toList).toList
+    val perWindow = inputs.map { s =>
+      val n = s.codePointCount(0, s.length) // == numChars for BMP text
+      (1 to math.max(0, n - k + 1)).toList
+    }
+    val portable = df.select(
+        when(length(col("s")) >= k,
+          transform(sequence(lit(1), length(col("s")) - (k - 1)),
+            i => conv(substring(md5(col("s").substr(i, lit(k))), 1, 15),
+              16, 10).cast("long")))
+          .otherwise(array().cast("array<long>")).as("hs"))
+      .collect().map(_.getSeq[Long](0).toList).toList
+    assert(fused.map(_.size) == portable.map(_.size))
+    assert(fused == portable)
+    assert(perWindow.map(_.size) == fused.map(_.size))
+  }
+
   test("md5 band hash matches the DuckDB-verified constant") {
     val out = Seq(1).toDF("i")
       .select(BaseHash.Md5.band(
