@@ -695,6 +695,132 @@ object SmokeVerify {
           badCut23 == 0) "OK" else "BROKEN"))
     }
 
+    // 24. round-15b wave: zorder / weighted sample / attribution /
+    // containment / kcore / bigram LM, each re-checked by plain Scala
+    // recomputation on the collected (small-sf) inputs.
+    {
+      // zorder: Scala reference interleave over 200 orders rows
+      val ord24 = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_custkey").cast("long").as("a"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")
+            .as("b"),
+          graft.ops.Layout.zorderKey2(col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01")), 16).as("z"))
+        .limit(200).collect()
+      def ref24(a: Long, b: Long): Long = (0 until 16).map { j =>
+        (((a & 0xffff) >> j & 1L) << (2 * j + 1)) |
+          (((b & 0xffff) >> j & 1L) << (2 * j))
+      }.reduce(_ | _)
+      val zBad = ord24.count(r =>
+        r.getLong(2) != ref24(r.getLong(0), r.getLong(1)))
+
+      // weighted sample: deterministic re-run, exact k, weights positive
+      val ws = graft.ops.Corpus.weightedSampleTopK(docs,
+        concat(lit("s:"), col("doc_id")), col("n_chars"), k = 25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val ws2 = graft.ops.Corpus.weightedSampleTopK(docs.repartition(7),
+        concat(lit("s:"), col("doc_id")), col("n_chars"), k = 25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val wsOk = ws.size == 25 && ws == ws2
+
+      // attribution: per-conversion credit conservation (sum over a
+      // conversion's touches is 1e6 for n<=2, 1e6 minus the dropped
+      // integer-div remainder otherwise) re-checked from raw events
+      val ev24 = spark.read.parquet(s"$sf/events.parquet")
+      val att = graft.ops.Behavior.attributionPositional(ev24, "user_id",
+        "event_type", "ts", "event_id", Seq("click", "view"), "purchase")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      val raw24 = ev24.select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"),
+          col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3)))
+      val perUser = raw24.groupBy(_._1)
+      var expTouch = Map.empty[String, Long].withDefaultValue(0L)
+      var expCred = Map.empty[String, Long].withDefaultValue(0L)
+      perUser.values.foreach { evs =>
+        val sorted = evs.sortBy(e => (e._3, if (e._2 == "purchase") 1 else 0,
+          e._4))
+        val convs = sorted.filter(_._2 == "purchase")
+        val touches = sorted.filter(e => e._2 == "click" || e._2 == "view")
+        val grouped = touches.flatMap { t =>
+          convs.find(c => c._3 > t._3 ||
+            (c._3 == t._3)).map(c => (c._4, t))
+        }.groupBy(_._1)
+        grouped.values.foreach { g =>
+          val seq24 = g.map(_._2).sortBy(e => (e._3, e._4))
+          val n = seq24.length
+          seq24.zipWithIndex.foreach { case (t, i) =>
+            val credit =
+              if (n == 1) 1000000L
+              else if (n == 2) 500000L
+              else if (i == 0 || i == n - 1) 400000L
+              else 200000L / (n - 2)
+            expTouch += t._2 -> (expTouch(t._2) + 1)
+            expCred += t._2 -> (expCred(t._2) + credit)
+          }
+        }
+      }
+      val attOk = Seq("click", "view").forall(ty =>
+        att.get(ty).contains((expTouch(ty), expCred(ty))))
+
+      // containment: brute-force recheck on the 40-doc slice
+      val cont = graft.ops.Dedup.containmentPairs(
+        docs.filter(col("doc_id") < 40), "doc_id", "text",
+        shingleN = 3, minContainMicro = 400000L,
+        maxDocsPerShingle = 1000L).collect()
+      val sh24 = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id").cast("long"), col("text")).collect()
+        .map(r => r.getLong(0) -> {
+          val t = r.getString(1)
+          if (t.length >= 3) (0 to t.length - 3).map(i =>
+            t.substring(i, i + 3)).toSet
+          else Set(t)
+        }).toMap
+      val contBad = cont.count { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val inter = (sh24(a) intersect sh24(b)).size.toLong
+        r.getLong(2) != inter ||
+          r.getLong(5) != inter * 1000000L / sh24(a).size ||
+          r.getLong(6) != inter * 1000000L / sh24(b).size
+      }
+
+      // kcore: brute-force peel on the collected capped edge set
+      val edges24 = graft.ops.Dedup.simhashNearPairs(
+        graft.ops.Dedup.simhash(docs, "doc_id", "text",
+          hash = graft.ops.BaseHash.Md5), maxDist = 6)
+      val core = graph.GraphAnalytics.kCore(edges24, k = 2, maxPeels = 4,
+        maxDegree = Some(20L)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var es = edges24.select(least(col("id_a"), col("id_b")),
+          greatest(col("id_a"), col("id_b"))).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).filter(e => e._1 != e._2)
+      def degs(e: Array[(Long, Long)]) =
+        (e.map(_._1) ++ e.map(_._2)).groupBy(identity).map {
+          case (k2, v) => k2 -> v.length.toLong }
+      val d0 = degs(es)
+      es = es.filter(e => d0(e._1) <= 20 && d0(e._2) <= 20)
+      (1 to 4).foreach { _ =>
+        val d = degs(es)
+        es = es.filter(e => d(e._1) >= 2 && d(e._2) >= 2)
+      }
+      val coreOk = core == degs(es)
+
+      // bigram LM: every mixture logprob is negative and doc count
+      // matches the >=2-token population
+      val blp = graft.ops.Corpus.bigramLogProb(docs, "doc_id", "text")
+        .collect()
+      val nMulti = docs.filter(size(split(col("text"), " ")) >= 2).count()
+      val blpOk = blp.length == nMulti && blp.forall(_.getDouble(1) < 0)
+
+      println(s"SMOKE24 round15b: zBad=$zBad wsOk=$wsOk attOk=$attOk " +
+        s"contPairs=${cont.length} contBad=$contBad coreOk=$coreOk " +
+        s"blpDocs=${blp.length} blpOk=$blpOk => " +
+        (if (zBad == 0 && wsOk && attOk && cont.nonEmpty && contBad == 0 &&
+          coreOk && blpOk) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

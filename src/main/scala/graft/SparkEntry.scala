@@ -1915,6 +1915,83 @@ object SparkEntry {
           "text", winTokens = 64, strideTokens = 48)
         .orderBy("doc_id", "chunk_idx")
     }),
+    "q151_bigram_logprob" -> ((s, dir) => {
+      // Jelinek-Mercer bigram LM quality score (λ = 0.9): the
+      // transition-aware rung above q74's unigram proxy — scrambled
+      // word order and templated boilerplate score low even when the
+      // word inventory is normal. Docs with < 2 tokens omitted (no
+      // transition evidence); mean rounded to 4 decimals (q74's
+      // reassociation discipline).
+      ops.Corpus.bigramLogProb(
+          Testbed.graph(s, dir).collection("documents"), "doc_id",
+          "text", lambdaMicro = 900000L)
+        .orderBy("doc_id")
+    }),
+    "q152_attribution" -> ((s, dir) => {
+      // position-based (U-shaped) multi-touch attribution: each
+      // click/view attributes to the user's next purchase at-or-after
+      // it; 40/20/40 integer-micro credit within each conversion's
+      // touch sequence, rolled up per touch type. One user-keyed
+      // backward-carry window + one conversion-keyed window — the
+      // funnel/transition shuffle shape, no per-user arrays.
+      ops.Behavior.attributionPositional(
+          Testbed.graph(s, dir).collection("events"), "user_id",
+          "event_type", "ts", "event_id",
+          touchTypes = Seq("click", "view"), convType = "purchase")
+        .orderBy("event_type")
+    }),
+    "q153_weighted_sample" -> ((s, dir) => {
+      // Efraimidis-Spirakis weighted sampling without replacement,
+      // k = 50 docs weighted by n_chars: hash-derived uniforms (md5 so
+      // the draw replays in the oracle), priority ln(u)/w, global
+      // top-k via TakeOrdered — retry-stable where sample() is not
+      ops.Corpus.weightedSampleTopK(
+          Testbed.graph(s, dir).collection("documents"),
+          concat(lit("ws:"), col("doc_id")), col("n_chars"), k = 50,
+          hash = ops.BaseHash.Md5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+    "q154_zorder_key" -> ((s, dir) => {
+      // Morton/Z-order clustering key over (o_custkey, order-date day):
+      // the multi-dimensional layout primitive — sort a 100 TB table by
+      // this ONE key before writing and parquet row-group min/max stats
+      // stay tight on BOTH dimensions, so selective predicates on either
+      // skip most files (lakehouse OPTIMIZE ZORDER). Pure codegen'd bit
+      // interleave, replayed bit-for-bit by the oracle's shift/or SQL.
+      Testbed.graph(s, dir).collection("orders")
+        .select(col("o_orderkey"),
+          ops.Layout.zorderKey2(col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01")), bits = 16)
+            .as("zkey"))
+        .orderBy("zkey", "o_orderkey")
+        .limit(200)
+    }),
+    "q155_containment" -> ((s, dir) => {
+      // directional n-gram containment (the asymmetric dedup screen
+      // Jaccard misses: a short doc quoted whole inside a long one) on
+      // q29's bounded verification slice — candidates from the shingle
+      // inverted index, exact integer-micro scores both directions.
+      // The df cap is the stop-gram guard; at this slice every gram is
+      // under it, so the oracle verifies the uncapped math while
+      // SCALESMOKE probes the capped posting join's cost shape.
+      ops.Dedup.containmentPairs(
+          Testbed.graph(s, dir).collection("documents")
+            .filter(col("doc_id") < 40),
+          "doc_id", "text", shingleN = 3, minContainMicro = 400000L,
+          maxDocsPerShingle = 1000L)
+        .orderBy("id_a", "id_b")
+    }),
+    "q156_kcore" -> ((s, dir) => {
+      // 2-core of the degree-capped near-dup graph (q87's edge set):
+      // iterative peeling, <= 4 rounds with early convergence — the
+      // dense-core screen separating structurally redundant clusters
+      // from chains of pairwise coincidences. The oracle unrolls the
+      // same 4 peels; monotonicity makes surplus rounds identity.
+      graph.GraphAnalytics.kCore(nearDupEdges(s, dir), k = 2,
+          maxPeels = 4, maxDegree = Some(20L))
+        .orderBy("id")
+    }),
     "q140_fuzzy_nearest_frac" -> ((s, dir) => {
       // q119's resolution with the two scale-correct substitutions: a
       // COMPOSITE blocking key (last TWO words — the standard refinement
@@ -3526,6 +3603,123 @@ object SparkEntry {
                 CAST(len(chunk_toks) AS BIGINT) AS n_tokens,
                 array_to_string(chunk_toks, ' ') AS chunk
          FROM e ORDER BY doc_id, chunk_idx""",
+    // q151: the Jelinek-Mercer mixture replayed — identical literal
+    // forms (900000/1000000.0 on both sides, so the IEEE doubles agree
+    // term-for-term), positions zipped by subscript, lag() = the
+    // engine's per-doc window; round-4 absorbs summation order
+    "q151_bigram_logprob" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         tok AS (SELECT doc_id, unnest(toks) AS w,
+                        generate_subscripts(toks, 1) AS p
+                 FROM t),
+         uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY w),
+         tot AS (SELECT sum(c1) AS n FROM uni),
+         tr AS (SELECT doc_id, w, p,
+                  lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+                FROM tok),
+         trf AS (SELECT doc_id, prev, w FROM tr WHERE prev IS NOT NULL),
+         bi AS (SELECT prev, w, count(*) AS c2 FROM trf
+                GROUP BY prev, w)
+         SELECT doc_id,
+                round(avg(ln(
+                  (900000 / 1000000.0) * (CAST(bi.c2 AS DOUBLE) / up.c1)
+                  + (1 - 900000 / 1000000.0)
+                    * (CAST(uc.c1 AS DOUBLE) / n))), 4) AS avg_logprob
+         FROM trf
+         JOIN bi ON bi.prev = trf.prev AND bi.w = trf.w
+         JOIN uni up ON up.w = trf.prev
+         JOIN uni uc ON uc.w = trf.w
+         CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+    // q152: the backward-carry assignment is first_value IGNORE NULLS
+    // over the same (ts, tag, eid) order — conversions tagged 1 so an
+    // equal-timestamp touch sees them; credits are the same integer
+    // CASE with // for the interior split
+    "q152_attribution" ->
+      """WITH b AS (
+           SELECT user_id AS u, event_type AS ty, ts,
+                  CAST(event_id AS BIGINT) AS eid
+           FROM events),
+         tg AS (
+           SELECT u, ty, ts, eid, 0 AS tag, CAST(NULL AS BIGINT) AS cid
+           FROM b WHERE ty IN ('click', 'view')
+           UNION ALL
+           SELECT u, ty, ts, eid, 1 AS tag, eid AS cid
+           FROM b WHERE ty = 'purchase'),
+         asg AS (
+           SELECT ty, ts, eid, tag,
+                  first_value(cid IGNORE NULLS) OVER (PARTITION BY u
+                    ORDER BY ts, tag, eid
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS conv
+           FROM tg),
+         tch AS (SELECT ty, ts, eid, conv FROM asg
+                 WHERE tag = 0 AND conv IS NOT NULL),
+         pos AS (SELECT ty,
+                   row_number() OVER (PARTITION BY conv
+                     ORDER BY ts, eid) AS p,
+                   count(*) OVER (PARTITION BY conv) AS n
+                 FROM tch),
+         cr AS (SELECT ty,
+                  CASE WHEN n = 1 THEN 1000000
+                       WHEN n = 2 THEN 500000
+                       WHEN p = 1 OR p = n THEN 400000
+                       ELSE 200000 // (n - 2) END AS credit
+                FROM pos)
+         SELECT ty AS event_type, CAST(count(*) AS BIGINT) AS n_touches,
+                CAST(sum(credit) AS BIGINT) AS credit_micro
+         FROM cr GROUP BY ty ORDER BY event_type""",
+    // q153: the exponential-sort draw replayed — the q83 md5-bucket
+    // uniform, the same ln(u)/w priority, the same (priority desc, key)
+    // cut at 50; re-ordered by doc_id for the compare
+    "q153_weighted_sample" ->
+      """WITH s AS (
+           SELECT doc_id, source, n_chars,
+                  ln((CAST(concat('0x',
+                        substr(md5('ws:' || doc_id), 1, 15)) AS BIGINT)
+                      % 1000000 + 0.5) / 1000000.0) / n_chars AS pri
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+           ORDER BY pri DESC, 'ws:' || doc_id LIMIT 50)
+         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+         FROM s ORDER BY doc_id""",
+    "q154_zorder_key" -> ZorderOracleSql,
+    // q155: the inverted-index candidate join replayed over the q29
+    // slice — distinct 3-gram postings, df cap (vacuous at this slice,
+    // by design), exact integer-micro containment both directions
+    "q155_containment" ->
+      """WITH s AS (
+           SELECT doc_id, unnest(CASE WHEN length(text) >= 3
+                    THEN list_distinct(list_transform(
+                           range(1, length(text) - 1),
+                           i -> substr(text, CAST(i AS INT), 3)))
+                    ELSE [text] END) AS g
+           FROM documents WHERE doc_id < 40),
+         szs AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         kept AS (SELECT * FROM s
+                  QUALIFY count(*) OVER (PARTITION BY g) <= 1000),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS inter
+                FROM kept a JOIN kept b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b
+               FROM pr JOIN szs sa ON sa.doc_id = pr.id_a
+                       JOIN szs sb ON sb.doc_id = pr.id_b)
+         SELECT CAST(id_a AS BIGINT) AS id_a,
+                CAST(id_b AS BIGINT) AS id_b,
+                CAST(inter AS BIGINT) AS inter,
+                CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                CAST((inter * 1000000) // n_a AS BIGINT)
+                  AS contain_a_micro,
+                CAST((inter * 1000000) // n_b AS BIGINT)
+                  AS contain_b_micro
+         FROM j
+         WHERE greatest((inter * 1000000) // n_a,
+                        (inter * 1000000) // n_b) >= 400000
+         ORDER BY id_a, id_b""",
+    "q156_kcore" -> KCoreOracleSql,
     // q140: q119's chain under the composite last-two-words block key
     // and the RELATIVE skew gate — a block passes while bn·1000 ≤ 200·N
     // (N = named rows), the integer cross-multiply the engine applies
@@ -4754,6 +4948,81 @@ object SparkEntry {
            FROM sc)
          SELECT query_id, neighbor_id, score, "rank" FROM r
          WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
+  /** q154: the Morton interleave replayed bit-for-bit — 16 bits per
+    * dimension, custkey on the odd (more significant) positions, the
+    * date-day on the even ones, exactly [[graft.ops.Layout.zorderKey]]'s
+    * placement `j * n + (n - 1 - c)`. */
+  private lazy val ZorderOracleSql = {
+    val terms = (0 until 16).flatMap(j => Seq(
+      s"(((ca >> $j) & 1) << ${2 * j + 1})",
+      s"(((cb >> $j) & 1) << ${2 * j})"))
+    s"""WITH z AS (
+          SELECT o_orderkey,
+                 (CAST(o_custkey AS BIGINT) & 65535) AS ca,
+                 (CAST(datediff('day', DATE '1992-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) & 65535) AS cb
+          FROM orders)
+        SELECT o_orderkey,
+               CAST(${terms.mkString(" | ")} AS BIGINT) AS zkey
+        FROM z ORDER BY zkey, o_orderkey LIMIT 200"""
+  }
+
+  /** q156: q87's md5-simhash capped edge set (the same hs/sig/e0/keep
+    * CTEs), then exactly four unrolled peel rounds — degree count,
+    * keep-set `d >= 2`, both-endpoint semi-join — and the surviving
+    * degrees. The engine may exit early on convergence; peeling is
+    * monotone, so the surplus unrolled rounds are identity. */
+  private lazy val KCoreOracleSql = {
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and with
+    // p0..p3 each referenced three times the unrolled peels would
+    // re-derive the whole simhash chain exponentially (measured: 360 s
+    // inlined vs 0.6 s materialized on the same input)
+    val peels = (1 to 4).map { i =>
+      val prev = s"p${i - 1}"
+      s"""d$i AS MATERIALIZED (
+           SELECT x, count(*) AS d
+           FROM (SELECT u AS x FROM $prev UNION ALL SELECT v AS x FROM $prev)
+           GROUP BY x),
+         k$i AS MATERIALIZED (SELECT x FROM d$i WHERE d >= 2),
+         p$i AS MATERIALIZED (
+           SELECT $prev.u, $prev.v FROM $prev
+           JOIN k$i a ON a.x = $prev.u
+           JOIN k$i b ON b.x = $prev.v)"""
+    }.mkString(",\n         ")
+    s"""WITH hs AS MATERIALIZED (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+           FROM documents),
+         sig AS MATERIALIZED (
+           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+             AS simhash
+           FROM hs),
+         e0 AS MATERIALIZED (
+           SELECT a.id AS u, b.id AS v FROM sig a, sig b
+           WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+         d0 AS MATERIALIZED (
+           SELECT x, count(*) AS d
+           FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+           GROUP BY x),
+         keep AS MATERIALIZED (SELECT x FROM d0 WHERE d <= 20),
+         p0 AS MATERIALIZED (
+           SELECT u, v FROM e0
+           JOIN keep ka ON ka.x = e0.u
+           JOIN keep kb ON kb.x = e0.v),
+         $peels
+         SELECT id, CAST(count(*) AS BIGINT) AS degree
+         FROM (SELECT u AS id FROM p4 UNION ALL SELECT v AS id FROM p4)
+         GROUP BY id ORDER BY id"""
+  }
 
   private val KnnQuantizedOracleSql =
       """WITH c0 AS (

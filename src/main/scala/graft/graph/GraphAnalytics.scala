@@ -213,6 +213,55 @@ object GraphAnalytics {
           .as("cc_micro"))
   }
 
+  /** k-core extraction by iterative peeling: repeatedly drop every vertex
+    * whose degree in the SURVIVING subgraph is below `k`, up to
+    * `maxPeels` rounds, and return `(id, degree)` of what remains — the
+    * standard dense-core screen (a near-dup cluster that survives the
+    * 2-core is structurally redundant content, not a chain of pairwise
+    * coincidences; link-graph cores rank crawl frontiers the same way).
+    * Peeling is monotone, so a fixed round budget is a sound UNDER-
+    * approximation of the true core from above: every emitted vertex
+    * genuinely has ≥ k surviving neighbors at round `maxPeels`, extra
+    * rounds can only remove more, and once a round removes nothing the
+    * loop exits early (the result is then the exact k-core). The fixed
+    * budget is what makes the op replayable by a non-iterative engine —
+    * the oracle unrolls exactly `maxPeels` peel CTEs, and early
+    * convergence makes the surplus rounds identity on both sides.
+    *
+    * Scale posture: each round is one map-side-combined degree count
+    * plus two vertex-keyed semi-joins on the staged edge set — the same
+    * shapes as the [[triangles]] orientation — and the surviving set
+    * shrinks monotonically; rounds are driver-sequenced like the other
+    * iterative kernels, with each round's edges staged to truncate
+    * lineage. The ONLY driver-side value is the per-round edge count
+    * (the convergence test), never edges. */
+  def kCore(edges: DataFrame, k: Int, maxPeels: Int,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxDegree: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(maxPeels >= 1, s"maxPeels must be positive, got $maxPeels")
+    var und = cappedUndirected(edges, aCol, bCol, maxDegree)
+    var nEdges = und.count()
+    var round = 0
+    var converged = false
+    while (round < maxPeels && !converged && nEdges > 0) {
+      val deg = und.select(col("u").as("x"))
+        .unionAll(und.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("x")
+      val next = und.join(keep.select(col("x").as("u")), Seq("u"))
+        .join(keep.select(col("x").as("v")), Seq("v"))
+        .transform(graft.core.Lifecycle.stage(_))
+      val nNext = next.count()
+      converged = nNext == nEdges
+      und = next
+      nEdges = nNext
+      round += 1
+    }
+    und.select(col("u").as("id")).unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+  }
+
   /** Connected components: (doc_key, component id). Component ids are the
     * min vertex id in the component — deterministic, identical labels to
     * GraphX's `connectedComponents` (min-id semantics), but computed by

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event-sequence analytics: ordered funnels and cohort
@@ -386,5 +387,72 @@ object Behavior {
           .cast("int").as("week_offset"),
         col("n_users"))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Position-based (U-shaped) multi-touch conversion attribution: every
+    * touch event (type in `touchTypes`) is assigned to the SAME user's
+    * next conversion (`convType`) at-or-after it; within each conversion's
+    * touch sequence, credit in integer millionths goes 40/20/40 — a sole
+    * touch takes the full million, a pair splits it evenly, and with
+    * n ≥ 3 the first and last touch take 400000 each while the interior
+    * splits 200000 by integer division (the remainder is deliberately
+    * dropped, not redistributed — credits stay exact integers and the
+    * replayer computes the identical `div`). Touches after the user's
+    * last conversion attribute to nothing and are excluded. Output one
+    * row per touch type: `(event_type, n_touches, credit_micro)`,
+    * credit summed over all conversions.
+    *
+    * Sequence positions order by `(ts, eventIdCol)` so simultaneous
+    * touches rank deterministically; a touch at exactly the conversion's
+    * timestamp belongs to that conversion (at-or-after semantics — the
+    * mirror of [[graft.ops.TemporalJoins.asofJoin]]'s at-or-before).
+    *
+    * Scale posture: the touch→conversion assignment is the union-and-
+    * carry pattern run BACKWARD — tag both event kinds, one user-keyed
+    * window sorted by (ts, tag), `first(conv_id)` over the current-row-
+    * to-unbounded-following frame — so it is ONE shuffle on the user key
+    * with no per-user arrays and no range self-join; the position/credit
+    * pass is one window on the conversion id (cardinality = conversions,
+    * frames = touches per conversion, both bounded by user activity, not
+    * corpus size); the rollup is a |touchTypes|-row aggregate. */
+  def attributionPositional(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, eventIdCol: String,
+      touchTypes: Seq[String], convType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "need >= 1 touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type")
+    val base = events.select(col(userCol).as("_u"), col(typeCol).as("_ty"),
+      col(tsCol).as("_ts"), col(eventIdCol).cast("long").as("_eid"))
+    // tag 0 = touch, 1 = conversion: ascending (ts, tag) puts the
+    // conversion AFTER same-timestamp touches, so the forward frame
+    // (current row → following) sees it — at-or-after semantics
+    val touches = base.filter(col("_ty").isin(touchTypes: _*))
+      .withColumn("_tag", lit(0))
+      .withColumn("_cid", lit(null).cast("long"))
+    val convs = base.filter(col("_ty") === convType)
+      .withColumn("_tag", lit(1))
+      .withColumn("_cid", col("_eid"))
+    val wAssign = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts"), col("_tag"), col("_eid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val assigned = touches.unionByName(convs)
+      .withColumn("_conv", first(col("_cid"), ignoreNulls = true)
+        .over(wAssign))
+      .filter(col("_tag") === 0 && col("_conv").isNotNull)
+    val wSeq = Window.partitionBy(col("_conv"))
+      .orderBy(col("_ts"), col("_eid"))
+    val credited = assigned
+      .withColumn("_pos", row_number().over(wSeq))
+      .withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("_conv"))))
+      .withColumn("_credit",
+        when(col("_n") === 1, lit(1000000L))
+          .when(col("_n") === 2, lit(500000L))
+          .when(col("_pos") === 1 || col("_pos") === col("_n"),
+            lit(400000L))
+          .otherwise(expr("200000 div (_n - 2)")))
+    credited.groupBy(col("_ty").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("_credit")).as("credit_micro"))
   }
 }

@@ -672,4 +672,83 @@ object Corpus {
             .reduce(_ || _), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
+
+  /** Interpolated bigram language-model quality score — the next rung up
+    * from [[unigramLogProb]] on the perplexity-filter ladder: each
+    * document's mean log-probability of its tokens under a Jelinek-Mercer
+    * mixture of the corpus's own bigram and unigram distributions,
+    * `ln(λ·P(w|prev) + (1−λ)·P(w))` averaged over positions 2..n.
+    * A unigram score can't see scrambled word order or templated
+    * boilerplate whose word inventory is normal but whose transitions are
+    * not; the bigram term catches both. Documents with fewer than two
+    * tokens have no scored position and are omitted (they have no
+    * transition evidence either way — length-gate them separately).
+    * `lambdaMicro` is the bigram weight in integer millionths, so engine
+    * and replayer compare against the identical double `λ = micro/1e6`.
+    *
+    * At 100 TB: the unigram table is vocabulary-bounded and the bigram
+    * table is bounded by OBSERVED transitions (≪ vocab², Heaps-law
+    * sublinear in corpus size); both aggregations are map-side combined.
+    * The score pass is two token-keyed joins (prev and cur) plus one
+    * (prev,cur)-keyed join — AQE decides per-table whether the frequency
+    * side broadcasts — and the per-doc transition pairing is a single
+    * doc-keyed window (one shuffle), not a self-join. The normalizer is a
+    * 1-row broadcast. Nothing driver-side; mean rounded to 4 decimals so
+    * reduce-order float reassociation cannot flip the replayed hash
+    * (the [[unigramLogProb]] discipline). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambdaMicro: Long = 900000L): DataFrame = {
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be integer millionths in [0, 1000000], got $lambdaMicro")
+    val lam = lit(lambdaMicro) / lit(1000000.0)
+    val tok = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("_p", "_t")))
+    val uni = tok.groupBy(col("_t")).agg(count(lit(1)).as("_c1"))
+    val total = uni.agg(sum(col("_c1")).as("_n"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    val trans = tok.withColumn("_prev", lag(col("_t"), 1).over(w))
+      .filter(col("_prev").isNotNull)
+    val bi = trans.groupBy(col("_prev"), col("_t"))
+      .agg(count(lit(1)).as("_c2"))
+    trans
+      .join(bi, Seq("_prev", "_t"))
+      .join(uni.select(col("_t").as("_prev"), col("_c1").as("_cp")), "_prev")
+      .join(uni, "_t")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(
+        lam * (col("_c2").cast("double") / col("_cp"))
+          + (lit(1) - lam) * (col("_c1").cast("double") / col("_n")))), 4)
+        .as("avg_logprob"))
+  }
+
+  /** Deterministic weighted sampling without replacement (the
+    * Efraimidis–Spirakis exponential-sort scheme): each row draws a
+    * pseudo-uniform `u` from the HASH of its key — the [[hashSample]]
+    * replayable-randomness discipline, `u = (h mod 1e6 + 0.5) / 1e6` —
+    * and the `k` rows with the largest priority `ln(u) / w` win. That is
+    * exactly a weighted draw without replacement: a row with twice the
+    * weight has twice the inclusion pressure, yet no row can be picked
+    * twice and the outcome replays bit-for-bit across runs, retries, and
+    * engines (`sample()` re-draws on task retry; this is a pure function
+    * of the key). Rows with non-positive or null weight are excluded.
+    * Ties (two keys in the same hash bucket AND equal weight) break by
+    * key string, so the sample is a total function of the input set.
+    *
+    * At 100 TB: priorities are a pure map over the scan; the global
+    * top-k is Spark's TakeOrdered (per-partition k then a k·P driver
+    * merge — no full sort, no single-partition window). Keep `k`
+    * driver-bounded (samples, not result sets); for huge k, filter by a
+    * priority threshold from a quantile sketch instead. */
+  def weightedSampleTopK(df: DataFrame, key: Column, weight: Column,
+      k: Int, hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): DataFrame = {
+    require(k >= 1, s"weightedSampleTopK needs k >= 1, got $k")
+    val u = (pmod(hash.full(key.cast("string")), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("_pri", log(u) / weight.cast("double"))
+      .orderBy(col("_pri").desc, key.cast("string"))
+      .limit(k)
+      .drop("_pri")
+  }
 }

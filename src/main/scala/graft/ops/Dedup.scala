@@ -258,6 +258,55 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
   }
 
+  /** Directional n-gram CONTAINMENT pairs — the asymmetric companion to
+    * [[ngramJaccardPairs]] for subset duplication: a short document quoted
+    * whole inside a long one scores a tiny Jaccard (the union is dominated
+    * by the long side) but a containment of ~1.0 from the short side.
+    * For every candidate pair sharing at least one shingle, emits the
+    * distinct-shingle overlap and both directional scores
+    * `contain_a_micro = |A∩B|·1e6 div |A|` (and symmetrically for B) as
+    * exact integers, keeping pairs where EITHER direction reaches
+    * `minContainMicro`.
+    *
+    * Unlike the bounded-verification cross join in [[ngramJaccardPairs]],
+    * candidates come from a shingle inverted index — the posting-list
+    * join a 100 TB corpus needs: the pair space is Σ df² over shingles,
+    * and `maxDocsPerShingle` drops postings above the cap before the
+    * self-join (a stop-gram like `" th"` would otherwise contribute
+    * |corpus|² candidates on its own). Dropped grams can only LOWER the
+    * measured overlap — the guard trades recall on pairs whose only
+    * shared material is corpus-ubiquitous, which is exactly the material
+    * containment screens should ignore. The shuffle carries
+    * `(shingle, id)` postings and then integer ids + counts, never
+    * documents; set sizes ride the same per-doc aggregation. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minContainMicro: Long = 500000L,
+      maxDocsPerShingle: Long = 1000L): DataFrame = {
+    require(minContainMicro >= 0L && minContainMicro <= 1000000L,
+      s"minContainMicro must be in [0, 1000000], got $minContainMicro")
+    require(maxDocsPerShingle >= 2L,
+      s"maxDocsPerShingle must be >= 2, got $maxDocsPerShingle")
+    val post = df.select(col(idCol).cast("long").as("id"),
+        explode(charShingles(col(textCol), shingleN)).as("g"))
+    val sizes = post.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val kept = post.withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .filter(col("_df") <= maxDocsPerShingle).drop("_df")
+    val inter = kept.select(col("id").as("id_a"), col("g"))
+      .join(kept.select(col("id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"),
+        col("n_b"),
+        expr("(inter * 1000000) div n_a").as("contain_a_micro"),
+        expr("(inter * 1000000) div n_b").as("contain_b_micro"))
+      .filter(greatest(col("contain_a_micro"), col("contain_b_micro"))
+        >= minContainMicro)
+  }
+
   /** 64-bit SimHash over character shingles. Near-duplicate documents land
     * within a small Hamming distance; block on bit-prefixes for scale.
     * Each shingle hashes ONCE (`xxhash64`, the full 64 bits feed the bit

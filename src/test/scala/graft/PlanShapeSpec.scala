@@ -249,8 +249,19 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       "broadcasts under the count gate") {
     // the decontamination scale shape: the corpus side streams its
     // windows through ONE hash join against a broadcast eval side —
-    // no corpus self-join, no corpus-side shuffle for the pair step
-    val plan = planOf("q147_cross_verbatim_decontam")
+    // no corpus self-join, no corpus-side shuffle for the pair step.
+    // The GATE's plan is a staged-frame scan (the screen output is
+    // session-staged so q148/q149/q150's reps don't re-run it), so
+    // assert on the LIVE operator plan the staging wraps — the same
+    // input-frame discipline as the q84 pin below.
+    import org.apache.spark.sql.functions.col
+    val docs = Testbed.graph(spark, dir).collection("documents")
+    val live = graft.ops.Dedup.crossVerbatimSpans(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      k = 12, minLen = 30, maxOccurrences = 50,
+      hash = graft.ops.BaseHash.Md5)
+    val plan = live.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "eval-side window join did not broadcast:\n" + plan.take(3000))
   }
