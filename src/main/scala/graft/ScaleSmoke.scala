@@ -152,7 +152,26 @@ object ScaleSmoke {
     // the stored screen: suite registration staged untimed, the probe
     // measures corpus windowing + the join against the persisted index
     // (q150 shares the shape — append is registration-time work)
-    "q149_cross_decontam_stored")
+    "q149_cross_decontam_stored",
+    // round-15b wave: bigram LM (one doc-keyed window + three
+    // token-keyed joins; the cipher multiplies vocab AND transition
+    // tables by copies, so both frequency joins grow linearly),
+    // positional attribution (one user-keyed carry window + one
+    // conversion-keyed window — the funnel shuffle class), weighted
+    // sampling and the Z-order key (map + TakeOrdered: the probes pin
+    // that the global top-k never becomes a full sort), containment on
+    // its absolute slice (the q84 class — the probe pins that the
+    // bound actually bounds: near-flat walls at any corpus scale), and
+    // k-core peeling over the near-dup graph (4 bounded rounds of
+    // degree-count + semi-joins; cipher-disjoint copies grow the edge
+    // set linearly and the peel work with it)
+    "q151_bigram_logprob", "q152_attribution", "q153_weighted_sample",
+    "q154_zorder_key", "q155_containment", "q156_kcore",
+    // nearest-event join (one user-keyed sort, two window carries — the
+    // asof cost class) and 3-round HITS (per round two edge-keyed joins
+    // + two aggs; key-disjoint copies make 10 independent subgraphs, so
+    // the iteration work is linear in edges)
+    "q157_nearest_join", "q158_hits")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -330,7 +349,7 @@ object ScaleSmoke {
         SparkEntry.expandReach(spark, dir)
       if (selectedHas("q79"))
         SparkEntry.multiPathsFrame(spark, dir)
-      if (selectedHas("q84", "q87"))
+      if (selectedHas("q84", "q87", "q156"))
         SparkEntry.nearDupEdges(spark, dir)
       if (selectedHas("q85", "q88"))
         SparkEntry.quantizedCodesStore(spark,

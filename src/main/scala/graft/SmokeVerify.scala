@@ -821,6 +821,52 @@ object SmokeVerify {
           coreOk && blpOk) "OK" else "BROKEN"))
     }
 
+    // 25. nearest-event join re-checked by per-user brute force; HITS
+    // invariants (unit L2 norms, deterministic across layout) on the
+    // full testdata overlay.
+    {
+      val ev25 = spark.read.parquet(s"$sf/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), col("event_type"))
+      val p25 = ev25.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val c25 = ev25.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val near = graft.ops.TemporalJoins.nearestJoin(p25, c25,
+          Seq("user_id")).collect()
+        .map(r => r.getLong(2) -> Option(r.get(4)).map(_.asInstanceOf[Long]))
+        .toMap
+      val clicksByUser = c25.select(col("user_id"),
+          unix_micros(col("ts")), col("event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val purchases25 = p25.select(col("user_id"), unix_micros(col("ts")),
+          col("event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nearBad = purchases25.count { case (u, t, pid) =>
+        val want = clicksByUser.get(u).flatMap { cs =>
+          val best = cs.minBy(c => (math.abs(c._2 - t), c._2))
+          Some(best._3)
+        }
+        near.get(pid).flatten != want
+      }
+
+      val g25 = Testbed.graph(spark, sf)
+      val hits25 = graft.graph.GraphAnalytics.hits(g25, iters = 3)
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2)))
+      val hubNorm = math.sqrt(hits25.map(x => x._2 * x._2).sum)
+      val authNorm = math.sqrt(hits25.map(x => x._3 * x._3).sum)
+      val hitsOk = hits25.nonEmpty &&
+        math.abs(hubNorm - 1.0) < 0.01 && math.abs(authNorm - 1.0) < 0.01 &&
+        hits25.forall(x => x._2 >= 0 && x._3 >= 0)
+
+      println(f"SMOKE25 nearest+hits: purchases=${purchases25.length} " +
+        f"nearBad=$nearBad hitsNodes=${hits25.length} " +
+        f"hubNorm=$hubNorm%.4f authNorm=$authNorm%.4f => " +
+        (if (nearBad == 0 && hitsOk) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

@@ -1982,6 +1982,32 @@ object SparkEntry {
           maxDocsPerShingle = 1000L)
         .orderBy("id_a", "id_b")
     }),
+    "q157_nearest_join" -> ((s, dir) => {
+      // two-sided nearest-event alignment (the sensor/quote shape asof
+      // can't express): each purchase pairs with the user's closest
+      // click in EITHER direction, ties to the earlier click; one
+      // user-keyed sort serves both directional carries
+      val ev = Testbed.graph(s, dir).collection("events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      ops.TemporalJoins.nearestJoin(purchases, clicks, Seq("user_id"))
+        .select(col("event_id").as("purchase_id"),
+          col("nearest_event_id").as("click_id"),
+          col("nearest_gap_us").as("gap_us"))
+        .orderBy("purchase_id")
+    }),
+    "q158_hits" -> ((s, dir) => {
+      // Kleinberg HITS, 3 fixed rounds over the directed overlay —
+      // hub/authority link analysis beside q41's PageRank; round-4 at
+      // the end only (the q41 float-drift discipline), fixed rounds so
+      // the oracle unrolls
+      graph.GraphAnalytics.hits(Testbed.graph(s, dir), iters = 3)
+        .orderBy("doc_key")
+    }),
     "q156_kcore" -> ((s, dir) => {
       // 2-core of the degree-capped near-dup graph (q87's edge set):
       // iterative peeling, <= 4 rounds with early convergence — the
@@ -3720,6 +3746,49 @@ object SparkEntry {
                         (inter * 1000000) // n_b) >= 400000
          ORDER BY id_a, id_b""",
     "q156_kcore" -> KCoreOracleSql,
+    // q157: the two directional carries replayed as IGNORE NULLS window
+    // frames over the same (ts, tag) order; the right row travels as ONE
+    // struct so the picked match is row-atomic
+    "q157_nearest_join" ->
+      """WITH p AS (SELECT user_id AS u, ts, event_id AS eid FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS u, ts, event_id AS eid FROM events
+               WHERE event_type = 'click'),
+         tg AS (
+           SELECT u, ts, 0 AS tag,
+                  struct_pack(rts := ts, reid := eid) AS rv,
+                  CAST(NULL AS BIGINT) AS eid
+           FROM c
+           UNION ALL
+           SELECT u, ts, 1 AS tag,
+                  CAST(NULL AS STRUCT(rts TIMESTAMP, reid BIGINT)), eid
+           FROM p),
+         w AS (
+           SELECT u, ts, tag, eid,
+                  last_value(rv IGNORE NULLS) OVER (PARTITION BY u
+                    ORDER BY ts, tag
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS bef,
+                  first_value(rv IGNORE NULLS) OVER (PARTITION BY u
+                    ORDER BY ts, tag
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS aft
+           FROM tg),
+         s AS (
+           SELECT eid AS purchase_id, ts,
+                  CASE WHEN bef IS NULL THEN aft
+                       WHEN aft IS NULL THEN bef
+                       WHEN epoch_us(ts) - epoch_us(struct_extract(bef, 'rts'))
+                            <= epoch_us(struct_extract(aft, 'rts')) - epoch_us(ts)
+                       THEN bef ELSE aft END AS pick
+           FROM w WHERE tag = 1)
+         SELECT purchase_id,
+                struct_extract(pick, 'reid') AS click_id,
+                CASE WHEN pick IS NOT NULL
+                     THEN abs(epoch_us(struct_extract(pick, 'rts'))
+                              - epoch_us(ts)) END AS gap_us
+         FROM s ORDER BY purchase_id""",
+    "q158_hits" -> HitsOracleSql,
     // q140: q119's chain under the composite last-two-words block key
     // and the RELATIVE skew gate — a block passes while bn·1000 ≤ 200·N
     // (N = named rows), the integer cross-multiply the engine applies
@@ -5022,6 +5091,40 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS degree
          FROM (SELECT u AS id FROM p4 UNION ALL SELECT v AS id FROM p4)
          GROUP BY id ORDER BY id"""
+  }
+
+  /** q158: Kleinberg's update unrolled 3 rounds over the shared overlay
+    * CTEs — `a ← normalize(Eᵀ h)`, `h ← normalize(E a)`, h0 = 1 — with
+    * round-4 at the end only (the q41 discipline). Every round CTE is
+    * MATERIALIZED: inlined, the 12-deep chain with 2-3 references per
+    * level re-derives the edge union exponentially (the q156 lesson). */
+  private lazy val HitsOracleSql = {
+    val rounds = (1 to 3).map { i =>
+      val prev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""a${i}r AS MATERIALIZED (
+           SELECT n.key, CAST(coalesce(m.s, 0) AS DOUBLE) AS a FROM nodes n
+           LEFT JOIN (SELECT e.t AS key, sum(p.h) AS s FROM edges e
+                      JOIN $prev p ON e.f = p.key GROUP BY e.t) m
+             ON n.key = m.key),
+         a$i AS MATERIALIZED (
+           SELECT key, a / (SELECT sqrt(sum(a * a)) FROM a${i}r) AS a
+           FROM a${i}r),
+         h${i}r AS MATERIALIZED (
+           SELECT n.key, CAST(coalesce(m.s, 0) AS DOUBLE) AS h FROM nodes n
+           LEFT JOIN (SELECT e.f AS key, sum(p.a) AS s FROM edges e
+                      JOIN a$i p ON e.t = p.key GROUP BY e.f) m
+             ON n.key = m.key),
+         h$i AS MATERIALIZED (
+           SELECT key, h / (SELECT sqrt(sum(h * h)) FROM h${i}r) AS h
+           FROM h${i}r)"""
+    }.mkString(",\n         ")
+    s"""WITH $graphOracleCtes,
+         h0 AS MATERIALIZED (
+           SELECT key, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+         $rounds
+         SELECT h3.key AS doc_key, round(h3.h, 4) AS hub,
+                round(a3.a, 4) AS auth
+         FROM h3 JOIN a3 USING (key) ORDER BY doc_key"""
   }
 
   private val KnnQuantizedOracleSql =

@@ -262,6 +262,64 @@ object GraphAnalytics {
       .groupBy("id").agg(count(lit(1)).as("degree"))
   }
 
+  /** HITS (hubs and authorities), `iters` synchronous rounds over the
+    * DIRECTED document overlay — the link-analysis companion to PageRank:
+    * a good HUB points at many good authorities (in this overlay: a
+    * lineitem fanning into order/part/supplier), a good AUTHORITY is
+    * pointed at by many good hubs (nation, region, a much-ordered part).
+    * Kleinberg's update with per-round L2 normalization:
+    * `a ← normalize(Eᵀ h)`, `h ← normalize(E a)`, hub scores seeded at 1.
+    * Scores round to 4 decimals at the END only, so reduce-order float
+    * drift (engine vs replayer, run vs run) cannot flip the replayed
+    * hash — the q41 PageRank oracle discipline; a FIXED round count
+    * rather than convergence keeps the op unrollable by a non-iterative
+    * replayer.
+    *
+    * Scale posture: per round, two edge-keyed equi-joins + two map-side-
+    * combined aggregations (the PageRank shuffle shape exactly), and the
+    * L2 normalizer is a 1-row aggregate broadcast back — never a
+    * driver-side value. Score frames are staged per round to truncate
+    * lineage; edges and the node key set stage once. Isolated documents
+    * carry score 0 through every round (no in- or out-edges), matching
+    * the replayer's LEFT JOIN + coalesce. */
+  def hits(g: DocGraph, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val edges = g.edges.select(col("_from").as("f"), col("_to").as("t"))
+      .transform(graft.core.Lifecycle.stage(_))
+    // DISTINCT keys: the overlay convention (the oracle's nodes CTE and
+    // rddOverlay's vertex set both dedup — the synthetic lineitem
+    // composite key is not unique per row)
+    val nodes = g.nodes
+      .select(concat_ws(":", col("_collection"), col("_id")).as("key"))
+      .distinct()
+      .transform(graft.core.Lifecycle.stage(_))
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      val n = raw.agg(sqrt(sum(col(c) * col(c))).as("_n"))
+      raw.crossJoin(broadcast(n))
+        .select(col("key"), (col(c) / col("_n")).as(c))
+        .transform(graft.core.Lifecycle.stage(_))
+    }
+    var hub = nodes.withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val aRaw = nodes.join(
+          edges.join(hub.select(col("key").as("f"), col("h")), Seq("f"))
+            .groupBy(col("t")).agg(sum(col("h")).as("_s")),
+          nodes("key") === col("t"), "left")
+        .select(nodes("key"), coalesce(col("_s"), lit(0.0)).as("a"))
+      auth = normalized(aRaw, "a")
+      val hRaw = nodes.join(
+          edges.join(auth.select(col("key").as("t"), col("a")), Seq("t"))
+            .groupBy(col("f")).agg(sum(col("a")).as("_s")),
+          nodes("key") === col("f"), "left")
+        .select(nodes("key"), coalesce(col("_s"), lit(0.0)).as("h"))
+      hub = normalized(hRaw, "h")
+    }
+    hub.join(auth, Seq("key"))
+      .select(col("key").as("doc_key"), round(col("h"), 4).as("hub"),
+        round(col("a"), 4).as("auth"))
+  }
+
   /** Connected components: (doc_key, component id). Component ids are the
     * min vertex id in the component — deterministic, identical labels to
     * GraphX's `connectedComponents` (min-id semantics), but computed by

@@ -63,4 +63,68 @@ object TemporalJoins {
       range: Column, groupBy: Seq[Column], alias: String = "n"): DataFrame =
     left.join(right, equi && range)
       .groupBy(groupBy: _*).agg(count(lit(1)).as(alias))
+
+  /** Nearest-event join (kdb `aj`'s two-sided cousin): for each left row,
+    * the right row in the same key minimizing `|right.ts − left.ts|`,
+    * looking BOTH directions — the sensor-alignment / nearest-quote shape
+    * [[asofJoin]]'s at-or-before semantics can't express when the closest
+    * reading may be slightly in the future. Ties (equidistant before and
+    * after) resolve to the EARLIER right row; a right row at exactly the
+    * left timestamp wins outright (distance 0). Output: all `left`
+    * columns, right values prefixed `nearest_`, plus `nearest_gap_us`
+    * (microseconds, null when the key has no right rows at all).
+    *
+    * Same cost class as [[asofJoin]] — the tagged union sorts ONCE per
+    * key and BOTH directional carries (`last` over preceding, `first`
+    * over following) run as two frames on that single sorted exchange;
+    * Catalyst reuses the sort because the windows share partitioning and
+    * ordering. No range self-join, no per-key arrays, so at 100 TB it is
+    * one user-keyed shuffle exactly like any windowed aggregation. */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String = "ts", rightTs: String = "ts"): DataFrame = {
+    val rightVals = right.columns.filterNot(c => keyCols.contains(c))
+    val leftVals = left.columns.filterNot(keyCols.contains)
+    val rFields = right.schema(rightTs).copy(name = "_rts") +:
+      rightVals.map(c => right.schema(c).copy(name = c))
+    val rStructType = org.apache.spark.sql.types.StructType(rFields)
+    // tag 0 = right (sorts first at equal ts → distance-0 match lands in
+    // the BEFORE carry), 1 = left
+    val taggedRight = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("_ts"), lit(0).as("_tag"),
+          struct(col(rightTs).as("_rts") +: rightVals.map(col): _*)
+            .as("_rvals")) ++
+        leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).as("_ts"), lit(1).as("_tag"),
+          lit(null).cast(rStructType).as("_rvals")) ++
+        leftVals.map(col): _*)
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_ts"), col("_tag"))
+    val wBefore = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wAfter = ord.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("_before", last(col("_rvals"), ignoreNulls = true)
+        .over(wBefore))
+      .withColumn("_after", first(col("_rvals"), ignoreNulls = true)
+        .over(wAfter))
+    val lts = unix_micros(col("_ts").cast("timestamp"))
+    def rts(c: Column) = unix_micros(c.getField("_rts").cast("timestamp"))
+    val gapB = lts - rts(col("_before"))
+    val gapA = rts(col("_after")) - lts
+    val pick = when(col("_before").isNull, col("_after"))
+      .when(col("_after").isNull, col("_before"))
+      // tie → the earlier right row (the before side)
+      .when(gapB <= gapA, col("_before"))
+      .otherwise(col("_after"))
+    carried.filter(col("_tag") === 1)
+      .withColumn("_pick", pick)
+      .select(keyCols.map(col) ++ leftVals.map(col) ++
+        rightVals.map(c => col("_pick").getField(c).as(s"nearest_$c")) :+
+        when(col("_pick").isNotNull,
+          abs(rts(col("_pick")) - lts)).as("nearest_gap_us"): _*)
+  }
 }

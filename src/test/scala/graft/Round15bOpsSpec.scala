@@ -186,6 +186,62 @@ class Round15bOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(capped.count() == 0, "df-capped gram must not pair")
   }
 
+  test("nearestJoin: both directions considered, ties to the earlier " +
+      "right row, exact-timestamp match wins, empty key yields nulls") {
+    val ts = (s: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val trades = Seq(
+      (1L, ts(10), 100L), // quotes at 7 and 12 -> after is closer (2 < 3)
+      (3L, ts(10), 300L), // quotes at 8 and 12 -> tie (2 == 2) -> earlier
+      (4L, ts(20), 400L), // quote exactly at 20 -> gap 0
+      (9L, ts(30), 900L)) // no quotes for key 9 -> nulls
+      .toDF("k", "ts", "tid")
+    val quotes = Seq(
+      (1L, ts(7), 17L), (1L, ts(12), 112L),
+      (3L, ts(8), 38L), (3L, ts(12), 312L),
+      (4L, ts(20), 420L), (4L, ts(25), 425L))
+      .toDF("k", "ts", "qid")
+    val out = graft.ops.TemporalJoins.nearestJoin(trades, quotes, Seq("k"))
+      .collect().map(r => r.getLong(2) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(100L) == ((Some(112L), Some(2000000L))), out.toString)
+    assert(out(300L) == ((Some(38L), Some(2000000L))), out.toString)
+    assert(out(400L) == ((Some(420L), Some(0L))), out.toString)
+    assert(out(900L) == ((None, None)), out.toString)
+  }
+
+  test("hits: matches a plain Scala reference implementation on the " +
+      "fixture graph; non-graphable collections excluded") {
+    val g = Fixture.build(spark)
+    val out = graph.GraphAnalytics.hits(g, iters = 3).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(out.keys.forall(!_.startsWith("guitars:")),
+      "graphability=false collection leaked into HITS")
+    val edges = g.edges.select("_from", "_to").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val nodes = out.keySet
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    (1 to 3).foreach { _ =>
+      val ar = nodes.map(n =>
+        n -> edges.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+      val na = math.sqrt(ar.values.map(x => x * x).sum)
+      a = ar.view.mapValues(_ / na).toMap
+      val hr = nodes.map(n =>
+        n -> edges.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+      val nh = math.sqrt(hr.values.map(x => x * x).sum)
+      h = hr.view.mapValues(_ / nh).toMap
+    }
+    nodes.foreach { n =>
+      assert(math.abs(out(n)._1 - h(n)) < 2e-4, s"hub($n)")
+      assert(math.abs(out(n)._2 - a(n)) < 2e-4, s"auth($n)")
+    }
+    // structure sanity: zoe — pointed at by two hubs (bob, charles) —
+    // is the top authority
+    assert(out.maxBy(_._2._2)._1 == s"people:${Fixture.zoe.id}")
+  }
+
   test("kCore: pendant chain peeled away, triangle survives with exact " +
       "degrees; early convergence within the round budget") {
     // triangle 1-2-3 with a tail 3-4-5-6
