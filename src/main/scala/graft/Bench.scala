@@ -213,6 +213,11 @@ object Bench {
       // measure triangle closing instead of each recomputing the
       // identical simhash edge set (~6 s/round in the r13 bench)
       SparkEntry.nearDupEdges(spark, sfDir)
+      // q159's id-mapped overlay frames (symmetrized md5-60 edge set +
+      // node id map) staged to parquet untimed, so its reps measure the
+      // propagation rounds; q158 (HITS) runs on the prewarmed native
+      // overlay above
+      SparkEntry.overlayFrames(spark, sfDir)
       // q123/q127's shared winnowing pair list: the md5 gram-hash +
       // window-min + capped self-join pass runs here untimed, so both
       // gates' reps measure match consumption, not fingerprinting

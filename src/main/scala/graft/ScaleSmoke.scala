@@ -171,7 +171,16 @@ object ScaleSmoke {
     // asof cost class) and 3-round HITS (per round two edge-keyed joins
     // + two aggs; key-disjoint copies make 10 independent subgraphs, so
     // the iteration work is linear in edges)
-    "q157_nearest_join", "q158_hits")
+    "q157_nearest_join", "q158_hits",
+    // round-15c wave: LPA (per round one edge join + two node-keyed
+    // aggs — the HITS shuffle class with string labels as state),
+    // sessionization + the bucketed interval join (user-keyed windows
+    // and an equi-join on (user, bucket) — replication factor bounded
+    // by interval length / bucket), OLS trend (two map-side-combined
+    // aggs), and shared-pool negative sampling (fixed-size TakeOrdered
+    // pool + broadcast join: anchors grow linearly, pool stays 64)
+    "q159_label_prop", "q160_session_intervals", "q161_interval_join",
+    "q162_daily_trend", "q163_negative_sample")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

@@ -867,6 +867,84 @@ object SmokeVerify {
         (if (nearBad == 0 && hitsOk) "OK" else "BROKEN"))
     }
 
+    // 26. round-15c wave on real data: LPA labels are node keys and
+    // communities form; interval join re-checked by per-user brute
+    // force; dailyTrend slope re-derived driver-side; negativeSample
+    // pool/group invariants.
+    {
+      val g26 = Testbed.graph(spark, sf)
+      val lpa = graft.graph.GraphAnalytics.labelPropagation(g26, 3)
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      val lpaKeys = lpa.map(_._1).toSet
+      val lpaOk = lpa.nonEmpty && lpa.map(_._2).forall(lpaKeys.contains) &&
+        lpa.map(_._2).distinct.length < lpa.length
+
+      val ev26 = spark.read.parquet(s"$sf/events.parquet")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"))
+      def sess26(t: String, ix: String) =
+        graft.ops.TemporalJoins.sessionIntervals(
+          ev26.filter(col("event_type") === t)
+            .select(col("user_id"), col("ts")),
+          Seq("user_id"), gapUs = 3600L * 1000000)
+          .withColumnRenamed("session_ix", ix)
+      val ov = graft.ops.TemporalJoins.intervalJoin(
+          sess26("click", "c_ix").withColumnRenamed("n_events", "cn"),
+          sess26("error", "e_ix").withColumnRenamed("n_events", "en"),
+          Seq("user_id"), "start_us", "end_us", bucketUs = 1800L * 1000000)
+        .select("user_id", "c_ix", "e_ix").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      def iv(t: String) = sess26(t, "ix").select("user_id", "ix",
+          "start_us", "end_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val want = (for {
+        (u, ci, cs, ce) <- iv("click"); (u2, ei, es, ee) <- iv("error")
+        if u == u2 && cs <= ee && es <= ce
+      } yield (u, ci, ei)).sorted.toSeq
+      val ovOk = ov == want && ov.distinct.size == ov.size
+
+      val tr = graft.ops.Behavior.dailyTrend(
+          spark.read.parquet(s"$sf/events.parquet")
+            .filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val daily = spark.read.parquet(s"$sf/events.parquet")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+            .as("x"),
+          round(col("value") * 1000000).cast("long").as("vm"))
+        .groupBy("user_id", "x").agg(sum("vm").as("y")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      val trBad = tr.count { case (u, slope) =>
+        val pts = daily(u).map(p => (p._2, p._3))
+        val n = pts.size.toLong
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val s = (n * sxy - sx * sy).toDouble /
+          (n * sxx - sx * sx).toDouble / 1000000.0
+        math.abs(slope - BigDecimal(s).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) > 1e-9
+      }
+
+      val negs = graft.ops.Corpus.negativeSample(docs, col("doc_id"),
+          col("source"), anchorRateMicro = 200000L, poolSize = 16, k = 4,
+          hash = graft.ops.BaseHash.Md5).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val src = docs.select(col("doc_id").cast("string"), col("source"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val negBad = negs.count { case (a, n) => src(a) == src(n) }
+
+      println(s"SMOKE26 round15c: lpaNodes=${lpa.length} " +
+        s"communities=${lpa.map(_._2).distinct.length} ovPairs=${ov.size} " +
+        s"ovOk=$ovOk trendKeys=${tr.size} trBad=$trBad " +
+        s"negPairs=${negs.length} negBad=$negBad => " +
+        (if (lpaOk && ovOk && trBad == 0 && negs.nonEmpty && negBad == 0)
+          "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

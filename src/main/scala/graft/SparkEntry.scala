@@ -226,6 +226,36 @@ object SparkEntry {
 
   private val nearDupEdgePaths = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), String]()
+  /** q159's shared overlay frames — the symmetrized-deduped `(a, b)`
+    * md5-60 id edge set and the `(key, id)` node map, written ONCE per
+    * (session, sf dir) to parquet (the [[nearDupEdges]] pattern):
+    * Bench's untimed build phase stages them, so q159's reps measure the
+    * propagation rounds, not re-deriving the overlay union + id mapping
+    * per rep. */
+  private val overlayFramePaths = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def overlayFrames(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val root = overlayFramePaths.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-overlay-frames").toString
+      val g = Testbed.graph(s, dir)
+      val mid = (c: org.apache.spark.sql.Column) => ops.BaseHash.Md5.full(c)
+      val e = g.edges.select(mid(col("_from")).as("a"),
+        mid(col("_to")).as("b"))
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$out/sym")
+      g.nodes
+        .select(concat_ws(":", col("_collection"), col("_id")).as("key"))
+        .distinct()
+        .select(col("key"), mid(col("key")).as("id"))
+        .write.mode("overwrite").parquet(s"$out/nodes")
+      out
+    })
+    (s.read.parquet(s"$root/sym"), s.read.parquet(s"$root/nodes"))
+  }
+
   private[graft] def nearDupEdges(s: SparkSession, dir: String): DataFrame = {
     val path = nearDupEdgePaths.computeIfAbsent((s.hashCode, dir), _ => {
       implicit val sp: SparkSession = s
@@ -2004,7 +2034,9 @@ object SparkEntry {
       // Kleinberg HITS, 3 fixed rounds over the directed overlay —
       // hub/authority link analysis beside q41's PageRank; round-4 at
       // the end only (the q41 float-drift discipline), fixed rounds so
-      // the oracle unrolls
+      // the oracle unrolls. Runs on the native overlay kernel (the
+      // PageRank machinery — one shuffle per half-round over primitive
+      // score arrays); the overlay is Bench's prewarmed shared base.
       graph.GraphAnalytics.hits(Testbed.graph(s, dir), iters = 3)
         .orderBy("doc_key")
     }),
@@ -2017,6 +2049,73 @@ object SparkEntry {
       graph.GraphAnalytics.kCore(nearDupEdges(s, dir), k = 2,
           maxPeels = 4, maxDegree = Some(20L))
         .orderBy("id")
+    }),
+    "q159_label_prop" -> ((s, dir) => {
+      // synchronous LPA community detection, 3 fixed rounds over the
+      // undirected overlay — most-frequent neighbor label, ties to the
+      // smallest; fixed rounds + total tie-break make the classically
+      // order-dependent algorithm deterministic and oracle-unrollable.
+      // Labels travel as md5-60 ids (8-byte shuffles, replayable
+      // tie-break); consumes the session-staged id frames.
+      val (sym, nodes) = overlayFrames(s, dir)
+      graph.GraphAnalytics.labelPropagationOf(sym, nodes, rounds = 3)
+        .orderBy("doc_key")
+    }),
+    "q160_session_intervals" -> ((s, dir) => {
+      // gaps-and-islands sessionization to intervals: per-user click
+      // sessions split at 2 h of inactivity — one user-keyed shuffle
+      // shared by the lag, running-sum, and rollup stages
+      val ev = Testbed.graph(s, dir).collection("events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      ops.TemporalJoins.sessionIntervals(ev, Seq("user_id"),
+          gapUs = 7200L * 1000000)
+        .orderBy("user_id", "session_ix")
+    }),
+    "q161_interval_join" -> ((s, dir) => {
+      // interval-overlap join via time bucketing: which per-user click
+      // sessions overlap an error session ("was the user mid-session
+      // when errors spiked") — bucketed equi-join with exactly-once
+      // pair emission, never a per-user cross product
+      val ev = Testbed.graph(s, dir).collection("events")
+      def sess(t: String, ix: String, n: String) =
+        ops.TemporalJoins.sessionIntervals(
+            ev.filter(col("event_type") === t)
+              .select(col("user_id"), col("ts")),
+            Seq("user_id"), gapUs = 7200L * 1000000)
+          .withColumnRenamed("session_ix", ix)
+          .withColumnRenamed("n_events", n)
+      ops.TemporalJoins.intervalJoin(
+          sess("click", "c_ix", "c_n"), sess("error", "e_ix", "e_n"),
+          Seq("user_id"), "start_us", "end_us",
+          bucketUs = 6L * 3600 * 1000000)
+        .select(col("user_id"), col("c_ix"), col("e_ix"),
+          (least(col("l_end_us"), col("r_end_us"))
+            - greatest(col("l_start_us"), col("r_start_us")))
+            .as("overlap_us"))
+        .orderBy("user_id", "c_ix", "e_ix")
+    }),
+    "q162_daily_trend" -> ((s, dir) => {
+      // per-user OLS trend of daily purchase value — the volume-drift
+      // screen; integer-exact sufficient statistics, one fixed float
+      // expression at the end so the replay is bit-identical
+      ops.Behavior.dailyTrend(
+          Testbed.graph(s, dir).collection("events")
+            .filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value")
+        .orderBy("key")
+    }),
+    "q163_negative_sample" -> ((s, dir) => {
+      // deterministic shared-pool negative sampling for contrastive
+      // training pairs: hash-ranked 64-doc pool broadcast to a 10%
+      // anchor sample, same-source candidates excluded, 8 negatives
+      // per anchor by pairwise md5 rank — O(corpus + anchors·pool),
+      // never anchors × corpus
+      ops.Corpus.negativeSample(
+          Testbed.graph(s, dir).collection("documents"),
+          col("doc_id"), col("source"), anchorRateMicro = 100000L,
+          poolSize = 64, k = 8, hash = ops.BaseHash.Md5)
+        .orderBy("anchor", "rank")
     }),
     "q140_fuzzy_nearest_frac" -> ((s, dir) => {
       // q119's resolution with the two scale-correct substitutions: a
@@ -3789,6 +3888,80 @@ object SparkEntry {
                               - epoch_us(ts)) END AS gap_us
          FROM s ORDER BY purchase_id""",
     "q158_hits" -> HitsOracleSql,
+    "q159_label_prop" -> LabelPropOracleSql,
+    // q160/q161: the gaps-and-islands sessionization replayed with the
+    // same lag + running-sum windows; q161 then replays the bucketed
+    // overlap join as DuckDB's plain range join — same pairs, the
+    // bucketing is pure execution strategy
+    "q160_session_intervals" ->
+      s"""WITH $SessionCtes
+         SELECT user_id, session_ix, min(us) AS start_us,
+                max(us) AS end_us, count(*) AS n_events
+         FROM cs GROUP BY user_id, session_ix
+         ORDER BY user_id, session_ix""",
+    "q161_interval_join" ->
+      s"""WITH $SessionCtes,
+         ca AS (SELECT user_id, session_ix AS c_ix, min(us) AS s,
+                       max(us) AS e
+                FROM cs GROUP BY user_id, session_ix),
+         ea AS (SELECT user_id, session_ix AS e_ix, min(us) AS s,
+                       max(us) AS e
+                FROM es GROUP BY user_id, session_ix)
+         SELECT ca.user_id AS user_id, c_ix, e_ix,
+                least(ca.e, ea.e) - greatest(ca.s, ea.s) AS overlap_us
+         FROM ca JOIN ea ON ca.user_id = ea.user_id
+           AND ca.s <= ea.e AND ea.s <= ca.e
+         ORDER BY 1, 2, 3""",
+    // q162: integer-exact OLS sufficient statistics (y in BIGINT micros,
+    // x = days since 2024-01-01), then the engine's EXACT final float
+    // expressions — two exact-BIGINT divisions per output, same IEEE ops
+    "q162_daily_trend" ->
+      """WITH d AS (
+           SELECT user_id AS key,
+                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS x,
+                  sum(CAST(round(value * 1000000) AS BIGINT)) AS y
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, x),
+         s AS (
+           SELECT key, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(x * y) AS sxy
+           FROM d GROUP BY key)
+         SELECT key, n_days,
+                round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                      / 1000000.0, 6) AS slope,
+                round((CAST(sy AS DOUBLE) / n_days
+                       - CAST(n_days * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                         * (CAST(sx AS DOUBLE) / n_days))
+                      / 1000000.0, 6) AS intercept
+         FROM s WHERE n_days >= 2 ORDER BY key""",
+    // q163: shared-pool negative sampling replayed literally — md5-60
+    // pool ranking, anchor hash gate, pairwise md5 rank within the pool
+    "q163_negative_sample" ->
+      """WITH pool AS (
+           SELECT CAST(doc_id AS VARCHAR) AS neg, source AS ngrp
+           FROM documents
+           ORDER BY CAST(concat('0x', substr(md5(
+                    'negpool:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT),
+                    CAST(doc_id AS VARCHAR)
+           LIMIT 64),
+         anchors AS (
+           SELECT CAST(doc_id AS VARCHAR) AS anchor, source AS agrp
+           FROM documents
+           WHERE CAST(concat('0x', substr(md5(
+                   'anchor:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000 < 100000),
+         pairs AS (
+           SELECT anchor, neg,
+                  row_number() OVER (PARTITION BY anchor ORDER BY
+                    CAST(concat('0x', substr(md5(anchor || '|' || neg),
+                         1, 15)) AS BIGINT), neg) AS rank
+           FROM anchors JOIN pool ON agrp <> ngrp)
+         SELECT anchor, neg AS negative, rank FROM pairs
+         WHERE rank <= 8 ORDER BY anchor, rank""",
     // q140: q119's chain under the composite last-two-words block key
     // and the RELATIVE skew gate — a block passes while bn·1000 ≤ 200·N
     // (N = named rows), the integer cross-multiply the engine applies
@@ -5126,6 +5299,67 @@ object SparkEntry {
                 round(a3.a, 4) AS auth
          FROM h3 JOIN a3 USING (key) ORDER BY doc_key"""
   }
+
+  /** q159: synchronous LPA unrolled 3 rounds over the shared overlay
+    * CTEs — labels as the engine's portable md5-60 ids, per round count
+    * neighbor labels over the symmetrized id edge set, pick (max count,
+    * min label id) per node via row_number, carry unmatched (isolated)
+    * nodes' labels through the LEFT JOIN, resolve ids back to keys at
+    * the end. Every round CTE MATERIALIZED (the q156/q158 lesson —
+    * inlined, the chain re-derives the edge union exponentially). */
+  private lazy val LabelPropOracleSql = {
+    val m = (s: String) =>
+      s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+    val rounds = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS MATERIALIZED (
+           SELECT s.a, p.lbl, count(*) AS c FROM sym s
+           JOIN $prev p ON s.b = p.id GROUP BY s.a, p.lbl),
+         p$i AS MATERIALIZED (
+           SELECT a, lbl FROM (
+             SELECT a, lbl, row_number() OVER (PARTITION BY a
+               ORDER BY c DESC, lbl) AS rn FROM c$i) t
+           WHERE rn = 1),
+         l$i AS MATERIALIZED (
+           SELECT n.id, coalesce(p.lbl, n.lbl) AS lbl
+           FROM $prev n LEFT JOIN p$i p ON n.id = p.a)"""
+    }.mkString(",\n         ")
+    s"""WITH $graphOracleCtes,
+         nid AS MATERIALIZED (SELECT key, ${m("key")} AS id FROM nodes),
+         sym AS MATERIALIZED (
+           SELECT ${m("f")} AS a, ${m("t")} AS b FROM edges
+           UNION SELECT ${m("t")} AS a, ${m("f")} AS b FROM edges),
+         l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nid),
+         $rounds
+         SELECT n.key AS doc_key, c.key AS community
+         FROM l3 JOIN nid n ON l3.id = n.id
+         JOIN nid c ON l3.lbl = c.id
+         ORDER BY doc_key"""
+  }
+
+  /** q160/q161 shared sessionization CTEs: click (`cs`) and error (`es`)
+    * event streams with the gaps-and-islands session index — the lag +
+    * running-sum replay of TemporalJoins.sessionIntervals at gap = 2 h.
+    * Timestamp ties are session-stable (gap 0 never opens a session), so
+    * the ambiguous peer order inside a tie cannot move any row's
+    * session_ix. */
+  private val SessionCtes: String =
+    """se AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+             WHERE event_type IN ('click', 'error')),
+         sf AS (SELECT user_id, event_type, us,
+                  CASE WHEN us - lag(us) OVER (PARTITION BY user_id,
+                    event_type ORDER BY us) > 7200000000
+                  THEN 1 ELSE 0 END AS nw
+                FROM se),
+         ss AS (SELECT user_id, event_type, us,
+                  CAST(sum(nw) OVER (PARTITION BY user_id, event_type
+                    ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW) + 1 AS BIGINT) AS session_ix
+                FROM sf),
+         cs AS (SELECT user_id, us, session_ix FROM ss
+                WHERE event_type = 'click'),
+         es AS (SELECT user_id, us, session_ix FROM ss
+                WHERE event_type = 'error')"""
 
   private val KnnQuantizedOracleSql =
       """WITH c0 AS (

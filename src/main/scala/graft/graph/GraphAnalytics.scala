@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -275,24 +275,131 @@ object GraphAnalytics {
     * rather than convergence keeps the op unrollable by a non-iterative
     * replayer.
     *
-    * Scale posture: per round, two edge-keyed equi-joins + two map-side-
-    * combined aggregations (the PageRank shuffle shape exactly), and the
-    * L2 normalizer is a 1-row aggregate broadcast back — never a
-    * driver-side value. Score frames are staged per round to truncate
-    * lineage; edges and the node key set stage once. Isolated documents
-    * carry score 0 through every round (no in- or out-edges), matching
-    * the replayer's LEFT JOIN + coalesce. */
+    * Scale posture: the native overlay kernel (the [[powerIteration]]
+    * machinery) — per half-round ONE message shuffle, map-side
+    * sum-combined, between primitive score arrays positionally aligned
+    * to the co-partitioned adjacency; the in-adjacency form builds once
+    * per graph ([[revIdxFor]]). Normalization happens ONCE at the end
+    * (scale-invariance makes it equal to per-round normalization in
+    * real arithmetic; the end-only round-to-4 absorbs float drift), so
+    * a round costs array scans plus its shuffle — no per-round hash-join
+    * builds, no per-round normalizer subplans. Isolated documents carry
+    * score 0 through every round (no in- or out-edges), matching the
+    * replayer's LEFT JOIN + coalesce. For ad-hoc edge frames outside
+    * the overlay, [[hitsOf]] is the compositional DataFrame variant. */
   def hits(g: DocGraph, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val edges = g.edges.select(col("_from").as("f"), col("_to").as("t"))
-      .transform(graft.core.Lifecycle.stage(_))
-    // DISTINCT keys: the overlay convention (the oracle's nodes CTE and
-    // rddOverlay's vertex set both dedup — the synthetic lineitem
-    // composite key is not unique per row)
-    val nodes = g.nodes
-      .select(concat_ws(":", col("_collection"), col("_id")).as("key"))
-      .distinct()
-      .transform(graft.core.Lifecycle.stage(_))
+    val spark = g.spark
+    import spark.implicits._
+    val ov = rddOverlay(g)
+    val p = ov.p
+    val vi = ov.vertIdx
+    val rev = revIdxFor(g, ov)
+    // One synchronous half-round: fan state(i) to every neighbor in
+    // `adj.nbrs(i)`, sum at the receiver (the one message shuffle,
+    // map-side combined), scatter into an array aligned to vi — the
+    // powerIteration inner loop with the division dropped.
+    def fan(state: org.apache.spark.rdd.RDD[Array[Double]],
+        adj: org.apache.spark.rdd.RDD[AdjArr]) = {
+      val contribs = state.zipPartitions(adj) { (sit, ait) =>
+        val s = sit.next()
+        val a = ait.next()
+        Iterator.range(0, s.length)
+          .filter(i => a.nbrs(i) != null && s(i) != 0.0)
+          .flatMap { i => val v = s(i); a.nbrs(i).iterator.map((_, v)) }
+      }.reduceByKey(p, _ + _)
+      contribs.zipPartitions(vi) { (cit, ait) =>
+        val a = ait.next()
+        val out = new Array[Double](a.keys.length)
+        cit.foreach { case (v, c) =>
+          val i = a.indexOf(v)
+          if (i >= 0) out(i) = c
+        }
+        Iterator.single(out)
+      }
+    }
+    val DESER = StorageLevel.MEMORY_AND_DISK
+    var hub = vi.mapPartitions(_.map(a => Array.fill(a.keys.length)(1.0)))
+    var auth: org.apache.spark.rdd.RDD[Array[Double]] = null
+    (1 to iters).foreach { _ =>
+      // a ← Eᵀ h: receivers are edge DESTINATIONS, so fan along the
+      // out-adjacency; h ← E a: receivers are SOURCES, fan along the
+      // in-adjacency. Rounds chain lazily — one materialization below.
+      auth = fan(hub, vi)
+      hub = fan(auth, rev)
+    }
+    auth.persist(DESER)
+    hub.persist(DESER)
+    // Normalization is scale-invariant round over round (each round is a
+    // linear map; scalars commute), so ONE L2 division at the end equals
+    // the oracle's per-round normalization exactly in real arithmetic;
+    // float drift is absorbed by the end-only round-to-4 (q41 discipline).
+    // Magnitudes stay far from overflow: 3 rounds grow by ≲ ‖E‖² ≈ 1e8
+    // per round on this overlay, doubles hold 1e308.
+    def l2(s: org.apache.spark.rdd.RDD[Array[Double]]): Double = {
+      val n = math.sqrt(s.map { arr =>
+        var acc = 0.0; var i = 0
+        while (i < arr.length) { acc += arr(i) * arr(i); i += 1 }
+        acc
+      }.sum())
+      if (n == 0.0) 1.0 else n // edgeless graph: all-zero scores, not NaN
+    }
+    val hn = l2(hub)
+    val an = l2(auth)
+    val out = hub.zipPartitions(auth, vi) { (hit, ait, vit) =>
+      val h = hit.next(); val a = ait.next(); val v = vit.next()
+      Iterator.range(0, h.length).map(i => (v.keys(i), (h(i), a(i))))
+    }.join(ov.verts).values
+      .map { case ((h, a), key) =>
+        def r4(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (key, r4(h / hn), r4(a / an))
+      }
+      .toDF("doc_key", "hub", "auth")
+      .transform(graft.core.Lifecycle.stage(_, eager = true))
+    hub.unpersist(blocking = false)
+    auth.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-DocGraph cached IN-adjacency [[AdjArr]] (parallel edges kept,
+    * aligned to the overlay partitioning) — [[hits]]'s reverse fan-out
+    * side, built once per graph like [[rddOverlay]]'s forms. */
+  private val revCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DocGraph, org.apache.spark.rdd.RDD[AdjArr]]())
+
+  private def revIdxFor(g: DocGraph,
+      ov: RddOverlay): org.apache.spark.rdd.RDD[AdjArr] = {
+    val cached = revCache.get(g)
+    if (cached != null) return cached
+    val revAdj = g.edges
+      .select(xxhash64(col("_to")), xxhash64(col("_from")))
+      .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
+      .groupByKey(ov.p).mapValues(_.toArray)
+    val rev = ov.vertIdx.zipPartitions(revAdj) { (ait, rit) =>
+      val a = ait.next()
+      val nbrs = new Array[Array[Long]](a.keys.length)
+      rit.foreach { case (v, srcs) =>
+        val i = a.indexOf(v)
+        if (i >= 0) nbrs(i) = srcs
+      }
+      Iterator.single(AdjArr(a.keys, nbrs))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    rev.count()
+    revCache.put(g, rev)
+    rev
+  }
+
+  /** [[hits]] for an AD-HOC directed edge frame (`f`, `t`) and node
+    * frame (`key`) outside the document overlay — pure DataFrame
+    * composition (two edge-keyed joins + two map-side-combined aggs and
+    * a broadcast 1-row normalizer per round), identical semantics to
+    * [[hits]]. Frames must be safe to scan `iters`+1 times
+    * (staged/persisted/parquet-backed). The overlay entry point is
+    * faster (primitive array state, one shuffle per half-round); use
+    * this one when the graph isn't a [[graft.core.DocGraph]]. */
+  def hitsOf(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
     def normalized(raw: DataFrame, c: String): DataFrame = {
       val n = raw.agg(sqrt(sum(col(c) * col(c))).as("_n"))
       raw.crossJoin(broadcast(n))
@@ -318,6 +425,138 @@ object GraphAnalytics {
     hub.join(auth, Seq("key"))
       .select(col("key").as("doc_key"), round(col("h"), 4).as("hub"),
         round(col("a"), 4).as("auth"))
+  }
+
+  /** Synchronous label propagation (LPA community detection) over the
+    * UNDIRECTED document overlay, `rounds` fixed rounds: every node starts
+    * labeled with itself, then each round adopts the most frequent label
+    * among its neighbors — ties broken by the SMALLEST label id, isolated
+    * nodes keep their current label. The fixed round count + total
+    * tie-break make the normally run-order-dependent LPA fully
+    * deterministic AND unrollable by a non-iterative replayer (the
+    * [[hits]] discipline); oscillation, LPA's classic failure mode under
+    * synchronous updates, costs nothing here because the output is simply
+    * the round-`rounds` labeling. Output `(doc_key, community)` —
+    * community = the canonical key of the winning label's node.
+    *
+    * Labels travel as PORTABLE 60-bit ids (`md5` of the canonical key —
+    * [[graft.ops.BaseHash.Md5]]), not key strings: every per-round
+    * shuffle carries 8-byte longs instead of ~25-byte keys, the pick
+    * aggregate compares longs, and the id is engine-reproducible so the
+    * oracle replays the tie-break exactly (an opaque engine hash would
+    * force a rows-only check). The id→key resolution is ONE join at the
+    * end. 60-bit space: spurious label collisions reach birthday odds
+    * only near 2^30 ≈ 10⁹ nodes, and a collision merely merges two
+    * labels' tallies — degraded, not corrupt, at the extreme tail.
+    *
+    * Scale posture: the symmetrized edge set stages once; per round, one
+    * edge-keyed equi-join, one map-side-combined (node, label) count,
+    * and one (node)-keyed pick — `min(struct(-count, label))`, an
+    * ordinary combinable aggregate, NOT a row_number window, so no
+    * per-node sort materializes. All shuffles key on node ids; per-round
+    * state is one (id, labelId) row per node. */
+  def labelPropagation(g: DocGraph, rounds: Int = 3): DataFrame = {
+    val mid = (c: Column) => graft.ops.BaseHash.Md5.full(c)
+    val e = g.edges.select(mid(col("_from")).as("a"), mid(col("_to")).as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .transform(graft.core.Lifecycle.stage(_))
+    val nodes = g.nodes
+      .select(concat_ws(":", col("_collection"), col("_id")).as("key"))
+      .distinct()
+      .select(col("key"), mid(col("key")).as("id"))
+      .transform(graft.core.Lifecycle.stage(_))
+    labelPropagationOf(sym, nodes, rounds)
+  }
+
+  /** [[labelPropagation]] over ALREADY-materialized frames: `sym` the
+    * deduped symmetric `(a, b)` id edge set, `nodes` the `(key, id)`
+    * node map (ids = md5-60 of the key — [[graft.ops.BaseHash.Md5]]).
+    * The shared-frame entry (the q84/q87 pattern); frames must be safe
+    * to scan twice (staged/persisted/parquet-backed).
+    *
+    * Native kernel (the [[powerIteration]]/[[componentsOfAdj]]
+    * machinery): the adjacency becomes per-partition [[AdjArr]]s, label
+    * state one primitive Array[Long] per partition, and a round is ONE
+    * message shuffle — `(dst, label) → 1` counts, map-side combined,
+    * partitioned by dst ALONE so the per-node (max count, min label)
+    * pick happens inside the receiving partition with no second
+    * shuffle — then a binary-search scatter into a cloned label array.
+    * Isolated nodes (absent from `sym`) keep their own id via the final
+    * left join. */
+  def labelPropagationOf(sym: DataFrame, nodes: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val perPart = spark.conf
+      .get("spark.graft.graph.edgesPerPartition", "4000000").toLong
+    val edgeCount = sym.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(spark.sparkContext.defaultParallelism,
+        math.min(4096L, (edgeCount + perPart - 1) / perPart).toInt))
+    val adj = toAdjArr(sym.select(col("a"), col("b"))
+      .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
+      .groupByKey(p).mapValues(_.toArray)) // persists itself
+    // pick lands each (dst, lbl) count in dst's own partition
+    val dstPart = new org.apache.spark.Partitioner {
+      def numPartitions: Int = p.numPartitions
+      def getPartition(key: Any): Int =
+        p.getPartition(key.asInstanceOf[(Long, Long)]._1)
+    }
+    val DESER = StorageLevel.MEMORY_AND_DISK
+    var lbl = adj.mapPartitions(_.map(a => a.keys.clone()), // own id
+      preservesPartitioning = false).persist(DESER)
+    lbl.count()
+    (1 to rounds).foreach { _ =>
+      val counted = lbl.zipPartitions(adj) { (lit, ait) =>
+        val l = lit.next()
+        val a = ait.next()
+        Iterator.range(0, l.length).flatMap { i =>
+          val lb = l(i)
+          a.nbrs(i).iterator.map(dst => ((dst, lb), 1L))
+        }
+      }.reduceByKey(dstPart, _ + _) // the round's ONE shuffle
+      val next = counted.mapPartitions({ it =>
+        // per dst: max count, tie -> min label id (total, deterministic)
+        val best = new java.util.HashMap[Long, (Long, Long)]()
+        it.foreach { case ((dst, lb), c) =>
+          val cur = best.get(dst)
+          if (cur == null || c > cur._1 || (c == cur._1 && lb < cur._2))
+            best.put(dst, (c, lb))
+        }
+        import scala.jdk.CollectionConverters._
+        best.entrySet().iterator().asScala.map(e =>
+          (e.getKey.longValue(), e.getValue._2))
+      }, preservesPartitioning = false) // rows stay physically in place
+        .zipPartitions(adj, lbl) { (nit, ait, lit) =>
+          val a = ait.next()
+          val out = lit.next().clone()
+          nit.foreach { case (dst, nl) =>
+            val i = a.indexOf(dst)
+            if (i >= 0) out(i) = nl
+          }
+          Iterator.single(out)
+        }.persist(DESER)
+      next.count()
+      lbl.unpersist(blocking = false)
+      lbl = next
+    }
+    val pairs = lbl.zipPartitions(adj) { (lit, ait) =>
+      val l = lit.next()
+      val a = ait.next()
+      Iterator.range(0, l.length).map(i => (a.keys(i), l(i)))
+    }.toDF("id", "lblId")
+    val out = nodes
+      .join(pairs, Seq("id"), "left")
+      .select(col("key"), coalesce(col("lblId"), col("id")).as("lbl"))
+      .join(nodes.select(col("id").as("lbl"), col("key").as("community")),
+        Seq("lbl"))
+      .select(col("key").as("doc_key"), col("community"))
+      .transform(graft.core.Lifecycle.stage(_, eager = true))
+    lbl.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    out
   }
 
   /** Connected components: (doc_key, component id). Component ids are the

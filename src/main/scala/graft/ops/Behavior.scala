@@ -455,4 +455,52 @@ object Behavior {
       .agg(count(lit(1)).as("n_touches"),
         sum(col("_credit")).as("credit_micro"))
   }
+
+  /** Per-key least-squares TREND of a daily metric — the drift screen
+    * ("is this user/source's volume rising or falling, and how fast")
+    * over event data: the metric is bucketed to days, each key's
+    * (day-index, daily-total) points fit a closed-form OLS line, and the
+    * output is one row per key with ≥ 2 distinct days:
+    * `(key, n_days, slope, intercept)`, slope in metric-units per day,
+    * intercept the fitted value at `epochDate` (default 2024-01-01).
+    *
+    * Exactness contract: the daily total is the BIGINT sum of the value
+    * in integer MICROS (`round(value · 10⁶)` per event — exact under the
+    * module's BIGINT discipline), x is the integer day number since
+    * `epochDate`, and all five OLS sufficient statistics (n, Σx, Σy,
+    * Σxx, Σxy) are integer-exact BIGINTs — reduce order cannot perturb
+    * them. Only the final slope/intercept divisions are floating-point,
+    * computed by ONE fixed expression each from exact integers, so the
+    * replayer's IEEE arithmetic is bit-identical; both round to 6
+    * decimals. Magnitude bound: the largest integer intermediate is
+    * n·Σxy < n²·x_max·y_max; rebasing x to a near-corpus epoch (x_max =
+    * days of corpus span, not ~2·10⁴ days since 1970) keeps that under
+    * 2⁶³ even for decade-span keys with ~10¹² daily micro-totals —
+    * choose `epochDate` at or before the corpus's first day.
+    *
+    * Scale posture: one (key, day) map-side-combined aggregation, then a
+    * key-keyed rollup of 5 integer sums — two shuffles on the key
+    * column, constant state per key, nothing driver-side. */
+  def dailyTrend(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, epochDate: String = "2024-01-01"): DataFrame = {
+    val daily = events.select(col(keyCol).as("key"),
+        datediff(to_date(col(tsCol)), lit(epochDate))
+          .cast("long").as("x"),
+        round(col(valueCol) * 1000000).cast("long").as("_vm"))
+      .groupBy(col("key"), col("x")).agg(sum(col("_vm")).as("y"))
+    daily.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n_days") >= 2)
+      .select(col("key"), col("n_days"),
+        round(expr("""CAST(n_days * sxy - sx * sy AS DOUBLE)
+                      / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                      / 1000000.0"""), 6).as("slope"),
+        round(expr("""(CAST(sy AS DOUBLE) / n_days
+                       - CAST(n_days * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                         * (CAST(sx AS DOUBLE) / n_days))
+                      / 1000000.0"""), 6).as("intercept"))
+  }
 }

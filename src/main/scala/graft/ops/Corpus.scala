@@ -751,4 +751,58 @@ object Corpus {
       .limit(k)
       .drop("_pri")
   }
+
+  /** Deterministic NEGATIVE SAMPLING for contrastive / retrieval training
+    * pairs: for each anchor row (a deterministic `anchorRateMicro`-hash
+    * sample of the corpus — the [[hashSample]] discipline), `k` negatives
+    * drawn from a SHARED corpus-wide candidate pool, excluding candidates
+    * whose `groupCol` matches the anchor's (same-source rows are likely
+    * semantic near-positives — the classic false-negative trap). Output
+    * `(anchor, negative, rank)`, rank 1..≤k per anchor.
+    *
+    * Design for scale — the textbook formulation ranks a per-(anchor,
+    * candidate) hash over the FULL cross product, O(anchors · corpus):
+    * unrunnable at 100 TB. The shared-pool scheme is the standard
+    * in-batch-negatives trick made deterministic: ONE global pass ranks
+    * every row by `hash(salt_pool ++ key)` and keeps the `poolSize`
+    * smallest (TakeOrdered — per-partition top-P, no full sort), the
+    * ≤P-row pool BROADCASTS, and each anchor ranks only the pool by the
+    * pairwise `hash(anchor ++ candidate)`, a per-anchor sort of ≤P rows
+    * inside one map-side broadcast join. Cost: one corpus scan + one
+    * broadcast join — independent of anchors × corpus. Every draw is a
+    * pure function of keys, so the pairs replay bit-for-bit across runs,
+    * retries, layouts, and engines (use [[BaseHash.Md5]] for an
+    * exactly-replayable oracle); anchors whose group dominates the pool
+    * simply yield fewer than `k` negatives rather than leaking
+    * same-group pairs. */
+  def negativeSample(df: DataFrame, key: Column, groupCol: Column,
+      anchorRateMicro: Long, poolSize: Int, k: Int,
+      hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): DataFrame = {
+    require(anchorRateMicro > 0 && anchorRateMicro <= 1000000L,
+      s"anchorRateMicro must be in (0, 1e6], got $anchorRateMicro")
+    require(poolSize >= 1 && poolSize <= 100000,
+      s"poolSize must be in [1, 1e5] (it broadcasts), got $poolSize")
+    require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize, got $k")
+    val ks = key.cast("string")
+    val pool = df
+      .select(ks.as("_neg"), groupCol.cast("string").as("_ngrp"))
+      .withColumn("_ph",
+        hash.full(concat(lit("negpool:"), col("_neg"))))
+      .orderBy(col("_ph"), col("_neg"))
+      .limit(poolSize)
+      .drop("_ph")
+    val anchors = df
+      .filter(pmod(hash.full(concat(lit("anchor:"), ks)), lit(1000000L))
+        < anchorRateMicro)
+      .select(ks.as("anchor"), groupCol.cast("string").as("_agrp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor"))
+      .orderBy(col("_pairh"), col("_neg"))
+    anchors.join(broadcast(pool), col("_agrp") =!= col("_ngrp"))
+      .withColumn("_pairh",
+        hash.full(concat(col("anchor"), lit("|"), col("_neg"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("_neg").as("negative"), col("rank"))
+  }
 }

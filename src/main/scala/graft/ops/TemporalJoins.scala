@@ -127,4 +127,83 @@ object TemporalJoins {
         when(col("_pick").isNotNull,
           abs(rts(col("_pick")) - lts)).as("nearest_gap_us"): _*)
   }
+
+  /** Batch sessionization to INTERVALS (gaps-and-islands): per key, rows
+    * ordered by `tsCol` split into sessions wherever the gap to the
+    * previous row exceeds `gapUs` microseconds; one output row per session
+    * with `(session_ix, start_ts, end_ts, n_events)`, sessions numbered
+    * from 1 in time order within the key. Deterministic under timestamp
+    * ties: equal timestamps have gap 0 ≤ gapUs, so they land in the same
+    * session regardless of their relative sort order, and min/max/count
+    * are order-free.
+    *
+    * ONE key-partitioned shuffle: the lag + running-sum windows and the
+    * (key, session) aggregation all share the key partitioning — the
+    * windowed-aggregation cost class at any scale, no per-key arrays. */
+  def sessionIntervals(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", gapUs: Long = 30L * 60 * 1000000): DataFrame = {
+    require(gapUs > 0, s"gapUs must be positive, got $gapUs")
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_us"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(keyCols.map(col) :+
+        unix_micros(col(tsCol).cast("timestamp")).as("_us"): _*)
+      .withColumn("_new",
+        when(col("_us") - lag(col("_us"), 1).over(ord) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_ix", sum(col("_new")).over(run) + 1L)
+      .groupBy(keyCols.map(col) :+ col("session_ix"): _*)
+      .agg(min(col("_us")).as("start_us"), max(col("_us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Interval-overlap join via temporal BUCKETING — pairs of (left, right)
+    * rows in the same key whose CLOSED microsecond intervals
+    * `[start, end]` overlap (`l.start ≤ r.end AND r.start ≤ l.end`). The
+    * naive formulation is an equi-key theta-join — per-key cross product,
+    * quadratic on skewed keys. Here each interval instead replicates to
+    * the fixed-width time buckets it touches (`floor(start/bucketUs)` ..
+    * `floor(end/bucketUs)`), the join runs as a plain EQUI-join on
+    * (key, bucket), and each surviving pair is emitted EXACTLY ONCE — by
+    * the bucket containing `max(l.start, r.start)`, so no distinct pass
+    * re-shuffles the output. Replication factor per row is
+    * `len/bucketUs + 1`: pick `bucketUs` at or above the typical interval
+    * length and the join stays linear with a small constant at any scale,
+    * while long skewed intervals split across buckets instead of
+    * concentrating on one join key.
+    *
+    * Both sides must carry `keyCols` plus BIGINT-microsecond
+    * `startCol`/`endCol`; non-key value columns must not collide (alias
+    * before the call — the output keeps both sides' columns as-is). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      startCol: String = "start_us", endCol: String = "end_us",
+      bucketUs: Long = 3600L * 1000000): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val collide = left.columns.toSet.intersect(right.columns.toSet)
+      .diff(keyCols.toSet + startCol + endCol)
+    require(collide.isEmpty, s"value columns collide: $collide")
+    def buckets(df: DataFrame, side: String): DataFrame = {
+      val vals = df.columns.filterNot(keyCols.contains).map { c =>
+        if (c == startCol || c == endCol) col(c).as(s"_$side$c")
+        else col(c)
+      }
+      df.select(keyCols.map(col) ++ vals: _*)
+        .withColumn("_bk", explode(sequence(
+          floor(col(s"_$side$startCol") / bucketUs),
+          floor(col(s"_$side$endCol") / bucketUs))))
+    }
+    val l = buckets(left, "l")
+    val r = buckets(right, "r")
+    val ls = col(s"_l$startCol"); val le = col(s"_l$endCol")
+    val rs = col(s"_r$startCol"); val re = col(s"_r$endCol")
+    l.join(r, keyCols :+ "_bk")
+      .filter(ls <= re && rs <= le &&
+        col("_bk") === floor(greatest(ls, rs) / bucketUs))
+      .drop("_bk")
+      .withColumnRenamed(s"_l$startCol", s"l_$startCol")
+      .withColumnRenamed(s"_l$endCol", s"l_$endCol")
+      .withColumnRenamed(s"_r$startCol", s"r_$startCol")
+      .withColumnRenamed(s"_r$endCol", s"r_$endCol")
+  }
 }
