@@ -172,15 +172,24 @@ object ScaleSmoke {
     // + two aggs; key-disjoint copies make 10 independent subgraphs, so
     // the iteration work is linear in edges)
     "q157_nearest_join", "q158_hits",
-    // round-15c wave: LPA (per round one edge join + two node-keyed
-    // aggs — the HITS shuffle class with string labels as state),
+    // round-15c wave: LPA (native kernel — per round ONE map-side-
+    // combined (dst, label) count shuffle between primitive label
+    // arrays aligned to the staged adjacency; the PageRank class),
     // sessionization + the bucketed interval join (user-keyed windows
     // and an equi-join on (user, bucket) — replication factor bounded
     // by interval length / bucket), OLS trend (two map-side-combined
     // aggs), and shared-pool negative sampling (fixed-size TakeOrdered
     // pool + broadcast join: anchors grow linearly, pool stays 64)
     "q159_label_prop", "q160_session_intervals", "q161_interval_join",
-    "q162_daily_trend", "q163_negative_sample")
+    "q162_daily_trend", "q163_negative_sample",
+    // round-15d wave: two-stage retrieval (coarse pass scans the WHOLE
+    // corpus at prefix width against the broadcast query batch — the
+    // corpus-linear term the probe measures; rerank stays queries×m),
+    // MMR rerank (work = queries × m × picks, linear in the query count,
+    // corpus side untouched past retrieval), landmark closeness (per
+    // round one edge-keyed join over frontier×sym + one min-combine;
+    // state ≤ V·k rows — the BFS class, hubs cannot path-explode it)
+    "q164_two_stage_knn", "q165_mmr_rerank", "q166_landmark_closeness")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

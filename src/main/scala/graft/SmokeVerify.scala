@@ -945,6 +945,89 @@ object SmokeVerify {
           "OK" else "BROKEN"))
     }
 
+    // SMOKE27: round-15d — two-stage prefix retrieval vs exact, MMR
+    // rerank invariants, landmark closeness vs a driver-side BFS over
+    // the real overlay.
+    {
+      val emb27 = spark.read.parquet(s"$sf/embeddings.parquet")
+      val q27 = emb27.filter(col("vec_id") % 50 === 0)
+      val c27 = emb27.filter(col("vec_id") % 50 =!= 0)
+      val exact = graft.ops.Similarity.topKPerQueryExact(q27, c27,
+          "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exactness law: a full-width prefix must reproduce exact kNN
+      // bit-for-bit (recall under a NARROW prefix is a property of the
+      // embedding distribution — the synthetic vectors are random, not
+      // prefix-trained, so it is reported, not gated)
+      val two64 = graft.ops.Similarity.twoStagePrefixTopK(q27, c27,
+          "vec_id", "embedding", prefixDim = 64, m = 20, k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ts64Ok = two64 == exact
+      val two = graft.ops.Similarity.twoStagePrefixTopK(q27, c27,
+          "vec_id", "embedding", prefixDim = 16, m = 20, k = 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = two.count(exact.contains).toDouble / exact.size
+
+      val c27s = c27.filter(col("vec_id") < 200)
+      val cands = graft.ops.Similarity.topKPerQueryExact(q27, c27s,
+          "vec_id", "embedding", k = 10)
+        .join(c27s.select(col("vec_id").as("neighbor_id"),
+          col("embedding")), Seq("neighbor_id"))
+      val mmr = graft.ops.Similarity.mmrRerank(cands, "neighbor_id",
+          "embedding", picks = 3, lambdaMicro = 700000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val mmrPerQ = mmr.groupBy(_._1)
+      val candSet = cands.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rel1 = graft.ops.Similarity.topKPerQueryExact(q27, c27s,
+          "vec_id", "embedding", k = 1)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mmrBad = mmrPerQ.count { case (qid, rows) =>
+        rows.map(_._3).sorted.toSeq != Seq(1, 2, 3) ||
+          rows.map(_._2).distinct.length != 3 ||
+          rows.exists(t => !candSet.contains((t._1, t._2))) ||
+          rows.find(_._3 == 1).exists(_._2 != rel1(qid))
+      }
+
+      val (sym27, nodes27) = SparkEntry.overlayFrames(spark, sf)
+      val close = graph.GraphAnalytics.landmarkCloseness(sym27, nodes27,
+          nLandmarks = 8, rounds = 3)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // driver-side BFS reference over the collected overlay
+      val adj = sym27.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val idOf = nodes27.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val keyOf = idOf.map(_.swap)
+      val lms = idOf.values.toSeq.sorted.take(8)
+      val distRef = scala.collection.mutable.Map[(Long, Long), Int]()
+      lms.foreach { lm =>
+        var frontier = Set(lm); var seen = Set(lm); var d = 0
+        while (d < 3 && frontier.nonEmpty) {
+          d += 1
+          frontier = frontier.flatMap(n =>
+            adj.getOrElse(n, Array.empty[Long])).diff(seen)
+          frontier.foreach(n => distRef((n, lm)) = d)
+          seen ++= frontier
+        }
+      }
+      val wantClose = distRef.toSeq.groupBy(_._1._1).map { case (n, xs) =>
+        keyOf(n) -> ((xs.size.toLong, xs.map(1000000L / _._2).sum))
+      }
+      val closeOk = close == wantClose
+
+      println(s"SMOKE27 round15d: twoStage64Exact=$ts64Ok " +
+        s"prefix16Recall=$recall mmrQueries=${mmrPerQ.size} " +
+        s"mmrBad=$mmrBad closeNodes=${close.size} closeOk=$closeOk => " +
+        (if (ts64Ok && mmrPerQ.nonEmpty && mmrBad == 0 && closeOk)
+          "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

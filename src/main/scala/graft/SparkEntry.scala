@@ -2117,6 +2117,48 @@ object SparkEntry {
           poolSize = 64, k = 8, hash = ops.BaseHash.Md5)
         .orderBy("anchor", "rank")
     }),
+    "q164_two_stage_knn" -> ((s, dir) => {
+      // two-stage Matryoshka retrieval: coarse top-20 per query by
+      // cosine on the FIRST 16 of 64 dims (4x less corpus bandwidth +
+      // flops), exact full-dim rerank of only the survivors to top-5 —
+      // the whole corpus side, no slice: the coarse pass IS the scale
+      // path, survivors broadcast back against the corpus for the fetch
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      ops.Similarity.twoStagePrefixTopK(
+          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 =!= 0),
+          "vec_id", "embedding", prefixDim = 16, m = 20, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q165_mmr_rerank" -> ((s, dir) => {
+      // greedy MMR diversity rerank, 3 unrolled picks at lambda = 0.7:
+      // q65's exact top-10 retrieval joined back to its vectors, then
+      // relevance traded against redundancy round by round — ties on
+      // the integer-micro objective to the smallest id, so the
+      // classically sequential rerank replays exactly
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      val corpus = emb.filter(col("vec_id") % 50 =!= 0
+        && col("vec_id") < 200)
+      val cands = ops.Similarity.topKPerQueryExact(
+          emb.filter(col("vec_id") % 50 === 0), corpus,
+          "vec_id", "embedding", k = 10)
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding")), Seq("neighbor_id"))
+      ops.Similarity.mmrRerank(cands, "neighbor_id", "embedding",
+          picks = 3, lambdaMicro = 700000L)
+        .orderBy("query_id", "pick")
+    }),
+    "q166_landmark_closeness" -> ((s, dir) => {
+      // harmonic-closeness estimates by bounded multi-source BFS: the 8
+      // hash-smallest nodes flood the undirected overlay 3 hops; each
+      // reached node reports how many landmarks see it and the integer
+      // harmonic sum. Consumes q159's session-staged id frames; per
+      // (node, landmark) visited once — BFS work, not path counting.
+      val (sym, nodes) = overlayFrames(s, dir)
+      graph.GraphAnalytics.landmarkCloseness(sym, nodes,
+          nLandmarks = 8, rounds = 3)
+        .orderBy("doc_key")
+    }),
     "q140_fuzzy_nearest_frac" -> ((s, dir) => {
       // q119's resolution with the two scale-correct substitutions: a
       // COMPOSITE blocking key (last TWO words — the standard refinement
@@ -3962,6 +4004,52 @@ object SparkEntry {
            FROM anchors JOIN pool ON agrp <> ngrp)
          SELECT anchor, neg AS negative, rank FROM pairs
          WHERE rank <= 8 ORDER BY anchor, rank""",
+    // q164: both stages replayed — prefix-16 cosine coarse top-20, then
+    // the full-64 rerank over exactly the survivor pairs
+    "q164_two_stage_knn" ->
+      """WITH q AS MATERIALIZED (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 17),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS pn,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS fn
+           FROM embeddings WHERE vec_id % 50 = 0),
+         c AS MATERIALIZED (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 17),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS pn,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[i] AS DOUBLE)))) AS fn
+           FROM embeddings WHERE vec_id % 50 <> 0),
+         cr AS MATERIALIZED (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(list_sum(list_transform(range(1, 17),
+                        i -> CAST(c.embedding[i] AS DOUBLE)
+                             * CAST(q.embedding[i] AS DOUBLE)))
+                      / (c.pn * q.pn), 4) AS ps
+             FROM c, q WHERE c.pn > 0 AND q.pn > 0) t
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY ps DESC, neighbor_id) <= 20),
+         rr AS (
+           SELECT cr.query_id, cr.neighbor_id,
+                  round(list_sum(list_transform(range(1, 65),
+                      i -> CAST(c.embedding[i] AS DOUBLE)
+                           * CAST(q.embedding[i] AS DOUBLE)))
+                    / (c.fn * q.fn), 4) AS score
+           FROM cr JOIN c ON cr.neighbor_id = c.vec_id
+           JOIN q ON cr.query_id = q.vec_id
+           WHERE c.fn > 0 AND q.fn > 0)
+         SELECT query_id, neighbor_id, score,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INT) AS "rank"
+         FROM rr QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""",
+    "q165_mmr_rerank" -> MmrOracleSql,
+    "q166_landmark_closeness" -> LandmarkClosenessOracleSql,
     // q140: q119's chain under the composite last-two-words block key
     // and the RELATIVE skew gate — a block passes while bn·1000 ≤ 200·N
     // (N = named rows), the integer cross-multiply the engine applies
@@ -5335,6 +5423,114 @@ object SparkEntry {
          FROM l3 JOIN nid n ON l3.id = n.id
          JOIN nid c ON l3.lbl = c.id
          ORDER BY doc_key"""
+  }
+
+  /** q165: q65's exact retrieval at k = 10, then greedy MMR unrolled 3
+    * picks at λ = 0.7 — each round a join of the remaining candidates to
+    * the picked-so-far set, max pairwise cosine, argmax on the
+    * integer-micro objective with ties to the smallest id. Both λ weights
+    * written as `700000/1000000` double divisions so the replayer lands
+    * on the engine's exact doubles (never a `1−λ` subtraction). */
+  private lazy val MmrOracleSql = {
+    val dot = (a: String, b: String) =>
+      s"""list_sum(list_transform(range(1, 65),
+                    i -> CAST($a.embedding[i] AS DOUBLE)
+                         * CAST($b.embedding[i] AS DOUBLE)))"""
+    val lam = "(CAST(700000 AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    val oml = "(CAST(300000 AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    val micro = (x: String) =>
+      s"CAST(floor(round($x, 4) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    def round(r: Int, pickedUnion: String) =
+      s"""m$r AS MATERIALIZED (
+           SELECT cd.query_id, cd.neighbor_id, cd.rel,
+                  max(round(${dot("cd", "pv")}
+                    / (cd.nrm * pv.nrm), 4)) AS maxsim
+           FROM cand cd
+           JOIN ($pickedUnion) pk ON pk.query_id = cd.query_id
+           JOIN cand pv ON pv.query_id = pk.query_id
+                        AND pv.neighbor_id = pk.neighbor_id
+           WHERE NOT EXISTS (SELECT 1 FROM ($pickedUnion) x
+                             WHERE x.query_id = cd.query_id
+                               AND x.neighbor_id = cd.neighbor_id)
+           GROUP BY cd.query_id, cd.neighbor_id, cd.rel),
+         p$r AS MATERIALIZED (
+           SELECT query_id, neighbor_id, $r AS pick, objective_micro FROM (
+             SELECT query_id, neighbor_id,
+                    ${micro(s"$lam * round(rel, 4) - $oml * maxsim")}
+                      AS objective_micro,
+                    row_number() OVER (PARTITION BY query_id ORDER BY
+                      ${micro(s"$lam * round(rel, 4) - $oml * maxsim")}
+                        DESC, neighbor_id) AS rn
+             FROM m$r) t WHERE rn = 1)"""
+    s"""WITH q AS MATERIALIZED (
+           SELECT vec_id, embedding,
+                  sqrt(${dot("embeddings", "embeddings")}) AS nrm
+           FROM embeddings WHERE vec_id % 50 = 0),
+         c AS MATERIALIZED (
+           SELECT vec_id, embedding,
+                  sqrt(${dot("embeddings", "embeddings")}) AS nrm
+           FROM embeddings WHERE vec_id % 50 <> 0 AND vec_id < 200),
+         r AS MATERIALIZED (
+           SELECT query_id, neighbor_id, rel FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(${dot("c", "q")} / (c.nrm * q.nrm), 4) AS rel,
+                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      round(${dot("c", "q")} / (c.nrm * q.nrm), 4) DESC,
+                      c.vec_id) AS rn
+             FROM c, q WHERE c.nrm > 0 AND q.nrm > 0) t WHERE rn <= 10),
+         cand AS MATERIALIZED (
+           SELECT r.query_id, r.neighbor_id, r.rel, c.embedding, c.nrm
+           FROM r JOIN c ON r.neighbor_id = c.vec_id),
+         p1 AS MATERIALIZED (
+           SELECT query_id, neighbor_id, 1 AS pick, objective_micro FROM (
+             SELECT query_id, neighbor_id,
+                    ${micro("rel")} AS objective_micro,
+                    row_number() OVER (PARTITION BY query_id ORDER BY
+                      ${micro("rel")} DESC, neighbor_id) AS rn
+             FROM cand) t WHERE rn = 1),
+         ${round(2, "SELECT query_id, neighbor_id FROM p1")},
+         ${round(3, "SELECT query_id, neighbor_id FROM p1 " +
+             "UNION ALL SELECT query_id, neighbor_id FROM p2")}
+         SELECT query_id, neighbor_id, pick, objective_micro FROM p1
+         UNION ALL SELECT query_id, neighbor_id, pick, objective_micro
+         FROM p2
+         UNION ALL SELECT query_id, neighbor_id, pick, objective_micro
+         FROM p3
+         ORDER BY query_id, pick"""
+  }
+
+  /** q166: bounded multi-source BFS unrolled 3 levels over the shared
+    * overlay CTEs — landmarks = the 8 smallest md5-60 ids, level r
+    * candidates = (level r−1 frontier) ⋈ sym, min-grouped so each
+    * (node, landmark) keeps its first (= BFS) distance; the integer
+    * harmonic sum replays exactly. */
+  private lazy val LandmarkClosenessOracleSql = {
+    val m = (s: String) =>
+      s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+    val levels = (1 to 3).map { r =>
+      s"""c$r AS MATERIALIZED (
+           SELECT DISTINCT s.b AS node, f.lm, $r AS d
+           FROM l${r - 1} f JOIN sym s ON s.a = f.node
+           WHERE f.d = ${r - 1}),
+         l$r AS MATERIALIZED (
+           SELECT node, lm, min(d) AS d FROM (
+             SELECT node, lm, d FROM l${r - 1}
+             UNION ALL SELECT node, lm, d FROM c$r) t
+           GROUP BY node, lm)"""
+    }.mkString(",\n         ")
+    s"""WITH $graphOracleCtes,
+         nid AS MATERIALIZED (SELECT key, ${m("key")} AS id FROM nodes),
+         sym AS MATERIALIZED (
+           SELECT ${m("f")} AS a, ${m("t")} AS b FROM edges
+           UNION SELECT ${m("t")} AS a, ${m("f")} AS b FROM edges),
+         lm AS MATERIALIZED (SELECT id FROM nid ORDER BY id LIMIT 8),
+         l0 AS MATERIALIZED (SELECT id AS node, id AS lm, 0 AS d FROM lm),
+         $levels
+         SELECT n.key AS doc_key, count(*) AS n_reached,
+                CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+         FROM l3 JOIN nid n ON l3.node = n.id
+         WHERE l3.d >= 1
+         GROUP BY n.key ORDER BY doc_key"""
   }
 
   /** q160/q161 shared sessionization CTEs: click (`cs`) and error (`es`)

@@ -559,6 +559,59 @@ object GraphAnalytics {
     out
   }
 
+  /** Landmark (harmonic) closeness estimates via bounded multi-source
+    * BFS: the `nLandmarks` nodes with the SMALLEST md5-60 ids (a
+    * hash-ranked, engine-reproducible pick — no degree bias, no RNG)
+    * flood the undirected overlay level-synchronously for `rounds`
+    * hops; every node reached within the horizon reports `n_reached`
+    * (how many landmarks see it, d ≥ 1) and `harmonic_micro`
+    * (Σ 1000000 div d over those landmarks — the harmonic-centrality
+    * estimator, integer-exact so the replay can't drift). Exact
+    * closeness is O(V·E) and unrunnable at scale; landmark BFS is the
+    * standard estimator (k seeds, k·rounds shuffles total) and the
+    * fixed horizon keeps it oracle-unrollable.
+    *
+    * Inputs are the q159 shared frames: `sym` the deduped symmetric
+    * `(a, b)` md5-60 edge set, `nodes` the `(key, id)` map. Scale
+    * posture: the per-round state is `(node, landmark, dist)` with
+    * ≤ V·k rows, frontier-anti-joined so each (node, landmark) pair is
+    * visited ONCE (true BFS work, not path counting — hubs do not
+    * explode the frame); each round is one edge-keyed equi-join + one
+    * min-combine, both map-side combinable; landmark selection is a
+    * TakeOrdered `limit`, never a full sort. Output only nodes some
+    * landmark reaches (d ≥ 1) — unreached nodes carry no evidence. */
+  def landmarkCloseness(sym: DataFrame, nodes: DataFrame,
+      nLandmarks: Int = 8, rounds: Int = 3): DataFrame = {
+    require(nLandmarks >= 1, s"nLandmarks must be positive, got $nLandmarks")
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val lms = nodes.select(col("id")).orderBy(col("id")).limit(nLandmarks)
+    // dist: one row per (node, lm) SEEN so far, d = BFS distance
+    var dist = lms.select(col("id").as("node"), col("id").as("lm"),
+        lit(0).as("d"))
+      .transform(graft.core.Lifecycle.stage(_))
+    var frontier = dist
+    (1 to rounds).foreach { r =>
+      val next = frontier
+        .join(sym, frontier("node") === sym("a"))
+        .select(sym("b").as("node"), frontier("lm"))
+        .distinct()
+        .join(dist.select(col("node"), col("lm")), Seq("node", "lm"),
+          "left_anti")
+        .withColumn("d", lit(r))
+        .transform(graft.core.Lifecycle.stage(_))
+      dist = dist.unionByName(next)
+        .transform(graft.core.Lifecycle.stage(_))
+      frontier = next
+    }
+    dist.filter(col("d") >= 1)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div d")).as("harmonic_micro"))
+      .join(nodes.select(col("id").as("node"), col("key")), Seq("node"))
+      .select(col("key").as("doc_key"), col("n_reached"),
+        col("harmonic_micro"))
+  }
+
   /** Connected components: (doc_key, component id). Component ids are the
     * min vertex id in the component — deterministic, identical labels to
     * GraphX's `connectedComponents` (min-id semantics), but computed by

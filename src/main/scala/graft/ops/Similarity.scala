@@ -250,6 +250,133 @@ object Similarity {
     rankTopK(crossNearDups(corpus, queries, idCol, vecCol, threshold = -1.0,
       planes, rotations, maxBroadcastRows), k)
 
+  /** TWO-STAGE batched retrieval — the Matryoshka/prefix-truncation scale
+    * pattern: a coarse pass scores the corpus by cosine on only the FIRST
+    * `prefixDim` dimensions (prefix-trained embeddings keep most of the
+    * signal in the leading dims) and keeps the top `m` candidates per
+    * query; the rerank pass rescores ONLY those `queries × m` survivors at
+    * full dimension and emits the top `k`. Output `(query_id, neighbor_id,
+    * rank, score)` — `score` the FULL-dimension cosine, ranks total via
+    * the (rounded score desc, id) tie-break, so both stages replay exactly
+    * in SQL.
+    *
+    * Why it scales: the corpus-wide work drops to `prefixDim / dim` of the
+    * flops AND scan bandwidth (at 100 TB you'd persist the prefix slice as
+    * its own column — column pruning then never reads the full vectors in
+    * stage 1), while full vectors are fetched for only `queries × m` rows
+    * — a count-gated broadcast join against the corpus, never a second
+    * corpus shuffle. Queries broadcast in both stages (the
+    * [[topKPerQueryExact]] posture); per-query top-m/top-k run as
+    * group-limited windows. Recall vs single-stage exact is a quality
+    * knob: `m ≫ k` recovers full-dim ordering among anything the prefix
+    * pass surfaces (exactness holds iff the true top-k survive stage 1 —
+    * assert recall in CI like the LSH/IVF paths). */
+  def twoStagePrefixTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, prefixDim: Int, m: Int, k: Int,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be positive, got $prefixDim")
+    require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    def prefix(df: DataFrame): DataFrame =
+      OpsUtil.widen(df).select(col(idCol).cast("long").as(idCol),
+        slice(col(vecCol), 1, prefixDim).as(vecCol))
+    // stage 1: coarse top-m per query on the prefix slice (zero-prefix
+    // corpus rows drop inside crossNearDupsExact's norm guard — they are
+    // unrankable by the prefix signal, the documented contract)
+    val coarse = rankTopK(crossNearDupsExact(prefix(corpus), prefix(queries),
+        idCol, vecCol, threshold = -1.0, maxBroadcastRows), m)
+      .select(col("query_id"), col("neighbor_id"))
+      .transform(graft.core.Lifecycle.stage(_))
+    // stage 2: fetch full vectors for the survivors only — the survivor
+    // list is queries x m rows, count-gated broadcast against the corpus
+    val hint = OpsUtil.gatedHint("twoStagePrefixTopK", "survivors", coarse,
+      maxBroadcastRows)
+    val full = OpsUtil.widen(corpus).select(
+      col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("v_n"),
+      l2Norm(col(vecCol)).as("nrm_n"))
+    val q = OpsUtil.widen(queries).select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("v_q"),
+      l2Norm(col(vecCol)).as("nrm_q"))
+    val qHint = OpsUtil.gatedHint("twoStagePrefixTopK", "queries", q,
+      maxBroadcastRows)
+    full.join(hint(coarse), Seq("neighbor_id"))
+      .join(qHint(q), Seq("query_id"))
+      .filter(col("nrm_n") > 0 && col("nrm_q") > 0)
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 4)
+          .as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Greedy MMR (maximal-marginal-relevance) diversity rerank of a
+    * retrieved candidate list, UNROLLED to `picks` fixed rounds: round 1
+    * picks the highest-relevance candidate; each later round picks the
+    * remaining candidate maximizing `λ·rel − (1−λ)·max(sim to any already
+    * picked)` — relevance traded against redundancy, the standard fix for
+    * retrieval lists that return k near-copies of one passage. Ties (on
+    * the 4-decimal objective) break to the smallest candidate id, and λ
+    * arrives as integer micros, so every round replays exactly in SQL
+    * (the fixed-rounds discipline of [[graft.graph.GraphAnalytics.hits]]).
+    * Output `(query_id, neighbor_id, pick, objective_micro)`.
+    *
+    * Input `candidates`: `(query_id, neighbor_id, score, vec)` — a
+    * RETRIEVED list (e.g. [[topKPerQueryExact]] output joined back to its
+    * vectors), so per-query cardinality is already bounded by the
+    * upstream k. Scale posture: each round is one equi-join of remaining
+    * candidates to the ≤(round−1) picked rows PER QUERY (both sides
+    * query-keyed — co-partitioned after the first shuffle) + one
+    * group-limited argmax window; total work is `queries × m × picks`,
+    * linear in queries. No per-query arrays, no driver loops over data —
+    * the `picks` unroll is plan construction, not actions. */
+  def mmrRerank(candidates: DataFrame, idCol: String, vecCol: String,
+      picks: Int, lambdaMicro: Long = 700000L): DataFrame = {
+    require(picks >= 1, s"picks must be positive, got $picks")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1000000], got $lambdaMicro")
+    // BOTH weights derived from micros (never `1.0 - lam`: that picks up
+    // a one-ulp subtraction artifact a replayer writing the literal
+    // cannot reproduce — 1.0-0.7 is 0.30000000000000004, not 0.3)
+    val lam = lambdaMicro.toDouble / 1e6
+    val oneMinusLam = (1000000L - lambdaMicro).toDouble / 1e6
+    val base = candidates.select(col("query_id"),
+        col(idCol).cast("long").as("neighbor_id"),
+        col("score").cast("double").as("rel"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .transform(graft.core.Lifecycle.stage(_))
+    def argmax(scored: DataFrame, pick: Int): DataFrame = scored
+      .withColumn("_rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("objective_micro").desc, col("neighbor_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("pick", lit(pick))
+    // round 1: pure relevance
+    var picked = argmax(base.withColumn("objective_micro",
+        floor(round(col("rel"), 4) * 1e6).cast("long")), 1)
+      .transform(graft.core.Lifecycle.stage(_))
+    (2 to picks).foreach { r =>
+      val rem = base.join(picked.select(col("query_id"),
+          col("neighbor_id")), Seq("query_id", "neighbor_id"), "left_anti")
+      val red = rem.join(picked.select(col("query_id"),
+            col("neighbor_id").as("_pid"), col("v").as("_pv"),
+            col("nrm").as("_pn")), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rel"), col("v"),
+          col("nrm"),
+          round(dot(col("v"), col("_pv")) / (col("nrm") * col("_pn")), 4)
+            .as("_sim"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"), col("v"),
+          col("nrm"))
+        .agg(max(col("_sim")).as("_maxSim"))
+      picked = picked.unionByName(argmax(red.withColumn("objective_micro",
+          floor(round(lit(lam) * round(col("rel"), 4)
+            - lit(oneMinusLam) * col("_maxSim"), 4) * 1e6).cast("long")), r)
+          .drop("_maxSim"))
+        .transform(graft.core.Lifecycle.stage(_))
+    }
+    picked.select(col("query_id"), col("neighbor_id"), col("pick"),
+      col("objective_micro"))
+  }
+
   /** EXACT cross-corpus scoring — ground truth for [[crossNearDups]] on a
     * bounded slice (the recall audit), quadratic by construction. No
     * `id_a < id_b` dedup: the corpora are distinct, every (train, eval)
