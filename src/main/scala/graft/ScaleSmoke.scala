@@ -189,7 +189,15 @@ object ScaleSmoke {
     // corpus side untouched past retrieval), landmark closeness (per
     // round one edge-keyed join over frontier×sym + one min-combine;
     // state ≤ V·k rows — the BFS class, hubs cannot path-explode it)
-    "q164_two_stage_knn", "q165_mmr_rerank", "q166_landmark_closeness")
+    "q164_two_stage_knn", "q165_mmr_rerank", "q166_landmark_closeness",
+    // round-15e wave: quality-aware survivors (q50's CC + one window
+    // over ONLY clustered rows), centroid screen (one map-side agg of
+    // dim long sums per group + a broadcast join + one scan — the probe
+    // pins that state is per-group constant), histogram quantiles
+    // (state ≤ bins rows per key at ANY volume — the flat-by-
+    // construction sketch class)
+    "q167_keep_best_survivors", "q168_centroid_outliers",
+    "q169_histogram_quantiles")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

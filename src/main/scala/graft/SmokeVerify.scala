@@ -1028,6 +1028,67 @@ object SmokeVerify {
           "OK" else "BROKEN"))
     }
 
+    // SMOKE28: round-15e — quality-aware survivors vs min-id policy on
+    // real near-dup clusters, centroid outlier screen score sanity, and
+    // histogram quantiles vs exact percentiles on real event values.
+    {
+      val d28 = docs.filter(col("doc_id") < 40)
+      val pairs28 = graft.ops.Dedup.ngramJaccardPairs(d28, "doc_id",
+          "text", shingleN = 3)
+        .filter(col("jaccard") >= 0.5)
+      val best = graft.ops.Dedup.keepBestSurvivors(d28, "doc_id",
+          pairs28, col("n_chars"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val minId = graft.ops.Dedup.dropNearDuplicates(d28, "doc_id",
+          pairs28)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val sameCount = best.size == minId.size // same clusters, one pick each
+      val lens = d28.select(col("doc_id"), col("n_chars")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bestTotal = best.toSeq.map(lens).sum
+      val minTotal = minId.toSeq.map(lens).sum
+      val bestWins = bestTotal >= minTotal // argmax length never loses chars
+
+      val emb28 = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cents = graft.ops.Similarity.centroidCosine(emb28, "vec_id",
+          "embedding", "label", dim = 64)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val centOk = cents.nonEmpty && cents.forall(c =>
+        c._3 >= -1.0001 && c._3 <= 1.0001)
+      val nRows = emb28.count()
+
+      val ev28 = spark.read.parquet(s"$sf/events.parquet")
+        .filter(col("value").isNotNull)
+      val hq = graft.ops.Sketches.histogramQuantiles(ev28, "event_type",
+          "value", lo = 0.0, hi = 1000.0, bins = 256,
+          qsMicro = Seq(500000L, 990000L))
+        .collect().map(r => ((r.getString(0), r.getLong(1)),
+          r.getLong(2))).toMap
+      // the sketch reports the bin of the TYPE-1 quantile (the smallest
+      // value whose cumulative fraction covers q — NOT the interpolated
+      // percentile): recompute type-1 driver-side, re-bin it with the
+      // same clamp arithmetic, assert bin equality
+      val byKey = ev28.select("event_type", "value").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).sorted }
+      def binOf(v: Double): Long = math.min(255L, math.max(0L,
+        math.floor((v - 0.0) * 256.0 / 1000.0).toLong))
+      val hqBad = byKey.count { case (k, xs) =>
+        Seq(500000L, 990000L).exists { qm =>
+          val idx = ((xs.length.toLong * qm + 999999L) / 1000000L - 1)
+            .max(0L).toInt
+          hq((k, qm)) != binOf(xs(idx))
+        }
+      }
+
+      println(s"SMOKE28 round15e: survivors=${best.size} " +
+        s"sameCount=$sameCount bestChars=$bestTotal minIdChars=$minTotal " +
+        s"centRows=${cents.length}/$nRows centOk=$centOk " +
+        s"hqKeys=${byKey.size} hqBad=$hqBad => " +
+        (if (sameCount && bestWins && centOk && hqBad == 0)
+          "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

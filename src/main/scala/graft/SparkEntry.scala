@@ -2159,6 +2159,42 @@ object SparkEntry {
           nLandmarks = 8, rounds = 3)
         .orderBy("doc_key")
     }),
+    "q167_keep_best_survivors" -> ((s, dir) => {
+      // quality-aware dedup: q50's detection + clustering, but the
+      // survivor is the cluster's LONGEST doc (ties to the smaller id) —
+      // the policy real corpus dedup uses, since min-id keeps whichever
+      // copy happened to arrive first, truncated or not
+      val docs = Testbed.graph(s, dir).collection("documents")
+        .filter(col("doc_id") < 40)
+      val pairs = ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3)
+        .filter(col("jaccard") >= 0.5)
+      ops.Dedup.keepBestSurvivors(docs, "doc_id", pairs, col("n_chars"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    "q168_centroid_outliers" -> ((s, dir) => {
+      // per-label centroid-cosine screen: every embedding scored against
+      // its own label's centroid — the mislabeled-row detector. Integer-
+      // micro quantization makes the centroid sums exact longs, so the
+      // score replays bit-for-bit (reduce order cannot move it).
+      ops.Similarity.centroidCosine(
+          Testbed.graph(s, dir).collection("embeddings"),
+          "vec_id", "embedding", "label", dim = 64)
+        .orderBy("id")
+    }),
+    "q169_histogram_quantiles" -> ((s, dir) => {
+      // constant-state per-group quantiles: p50/p90/p99 of event value
+      // per event type from 256 fixed bins — the sketch alternative to
+      // sorting each group; the estimate ITSELF is gated (the KMV/CMS
+      // discipline), coverage test is an integer cross-multiply
+      ops.Sketches.histogramQuantiles(
+          Testbed.graph(s, dir).collection("events")
+            .filter(col("value").isNotNull),
+          "event_type", "value", lo = 0.0, hi = 1000.0, bins = 256,
+          qsMicro = Seq(500000L, 900000L, 990000L))
+        .orderBy("key", "q_micro")
+    }),
     "q140_fuzzy_nearest_frac" -> ((s, dir) => {
       // q119's resolution with the two scale-correct substitutions: a
       // COMPOSITE blocking key (last TWO words — the standard refinement
@@ -4050,6 +4086,95 @@ object SparkEntry {
          FROM rr QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""",
     "q165_mmr_rerank" -> MmrOracleSql,
     "q166_landmark_closeness" -> LandmarkClosenessOracleSql,
+    // q167: q50's pair detection + transitive closure, survivor =
+    // argmax(n_chars, tie min id) per component + every singleton
+    "q167_keep_best_survivors" ->
+      """WITH RECURSIVE s AS (
+           SELECT doc_id,
+                  CASE WHEN length(text) >= 3
+                       THEN list_distinct(list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INT), 3)))
+                       ELSE [text] END AS sh
+           FROM documents WHERE doc_id < 40),
+         p AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)), 4) >= 0.5),
+         e AS (SELECT ia AS u, ib AS v FROM p
+               UNION ALL SELECT ib, ia FROM p),
+         r(u, v) AS (SELECT u, v FROM e
+                     UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         comp AS (SELECT u AS id, least(u, min(v)) AS c FROM r GROUP BY u),
+         best AS (
+           SELECT id FROM (
+             SELECT comp.id, row_number() OVER (PARTITION BY comp.c
+               ORDER BY d.n_chars DESC, comp.id) AS rn
+             FROM comp JOIN documents d ON d.doc_id = comp.id) t
+           WHERE rn = 1)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, n_chars FROM documents
+         WHERE doc_id < 40
+           AND (doc_id NOT IN (SELECT id FROM comp)
+                OR doc_id IN (SELECT id FROM best))
+         ORDER BY doc_id""",
+    // q168: integer-micro quantization -> exact long centroid sums ->
+    // fixed-order double cosine; cosine's scale-invariance lets the SUM
+    // stand in for the mean
+    "q168_centroid_outliers" ->
+      """WITH mv AS MATERIALIZED (
+           SELECT vec_id, label, list_transform(range(1, 65),
+             i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                  AS BIGINT)) AS m
+           FROM embeddings),
+         sv AS MATERIALIZED (
+           SELECT label, i, CAST(sum(m[i]) AS BIGINT) AS s
+           FROM mv, UNNEST(range(1, 65)) AS t(i) GROUP BY label, i),
+         c AS MATERIALIZED (
+           SELECT label, list(s ORDER BY i) AS c FROM sv GROUP BY label),
+         sc AS (
+           SELECT mv.vec_id AS id, mv.label AS grp,
+                  list_sum(list_transform(range(1, 65),
+                    i -> CAST(m[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)))
+                    AS d,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(m[i] AS DOUBLE) * CAST(m[i] AS DOUBLE))))
+                    AS nv,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(c[i] AS DOUBLE) * CAST(c[i] AS DOUBLE))))
+                    AS nc
+           FROM mv JOIN c USING (label))
+         SELECT id, grp, round(d / (nv * nc), 4) AS cos_centroid
+         FROM sc WHERE nv > 0 AND nc > 0 ORDER BY id""",
+    // q169: same fixed-bin arithmetic, the coverage test as the integer
+    // cross-multiply, bin upper edge as the estimate
+    "q169_histogram_quantiles" ->
+      """WITH b AS (
+           SELECT event_type AS key,
+                  least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                    CAST(floor((CAST(value AS DOUBLE) - CAST(0 AS DOUBLE))
+                      * CAST(256 AS DOUBLE) / CAST(1000 AS DOUBLE))
+                      AS BIGINT))) AS bin
+           FROM events WHERE value IS NOT NULL),
+         counts AS (
+           SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin),
+         cum AS (
+           SELECT key, bin,
+                  sum(cnt) OVER (PARTITION BY key ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  sum(cnt) OVER (PARTITION BY key) AS n
+           FROM counts),
+         q AS (SELECT CAST(q_micro AS BIGINT) AS q_micro FROM (VALUES
+                 (500000), (900000), (990000)) t(q_micro)),
+         r AS (
+           SELECT key, q_micro, min(bin) AS bin
+           FROM cum JOIN q ON cum.cum * 1000000 >= cum.n * q.q_micro
+           GROUP BY key, q_micro)
+         SELECT key, q_micro, bin,
+                CAST(0 AS DOUBLE) + CAST(bin + 1 AS DOUBLE)
+                  * (CAST(1000 AS DOUBLE) / CAST(256 AS DOUBLE)) AS est_hi
+         FROM r ORDER BY key, q_micro""",
     // q140: q119's chain under the composite last-two-words block key
     // and the RELATIVE skew gate — a block passes while bn·1000 ≤ 200·N
     // (N = named rows), the integer cross-multiply the engine applies

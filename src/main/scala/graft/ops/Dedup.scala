@@ -534,6 +534,34 @@ object Dedup {
     df.join(losers, df(idCol).cast("long") === losers("id"), "left_anti")
   }
 
+  /** QUALITY-AWARE near-dedup: keep each duplicate cluster's BEST row by
+    * `quality` (ties to the smallest id) plus every untouched singleton —
+    * the survivor policy real LLM-corpus dedup uses ([[dropNearDuplicates]]
+    * keeps min-id, which discards the better copy whenever the duplicate
+    * with the lower id happens to be the truncated/boilerplated one).
+    * `quality` must be DETERMINISTIC over the row (a length, an integer
+    * score, a [[TextOps]] metric) so the pick replays.
+    *
+    * Scale posture: clustering is [[duplicateComponents]] (native CC over
+    * the pair graph — pairs only, never the corpus); the pick is one
+    * row_number window partitioned by component over ONLY the clustered
+    * rows (a vanishing fraction of the corpus); untouched rows pass via
+    * anti-join, never entering the window. */
+  def keepBestSurvivors(df: DataFrame, idCol: String, pairs: DataFrame,
+      quality: Column): DataFrame = {
+    val comp = duplicateComponents(pairs)
+    val idL = col(idCol).cast("long")
+    val clustered = df.withColumn("_q", quality)
+      .join(comp, idL === comp("id"))
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+          .orderBy(col("_q").desc, idL)))
+      .filter(col("_rn") === 1)
+      .drop("_q", "_rn", "id", "component")
+    val untouched = df.join(comp, idL === comp("id"), "left_anti")
+    untouched.unionByName(clustered)
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     * the MOSS algorithm): each doc's char `k`-grams are hashed, and the
     * MINIMUM hash of every window of `w` consecutive gram hashes is

@@ -377,6 +377,54 @@ object Similarity {
       col("objective_micro"))
   }
 
+  /** Per-group centroid-cosine screen — the embedding OUTLIER detector
+    * (mislabeled rows, contaminated clusters, off-distribution shards):
+    * every vector scores its cosine against its own group's centroid;
+    * rows far below 1.0 don't belong where their label says. Output
+    * `(id, group, cos_centroid)` for every row with nonzero norms.
+    *
+    * Determinism: vectors are quantized to INTEGER micros before the
+    * group sum, so the centroid accumulation is exact long arithmetic —
+    * reduce-order reassociation cannot move it (the float-sum trap this
+    * module documents everywhere). Cosine is then fixed-order double
+    * math over those exact longs, rounded to 4. Cosine is
+    * scale-invariant, so the SUM vector stands in for the mean — no
+    * division, no precision loss.
+    *
+    * Scale posture: ONE map-side-combined aggregation (dim long sums +
+    * a count per group — constant state per group, no arrays shuffled
+    * per row beyond the group key), centroids join back through a
+    * count-gated broadcast (group count ≪ corpus), and the score pass
+    * is a single corpus scan. `dim` must match the vector width. */
+  def centroidCosine(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, dim: Int,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(dim >= 1, s"dim must be positive, got $dim")
+    val mv = transform(col(vecCol),
+      x => round(x.cast("double") * lit(1e6)).cast("long"))
+    val base = OpsUtil.widen(emb).select(col(idCol).cast("long").as("id"),
+        col(groupCol).as("grp"), mv.as("m"))
+      .transform(graft.core.Lifecycle.stage(_))
+    val sumCols = Seq.tabulate(dim)(i => sum(col("m")(i)).as(s"_s$i"))
+    val sums = base.groupBy(col("grp"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("grp"),
+        array(Seq.tabulate(dim)(i => col(s"_s$i")): _*).as("c"))
+    val hint = OpsUtil.gatedHint("centroidCosine", "centroids", sums,
+      maxBroadcastRows)
+    def dotLL(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+    base.join(hint(sums), Seq("grp"))
+      .select(col("id"), col("grp"),
+        dotLL(col("m"), col("c")).as("_d"),
+        sqrt(dotLL(col("m"), col("m"))).as("_nv"),
+        sqrt(dotLL(col("c"), col("c"))).as("_nc"))
+      .filter(col("_nv") > 0 && col("_nc") > 0)
+      .select(col("id"), col("grp"),
+        round(col("_d") / (col("_nv") * col("_nc")), 4).as("cos_centroid"))
+  }
+
   /** EXACT cross-corpus scoring — ground truth for [[crossNearDups]] on a
     * bounded slice (the recall audit), quadratic by construction. No
     * `id_a < id_b` dedup: the corpora are distinct, every (train, eval)

@@ -481,4 +481,50 @@ object Sketches {
               lit(graft.functions.KmvDistinct.TwoPow60)))
           .as("estimate")): _*)
   }
+
+  /** Fixed-bin histogram quantiles per group — the constant-state
+    * alternative to an exact per-group percentile (which sorts every
+    * group's raw values): values land in `bins` equal-width buckets over
+    * `[lo, hi)` (clamped at the edges), and each requested quantile
+    * reports the smallest bin whose cumulative count covers it, plus
+    * that bin's upper edge as the value estimate (error ≤ one bin
+    * width, one-sided conservative). DETERMINISTIC by construction —
+    * integer counts, the coverage test is the integer cross-multiply
+    * `cum·10⁶ ≥ n·q_micro` (never a float ceil), and the bin edge is a
+    * fixed double expression — so the sketch's ESTIMATE itself
+    * hash-replays (the KMV/CMS discipline).
+    *
+    * Scale posture: ONE map-side-combined `(key, bin)` count (state ≤
+    * `bins` rows per key regardless of data volume — this is the whole
+    * point vs `percentile`/sort-based exact quantiles, whose per-group
+    * state is the group), one key-partitioned cumulative window over ≤
+    * `bins` rows per key, and a broadcast join against the ≤ |qs|-row
+    * quantile list. Output `(key, q_micro, bin, est_hi)`. */
+  def histogramQuantiles(df: DataFrame, keyCol: String, valCol: String,
+      lo: Double, hi: Double, bins: Int,
+      qsMicro: Seq[Long]): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi)")
+    require(qsMicro.nonEmpty && qsMicro.forall(q => q >= 0 && q <= 1000000L),
+      s"quantiles must be micros in [0, 1000000], got $qsMicro")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      floor((col(valCol).cast("double") - lit(lo)) * lit(bins.toDouble)
+        / lit(hi - lo))))
+    val counts = df.select(col(keyCol).as("key"), bin.as("bin"))
+      .groupBy("key", "bin").agg(count(lit(1)).as("cnt"))
+    val wKey = Window.partitionBy("key")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(wKey.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("cnt").over(wKey))
+    val qs = qsMicro.toDF("q_micro")
+    cum.join(broadcast(qs),
+        col("cum") * 1000000L >= col("n") * col("q_micro"))
+      .groupBy("key", "q_micro").agg(min("bin").as("bin"))
+      .select(col("key"), col("q_micro"), col("bin"),
+        (lit(lo) + (col("bin") + 1).cast("double")
+          * lit((hi - lo) / bins)).as("est_hi"))
+  }
 }
