@@ -2122,10 +2122,15 @@ object SparkEntry {
       // cosine on the FIRST 16 of 64 dims (4x less corpus bandwidth +
       // flops), exact full-dim rerank of only the survivors to top-5 —
       // the whole corpus side, no slice: the coarse pass IS the scale
-      // path, survivors broadcast back against the corpus for the fetch
+      // path, survivors broadcast back against the corpus for the fetch.
+      // The query BATCH is id-bounded (a retrieval workload is fixed
+      // while the corpus grows — the q143 posture): no-op at any sf,
+      // keeps the 10x probe measuring the corpus-linear coarse term
+      // rather than a queries x corpus quadratic artifact
       val emb = Testbed.graph(s, dir).collection("embeddings")
       ops.Similarity.twoStagePrefixTopK(
-          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 === 0
+            && col("vec_id") < 100000000L),
           emb.filter(col("vec_id") % 50 =!= 0),
           "vec_id", "embedding", prefixDim = 16, m = 20, k = 5)
         .orderBy("query_id", "rank")
@@ -4051,7 +4056,8 @@ object SparkEntry {
                   sqrt(list_sum(list_transform(range(1, 65),
                     i -> CAST(embedding[i] AS DOUBLE)
                          * CAST(embedding[i] AS DOUBLE)))) AS fn
-           FROM embeddings WHERE vec_id % 50 = 0),
+           FROM embeddings
+           WHERE vec_id % 50 = 0 AND vec_id < 100000000),
          c AS MATERIALIZED (
            SELECT vec_id, embedding,
                   sqrt(list_sum(list_transform(range(1, 17),
