@@ -498,12 +498,16 @@ object GraphAnalytics {
     val adj = toAdjArr(sym.select(col("a"), col("b"))
       .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
       .groupByKey(p).mapValues(_.toArray)) // persists itself
-    // pick lands each (dst, lbl) count in dst's own partition
-    val dstPart = new org.apache.spark.Partitioner {
-      def numPartitions: Int = p.numPartitions
-      def getPartition(key: Any): Int =
-        p.getPartition(key.asInstanceOf[(Long, Long)]._1)
-    }
+    // the (dst, label) count shuffle gets its OWN finer partitioner:
+    // its reduce-side state is distinct pairs (≈ E early rounds, far
+    // more than the V-sized frames p is sized for), and a 10× probe
+    // showed the aligned-partitioning single-shuffle design spilling
+    // its per-partition combine maps (wall 24.5× for linear bytes).
+    // Fine-grained counting + a map-side-combined best-pick reduce
+    // (≤ V records per map partition) keeps both stages spill-free.
+    val pFine = new org.apache.spark.HashPartitioner(
+      math.max(p.numPartitions,
+        math.min(4096L, edgeCount / 1000000L + 1).toInt))
     val DESER = StorageLevel.MEMORY_AND_DISK
     var lbl = adj.mapPartitions(_.map(a => a.keys.clone()), // own id
       preservesPartitioning = false).persist(DESER)
@@ -516,19 +520,15 @@ object GraphAnalytics {
           val lb = l(i)
           a.nbrs(i).iterator.map(dst => ((dst, lb), 1L))
         }
-      }.reduceByKey(dstPart, _ + _) // the round's ONE shuffle
-      val next = counted.mapPartitions({ it =>
-        // per dst: max count, tie -> min label id (total, deterministic)
-        val best = new java.util.HashMap[Long, (Long, Long)]()
-        it.foreach { case ((dst, lb), c) =>
-          val cur = best.get(dst)
-          if (cur == null || c > cur._1 || (c == cur._1 && lb < cur._2))
-            best.put(dst, (c, lb))
-        }
-        import scala.jdk.CollectionConverters._
-        best.entrySet().iterator().asScala.map(e =>
-          (e.getKey.longValue(), e.getValue._2))
-      }, preservesPartitioning = false) // rows stay physically in place
+      }.reduceByKey(pFine, _ + _)
+      // per dst: max count, tie -> min label id (total, deterministic) —
+      // an ordinary combinable reduce, landed on adj's partitioner so
+      // the scatter below is shuffle-free
+      val next = counted
+        .map { case ((dst, lb), c) => (dst, (c, lb)) }
+        .reduceByKey(p, (x, y) =>
+          if (x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)) x else y)
+        .mapValues(_._2)
         .zipPartitions(adj, lbl) { (nit, ait, lit) =>
           val a = ait.next()
           val out = lit.next().clone()
