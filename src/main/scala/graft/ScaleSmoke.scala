@@ -197,7 +197,13 @@ object ScaleSmoke {
     // (state ≤ bins rows per key at ANY volume — the flat-by-
     // construction sketch class)
     "q167_keep_best_survivors", "q168_centroid_outliers",
-    "q169_histogram_quantiles")
+    "q169_histogram_quantiles",
+    // round-15f wave: golden records (q140's block+verify chain + native
+    // CC over pairs + cluster-keyed mode windows — pair volume linear
+    // under the v-cipher, clusters stay small), training triplets
+    // (pairs x fixed broadcast pool; the pair side grows with the
+    // corpus slice, the pool stays 64)
+    "q170_golden_records", "q171_training_triplets")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

@@ -1089,6 +1089,53 @@ object SmokeVerify {
           "OK" else "BROKEN"))
     }
 
+    // SMOKE29: round-15f — golden records account for every named row
+    // exactly once, and training triplets respect pair directionality +
+    // group exclusion on real near-dup pairs.
+    {
+      val part29 = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_partkey") % 5 === 0)
+      val pairs29 = graft.ops.Linkage.fuzzyPairs(part29, "p_partkey",
+        "p_name", substring_index(col("p_name"), " ", -2),
+        maxDist = 3, maxBlock = 1000, maxBlockPerMille = Some(200L))
+      val gr = graft.ops.Linkage.goldenRecords(part29, "p_partkey",
+          "p_name", pairs29)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val namedRows = part29.filter(col("p_name").isNotNull).count()
+      val partition = gr.map(_._2).sum == namedRows // every row in ONE record
+      val names = part29.select("p_name").collect()
+        .map(_.getString(0)).toSet
+      val modeReal = gr.forall(g => names.contains(g._3))
+
+      val d29 = docs.filter(col("doc_id") < 40)
+      val pos29 = graft.ops.Dedup.ngramJaccardPairs(d29, "doc_id",
+          "text", shingleN = 3)
+        .filter(col("jaccard") >= 0.5)
+      val posSet = pos29.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0).toString, r.getLong(1).toString)).toSet
+      val tri = graft.ops.Corpus.trainingTriplets(docs, col("doc_id"),
+          col("source"), pos29, poolSize = 32, k = 4,
+          hash = graft.ops.BaseHash.Md5)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2), r.getInt(3)))
+      val src29 = docs.select(col("doc_id").cast("string"), col("source"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val triBad = tri.count { case (a, p, n, rk) =>
+        !(posSet.contains((a, p)) || posSet.contains((p, a))) ||
+          src29(a) == src29(n) || rk < 1 || rk > 4
+      }
+      val bothDirs = posSet.forall { case (x, y) =>
+        tri.exists(t => t._1 == x && t._2 == y) ==
+          tri.exists(t => t._1 == y && t._2 == x)
+      }
+
+      println(s"SMOKE29 round15f: records=${gr.length} " +
+        s"partition=$partition modeReal=$modeReal " +
+        s"triplets=${tri.length} triBad=$triBad bothDirs=$bothDirs => " +
+        (if (partition && modeReal && gr.nonEmpty && tri.nonEmpty
+          && triBad == 0 && bothDirs) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

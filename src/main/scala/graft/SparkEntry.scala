@@ -2200,6 +2200,33 @@ object SparkEntry {
           qsMicro = Seq(500000L, 900000L, 990000L))
         .orderBy("key", "q_micro")
     }),
+    "q170_golden_records" -> ((s, dir) => {
+      // entity resolution's survivorship step: q140's fuzzy pairs
+      // transitively closed into entities, each emitting ONE golden
+      // record — min-id cluster key, mode spelling with lexicographic
+      // ties, member count. Singletons pass through untouched.
+      val p = Testbed.graph(s, dir).collection("part")
+        .filter(col("p_partkey") % 5 === 0)
+      val pairs = ops.Linkage.fuzzyPairs(p, "p_partkey", "p_name",
+        substring_index(col("p_name"), " ", -2),
+        maxDist = 3, maxBlock = 1000, maxBlockPerMille = Some(200L))
+      ops.Linkage.goldenRecords(p, "p_partkey", "p_name", pairs)
+        .orderBy("cluster")
+    }),
+    "q171_training_triplets" -> ((s, dir) => {
+      // contrastive-training emission: verified near-dup pairs (q29's
+      // exact n-gram Jaccard on the bounded slice) become (anchor,
+      // positive) both directions; 4 shared-pool negatives per anchor,
+      // same-source excluded, ranked by pairwise md5 — the end-to-end
+      // "training data out" path, O(pairs x pool)
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val positives = ops.Dedup.ngramJaccardPairs(
+          docs.filter(col("doc_id") < 40), "doc_id", "text", shingleN = 3)
+        .filter(col("jaccard") >= 0.5)
+      ops.Corpus.trainingTriplets(docs, col("doc_id"), col("source"),
+          positives, poolSize = 64, k = 4, hash = ops.BaseHash.Md5)
+        .orderBy("anchor", "positive", "rank")
+    }),
     "q140_fuzzy_nearest_frac" -> ((s, dir) => {
       // q119's resolution with the two scale-correct substitutions: a
       // COMPOSITE blocking key (last TWO words — the standard refinement
@@ -4181,6 +4208,85 @@ object SparkEntry {
                 CAST(0 AS DOUBLE) + CAST(bin + 1 AS DOUBLE)
                   * (CAST(1000 AS DOUBLE) / CAST(256 AS DOUBLE)) AS est_hi
          FROM r ORDER BY key, q_micro""",
+    // q170: q140's block+verify chain, transitively closed, then the
+    // survivorship pick (mode spelling, lexicographic tie) per entity
+    "q170_golden_records" ->
+      """WITH RECURSIVE p0 AS (
+           SELECT p_partkey AS id, p_name AS name,
+                  array_to_string(list_slice(
+                    string_split(p_name, ' '), -2, -1), ' ') AS blk
+           FROM part WHERE p_name IS NOT NULL AND p_partkey % 5 = 0),
+         nn AS (SELECT count(*) AS n FROM p0),
+         p AS (SELECT p0.* FROM p0 CROSS JOIN nn
+               QUALIFY count(*) OVER (PARTITION BY blk) * 1000 <= 200 * n),
+         pr AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+           WHERE levenshtein(a.name, b.name) <= 3),
+         e AS (SELECT ia AS u, ib AS v FROM pr
+               UNION ALL SELECT ib, ia FROM pr),
+         r(u, v) AS (SELECT u, v FROM e
+                     UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         comp AS (SELECT u AS id, least(u, min(v)) AS c FROM r GROUP BY u),
+         merged AS (
+           SELECT c AS cluster, name FROM (
+             SELECT comp.c, p0.name, count(*) AS cnt,
+                    row_number() OVER (PARTITION BY comp.c
+                      ORDER BY count(*) DESC, p0.name) AS rn
+             FROM comp JOIN p0 ON p0.id = comp.id
+             GROUP BY comp.c, p0.name) t WHERE rn = 1),
+         sizes AS (SELECT c AS cluster, count(*) AS n_members
+                   FROM comp GROUP BY c)
+         SELECT CAST(p0.id AS BIGINT) AS cluster,
+                CAST(1 AS BIGINT) AS n_members, p0.name
+         FROM p0 WHERE p0.id NOT IN (SELECT id FROM comp)
+         UNION ALL
+         SELECT CAST(merged.cluster AS BIGINT), sizes.n_members,
+                merged.name
+         FROM merged JOIN sizes USING (cluster)
+         ORDER BY cluster""",
+    // q171: q29's verified pairs both directions + the shared-pool
+    // negative draw under the same md5 ranking as q163
+    "q171_training_triplets" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  CASE WHEN length(text) >= 3
+                       THEN list_distinct(list_transform(range(1, length(text) - 1),
+                              i -> substr(text, CAST(i AS INT), 3)))
+                       ELSE [text] END AS sh
+           FROM documents WHERE doc_id < 40),
+         pr AS (
+           SELECT a.doc_id AS ia, b.doc_id AS ib
+           FROM s a, s b
+           WHERE a.doc_id < b.doc_id
+             AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)), 4) >= 0.5),
+         sym AS (
+           SELECT CAST(ia AS VARCHAR) AS anchor,
+                  CAST(ib AS VARCHAR) AS positive FROM pr
+           UNION ALL
+           SELECT CAST(ib AS VARCHAR), CAST(ia AS VARCHAR) FROM pr),
+         ag AS (
+           SELECT sym.anchor, sym.positive, d.source AS agrp
+           FROM sym JOIN documents d
+             ON CAST(d.doc_id AS VARCHAR) = sym.anchor),
+         pool AS (
+           SELECT CAST(doc_id AS VARCHAR) AS neg, source AS ngrp
+           FROM documents
+           ORDER BY CAST(concat('0x', substr(md5(
+                    'negpool:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT),
+                    CAST(doc_id AS VARCHAR)
+           LIMIT 64),
+         t AS (
+           SELECT anchor, positive, neg,
+                  row_number() OVER (PARTITION BY anchor, positive
+                    ORDER BY CAST(concat('0x', substr(md5(
+                        anchor || '|' || neg), 1, 15)) AS BIGINT),
+                      neg) AS rank
+           FROM ag JOIN pool ON agrp <> ngrp)
+         SELECT anchor, positive, neg AS negative, rank FROM t
+         WHERE rank <= 4 ORDER BY anchor, positive, rank""",
     // q140: q119's chain under the composite last-two-words block key
     // and the RELATIVE skew gate — a block passes while bn·1000 ≤ 200·N
     // (N = named rows), the integer cross-multiply the engine applies

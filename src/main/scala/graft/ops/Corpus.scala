@@ -805,4 +805,53 @@ object Corpus {
       .filter(col("rank") <= k)
       .select(col("anchor"), col("_neg").as("negative"), col("rank"))
   }
+
+  /** Contrastive TRAINING TRIPLETS — the emission step of an
+    * embedding-training pipeline: every resolved near-dup pair becomes
+    * (anchor, positive) in both directions, and each anchor draws `k`
+    * hard-ish negatives from the [[negativeSample]] shared pool (hash-
+    * ranked `poolSize` candidates, same-`groupCol` candidates excluded
+    * so a negative never comes from the anchor's own source). Output
+    * `(anchor, positive, negative, rank)` — negatives are ranked per
+    * ANCHOR (shared across its positives) by the pairwise hash, so the
+    * whole emission is retry-stable and SQL-replayable.
+    *
+    * Scale posture: the pool is a fixed-size TakeOrdered broadcast (the
+    * [[negativeSample]] posture); anchors come from the PAIR list (≪
+    * corpus after dedup thresholds), carry their group via one join
+    * against the corpus, and fan out to ≤ poolSize candidates each —
+    * O(pairs · poolSize), never pairs × corpus. */
+  def trainingTriplets(df: DataFrame, key: Column, groupCol: Column,
+      positives: DataFrame, poolSize: Int, k: Int,
+      hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): DataFrame = {
+    require(poolSize >= 1 && poolSize <= 100000,
+      s"poolSize must be in [1, 1e5] (it broadcasts), got $poolSize")
+    require(k >= 1 && k <= poolSize, s"need 1 <= k <= poolSize, got $k")
+    val ks = key.cast("string")
+    val pool = df
+      .select(ks.as("_neg"), groupCol.cast("string").as("_ngrp"))
+      .withColumn("_ph",
+        hash.full(concat(lit("negpool:"), col("_neg"))))
+      .orderBy(col("_ph"), col("_neg"))
+      .limit(poolSize)
+      .drop("_ph")
+    val sym = positives
+      .select(col("id_a").cast("string").as("anchor"),
+        col("id_b").cast("string").as("positive"))
+      .unionByName(positives.select(col("id_b").cast("string").as("anchor"),
+        col("id_a").cast("string").as("positive")))
+    val anchored = sym.join(
+      df.select(ks.as("anchor"), groupCol.cast("string").as("_agrp")),
+      Seq("anchor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor"), col("positive"))
+      .orderBy(col("_pairh"), col("_neg"))
+    anchored.join(broadcast(pool), col("_agrp") =!= col("_ngrp"))
+      .withColumn("_pairh",
+        hash.full(concat(col("anchor"), lit("|"), col("_neg"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor"), col("positive"), col("_neg").as("negative"),
+        col("rank"))
+  }
 }

@@ -99,4 +99,43 @@ object Linkage {
     sym.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Golden-record merge — the survivorship step that turns resolved
+    * pairs into ONE canonical record per real-world entity: clusters =
+    * connected components over `pairs` (transitive closure: if A≈B and
+    * B≈C they are one entity even when A and C miss the distance bound),
+    * each cluster keyed by its MIN member id, and the canonical name is
+    * the cluster's MODE (most frequent spelling, ties to the
+    * lexicographically smallest — fully deterministic, so the merge
+    * replays). Singletons pass through as their own golden record.
+    * Output `(cluster, n_members, name)`.
+    *
+    * Scale posture: clustering is [[graft.ops.Dedup.duplicateComponents]]
+    * (native CC over the pair graph — pairs only, never the table); the
+    * mode is two map-side-combined aggregations over clustered rows plus
+    * a row_number over (cluster, name-count) groups — all shuffles keyed
+    * by cluster id; singletons never enter any window (anti-join pass). */
+  def goldenRecords(df: DataFrame, idCol: String, nameCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = Dedup.duplicateComponents(pairs)
+    val idL = col(idCol).cast("long")
+    val named = df.filter(col(nameCol).isNotNull)
+      .select(idL.as("id"), col(nameCol).as("name"))
+    val clustered = named.join(comp, Seq("id"))
+    val merged = clustered
+      .groupBy(col("component"), col("name"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("component")
+          .orderBy(col("_c").desc, col("name"))))
+      .filter(col("_rn") === 1)
+      .join(clustered.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members")), Seq("component"))
+      .select(col("component").as("cluster"), col("n_members"),
+        col("name"))
+    val singles = named.join(comp, Seq("id"), "left_anti")
+      .select(col("id").as("cluster"), lit(1L).as("n_members"),
+        col("name"))
+    singles.unionByName(merged)
+  }
 }
