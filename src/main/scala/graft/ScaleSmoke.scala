@@ -203,7 +203,12 @@ object ScaleSmoke {
     // under the v-cipher, clusters stay small), training triplets
     // (pairs x fixed broadcast pool; the pair side grows with the
     // corpus slice, the pool stays 64)
-    "q170_golden_records", "q171_training_triplets")
+    "q170_golden_records", "q171_training_triplets",
+    // round-15g: the persisted histogram store's quantile read — the
+    // probe stages the store build untimed and measures the read, which
+    // touches <= batches x bins rows per key at ANY ingested volume
+    // (the stored-counter flat class, q103's shape)
+    "q172_histogram_stored")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -398,6 +403,9 @@ object ScaleSmoke {
       if (selectedHas("q103"))
         SparkEntry.cmsStorePath(spark,
           Testbed.graph(spark, dir).collection("lineitem"), dir)
+      if (selectedHas("q172"))
+        SparkEntry.histogramStorePath(spark,
+          Testbed.graph(spark, dir).collection("events"), dir)
       if (selectedHas("q108"))
         SparkEntry.postingStorePath(spark,
           Testbed.graph(spark, dir).collection("documents"), dir)

@@ -2200,6 +2200,20 @@ object SparkEntry {
           qsMicro = Seq(500000L, 900000L, 990000L))
         .orderBy("key", "q_micro")
     }),
+    "q172_histogram_stored" -> ((s, dir) => {
+      // q169's quantile read against the PERSISTED histogram store,
+      // built incrementally (save over the even event_ids, append the
+      // odd half as one committed batch — the streaming-ingest path in
+      // batch form; EventStreams.histogramIngestStream lands exactly
+      // these appends per micro-batch). Bin addition is exact, so
+      // save + append == one pass and q169's oracle applies verbatim.
+      // The probe reads <= batches x bins rows per key, never events.
+      val ev = Testbed.graph(s, dir).collection("events")
+      val path = histogramStorePath(s, ev, dir)
+      sources.HistogramStore.quantilesStored(s, path,
+          Seq(500000L, 900000L, 990000L))
+        .orderBy("key", "q_micro")
+    }),
     "q170_golden_records" -> ((s, dir) => {
       // entity resolution's survivorship step: q140's fuzzy pairs
       // transitively closed into entities, each emitting ONE golden
@@ -2441,6 +2455,24 @@ object SparkEntry {
     * belongs to Bench's untimed build phase, not the probe rep). */
   private val cmsStores = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), String]()
+  /** q172's histogram store: built ONCE per (session, sf dir) — save
+    * over the even event_ids, append the odd half as one committed
+    * batch (the incremental-ingest path in batch form). Warmed by
+    * Bench's build phase so the gate reps measure the stored read. */
+  private val histogramStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def histogramStorePath(s: SparkSession, ev: DataFrame,
+      dir: String): String =
+    histogramStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-histogram-store").toString
+      sources.HistogramStore.save(ev.filter(col("event_id") % 2 === 0),
+        out, "event_type", "value", lo = 0.0, hi = 1000.0, bins = 256)
+      sources.HistogramStore.append(s, out,
+        ev.filter(col("event_id") % 2 === 1), batchId = "rest")
+      out
+    })
+
   private[graft] def cmsStorePath(s: SparkSession, li: DataFrame,
       dir: String): String =
     cmsStores.computeIfAbsent((s.hashCode, dir), _ => {
@@ -4181,33 +4213,10 @@ object SparkEntry {
          FROM sc WHERE nv > 0 AND nc > 0 ORDER BY id""",
     // q169: same fixed-bin arithmetic, the coverage test as the integer
     // cross-multiply, bin upper edge as the estimate
-    "q169_histogram_quantiles" ->
-      """WITH b AS (
-           SELECT event_type AS key,
-                  least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
-                    CAST(floor((CAST(value AS DOUBLE) - CAST(0 AS DOUBLE))
-                      * CAST(256 AS DOUBLE) / CAST(1000 AS DOUBLE))
-                      AS BIGINT))) AS bin
-           FROM events WHERE value IS NOT NULL),
-         counts AS (
-           SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin),
-         cum AS (
-           SELECT key, bin,
-                  sum(cnt) OVER (PARTITION BY key ORDER BY bin
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS cum,
-                  sum(cnt) OVER (PARTITION BY key) AS n
-           FROM counts),
-         q AS (SELECT CAST(q_micro AS BIGINT) AS q_micro FROM (VALUES
-                 (500000), (900000), (990000)) t(q_micro)),
-         r AS (
-           SELECT key, q_micro, min(bin) AS bin
-           FROM cum JOIN q ON cum.cum * 1000000 >= cum.n * q.q_micro
-           GROUP BY key, q_micro)
-         SELECT key, q_micro, bin,
-                CAST(0 AS DOUBLE) + CAST(bin + 1 AS DOUBLE)
-                  * (CAST(1000 AS DOUBLE) / CAST(256 AS DOUBLE)) AS est_hi
-         FROM r ORDER BY key, q_micro""",
+    "q169_histogram_quantiles" -> HistogramQuantilesOracleSql,
+    // q172: the PERSISTED store (save + append == one pass; bin addition
+    // exact), so q169's oracle applies verbatim to the stored read
+    "q172_histogram_stored" -> HistogramQuantilesOracleSql,
     // q170: q140's block+verify chain, transitively closed, then the
     // survivorship pick (mode spelling, lexicographic tie) per entity
     "q170_golden_records" ->
@@ -5769,6 +5778,38 @@ object SparkEntry {
          WHERE l3.d >= 1
          GROUP BY n.key ORDER BY doc_key"""
   }
+
+  /** q169 + q172: the fixed-bin quantile replay — q172 probes the
+    * persisted [[sources.HistogramStore]] built by save + append over a
+    * disjoint split of the same events, and bin addition is exact, so
+    * the same SQL oracles both. */
+  private val HistogramQuantilesOracleSql: String =
+    """WITH b AS (
+           SELECT event_type AS key,
+                  least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                    CAST(floor((CAST(value AS DOUBLE) - CAST(0 AS DOUBLE))
+                      * CAST(256 AS DOUBLE) / CAST(1000 AS DOUBLE))
+                      AS BIGINT))) AS bin
+           FROM events WHERE value IS NOT NULL),
+         counts AS (
+           SELECT key, bin, count(*) AS cnt FROM b GROUP BY key, bin),
+         cum AS (
+           SELECT key, bin,
+                  sum(cnt) OVER (PARTITION BY key ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum,
+                  sum(cnt) OVER (PARTITION BY key) AS n
+           FROM counts),
+         q AS (SELECT CAST(q_micro AS BIGINT) AS q_micro FROM (VALUES
+                 (500000), (900000), (990000)) t(q_micro)),
+         r AS (
+           SELECT key, q_micro, min(bin) AS bin
+           FROM cum JOIN q ON cum.cum * 1000000 >= cum.n * q.q_micro
+           GROUP BY key, q_micro)
+         SELECT key, q_micro, bin,
+                CAST(0 AS DOUBLE) + CAST(bin + 1 AS DOUBLE)
+                  * (CAST(1000 AS DOUBLE) / CAST(256 AS DOUBLE)) AS est_hi
+         FROM r ORDER BY key, q_micro"""
 
   /** q160/q161 shared sessionization CTEs: click (`cs`) and error (`es`)
     * event streams with the gaps-and-islands session index — the lag +

@@ -502,20 +502,43 @@ object Sketches {
     * quantile list. Output `(key, q_micro, bin, est_hi)`. */
   def histogramQuantiles(df: DataFrame, keyCol: String, valCol: String,
       lo: Double, hi: Double, bins: Int,
-      qsMicro: Seq[Long]): DataFrame = {
+      qsMicro: Seq[Long]): DataFrame =
+    histogramQuantilesFromCounts(
+      histogramBinCounts(df, keyCol, valCol, lo, hi, bins),
+      lo, hi, bins, qsMicro)
+
+  /** The binning pass alone: `(key, bin, cnt)` under the fixed
+    * `[lo, hi)` × `bins` grid — the delta a
+    * [[graft.sources.HistogramStore]] batch lands. Null values carry no
+    * bin and are dropped. Bin addition is exact, so counts summed over
+    * any batch split equal one pass over the union. */
+  def histogramBinCounts(df: DataFrame, keyCol: String, valCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     require(hi > lo, s"need hi > lo, got [$lo, $hi)")
-    require(qsMicro.nonEmpty && qsMicro.forall(q => q >= 0 && q <= 1000000L),
-      s"quantiles must be micros in [0, 1000000], got $qsMicro")
-    val spark = df.sparkSession
-    import spark.implicits._
     val bin = least(lit(bins - 1L), greatest(lit(0L),
       floor((col(valCol).cast("double") - lit(lo)) * lit(bins.toDouble)
         / lit(hi - lo))))
-    val counts = df.select(col(keyCol).as("key"), bin.as("bin"))
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), bin.as("bin"))
       .groupBy("key", "bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The quantile read over ALREADY-materialized `(key, bin, cnt)`
+    * counts (possibly the sum of many store batches — re-group before
+    * the windows so fragment rows collapse first). Same integer
+    * cross-multiply coverage and bin-edge arithmetic as
+    * [[histogramQuantiles]], which delegates here. */
+  def histogramQuantilesFromCounts(counts: DataFrame, lo: Double,
+      hi: Double, bins: Int, qsMicro: Seq[Long]): DataFrame = {
+    require(qsMicro.nonEmpty && qsMicro.forall(q => q >= 0 && q <= 1000000L),
+      s"quantiles must be micros in [0, 1000000], got $qsMicro")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val folded = counts.groupBy("key", "bin")
+      .agg(sum("cnt").as("cnt"))
     val wKey = Window.partitionBy("key")
-    val cum = counts
+    val cum = folded
       .withColumn("cum", sum("cnt").over(wKey.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum("cnt").over(wKey))

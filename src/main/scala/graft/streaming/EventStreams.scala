@@ -376,6 +376,30 @@ object EventStreams {
       .start()
   }
 
+  /** Per-micro-batch histogram ingest into a
+    * [[graft.sources.HistogramStore]]: each batch lands its
+    * `(key, bin, cnt)` deltas under the grid fixed at save — the
+    * distribution ledger kept at ingest so quantile reads never rescan
+    * the corpus. Per-micro-batch cost tracks the BATCH (one binning agg,
+    * ≤ bins rows per key landed); replayed micro-batches are skipped by
+    * the store's committed-batch ledger, keeping the non-idempotent
+    * count addition exactly-once (the [[cmsIngestStream]] discipline). */
+  def histogramIngestStream(eventStream: DataFrame, storePath: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(eventStream.isStreaming,
+      "histogramIngestStream needs a streaming frame; call " +
+        "HistogramStore.append directly for batch input")
+    val writer = eventStream.writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.HistogramStore.append(batch.sparkSession, storePath,
+          batch.toDF(), batchId = s"stream-$id")
+        ()
+      }
+      .start()
+  }
+
   /** Per-micro-batch posting ingest into a
     * [[graft.sources.PostingStore]]: each batch is tokenized ONCE and its
     * postings/docstats appended under the stored config, then the meta
