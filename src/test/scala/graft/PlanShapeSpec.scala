@@ -431,4 +431,48 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
         l.contains("Filter") && l.contains("df")), plan.take(3000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("q164 two-stage retrieval: survivor fetch is a broadcast join, " +
+      "per-query top-k is a group limit, never a global sort") {
+    val plan = planOf("q164_two_stage_knn")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the queries x m survivor list must broadcast against the corpus:\n"
+        + plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query rank must push down as a group limit:\n" + plan.take(3000))
+  }
+
+  test("q168 centroid screen: one map-side-combined group agg (partial " +
+      "HashAggregate), centroids broadcast back, embeddings scan pruned") {
+    val plan = planOf("q168_centroid_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      "group centroids must broadcast, not shuffle the corpus:\n"
+        + plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "group sums must partial-aggregate map-side:\n" + plan.take(3000))
+  }
+
+  test("q169 histogram quantiles: events scan pruned to (event_type, " +
+      "value); the quantile list joins as a broadcast") {
+    val plan = planOf("q169_histogram_quantiles")
+    val scans = scanLines(plan, "events")
+    assert(scans.nonEmpty)
+    val readSchema = scans.head.substring(scans.head.indexOf("ReadSchema:"))
+    assert(readSchema.contains("event_type") && readSchema.contains("value")
+      && !readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"histogram scan must read only (event_type, value): $readSchema")
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "the quantile list must broadcast:\n" + plan.take(3000))
+  }
+
+  test("q172 stored histogram read: scans the store's bin counts, " +
+      "never events.parquet") {
+    val plan = planOf("q172_histogram_stored")
+    assert(scanLines(plan, "graft-histogram-store").nonEmpty,
+      "the stored read must scan the store:\n" + plan.take(3000))
+    assert(scanLines(plan, "events.parquet").isEmpty,
+      "an events scan leaked into the stored quantile read:\n"
+        + plan.take(3000))
+  }
 }
