@@ -208,7 +208,11 @@ object ScaleSmoke {
     // probe stages the store build untimed and measures the read, which
     // touches <= batches x bins rows per key at ANY ingested volume
     // (the stored-counter flat class, q103's shape)
-    "q172_histogram_stored")
+    "q172_histogram_stored",
+    // per-source calibration: one bin-count agg + <= bins-per-group
+    // cumulative window + a gated broadcast join back onto the corpus
+    // scan — linear in rows, state bounded by groups x bins
+    "q173_calibrated_scores")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

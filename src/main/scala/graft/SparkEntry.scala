@@ -2214,6 +2214,20 @@ object SparkEntry {
           Seq(500000L, 900000L, 990000L))
         .orderBy("key", "q_micro")
     }),
+    "q173_calibrated_scores" -> ((s, dir) => {
+      // per-source score calibration with bounded state: each doc's
+      // length score becomes its integer-micro percentile WITHIN its
+      // source (one bin-count agg + a cumulative window over <= 128
+      // rows per source + a broadcast join back) — never a per-group
+      // rank window that would serialize a huge source through one task
+      ops.Corpus.calibrateScores(
+          Testbed.graph(s, dir).collection("documents"),
+          "doc_id", "source", col("n_chars").cast("double"),
+          lo = 0.0, hi = 1024.0, bins = 128)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("pct_micro"))
+        .orderBy("doc_id")
+    }),
     "q170_golden_records" -> ((s, dir) => {
       // entity resolution's survivorship step: q140's fuzzy pairs
       // transitively closed into entities, each emitting ONE golden
@@ -4217,6 +4231,31 @@ object SparkEntry {
     // q172: the PERSISTED store (save + append == one pass; bin addition
     // exact), so q169's oracle applies verbatim to the stored read
     "q172_histogram_stored" -> HistogramQuantilesOracleSql,
+    // q173: same bin arithmetic as q169, strictly-below cumulative,
+    // integer-micro percentile
+    "q173_calibrated_scores" ->
+      """WITH b AS (
+           SELECT doc_id, source,
+                  least(CAST(127 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                    CAST(floor((CAST(n_chars AS DOUBLE)
+                        - CAST(0 AS DOUBLE))
+                      * CAST(128 AS DOUBLE) / CAST(1024 AS DOUBLE))
+                      AS BIGINT))) AS bin
+           FROM documents WHERE n_chars IS NOT NULL),
+         c AS (SELECT source, bin, count(*) AS cnt FROM b
+               GROUP BY source, bin),
+         cum AS (
+           SELECT source, bin,
+                  CAST(coalesce(sum(cnt) OVER (PARTITION BY source
+                    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS below,
+                  CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT)
+                    AS n
+           FROM c)
+         SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.source,
+                (cum.below * 1000000) // cum.n AS pct_micro
+         FROM b JOIN cum ON b.source = cum.source AND b.bin = cum.bin
+         ORDER BY doc_id""",
     // q170: q140's block+verify chain, transitively closed, then the
     // survivorship pick (mode spelling, lexicographic tie) per entity
     "q170_golden_records" ->

@@ -421,6 +421,47 @@ object Corpus {
     * arithmetic. Ranks depend only on the total order, not on where
     * the sampled range boundaries fall, so the output is deterministic
     * across runs and partition layouts. */
+  /** PER-GROUP score calibration with BOUNDED state — the fix for
+    * heterogeneous quality scores (a 0.8 from a clean source and a 0.8
+    * from a boilerplate farm mean different things): each row's score is
+    * replaced by its approximate percentile WITHIN its group,
+    * `pct_micro = ⌊10⁶ · (rows of the group in strictly lower bins) /
+    * n_group⌋`, under the fixed `[lo, hi)` × `bins` grid of
+    * [[graft.ops.Sketches.histogramBinCounts]]. Resolution is one bin
+    * (rows sharing a bin share a percentile — ties calibrate together,
+    * which is what a calibrator wants); every step is integer-exact, so
+    * the output hash-replays.
+    *
+    * Why not a per-group rank window: `Window.partitionBy(group)
+    * .orderBy(score)` serializes each group through one task — the q137
+    * single-partition problem PER GROUP, fatal when one source is half
+    * the corpus. Here per-group state is ≤ `bins` counter rows: one
+    * map-side-combined count, one cumulative window over ≤ bins rows per
+    * group, and a broadcast join back onto the corpus scan. */
+  def calibrateScores(df: DataFrame, idCol: String, groupCol: String,
+      score: Column, lo: Double, hi: Double, bins: Int): DataFrame = {
+    val binned = df.withColumn("_s", score)
+    val counts = graft.ops.Sketches.histogramBinCounts(binned, groupCol,
+      "_s", lo, hi, bins)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+    val cum = counts
+      .withColumn("_below", sum("cnt").over(w.orderBy("bin")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)))
+      .withColumn("_n", sum("cnt").over(w))
+      .select(col("key").as(groupCol), col("bin"),
+        expr("coalesce(_below, 0) * 1000000 div _n").as("pct_micro"))
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      floor((col("_s").cast("double") - lit(lo)) * lit(bins.toDouble)
+        / lit(hi - lo))))
+    val hint = OpsUtil.gatedHint("calibrateScores", "binTable", cum,
+      1000000L)
+    binned.filter(col("_s").isNotNull)
+      .withColumn("bin", bin)
+      .join(hint(cum), Seq(groupCol, "bin"))
+      .drop("_s", "bin")
+  }
+
   def percentileRank(df: DataFrame, idCol: String,
       metric: Column): DataFrame = {
     import org.apache.spark.sql.Row

@@ -66,4 +66,28 @@ class Round15fOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val one = a.filter(t => t._1 == "1" && t._2 == "5").map(_._3)
     assert(one == a.filter(t => t._1 == "1").filter(_._2 == "5").map(_._3))
   }
+
+  test("calibrateScores: per-group percentiles from bin counts — exact " +
+      "on a hand-computed fixture; groups calibrate independently; " +
+      "same-bin rows share a percentile") {
+    // group A: 10 rows at distinct bins 0..9 of [0,100)x10; group B:
+    // 4 rows all in one bin
+    val rows = (0 until 10).map(i => (i.toLong, "A", i * 10.0 + 1)) ++
+      (10L until 14L).map(i => (i, "B", 55.0))
+    val out = Corpus.calibrateScores(rows.toDF("id", "g", "s"),
+        "id", "g", col("s"), lo = 0.0, hi = 100.0, bins = 10)
+      .select("id", "pct_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A: row i has exactly i rows strictly below its bin -> i/10
+    (0 until 10).foreach(i =>
+      assert(out(i.toLong) == i * 100000L, s"A row $i: ${out(i.toLong)}"))
+    // B: all four share bin 5 with zero rows below -> 0, despite group
+    // A's distribution (groups are independent)
+    (10L until 14L).foreach(i => assert(out(i) == 0L, s"B row $i"))
+    // null scores drop
+    val withNull = Seq((1L, "A", Some(5.0)), (2L, "A", None))
+      .toDF("id", "g", "s")
+    assert(Corpus.calibrateScores(withNull, "id", "g", col("s"),
+      0.0, 100.0, 10).count() == 1L)
+  }
 }
