@@ -244,6 +244,9 @@ object Bench {
       // q172's histogram store likewise: save + append untimed, reps
       // measure the <= batches x bins quantile read
       SparkEntry.histogramStorePath(spark, g.collection("events"), sfDir)
+      // q174's prefix-sliced layout: one-time write untimed, reps
+      // measure the pruned coarse scan + survivor rerank
+      SparkEntry.prefixStorePath(spark, g.collection("embeddings"), sfDir)
       // q108/q109's posting stores: the one-time corpus tokenization +
       // bucketed write runs here untimed, so the gates' reps measure the
       // pruned stored search, not index construction

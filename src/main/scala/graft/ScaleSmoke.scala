@@ -212,7 +212,13 @@ object ScaleSmoke {
     // per-source calibration: one bin-count agg + <= bins-per-group
     // cumulative window + a gated broadcast join back onto the corpus
     // scan — linear in rows, state bounded by groups x bins
-    "q173_calibrated_scores")
+    "q173_calibrated_scores",
+    // stored two-stage retrieval (layout staged untimed; the probe
+    // measures the PRUNED coarse scan growing with the corpus while the
+    // fixed query batch broadcasts — q164's cost shape at prefix
+    // bandwidth) and histogram drift (two bin-count aggs + a
+    // (key, bin)-keyed outer join — linear scans, bounded state)
+    "q174_two_stage_stored", "q175_histogram_drift")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -410,6 +416,9 @@ object ScaleSmoke {
       if (selectedHas("q172"))
         SparkEntry.histogramStorePath(spark,
           Testbed.graph(spark, dir).collection("events"), dir)
+      if (selectedHas("q174"))
+        SparkEntry.prefixStorePath(spark,
+          Testbed.graph(spark, dir).collection("embeddings"), dir)
       if (selectedHas("q108"))
         SparkEntry.postingStorePath(spark,
           Testbed.graph(spark, dir).collection("documents"), dir)

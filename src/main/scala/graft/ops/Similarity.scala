@@ -211,7 +211,7 @@ object Similarity {
     * on the map side (`WindowGroupLimit`, pinned in PlanShapeSpec), so the
     * window exchange carries at most k rows per (query, input partition) —
     * not the full |corpus|·|queries| scored set. */
-  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     scored
       .select(col("id_b").as("query_id"), col("id_a").as("neighbor_id"),

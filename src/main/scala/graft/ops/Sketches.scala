@@ -529,6 +529,54 @@ object Sketches {
     * the windows so fragment rows collapse first). Same integer
     * cross-multiply coverage and bin-edge arithmetic as
     * [[histogramQuantiles]], which delegates here. */
+  /** Distribution DRIFT between two binned samples (train vs prod, last
+    * week vs this week) from their `(key, bin, cnt)` histograms alone —
+    * corpus never rescanned. Two scores per key:
+    *
+    *  - `psi` — population stability index, `Σ (pa−pb)·ln(pa/pb)` under
+    *    Laplace smoothing `p = (cnt+1)/(n+bins)` (the industry drift
+    *    metric; > 0.2 conventionally means action). `ln` rides the
+    *    [[graft.ops.Corpus.bigramLogProb]] precedent: platform-libm
+    *    doubles, round-to-4 absorbing reduce-order drift.
+    *  - `tvd_micro` — total variation distance in integer micros,
+    *    `(Σ |⌊ca·10⁶/na⌋ − ⌊cb·10⁶/nb⌋|) div 2`, UNsmoothed — every step
+    *    integer-exact, so this column replays bit-for-bit regardless of
+    *    float behavior.
+    *
+    * Inputs may be fragment unions (store batches) — both sides re-fold
+    * first. Keys present on only ONE side are dropped (no distribution
+    * to compare against — screen for appeared/vanished keys separately
+    * with an anti-join; scoring them would divide by an empty total).
+    * Scale: per-key state ≤ bins rows; one full-outer join on
+    * (key, bin); per-key totals join back gated-broadcast. */
+  def histogramDrift(a: DataFrame, b: DataFrame, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    def fold(df: DataFrame, out: String) = df.groupBy("key", "bin")
+      .agg(sum("cnt").as(out))
+    val j = fold(a, "ca").join(fold(b, "cb"), Seq("key", "bin"),
+        "full_outer")
+      .select(col("key"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = j.groupBy("key")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val hint = graft.ops.OpsUtil.gatedHint("histogramDrift", "totals",
+      totals, 1000000L)
+    val pa = (col("ca") + 1).cast("double")
+      ./((col("na") + bins).cast("double"))
+    val pb = (col("cb") + 1).cast("double")
+      ./((col("nb") + bins).cast("double"))
+    j.join(hint(totals), Seq("key"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("key"),
+        ((pa - pb) * log(pa / pb)).as("_psi"),
+        abs(expr("ca * 1000000 div na - cb * 1000000 div nb"))
+          .as("_adev"))
+      .groupBy("key")
+      .agg(round(sum(col("_psi")), 4).as("psi"),
+        expr("sum(_adev) div 2").as("tvd_micro"))
+  }
+
   def histogramQuantilesFromCounts(counts: DataFrame, lo: Double,
       hi: Double, bins: Int, qsMicro: Seq[Long]): DataFrame = {
     require(qsMicro.nonEmpty && qsMicro.forall(q => q >= 0 && q <= 1000000L),

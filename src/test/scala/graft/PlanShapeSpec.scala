@@ -466,6 +466,33 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       "the quantile list must broadcast:\n" + plan.take(3000))
   }
 
+  test("q174 stored two-stage retrieval: the coarse pass scans (id, " +
+      "prefix) only — the full vector column never enters stage 1") {
+    val plan = planOf("q174_two_stage_stored")
+    val storeScans = scanLines(plan, "graft-prefix-store")
+    assert(storeScans.nonEmpty,
+      "no prefix-store scan in the plan:\n" + plan.take(3000))
+    val schemas = storeScans.map(s => s.substring(s.indexOf("ReadSchema:")))
+    // the rerank fetch reads vec WITHOUT dragging prefix along (the
+    // coarse stage is checkpoint-staged, so only the rerank scan
+    // survives into the composed gate plan — the q88 situation)
+    assert(schemas.exists(rs => rs.contains("vec:")
+      && !rs.contains("prefix:")),
+      "no pruned rerank (vec-only) scan:\n" + storeScans.mkString("\n"))
+    // the coarse pruning claim, pinned on the stage-1 frame directly:
+    // selecting (id, prefix) from the stored layout must produce a scan
+    // whose ReadSchema excludes the full vector column
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val storePath = SparkEntry.prefixStorePath(spark, emb, dir)
+    val coarsePlan = graft.sources.PrefixStore.data(spark, storePath)
+      .select("id", "prefix").queryExecution.executedPlan.toString
+    val coarseScans = scanLines(coarsePlan, "graft-prefix-store")
+      .map(s => s.substring(s.indexOf("ReadSchema:")))
+    assert(coarseScans.nonEmpty && coarseScans.forall(rs =>
+        rs.contains("prefix:") && !rs.contains("vec:")),
+      "coarse scan not pruned to (id, prefix):\n" + coarseScans.mkString("\n"))
+  }
+
   test("q172 stored histogram read: scans the store's bin counts, " +
       "never events.parquet") {
     val plan = planOf("q172_histogram_stored")
