@@ -2214,6 +2214,18 @@ object SparkEntry {
           Seq(500000L, 900000L, 990000L))
         .orderBy("key", "q_micro")
     }),
+    "q176_join_skew_report" -> ((s, dir) => {
+      // the pre-join diagnostic at scale: per o_custkey, both sides'
+      // counts and the exact inner-join output contribution + integer-
+      // micro share — cost O(distinct keys), the fact tables' rows
+      // never shuffle; top-10 offenders by contribution
+      val g = Testbed.graph(s, dir)
+      ops.Skew.joinSkewReport(
+          g.collection("orders").select(col("o_custkey").as("k")),
+          g.collection("customer").select(col("c_custkey").as("k")),
+          "k", k = 10)
+        .withColumnRenamed("k", "o_custkey")
+    }),
     "q174_two_stage_stored" -> ((s, dir) => {
       // q164 against the PERSISTED prefix-sliced layout: the coarse
       // pass scans the store's (id, prefix) columns only — parquet
@@ -4237,6 +4249,21 @@ object SparkEntry {
     // q172: the PERSISTED store (save + append == one pass; bin addition
     // exact), so q169's oracle applies verbatim to the stored read
     "q172_histogram_stored" -> HistogramQuantilesOracleSql,
+    // q176: per-key counts both sides, exact output contribution,
+    // integer-micro share, top-10 by contribution with key ties
+    "q176_join_skew_report" ->
+      """WITH l AS (SELECT o_custkey AS k, count(*) AS n_left
+                    FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         r AS (SELECT c_custkey AS k, count(*) AS n_right
+               FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+         j AS (SELECT l.k, n_left, n_right,
+                      n_left * n_right AS out_rows
+               FROM l JOIN r ON l.k = r.k),
+         t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS tt FROM j)
+         SELECT k AS o_custkey, n_left, n_right, out_rows,
+                (out_rows * 1000000) // tt AS share_micro
+         FROM j CROSS JOIN t
+         ORDER BY out_rows DESC, k LIMIT 10""",
     // q175: the even/odd halves binned with q169's arithmetic, Laplace
     // PSI + the integer-exact TVD replayed
     "q175_histogram_drift" ->

@@ -38,4 +38,35 @@ object Skew {
         Seq(key, "_salt"), joinType)
       .drop("_salt")
   }
+
+  /** JOIN-SKEW ADVISOR — the diagnostic run BEFORE committing a shuffle
+    * join at scale: per join key, both sides' row counts and the exact
+    * inner-join output contribution (`n_left · n_right` — the number
+    * that decides whether one reducer drowns), plus each key's integer-
+    * micro share of the total join output. Top `k` offenders by
+    * contribution, ties to the smallest key — if the head row's
+    * `share_micro` is a large fraction, salt that key ([[saltedJoin]])
+    * or pre-aggregate before joining.
+    *
+    * Exact, not sampled: two map-side-combined counts (one per side),
+    * an inner join on the tiny distinct-key frames, and one TakeOrdered
+    * top-k — cost is O(distinct keys), never the join itself; nothing
+    * here shuffles a fact table's rows. All integer arithmetic
+    * (cross-multiplied shares), so the report replays bit-for-bit. */
+  def joinSkewReport(left: DataFrame, right: DataFrame, key: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    def side(df: DataFrame, out: String) = df
+      .filter(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as(out))
+    val j = side(left, "n_left").join(side(right, "n_right"), Seq(key))
+      .select(col(key), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("out_rows"))
+    val total = j.agg(sum("out_rows").as("_t"))
+    j.crossJoin(broadcast(total))
+      .select(col(key), col("n_left"), col("n_right"), col("out_rows"),
+        expr("out_rows * 1000000 div _t").as("share_micro"))
+      .orderBy(col("out_rows").desc, col(key))
+      .limit(k)
+  }
 }

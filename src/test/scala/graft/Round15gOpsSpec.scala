@@ -67,4 +67,24 @@ class Round15gOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(out == Seq("A"), s"one-sided key must drop: $out")
   }
+
+  test("joinSkewReport: exact per-key output contributions, integer " +
+      "shares, top-k ordering with key ties, nulls excluded") {
+    val left = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)
+      ++ Seq.fill(2)(9L)) // 9 has no right match
+      .toDF("k")
+    val right = (Seq.fill(2)(1L) ++ Seq(2L) ++ Seq(3L) ++ Seq(4L))
+      .toDF("k")
+    val out = graft.ops.Skew.joinSkewReport(left, right, "k", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // contributions: k1 = 6*2 = 12, k2 = 3, k3 = 1; total 16
+    assert(out == Seq(
+      (1L, 6L, 2L, 12L, 12L * 1000000 / 16),
+      (2L, 3L, 1L, 3L, 3L * 1000000 / 16)), s"got $out")
+    // exactness: the reported head contribution equals the real join's
+    // row count for that key
+    val real = left.join(right, "k").filter(col("k") === 1).count()
+    assert(real == out.head._4)
+  }
 }
