@@ -4059,8 +4059,10 @@ object SparkEntry {
          ORDER BY id_a, id_b""",
     "q156_kcore" -> KCoreOracleSql,
     // q157: the two directional carries replayed as IGNORE NULLS window
-    // frames over the same (ts, tag) order; the right row travels as ONE
-    // struct so the picked match is row-atomic
+    // frames over the same (ts, tag, rv) order — rv as the final key
+    // mirrors the engine's _rvals tiebreak, so duplicate same-key
+    // same-ts clicks resolve identically on both sides; the right row
+    // travels as ONE struct so the picked match is row-atomic
     "q157_nearest_join" ->
       """WITH p AS (SELECT user_id AS u, ts, event_id AS eid FROM events
                     WHERE event_type = 'purchase'),
@@ -4078,11 +4080,11 @@ object SparkEntry {
          w AS (
            SELECT u, ts, tag, eid,
                   last_value(rv IGNORE NULLS) OVER (PARTITION BY u
-                    ORDER BY ts, tag
+                    ORDER BY ts, tag, rv
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS bef,
                   first_value(rv IGNORE NULLS) OVER (PARTITION BY u
-                    ORDER BY ts, tag
+                    ORDER BY ts, tag, rv
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
                     AS aft
            FROM tg),
@@ -4250,18 +4252,23 @@ object SparkEntry {
     // exact), so q169's oracle applies verbatim to the stored read
     "q172_histogram_stored" -> HistogramQuantilesOracleSql,
     // q176: per-key counts both sides, exact output contribution,
-    // integer-micro share, top-10 by contribution with key ties
+    // integer-micro share, top-10 by contribution with key ties; the
+    // cross-multiply widened (HUGEINT ≙ the engine's decimal(38,0)) so
+    // the share stays exact past bigint products, and the displayed
+    // out_rows cast fails loudly ≙ the engine's raise_error
     "q176_join_skew_report" ->
       """WITH l AS (SELECT o_custkey AS k, count(*) AS n_left
                     FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
          r AS (SELECT c_custkey AS k, count(*) AS n_right
                FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
          j AS (SELECT l.k, n_left, n_right,
-                      n_left * n_right AS out_rows
+                      CAST(n_left AS HUGEINT) * CAST(n_right AS HUGEINT)
+                        AS out_dec
                FROM l JOIN r ON l.k = r.k),
-         t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS tt FROM j)
-         SELECT k AS o_custkey, n_left, n_right, out_rows,
-                (out_rows * 1000000) // tt AS share_micro
+         t AS (SELECT sum(out_dec) AS tt FROM j)
+         SELECT k AS o_custkey, n_left, n_right,
+                CAST(out_dec AS BIGINT) AS out_rows,
+                CAST((out_dec * 1000000) // tt AS BIGINT) AS share_micro
          FROM j CROSS JOIN t
          ORDER BY out_rows DESC, k LIMIT 10""",
     // q175: the even/odd halves binned with q169's arithmetic, Laplace

@@ -219,14 +219,18 @@ object GraphAnalytics {
     * standard dense-core screen (a near-dup cluster that survives the
     * 2-core is structurally redundant content, not a chain of pairwise
     * coincidences; link-graph cores rank crawl frontiers the same way).
-    * Peeling is monotone, so a fixed round budget is a sound UNDER-
-    * approximation of the true core from above: every emitted vertex
-    * genuinely has ≥ k surviving neighbors at round `maxPeels`, extra
-    * rounds can only remove more, and once a round removes nothing the
-    * loop exits early (the result is then the exact k-core). The fixed
-    * budget is what makes the op replayable by a non-iterative engine —
-    * the oracle unrolls exactly `maxPeels` peel CTEs, and early
-    * convergence makes the surplus rounds identity on both sides.
+    * Peeling is monotone, so a fixed round budget is a sound OVER-
+    * approximation of the true core from above: every survivor had ≥ k
+    * neighbors ENTERING the final peel, extra rounds can only remove
+    * more, and once a round removes nothing the loop exits early (the
+    * result is then the exact k-core, where every survivor has ≥ k
+    * surviving neighbors). If the budget exhausts before convergence,
+    * the final peel may remove neighbors of survivors, so the reported
+    * post-peel degrees can be < k. The fixed budget is what makes the
+    * op replayable by a non-iterative engine — the oracle unrolls
+    * exactly `maxPeels` peel CTEs (reporting the same post-peel
+    * degrees), and early convergence makes the surplus rounds identity
+    * on both sides.
     *
     * Scale posture: each round is one map-side-combined degree count
     * plus two vertex-keyed semi-joins on the staged edge set — the same
@@ -401,9 +405,14 @@ object GraphAnalytics {
   def hitsOf(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     def normalized(raw: DataFrame, c: String): DataFrame = {
+      // zero guard ≙ [[hits]] (n == 0.0 → 1.0): an edgeless graph has
+      // all-zero raw scores, and dividing by the 0 norm would NULL them
+      // where [[hits]] returns 0.0
       val n = raw.agg(sqrt(sum(col(c) * col(c))).as("_n"))
       raw.crossJoin(broadcast(n))
-        .select(col("key"), (col(c) / col("_n")).as(c))
+        .select(col("key"),
+          (col(c) / when(col("_n") === 0.0, 1.0).otherwise(col("_n")))
+            .as(c))
         .transform(graft.core.Lifecycle.stage(_))
     }
     var hub = nodes.withColumn("h", lit(1.0))

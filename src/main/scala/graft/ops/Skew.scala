@@ -51,8 +51,14 @@ object Skew {
     * Exact, not sampled: two map-side-combined counts (one per side),
     * an inner join on the tiny distinct-key frames, and one TakeOrdered
     * top-k — cost is O(distinct keys), never the join itself; nothing
-    * here shuffles a fact table's rows. All integer arithmetic
-    * (cross-multiplied shares), so the report replays bit-for-bit. */
+    * here shuffles a fact table's rows. The cross-multiply runs in
+    * decimal(38,0): two BIGINT counts multiply to at most ~8.5e37,
+    * which ALWAYS fits, so the heavy-key regime the advisor exists to
+    * diagnose (n_left·n_right past ~9.2e18) can't silently wrap the
+    * way a long product would — shares stay exact integer arithmetic
+    * and the report replays bit-for-bit. The displayed `out_rows`
+    * column stays BIGINT; a key whose contribution genuinely exceeds
+    * Long.MaxValue fails LOUDLY (raise_error) rather than truncating. */
   def joinSkewReport(left: DataFrame, right: DataFrame, key: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
@@ -61,11 +67,18 @@ object Skew {
       .groupBy(col(key)).agg(count(lit(1)).as(out))
     val j = side(left, "n_left").join(side(right, "n_right"), Seq(key))
       .select(col(key), col("n_left"), col("n_right"),
-        (col("n_left") * col("n_right")).as("out_rows"))
-    val total = j.agg(sum("out_rows").as("_t"))
+        (col("n_left").cast("decimal(19,0)") *
+          col("n_right").cast("decimal(19,0)")).as("_out_dec"))
+    val total = j.agg(sum("_out_dec").as("_t"))
     j.crossJoin(broadcast(total))
-      .select(col(key), col("n_left"), col("n_right"), col("out_rows"),
-        expr("out_rows * 1000000 div _t").as("share_micro"))
+      .select(col(key), col("n_left"), col("n_right"),
+        when(col("_out_dec") <= lit(Long.MaxValue),
+            col("_out_dec").cast("long"))
+          .otherwise(raise_error(concat(lit(
+            "joinSkewReport: out_rows exceeds BIGINT for key "),
+            col(key).cast("string"))).cast("long"))
+          .as("out_rows"),
+        expr("(_out_dec * 1000000) div _t").as("share_micro"))
       .orderBy(col("out_rows").desc, col(key))
       .limit(k)
   }

@@ -47,8 +47,13 @@ object TemporalJoins {
         Seq(col(leftTs).as("_ts"), lit(1).as("_tag"),
           lit(null).cast(rStructType).as("_rvals")) ++
         leftVals.map(col): _*)
+    // _rvals as the final sort key totally orders same-key same-ts right
+    // rows (left rows all carry null there, and their relative order
+    // never changes an IGNORE NULLS carry), so the picked match is
+    // deterministic across runs and partition layouts: ties at equal ts
+    // resolve to the LARGEST right struct (field-lexicographic).
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_tag"))
+      .orderBy(col("_ts"), col("_tag"), col("_rvals"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedLeft.unionByName(taggedRight)
       .withColumn("_rvals", last(col("_rvals"), ignoreNulls = true).over(w))
@@ -100,8 +105,14 @@ object TemporalJoins {
         Seq(col(leftTs).as("_ts"), lit(1).as("_tag"),
           lit(null).cast(rStructType).as("_rvals")) ++
         leftVals.map(col): _*)
+    // Same determinism discipline as [[asofJoin]] (and the (ts, tag, eid)
+    // ordering in attributionPositional): _rvals as the final sort key
+    // totally orders same-key same-ts right rows, so when a key has two
+    // right rows at one timestamp the before carry picks the LARGEST
+    // right struct and the after carry the SMALLEST — fixed across runs,
+    // partition layouts, and the bit-for-bit replay contract.
     val ord = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_tag"))
+      .orderBy(col("_ts"), col("_tag"), col("_rvals"))
     val wBefore = ord.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
     val wAfter = ord.rowsBetween(Window.currentRow,
