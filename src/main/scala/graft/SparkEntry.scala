@@ -2226,6 +2226,98 @@ object SparkEntry {
           "k", k = 10)
         .withColumnRenamed("k", "o_custkey")
     }),
+    "q177_zonemap_prune" -> ((s, dir) => {
+      // data-skipping planning: footer-style per-file min/max zone maps
+      // (files = ingest months, the realistic time-partitioned landing
+      // layout) from ONE map-side-combined pass with O(files) output,
+      // then the shipdate range predicate's keep verdict as pure
+      // manifest arithmetic — the fact table is never rescanned by the
+      // prune; straddling edge months stay kept, interior months match,
+      // exterior months skip
+      val li = Testbed.graph(s, dir).collection("lineitem")
+      ops.Layout.pruneByRange(
+          ops.Layout.zoneMaps(li,
+            date_format(col("l_shipdate"), "yyyy-MM"),
+            Seq("l_shipdate", "l_quantity")),
+          "l_shipdate",
+          lit("1995-03-01 00:00:00").cast("timestamp"),
+          lit("1995-09-30 00:00:00").cast("timestamp"))
+        .orderBy("file_id")
+    }),
+    "q178_compaction_plan" -> ((s, dir) => {
+      // small-file compaction planning: the per-source ingest manifest
+      // (4-doc files, UTF-8 byte sizes) packed into ~2 KiB rewrite
+      // bins by the deterministic running-cumsum rule — O(files)
+      // manifest math in one key-partitioned window; the documents
+      // themselves are read only by the rewrite job that consumes the
+      // plan
+      val d = Testbed.graph(s, dir).collection("documents")
+      val manifest = d
+        .groupBy(col("source"), expr("doc_id div 4").as("file_id"))
+        .agg(coalesce(sum(octet_length(col("text"))), lit(0L))
+          .as("bytes"))
+      ops.Layout.compactionPlan(manifest, Seq("source"), "file_id",
+          "bytes", targetBytes = 2048L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"),
+          min(col("file_id")).as("first_file"))
+        .orderBy("source", "bin")
+    }),
+    "q179_adamic_adar" -> ((s, dir) => {
+      // link prediction over the degree-capped (<= 20, q87/q156's cap)
+      // simhash near-dup graph: which NON-adjacent doc pairs share the
+      // most near-dup neighbors — the merge forecast for dedup
+      // clusters. One wedge enumeration (the triangles cost class)
+      // yields common-neighbor count, integer-micro Jaccard, and
+      // Adamic-Adar together; the top-k limit orders on the integer
+      // keys alone, so no float tie can perturb it
+      graph.GraphAnalytics.linkPrediction(nearDupEdges(s, dir), k = 100,
+        maxDegree = Some(20L))
+    }),
+    "q180_funnel_gaps" -> ((s, dir) => {
+      // per-step gap-constrained funnel (each step within 7 days of the
+      // PREVIOUS match, not one global window): earliest-greedy chain,
+      // k-1 co-partitioned join+min rounds on the user key
+      ops.Behavior.funnelGapConstrained(
+        Testbed.graph(s, dir).collection("events"), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        maxGapUs = 7L * 24 * 3600 * 1000000)
+    }),
+    "q181_sequence_ngrams" -> ((s, dir) => {
+      // behavioral 3-gram mining: every consecutive event-type triple
+      // per user (total (ts, event_id) order), counted corpus-wide,
+      // top-25 — one user-keyed sort serves both lead() frames
+      ops.Behavior.sequencePatterns(
+        Testbed.graph(s, dir).collection("events"), "user_id",
+        "event_type", "ts", "event_id", n = 3, k = 25)
+    }),
+    "q182_sign_projection" -> ((s, dir) => {
+      // deterministic JL sign projection 64 -> 16 dims: the md5-derived
+      // +-1 matrix is a plan literal, the fold left-to-right double math
+      // both engines share, so every projected coordinate is exactly
+      // oracle-verified; exploded to scalars for the compare
+      ops.Similarity.jlProject(
+          Testbed.graph(s, dir).collection("embeddings")
+            .filter(col("embedding").isNotNull),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("val"))
+        .orderBy("vec_id", "dim")
+    }),
+    "q183_knn_projected" -> ((s, dir) => {
+      // two-stage retrieval over the JL sketch (the model-free cousin
+      // of q164's prefix slice): coarse top-20 per query in 16-dim
+      // projected space, exact 64-dim rerank to top-5 — both stages
+      // replay in SQL because the sketch is md5-determined
+      val emb = Testbed.graph(s, dir).collection("embeddings")
+      ops.Similarity.twoStageJlTopK(
+          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 =!= 0),
+          "vec_id", "embedding", inDim = 64, outDim = 16, m = 20, k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "q174_two_stage_stored" -> ((s, dir) => {
       // q164 against the PERSISTED prefix-sliced layout: the coarse
       // pass scans the store's (id, prefix) columns only — parquet
@@ -4271,6 +4363,146 @@ object SparkEntry {
                 CAST((out_dec * 1000000) // tt AS BIGINT) AS share_micro
          FROM j CROSS JOIN t
          ORDER BY out_rows DESC, k LIMIT 10""",
+    // q177: the zone-map build replayed as one grouped min/max pass,
+    // the prune as the same closed-interval overlap test (all-null
+    // files skip via the coalesce(false))
+    "q177_zonemap_prune" ->
+      """WITH z AS (
+           SELECT strftime(l_shipdate, '%Y-%m') AS file_id,
+                  count(*) AS n_rows,
+                  min(l_shipdate) AS min_l_shipdate,
+                  max(l_shipdate) AS max_l_shipdate,
+                  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_l_shipdate,
+                  min(l_quantity) AS min_l_quantity,
+                  max(l_quantity) AS max_l_quantity,
+                  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_l_quantity
+           FROM lineitem GROUP BY 1)
+         SELECT file_id, n_rows, min_l_shipdate, max_l_shipdate,
+                n_null_l_shipdate, min_l_quantity, max_l_quantity,
+                n_null_l_quantity,
+                coalesce(min_l_shipdate <= TIMESTAMP '1995-09-30 00:00:00'
+                  AND max_l_shipdate >= TIMESTAMP '1995-03-01 00:00:00',
+                  false) AS keep
+         FROM z ORDER BY file_id""",
+    // q178: manifest build + the cumsum packing rule + per-bin rollup,
+    // all integer-exact
+    "q178_compaction_plan" ->
+      """WITH m AS (
+           SELECT source, doc_id // 4 AS file_id,
+                  CAST(coalesce(sum(octet_length(encode(text))), 0)
+                    AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT source, file_id, bytes,
+                  CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+                    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS cb
+           FROM m)
+         SELECT source, cb // 2048 AS bin, count(*) AS n_files,
+                CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+                min(file_id) AS first_file
+         FROM c GROUP BY 1, 2 ORDER BY source, bin""",
+    "q179_adamic_adar" -> LinkPredictionOracleSql,
+    // q180: the per-step gap chain replayed as three join+min CTEs —
+    // earliest-greedy, each step within the gap of the previous match
+    "q180_funnel_gaps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+                JOIN s1 ON s1.user_id = e.user_id
+                WHERE event_type = 'click' AND us > t1
+                  AND us <= t1 + 604800000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+                JOIN s2 ON s2.user_id = e.user_id
+                WHERE event_type = 'purchase' AND us > t2
+                  AND us <= t2 + 604800000000 GROUP BY 1)
+         SELECT 1 AS step, 'view' AS step_type,
+                (SELECT count(*) FROM s1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+         ORDER BY step""",
+    // q181: the lead() chain over the same (user, ts, event_id) total
+    // order; concat_ws skips nothing here because trailing leads are
+    // null only at partition end (filtered)
+    "q181_sequence_ngrams" ->
+      """WITH s AS (
+           SELECT event_type AS t0,
+                  lead(event_type, 1) OVER w AS t1,
+                  lead(event_type, 2) OVER w AS t2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT concat_ws('>', t0, t1, t2) AS pattern, count(*) AS n
+         FROM s WHERE t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, pattern LIMIT 25""",
+    // q182: the projection replayed coordinate-by-coordinate — the md5
+    // sign rule is the engine's jlSigns formula verbatim, the list_sum
+    // fold the same left-to-right double order, sqrt(16)=4 exact
+    "q182_sign_projection" ->
+      """SELECT vec_id, j AS dim,
+                round(list_sum(list_transform(range(1, 65), i ->
+                  CAST(embedding[i] AS DOUBLE) *
+                  CASE WHEN (CAST(concat('0x', substr(md5(concat(
+                         CAST(i - 1 AS VARCHAR), ':',
+                         CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                       & 1) = 0
+                       THEN CAST(1 AS DOUBLE)
+                       ELSE CAST(-1 AS DOUBLE) END)) / 4.0, 4) + 0.0
+                  AS val
+         FROM embeddings, range(0, 16) AS t(j)
+         WHERE embedding IS NOT NULL
+         ORDER BY vec_id, dim""",
+    // q183: both stages replayed — the 16-dim sketch from the q182
+    // projection, coarse top-20 by sketch cosine, exact 64-dim rerank
+    // top-5; ranks total via (score desc, id)
+    "q183_knn_projected" ->
+      """WITH pj AS MATERIALIZED (
+           SELECT vec_id, list_transform(range(0, 16), j ->
+             round(list_sum(list_transform(range(1, 65), i ->
+               CAST(embedding[i] AS DOUBLE) *
+               CASE WHEN (CAST(concat('0x', substr(md5(concat(
+                      CAST(i - 1 AS VARCHAR), ':',
+                      CAST(j AS VARCHAR))), 1, 15)) AS BIGINT)
+                    & 1) = 0
+                    THEN CAST(1 AS DOUBLE)
+                    ELSE CAST(-1 AS DOUBLE) END)) / 4.0, 4) + 0.0) AS p
+           FROM embeddings),
+         pn AS MATERIALIZED (
+           SELECT vec_id, p,
+                  sqrt(list_sum(list_transform(p, x -> x * x))) AS nrm
+           FROM pj),
+         qs AS (SELECT * FROM pn WHERE vec_id % 50 = 0),
+         cs AS (SELECT * FROM pn WHERE vec_id % 50 <> 0),
+         surv AS MATERIALIZED (
+           SELECT query_id, neighbor_id FROM (
+             SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+                    round(list_sum(list_transform(range(1, 17), i ->
+                      cs.p[i] * qs.p[i])) / (cs.nrm * qs.nrm), 4) AS ps
+             FROM qs, cs WHERE qs.nrm > 0 AND cs.nrm > 0) t
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY ps DESC, neighbor_id) <= 20),
+         fv AS MATERIALIZED (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, 65), i ->
+                    CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS fn
+           FROM embeddings),
+         rr AS (
+           SELECT s.query_id, s.neighbor_id,
+                  round(list_sum(list_transform(range(1, 65), i ->
+                      CAST(fn_.embedding[i] AS DOUBLE)
+                      * CAST(fq.embedding[i] AS DOUBLE)))
+                    / (fn_.fn * fq.fn), 4) + 0.0 AS score
+           FROM surv s JOIN fv fq ON fq.vec_id = s.query_id
+                       JOIN fv fn_ ON fn_.vec_id = s.neighbor_id
+           WHERE fq.fn > 0 AND fn_.fn > 0)
+         SELECT query_id, neighbor_id, score,
+                CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INT) AS "rank"
+         FROM rr QUALIFY "rank" <= 5 ORDER BY query_id, "rank"""",
     // q175: the even/odd halves binned with q169's arithmetic, Laplace
     // PSI + the integer-exact TVD replayed
     "q175_histogram_drift" ->
@@ -5668,6 +5900,60 @@ object SparkEntry {
     * keep-set `d >= 2`, both-endpoint semi-join — and the surviving
     * degrees. The engine may exit early on convergence; peeling is
     * monotone, so the surplus unrolled rounds are identity. */
+  /** q179: the wedge enumeration + triad of link-prediction measures
+    * replayed over the SAME capped simhash edge set as q156 (cap 20,
+    * degrees recomputed post-cap, matching the engine's convention).
+    * CTEs MATERIALIZED for the q156 reason — adj/dd are referenced 3-4
+    * times each and inlining would re-derive the simhash chain. */
+  private lazy val LinkPredictionOracleSql =
+    s"""WITH hs AS MATERIALIZED (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS h
+           FROM documents),
+         sig AS MATERIALIZED (
+           SELECT id, CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(h, x ->
+                    CASE WHEN (x >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+             AS simhash
+           FROM hs),
+         e0 AS MATERIALIZED (
+           SELECT a.id AS u, b.id AS v FROM sig a, sig b
+           WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 6),
+         d0 AS MATERIALIZED (
+           SELECT x, count(*) AS d
+           FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+           GROUP BY x),
+         keep AS MATERIALIZED (SELECT x FROM d0 WHERE d <= 20),
+         p0 AS MATERIALIZED (
+           SELECT u, v FROM e0
+           JOIN keep ka ON ka.x = e0.u
+           JOIN keep kb ON kb.x = e0.v),
+         adj AS MATERIALIZED (
+           SELECT u AS x, v AS y FROM p0 UNION ALL SELECT v, u FROM p0),
+         dd AS MATERIALIZED (SELECT x, count(*) AS d FROM adj GROUP BY x),
+         wed AS (
+           SELECT a.x AS u, b.x AS v, a.y AS w
+           FROM adj a JOIN adj b ON a.y = b.y AND a.x < b.x),
+         sc AS MATERIALIZED (
+           SELECT u, v, count(*) AS cn,
+                  sum(CAST(1 AS DOUBLE) / ln(dw.d)) AS aa
+           FROM wed JOIN dd dw ON dw.x = wed.w GROUP BY u, v),
+         ne AS (
+           SELECT sc.u, sc.v, sc.cn, sc.aa FROM sc
+           LEFT JOIN p0 ON p0.u = sc.u AND p0.v = sc.v
+           WHERE p0.u IS NULL)
+         SELECT ne.u AS id_a, ne.v AS id_b, cn,
+                (cn * 1000000) // (du.d + dv.d - cn) AS jaccard_micro,
+                round(aa, 4) AS adamic_adar
+         FROM ne JOIN dd du ON du.x = ne.u JOIN dd dv ON dv.x = ne.v
+         ORDER BY cn DESC, jaccard_micro DESC, id_a, id_b LIMIT 100"""
+
   private lazy val KCoreOracleSql = {
     // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and with
     // p0..p3 each referenced three times the unrolled peels would

@@ -239,6 +239,63 @@ object GraphAnalytics {
     * iterative kernels, with each round's edges staged to truncate
     * lineage. The ONLY driver-side value is the per-round edge count
     * (the convergence test), never edges. */
+  /** LINK PREDICTION scores for non-adjacent vertex pairs at distance 2
+    * — the classic who-should-connect / which-near-dup-clusters-will-
+    * merge triad of measures, computed together from ONE wedge
+    * enumeration over the canonical (optionally degree-capped)
+    * undirected edge set:
+    *
+    *   - `cn` — common-neighbor count (exact integer),
+    *   - `jaccard_micro` — `cn·10⁶ div (deg u + deg v − cn)` (exact
+    *     integer micros; the denominator is the neighborhood union and
+    *     is ≥ 1 because a candidate pair shares ≥ 1 neighbor),
+    *   - `adamic_adar` — `Σ_w 1/ln(deg w)` over common neighbors `w`,
+    *     round-4 at the end only (the [[hits]] float discipline; every
+    *     common neighbor has degree ≥ 2, so ln is never 0).
+    *
+    * Candidates are exactly the 2-hop pairs: pairs sharing no neighbor
+    * score 0 on all three measures and are not emitted; already-adjacent
+    * pairs are anti-joined out (link prediction ranks NON-edges). Top-`k`
+    * by the INTEGER keys `(cn desc, jaccard_micro desc, id_a, id_b)` —
+    * a total order no float tie can perturb, so the limit replays
+    * bit-for-bit; `adamic_adar` rides along as a reported column.
+    *
+    * Scale posture: the wedge join is the [[triangles]] cost class —
+    * Σ_w deg(w)², bounded by `maxDegree`·|E| under the cap (REQUIRED at
+    * corpus scale for the same reason as [[triangles]]'s cap: a hub's
+    * quadratic wedge fan-out) — followed by one map-side-combined
+    * (u, v) aggregation and two broadcast-sized degree joins. Degrees
+    * are recomputed on the capped edge set, matching [[kCore]]'s
+    * convention. */
+  def linkPrediction(edges: DataFrame, k: Int,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxDegree: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val und = cappedUndirected(edges, aCol, bCol, maxDegree)
+    val adj = und.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(und.select(col("v").as("x"), col("u").as("y")))
+      .transform(graft.core.Lifecycle.stage(_))
+    val deg = adj.groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .transform(graft.core.Lifecycle.stage(_))
+    val wedges = adj.select(col("y").as("w"), col("x").as("u"))
+      .join(adj.select(col("y").as("w"), col("x").as("v")), Seq("w"))
+      .filter(col("u") < col("v"))
+    val scored = wedges
+      .join(deg.select(col("x").as("w"), col("d").as("dw")), Seq("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(lit(1.0) / log(col("dw").cast("double"))).as("_aa"))
+    scored.join(und, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u").as("id_a"), col("v").as("id_b"), col("cn"),
+        expr("(cn * 1000000) div (du + dv - cn)").as("jaccard_micro"),
+        round(col("_aa"), 4).as("adamic_adar"))
+      .orderBy(col("cn").desc, col("jaccard_micro").desc, col("id_a"),
+        col("id_b"))
+      .limit(k)
+  }
+
   def kCore(edges: DataFrame, k: Int, maxPeels: Int,
       aCol: String = "id_a", bCol: String = "id_b",
       maxDegree: Option[Long] = None): DataFrame = {

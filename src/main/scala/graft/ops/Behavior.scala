@@ -81,6 +81,91 @@ object Behavior {
     perStep.reduce(_.unionByName(_)).orderBy("step")
   }
 
+  /** GAP-CONSTRAINED funnel — [[funnelUsers]]'s per-step cousin: each
+    * step must land within `maxGapUs` microseconds of the PREVIOUS
+    * step's match, not inside one global window from t1 (the "added to
+    * cart, then checked out within 10 minutes" shape a global deadline
+    * can't express). Semantics are earliest-greedy, the standard
+    * product-analytics convention: t1 is the user's first step-1 event,
+    * and t_{i+1} the first step-(i+1) event in `(t_i, t_i + maxGapUs]`
+    * — a user who COULD complete the chain from a later t1 but not from
+    * the earliest one does not count (documented greedy contract; exact
+    * chain-existence is a different, quadratic question). Output: one
+    * row per step with the user count reaching it, monotone by
+    * construction.
+    *
+    * Scale posture: same as [[funnelUsers]] — one min-aggregation per
+    * step on the (type-filtered, predicate-pushed) event scan joined to
+    * the previous step's per-user frame; `steps` is small and fixed, so
+    * this is a handful of user-keyed joins, never a per-user array or a
+    * driver loop over data. */
+  def funnelGapConstrained(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      maxGapUs: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    val ev = events.select(col(userCol).cast("long").as("user_id"),
+      col(typeCol).as("_type"),
+      unix_micros(col(tsCol).cast("timestamp")).as("_us"))
+    val first = ev.filter(col("_type") === steps.head)
+      .groupBy("user_id").agg(min(col("_us")).as("t1"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (step, i)) =>
+        val tPrev = s"t$i"
+        val tThis = s"t${i + 1}"
+        val reached = ev.filter(col("_type") === step)
+          .join(prev.select(col("user_id"), col(tPrev)), Seq("user_id"))
+          .filter(col("_us") > col(tPrev)
+            && col("_us") <= col(tPrev) + maxGapUs)
+          .groupBy("user_id").agg(min(col("_us")).as(tThis))
+        prev.join(reached, Seq("user_id"), "left")
+    }
+    val perStep = steps.zipWithIndex.map { case (step, i) =>
+      full.agg(count(col(s"t${i + 1}")).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("step_type"),
+          col("n_users"))
+    }
+    perStep.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** Top-`k` event-type N-GRAMS — the behavioral sequence-mining view
+    * one order up from [[transitions]]' bigrams: every run of `n`
+    * consecutive events of one user (ordered by `(ts, tie)` — the
+    * total-order discipline, so duplicate timestamps can't flip
+    * patterns between runs) contributes one `>`-joined pattern;
+    * patterns are counted corpus-wide and the top `k` returned by
+    * `(n desc, pattern)` — a total order, so the limit is exact.
+    *
+    * Scale posture: ONE user-keyed shuffle for the ordering window
+    * (per-user sequences must be co-located — inherent), `n−1` lead()
+    * frames sharing that single sort, then a map-side-combined count
+    * whose key space is ≤ |types|ⁿ (tiny for the n=2..4 this is for)
+    * and a TakeOrdered top-k. A heavy user costs sort time in one
+    * partition, never memory. */
+  def sequencePatterns(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String, n: Int,
+      k: Int): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(k >= 1, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val leadCols = (1 until n).map(i => s"_t$i")
+    val withLeads = (1 until n).foldLeft(
+        events.select(col(userCol), col(typeCol), col(tsCol),
+          col(tieCol))) { (df, i) =>
+      df.withColumn(s"_t$i", lead(col(typeCol), i).over(w))
+    }
+    withLeads
+      .filter(col(leadCols.last).isNotNull)
+      .select(concat_ws(">",
+        (col(typeCol) +: leadCols.map(col)): _*).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pattern"))
+      .limit(k)
+  }
+
   /** Per-user next-event transition matrix (the first-order Markov view
     * of the event stream): for every ordered pair of consecutive events
     * of the same user, count the `(from_type, to_type)` transition and

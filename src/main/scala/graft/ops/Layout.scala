@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Storage-layout keys for multi-dimensional data clustering.
@@ -52,4 +53,64 @@ object Layout {
   /** The common two-dimensional case. */
   def zorderKey2(a: Column, b: Column, bits: Int = 16): Column =
     zorderKey(Seq(a, b), bits)
+
+  /** Per-file ZONE MAPS — the footer stats that make a 100 TB scan a
+    * manifest lookup: for each file (any expression naming the file a
+    * row lives in), `n_rows` plus `min_<c>` / `max_<c>` / `n_null_<c>`
+    * for every stat column. ONE map-side-combined aggregation whose
+    * output is O(files), never O(rows); in production the same frame
+    * comes straight from parquet footers or a table-format manifest —
+    * this op is the builder for synthetic layouts and the contract both
+    * [[pruneByRange]] and the persisted manifest store consume. */
+  def zoneMaps(rows: DataFrame, fileCol: Column,
+      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "zoneMaps needs >= 1 stat column")
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c"))
+    }
+    rows.groupBy(fileCol.as("file_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Range-predicate FILE PRUNING over a zone-map frame: marks each
+    * file `keep` = whether `statCol BETWEEN lo AND hi` can match any of
+    * its rows — `min ≤ hi AND max ≥ lo`, with an all-null file (null
+    * min/max) skippable outright because a range predicate never
+    * matches NULL. Pure manifest arithmetic: cost is O(files) on the
+    * zone-map frame, the fact table is never touched — the planning
+    * step that decides what a 1000-executor scan even reads. Exact
+    * min/max interval logic, so the verdict column replays in SQL. */
+  def pruneByRange(zmaps: DataFrame, statCol: String, lo: Column,
+      hi: Column): DataFrame =
+    zmaps.withColumn("keep",
+      coalesce(col(s"min_$statCol") <= hi && col(s"max_$statCol") >= lo,
+        lit(false)))
+
+  /** Small-file COMPACTION PLAN — the maintenance pass that turns a
+    * million drip-fed ingest files into ~`targetBytes` rewrite groups:
+    * within each partition key, files (ordered by `fileCol`, the stable
+    * ingest order) pack greedily into consecutive bins, a bin closing
+    * once its cumulative bytes reach the target. `bin` is pure running
+    * arithmetic — `floor(cum_bytes_before / targetBytes)` — so the plan
+    * replays bit-for-bit in any engine with integer division; a bin may
+    * overshoot the target by at most one file (the usual streaming-
+    * packing contract; compaction targets are soft row-group hints, not
+    * hard limits).
+    *
+    * Scale posture: one key-partitioned window cumsum over the MANIFEST
+    * (O(files) rows, not data rows) — at 100 TB a manifest is millions
+    * of rows, trivially window-able; the data files themselves are only
+    * touched by the rewrite job that consumes this plan, which reads
+    * each input file exactly once. */
+  def compactionPlan(manifest: DataFrame, keyCols: Seq[String],
+      fileCol: String, bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("_cum_before",
+        coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"_cum_before div ${targetBytes}L"))
+      .drop("_cum_before")
+  }
 }

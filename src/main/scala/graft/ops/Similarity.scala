@@ -309,6 +309,115 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic ±1 sign matrix for [[jlProject]]: `sgn(i)(j)` for
+    * input dim `i`, output dim `j`, derived from the low bit of the
+    * first 15 hex chars of `md5("i:j")` — the engine's portable-hash
+    * convention ([[BaseHash.Md5]]), so an external replayer recomputes
+    * the exact matrix from md5 alone (no stored model, no RNG state). */
+  private[graft] def jlSigns(inDim: Int, outDim: Int): Seq[Seq[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(outDim) { j =>
+      Seq.tabulate(inDim) { i =>
+        val hex = mdt.digest(s"$i:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 0L)
+          1.0 else -1.0
+      }
+    }
+  }
+
+  /** Johnson-Lindenstrauss SIGN PROJECTION to `outDim` dimensions:
+    * `p[j] = round(Σ_i v[i]·sgn(i,j) / √outDim, 4)` with the ±1 matrix
+    * of [[jlSigns]] — the dense random projection that preserves pairwise
+    * cosines to O(1/√outDim) (Achlioptas' database-friendly variant with
+    * unit signs), here fully DETERMINISTIC and model-free so the
+    * projection itself replays bit-for-bit in SQL: the sign is md5
+    * arithmetic, the accumulation a left-to-right double fold (the
+    * [[dotFold]] order both engines share), and IEEE √ is correctly
+    * rounded, so every engine computes the identical divisor (exact
+    * for a power-of-4 `outDim` like 16/64). Round-4 at the end only.
+    *
+    * Unlike [[twoStagePrefixTopK]]'s prefix slice, the projection MIXES
+    * all input dims, so it needs no Matryoshka-style prefix training —
+    * the right coarse signal for embeddings with no trained dim order.
+    * Per-row cost is `inDim·outDim` fused multiply-adds inside one
+    * narrow projection (no shuffle, no stored matrix — the signs are a
+    * plan literal broadcast with the closure). */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String, inDim: Int,
+      outDim: Int): DataFrame = {
+    require(inDim >= 1, s"inDim must be positive, got $inDim")
+    require(outDim >= 1, s"outDim must be positive, got $outDim")
+    val sg = typedLit(jlSigns(inDim, outDim))
+    val root = math.sqrt(outDim.toDouble)
+    df.select(col(idCol).cast("long").as(idCol),
+      array((0 until outDim).map { j =>
+        round(aggregate(
+          zip_with(col(vecCol), element_at(sg, j + 1),
+            (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x) / root, 4)
+      }: _*).as(vecCol))
+  }
+
+  /** TWO-STAGE batched retrieval over a [[jlProject]] sketch — the
+    * model-free cousin of [[twoStagePrefixTopK]] for corpora whose
+    * embeddings have no prefix-trained dim order: stage 1 scores the
+    * corpus by cosine in the `outDim`-dimensional projected space and
+    * keeps the top `m` per query; stage 2 rescores ONLY those survivors
+    * at full dimension and emits the top `k`. Output and posture are
+    * [[twoStagePrefixTopK]]'s verbatim (coarse corpus work drops to
+    * `outDim / inDim` of the flops — persist the sketch column for the
+    * same column-pruning bandwidth win; survivors fetch via count-gated
+    * broadcast; both stages' ranks total-ordered), and both stages
+    * replay exactly in SQL because the sketch itself is md5-determined.
+    * A vector whose projection rounds to all-zero is unrankable by the
+    * coarse signal and drops there (the norm-guard contract). */
+  def twoStageJlTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, inDim: Int, outDim: Int, m: Int,
+      k: Int, maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    // coarse scoring inlined (the crossNearDupsExact shape) on the
+    // DOUBLE-typed sketches via the pure-Column fold — the native
+    // vec_dot kernel is float-specialized by design and the sketch
+    // stays double so the oracle's replay is the identical arithmetic
+    def prepSketch(df: DataFrame, side: String) = {
+      val p = jlProject(df, idCol, vecCol, inDim, outDim)
+      OpsUtil.widen(p).select(col(idCol).as(s"id_$side"),
+          col(vecCol).as(s"v_$side"),
+          sqrt(dotFold(col(vecCol), col(vecCol))).as(s"nrm_$side"))
+        .filter(col(s"nrm_$side") > 0)
+    }
+    val eq = prepSketch(queries, "b")
+      .transform(graft.core.Lifecycle.stage(_))
+    val eHint = OpsUtil.gatedHint("twoStageJlTopK", "querySketch", eq,
+      maxBroadcastRows)
+    val coarse = rankTopK(
+        prepSketch(corpus, "a").join(eHint(eq), lit(true))
+          .select(col("id_a"), col("id_b"),
+            round(dotFold(col("v_a"), col("v_b"))
+              / (col("nrm_a") * col("nrm_b")), 4).as("score")), m)
+      .select(col("query_id"), col("neighbor_id"))
+      .transform(graft.core.Lifecycle.stage(_))
+    val hint = OpsUtil.gatedHint("twoStageJlTopK", "survivors", coarse,
+      maxBroadcastRows)
+    val full = OpsUtil.widen(corpus).select(
+      col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("v_n"),
+      l2Norm(col(vecCol)).as("nrm_n"))
+    val q = OpsUtil.widen(queries).select(
+      col(idCol).cast("long").as("query_id"), col(vecCol).as("v_q"),
+      l2Norm(col(vecCol)).as("nrm_q"))
+    val qHint = OpsUtil.gatedHint("twoStageJlTopK", "queries", q,
+      maxBroadcastRows)
+    full.join(hint(coarse), Seq("neighbor_id"))
+      .join(qHint(q), Seq("query_id"))
+      .filter(col("nrm_n") > 0 && col("nrm_q") > 0)
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")), 4)
+          .as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Greedy MMR (maximal-marginal-relevance) diversity rerank of a
     * retrieved candidate list, UNROLLED to `picks` fixed rounds: round 1
     * picks the highest-relevance candidate; each later round picks the
