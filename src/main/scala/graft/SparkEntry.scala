@@ -2214,6 +2214,20 @@ object SparkEntry {
           Seq(500000L, 900000L, 990000L))
         .orderBy("key", "q_micro")
     }),
+    "q184_zonemap_stored" -> ((s, dir) => {
+      // q177's pruning read against the PERSISTED manifest store, built
+      // incrementally (save even orderkeys, append the odd half — the
+      // streaming-ingest path in batch form). Counts add and min/max
+      // re-minimize, so save + append == one zoneMaps pass and q177's
+      // oracle applies verbatim; the planning read is O(files) rows
+      // from the store, the fact table never reopens.
+      val li = Testbed.graph(s, dir).collection("lineitem")
+      val path = manifestStorePath(s, li, dir)
+      sources.ManifestStore.pruneStored(s, path, "l_shipdate",
+          lit("1995-03-01 00:00:00").cast("timestamp"),
+          lit("1995-09-30 00:00:00").cast("timestamp"))
+        .orderBy("file_id")
+    }),
     "q176_join_skew_report" -> ((s, dir) => {
       // the pre-join diagnostic at scale: per o_custkey, both sides'
       // counts and the exact inner-join output contribution + integer-
@@ -2622,6 +2636,29 @@ object SparkEntry {
     * over the even event_ids, append the odd half as one committed
     * batch (the incremental-ingest path in batch form). Warmed by
     * Bench's build phase so the gate reps measure the stored read. */
+  private val manifestStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+
+  /** q184's persisted zone-map manifest — built incrementally (save over
+    * the even orderkeys, append the odd half as one committed batch: the
+    * streaming-ingest path in batch form;
+    * [[streaming.EventStreams.manifestIngestStream]] lands exactly these
+    * appends per micro-batch) ONCE per (session, sf dir). The fold is
+    * count addition + min/max re-minimization, so save + append == one
+    * [[ops.Layout.zoneMaps]] pass and q177's oracle applies verbatim. */
+  private[graft] def manifestStorePath(s: SparkSession, li: DataFrame,
+      dir: String): String =
+    manifestStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-manifest-store").toString
+      sources.ManifestStore.save(li.filter(col("l_orderkey") % 2 === 0),
+        out, "date_format(l_shipdate, 'yyyy-MM')",
+        Seq("l_shipdate", "l_quantity"))
+      sources.ManifestStore.append(s, out,
+        li.filter(col("l_orderkey") % 2 === 1), batchId = "rest")
+      out
+    })
+
   private val histogramStores = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), String]()
   private[graft] def histogramStorePath(s: SparkSession, ev: DataFrame,
@@ -4363,29 +4400,13 @@ object SparkEntry {
                 CAST((out_dec * 1000000) // tt AS BIGINT) AS share_micro
          FROM j CROSS JOIN t
          ORDER BY out_rows DESC, k LIMIT 10""",
-    // q177: the zone-map build replayed as one grouped min/max pass,
-    // the prune as the same closed-interval overlap test (all-null
-    // files skip via the coalesce(false))
-    "q177_zonemap_prune" ->
-      """WITH z AS (
-           SELECT strftime(l_shipdate, '%Y-%m') AS file_id,
-                  count(*) AS n_rows,
-                  min(l_shipdate) AS min_l_shipdate,
-                  max(l_shipdate) AS max_l_shipdate,
-                  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_null_l_shipdate,
-                  min(l_quantity) AS min_l_quantity,
-                  max(l_quantity) AS max_l_quantity,
-                  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_null_l_quantity
-           FROM lineitem GROUP BY 1)
-         SELECT file_id, n_rows, min_l_shipdate, max_l_shipdate,
-                n_null_l_shipdate, min_l_quantity, max_l_quantity,
-                n_null_l_quantity,
-                coalesce(min_l_shipdate <= TIMESTAMP '1995-09-30 00:00:00'
-                  AND max_l_shipdate >= TIMESTAMP '1995-03-01 00:00:00',
-                  false) AS keep
-         FROM z ORDER BY file_id""",
+    // q177 + q184: the zone-map build replayed as one grouped min/max
+    // pass, the prune as the same closed-interval overlap test
+    // (all-null files skip via the coalesce(false)); q184's stored
+    // manifest folds to the same rows (counts add, min/max
+    // re-minimize), so one oracle serves both
+    "q177_zonemap_prune" -> ZonemapPruneOracleSql,
+    "q184_zonemap_stored" -> ZonemapPruneOracleSql,
     // q178: manifest build + the cumsum packing rule + per-bin rollup,
     // all integer-exact
     "q178_compaction_plan" ->
@@ -5900,6 +5921,30 @@ object SparkEntry {
     * keep-set `d >= 2`, both-endpoint semi-join — and the surviving
     * degrees. The engine may exit early on convergence; peeling is
     * monotone, so the surplus unrolled rounds are identity. */
+  /** q177 + q184: the zone-map build as one grouped min/max pass, the
+    * prune as the same closed-interval overlap test; all-null files
+    * skip via the coalesce(false). */
+  private val ZonemapPruneOracleSql =
+    """WITH z AS (
+           SELECT strftime(l_shipdate, '%Y-%m') AS file_id,
+                  count(*) AS n_rows,
+                  min(l_shipdate) AS min_l_shipdate,
+                  max(l_shipdate) AS max_l_shipdate,
+                  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_l_shipdate,
+                  min(l_quantity) AS min_l_quantity,
+                  max(l_quantity) AS max_l_quantity,
+                  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_l_quantity
+           FROM lineitem GROUP BY 1)
+         SELECT file_id, n_rows, min_l_shipdate, max_l_shipdate,
+                n_null_l_shipdate, min_l_quantity, max_l_quantity,
+                n_null_l_quantity,
+                coalesce(min_l_shipdate <= TIMESTAMP '1995-09-30 00:00:00'
+                  AND max_l_shipdate >= TIMESTAMP '1995-03-01 00:00:00',
+                  false) AS keep
+         FROM z ORDER BY file_id"""
+
   /** q179: the wedge enumeration + triad of link-prediction measures
     * replayed over the SAME capped simhash edge set as q156 (cap 20,
     * degrees recomputed post-cap, matching the engine's convention).

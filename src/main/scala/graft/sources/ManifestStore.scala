@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** Persisted ZONE-MAP MANIFEST: the per-file stats ledger an ingest
+  * pipeline keeps so scan planning ([[graft.ops.Layout.pruneByRange]])
+  * never reopens data files — the table-format manifest (Delta/Iceberg
+  * file stats) re-expressed as a graft store. Each ingested batch lands
+  * its per-file `(n_rows, min/max/n_null per stat column)` DELTAS under
+  * the file expression fixed at save time; the live manifest is the
+  * FOLD over committed batches — counts add, min/max re-minimize — so
+  * the store at any moment equals [[graft.ops.Layout.zoneMaps]] over
+  * everything ingested (structural: count addition and min/max are
+  * associative over any batch split; q184 shares q177's oracle
+  * verbatim).
+  *
+  * Commit discipline is [[SketchStore]]'s exactly: a batch directory
+  * becomes visible only when the 1-row meta is rewritten with its id in
+  * the committed list — readers union meta-listed directories ONLY, a
+  * crashed append leaves an invisible orphan, replayed batch ids are
+  * skipped (exactly-once despite the non-idempotent counts), ONE writer
+  * at a time, [[compact]] folds fragments. State is O(files) rows per
+  * committed batch regardless of ingested volume — at 100 TB the
+  * manifest is the ONLY thing the planner reads. */
+object ManifestStore {
+
+  final case class Params(fileExpr: String, statCols: Seq[String],
+      batches: Seq[String])
+
+  private val Version = 1
+
+  private def writeMeta(spark: SparkSession, path: String,
+      p: Params): Unit = {
+    import spark.implicits._
+    Seq((Version, p.fileExpr, p.statCols, p.batches))
+      .toDF("version", "file_expr", "stat_cols", "batches")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+  }
+
+  /** The stored file expression + stat columns + committed batch list —
+    * a 1-row driver read. */
+  def params(spark: SparkSession, path: String): Params = {
+    val rows = spark.read.parquet(s"$path/meta").collect()
+    require(rows.nonEmpty, s"no manifest-store meta at $path/meta")
+    val r = rows.head
+    require(r.getInt(0) == Version,
+      s"manifest store at $path has version ${r.getInt(0)}, " +
+        s"this engine reads version $Version")
+    Params(r.getString(1), r.getSeq[String](2), r.getSeq[String](3))
+  }
+
+  /** Fold fragment rows to one live row per file: counts add, min/max
+    * re-minimize — exactly [[Layout.zoneMaps]] over the union. */
+  private def fold(frags: DataFrame, statCols: Seq[String]): DataFrame = {
+    val aggs = sum(col("n_rows")).as("n_rows") +: statCols.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"),
+        sum(col(s"n_null_$c")).as(s"n_null_$c"))
+    }
+    frags.groupBy("file_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build the store over `df` and persist under `path` (overwrite
+    * semantics — snapshot build; grow it with [[append]]). `fileExpr`
+    * is a SQL expression over `df`'s columns naming the file a row
+    * lives in — stored in meta so appends can never disagree with the
+    * layout. */
+  def save(df: DataFrame, path: String, fileExpr: String,
+      statCols: Seq[String]): Unit = {
+    val p = Params(fileExpr, statCols, Seq("b-init"))
+    Layout.zoneMaps(df, expr(fileExpr), statCols)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/b-init")
+    // meta LAST — its presence marks a complete store
+    writeMeta(df.sparkSession, path, p)
+  }
+
+  /** The live manifest — committed batch deltas folded to one row per
+    * file (call [[compact]] to collapse fragments on disk). */
+  def zoneMapsStored(spark: SparkSession, path: String): DataFrame = {
+    val p = params(spark, path)
+    fold(p.batches.map(b => spark.read.parquet(s"$path/$b"))
+      .reduce(_.unionByName(_)), p.statCols)
+  }
+
+  /** Land `batch`'s per-file stat deltas under the STORED file
+    * expression as directory `b-<batchId>`, then commit it in meta. A
+    * batchId already committed is skipped (returns false) — the
+    * replay/retry guard. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      batchId: String): Boolean = {
+    require(batchId.nonEmpty && batchId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"batchId must be [A-Za-z0-9_-]+, got '$batchId'")
+    val p = params(spark, path)
+    val dir = s"b-$batchId"
+    if (p.batches.contains(dir)) false
+    else {
+      Layout.zoneMaps(batch, expr(p.fileExpr), p.statCols)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/$dir")
+      writeMeta(spark, path, p.copy(batches = p.batches :+ dir))
+      true
+    }
+  }
+
+  /** Fold all committed batches into one directory and swap the meta
+    * list to it — values unchanged (the fold re-associates), only the
+    * fragment count drops. Superseded directories become invisible
+    * orphans (reclaimed out-of-band). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val p = params(spark, path)
+    if (p.batches != Seq("b-init")) {
+      val gen = s"b-compact-${p.batches.length}-${p.batches.hashCode.abs}"
+      zoneMapsStored(spark, path)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/$gen")
+      writeMeta(spark, path, p.copy(batches = Seq(gen)))
+    }
+  }
+
+  /** Range-predicate pruning over the LIVE manifest — the planning read:
+    * O(files) rows from the store, the data files never open. */
+  def pruneStored(spark: SparkSession, path: String, statCol: String,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): DataFrame = {
+    val p = params(spark, path)
+    require(p.statCols.contains(statCol),
+      s"stat column '$statCol' not in stored manifest ${p.statCols}")
+    Layout.pruneByRange(zoneMapsStored(spark, path), statCol, lo, hi)
+  }
+}

@@ -400,6 +400,32 @@ object EventStreams {
       .start()
   }
 
+  /** Per-micro-batch zone-map ingest into a
+    * [[graft.sources.ManifestStore]]: each batch lands its per-file
+    * `(n_rows, min/max/n_null)` deltas under the file expression fixed
+    * at save — the planning manifest kept CURRENT at ingest so
+    * [[graft.sources.ManifestStore.pruneStored]] reads O(files) rows
+    * and never reopens data. Per-micro-batch cost tracks the BATCH (one
+    * map-side-combined stats agg, O(files-touched) rows landed);
+    * replayed micro-batches are skipped by the store's committed-batch
+    * ledger, keeping the non-idempotent row/null counts exactly-once
+    * (the [[histogramIngestStream]] discipline). */
+  def manifestIngestStream(rowStream: DataFrame, storePath: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rowStream.isStreaming,
+      "manifestIngestStream needs a streaming frame; call " +
+        "ManifestStore.append directly for batch input")
+    val writer = rowStream.writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.ManifestStore.append(batch.sparkSession, storePath,
+          batch.toDF(), batchId = s"stream-$id")
+        ()
+      }
+      .start()
+  }
+
   /** Per-micro-batch posting ingest into a
     * [[graft.sources.PostingStore]]: each batch is tokenized ONCE and its
     * postings/docstats appended under the stored config, then the meta
