@@ -502,4 +502,74 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       "an events scan leaked into the stored quantile read:\n"
         + plan.take(3000))
   }
+
+  test("q182 JL projection: ZERO exchanges — a pure per-row transform " +
+      "over a 2-column pruned scan") {
+    // plan the op itself (the gate adds the compare-discipline ORDER BY
+    // and the posexplode)
+    val plan = graft.ops.Similarity.jlProject(
+        Testbed.graph(spark, dir).collection("embeddings"),
+        "vec_id", "embedding", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "jlProject must not shuffle:\n" + plan.take(3000))
+    val scans = scanLines(plan, "embeddings")
+    assert(scans.nonEmpty)
+    val rs = scans.head.substring(scans.head.indexOf("ReadSchema:"))
+    assert(rs.contains("vec_id") && rs.contains("embedding")
+      && !rs.contains("label"),
+      s"projection scan must read only (vec_id, embedding): $rs")
+  }
+
+  test("q177 zone maps: ONE map-side-combined aggregation over a scan " +
+      "pruned to the stat columns; the prune adds no shuffle") {
+    val df = SparkEntry.queries("q177_zonemap_prune")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = scanLines(plan, "lineitem")
+    assert(scans.nonEmpty)
+    val rs = scans.head.substring(scans.head.indexOf("ReadSchema:"))
+    assert(rs.contains("l_shipdate") && rs.contains("l_quantity")
+      && !rs.contains("l_extendedprice") && !rs.contains("l_orderkey"),
+      s"zone-map scan must read only the stat columns: $rs")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "zone-map build must map-side combine:\n" + plan.take(3000))
+  }
+
+  test("q181 sequence n-grams: ONE user-keyed shuffle serves both lead " +
+      "frames (a single Window over a single sort)") {
+    val plan = planOf("q181_sequence_ngrams")
+    val userExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id")).size
+    assert(userExchanges == 1,
+      s"expected 1 user-keyed shuffle:\n${plan.take(3000)}")
+    val windows = plan.linesIterator.filter(_.contains("Window [")).size
+    assert(windows == 1,
+      s"both leads must share one Window operator:\n${plan.take(3000)}")
+  }
+
+  test("compaction plan: the manifest window range-partitions by key — " +
+      "never a single-partition sort") {
+    // plan the op over an in-memory manifest so only ITS exchanges show
+    import spark.implicits._
+    val manifest = (0 until 64).map(i => (s"k${i % 4}", i.toLong, 700L))
+      .toDF("k", "file_id", "bytes")
+    val plan = graft.ops.Layout.compactionPlan(manifest, Seq("k"),
+        "file_id", "bytes", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(k"),
+      "the packing window must partition by key:\n" + plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "packing must never collapse to one partition:\n" + plan.take(3000))
+  }
+
+  test("q184 stored manifest prune: scans the store's stats, never " +
+      "lineitem.parquet") {
+    val plan = planOf("q184_zonemap_stored")
+    assert(scanLines(plan, "graft-manifest-store").nonEmpty,
+      "the stored prune must scan the store:\n" + plan.take(3000))
+    assert(scanLines(plan, "lineitem.parquet").isEmpty,
+      "a lineitem scan leaked into the stored planning read:\n"
+        + plan.take(3000))
+  }
 }
