@@ -244,6 +244,9 @@ object Bench {
       // q172's histogram store likewise: save + append untimed, reps
       // measure the <= batches x bins quantile read
       SparkEntry.histogramStorePath(spark, g.collection("events"), sfDir)
+      // q184's zone-map manifest store: save + append untimed, reps
+      // measure the O(files) planning read
+      SparkEntry.manifestStorePath(spark, g.collection("lineitem"), sfDir)
       // q174's prefix-sliced layout: one-time write untimed, reps
       // measure the pruned coarse scan + survivor rerank
       SparkEntry.prefixStorePath(spark, g.collection("embeddings"), sfDir)

@@ -218,7 +218,23 @@ object ScaleSmoke {
     // fixed query batch broadcasts — q164's cost shape at prefix
     // bandwidth) and histogram drift (two bin-count aggs + a
     // (key, bin)-keyed outer join — linear scans, bounded state)
-    "q174_two_stage_stored", "q175_histogram_drift")
+    "q174_two_stage_stored", "q175_histogram_drift",
+    // round-16 wave: join-skew advisor (two map-side-combined counts +
+    // a distinct-key join — O(distinct custkeys), the fact rows never
+    // shuffle), zone maps (one map-side-combined stats agg over the
+    // pruned 2-column scan; O(files) output) and the STORED manifest
+    // prune (store staged untimed; the planning read touches O(files)
+    // rows at any ingested volume — the stored-counter flat class),
+    // compaction planning (one key-windowed cumsum over the O(files)
+    // manifest), link prediction (capped wedge join — the triangles
+    // cost class; cipher-disjoint copies grow the near-dup edge set
+    // linearly), gap funnel + sequence n-grams (user-keyed joins/
+    // windows, the funnel shuffle class), JL projection (pure per-row
+    // map) and its two-stage retrieval (fixed id-bounded query batch
+    // broadcast against the corpus-linear coarse scan — q164's shape)
+    "q176_join_skew_report", "q177_zonemap_prune", "q178_compaction_plan",
+    "q179_adamic_adar", "q180_funnel_gaps", "q181_sequence_ngrams",
+    "q182_sign_projection", "q183_knn_projected", "q184_zonemap_stored")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -396,8 +412,11 @@ object ScaleSmoke {
         SparkEntry.expandReach(spark, dir)
       if (selectedHas("q79"))
         SparkEntry.multiPathsFrame(spark, dir)
-      if (selectedHas("q84", "q87", "q156"))
+      if (selectedHas("q84", "q87", "q156", "q179"))
         SparkEntry.nearDupEdges(spark, dir)
+      if (selectedHas("q184"))
+        SparkEntry.manifestStorePath(spark,
+          Testbed.graph(spark, dir).collection("lineitem"), dir)
       if (selectedHas("q85", "q88"))
         SparkEntry.quantizedCodesStore(spark,
           Testbed.graph(spark, dir).collection("embeddings"), dir)

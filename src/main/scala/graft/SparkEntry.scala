@@ -2325,9 +2325,14 @@ object SparkEntry {
       // of q164's prefix slice): coarse top-20 per query in 16-dim
       // projected space, exact 64-dim rerank to top-5 — both stages
       // replay in SQL because the sketch is md5-determined
+      // query batch bounded to base-copy ids (q164's discipline: the
+      // scale probe grows the corpus, the query batch stays fixed —
+      // without the bound, queries x corpus grows quadratically with
+      // copies and the probe measures that artifact)
       val emb = Testbed.graph(s, dir).collection("embeddings")
       ops.Similarity.twoStageJlTopK(
-          emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 50 === 0
+            && col("vec_id") < 100000000L),
           emb.filter(col("vec_id") % 50 =!= 0),
           "vec_id", "embedding", inDim = 64, outDim = 16, m = 20, k = 5)
         .orderBy("query_id", "rank")
@@ -4495,7 +4500,8 @@ object SparkEntry {
            SELECT vec_id, p,
                   sqrt(list_sum(list_transform(p, x -> x * x))) AS nrm
            FROM pj),
-         qs AS (SELECT * FROM pn WHERE vec_id % 50 = 0),
+         qs AS (SELECT * FROM pn
+                WHERE vec_id % 50 = 0 AND vec_id < 100000000),
          cs AS (SELECT * FROM pn WHERE vec_id % 50 <> 0),
          surv AS MATERIALIZED (
            SELECT query_id, neighbor_id FROM (
