@@ -193,6 +193,17 @@ object StreamScale {
           hasher = graft.ops.BaseHash.Md5)
         EventStreams.cmsIngestStream(
           mem.toDF().withColumn("src", lit("stream")), store, "doc_id")
+      case "manifest" =>
+        // zone-map ledger: save scans the corpus ONCE (untimed); each
+        // measured append lands O(files-touched-by-batch) stat rows —
+        // a 200-doc batch in the 4e12 id space touches ~1 file, so the
+        // per-batch wall has no corpus-sized term at all
+        graft.sources.ManifestStore.save(
+          spark.read.parquet(docsPath)
+            .withColumn("text_len", length(col("text"))),
+          store, "doc_id div 1000", Seq("text_len"))
+        EventStreams.manifestIngestStream(
+          mem.toDF().withColumn("text_len", length(col("text"))), store)
     }
     try {
       val walls = (0 until WarmBatches + MeasuredBatches).map { b =>
@@ -208,6 +219,10 @@ object StreamScale {
             .select("id").collect().map(_.getLong(0)).toSet
         case "cms" =>
           graft.sources.SketchStore.params(spark, store)
+            .batches.filter(_.startsWith("b-stream-"))
+            .map(_.stripPrefix("b-stream-").toLong).toSet
+        case "manifest" =>
+          graft.sources.ManifestStore.params(spark, store)
             .batches.filter(_.startsWith("b-stream-"))
             .map(_.stripPrefix("b-stream-").toLong).toSet
       }
@@ -245,7 +260,7 @@ object StreamScale {
     val sides = ("base" -> s"$base/documents.parquet") +: copies.map(c =>
       s"x$c" -> materializeDocs(spark, base, scaledDir, c))
     // optional args select variants (a re-probe of one family need not
-    // pay the others); no args = all four
+    // pay the others); no args = all five
     val selected: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val results = for (variant <- Seq("recompute", "indexed")
@@ -277,7 +292,7 @@ object StreamScale {
       case _ => true
     }
     // store-ingest probes: posting + counter append paths, same sides
-    val ingest = for (variant <- Seq("posting", "cms")
+    val ingest = for (variant <- Seq("posting", "cms", "manifest")
         .filter(selected)) yield {
       val runs = sides.map { case (label, path) =>
         val r = runIngest(spark, variant, path, baseTexts)
