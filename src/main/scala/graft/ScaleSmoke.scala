@@ -234,7 +234,13 @@ object ScaleSmoke {
     // broadcast against the corpus-linear coarse scan — q164's shape)
     "q176_join_skew_report", "q177_zonemap_prune", "q178_compaction_plan",
     "q179_adamic_adar", "q180_funnel_gaps", "q181_sequence_ngrams",
-    "q182_sign_projection", "q183_knn_projected", "q184_zonemap_stored")
+    "q182_sign_projection", "q183_knn_projected", "q184_zonemap_stored",
+    // hashing-trick features (one explode + two map-side-combined aggs,
+    // no vocabulary state — output rows grow with corpus, key space
+    // bounded by docs × dims) and the k-anonymity audit (two chained
+    // grouped counts to O(classes) rows; the cipher multiplies segment
+    // values, classes grow linearly)
+    "q185_feature_hash", "q186_k_anonymity")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

@@ -2214,6 +2214,29 @@ object SparkEntry {
           Seq(500000L, 900000L, 990000L))
         .orderBy("key", "q_micro")
     }),
+    "q185_feature_hash" -> ((s, dir) => {
+      // the hashing trick: sparse signed 64-dim count vectors with NO
+      // vocabulary table — one explode + two map-side-combined aggs,
+      // no fit phase, no dictionary join; md5 base hash so bucket and
+      // sign arithmetic replay bit-for-bit in SQL
+      ops.Lexical.featureHash(
+          Testbed.graph(s, dir).collection("documents"),
+          "doc_id", "text", dims = 64, hash = ops.BaseHash.Md5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "dim")
+    }),
+    "q186_k_anonymity" -> ((s, dir) => {
+      // the privacy screen beside q82's PII scrub: every
+      // (nation, segment) equivalence class with its size, distinct
+      // sensitive values (l-diversity), and the k >= 20 verdict —
+      // two chained map-side-combined aggs, never a countDistinct
+      // Expand over raw rows; output O(classes)
+      ops.Profile.kAnonymity(
+          Testbed.graph(s, dir).collection("customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 20L,
+          sensitiveCol = Some("c_acctbal"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
     "q184_zonemap_stored" -> ((s, dir) => {
       // q177's pruning read against the PERSISTED manifest store, built
       // incrementally (save even orderkeys, append the odd half — the
@@ -4431,6 +4454,36 @@ object SparkEntry {
                 min(file_id) AS first_file
          FROM c GROUP BY 1, 2 ORDER BY source, bin""",
     "q179_adamic_adar" -> LinkPredictionOracleSql,
+    // q185: the hashing trick replayed — shared tokenize CTEs, md5
+    // bucket (h mod 64) and sign ((h >> 6) & 1), zero buckets dropped
+    "q185_feature_hash" ->
+      s"""WITH $lexPostingsCtes,
+         fh AS (
+           SELECT doc_id, tf,
+                  CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)
+                    AS h
+           FROM post),
+         w AS (
+           SELECT doc_id, h % 64 AS dim,
+                  CAST(sum(tf * (CASE WHEN (h >> 6) & 1 = 0
+                    THEN 1 ELSE -1 END)) AS BIGINT) AS weight
+           FROM fh GROUP BY 1, 2)
+         SELECT doc_id, dim, weight FROM w
+         WHERE weight <> 0 ORDER BY doc_id, dim""",
+    // q186: two chained grouped counts — class size as the sum over
+    // (quasi, sensitive) cells, l-diversity as the non-null cell count
+    "q186_k_anonymity" ->
+      """WITH g AS (
+           SELECT c_nationkey, c_mktsegment, c_acctbal, count(*) AS c
+           FROM customer GROUP BY 1, 2, 3),
+         a AS (
+           SELECT c_nationkey, c_mktsegment,
+                  CAST(sum(c) AS BIGINT) AS n_rows,
+                  count(c_acctbal) AS l_diversity
+           FROM g GROUP BY 1, 2)
+         SELECT c_nationkey, c_mktsegment, n_rows, l_diversity,
+                n_rows >= 20 AS anonymous
+         FROM a ORDER BY c_nationkey, c_mktsegment""",
     // q180: the per-step gap chain replayed as three join+min CTEs —
     // earliest-greedy, each step within the gap of the previous match
     "q180_funnel_gaps" ->

@@ -96,6 +96,42 @@ object Lexical {
   def docLengths(post: DataFrame): DataFrame =
     post.groupBy("id").agg(sum("tf").as("dl"))
 
+  /** HASHING-TRICK feature vectors (Weinberger et al.'s signed variant):
+    * each document becomes a sparse `dims`-dimensional count vector with
+    * NO vocabulary table — `dim = hash(term) mod dims`, and a second
+    * hash bit flips the term's sign so colliding terms cancel in
+    * expectation instead of always inflating a bucket. Output
+    * `(id, dim, weight)` sparse rows, `weight = Σ ±tf`; exact-zero
+    * buckets (full cancellation) are dropped — the sparse contract.
+    *
+    * `dims` must be a power of two so `mod` is a bit mask and the sign
+    * bit (`(h >> log2 dims) & 1`) is independent of the bucket bits.
+    * Tokenization is [[postings]]' — the single shared definition — so
+    * hashed features, TF-IDF, and BM25 agree on terms structurally.
+    * With [[BaseHash.Md5]] the whole map replays bit-for-bit in SQL
+    * (the gate path); production stays on the codegen'd xxhash64.
+    *
+    * Scale posture: ONE explode + two map-side-combined aggregations
+    * (term counts, then bucket sums) — no vocabulary broadcast, no
+    * fit/transform phase, no driver state: the property that makes the
+    * hashing trick THE feature encoder at 100 TB (a vocabulary index is
+    * a second full pass plus a giant dictionary join; this is neither). */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int, hash: BaseHash = BaseHash.Xx): DataFrame = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two >= 2, got $dims")
+    val log2 = java.lang.Integer.numberOfTrailingZeros(dims)
+    val h = hash.full(col("term"))
+    postings(docs, idCol, textCol)
+      .select(col("id"), col("tf"),
+        pmod(h, lit(dims.toLong)).as("dim"),
+        (lit(1L) - lit(2L) * pmod(shiftright(h, log2), lit(2L)))
+          .as("_sgn"))
+      .groupBy(col("id"), col("dim"))
+      .agg(sum(col("tf") * col("_sgn")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
+
   /** Top-`k` keywords per document by `tf × rational-idf`, with full
     * provenance columns. Two shuffles total (df window over term, rank
     * window over doc — the rank filter compiles to WindowGroupLimit so

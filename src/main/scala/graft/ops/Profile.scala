@@ -39,4 +39,37 @@ object Profile {
       .select(col("_p.col_name"), col("_p.n_rows"), col("_p.n_null"),
         col("_p.n_distinct"))
   }
+  /** K-ANONYMITY audit — the privacy screen a training-data pipeline
+    * runs BESIDE PII scrubbing: group rows by their quasi-identifier
+    * columns and report every equivalence class with its size and the
+    * `anonymous` verdict (`n_rows >= k`); a class below `k` means those
+    * rows are re-identifiable by the quasi tuple alone (Sweeney's
+    * k-anonymity). With `sensitiveCol` set, `l_diversity` rides along —
+    * the count of DISTINCT non-null sensitive values inside the class
+    * (a k-anonymous class with l = 1 still leaks the sensitive value:
+    * the homogeneity attack l-diversity names). NULL quasi values form
+    * their own class (SQL GROUP BY semantics, identical in the oracle).
+    *
+    * Scale posture: the l-diversity variant is deliberately TWO chained
+    * map-side-combined aggregations — (quasi..., sensitive) counts, then
+    * a (quasi...) fold where `n_rows = sum` and `l_diversity` counts the
+    * non-null sensitive groups — never a countDistinct Expand over the
+    * raw rows (the q60 lesson: Expand doubles the shuffled volume).
+    * Output is O(classes) rows; the verdict column costs nothing. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long,
+      sensitiveCol: Option[String] = None): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs >= 1 quasi column")
+    require(k >= 2, s"k must be >= 2 to mean anything, got $k")
+    val quasi = quasiCols.map(col)
+    val base = sensitiveCol match {
+      case Some(s) =>
+        df.groupBy((quasi :+ col(s)): _*).agg(count(lit(1)).as("_c"))
+          .groupBy(quasi: _*)
+          .agg(sum(col("_c")).as("n_rows"),
+            count(col(s)).as("l_diversity"))
+      case None =>
+        df.groupBy(quasi: _*).agg(count(lit(1)).as("n_rows"))
+    }
+    base.withColumn("anonymous", col("n_rows") >= k)
+  }
 }
