@@ -240,7 +240,11 @@ object ScaleSmoke {
     // bounded by docs × dims) and the k-anonymity audit (two chained
     // grouped counts to O(classes) rows; the cipher multiplies segment
     // values, classes grow linearly)
-    "q185_feature_hash", "q186_k_anonymity")
+    "q185_feature_hash", "q186_k_anonymity",
+    // explicit-value feature pivot (two chained map-side-combined aggs,
+    // output rows track users) and transition rules (one user-keyed
+    // ordering shuffle + arithmetic on the |types|^2 count table)
+    "q187_feature_pivot", "q188_transition_rules")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

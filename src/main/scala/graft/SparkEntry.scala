@@ -2214,6 +2214,27 @@ object SparkEntry {
           Seq(500000L, 900000L, 990000L))
         .orderBy("key", "q_micro")
     }),
+    "q187_feature_pivot" -> ((s, dir) => {
+      // the per-user activity feature table: explicit-value pivot (no
+      // blind distinct job, data-independent schema) compiling to ONE
+      // conditional-aggregate HashAggregate — count + value-sum per
+      // event type, absences zero-filled
+      ops.Behavior.featurePivot(
+          Testbed.graph(s, dir).collection("events"), "user_id",
+          "event_type", "value",
+          Seq("view", "click", "purchase", "signup", "error"))
+        .orderBy("user_id")
+    }),
+    "q188_transition_rules" -> ((s, dir) => {
+      // association rules over consecutive event pairs: support /
+      // confidence / lift in exact integer micros from the transition
+      // count table; one user-keyed ordering shuffle, rule math on
+      // |types|^2 rows
+      ops.Behavior.transitionRules(
+          Testbed.graph(s, dir).collection("events"), "user_id",
+          "event_type", "ts", "event_id", minSupportMicro = 10000L)
+        .orderBy("from_type", "to_type")
+    }),
     "q185_feature_hash" -> ((s, dir) => {
       // the hashing trick: sparse signed 64-dim count vectors with NO
       // vocabulary table — one explode + two map-side-combined aggs,
@@ -4470,6 +4491,44 @@ object SparkEntry {
            FROM fh GROUP BY 1, 2)
          SELECT doc_id, dim, weight FROM w
          WHERE weight <> 0 ORDER BY doc_id, dim""",
+    // q187: the pivot replayed as conditional aggregation — count per
+    // type, round-4 value sums, absences zero-filled on both sides
+    "q187_feature_pivot" -> {
+      val cols = Seq("view", "click", "purchase", "signup", "error")
+        .map { v =>
+          s"""CAST(count(CASE WHEN event_type = '$v' THEN 1 END)
+                AS BIGINT) AS ${v}_n,
+              coalesce(round(sum(CASE WHEN event_type = '$v'
+                THEN value END), 4) + 0.0, 0.0) AS ${v}_sum"""
+        }.mkString(",\n                ")
+      s"""SELECT user_id,
+                $cols
+         FROM events GROUP BY user_id ORDER BY user_id"""
+    },
+    // q188: the transition counts + both marginals + the floored
+    // integer rule math replayed verbatim
+    "q188_transition_rules" ->
+      """WITH p AS (
+           SELECT from_type, to_type, count(*) AS n_ab FROM (
+             SELECT event_type AS from_type,
+                    lead(event_type, 1) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS to_type
+             FROM events) t
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         fa AS (SELECT from_type, CAST(sum(n_ab) AS BIGINT) AS n_a
+                FROM p GROUP BY 1),
+         tb AS (SELECT to_type, CAST(sum(n_ab) AS BIGINT) AS n_b
+                FROM p GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_t FROM p)
+         SELECT p.from_type, p.to_type, n_ab,
+                (n_ab * 1000000) // n_t AS support_micro,
+                (n_ab * 1000000) // n_a AS confidence_micro,
+                (((n_ab * 1000000) // n_a) * 1000000)
+                  // ((n_b * 1000000) // n_t) AS lift_micro
+         FROM p JOIN fa USING (from_type) JOIN tb USING (to_type)
+         CROSS JOIN tt
+         WHERE (n_ab * 1000000) // n_t >= 10000
+         ORDER BY from_type, to_type""",
     // q186: two chained grouped counts — class size as the sum over
     // (quasi, sensitive) cells, l-diversity as the non-null cell count
     "q186_k_anonymity" ->

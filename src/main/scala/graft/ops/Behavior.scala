@@ -201,6 +201,84 @@ object Behavior {
         expr("(n * 1000000) div from_total").as("p_micro"))
   }
 
+  /** Per-entity FEATURE PIVOT — the wide per-user activity table a
+    * training pipeline joins onto examples: one row per key with a
+    * `<type>_n` count and `<type>_sum` value-sum column per pivot
+    * value. Built on `RelationalGroupedDataset.pivot` with an EXPLICIT
+    * value list — the non-negotiable scale form: without it Spark runs
+    * a blind distinct-values job over the corpus AND the output schema
+    * becomes data-dependent (a schema that changes when a new event
+    * type appears is a broken downstream contract). Unlisted types are
+    * simply not columns; keys with no events of a listed type get 0
+    * (counts) / null (sums → coalesced to 0 here, the feature-table
+    * convention).
+    *
+    * TWO chained map-side-combined aggregations (Spark compiles pivot
+    * to a (key, type) pre-aggregation, then a `pivotfirst` fold on the
+    * key — both partial-agg'd, no join, no explode, and crucially no
+    * distinct-values job because the list is explicit); output is
+    * |keys| rows × |values|·2 columns, order following the `values`
+    * list, deterministic. */
+  def featurePivot(events: DataFrame, keyCol: String, typeCol: String,
+      valCol: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "featurePivot needs an explicit value list")
+    require(values.distinct.size == values.size,
+      s"pivot values must be distinct, got $values")
+    events
+      .groupBy(col(keyCol))
+      .pivot(typeCol, values)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(valCol)), 4).as("sum"))
+      .select(col(keyCol) +: values.flatMap(v => Seq(
+        coalesce(col(s"${v}_n"), lit(0L)).as(s"${v}_n"),
+        coalesce(col(s"${v}_sum"), lit(0.0)).as(s"${v}_sum"))): _*)
+  }
+
+  /** First-order ASSOCIATION RULES over consecutive same-user event
+    * pairs — [[transitions]] upgraded from shares to the classic rule
+    * triple, all integer micros over exact counts:
+    *
+    *   - `support_micro`   = n(a→b)·10⁶ div N        (pair frequency)
+    *   - `confidence_micro`= n(a→b)·10⁶ div n(a→·)   (P(b follows a))
+    *   - `lift_micro`      = conf·10⁶ div P(·→b)micro (vs independence;
+    *     > 10⁶ means a genuinely raises the odds of b next)
+    *
+    * where N is the total transition count and P(·→b) the destination
+    * marginal. Rules below `minSupportMicro` drop (the standard noise
+    * floor). Exact integer division end-to-end, so every rule replays
+    * bit-for-bit in SQL.
+    *
+    * Scale posture: [[transitions]]' ONE user-keyed ordering shuffle,
+    * then everything operates on the |types|² count table — the
+    * marginals are two more tiny aggregations and the rule math is
+    * arithmetic on broadcast-sized frames. */
+  def transitionRules(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      minSupportMicro: Long = 0L): DataFrame = {
+    require(minSupportMicro >= 0, s"bad minSupport $minSupportMicro")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("from_type"), col(tsCol),
+        col(tieCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_ab"))
+      .transform(graft.core.Lifecycle.stage(_))
+    val fromTot = pairs.groupBy("from_type").agg(sum("n_ab").as("n_a"))
+    val toTot = pairs.groupBy("to_type").agg(sum("n_ab").as("n_b"))
+    val total = pairs.agg(sum("n_ab").as("n_t"))
+    pairs.join(fromTot, Seq("from_type"))
+      .join(toTot, Seq("to_type"))
+      .crossJoin(broadcast(total))
+      .select(col("from_type"), col("to_type"), col("n_ab"),
+        expr("(n_ab * 1000000) div n_t").as("support_micro"),
+        expr("(n_ab * 1000000) div n_a").as("confidence_micro"),
+        expr("(((n_ab * 1000000) div n_a) * 1000000) div " +
+          "((n_b * 1000000) div n_t)").as("lift_micro"))
+      .filter(col("support_micro") >= minSupportMicro)
+  }
+
   /** Event-rate anomaly detection: daily buckets whose event count sits
     * `k` or more standard deviations from that type's own mean — the
     * monitoring gate over an ingest stream ("this source doubled
