@@ -250,6 +250,8 @@ object Bench {
       // q174's prefix-sliced layout: one-time write untimed, reps
       // measure the pruned coarse scan + survivor rerank
       SparkEntry.prefixStorePath(spark, g.collection("embeddings"), sfDir)
+      // q189's JL-sketch layout likewise
+      SparkEntry.jlStorePath(spark, g.collection("embeddings"), sfDir)
       // q108/q109's posting stores: the one-time corpus tokenization +
       // bucketed write runs here untimed, so the gates' reps measure the
       // pruned stored search, not index construction

@@ -244,7 +244,12 @@ object ScaleSmoke {
     // explicit-value feature pivot (two chained map-side-combined aggs,
     // output rows track users) and transition rules (one user-keyed
     // ordering shuffle + arithmetic on the |types|^2 count table)
-    "q187_feature_pivot", "q188_transition_rules")
+    "q187_feature_pivot", "q188_transition_rules",
+    // stored JL two-stage retrieval (layout staged untimed; the probe
+    // measures the PRUNED sketch scan growing with the corpus while
+    // the fixed id-bounded query batch broadcasts — q174's cost shape
+    // at sketch bandwidth)
+    "q189_knn_projected_stored")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -447,6 +452,9 @@ object ScaleSmoke {
           Testbed.graph(spark, dir).collection("events"), dir)
       if (selectedHas("q174"))
         SparkEntry.prefixStorePath(spark,
+          Testbed.graph(spark, dir).collection("embeddings"), dir)
+      if (selectedHas("q189"))
+        SparkEntry.jlStorePath(spark,
           Testbed.graph(spark, dir).collection("embeddings"), dir)
       if (selectedHas("q108"))
         SparkEntry.postingStorePath(spark,

@@ -563,6 +563,20 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       "packing must never collapse to one partition:\n" + plan.take(3000))
   }
 
+  test("q189 stored JL retrieval: the coarse scan reads (id, sketch) " +
+      "only — the full vectors never leave parquet in stage 1") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val storePath = SparkEntry.jlStorePath(spark, emb, dir)
+    val coarsePlan = graft.sources.JlStore.data(spark, storePath)
+      .select("id", "sketch").queryExecution.executedPlan.toString
+    val coarseScans = scanLines(coarsePlan, "graft-jl-store")
+      .map(s => s.substring(s.indexOf("ReadSchema:")))
+    assert(coarseScans.nonEmpty && coarseScans.forall(rs =>
+        rs.contains("sketch:") && !rs.contains("vec:")),
+      "coarse scan not pruned to (id, sketch):\n" +
+        coarseScans.mkString("\n"))
+  }
+
   test("q184 stored manifest prune: scans the store's stats, never " +
       "lineitem.parquet") {
     val plan = planOf("q184_zonemap_stored")

@@ -61,6 +61,31 @@ class Round16dOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("partial_pivotfirst"), plan.take(3000))
   }
 
+  test("JlStore: stored two-stage retrieval is row-identical to the " +
+      "on-the-fly op under the stored dims; meta round-trips") {
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (math.sin(i * 31 + j * 17) + 0.1 * ((i + j) % 5)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val corpus = emb.filter(col("vec_id") % 25 =!= 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("jlstore").toString
+    graft.sources.JlStore.save(corpus, "vec_id", "embedding", 64, 16,
+      path)
+    val p = graft.sources.JlStore.params(spark, path)
+    assert(p.inDim == 64 && p.outDim == 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank", "score")
+      .collect().map(_.toSeq).toSet
+    val stored = rows(graft.sources.JlStore.twoStageStored(spark, path,
+      queries, "vec_id", "embedding", m = 15, k = 5))
+    val direct = rows(graft.ops.Similarity.twoStageJlTopK(queries,
+      corpus, "vec_id", "embedding", 64, 16, m = 15, k = 5))
+    assert(stored == direct && stored.nonEmpty,
+      s"stored ${stored.size} vs direct ${direct.size}")
+  }
+
   test("transitionRules: hand-computed support/confidence/lift on a " +
       "fixed chain; min-support floor drops rare rules") {
     // user 1: a>b a>b; user 2: a>c — transitions: (a,b)x2, (b,a)x1,
