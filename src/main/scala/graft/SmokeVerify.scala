@@ -1136,6 +1136,93 @@ object SmokeVerify {
           && triBad == 0 && bothDirs) "OK" else "BROKEN"))
     }
 
+    // SMOKE30: round-16 — the planning layer end-to-end (zone maps →
+    // prune verdicts consistent with a direct count; manifest store
+    // fold == direct; compaction bins cover the manifest exactly),
+    // link prediction non-edges only, pivot row/mass accounting, JL
+    // stored == direct retrieval, feature-hash mass == token mass,
+    // k-anonymity class sizes summing to the table.
+    {
+      import graft.ops.{Behavior, Layout, Lexical, Similarity}
+      val li30 = spark.read.parquet(s"$sf/lineitem.parquet")
+      val zm = Layout.pruneByRange(
+        Layout.zoneMaps(li30, date_format(col("l_shipdate"), "yyyy-MM"),
+          Seq("l_shipdate")),
+        "l_shipdate", lit("1995-03-01 00:00:00").cast("timestamp"),
+        lit("1995-09-30 00:00:00").cast("timestamp"))
+      val zRows = zm.agg(sum("n_rows")).collect()(0).getLong(0)
+      val zTotal = li30.count()
+      // kept files must cover >= the rows actually matching the range
+      val keptRows = zm.filter(col("keep")).agg(sum("n_rows"))
+        .collect()(0).getLong(0)
+      val matchRows = li30.filter(col("l_shipdate")
+        .between("1995-03-01", "1995-09-30")).count()
+      val zOk = zRows == zTotal && keptRows >= matchRows
+      val manifestPath = java.nio.file.Files
+        .createTempDirectory("smoke30-manifest").toString
+      graft.sources.ManifestStore.save(
+        li30.filter(col("l_orderkey") % 2 === 0), manifestPath,
+        "date_format(l_shipdate, 'yyyy-MM')", Seq("l_shipdate"))
+      graft.sources.ManifestStore.append(spark, manifestPath,
+        li30.filter(col("l_orderkey") % 2 === 1), "rest")
+      val storedRows = graft.sources.ManifestStore
+        .zoneMapsStored(spark, manifestPath)
+        .agg(sum("n_rows")).collect()(0).getLong(0)
+      val docs30 = spark.read.parquet(s"$sf/documents.parquet")
+      val manifest30 = docs30
+        .groupBy(col("source"), expr("doc_id div 4").as("file_id"))
+        .agg(coalesce(sum(octet_length(col("text"))), lit(0L))
+          .as("bytes"))
+      val packed = Layout.compactionPlan(manifest30, Seq("source"),
+        "file_id", "bytes", 2048L)
+      val packOk = packed.count() == manifest30.count() &&
+        packed.groupBy("source", "bin").count().count() > 20
+      val lp = graft.graph.GraphAnalytics.linkPrediction(
+        SparkEntry.nearDupEdges(spark, sf), k = 50,
+        maxDegree = Some(20L)).collect()
+      val pv = Behavior.featurePivot(
+        spark.read.parquet(s"$sf/events.parquet"), "user_id",
+        "event_type", "value",
+        Seq("view", "click", "purchase", "signup", "error"))
+      val pvN = pv.count()
+      val pvMass = pv.agg(sum(col("view_n")) + sum(col("click_n"))
+        + sum(col("purchase_n")) + sum(col("signup_n"))
+        + sum(col("error_n"))).collect()(0).getLong(0)
+      val evTotal = spark.read.parquet(s"$sf/events.parquet").count()
+      val emb30 = spark.read.parquet(s"$sf/embeddings.parquet")
+      val jlPath = SparkEntry.jlStorePath(spark, emb30, sf)
+      def pairs30(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(_.toSeq).toSet
+      val q30 = emb30.filter(col("vec_id") % 50 === 0
+        && col("vec_id") < 100000000L)
+      val c30 = emb30.filter(col("vec_id") % 50 =!= 0)
+      val jlStored = pairs30(graft.sources.JlStore.twoStageStored(
+        spark, jlPath, q30, "vec_id", "embedding", 20, 5))
+      val jlDirect = pairs30(Similarity.twoStageJlTopK(q30, c30,
+        "vec_id", "embedding", 64, 16, 20, 5))
+      val fh = Lexical.featureHash(docs30, "doc_id", "text", 64,
+        graft.ops.BaseHash.Md5)
+      val fhMass = fh.agg(sum(abs(col("weight")))).collect()(0)
+        .getLong(0)
+      val tokMass = Lexical.postings(docs30, "doc_id", "text")
+        .agg(sum("tf")).collect()(0).getLong(0)
+      val ka = graft.ops.Profile.kAnonymity(
+        spark.read.parquet(s"$sf/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"), 20L, Some("c_acctbal"))
+      val kaSum = ka.agg(sum("n_rows")).collect()(0).getLong(0)
+      val custTotal = spark.read.parquet(s"$sf/customer.parquet").count()
+      println(s"SMOKE30 round16: zoneOk=$zOk storedRows=$storedRows/" +
+        s"$zTotal packOk=$packOk lpNonEdges=${lp.length} " +
+        s"pivotUsers=$pvN pivotMass=$pvMass/$evTotal " +
+        s"jlParity=${jlStored == jlDirect && jlStored.nonEmpty} " +
+        s"fhMass=$fhMass<=$tokMass kaSum=$kaSum/$custTotal => " +
+        (if (zOk && storedRows == zTotal && packOk && lp.nonEmpty
+          && pvMass == evTotal && jlStored == jlDirect
+          && jlStored.nonEmpty && fhMass <= tokMass && fhMass > 0
+          && kaSum == custTotal) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }
