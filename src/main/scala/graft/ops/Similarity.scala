@@ -343,20 +343,26 @@ object Similarity {
     * Per-row cost is `inDim·outDim` fused multiply-adds inside one
     * narrow projection (no shuffle, no stored matrix — the signs are a
     * plan literal broadcast with the closure). */
-  def jlProject(df: DataFrame, idCol: String, vecCol: String, inDim: Int,
-      outDim: Int): DataFrame = {
+  /** The projection as a plain Column over a vector column — the form
+    * storage layouts use to write the sketch BESIDE the original vector
+    * in one select (no join, no second pass). */
+  def jlProjectCol(vec: Column, inDim: Int, outDim: Int): Column = {
     require(inDim >= 1, s"inDim must be positive, got $inDim")
     require(outDim >= 1, s"outDim must be positive, got $outDim")
     val sg = typedLit(jlSigns(inDim, outDim))
     val root = math.sqrt(outDim.toDouble)
-    df.select(col(idCol).cast("long").as(idCol),
-      array((0 until outDim).map { j =>
-        round(aggregate(
-          zip_with(col(vecCol), element_at(sg, j + 1),
-            (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, x) => acc + x) / root, 4)
-      }: _*).as(vecCol))
+    array((0 until outDim).map { j =>
+      round(aggregate(
+        zip_with(vec, element_at(sg, j + 1),
+          (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x) / root, 4)
+    }: _*)
   }
+
+  def jlProject(df: DataFrame, idCol: String, vecCol: String, inDim: Int,
+      outDim: Int): DataFrame =
+    df.select(col(idCol).cast("long").as(idCol),
+      jlProjectCol(col(vecCol), inDim, outDim).as(vecCol))
 
   /** TWO-STAGE batched retrieval over a [[jlProject]] sketch — the
     * model-free cousin of [[twoStagePrefixTopK]] for corpora whose

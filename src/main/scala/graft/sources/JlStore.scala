@@ -32,10 +32,11 @@ object JlStore {
   def save(emb: DataFrame, idCol: String, vecCol: String, inDim: Int,
       outDim: Int, path: String): Unit = {
     import graft.ops.Similarity
-    val sk = Similarity.jlProject(emb, idCol, vecCol, inDim, outDim)
-      .select(col(idCol).as("id"), col(vecCol).as("sketch"))
-    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(sk, Seq("id"))
+    // ONE select writes sketch beside vector — no self-join, no second
+    // corpus pass: at 100 TB the save is exactly one scan + one write
+    emb.select(col(idCol).cast("long").as("id"),
+        Similarity.jlProjectCol(col(vecCol), inDim, outDim).as("sketch"),
+        col(vecCol).as("vec"))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/data")
     import emb.sparkSession.implicits._
     Seq((Version, inDim, outDim, idCol, vecCol))
