@@ -1223,6 +1223,64 @@ object SmokeVerify {
           && kaSum == custTotal) "OK" else "BROKEN"))
     }
 
+    // SMOKE31: round-17 first wave — the maintenance hardening
+    // end-to-end on real tables: (a) a SketchStore batch id replayed
+    // AFTER compact+vacuum is still skipped and the counters are
+    // byte-stable across the whole maintenance cycle; (b) JlStore
+    // stored retrieval under RENAMED query columns equals the
+    // original-name probe; (c) the skew advisor's share column still
+    // sums to ~1e6 micros under its new per-column overflow guard.
+    {
+      val li31 = spark.read.parquet(s"$sf/lineitem.parquet")
+      val storePath = java.nio.file.Files
+        .createTempDirectory("smoke31-sketch").toString
+      graft.sources.SketchStore.save(
+        li31.filter(col("l_linenumber") <= 3), Seq("l_returnflag"),
+        col("l_suppkey"), storePath, depth = 4, width = 512,
+        hasher = graft.ops.BaseHash.Md5)
+      graft.sources.SketchStore.append(spark, storePath,
+        li31.filter(col("l_linenumber") > 3), col("l_suppkey"),
+        batchId = "rest")
+      val preMaint = graft.sources.SketchStore
+        .counters(spark, storePath).collect().map(_.toSeq).toSet
+      graft.sources.SketchStore.compact(spark, storePath)
+      val replayAfterCompact = graft.sources.SketchStore.append(spark,
+        storePath, li31.filter(col("l_linenumber") > 3),
+        col("l_suppkey"), batchId = "rest")
+      val vacuumed = graft.sources.SketchStore.vacuum(spark, storePath)
+      val postMaint = graft.sources.SketchStore
+        .counters(spark, storePath).collect().map(_.toSeq).toSet
+      val emb31 = spark.read.parquet(s"$sf/embeddings.parquet")
+      val jlPath31 = SparkEntry.jlStorePath(spark, emb31, sf)
+      val q31 = emb31.filter(col("vec_id") % 50 === 0
+        && col("vec_id") < 100000000L)
+      def pairs31(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(_.toSeq).toSet
+      val jlOrig = pairs31(graft.sources.JlStore.twoStageStored(
+        spark, jlPath31, q31, "vec_id", "embedding", 20, 5))
+      val jlRenamed = pairs31(graft.sources.JlStore.twoStageStored(
+        spark, jlPath31,
+        q31.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", 20, 5))
+      val orders31 = spark.read.parquet(s"$sf/orders.parquet")
+      val cust31 = spark.read.parquet(s"$sf/customer.parquet")
+      val skew = graft.ops.Skew.joinSkewReport(
+        orders31.select(col("o_custkey").as("k")),
+        cust31.select(col("c_custkey").as("k")), "k", k = 1000000)
+      val shareSum = skew.agg(sum("share_micro")).collect()(0).getLong(0)
+      println(s"SMOKE31 round17: counterStable=${preMaint == postMaint} " +
+        s"replayGuard=${!replayAfterCompact} " +
+        s"vacuumed=${vacuumed.size} " +
+        s"jlRenamedParity=${jlOrig == jlRenamed && jlOrig.nonEmpty} " +
+        s"skewShareSum=$shareSum => " +
+        (if (preMaint == postMaint && preMaint.nonEmpty
+          && !replayAfterCompact && vacuumed.nonEmpty
+          && jlOrig == jlRenamed && jlOrig.nonEmpty
+          && shareSum > 900000L && shareSum <= 1000000L)
+          "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

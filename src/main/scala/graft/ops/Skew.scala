@@ -58,7 +58,13 @@ object Skew {
     * way a long product would — shares stay exact integer arithmetic
     * and the report replays bit-for-bit. The displayed `out_rows`
     * column stays BIGINT; a key whose contribution genuinely exceeds
-    * Long.MaxValue fails LOUDLY (raise_error) rather than truncating. */
+    * Long.MaxValue fails LOUDLY (raise_error) rather than truncating,
+    * and `share_micro` carries its OWN copy of that guard: its
+    * `_out_dec * 1e6` product is only precision-safe (≤ ~9.2e24 of the
+    * decimal(38,0) cap) once `_out_dec ≤ Long.MaxValue` is established,
+    * so past the guard it would otherwise overflow to a SILENT null in
+    * non-ANSI mode — each column fails loudly on its own, independent
+    * of sibling-column evaluation order. */
   def joinSkewReport(left: DataFrame, right: DataFrame, key: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
@@ -78,7 +84,13 @@ object Skew {
             "joinSkewReport: out_rows exceeds BIGINT for key "),
             col(key).cast("string"))).cast("long"))
           .as("out_rows"),
-        expr("(_out_dec * 1000000) div _t").as("share_micro"))
+        when(col("_out_dec") <= lit(Long.MaxValue),
+            expr("(_out_dec * 1000000) div _t"))
+          .otherwise(raise_error(concat(lit(
+            "joinSkewReport: share_micro product exceeds decimal(38,0) " +
+              "for key "), col(key).cast("string")))
+            .cast("long")) // `div` yields BIGINT — branch types must agree
+          .as("share_micro"))
       .orderBy(col("out_rows").desc, col(key))
       .limit(k)
   }

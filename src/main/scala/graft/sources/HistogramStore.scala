@@ -26,21 +26,30 @@ import graft.ops.Sketches
   * constant-size-sketch posture. */
 object HistogramStore {
 
+  /** `batches` is the LIVE directory list (what readers union);
+    * `committed` is the append-ledger of every batch id ever committed —
+    * [[compact]] collapses the former but PRESERVES the latter, so a
+    * replayed batch id after a compaction is still skipped. */
   final case class Params(lo: Double, hi: Double, bins: Int,
-      keyCol: String, valCol: String, batches: Seq[String])
+      keyCol: String, valCol: String, batches: Seq[String],
+      committed: Seq[String])
 
-  private val Version = 1
+  // v2: meta carries the committed-id ledger separately from the live
+  // directory list — v1 stores lose replay protection across compact
+  private val Version = 2
 
   private def writeMeta(spark: SparkSession, path: String,
       p: Params): Unit = {
     import spark.implicits._
-    Seq((Version, p.lo, p.hi, p.bins, p.keyCol, p.valCol, p.batches))
+    Seq((Version, p.lo, p.hi, p.bins, p.keyCol, p.valCol, p.batches,
+        p.committed))
       .toDF("version", "lo", "hi", "bins", "key_col", "val_col",
-        "batches")
+        "batches", "committed")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
-  /** The stored grid + committed batch list — a 1-row driver read. */
+  /** The stored grid + live directory list + committed-id ledger — a
+    * 1-row driver read. */
   def params(spark: SparkSession, path: String): Params = {
     val rows = spark.read.parquet(s"$path/meta").collect()
     require(rows.nonEmpty, s"no histogram-store meta at $path/meta")
@@ -49,14 +58,15 @@ object HistogramStore {
       s"histogram store at $path has version ${r.getInt(0)}, " +
         s"this engine reads version $Version")
     Params(r.getDouble(1), r.getDouble(2), r.getInt(3), r.getString(4),
-      r.getString(5), r.getSeq[String](6))
+      r.getString(5), r.getSeq[String](6), r.getSeq[String](7))
   }
 
   /** Build the store over `df` and persist under `path` (overwrite
     * semantics — snapshot build; grow it with [[append]]). */
   def save(df: DataFrame, path: String, keyCol: String, valCol: String,
       lo: Double, hi: Double, bins: Int): Unit = {
-    val p = Params(lo, hi, bins, keyCol, valCol, Seq("b-init"))
+    val p = Params(lo, hi, bins, keyCol, valCol, Seq("b-init"),
+      Seq("b-init"))
     Sketches.histogramBinCounts(df, keyCol, valCol, lo, hi, bins)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/b-init")
     // meta LAST — its presence marks a complete store
@@ -83,20 +93,24 @@ object HistogramStore {
       s"batchId must be [A-Za-z0-9_-]+, got '$batchId'")
     val p = params(spark, path)
     val dir = s"b-$batchId"
-    if (p.batches.contains(dir)) false
+    // replay guard checks the LEDGER, not the live list — a batch id
+    // committed before a compact stays recognized after it
+    if (p.committed.contains(dir)) false
     else {
       Sketches.histogramBinCounts(batch, p.keyCol, p.valCol, p.lo, p.hi,
           p.bins)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$dir")
-      writeMeta(spark, path, p.copy(batches = p.batches :+ dir))
+      writeMeta(spark, path, p.copy(batches = p.batches :+ dir,
+        committed = p.committed :+ dir))
       true
     }
   }
 
   /** Fold all committed batches into one summed directory and swap the
-    * meta list to it — values unchanged (addition re-associates), only
-    * the fragment count drops. Superseded directories become invisible
-    * orphans (reclaimed out-of-band). */
+    * LIVE list to it — values unchanged (addition re-associates), only
+    * the fragment count drops; the committed-id ledger is preserved, so
+    * append's replay guard survives. Superseded directories become
+    * invisible orphans ([[vacuum]] reclaims them). */
   def compact(spark: SparkSession, path: String): Unit = {
     val p = params(spark, path)
     if (p.batches != Seq("b-init")) {
@@ -107,6 +121,12 @@ object HistogramStore {
       writeMeta(spark, path, p.copy(batches = Seq(gen)))
     }
   }
+
+  /** Reclaim superseded compact generations and crashed-append orphans
+    * — every directory not in the live list ([[StoreMaint.vacuum]];
+    * same single-writer contract as append/compact). */
+  def vacuum(spark: SparkSession, path: String): Seq[String] =
+    StoreMaint.vacuum(spark, path, params(spark, path).batches.toSet)
 
   /** Quantile read over the live counts under the stored grid —
     * [[graft.ops.Sketches.histogramQuantilesFromCounts]] with lo/hi/bins

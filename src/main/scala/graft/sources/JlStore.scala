@@ -85,8 +85,11 @@ object JlStore {
           sqrt(Similarity.dotFold(col("sketch"), col("sketch")))
             .as(s"nrm_$side"))
         .filter(col(s"nrm_$side") > 0)
+    // select with the CALLER's idCol/vecCol (jlProject keeps its input
+    // names) — the save-time p.idCol/p.vecCol name only the persisted
+    // layout, and a query frame is free to use different column names
     val qSk = prep(Similarity.jlProject(queries, idCol, vecCol, p.inDim,
-        p.outDim).select(col(p.idCol).as("id"), col(p.vecCol).as("sketch")),
+        p.outDim).select(col(idCol).as("id"), col(vecCol).as("sketch")),
       "b").transform(graft.core.Lifecycle.stage(_))
     val qHint0 = OpsUtil.gatedHint("jlTwoStageStored", "querySketch", qSk,
       maxBroadcastRows)

@@ -27,21 +27,29 @@ import graft.ops.Layout
   * manifest is the ONLY thing the planner reads. */
 object ManifestStore {
 
+  /** `batches` is the LIVE directory list (what readers union);
+    * `committed` is the append-ledger of every batch id ever committed —
+    * [[compact]] collapses the former but PRESERVES the latter, so a
+    * streaming restart replaying a micro-batch after a compaction is
+    * still recognized and skipped (the exactly-once contract survives
+    * maintenance). */
   final case class Params(fileExpr: String, statCols: Seq[String],
-      batches: Seq[String])
+      batches: Seq[String], committed: Seq[String])
 
-  private val Version = 1
+  // v2: meta carries the committed-id ledger separately from the live
+  // directory list — v1 stores lose replay protection across compact
+  private val Version = 2
 
   private def writeMeta(spark: SparkSession, path: String,
       p: Params): Unit = {
     import spark.implicits._
-    Seq((Version, p.fileExpr, p.statCols, p.batches))
-      .toDF("version", "file_expr", "stat_cols", "batches")
+    Seq((Version, p.fileExpr, p.statCols, p.batches, p.committed))
+      .toDF("version", "file_expr", "stat_cols", "batches", "committed")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
-  /** The stored file expression + stat columns + committed batch list —
-    * a 1-row driver read. */
+  /** The stored file expression + stat columns + live directory list +
+    * committed-id ledger — a 1-row driver read. */
   def params(spark: SparkSession, path: String): Params = {
     val rows = spark.read.parquet(s"$path/meta").collect()
     require(rows.nonEmpty, s"no manifest-store meta at $path/meta")
@@ -49,7 +57,8 @@ object ManifestStore {
     require(r.getInt(0) == Version,
       s"manifest store at $path has version ${r.getInt(0)}, " +
         s"this engine reads version $Version")
-    Params(r.getString(1), r.getSeq[String](2), r.getSeq[String](3))
+    Params(r.getString(1), r.getSeq[String](2), r.getSeq[String](3),
+      r.getSeq[String](4))
   }
 
   /** Fold fragment rows to one live row per file: counts add, min/max
@@ -70,7 +79,7 @@ object ManifestStore {
     * layout. */
   def save(df: DataFrame, path: String, fileExpr: String,
       statCols: Seq[String]): Unit = {
-    val p = Params(fileExpr, statCols, Seq("b-init"))
+    val p = Params(fileExpr, statCols, Seq("b-init"), Seq("b-init"))
     Layout.zoneMaps(df, expr(fileExpr), statCols)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/b-init")
     // meta LAST — its presence marks a complete store
@@ -96,19 +105,23 @@ object ManifestStore {
       s"batchId must be [A-Za-z0-9_-]+, got '$batchId'")
     val p = params(spark, path)
     val dir = s"b-$batchId"
-    if (p.batches.contains(dir)) false
+    // replay guard checks the LEDGER, not the live list — a batch id
+    // committed before a compact stays recognized after it
+    if (p.committed.contains(dir)) false
     else {
       Layout.zoneMaps(batch, expr(p.fileExpr), p.statCols)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$dir")
-      writeMeta(spark, path, p.copy(batches = p.batches :+ dir))
+      writeMeta(spark, path, p.copy(batches = p.batches :+ dir,
+        committed = p.committed :+ dir))
       true
     }
   }
 
-  /** Fold all committed batches into one directory and swap the meta
+  /** Fold all committed batches into one directory and swap the LIVE
     * list to it — values unchanged (the fold re-associates), only the
-    * fragment count drops. Superseded directories become invisible
-    * orphans (reclaimed out-of-band). */
+    * fragment count drops; the committed-id ledger is preserved, so
+    * append's replay guard survives. Superseded directories become
+    * invisible orphans ([[vacuum]] reclaims them). */
   def compact(spark: SparkSession, path: String): Unit = {
     val p = params(spark, path)
     if (p.batches != Seq("b-init")) {
@@ -118,6 +131,12 @@ object ManifestStore {
       writeMeta(spark, path, p.copy(batches = Seq(gen)))
     }
   }
+
+  /** Reclaim superseded compact generations and crashed-append orphans
+    * — every directory not in the live list ([[StoreMaint.vacuum]];
+    * same single-writer contract as append/compact). */
+  def vacuum(spark: SparkSession, path: String): Seq[String] =
+    StoreMaint.vacuum(spark, path, params(spark, path).batches.toSet)
 
   /** Range-predicate pruning over the LIVE manifest — the planning read:
     * O(files) rows from the store, the data files never open. */

@@ -30,8 +30,13 @@ import graft.ops.{BaseHash, Sketches}
   */
 object SketchStore {
 
+  /** `batches` is the LIVE directory list (what readers union);
+    * `committed` is the append-ledger of every batch id ever committed —
+    * [[compact]] collapses the former but PRESERVES the latter, so a
+    * replayed batch id after a compaction is still skipped. */
   final case class Params(depth: Int, width: Int, hash: String,
-      groupCols: Seq[String], batches: Seq[String]) {
+      groupCols: Seq[String], batches: Seq[String],
+      committed: Seq[String]) {
     def baseHash: BaseHash = hash match {
       case "xx" => BaseHash.Xx
       case "md5" => BaseHash.Md5
@@ -48,18 +53,22 @@ object SketchStore {
   // v2: bucket derivation moved to the two-hash Kirsch-Mitzenmacher form
   // (h1 + r·h2 mod width) — counters built under the v1 per-row salted
   // hash land in different buckets, so old stores must not be read
-  private val Version = 2
+  // v3: meta carries the committed-id ledger separately from the live
+  // directory list — v2 stores lose replay protection across compact
+  private val Version = 3
 
   private def writeMeta(spark: SparkSession, path: String,
       p: Params): Unit = {
     import spark.implicits._
-    Seq((Version, p.depth, p.width, p.hash, p.groupCols, p.batches))
-      .toDF("version", "depth", "width", "hash", "group_cols", "batches")
+    Seq((Version, p.depth, p.width, p.hash, p.groupCols, p.batches,
+        p.committed))
+      .toDF("version", "depth", "width", "hash", "group_cols", "batches",
+        "committed")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
-  /** The stored parameters + committed batch list — a 1-row driver
-    * read. */
+  /** The stored parameters + live directory list + committed-id ledger
+    * — a 1-row driver read. */
   def params(spark: SparkSession, path: String): Params = {
     val rows = spark.read.parquet(s"$path/meta").collect()
     require(rows.nonEmpty, s"no sketch-store meta at $path/meta")
@@ -68,7 +77,7 @@ object SketchStore {
       s"sketch store at $path has version ${r.getInt(0)}, " +
         s"this engine reads version $Version")
     Params(r.getInt(1), r.getInt(2), r.getString(3),
-      r.getSeq[String](4), r.getSeq[String](5))
+      r.getSeq[String](4), r.getSeq[String](5), r.getSeq[String](6))
   }
 
   private def deltasOf(df: DataFrame, groupCols: Seq[String], key: Column,
@@ -81,7 +90,8 @@ object SketchStore {
   def save(df: DataFrame, groupCols: Seq[String], key: Column,
       path: String, depth: Int, width: Int,
       weight: Column = lit(1L), hasher: BaseHash = BaseHash.Xx): Unit = {
-    val p = Params(depth, width, hashName(hasher), groupCols, Seq("b-init"))
+    val p = Params(depth, width, hashName(hasher), groupCols,
+      Seq("b-init"), Seq("b-init"))
     deltasOf(df, groupCols, key, weight, p)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/b-init")
     // meta LAST — its presence marks a complete store
@@ -114,20 +124,24 @@ object SketchStore {
       s"batchId must be [A-Za-z0-9_-]+, got '$batchId'")
     val p = params(spark, path)
     val dir = s"b-$batchId"
-    if (p.batches.contains(dir)) false
+    // replay guard checks the LEDGER, not the live list — a batch id
+    // committed before a compact stays recognized after it
+    if (p.committed.contains(dir)) false
     else {
       deltasOf(batch, p.groupCols, key, weight, p)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$dir")
-      writeMeta(spark, path, p.copy(batches = p.batches :+ dir))
+      writeMeta(spark, path, p.copy(batches = p.batches :+ dir,
+        committed = p.committed :+ dir))
       true
     }
   }
 
   /** Fold all committed batches into one summed directory and swap the
-    * meta list to it — the counter values are unchanged (addition
-    * re-associates), only the fragment count drops. Superseded batch
-    * directories become invisible orphans (reclaimed out-of-band, as
-    * with IvfIndex version rotation). */
+    * LIVE list to it — the counter values are unchanged (addition
+    * re-associates), only the fragment count drops; the committed-id
+    * ledger is preserved, so append's replay guard survives. Superseded
+    * batch directories become invisible orphans ([[vacuum]] reclaims
+    * them). */
   def compact(spark: SparkSession, path: String): Unit = {
     val p = params(spark, path)
     if (p.batches != Seq("b-init")) {
@@ -137,6 +151,12 @@ object SketchStore {
       writeMeta(spark, path, p.copy(batches = Seq(gen)))
     }
   }
+
+  /** Reclaim superseded compact generations and crashed-append orphans
+    * — every directory not in the live list ([[StoreMaint.vacuum]];
+    * same single-writer contract as append/compact). */
+  def vacuum(spark: SparkSession, path: String): Seq[String] =
+    StoreMaint.vacuum(spark, path, params(spark, path).batches.toSet)
 
   /** Heavy-hitter probe of the live counters under the stored params —
     * [[graft.ops.Sketches.cmsTopK]] with depth/width/hasher resolved

@@ -119,7 +119,7 @@ class SketchStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
         batchId = "../evil")
     }
     intercept[IllegalArgumentException] {
-      SketchStore.Params(3, 64, "nope", Seq("g"), Nil).baseHash
+      SketchStore.Params(3, 64, "nope", Seq("g"), Nil, Nil).baseHash
     }
   }
 }
