@@ -249,7 +249,13 @@ object ScaleSmoke {
     // measures the PRUNED sketch scan growing with the corpus while
     // the fixed id-bounded query batch broadcasts — q174's cost shape
     // at sketch bandwidth)
-    "q189_knn_projected_stored")
+    "q189_knn_projected_stored",
+    // round-17 wave: the compaction EXECUTOR (broadcast O(files) plan
+    // join routes the linear corpus scan, one map-side-combined stats
+    // agg re-minimizes — manifest rows grow with files, data rows with
+    // corpus, both linear) and k-anonymity suppression (the audit agg
+    // + a broadcast semi-join filter over the corpus scan)
+    "q190_compaction_apply", "q191_k_suppress")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -393,11 +399,35 @@ object ScaleSmoke {
     def reset(): Unit = { in.set(0); shuf.set(0); shufRec.set(0) }
   }
 
+  /** The iterative graph kernels — the suite's most expensive probes.
+    * [[run]] measures these FIRST (pressure-honest protocol, round 17):
+    * the r16 suite ran q159 LPA after ~60 prior probes and read 21.5×
+    * under accumulated same-JVM GC + page-cache pressure, while a
+    * quiet-JVM solo re-probe of the identical query read 10.1×. A probe
+    * whose pass depends on its position in the run order is measuring
+    * the protocol, not the kernel — so the kernels whose walls dominate
+    * the suite (and whose bar margins are thinnest) run before the ~75
+    * cheap probes can pressurize the JVM, and the canonical artifact
+    * passes without a solo-re-probe footnote. Relative order within the
+    * family: most expensive first, so q159 sees the coldest JVM. */
+  val IterativeFirst = Seq("q159_label_prop", "q158_hits",
+    "q40_connected_components", "q67_pagerank_converged",
+    "q68_personalized_pagerank", "q75_expand", "q78_multi_shortest_paths")
+
+  /** Selected probes in measurement order: the iterative family first
+    * (in [[IterativeFirst]]'s own order), everything else in its listed
+    * order. A subset run keeps the same discipline. */
+  private[graft] def measurementOrder(probes: Seq[String]): Seq[String] = {
+    val iter = IterativeFirst.filter(probes.contains)
+    iter ++ probes.filterNot(iter.contains)
+  }
+
   /** Run every probe against both directories (overlay build excluded
     * from walls, one warm rep then one measured rep per side — the probe
     * compares the same measurement discipline across scales). */
   def run(spark: SparkSession, base: String, scaledDir: String,
-      probes: Seq[String] = Probes): Seq[Probe] = {
+      probes0: Seq[String] = Probes): Seq[Probe] = {
+    val probes = measurementOrder(probes0)
     materialize(spark, base, scaledDir)
     // ingest + overlay cost excluded, as in Bench's build phase: the edge
     // frames AND the shared GraphX overlays are warmed BEFORE the cleanup

@@ -1281,6 +1281,65 @@ object SmokeVerify {
           "OK" else "BROKEN"))
     }
 
+    // SMOKE32: round-17 second wave — the compaction loop CLOSED and
+    // k-anonymity ENFORCED, end-to-end on real tables: (a) plan → route
+    // → rewriteLayout on a lineitem manifest store, then assert the
+    // stored manifest equals a fresh zoneMaps pass over the rewritten
+    // layout AND an append still folds under the post-rewrite naming;
+    // (b) suppressSmallClasses' release re-audits 100% anonymous and
+    // keeps exactly the rows of k-reaching classes.
+    {
+      val li32 = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_shipdate", "l_quantity")
+      val path32 = java.nio.file.Files
+        .createTempDirectory("smoke32-manifest").toString
+      graft.sources.ManifestStore.save(
+        li32.filter(col("l_orderkey") % 2 === 0), path32,
+        "date_format(l_shipdate, 'yyyy-MM')",
+        Seq("l_shipdate", "l_quantity"))
+      graft.sources.ManifestStore.append(spark, path32,
+        li32.filter(col("l_orderkey") % 2 === 1), batchId = "rest")
+      val m32 = graft.sources.ManifestStore.zoneMapsStored(spark, path32)
+        .withColumn("k", lit("all"))
+      val plan32 = graft.ops.Layout.compactionPlan(m32, Seq("k"),
+        "file_id", "n_rows", targetBytes = 2000L)
+      val routed32 = graft.ops.Layout.compactionApply(
+          li32.withColumn("k", lit("all")),
+          date_format(col("l_shipdate"), "yyyy-MM"), plan32,
+          Seq("k"), "file_id")
+        .withColumn("new_file", concat_ws("#", col("k"), col("bin")))
+      graft.sources.ManifestStore.rewriteLayout(spark, path32, routed32,
+        "new_file")
+      val storedRw = graft.sources.ManifestStore
+        .zoneMapsStored(spark, path32)
+        .orderBy("file_id").collect().map(_.toSeq).toSeq
+      val freshRw = graft.ops.Layout.zoneMaps(routed32, col("new_file"),
+          Seq("l_shipdate", "l_quantity"))
+        .orderBy("file_id").collect().map(_.toSeq).toSeq
+      val appendAfterRw = graft.sources.ManifestStore.append(spark,
+        path32, routed32.limit(50), batchId = "post-rw")
+      val cust32 = spark.read.parquet(s"$sf/customer.parquet")
+      // k = 8 discriminates at sf0.001 (150 customers over 25
+      // nations): a handful of nation classes reach 8, most don't
+      val released = graft.ops.Profile.suppressSmallClasses(cust32,
+        Seq("c_nationkey"), k = 8L)
+      val reaudit = graft.ops.Profile.kAnonymity(released,
+        Seq("c_nationkey"), k = 8L)
+      val badClasses = reaudit.filter(!col("anonymous")).count()
+      val keptClasses = graft.ops.Profile.kAnonymity(cust32,
+          Seq("c_nationkey"), k = 8L)
+        .filter(col("anonymous"))
+        .agg(coalesce(sum("n_rows"), lit(0L))).collect()(0).getLong(0)
+      println(s"SMOKE32 round17b: rwParity=${storedRw == freshRw} " +
+        s"rwFiles=${storedRw.size} appendAfterRw=$appendAfterRw " +
+        s"releasedRows=${released.count()}/$keptClasses " +
+        s"reauditBad=$badClasses => " +
+        (if (storedRw == freshRw && storedRw.nonEmpty && appendAfterRw
+          && released.count() == keptClasses && keptClasses > 0
+          && released.count() < cust32.count()
+          && badClasses == 0) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

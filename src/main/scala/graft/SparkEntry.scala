@@ -2274,6 +2274,40 @@ object SparkEntry {
           sensitiveCol = Some("c_acctbal"))
         .orderBy("c_nationkey", "c_mktsegment")
     }),
+    "q190_compaction_apply" -> ((s, dir) => {
+      // the second half of the compaction loop: q178's plan EXECUTED.
+      // Every doc routes to its rewrite bin through the broadcast
+      // O(files) plan (a row missing from the plan raise_errors — a
+      // silent drop would be data loss), then the post-compaction
+      // manifest is a fresh zoneMaps pass over the rewritten layout:
+      // per new file (source#bin) the merged row count and
+      // re-minimized doc_id stats. The oracle recomputes the whole
+      // loop — packing rule, routing join, fresh stats — independently.
+      val d = Testbed.graph(s, dir).collection("documents")
+      val manifest = d
+        .groupBy(col("source"), expr("doc_id div 4").as("file_id"))
+        .agg(coalesce(sum(octet_length(col("text"))), lit(0L))
+          .as("bytes"))
+      val plan = ops.Layout.compactionPlan(manifest, Seq("source"),
+        "file_id", "bytes", targetBytes = 2048L)
+      val routed = ops.Layout.compactionApply(d,
+        expr("doc_id div 4"), plan, Seq("source"), "file_id")
+      ops.Layout.zoneMaps(routed,
+          concat_ws("#", col("source"), col("bin")), Seq("doc_id"))
+        .orderBy("file_id")
+    }),
+    "q191_k_suppress" -> ((s, dir) => {
+      // the enforcement half of q186: suppression — the released rows
+      // are exactly those whose (nation, segment) class reached k=20;
+      // the anonymous-class list broadcasts, the fact rows never
+      // shuffle (map-side semi-join filter)
+      ops.Profile.suppressSmallClasses(
+          Testbed.graph(s, dir).collection("customer")
+            .select("c_custkey", "c_nationkey", "c_mktsegment",
+              "c_acctbal"),
+          Seq("c_nationkey", "c_mktsegment"), k = 20L)
+        .orderBy("c_custkey")
+    }),
     "q184_zonemap_stored" -> ((s, dir) => {
       // q177's pruning read against the PERSISTED manifest store, built
       // incrementally (save even orderkeys, append the odd half — the
@@ -4577,6 +4611,41 @@ object SparkEntry {
          SELECT c_nationkey, c_mktsegment, n_rows, l_diversity,
                 n_rows >= 20 AS anonymous
          FROM a ORDER BY c_nationkey, c_mktsegment""",
+    // q190: the whole compaction loop replayed — q178's packing rule,
+    // the routing join, and the fresh per-(source, bin) stats pass,
+    // all integer/string exact
+    "q190_compaction_apply" ->
+      """WITH m AS (
+           SELECT source, doc_id // 4 AS file_id,
+                  CAST(coalesce(sum(octet_length(encode(text))), 0)
+                    AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT source, file_id,
+                  CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+                    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin
+           FROM m),
+         r AS (
+           SELECT d.doc_id, d.source, c.bin
+           FROM documents d
+           JOIN c ON d.source = c.source AND d.doc_id // 4 = c.file_id)
+         SELECT concat(source, '#', CAST(bin AS VARCHAR)) AS file_id,
+                count(*) AS n_rows, min(doc_id) AS min_doc_id,
+                max(doc_id) AS max_doc_id,
+                CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_doc_id
+         FROM r GROUP BY 1 ORDER BY file_id""",
+    // q191: suppression replayed as HAVING >= k + a plain join
+    "q191_k_suppress" ->
+      """WITH a AS (
+           SELECT c_nationkey, c_mktsegment FROM customer
+           GROUP BY 1, 2 HAVING count(*) >= 20)
+         SELECT c_custkey, c.c_nationkey, c.c_mktsegment, c_acctbal
+         FROM customer c
+         JOIN a ON c.c_nationkey = a.c_nationkey
+               AND c.c_mktsegment = a.c_mktsegment
+         ORDER BY c_custkey""",
     // q180: the per-step gap chain replayed as three join+min CTEs —
     // earliest-greedy, each step within the gap of the previous match
     "q180_funnel_gaps" ->

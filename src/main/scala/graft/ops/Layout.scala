@@ -113,4 +113,43 @@ object Layout {
       .withColumn("bin", expr(s"_cum_before div ${targetBytes}L"))
       .drop("_cum_before")
   }
+
+  /** Execute a [[compactionPlan]]: route every data row to its rewrite
+    * bin. Output = the input rows plus `old_file` (the row's current
+    * file, from `fileExpr`) and `bin` (its rewrite group within the
+    * partition key) — the frame a rewrite job writes back clustered by
+    * `(keyCols, bin)`, and the input to the fresh [[zoneMaps]] pass
+    * that re-minimizes the manifest ([[graft.sources.ManifestStore
+    * .rewriteLayout]] persists that pass as a new store generation).
+    *
+    * The plan is O(files) rows, so it broadcasts under the usual count
+    * gate and the routing join stays map-side — each input file's rows
+    * are read exactly once, no shuffle beyond what the caller's write
+    * clustering needs. A row whose (key, file) is ABSENT from the plan
+    * fails LOUDLY (raise_error): a compaction that silently drops rows
+    * is data loss, and a plan built from a stale manifest must surface
+    * as an error, not a smaller table. */
+  def compactionApply(rows: DataFrame, fileExpr: Column, plan: DataFrame,
+      keyCols: Seq[String], fileCol: String,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "compactionApply needs >= 1 key column")
+    val sel = plan.select(
+      keyCols.map(col) ++ Seq(col(fileCol).as("old_file"),
+        col("bin").as("_plan_bin")): _*)
+    val hint = OpsUtil.gatedHint("compactionApply", "plan", sel,
+      maxBroadcastRows)
+    rows.withColumn("old_file", fileExpr)
+      .join(hint(sel), keyCols :+ "old_file", "left")
+      // the loud guard lives in a FILTER, not a projected column: a
+      // projection can be column-pruned away by any downstream plan
+      // that doesn't read `bin` (even a bare count()), but a filter
+      // must evaluate per row to decide the row set — so a plan gap
+      // errors under EVERY consumer, never silently drops
+      .filter(when(col("_plan_bin").isNull,
+        raise_error(concat(
+          lit("compactionApply: no plan bin for file "),
+          col("old_file").cast("string"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumnRenamed("_plan_bin", "bin")
+  }
 }

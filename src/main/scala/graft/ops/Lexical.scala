@@ -275,9 +275,20 @@ object Lexical {
         .select(col("id").as("query_id"), col("term")))
     val hint = OpsUtil.gatedHint("bm25TopKJoin", "queries", qterms,
       maxBroadcastRows)
+    // The doc-length join is the one join here Catalyst was left to plan
+    // from sampled sizes, and it flipped between broadcast and shuffle
+    // run-to-run (the r15/r16 bench variance class q110/q114). Pin it
+    // under the SAME count gate — nDocs is already collected, so the
+    // gate is free: ≤ maxBroadcastRows docs broadcasts (bench scale, and
+    // any benchmark-batch use), a 100 TB corpus falls back to the honest
+    // id-keyed shuffle join.
+    val dlHint =
+      if (OpsUtil.broadcastGate("bm25TopKJoin", "docLengths",
+        stats.getLong(0), maxBroadcastRows)) broadcast(dls)
+      else dls
     val sliver = post
       .join(hint(qterms.select("term").distinct()), Seq("term"), "left_semi")
-      .join(dls, Seq("id"))
+      .join(dlHint, Seq("id"))
     bm25JoinFromSliver(sliver, hint(qterms), stats.getLong(0),
       stats.getLong(1), k, dfBound)
   }

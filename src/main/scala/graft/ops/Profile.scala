@@ -72,4 +72,35 @@ object Profile {
     }
     base.withColumn("anonymous", col("n_rows") >= k)
   }
+
+  /** ENFORCE the contract [[kAnonymity]] audits — suppression: drop
+    * every row of an equivalence class smaller than `k`, so the
+    * released frame satisfies k-anonymity by construction (each
+    * surviving quasi tuple is shared by ≥ k released rows). This is
+    * the transform that CONSUMES the audit's verdict column; the audit
+    * alone tells you a release is unsafe, this makes it safe.
+    *
+    * Suppression, not generalization, deliberately: coarsening rules
+    * are domain schema (which hierarchy, which cut) while dropping is
+    * universal and exactly replayable — a caller with a hierarchy
+    * expresses generalization as `withColumn(quasi, coarsen(quasi))`
+    * BEFORE this call and gets the k guarantee on the coarsened class.
+    *
+    * Scale posture: the O(classes) audit aggregation + ONE semi-join
+    * back onto the corpus scan; the anonymous-class list broadcasts
+    * under the usual count gate (with logged shuffle fallback), so at
+    * 100 TB the fact rows never shuffle — suppression is a map-side
+    * filter. Null-safe on the quasi columns: a NULL class is a class
+    * like any other (matching [[kAnonymity]]'s GROUP BY semantics). */
+  def suppressSmallClasses(df: DataFrame, quasiCols: Seq[String],
+      k: Long, maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val classes = kAnonymity(df, quasiCols, k)
+      .filter(col("anonymous"))
+      .select(quasiCols.map(c => col(c).as(s"_q_$c")): _*)
+    val hint = OpsUtil.gatedHint("suppressSmallClasses", "classes",
+      classes, maxBroadcastRows)
+    val cond = quasiCols.map(c => col(c) <=> col(s"_q_$c"))
+      .reduce(_ && _)
+    df.join(hint(classes), cond, "left_semi")
+  }
 }

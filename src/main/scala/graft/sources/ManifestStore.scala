@@ -138,6 +138,31 @@ object ManifestStore {
   def vacuum(spark: SparkSession, path: String): Seq[String] =
     StoreMaint.vacuum(spark, path, params(spark, path).batches.toSet)
 
+  /** Land a physical REWRITE of the tracked layout — the second half of
+    * the compaction loop ([[graft.ops.Layout.compactionPlan]] plans the
+    * bins, [[graft.ops.Layout.compactionApply]] routes the rows, the
+    * caller writes them back under their new file naming, and THIS
+    * re-minimizes the manifest): one fresh [[graft.ops.Layout.zoneMaps]]
+    * pass over `rewritten` becomes a new store generation, the live
+    * list swaps to it, and `newFileExpr` replaces the stored file
+    * expression so subsequent appends stat their batches under the
+    * post-rewrite naming. The committed-id ledger is PRESERVED (and the
+    * generation directory recorded in it), so a streaming restart
+    * replaying a pre-rewrite micro-batch is still skipped; superseded
+    * directories become orphans for [[vacuum]]. Same single-writer
+    * contract as append/compact; meta-last crash safety as everywhere. */
+  def rewriteLayout(spark: SparkSession, path: String,
+      rewritten: DataFrame, newFileExpr: String): Unit = {
+    val p = params(spark, path)
+    val dir = s"b-rw-${p.committed.size}"
+    require(!p.committed.contains(dir),
+      s"rewrite generation $dir already committed at $path")
+    Layout.zoneMaps(rewritten, expr(newFileExpr), p.statCols)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$dir")
+    writeMeta(spark, path, p.copy(fileExpr = newFileExpr,
+      batches = Seq(dir), committed = p.committed :+ dir))
+  }
+
   /** Range-predicate pruning over the LIVE manifest — the planning read:
     * O(files) rows from the store, the data files never open. */
   def pruneStored(spark: SparkSession, path: String, statCol: String,

@@ -586,4 +586,25 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       "a lineitem scan leaked into the stored planning read:\n"
         + plan.take(3000))
   }
+
+  test("q110/q111 BM25 retrieval joins: every join is EXPLICITLY " +
+      "broadcast-pinned — the plan survives autoBroadcastJoinThreshold " +
+      "= -1 with zero SortMergeJoins") {
+    // The r15/r16 bench variance class: Catalyst was free to plan the
+    // doc-length join from sampled sizes and flipped it run-to-run.
+    // With auto-broadcast OFF, only the count-gated broadcast() hints
+    // can produce a BroadcastHashJoin — so this asserts the hints, not
+    // the optimizer's size estimates, own every join in the class.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      Seq("q110_bm25_join", "q111_bm25_join_stored").foreach { q =>
+        val plan = planOf(q)
+        assert(!plan.contains("SortMergeJoin"),
+          s"$q: a join escaped the broadcast pin:\n" + plan.take(3000))
+        assert(plan.contains("BroadcastHashJoin"), s"$q:\n" + plan.take(3000))
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
