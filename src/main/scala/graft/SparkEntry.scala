@@ -6213,7 +6213,8 @@ object SparkEntry {
            FROM adj a JOIN adj b ON a.y = b.y AND a.x < b.x),
          sc AS MATERIALIZED (
            SELECT u, v, count(*) AS cn,
-                  sum(CAST(1 AS DOUBLE) / ln(dw.d)) AS aa
+                  CAST(sum(CAST(floor(1000000.0 / ln(dw.d)) AS BIGINT))
+                    AS BIGINT) AS aa
            FROM wed JOIN dd dw ON dw.x = wed.w GROUP BY u, v),
          ne AS (
            SELECT sc.u, sc.v, sc.cn, sc.aa FROM sc
@@ -6221,7 +6222,7 @@ object SparkEntry {
            WHERE p0.u IS NULL)
          SELECT ne.u AS id_a, ne.v AS id_b, cn,
                 (cn * 1000000) // (du.d + dv.d - cn) AS jaccard_micro,
-                round(aa, 4) AS adamic_adar
+                aa AS adamic_adar_micro
          FROM ne JOIN dd du ON du.x = ne.u JOIN dd dv ON dv.x = ne.v
          ORDER BY cn DESC, jaccard_micro DESC, id_a, id_b LIMIT 100"""
 

@@ -249,16 +249,21 @@ object GraphAnalytics {
     *   - `jaccard_micro` — `cn·10⁶ div (deg u + deg v − cn)` (exact
     *     integer micros; the denominator is the neighborhood union and
     *     is ≥ 1 because a candidate pair shares ≥ 1 neighbor),
-    *   - `adamic_adar` — `Σ_w 1/ln(deg w)` over common neighbors `w`,
-    *     round-4 at the end only (the [[hits]] float discipline; every
-    *     common neighbor has degree ≥ 2, so ln is never 0).
+    *   - `adamic_adar_micro` — `Σ_w ⌊10⁶ / ln(deg w)⌋` over common
+    *     neighbors `w` (every common neighbor has degree ≥ 2, so ln is
+    *     never 0). Each TERM is floored to integer micros BEFORE the
+    *     sum, so the aggregate is exact integer addition — associative,
+    *     partition-order-independent, and bit-replayable by the oracle
+    *     (a raw double `Σ 1/ln(d)` is summed in partition order, and a
+    *     value landing on a rounding boundary could flap between runs
+    *     or engines — the r16-advice hazard this closes).
     *
     * Candidates are exactly the 2-hop pairs: pairs sharing no neighbor
     * score 0 on all three measures and are not emitted; already-adjacent
     * pairs are anti-joined out (link prediction ranks NON-edges). Top-`k`
     * by the INTEGER keys `(cn desc, jaccard_micro desc, id_a, id_b)` —
     * a total order no float tie can perturb, so the limit replays
-    * bit-for-bit; `adamic_adar` rides along as a reported column.
+    * bit-for-bit; `adamic_adar_micro` rides along as a reported column.
     *
     * Scale posture: the wedge join is the [[triangles]] cost class —
     * Σ_w deg(w)², bounded by `maxDegree`·|E| under the cap (REQUIRED at
@@ -284,13 +289,14 @@ object GraphAnalytics {
       .join(deg.select(col("x").as("w"), col("d").as("dw")), Seq("w"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("cn"),
-        sum(lit(1.0) / log(col("dw").cast("double"))).as("_aa"))
+        sum(floor(lit(1000000.0) / log(col("dw").cast("double")))
+          .cast("long")).as("_aa"))
     scored.join(und, Seq("u", "v"), "left_anti")
       .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
       .select(col("u").as("id_a"), col("v").as("id_b"), col("cn"),
         expr("(cn * 1000000) div (du + dv - cn)").as("jaccard_micro"),
-        round(col("_aa"), 4).as("adamic_adar"))
+        col("_aa").as("adamic_adar_micro"))
       .orderBy(col("cn").desc, col("jaccard_micro").desc, col("id_a"),
         col("id_b"))
       .limit(k)

@@ -61,15 +61,15 @@ class Round16bOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     val out = graph.GraphAnalytics.linkPrediction(edges, k = 10,
         maxDegree = Some(3L))
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     // capped graph: edges (1,2),(2,3); candidates: (1,3) via w=2 with
     // POST-CAP degrees deg(1)=deg(3)=1, deg(2)=2 ->
-    // jaccard = 1e6 div (1+1-1), aa = 1/ln(2)
+    // jaccard = 1e6 div (1+1-1), aa = floor(1e6/ln(2)) exact micros
     assert(out.keySet == Set((1L, 3L)), out.toString)
     val (cn, jac, aa) = out((1L, 3L))
     assert(cn == 1L && jac == 1000000L)
-    assert(math.abs(aa - BigDecimal(1.0 / math.log(2.0)).setScale(4,
-      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(aa == math.floor(1000000.0 / math.log(2.0)).toLong,
+      s"adamic_adar_micro must be the exact integer term sum, got $aa")
     // uncapped: the hub's 2-hop fan (4,5),(4,6),(5,6),(1,4),(1,5),(1,6)
     // joins in; adjacent pairs like (1,2)/(9,1) never appear
     val full = graph.GraphAnalytics.linkPrediction(edges, k = 20)
