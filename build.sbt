@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // extra -D system properties for a specific run (e.g. the 100x scale
+  // probes set -Dspark.io.compression.codec=zstd so a single rep's
+  // shuffle files fit the box's scratch disk); space-separated
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq
+    .flatMap(_.split(" ").filter(_.nonEmpty))

@@ -503,10 +503,20 @@ object ScaleSmoke {
           Testbed.graph(spark, dir).collection("documents"), dir)
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
-    def cleanup(): Unit =
+    def cleanup(): Unit = {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!baseline.contains(id)) rdd.unpersist(blocking = false)
       }
+      // Shuffle files of dropped lineages are reclaimed by the ASYNC
+      // ContextCleaner, and only once a GC notices the dead references
+      // — at 100 copies a single q159 warm rep leaves ~50 GB of
+      // shuffle files whose deletion must not race the measured rep's
+      // own writes into a full /tmp (the first r17 100× attempt died
+      // ENOSPC exactly this way). Nudge the collector and give the
+      // cleaner a beat; both happen OUTSIDE the timed section.
+      System.gc()
+      Thread.sleep(2000)
+    }
     val tally = new ByteTally
     spark.sparkContext.addSparkListener(tally)
     def time(fn: => DataFrame): (Double, Long, Double, Double, Long) = {

@@ -610,6 +610,17 @@ object GraphAnalytics {
           }
           Iterator.single(out)
         }.persist(DESER)
+      // Truncate the state lineage EVERY round: each round's (dst,
+      // label) count shuffle is E-scale, and without truncation the
+      // state chain keeps every prior round's shuffle files referenced
+      // (hence on executor scratch disk) until the whole query ends —
+      // measured at 100 copies: ~5 rounds held > 60 GB and filled the
+      // box. With the chain cut after each round, the ContextCleaner
+      // reclaims round r's files while round r+2 runs, so peak scratch
+      // is O(one round), not O(rounds). In reliable mode the cut is a
+      // reliable checkpoint (recompute-safe under executor loss); in
+      // local mode a localCheckpoint of the just-persisted blocks.
+      if (!reliableCkpt(next, checkpointRounds)) next.localCheckpoint()
       next.count()
       lbl.unpersist(blocking = false)
       lbl = next
