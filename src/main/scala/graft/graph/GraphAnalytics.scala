@@ -882,10 +882,11 @@ object GraphAnalytics {
     * common case, O(log n) worst case, never both costs at once. */
   private val JumpAfterRounds = 8
 
-  /** Rounds of iterative state between RELIABLE checkpoints (active only
-    * under `graft.lifecycle.checkpoint=reliable` with a checkpoint dir
-    * set — the cluster posture for preemptible/dynamic-allocation
-    * deployments). The overlay inputs are recompute-safe (persisted with
+  /** Rounds of iterative state between lineage cuts ([[truncateIfDue]]:
+    * a RELIABLE checkpoint under `graft.lifecycle.checkpoint=reliable`
+    * with a checkpoint dir set — the cluster posture for preemptible/
+    * dynamic-allocation deployments — a localCheckpoint otherwise).
+    * The overlay inputs are recompute-safe (persisted with
     * parquet lineage), but the per-round state arrays chain lineage one
     * round deeper per iteration: without truncation, losing an executor
     * in round 40 replays all 40 rounds from the overlay. Checkpointing
@@ -910,6 +911,26 @@ object GraphAnalytics {
     if (due) state.checkpoint()
     due
   }
+
+  /** Cut the iterative-state lineage when the cadence is due — in BOTH
+    * lifecycle modes, not just reliable (r17): without truncation, every
+    * prior round's shuffle files stay referenced by the state chain and
+    * hence pinned on executor scratch until the whole query ends, so
+    * peak scratch grows O(rounds × per-round shuffle) — the failure the
+    * 100× LPA run hit as ENOSPC. Reliable mode cuts with a reliable
+    * checkpoint (bounded executor-loss replay, the r15 contract); local
+    * mode cuts with a localCheckpoint of the just-persisted blocks
+    * (free — no recompute path is lost that local mode ever had, since
+    * an executor loss in local mode is process death). Call AFTER
+    * `persist`, BEFORE the round's action; returns the new
+    * rounds-since-checkpoint counter. */
+  private def truncateIfDue(state: org.apache.spark.rdd.RDD[_],
+      roundsSince: Int): Int =
+    if (roundsSince < checkpointRounds) roundsSince
+    else {
+      if (!reliableCkpt(state, roundsSince)) state.localCheckpoint()
+      0
+    }
 
   /** The propagation loop over a co-partitioned undirected adjacency (doc
     * at [[componentsOfEdges]]). Delta-based: a vertex fans its label out
@@ -1002,9 +1023,7 @@ object GraphAnalytics {
         acc.add(newly)
         Iterator.single((lab2, chg2))
       }.persist(StorageLevel.MEMORY_AND_DISK)
-      roundsSinceCkpt =
-        if (reliableCkpt(state, roundsSinceCkpt + 1)) 0
-        else roundsSinceCkpt + 1
+      roundsSinceCkpt = truncateIfDue(state, roundsSinceCkpt + 1)
       state.count() // the round's one action; also fills the accumulator
       changed = acc.value
       prev.unpersist(blocking = false)
@@ -1159,9 +1178,7 @@ object GraphAnalytics {
       while (i < steps) { prev = cur; cur = next(cur); i += 1 }
       if (steps > 1) prev.persist(DESER)
       cur.persist(DESER)
-      itersSinceCkpt =
-        if (reliableCkpt(cur, itersSinceCkpt + steps)) 0
-        else itersSinceCkpt + steps
+      itersSinceCkpt = truncateIfDue(cur, itersSinceCkpt + steps)
       delta = prev.zipPartitions(cur) { (ait, bit) =>
         val a = ait.next()
         val b = bit.next()
