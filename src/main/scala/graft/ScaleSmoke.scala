@@ -255,7 +255,10 @@ object ScaleSmoke {
     // agg re-minimizes — manifest rows grow with files, data rows with
     // corpus, both linear) and k-anonymity suppression (the audit agg
     // + a broadcast semi-join filter over the corpus scan)
-    "q190_compaction_apply", "q191_k_suppress")
+    "q190_compaction_apply", "q191_k_suppress",
+    // and the loop's last link: prune verdicts on the post-compaction
+    // layout (q190's cost class + the O(files) prune arithmetic)
+    "q192_prune_after_compaction")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

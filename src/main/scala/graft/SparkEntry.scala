@@ -2296,6 +2296,28 @@ object SparkEntry {
           concat_ws("#", col("source"), col("bin")), Seq("doc_id"))
         .orderBy("file_id")
     }),
+    "q192_prune_after_compaction" -> ((s, dir) => {
+      // the maintenance loop's LAST link: range pruning against the
+      // POST-COMPACTION layout. q190's rewritten manifest (fresh
+      // zoneMaps over the routed rows) must still answer the q177-
+      // style planning predicate — the rewrite coarsens files but the
+      // stats stay exact, so the prune verdicts replay end-to-end
+      // through plan -> route -> re-minimize -> prune
+      val d = Testbed.graph(s, dir).collection("documents")
+      val manifest = d
+        .groupBy(col("source"), expr("doc_id div 4").as("file_id"))
+        .agg(coalesce(sum(octet_length(col("text"))), lit(0L))
+          .as("bytes"))
+      val plan = ops.Layout.compactionPlan(manifest, Seq("source"),
+        "file_id", "bytes", targetBytes = 2048L)
+      val routed = ops.Layout.compactionApply(d,
+        expr("doc_id div 4"), plan, Seq("source"), "file_id")
+      ops.Layout.pruneByRange(
+          ops.Layout.zoneMaps(routed,
+            concat_ws("#", col("source"), col("bin")), Seq("doc_id")),
+          "doc_id", lit(100L), lit(220L))
+        .orderBy("file_id")
+    }),
     "q191_k_suppress" -> ((s, dir) => {
       // the enforcement half of q186: suppression — the released rows
       // are exactly those whose (nation, segment) class reached k=20;
@@ -4636,6 +4658,34 @@ object SparkEntry {
                 CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_null_doc_id
          FROM r GROUP BY 1 ORDER BY file_id""",
+    // q192: q190's chain + the prune arithmetic on the rewritten stats
+    "q192_prune_after_compaction" ->
+      """WITH m AS (
+           SELECT source, doc_id // 4 AS file_id,
+                  CAST(coalesce(sum(octet_length(encode(text))), 0)
+                    AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT source, file_id,
+                  CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+                    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) // 2048 AS bin
+           FROM m),
+         r AS (
+           SELECT d.doc_id, d.source, c.bin
+           FROM documents d
+           JOIN c ON d.source = c.source AND d.doc_id // 4 = c.file_id),
+         z AS (
+           SELECT concat(source, '#', CAST(bin AS VARCHAR)) AS file_id,
+                  count(*) AS n_rows, min(doc_id) AS min_doc_id,
+                  max(doc_id) AS max_doc_id,
+                  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_doc_id
+           FROM r GROUP BY 1)
+         SELECT file_id, n_rows, min_doc_id, max_doc_id, n_null_doc_id,
+                coalesce(min_doc_id <= 220 AND max_doc_id >= 100, false)
+                  AS keep
+         FROM z ORDER BY file_id""",
     // q191: suppression replayed as HAVING >= k + a plain join
     "q191_k_suppress" ->
       """WITH a AS (
