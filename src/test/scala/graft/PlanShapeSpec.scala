@@ -587,6 +587,25 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
         + plan.take(3000))
   }
 
+  test("q190/q192 compaction executor: the plan-routing join is " +
+      "broadcast-pinned — no SortMergeJoin even with auto-broadcast " +
+      "off") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      Seq("q190_compaction_apply", "q192_prune_after_compaction")
+        .foreach { q =>
+          val plan = planOf(q)
+          assert(!plan.contains("SortMergeJoin"),
+            s"$q: the routing join escaped the broadcast pin:\n" +
+              plan.take(3000))
+          assert(plan.contains("BroadcastHashJoin"),
+            s"$q:\n" + plan.take(3000))
+        }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q110/q111 BM25 retrieval joins: every join is EXPLICITLY " +
       "broadcast-pinned — the plan survives autoBroadcastJoinThreshold " +
       "= -1 with zero SortMergeJoins") {
