@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures a bounded TAIL of stdout and parses the LAST line
+// as JSON (BENCH_r17.json: parsed=null because sbt's logger prefixed the
+// forked run's headline with "[info] " and appended its own "[success]"
+// line after it). StdoutOutput passes the forked JVM's stdout through
+// UNPREFIXED, and showSuccess=false drops the trailing success banner —
+// so a main's final println IS the final stdout line, parseable as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

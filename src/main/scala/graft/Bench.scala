@@ -409,5 +409,12 @@ object Bench {
     println(totalLine)
     println(headline)
     spark.stop()
+    // Re-emit the headline AFTER spark.stop(): any shutdown logging the
+    // session produces lands between the first headline and EOF, and the
+    // driver's bounded tail capture parses the LAST stdout line — this
+    // print is unconditionally that line (build.sbt routes forked run
+    // output through StdoutOutput with showSuccess=false, so sbt adds
+    // neither an "[info] " prefix nor a trailing "[success]" banner).
+    println(headline)
   }
 }

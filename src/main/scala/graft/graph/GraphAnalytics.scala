@@ -584,6 +584,7 @@ object GraphAnalytics {
     var lbl = adj.mapPartitions(_.map(a => a.keys.clone()), // own id
       preservesPartitioning = false).persist(DESER)
     lbl.count()
+    var sinceCkpt = 0
     (1 to rounds).foreach { _ =>
       val counted = lbl.zipPartitions(adj) { (lit, ait) =>
         val l = lit.next()
@@ -610,17 +611,27 @@ object GraphAnalytics {
           }
           Iterator.single(out)
         }.persist(DESER)
-      // Truncate the state lineage EVERY round: each round's (dst,
-      // label) count shuffle is E-scale, and without truncation the
-      // state chain keeps every prior round's shuffle files referenced
-      // (hence on executor scratch disk) until the whole query ends —
-      // measured at 100 copies: ~5 rounds held > 60 GB and filled the
-      // box. With the chain cut after each round, the ContextCleaner
-      // reclaims round r's files while round r+2 runs, so peak scratch
-      // is O(one round), not O(rounds). In reliable mode the cut is a
-      // reliable checkpoint (recompute-safe under executor loss); in
-      // local mode a localCheckpoint of the just-persisted blocks.
-      if (!reliableCkpt(next, checkpointRounds)) next.localCheckpoint()
+      // Lineage hygiene per deployment shape (each round's (dst, label)
+      // count shuffle is E-scale; without truncation the state chain
+      // keeps every prior round's shuffle files referenced — hence on
+      // executor scratch — until the whole query ends; measured at 100
+      // copies: ~5 rounds held > 60 GB and filled the box):
+      //   - LOCAL MASTER: localCheckpoint EVERY round. There is no
+      //     recompute path to lose (executor loss in local mode is
+      //     process death), and the per-round cut bounds peak scratch
+      //     to O(one round), not O(rounds).
+      //   - RELIABLE lifecycle (cluster posture): reliable checkpoint
+      //     at the spark.graft.graph.checkpointRounds cadence — the
+      //     SAME cadence PR/CC honor, a real counter, not every round
+      //     (every-round durable writes were ~10× amplification).
+      //   - non-local cluster WITHOUT reliable mode: keep lineage —
+      //     a localCheckpoint here would turn any executor loss into
+      //     an unrecoverable job failure. Scratch then grows with
+      //     rounds: cluster deployments of long LPA runs MUST set
+      //     graft.lifecycle.checkpoint=reliable + a checkpoint dir.
+      sinceCkpt += 1
+      if (reliableCkpt(next, sinceCkpt)) sinceCkpt = 0
+      else if (spark.sparkContext.isLocal) next.localCheckpoint()
       next.count()
       lbl.unpersist(blocking = false)
       lbl = next
@@ -885,7 +896,9 @@ object GraphAnalytics {
   /** Rounds of iterative state between lineage cuts ([[truncateIfDue]]:
     * a RELIABLE checkpoint under `graft.lifecycle.checkpoint=reliable`
     * with a checkpoint dir set — the cluster posture for preemptible/
-    * dynamic-allocation deployments — a localCheckpoint otherwise).
+    * dynamic-allocation deployments — a localCheckpoint on a LOCAL
+    * master; no cut at all on a non-reliable cluster, where discarding
+    * lineage would break executor-loss recovery).
     * The overlay inputs are recompute-safe (persisted with
     * parquet lineage), but the per-round state arrays chain lineage one
     * round deeper per iteration: without truncation, losing an executor
@@ -912,25 +925,30 @@ object GraphAnalytics {
     due
   }
 
-  /** Cut the iterative-state lineage when the cadence is due — in BOTH
-    * lifecycle modes, not just reliable (r17): without truncation, every
-    * prior round's shuffle files stay referenced by the state chain and
-    * hence pinned on executor scratch until the whole query ends, so
-    * peak scratch grows O(rounds × per-round shuffle) — the failure the
-    * 100× LPA run hit as ENOSPC. Reliable mode cuts with a reliable
-    * checkpoint (bounded executor-loss replay, the r15 contract); local
-    * mode cuts with a localCheckpoint of the just-persisted blocks
-    * (free — no recompute path is lost that local mode ever had, since
-    * an executor loss in local mode is process death). Call AFTER
-    * `persist`, BEFORE the round's action; returns the new
-    * rounds-since-checkpoint counter. */
+  /** Cut the iterative-state lineage when the cadence is due: without
+    * truncation, every prior round's shuffle files stay referenced by
+    * the state chain and hence pinned on executor scratch until the
+    * whole query ends, so peak scratch grows O(rounds × per-round
+    * shuffle) — the failure the 100× LPA run hit as ENOSPC. Reliable
+    * mode cuts with a reliable checkpoint (bounded executor-loss
+    * replay, the r15 contract). On a LOCAL MASTER the cut is a
+    * localCheckpoint of the just-persisted blocks — free, because no
+    * recompute path is lost that local mode ever had (executor loss in
+    * local mode is process death). On a NON-LOCAL cluster WITHOUT
+    * reliable mode, no cut happens: a localCheckpoint there would
+    * discard the lineage that executor-loss recovery replays, turning
+    * a recoverable loss into a job failure — lineage is kept, scratch
+    * grows with rounds, and long iterative runs on clusters MUST set
+    * `graft.lifecycle.checkpoint=reliable` + a checkpoint dir to get
+    * both recovery AND bounded scratch. Call AFTER `persist`, BEFORE
+    * the round's action; returns the new rounds-since-checkpoint
+    * counter. */
   private def truncateIfDue(state: org.apache.spark.rdd.RDD[_],
       roundsSince: Int): Int =
     if (roundsSince < checkpointRounds) roundsSince
-    else {
-      if (!reliableCkpt(state, roundsSince)) state.localCheckpoint()
-      0
-    }
+    else if (reliableCkpt(state, roundsSince)) 0
+    else if (state.sparkContext.isLocal) { state.localCheckpoint(); 0 }
+    else roundsSince // cluster, non-reliable: keep lineage (doc above)
 
   /** The propagation loop over a co-partitioned undirected adjacency (doc
     * at [[componentsOfEdges]]). Delta-based: a vertex fans its label out

@@ -49,16 +49,26 @@ object HistogramStore {
   }
 
   /** The stored grid + live directory list + committed-id ledger — a
-    * 1-row driver read. */
+    * 1-row driver read. v1 metas (pre-ledger) are accepted with
+    * `committed = batches` — exactly the old guard's semantics, so
+    * existing stores upgrade in place on their next append instead of
+    * failing hard with no migration path. */
   def params(spark: SparkSession, path: String): Params = {
     val rows = spark.read.parquet(s"$path/meta").collect()
     require(rows.nonEmpty, s"no histogram-store meta at $path/meta")
     val r = rows.head
-    require(r.getInt(0) == Version,
-      s"histogram store at $path has version ${r.getInt(0)}, " +
-        s"this engine reads version $Version")
-    Params(r.getDouble(1), r.getDouble(2), r.getInt(3), r.getString(4),
-      r.getString(5), r.getSeq[String](6), r.getSeq[String](7))
+    val ver = r.getAs[Int]("version")
+    require(ver == Version || ver == Version - 1,
+      s"histogram store at $path has version $ver, " +
+        s"this engine reads versions ${Version - 1} (ledger defaulted) " +
+        s"and $Version")
+    val batches = r.getSeq[String](r.fieldIndex("batches"))
+    val committed =
+      if (ver == Version) r.getSeq[String](r.fieldIndex("committed"))
+      else batches
+    Params(r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+      r.getAs[Int]("bins"), r.getAs[String]("key_col"),
+      r.getAs[String]("val_col"), batches, committed)
   }
 
   /** Build the store over `df` and persist under `path` (overwrite
@@ -88,9 +98,7 @@ object HistogramStore {
     * come from meta: the grid AND the schema are fixed at save. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       batchId: String): Boolean = {
-    require(batchId.nonEmpty && batchId.forall(c =>
-        c.isLetterOrDigit || c == '_' || c == '-'),
-      s"batchId must be [A-Za-z0-9_-]+, got '$batchId'")
+    SketchStore.validateBatchId(batchId)
     val p = params(spark, path)
     val dir = s"b-$batchId"
     // replay guard checks the LEDGER, not the live list — a batch id
@@ -118,7 +126,10 @@ object HistogramStore {
       counts(spark, path).groupBy("key", "bin")
         .agg(sum("cnt").as("cnt"))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$gen")
-      writeMeta(spark, path, p.copy(batches = Seq(gen)))
+      // generation dir lands in the LEDGER too — see
+      // SketchStore.validateBatchId
+      writeMeta(spark, path, p.copy(batches = Seq(gen),
+        committed = p.committed :+ gen))
     }
   }
 

@@ -49,16 +49,25 @@ object ManifestStore {
   }
 
   /** The stored file expression + stat columns + live directory list +
-    * committed-id ledger — a 1-row driver read. */
+    * committed-id ledger — a 1-row driver read. v1 metas (pre-ledger)
+    * are accepted with `committed = batches` — exactly the old guard's
+    * semantics, so existing stores upgrade in place on their next
+    * append instead of failing hard with no migration path. */
   def params(spark: SparkSession, path: String): Params = {
     val rows = spark.read.parquet(s"$path/meta").collect()
     require(rows.nonEmpty, s"no manifest-store meta at $path/meta")
     val r = rows.head
-    require(r.getInt(0) == Version,
-      s"manifest store at $path has version ${r.getInt(0)}, " +
-        s"this engine reads version $Version")
-    Params(r.getString(1), r.getSeq[String](2), r.getSeq[String](3),
-      r.getSeq[String](4))
+    val ver = r.getAs[Int]("version")
+    require(ver == Version || ver == Version - 1,
+      s"manifest store at $path has version $ver, " +
+        s"this engine reads versions ${Version - 1} (ledger defaulted) " +
+        s"and $Version")
+    val batches = r.getSeq[String](r.fieldIndex("batches"))
+    val committed =
+      if (ver == Version) r.getSeq[String](r.fieldIndex("committed"))
+      else batches
+    Params(r.getAs[String]("file_expr"),
+      r.getSeq[String](r.fieldIndex("stat_cols")), batches, committed)
   }
 
   /** Fold fragment rows to one live row per file: counts add, min/max
@@ -100,9 +109,7 @@ object ManifestStore {
     * replay/retry guard. */
   def append(spark: SparkSession, path: String, batch: DataFrame,
       batchId: String): Boolean = {
-    require(batchId.nonEmpty && batchId.forall(c =>
-        c.isLetterOrDigit || c == '_' || c == '-'),
-      s"batchId must be [A-Za-z0-9_-]+, got '$batchId'")
+    SketchStore.validateBatchId(batchId)
     val p = params(spark, path)
     val dir = s"b-$batchId"
     // replay guard checks the LEDGER, not the live list — a batch id
@@ -128,7 +135,10 @@ object ManifestStore {
       val gen = s"b-compact-${p.batches.length}-${p.batches.hashCode.abs}"
       zoneMapsStored(spark, path)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$gen")
-      writeMeta(spark, path, p.copy(batches = Seq(gen)))
+      // generation dir lands in the LEDGER too — see
+      // SketchStore.validateBatchId
+      writeMeta(spark, path, p.copy(batches = Seq(gen),
+        committed = p.committed :+ gen))
     }
   }
 

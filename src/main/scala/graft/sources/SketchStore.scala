@@ -68,16 +68,45 @@ object SketchStore {
   }
 
   /** The stored parameters + live directory list + committed-id ledger
-    * — a 1-row driver read. */
+    * — a 1-row driver read. v2 metas (pre-ledger) are accepted with
+    * `committed = batches` — exactly the old guard's semantics, so a
+    * store written by the previous engine version upgrades in place on
+    * its next append instead of failing hard with no migration path.
+    * v1 stays rejected: its bucket derivation differs, so its counters
+    * are NOT readable under the current probe arithmetic. */
   def params(spark: SparkSession, path: String): Params = {
     val rows = spark.read.parquet(s"$path/meta").collect()
     require(rows.nonEmpty, s"no sketch-store meta at $path/meta")
     val r = rows.head
-    require(r.getInt(0) == Version,
-      s"sketch store at $path has version ${r.getInt(0)}, " +
-        s"this engine reads version $Version")
-    Params(r.getInt(1), r.getInt(2), r.getString(3),
-      r.getSeq[String](4), r.getSeq[String](5), r.getSeq[String](6))
+    val ver = r.getAs[Int]("version")
+    require(ver == Version || ver == Version - 1,
+      s"sketch store at $path has version $ver, " +
+        s"this engine reads versions ${Version - 1} (ledger defaulted) " +
+        s"and $Version")
+    val batches = r.getSeq[String](r.fieldIndex("batches"))
+    val committed =
+      if (ver == Version) r.getSeq[String](r.fieldIndex("committed"))
+      else batches
+    Params(r.getAs[Int]("depth"), r.getAs[Int]("width"),
+      r.getAs[String]("hash"),
+      r.getSeq[String](r.fieldIndex("group_cols")), batches, committed)
+  }
+
+  /** Directory-name prefixes the stores reserve for their own
+    * maintenance generations ([[compact]]'s `compact-`, [[ManifestStore
+    * .rewriteLayout]]'s `rw-`): an APPEND batchId may not use them.
+    * Without this, a batchId equal to a live generation name (the
+    * batchId charset allows it) would pass the committed-ledger replay
+    * guard, OVERWRITE the live generation directory — destroying
+    * compacted data — and append a duplicate name to the live list,
+    * double-counting on read. */
+  private[sources] def validateBatchId(batchId: String): Unit = {
+    require(batchId.nonEmpty && batchId.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"batchId must be [A-Za-z0-9_-]+, got '$batchId'")
+    require(!batchId.startsWith("compact-") && !batchId.startsWith("rw-"),
+      s"batchId '$batchId' uses a reserved maintenance prefix " +
+        "(compact-, rw-)")
   }
 
   private def deltasOf(df: DataFrame, groupCols: Seq[String], key: Column,
@@ -119,9 +148,7 @@ object SketchStore {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       key: Column, weight: Column = lit(1L),
       batchId: String): Boolean = {
-    require(batchId.nonEmpty && batchId.forall(c =>
-        c.isLetterOrDigit || c == '_' || c == '-'),
-      s"batchId must be [A-Za-z0-9_-]+, got '$batchId'")
+    validateBatchId(batchId)
     val p = params(spark, path)
     val dir = s"b-$batchId"
     // replay guard checks the LEDGER, not the live list — a batch id
@@ -148,7 +175,11 @@ object SketchStore {
       val gen = s"b-compact-${p.batches.length}-${p.batches.hashCode.abs}"
       counters(spark, path)
         .write.mode(SaveMode.Overwrite).parquet(s"$path/$gen")
-      writeMeta(spark, path, p.copy(batches = Seq(gen)))
+      // the generation dir lands in the LEDGER too (belt to the
+      // reserved-prefix braces in validateBatchId): nothing that was
+      // ever a live directory name can be re-committed as an append
+      writeMeta(spark, path, p.copy(batches = Seq(gen),
+        committed = p.committed :+ gen))
     }
   }
 

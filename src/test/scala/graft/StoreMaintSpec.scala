@@ -43,8 +43,9 @@ class StoreMaintSpec extends org.scalatest.funsuite.AnyFunSuite {
     val p = SketchStore.params(spark, path)
     assert(p.batches.size == 1 && p.batches.head.startsWith("b-compact"),
       p.toString)
-    assert(p.committed == Seq("b-init", "b-b1"),
-      s"ledger must survive compact: ${p.committed}")
+    assert(p.committed == Seq("b-init", "b-b1", p.batches.head),
+      s"ledger must survive compact AND record the generation: " +
+        s"${p.committed}")
     // the replay that motivated the ledger: a streaming restart
     // redelivering b1 after maintenance ran
     assert(!SketchStore.append(spark, path, b, col("k"), batchId = "b1"),
@@ -71,8 +72,8 @@ class StoreMaintSpec extends org.scalatest.funsuite.AnyFunSuite {
       bins = 10)
     assert(HistogramStore.append(spark, path, b, "b1"))
     HistogramStore.compact(spark, path)
-    assert(HistogramStore.params(spark, path).committed ==
-      Seq("b-init", "b-b1"))
+    val ph = HistogramStore.params(spark, path)
+    assert(ph.committed == Seq("b-init", "b-b1", ph.batches.head))
     assert(!HistogramStore.append(spark, path, b, "b1"),
       "replayed batch id after compact must be skipped")
     val before = HistogramStore.quantilesStored(spark, path,
@@ -93,8 +94,8 @@ class StoreMaintSpec extends org.scalatest.funsuite.AnyFunSuite {
     ManifestStore.save(a, path, "f", Seq("x"))
     assert(ManifestStore.append(spark, path, b, "b1"))
     ManifestStore.compact(spark, path)
-    assert(ManifestStore.params(spark, path).committed ==
-      Seq("b-init", "b-b1"))
+    val pm = ManifestStore.params(spark, path)
+    assert(pm.committed == Seq("b-init", "b-b1", pm.batches.head))
     assert(!ManifestStore.append(spark, path, b, "b1"),
       "replayed batch id after compact must be skipped")
     val before = ManifestStore.pruneStored(spark, path, "x", lit(3L),
@@ -105,6 +106,86 @@ class StoreMaintSpec extends org.scalatest.funsuite.AnyFunSuite {
     val after = ManifestStore.pruneStored(spark, path, "x", lit(3L),
       lit(5L)).collect().map(_.toSeq).toSet
     assert(after == before && after.nonEmpty)
+  }
+
+  test("append REJECTS maintenance-reserved batchId prefixes — the " +
+      "generation-overwrite attack from the r17 advice is impossible") {
+    val path = tmp("maint-reserved")
+    val a = Seq(("g", 1L), ("g", 2L)).toDF("g", "k")
+    SketchStore.save(a, Seq("g"), col("k"), path, depth = 3, width = 64)
+    assert(SketchStore.append(spark, path, a, col("k"), batchId = "b1"))
+    SketchStore.compact(spark, path)
+    val gen = SketchStore.params(spark, path).batches.head
+    // the exact hole: a batchId equal to the live compact generation's
+    // name (dir = "b-" + batchId) would pass the old guard, OVERWRITE
+    // the generation directory, and double-count it in the live list
+    val evil = gen.stripPrefix("b-")
+    assert(evil.startsWith("compact-"))
+    val before = SketchStore.counters(spark, path)
+      .collect().map(_.toSeq).toSet
+    intercept[IllegalArgumentException] {
+      SketchStore.append(spark, path, a, col("k"), batchId = evil)
+    }
+    intercept[IllegalArgumentException] {
+      SketchStore.append(spark, path, a, col("k"), batchId = "rw-1")
+    }
+    assert(SketchStore.counters(spark, path)
+      .collect().map(_.toSeq).toSet == before,
+      "a rejected append must not perturb the store")
+    // and even a LEGACY store whose ledger predates generation
+    // recording is safe: the generation dir itself is in `committed`
+    assert(SketchStore.params(spark, path).committed.contains(gen))
+    intercept[IllegalArgumentException] {
+      HistogramStore.append(spark, path, a.toDF("key", "v"),
+        batchId = "compact-2-99")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, path, a.toDF("f", "x"),
+        batchId = "rw-3")
+    }
+  }
+
+  test("prior-version metas (no committed ledger) read with " +
+      "committed = batches — the in-place upgrade shim") {
+    import org.apache.spark.sql.SaveMode
+    // hand-craft a SketchStore v2 meta (the pre-ledger schema)
+    val p2 = tmp("maint-shim-sketch")
+    SketchStore.save(Seq(("g", 1L)).toDF("g", "k"), Seq("g"), col("k"),
+      p2, depth = 3, width = 64)
+    Seq((2, 3, 64, "xx", Seq("g"), Seq("b-init")))
+      .toDF("version", "depth", "width", "hash", "group_cols", "batches")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$p2/meta")
+    val ps = SketchStore.params(spark, p2)
+    assert(ps.committed == ps.batches && ps.batches == Seq("b-init"))
+    // an append against the legacy meta upgrades it to the ledger form
+    assert(SketchStore.append(spark, p2, Seq(("g", 2L)).toDF("g", "k"),
+      col("k"), batchId = "up1"))
+    assert(SketchStore.params(spark, p2).committed ==
+      Seq("b-init", "b-up1"))
+    // v1 (different bucket math) stays rejected
+    Seq((1, 3, 64, "xx", Seq("g"), Seq("b-init")))
+      .toDF("version", "depth", "width", "hash", "group_cols", "batches")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$p2/meta")
+    intercept[IllegalArgumentException] {
+      SketchStore.params(spark, p2)
+    }
+    // ManifestStore v1 shim
+    val pm = tmp("maint-shim-manifest")
+    ManifestStore.save(Seq(("f0", 1L)).toDF("f", "x"), pm, "f", Seq("x"))
+    Seq((1, "f", Seq("x"), Seq("b-init")))
+      .toDF("version", "file_expr", "stat_cols", "batches")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$pm/meta")
+    val pmp = ManifestStore.params(spark, pm)
+    assert(pmp.committed == Seq("b-init"))
+    // HistogramStore v1 shim
+    val ph = tmp("maint-shim-hist")
+    HistogramStore.save(Seq(("k", 1.0)).toDF("key", "v"), ph, "key", "v",
+      lo = 0.0, hi = 10.0, bins = 10)
+    Seq((1, 0.0, 10.0, 10, "key", "v", Seq("b-init")))
+      .toDF("version", "lo", "hi", "bins", "key_col", "val_col",
+        "batches")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$ph/meta")
+    assert(HistogramStore.params(spark, ph).committed == Seq("b-init"))
   }
 
   test("JlStore.twoStageStored honors the CALLER's query column names " +
