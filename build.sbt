@@ -19,6 +19,9 @@ run / fork := true
 // so a main's final println IS the final stdout line, parseable as-is.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude
+// it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

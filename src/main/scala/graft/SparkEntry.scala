@@ -2318,6 +2318,28 @@ object SparkEntry {
           "doc_id", lit(100L), lit(220L))
         .orderBy("file_id")
     }),
+    "q193_cluster_rewrite" -> ((s, dir) => {
+      // the layout-IMPROVING half of the maintenance loop: q190 merges
+      // small files stats-preservingly; this re-clusters rows by the
+      // (n_chars, doc_id) Z-order before the fresh zoneMaps pass, so
+      // the same q177-style range predicate prunes STRICTLY FEWER
+      // files than the arrival layout needed (lakehouse OPTIMIZE
+      // ZORDER BY; the subset-strictness is pinned in Round18OpsSpec).
+      // File assignment is the deterministic two-step packing —
+      // per-(source, z-bucket) offsets + a fine-grained row_number —
+      // so the oracle replays the layout bit-for-bit and no partition
+      // key ever serializes through one task.
+      val d = Testbed.graph(s, dir).collection("documents")
+      val rw = ops.Layout.clusterRewrite(d, Seq("source"),
+        Seq(col("n_chars"), col("doc_id")), bits = 16, rowsPerFile = 4L,
+        tiebreak = Seq(col("doc_id")))
+      ops.Layout.pruneByRange(
+          ops.Layout.zoneMaps(rw,
+            concat_ws("#", col("source"), col("new_file")),
+            Seq("n_chars")),
+          "n_chars", lit(200L), lit(260L))
+        .orderBy("file_id")
+    }),
     "q191_k_suppress" -> ((s, dir) => {
       // the enforcement half of q186: suppression — the released rows
       // are exactly those whose (nation, segment) class reached k=20;
@@ -4686,6 +4708,10 @@ object SparkEntry {
                 coalesce(min_doc_id <= 220 AND max_doc_id >= 100, false)
                   AS keep
          FROM z ORDER BY file_id""",
+    // q193: the clustered rewrite replayed — Morton interleave
+    // (q154's shift/or terms), top-8-bit bucketing, per-(source,
+    // bucket) offset cumsum + row_number packing, fresh stats, prune
+    "q193_cluster_rewrite" -> ClusterRewriteOracleSql,
     // q191: suppression replayed as HAVING >= k + a plain join
     "q191_k_suppress" ->
       """WITH a AS (
@@ -6130,6 +6156,54 @@ object SparkEntry {
     * dimension, custkey on the odd (more significant) positions, the
     * date-day on the even ones, exactly [[graft.ops.Layout.zorderKey]]'s
     * placement `j * n + (n - 1 - c)`. */
+  /** q193: [[graft.ops.Layout.clusterRewrite]] + fresh zone maps +
+    * prune, replayed end-to-end — the 16-bit Morton interleave over
+    * (n_chars, doc_id) exactly as [[ZorderOracleSql]] (first column on
+    * the more-significant positions), the top-8-bit z-bucket split
+    * (shift = 32 − 8), the per-(source, bucket) offset cumsum, the
+    * (zkey, doc_id)-ordered row_number packing into 4-row files, then
+    * q190's stats + q177's interval-overlap prune arithmetic. */
+  private lazy val ClusterRewriteOracleSql = {
+    val terms = (0 until 16).flatMap(j => Seq(
+      s"(((ca >> $j) & 1) << ${2 * j + 1})",
+      s"(((cb >> $j) & 1) << ${2 * j})"))
+    s"""WITH zk AS (
+          SELECT doc_id, source, n_chars,
+                 coalesce(CAST(${terms.mkString(" | ")} AS BIGINT), 0)
+                   AS zkey
+          FROM (SELECT doc_id, source, n_chars,
+                       (CAST(n_chars AS BIGINT) & 65535) AS ca,
+                       (CAST(doc_id AS BIGINT) & 65535) AS cb
+                FROM documents)),
+        bk AS (SELECT *, zkey >> 24 AS bucket FROM zk),
+        off AS (
+          SELECT source, bucket,
+                 coalesce(sum(bn) OVER (PARTITION BY source
+                   ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS off
+          FROM (SELECT source, bucket, count(*) AS bn FROM bk
+                GROUP BY 1, 2)),
+        rf AS (
+          SELECT bk.source, bk.n_chars,
+                 (off.off + row_number() OVER (
+                    PARTITION BY bk.source, bk.bucket
+                    ORDER BY bk.zkey, bk.doc_id) - 1) // 4 AS new_file
+          FROM bk JOIN off ON bk.source = off.source
+                          AND bk.bucket = off.bucket),
+        zm AS (
+          SELECT concat(source, '#', CAST(new_file AS VARCHAR))
+                   AS file_id,
+                 count(*) AS n_rows, min(n_chars) AS min_n_chars,
+                 max(n_chars) AS max_n_chars,
+                 CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_null_n_chars
+          FROM rf GROUP BY 1)
+        SELECT file_id, n_rows, min_n_chars, max_n_chars, n_null_n_chars,
+               coalesce(min_n_chars <= 260 AND max_n_chars >= 200, false)
+                 AS keep
+        FROM zm ORDER BY file_id"""
+  }
+
   private lazy val ZorderOracleSql = {
     val terms = (0 until 16).flatMap(j => Seq(
       s"(((ca >> $j) & 1) << ${2 * j + 1})",

@@ -114,6 +114,65 @@ object Layout {
       .drop("_cum_before")
   }
 
+  /** Z-ORDER-CLUSTERED REWRITE — the layout-IMPROVING half of the
+    * maintenance loop ([[compactionApply]] merges small files
+    * stats-preservingly; this re-clusters rows so the fresh
+    * [[zoneMaps]] pass gets TIGHTER, and [[pruneByRange]] afterwards
+    * reads strictly fewer files for the same predicate — the lakehouse
+    * `OPTIMIZE ZORDER BY`). Assigns every row a `new_file` (long,
+    * per-`keyCols` numbering): rows sort by [[zorderKey]] over `zCols`
+    * (ties broken by `tiebreak`, which must complete a total order) and
+    * pack `rowsPerFile` at a time in that order.
+    *
+    * Scale posture — the file assignment must be DETERMINISTIC (the
+    * manifest gate replays it in SQL) yet never serialize a partition
+    * key's rows through one task, so it is two manifest-scale steps
+    * instead of one per-key global window: (1) rows bucket by the TOP
+    * `bucketBits` of the z-key; per-(key, bucket) counts — O(keys ·
+    * 2^bucketBits) rows — cumsum into each bucket's global row offset
+    * (one tiny window); (2) `row_number` runs per (key, bucket) — a
+    * fine-grained window with 2^bucketBits× the parallelism of a
+    * per-key sort — and `offset + rn` is the row's exact global
+    * position in (key, z-order). The heavy sort shuffles each row once,
+    * exactly what any clustering rewrite fundamentally pays; nothing is
+    * driver-side. A null z-dimension wraps to key 0 (layout hint, never
+    * correctness — matching [[zorderKey]]'s wrapping contract). */
+  def clusterRewrite(rows: DataFrame, keyCols: Seq[String],
+      zCols: Seq[Column], bits: Int, rowsPerFile: Long,
+      tiebreak: Seq[Column], bucketBits: Int = 8,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(keyCols.nonEmpty, "clusterRewrite needs >= 1 key column")
+    require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    require(tiebreak.nonEmpty,
+      "clusterRewrite needs a tiebreak column completing a total order")
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits")
+    val totalBits = bits * zCols.size
+    val shift = math.max(0, totalBits - bucketBits)
+    val keyed = rows
+      .withColumn("_zkey", coalesce(zorderKey(zCols, bits), lit(0L)))
+      .withColumn("_zbucket", shiftrightunsigned(col("_zkey"), shift))
+    val counts = keyed.groupBy((keyCols.map(col) :+ col("_zbucket")): _*)
+      .agg(count(lit(1)).as("_bn"))
+    val offW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_zbucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_bn")).over(offW), lit(0L)))
+      .drop("_bn")
+    val hint = OpsUtil.gatedHint("clusterRewrite", "bucket offsets",
+      offsets, maxBroadcastRows)
+    val rnW = Window
+      .partitionBy((keyCols.map(col) :+ col("_zbucket")): _*)
+      .orderBy((col("_zkey") +: tiebreak): _*)
+    keyed
+      .join(hint(offsets), keyCols :+ "_zbucket")
+      .withColumn("_rn", row_number().over(rnW))
+      .withColumn("new_file",
+        expr(s"(_off + _rn - 1) div ${rowsPerFile}L"))
+      .drop("_zkey", "_zbucket", "_off", "_rn")
+  }
+
   /** Execute a [[compactionPlan]]: route every data row to its rewrite
     * bin. Output = the input rows plus `old_file` (the row's current
     * file, from `fileExpr`) and `bin` (its rewrite group within the

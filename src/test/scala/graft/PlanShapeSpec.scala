@@ -606,6 +606,29 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q193 clustered rewrite: the bucket-offset join is broadcast-" +
+      "pinned (no SortMergeJoin with auto-broadcast off) and the " +
+      "row_number window partitions by (source, z-bucket) — fine-" +
+      "grained, never one task per source") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf("q193_cluster_rewrite")
+      assert(!plan.contains("SortMergeJoin"),
+        "the offset join escaped the broadcast pin:\n" + plan.take(3000))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+      // the heavy window's partition spec must include the z-bucket —
+      // a per-source-only window would serialize each key's rows
+      val winLines = plan.linesIterator
+        .filter(l => l.contains("Window") && l.contains("row_number"))
+        .toSeq
+      assert(winLines.exists(_.contains("_zbucket")),
+        "row_number window lost its z-bucket partitioning:\n" +
+          winLines.mkString("\n"))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q110/q111 BM25 retrieval joins: every join is EXPLICITLY " +
       "broadcast-pinned — the plan survives autoBroadcastJoinThreshold " +
       "= -1 with zero SortMergeJoins") {

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** Round-18 feature wave, part 1: the Z-order-CLUSTERED rewrite
+  * ([[graft.ops.Layout.clusterRewrite]]) — the layout-IMPROVING half of
+  * the maintenance loop. r17 closed the loop stats-preservingly (q190
+  * bins by arrival order); this round's rewrite re-clusters rows along
+  * the z-curve, and the property that justifies the whole maintenance
+  * pass is pinned here: for the same range predicate, pruning over the
+  * post-rewrite layout reads STRICTLY FEWER files than over the arrival
+  * layout, while both layouts cover exactly the same matching rows. */
+class Round18OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  // arrival order deliberately uncorrelated with `v` (the predicate
+  // column): v cycles through the domain as ids increase, so every
+  // arrival file spans nearly the whole v range — the layout a drip-fed
+  // ingest actually produces, worst case for zone-map pruning
+  private def corpus() = (0 until 240).map { i =>
+    (i.toLong, s"s${i % 3}", (i * 37 % 100).toLong)
+  }.toDF("id", "source", "v")
+
+  test("clusterRewrite: packing is exact — every (source) writes files " +
+      "of rowsPerFile rows (except one ragged tail), rows are " +
+      "contiguous in (zkey, id) order, and the assignment is " +
+      "deterministic across runs") {
+    val d = corpus()
+    val rw = Layout.clusterRewrite(d, Seq("source"),
+      Seq(col("v"), col("id")), bits = 16, rowsPerFile = 7L,
+      tiebreak = Seq(col("id")))
+    assert(rw.count() == 240, "rewrite must be row-preserving")
+    // per source: 80 rows → files 0..11 with sizes 7×11 + 3
+    val sizes = rw.groupBy("source", "new_file")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Seq("s0", "s1", "s2").foreach { s =>
+      (0L to 10L).foreach(f => assert(sizes((s, f)) == 7L, s"$s#$f"))
+      assert(sizes((s, 11L)) == 3L, s"$s tail")
+      assert(!sizes.contains((s, 12L)))
+    }
+    // contiguity: within a source, max zkey of file f <= min zkey of
+    // file f+1 modulo ties (equal zkeys may straddle a boundary, then
+    // id breaks the tie) — check on the (zkey, id) pair order instead:
+    // rows sorted by (zkey, id) must see new_file non-decreasing
+    val zk = Layout.zorderKey(Seq(col("v"), col("id")), 16)
+    val seq = rw.withColumn("_zk", zk)
+      .orderBy(col("source"), col("_zk"), col("id"))
+      .select("source", "new_file").collect()
+    seq.groupBy(_.getString(0)).foreach { case (s, rows) =>
+      val files = rows.map(_.getLong(1))
+      assert(files.zip(files.tail).forall { case (a, b) => a <= b },
+        s"$s: new_file must be non-decreasing along the z-order")
+    }
+    // determinism: a second run over a reshuffled input agrees exactly
+    val again = Layout.clusterRewrite(d.repartition(13), Seq("source"),
+      Seq(col("v"), col("id")), bits = 16, rowsPerFile = 7L,
+      tiebreak = Seq(col("id")))
+    val a = rw.select("id", "new_file").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = again.select("id", "new_file").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("clusterRewrite IMPROVES pruning: the same range predicate keeps " +
+      "strictly fewer files post-rewrite than on the arrival layout, " +
+      "and both keep-sets cover exactly the matching rows") {
+    val d = corpus()
+    val lo = lit(40L); val hi = lit(60L)
+    // arrival layout: 8-row files in id order
+    val pre = Layout.pruneByRange(
+      Layout.zoneMaps(d.withColumn("f", expr("id div 8")),
+        concat_ws("#", col("source"), col("f")), Seq("v")),
+      "v", lo, hi)
+    val rw = Layout.clusterRewrite(d, Seq("source"),
+      Seq(col("v"), col("id")), bits = 16, rowsPerFile = 8L,
+      tiebreak = Seq(col("id")))
+    val post = Layout.pruneByRange(
+      Layout.zoneMaps(rw, concat_ws("#", col("source"), col("new_file")),
+        Seq("v")),
+      "v", lo, hi)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("keep")).collect()
+    val (preKept, postKept) = (kept(pre), kept(post))
+    assert(postKept.length < preKept.length,
+      s"z-order rewrite must strictly shrink the keep-set: " +
+        s"pre=${preKept.length} post=${postKept.length}")
+    // soundness both sides: kept files must cover ALL matching rows —
+    // matching rows in a skipped file would be data loss at plan time
+    val matching = d.filter(col("v") >= lo && col("v") <= hi).count()
+    val preCover = d.withColumn("f", expr("id div 8"))
+      .withColumn("file_id", concat_ws("#", col("source"), col("f")))
+      .join(pre.filter(col("keep")).select("file_id"), Seq("file_id"),
+        "left_semi")
+      .filter(col("v") >= lo && col("v") <= hi).count()
+    val postCover = rw
+      .withColumn("file_id",
+        concat_ws("#", col("source"), col("new_file")))
+      .join(post.filter(col("keep")).select("file_id"), Seq("file_id"),
+        "left_semi")
+      .filter(col("v") >= lo && col("v") <= hi).count()
+    assert(preCover == matching && postCover == matching,
+      s"kept files must cover all $matching matching rows " +
+        s"(pre=$preCover post=$postCover)")
+  }
+
+  test("clusterRewrite: null z-dimension wraps to key 0 (layout hint, " +
+      "never an error) and rows stay packed") {
+    val d = Seq((1L, "s", Some(5L)), (2L, "s", None), (3L, "s", Some(1L)))
+      .toDF("id", "source", "v")
+    val rw = Layout.clusterRewrite(d, Seq("source"),
+      Seq(col("v"), col("id")), bits = 8, rowsPerFile = 2L,
+      tiebreak = Seq(col("id")))
+    assert(rw.count() == 3)
+    val byId = rw.select("id", "new_file").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null v → zkey 0 → id 2 sorts first; then (v=1,id=3), (v=5,id=1)
+    assert(byId(2L) == 0L && byId(3L) == 0L && byId(1L) == 1L, byId)
+  }
+}
