@@ -1874,6 +1874,21 @@ object SparkEntry {
           hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b", "start_a", "start_b")
     }),
+    "q194_verbatim_filter_first" -> ((s, dir) => {
+      // q146's documented 100 TB posture AS A GATE: the winnowing
+      // screen (q123's exact params) picks candidate pairs, the
+      // stride-1 exact-span pass runs over the CANDIDATE DOCS only,
+      // and spans are restricted to the candidate pairs — span cost
+      // scales with screen output, not corpus bytes. Both stages md5
+      // so the whole chain (screen + cap + diagonal merge + verify)
+      // replays in the oracle.
+      ops.Dedup.verbatimSpansFiltered(
+          Testbed.graph(s, dir).collection("documents"), "doc_id",
+          "text", winnowK = 8, winnowW = 4, minShared = 30,
+          maxDocsPerFp = 20, k = 12, minLen = 30, maxOccurrences = 50,
+          hash = ops.BaseHash.Md5)
+        .orderBy("id_a", "id_b", "start_a", "start_b")
+    }),
     "q147_cross_verbatim_decontam" -> ((s, dir) => {
       // eval-leak audit (the ExactSubstr decontamination form): WHERE and
       // HOW LONG is the verbatim overlap between the training split and
@@ -3938,6 +3953,40 @@ object SparkEntry {
       s"""WITH ${VerbatimSpanCtes(CrossSpanSides)}
          SELECT id_a, id_b, start_a, start_b, span_len FROM spans
          ORDER BY id_a, id_b, start_a, start_b""",
+    // q194: q123's winnow screen (verbatim CTEs) picks candidate pairs
+    // and ids; the q146 span kernel runs over the candidate docs only;
+    // spans then restrict to the candidate pairs
+    "q194_verbatim_filter_first" ->
+      s"""WITH whs AS (
+           SELECT doc_id AS id,
+                  list_transform(range(1, length(text) - 6),
+                    i -> CAST(concat('0x', substr(md5(substr(text,
+                           CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+                         & 2147483647) AS h
+           FROM documents
+           WHERE text IS NOT NULL AND length(text) >= 8),
+         wfp0 AS (
+           SELECT id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(h) - 3, 1) + 1),
+                    p -> list_min(h[CAST(p AS INT):CAST(p + 3 AS INT)]))))
+                    AS fp
+           FROM whs),
+         wfpc AS (SELECT * FROM wfp0
+                  QUALIFY count(*) OVER (PARTITION BY fp) <= 20),
+         cand AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM wfpc a JOIN wfpc b ON a.fp = b.fp AND a.id < b.id
+           GROUP BY 1, 2 HAVING count(*) >= 30),
+         cid AS (SELECT id_a AS id FROM cand
+                 UNION SELECT id_b FROM cand),
+         cdocs AS (SELECT d.doc_id AS id, d.text FROM documents d
+                   JOIN cid ON cid.id = d.doc_id),
+         ${VerbatimSpanCtes(("SELECT id, text FROM cdocs",
+             "SELECT id, text FROM cdocs", "AND a.id < b.id"))}
+         SELECT s.id_a, s.id_b, s.start_a, s.start_b, s.span_len
+         FROM spans s
+         JOIN cand c ON c.id_a = s.id_a AND c.id_b = s.id_b
+         ORDER BY s.id_a, s.id_b, s.start_a, s.start_b""",
     // q149/q150 probe persisted (resp. appended) suite window stores;
     // both are output-identical to the recompute op by construction
     // (probe-time occurrence cap over the store's current contents), so

@@ -672,6 +672,53 @@ object Dedup {
       docs.select(col(idCol).cast("long"), col(textCol)))
   }
 
+  /** FILTER-FIRST verbatim spans — [[verbatimSpans]]' documented 100 TB
+    * posture as a first-class operator: [[winnowMatches]] screens the
+    * corpus down to candidate pairs (sampled fingerprints, ~2/(w+1) of
+    * grams kept), and the stride-1 exact-span pass runs over the
+    * CANDIDATE DOCS ONLY, its output then restricted to the candidate
+    * pairs. The full-corpus [[verbatimSpans]] is a deliberate heavy
+    * pass, linear in corpus bytes; this chain's span stage is linear in
+    * candidate bytes — at 100 TB the difference between "scan
+    * everything at stride 1" and "scan the few docs the screen already
+    * implicated".
+    *
+    * Coverage contract: winnowing guarantees any shared substring of
+    * ≥ `winnowK + winnowW − 1` chars yields a shared fingerprint, so
+    * with `minShared` low the screen recalls every pair carrying a long
+    * span (boilerplate-capped fingerprints excepted — the same
+    * template-chrome exclusion both stages apply); `minShared` above 1
+    * trades that recall for screen selectivity, exactly the winnowing
+    * dial. The occurrence cap of the span stage applies over the
+    * candidate docs (its boilerplate/skew role is unchanged — template
+    * chrome among candidates would still drive the bucket² term).
+    *
+    * Scale shape: the candidate-id list and the pair list are screen
+    * output (small by construction) — both broadcast under the count
+    * gate, so the corpus semi-join is map-side and the only heavy work
+    * is the span self-join over candidate docs. */
+  def verbatimSpansFiltered(docs: DataFrame, idCol: String,
+      textCol: String, winnowK: Int, winnowW: Int, minShared: Long,
+      maxDocsPerFp: Int, k: Int, minLen: Int, maxOccurrences: Int,
+      hash: BaseHash = BaseHash.Xx, verify: Boolean = true,
+      maxBroadcastRows: Long = 2000000L): DataFrame = {
+    val cand = graft.core.Lifecycle.stage(
+      winnowMatches(docs, idCol, textCol, winnowK, winnowW, minShared,
+        maxDocsPerFp, hash).select(col("id_a"), col("id_b")))
+    val ids = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("_cid"))
+      .distinct()
+    val idHint = OpsUtil.gatedHint("verbatimSpansFiltered",
+      "candidate ids", ids, maxBroadcastRows)
+    val candDocs = docs.join(idHint(ids),
+      col(idCol).cast("long") === col("_cid"), "left_semi")
+    val spans = verbatimSpans(candDocs, idCol, textCol, k, minLen,
+      maxOccurrences, hash, verify)
+    val pairHint = OpsUtil.gatedHint("verbatimSpansFiltered",
+      "candidate pairs", cand, maxBroadcastRows)
+    spans.join(pairHint(cand), Seq("id_a", "id_b"), "left_semi")
+  }
+
   /** Cross-corpus verbatim spans — the ExactSubstr DECONTAMINATION form:
     * every maximal run of ≥ `minLen` chars that a corpus document shares
     * verbatim with any benchmark/eval document, with both 1-based

@@ -109,6 +109,52 @@ class Round18OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
         s"(pre=$preCover post=$postCover)")
   }
 
+  test("verbatimSpansFiltered: spans are a SUBSET of the full-corpus " +
+      "pass, and on the winnow-recalled pairs they are IDENTICAL — " +
+      "byte-equal offsets and lengths for a planted long overlap") {
+    import graft.ops.{BaseHash, Dedup}
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val planted = "the quick brown fox jumps over the lazy dog " +
+      "while the band played on and on into the night"
+    val docs = (
+      Seq(
+        (0L, s"alpha prefix text $planted and some alpha suffix here"),
+        (1L, s"beta intro words $planted trailing beta material now"),
+        (2L, "unrelated filler content about nothing in particular " +
+          "that shares no long run with anyone else at all")) ++
+      // noise docs: unique texts, no shared >= 12-char runs
+      (3L to 40L).map(i => (i,
+        s"noise document number $i carrying digits " +
+          (1 to 12).map(j => i * 131 + j * 17).mkString(" ")))
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    val full = Dedup.verbatimSpans(docs, "doc_id", "text", k = 12,
+        minLen = 30, maxOccurrences = 50, hash = BaseHash.Md5)
+      .select("id_a", "id_b", "start_a", "start_b", "span_len")
+      .collect().map(key).toSet
+    val filt = Dedup.verbatimSpansFiltered(docs, "doc_id", "text",
+        winnowK = 8, winnowW = 4, minShared = 1, maxDocsPerFp = 50,
+        k = 12, minLen = 30, maxOccurrences = 50, hash = BaseHash.Md5)
+      .select("id_a", "id_b", "start_a", "start_b", "span_len")
+      .collect().map(key).toSet
+    assert(filt.subsetOf(full), s"filtered must never invent spans:\n" +
+      s"extra=${filt -- full}")
+    // the planted overlap: winnowing at minShared=1 must recall the
+    // (0, 1) pair (shared substring >> winnowK + winnowW - 1), and the
+    // span offsets must agree exactly with the full pass
+    val plantedFull = full.filter(t => t._1 == 0L && t._2 == 1L)
+    val plantedFilt = filt.filter(t => t._1 == 0L && t._2 == 1L)
+    assert(plantedFull.nonEmpty, "fixture lost its planted overlap")
+    assert(plantedFilt == plantedFull,
+      s"filter-first must be exact on recalled pairs:\n" +
+        s"full=$plantedFull filt=$plantedFilt")
+    // and the screen actually screens: doc 2 + noise docs never reach
+    // the span stage's output
+    assert(filt.forall(t => Set(0L, 1L).contains(t._1) &&
+      Set(0L, 1L).contains(t._2)))
+  }
+
   test("clusterRewrite: null z-dimension wraps to key 0 (layout hint, " +
       "never an error) and rows stay packed") {
     val d = Seq((1L, "s", Some(5L)), (2L, "s", None), (3L, "s", Some(1L)))
