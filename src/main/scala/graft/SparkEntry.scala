@@ -2355,6 +2355,30 @@ object SparkEntry {
           "n_chars", lit(200L), lit(260L))
         .orderBy("file_id")
     }),
+    "q195_k_generalize" -> ((s, dir) => {
+      // the row-PRESERVING enforcement half beside q191's suppression:
+      // full-domain generalization — walk the (nationkey,
+      // acctbal-bucket) coarsening ladder in order and release the
+      // first rung where every class reaches k=20. At this corpus the
+      // ladder EXHAUSTS (the coarsest rung's smallest class is 16), so
+      // the release is the coarsest rung with only the irreducible
+      // small classes suppressed — rows survive that flat suppression
+      // at the finest grain would have dropped. Each rung audit is one
+      // O(classes) agg folded to a driver row; the release is a pure
+      // projection; the fallback inherits q191's broadcast semi-join.
+      val c = Testbed.graph(s, dir).collection("customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      ops.Profile.generalizeToK(c, Seq("c_nationkey", "c_acctbal"),
+          ladder = Seq(
+            Seq(col("c_nationkey").cast("long"),
+              expr("CAST(floor(c_acctbal / 100) * 100 AS BIGINT)")),
+            Seq(col("c_nationkey").cast("long"),
+              expr("CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT)")),
+            Seq(expr("CAST(c_nationkey AS BIGINT) div 5"),
+              expr("CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT)"))),
+          k = 20L)
+        .orderBy("c_custkey")
+    }),
     "q191_k_suppress" -> ((s, dir) => {
       // the enforcement half of q186: suppression — the released rows
       // are exactly those whose (nation, segment) class reached k=20;
@@ -4761,6 +4785,42 @@ object SparkEntry {
     // (q154's shift/or terms), top-8-bit bucketing, per-(source,
     // bucket) offset cumsum + row_number packing, fresh stats, prune
     "q193_cluster_rewrite" -> ClusterRewriteOracleSql,
+    // q195: the generalization walk replayed — per-rung min-class-size
+    // scalar subqueries choose the level; the suppression semi-join is
+    // applied UNCONDITIONALLY because it is the identity whenever the
+    // chosen rung passed (every class >= k keeps every class)
+    "q195_k_generalize" ->
+      """WITH m0 AS (SELECT min(cnt) AS m FROM (
+             SELECT count(*) AS cnt FROM customer
+             GROUP BY c_nationkey,
+                      CAST(floor(c_acctbal / 100) * 100 AS BIGINT))),
+         m1 AS (SELECT min(cnt) AS m FROM (
+             SELECT count(*) AS cnt FROM customer
+             GROUP BY c_nationkey,
+                      CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT))),
+         lvl AS (SELECT CASE WHEN (SELECT m FROM m0) >= 20 THEN 0
+                             WHEN (SELECT m FROM m1) >= 20 THEN 1
+                             ELSE 2 END AS l),
+         sel AS (SELECT c_custkey, c_mktsegment,
+                   CASE WHEN (SELECT l FROM lvl) <= 1
+                        THEN CAST(c_nationkey AS BIGINT)
+                        ELSE CAST(c_nationkey AS BIGINT) // 5
+                        END AS c_nationkey,
+                   CASE WHEN (SELECT l FROM lvl) = 0
+                        THEN CAST(floor(c_acctbal / 100) * 100 AS BIGINT)
+                        ELSE CAST(floor(c_acctbal / 1000) * 1000
+                          AS BIGINT)
+                        END AS c_acctbal,
+                   CAST((SELECT l FROM lvl) AS INT) AS gen_level
+                 FROM customer),
+         ok AS (SELECT c_nationkey, c_acctbal FROM sel
+                GROUP BY 1, 2 HAVING count(*) >= 20)
+         SELECT s.c_custkey, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+                s.gen_level
+         FROM sel s
+         JOIN ok ON s.c_nationkey = ok.c_nationkey
+                AND s.c_acctbal = ok.c_acctbal
+         ORDER BY s.c_custkey""",
     // q191: suppression replayed as HAVING >= k + a plain join
     "q191_k_suppress" ->
       """WITH a AS (

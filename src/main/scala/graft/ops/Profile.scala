@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level data profiling — the "what is actually in this table"
@@ -92,6 +92,62 @@ object Profile {
     * 100 TB the fact rows never shuffle — suppression is a map-side
     * filter. Null-safe on the quasi columns: a NULL class is a class
     * like any other (matching [[kAnonymity]]'s GROUP BY semantics). */
+  /** GENERALIZATION to k-anonymity — the enforcement half that
+    * PRESERVES rows where [[suppressSmallClasses]] drops them: walk an
+    * ordered `ladder` of quasi-identifier coarsenings (full-domain
+    * global recoding — Sweeney/Samarati's generalization lattice,
+    * linearized by the caller into a path: each rung is one candidate
+    * quasi VECTOR, rung 0 the finest) and release the FIRST rung where
+    * every equivalence class reaches `k`; if even the coarsest rung
+    * leaves small classes, release it with those classes suppressed —
+    * generalize as far as the hierarchy allows, drop only the
+    * irreducible remainder (the standard full-domain contract).
+    *
+    * The ladder is caller schema, deliberately (the
+    * [[suppressSmallClasses]] doc's point: which hierarchy and which
+    * cut are domain decisions); what the engine owns is the
+    * deterministic walk, the per-rung audit, and the release. Output:
+    * `df`'s columns with each quasi column REPLACED in place by the
+    * chosen rung's value, plus `gen_level` (the rung index) — so the
+    * released frame satisfies k-anonymity on `quasiCols` by
+    * construction either way.
+    *
+    * Scale posture: each rung audit is ONE map-side-combined O(classes)
+    * aggregation folded to a single driver row (the walk stops at the
+    * first passing rung, so failed-rung scans are the price of the
+    * lattice search, each a cheap count pass); the release itself is a
+    * pure projection, and the suppression fallback inherits
+    * [[suppressSmallClasses]]'s broadcast semi-join — fact rows never
+    * shuffle anywhere. */
+  def generalizeToK(df: DataFrame, quasiCols: Seq[String],
+      ladder: Seq[Seq[Column]], k: Long,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(quasiCols.nonEmpty, "generalizeToK needs >= 1 quasi column")
+    require(k >= 2, s"k must be >= 2 to mean anything, got $k")
+    require(ladder.nonEmpty && ladder.forall(_.size == quasiCols.size),
+      s"ladder must be non-empty rungs of ${quasiCols.size} columns")
+    require(quasiCols.forall(df.columns.contains),
+      s"quasi columns $quasiCols must exist in ${df.columns.toSeq}")
+    val staged = graft.core.Lifecycle.stage(df)
+    // the rung audit: smallest class size under this coarsening — one
+    // O(classes) agg, one driver row (an empty frame passes trivially)
+    def minClass(rung: Seq[Column]): Long = {
+      val r = staged.groupBy(rung: _*).agg(count(lit(1)).as("_c"))
+        .agg(min(col("_c"))).collect()(0)
+      if (r.isNullAt(0)) Long.MaxValue else r.getLong(0)
+    }
+    val firstOk = ladder.indexWhere(minClass(_) >= k)
+    val idx = if (firstOk >= 0) firstOk else ladder.size - 1
+    val rung = ladder(idx)
+    val released = staged.select(df.columns.map { n =>
+        val i = quasiCols.indexOf(n)
+        if (i >= 0) rung(i).as(n) else col(n)
+      }.toIndexedSeq: _*)
+      .withColumn("gen_level", lit(idx))
+    if (firstOk >= 0) released
+    else suppressSmallClasses(released, quasiCols, k, maxBroadcastRows)
+  }
+
   def suppressSmallClasses(df: DataFrame, quasiCols: Seq[String],
       k: Long, maxBroadcastRows: Long = 1000000L): DataFrame = {
     val classes = kAnonymity(df, quasiCols, k)

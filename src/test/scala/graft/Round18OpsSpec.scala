@@ -155,6 +155,43 @@ class Round18OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       Set(0L, 1L).contains(t._2)))
   }
 
+  test("generalizeToK: stops at the FIRST passing rung (rows preserved, " +
+      "gen_level exact), falls back to coarsest-rung + suppression when " +
+      "the ladder exhausts, and every release satisfies k-anonymity") {
+    import graft.ops.Profile
+    // 40 users: city is unique-ish (fails k), region groups of 10
+    // (passes k=10 at rung 1), plus one 3-row outlier region that can
+    // never reach k — the irreducible remainder
+    val d = ((0 until 40).map { i =>
+      (i.toLong, s"city${i % 20}", s"region${i % 4}")
+    } ++ Seq((100L, "cityX", "regionX"), (101L, "cityX", "regionX"),
+      (102L, "cityX", "regionX")))
+      .toDF("uid", "city", "region")
+    // rung 0 passes at k=2 for a fixture where every city has >= 2 rows
+    val twoPer = (0 until 20).flatMap(c =>
+      Seq((c * 2L, s"c$c"), (c * 2 + 1L, s"c$c"))).toDF("uid", "city")
+    val stop0 = Profile.generalizeToK(twoPer, Seq("city"),
+      Seq(Seq(col("city")), Seq(lit("all"))), k = 2L)
+    assert(stop0.count() == 40 &&
+      stop0.select("gen_level").distinct().collect()
+        .map(_.getInt(0)).toSeq == Seq(0),
+      "must stop at the first passing rung with all rows released")
+    // the mixed fixture at k=10: rung 0 fails, rung 1 fails only on
+    // regionX (3 rows) → coarsest rung + suppression drops exactly 3
+    val gen = Profile.generalizeToK(
+      d.select(col("uid"), col("city").as("q")), Seq("q"),
+      Seq(Seq(col("q")),
+        Seq(regexp_replace(col("q"), "city(\\d+)X?", "grp"))), k = 10L)
+    // rung 1 maps city0..19 -> "grp" (40 rows, passes) but cityX stays
+    // "cityX" (3 rows, fails) → suppression drops the 3
+    assert(gen.count() == 40, gen.collect().mkString(","))
+    assert(gen.select("gen_level").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    // released frame ALWAYS satisfies k-anonymity on its quasi cols
+    val audit = Profile.kAnonymity(gen, Seq("q"), k = 10L)
+    assert(audit.filter(!col("anonymous")).count() == 0)
+  }
+
   test("clusterRewrite: null z-dimension wraps to key 0 (layout hint, " +
       "never an error) and rows stay packed") {
     val d = Seq((1L, "s", Some(5L)), (2L, "s", None), (3L, "s", Some(1L)))
