@@ -2417,6 +2417,26 @@ object SparkEntry {
           "k", k = 10)
         .withColumnRenamed("k", "o_custkey")
     }),
+    "q196_auto_salt_join" -> ((s, dir) => {
+      // q176's advisor wired into q52's salted plan automatically:
+      // keys whose join-output share reaches the threshold (among the
+      // top-20 contributors) get a per-key salt factor sized to their
+      // large-side volume; the ≤20-row salt map broadcasts onto both
+      // sides and the join runs on (key, salt) — hot keys fan out,
+      // cold keys pay nothing, and the result is EXACTLY the plain
+      // join (the oracle is the plain SQL join; the fan-out is pinned
+      // in Round18OpsSpec/PlanShapeSpec)
+      val g = Testbed.graph(s, dir)
+      ops.Skew.autoSaltJoin(
+          g.collection("orders")
+            .select(col("o_orderkey"), col("o_custkey").as("ckey")),
+          g.collection("customer")
+            .select(col("c_custkey").as("ckey"), col("c_mktsegment")),
+          "ckey", reportK = 20, hotShareMicro = 1000L, rowsPerSalt = 5L,
+          maxSalts = 8)
+        .withColumnRenamed("ckey", "o_custkey")
+        .orderBy("o_orderkey")
+    }),
     "q177_zonemap_prune" -> ((s, dir) => {
       // data-skipping planning: footer-style per-file min/max zone maps
       // (files = ingest months, the realistic time-partitioned landing
@@ -4781,6 +4801,13 @@ object SparkEntry {
                 coalesce(min_doc_id <= 220 AND max_doc_id >= 100, false)
                   AS keep
          FROM z ORDER BY file_id""",
+    // q196: salting is an execution-layout trick, invisible in the
+    // result — the oracle is the PLAIN join (the strongest possible
+    // check that the salt fan-out loses and fabricates nothing)
+    "q196_auto_salt_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o.o_orderkey""",
     // q193: the clustered rewrite replayed — Morton interleave
     // (q154's shift/or terms), top-8-bit bucketing, per-(source,
     // bucket) offset cumsum + row_number packing, fresh stats, prune

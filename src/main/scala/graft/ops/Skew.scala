@@ -39,6 +39,71 @@ object Skew {
       .drop("_salt")
   }
 
+  /** The advisor's verdict as a salt map: the top-`reportK` join
+    * contributors whose `share_micro` reaches `hotShareMicro`, each
+    * with its salt factor `min(maxSalts, max(2, ceil(n_left /
+    * rowsPerSalt)))` — the hot key's large-side rows split into
+    * ~`rowsPerSalt` chunks, capped. O(reportK) rows by construction
+    * (the advisor's own top-k bound), so [[autoSaltJoin]] broadcasts it
+    * unconditionally. */
+  private[graft] def hotSaltMap(large: DataFrame, small: DataFrame,
+      key: String, reportK: Int, hotShareMicro: Long, rowsPerSalt: Long,
+      maxSalts: Int): DataFrame =
+    joinSkewReport(large, small, key, reportK)
+      .filter(col("share_micro") >= hotShareMicro)
+      .select(col(key),
+        least(lit(maxSalts.toLong), greatest(lit(2L),
+          expr(s"(n_left + ${rowsPerSalt - 1}) div ${rowsPerSalt}L")))
+          .cast("int").as("_salts"))
+
+  /** ADVISOR-DRIVEN salted join — [[joinSkewReport]]'s verdict wired
+    * into [[saltedJoin]]'s plan automatically: keys whose join-output
+    * share reaches `hotShareMicro` (integer millionths) among the top
+    * `reportK` contributors get a PER-KEY salt factor sized to their
+    * actual large-side volume (`ceil(n_left / rowsPerSalt)`, capped at
+    * `maxSalts`); everything else joins unsalted. One unified join does
+    * both: the large side salts `pmod(hash, salts)` where its key is
+    * hot and 0 otherwise, the small side replicates each hot key's rows
+    * `salts` times (cold keys once), and the join runs on
+    * `(key, salt)` — so a hot key's rows scatter over `salts` shuffle
+    * partitions instead of hammering one reducer, while cold keys pay
+    * nothing. Output ≡ the plain `large ⋈ small ON key` for `inner` and
+    * `left` (each large row's salt matches exactly one small replica —
+    * [[saltedJoin]]'s argument, per key); right/full-outer are refused
+    * for [[saltedJoin]]'s reason.
+    *
+    * Cost shape: two map-side-combined per-key counts + a distinct-key
+    * join (the advisor, O(distinct keys)), then the salt map — ≤
+    * `reportK` rows — broadcasts onto both sides as map-side lookups;
+    * no driver collect anywhere, nothing quadratic, and a corpus with
+    * NO hot keys degenerates to the plain join plus two cheap count
+    * passes. */
+  def autoSaltJoin(large: DataFrame, small: DataFrame, key: String,
+      reportK: Int = 20, hotShareMicro: Long = 100000L,
+      rowsPerSalt: Long = 1000000L, maxSalts: Int = 64,
+      joinType: String = "inner"): DataFrame = {
+    require(reportK >= 1, s"reportK must be positive, got $reportK")
+    require(rowsPerSalt >= 1, s"rowsPerSalt must be >= 1: $rowsPerSalt")
+    require(maxSalts >= 2, s"maxSalts must be >= 2, got $maxSalts")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"autoSaltJoin supports inner/left joins, not $joinType " +
+        "(outer small-side replicas would duplicate unmatched rows)")
+    val hot = broadcast(hotSaltMap(large, small, key, reportK,
+      hotShareMicro, rowsPerSalt, maxSalts))
+    val saltedLarge = large.join(hot, Seq(key), "left")
+      .withColumn("_salt",
+        when(col("_salts").isNull, lit(0))
+          .otherwise(pmod(xxhash64(spark_partition_id(),
+            monotonically_increasing_id()), col("_salts")).cast("int")))
+      .drop("_salts")
+    val saltedSmall = small.join(hot, Seq(key), "left")
+      .withColumn("_salt",
+        explode(sequence(lit(0), coalesce(col("_salts"), lit(1)) - 1)))
+      .drop("_salts")
+    saltedLarge.join(saltedSmall, Seq(key, "_salt"), joinType)
+      .drop("_salt")
+  }
+
   /** JOIN-SKEW ADVISOR — the diagnostic run BEFORE committing a shuffle
     * join at scale: per join key, both sides' row counts and the exact
     * inner-join output contribution (`n_left · n_right` — the number

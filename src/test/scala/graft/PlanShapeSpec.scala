@@ -629,6 +629,20 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q196 auto-salt join: the salt map broadcasts onto both sides " +
+      "and the main join key carries the salt — hot keys scatter " +
+      "instead of hammering one reducer") {
+    val plan = planOf("q196_auto_salt_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the ≤reportK-row salt map must broadcast:\n" + plan.take(3000))
+    // the big join's equi-key must include _salt (the scatter); it
+    // shows up in the join condition of the executed plan
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("_salt")).toSeq
+    assert(joinLines.nonEmpty,
+      "the main join lost its salt key:\n" + plan.take(3000))
+  }
+
   test("q110/q111 BM25 retrieval joins: every join is EXPLICITLY " +
       "broadcast-pinned — the plan survives autoBroadcastJoinThreshold " +
       "= -1 with zero SortMergeJoins") {

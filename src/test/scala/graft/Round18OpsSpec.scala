@@ -192,6 +192,56 @@ class Round18OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(audit.filter(!col("anonymous")).count() == 0)
   }
 
+  test("autoSaltJoin: result EXACTLY equals the plain join on a hub-" +
+      "skewed fixture (inner and left, unmatched rows included), the " +
+      "hub key's salt factor tracks its volume, cold keys stay " +
+      "unsalted, outer joins are refused") {
+    import graft.ops.Skew
+    // hub key 7: 500 large rows; cold keys: 5 rows each; key 99 has no
+    // small match (the left-join null case); small key 42 unmatched on
+    // the large side (must not leak via replicas)
+    val large = ((0 until 500).map(i => (7L, i.toLong)) ++
+      (1 to 20).flatMap(k => (0 until 5).map(i =>
+        (k.toLong, (1000 + k * 10 + i).toLong))) ++
+      (0 until 3).map(i => (99L, (9000 + i).toLong)))
+      .toDF("k", "payload")
+    val small = (Seq(7L, 42L) ++ (1L to 20L)).map(k => (k, s"dim$k"))
+      .toDF("k", "attr")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "<null>" else r.getString(2))).toSeq.sorted
+    Seq("inner", "left").foreach { jt =>
+      val plain = rows(large.join(small, Seq("k"), jt))
+      val salted = rows(Skew.autoSaltJoin(large, small, "k",
+        reportK = 10, hotShareMicro = 100000L, rowsPerSalt = 100L,
+        maxSalts = 8, joinType = jt))
+      assert(salted == plain, s"$jt: ${salted.size} vs ${plain.size}")
+    }
+    // the salt map: hub key 7 (500 hub rows + 5 from the cold
+    // generator = 505) dominates the join output (share >= 10%),
+    // salts = ceil(505/100) = 6; cold keys are absent
+    val hotMap = Skew.hotSaltMap(large, small, "k", reportK = 10,
+      hotShareMicro = 100000L, rowsPerSalt = 100L, maxSalts = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hotMap == Map(7L -> 6), hotMap.toString)
+    // the fan-out itself: the hub key's large rows draw > 1 distinct
+    // salt (scatter over reducers), observed through the same salted
+    // frame autoSaltJoin builds
+    val salts = large.join(
+        org.apache.spark.sql.functions.broadcast(
+          Skew.hotSaltMap(large, small, "k", 10, 100000L, 100L, 8)),
+        Seq("k"), "left")
+      .withColumn("_salt", when(col("_salts").isNull, lit(0))
+        .otherwise(pmod(xxhash64(spark_partition_id(),
+          monotonically_increasing_id()), col("_salts")).cast("int")))
+      .filter(col("k") === 7L).select("_salt").distinct().count()
+    assert(salts > 1, s"hub key must fan out, got $salts salt(s)")
+    intercept[IllegalArgumentException] {
+      Skew.autoSaltJoin(large, small, "k", joinType = "full_outer")
+    }
+  }
+
   test("clusterRewrite: null z-dimension wraps to key 0 (layout hint, " +
       "never an error) and rows stay packed") {
     val d = Seq((1L, "s", Some(5L)), (2L, "s", None), (3L, "s", Some(1L)))
