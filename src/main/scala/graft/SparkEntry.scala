@@ -696,6 +696,31 @@ object SparkEntry {
     }),
 
     // ---- sessionization (custom state op; batch = streaming semantics) --
+    "q197_phash_neardup" -> ((s, dir) => {
+      // image near-dup WITHOUT a codec: the synthetic media fixture
+      // (groups of 5 payloads sharing a group leader's bytes with one
+      // leading byte varied — the watermark / re-encode shape image
+      // dedup hunts) through the 63-bit dHash (pure Column gradient
+      // signature over 64 evenly-sampled bytes) and the SAME banded
+      // chunk blocking text simhash uses (q73's machinery,
+      // pigeonhole-exact recall at maxDist=3) — never an all-pairs
+      // compare; the oracle replays hash and distance bit-for-bit
+      val d = Testbed.graph(s, dir).collection("documents")
+      val leaders = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("base_id"), col("text").as("base_text"))
+      val media = d
+        .select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 5).as("base_id"))
+        .join(broadcast(leaders), Seq("base_id")) // 1/5-size fixture dim
+        .select(col("doc_id"),
+          encode(concat(expr("char(65 + doc_id % 5)"),
+            expr("substr(base_text, 2)")), "UTF-8").as("media"))
+      val sigs = ops.Multimodal.dhash(media, "doc_id", "media")
+      ops.Dedup.simhashNearPairs(
+          sigs.select(col("id"), col("phash").as("simhash")),
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
     "q36_sessionize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -4801,6 +4826,38 @@ object SparkEntry {
                 coalesce(min_doc_id <= 220 AND max_doc_id >= 100, false)
                   AS keep
          FROM z ORDER BY file_id""",
+    // q197: the banded blocking has pigeonhole-exact recall at the
+    // admitted distance, so the oracle is the direct definition — the
+    // same media fixture, the 63-bit sampled-gradient hash, and a
+    // brute-force Hamming join (exact on this O(docs²) scale; the
+    // ENGINE never does all-pairs)
+    "q197_phash_neardup" ->
+      """WITH med AS (
+           SELECT d.doc_id,
+                  encode(concat(chr(CAST(65 + d.doc_id % 5 AS INT)),
+                    substr(l.text, 2))) AS media
+           FROM documents d
+           JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 5),
+         px AS (
+           SELECT doc_id AS id, hex(media) AS hx,
+                  octet_length(media) AS n
+           FROM med WHERE media IS NOT NULL AND octet_length(media) >= 1),
+         ph AS (
+           SELECT id, list_sum(list_transform(range(0, 63), i ->
+             CASE WHEN CAST(concat('0x', substr(hx,
+                         CAST(2 * (1 + (i * n) // 64) - 1 AS INT), 2))
+                       AS BIGINT)
+                     > CAST(concat('0x', substr(hx,
+                         CAST(2 * (1 + ((i + 1) * n) // 64) - 1 AS INT),
+                         2)) AS BIGINT)
+                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                  ELSE 0 END)) AS phash
+           FROM px)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         FROM ph a JOIN ph b
+           ON a.id < b.id AND bit_count(xor(a.phash, b.phash)) <= 3
+         ORDER BY id_a, id_b""",
     // q196: salting is an execution-layout trick, invisible in the
     // result — the oracle is the PLAIN join (the strongest possible
     // check that the salt fan-out loses and fabricates nothing)

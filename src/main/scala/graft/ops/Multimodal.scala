@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -48,6 +48,46 @@ object Multimodal {
         MediaMeta(r.doc_id, n, n % 640 + 16, n % 480 + 16, "fake/raw")
       }
     }
+  }
+
+  /** 63-bit PERCEPTUAL DIFFERENCE HASH (dHash) over an opaque binary
+    * payload — image near-dup as pure Column bit arithmetic, no codec
+    * anywhere: sample 64 evenly-spaced bytes of the payload (byte `i`
+    * of 64 at offset `(i·n) >> 6` — the deterministic stand-in for the
+    * canonical 9×8 grayscale downsample; a real decoder would feed the
+    * decoded gray buffer through the SAME sampling), then bit `i` of
+    * the hash records whether sample `i` exceeds sample `i+1` — the
+    * classic gradient signature that survives brightness shifts,
+    * re-encodes, and single-byte watermarks. 63 bits, not 64, so the
+    * key stays a NON-NEGATIVE BIGINT replayable by any engine with
+    * 64-bit integer ops (the [[Layout.zorderKey]] argument; DuckDB's
+    * signed `<<` refuses bit 63).
+    *
+    * Everything is codegen'd Column work over `hex()` of the payload —
+    * one hex pass + 64 two-char slices per row, zero UDFs, zero serde —
+    * so image dedup gets the same scale path text has: feed the output
+    * straight into [[Dedup.simhashNearPairs]] (banded chunk blocking,
+    * pigeonhole-exact recall) instead of any all-pairs compare.
+    * Output: `(id, phash)`; rows with an empty/null payload are
+    * dropped (no media → no hash, matching [[attachMedia]]). */
+  def dhash(media: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val hx = hex(col(bytesCol))
+    val n = octet_length(col(bytesCol)).cast("long")
+    // byte sample i (0-based) at 1-based payload offset 1 + (i·n >> 6);
+    // its two hex chars sit at 2·pos − 1
+    def pix(i: Column): Column =
+      conv(hx.substr(
+        (lit(2) * (lit(1L) + shiftright(i.cast("long") * n, 6)) - 1)
+          .cast("int"),
+        lit(2)), 16, 10).cast("long")
+    media
+      .filter(col(bytesCol).isNotNull && octet_length(col(bytesCol)) >= 1)
+      .select(col(idCol).cast("long").as("id"),
+        aggregate(
+          transform(sequence(lit(0), lit(62)), i =>
+            when(pix(i) > pix(i + 1),
+              call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+          lit(0L), (acc, b) => acc + b).as("phash"))
   }
 
   final case class Resized(doc_id: Long, width: Long, height: Long, n_bytes: Long)

@@ -242,6 +242,43 @@ class Round18OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("Multimodal.dhash: a 63-bit non-negative gradient signature — " +
+      "identical payloads collide, a single leading-byte edit moves " +
+      "at most one bit, and banded near-pairs equal brute force") {
+    import graft.ops.{Dedup, Multimodal}
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val docs = Seq(
+      (0L, base), (1L, base),                    // identical
+      (2L, "X" + base.substring(1)),             // 1 leading byte
+      (3L, base.reverse),                        // same bytes, reordered
+      (4L, "completely different payload built from other words " * 4),
+      (5L, ""))                                  // empty: dropped
+      .toDF("doc_id", "text")
+    val media = Multimodal.attachMedia(docs, "doc_id", "text")
+    val sigs = Multimodal.dhash(media, "doc_id", "media")
+    val h = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!h.contains(5L), "empty payload must emit no hash")
+    assert(h.values.forall(_ >= 0L), "63-bit: never negative")
+    assert(h(0L) == h(1L), "identical payloads must collide")
+    assert(java.lang.Long.bitCount(h(0L) ^ h(2L)) <= 1,
+      s"one leading byte must move <= 1 bit, moved " +
+        s"${java.lang.Long.bitCount(h(0L) ^ h(2L))}")
+    assert(java.lang.Long.bitCount(h(0L) ^ h(4L)) > 3,
+      "different payloads must not land within the near radius")
+    // banding == brute force (pigeonhole recall at maxDist = 3)
+    val pairs = Dedup.simhashNearPairs(
+        sigs.select(col("id"), col("phash").as("simhash")), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val brute = (for {
+      (a, ha) <- h.toSeq; (b, hb) <- h.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(pairs == brute, s"banded=$pairs brute=$brute")
+    assert(pairs.contains((0L, 1L, 0)) && pairs.exists(p =>
+      p._1 == 0L && p._2 == 2L))
+  }
+
   test("clusterRewrite: null z-dimension wraps to key 0 (layout hint, " +
       "never an error) and rows stay packed") {
     val d = Seq((1L, "s", Some(5L)), (2L, "s", None), (3L, "s", Some(1L)))
