@@ -1663,6 +1663,17 @@ object SparkEntry {
         Testbed.graph(s, dir).collection("documents"), dir)
       sources.PostingStore.searchTopK(s, path, Bm25QueryTerms, k = 10)
     }),
+    "q198_bm25_retired" -> ((s, dir) => {
+      // retention on the persisted index — the right-to-erasure shape:
+      // every 7th doc retired via merge-on-read tombstones (nothing
+      // rewritten, crash-safe by construction) with the meta corpus
+      // stats re-derived from the retained docstats, so the search
+      // scores BIT-IDENTICALLY to a fresh index over the retained docs
+      // — which is exactly what the oracle computes
+      val path = retiredPostingStorePath(s,
+        Testbed.graph(s, dir).collection("documents"), dir)
+      sources.PostingStore.searchTopK(s, path, Bm25QueryTerms, k = 10)
+    }),
     "q109_bm25_appended" -> ((s, dir) => {
       // same search against a store built save(two-thirds)+append(rest):
       // append ≡ rebuild bit-for-bit (params are pure config), so this
@@ -2952,6 +2963,25 @@ object SparkEntry {
       out
     })
 
+  /** q198's RETIRED posting store: the full corpus indexed, then every
+    * 7th doc retired (the right-to-erasure shape) — merge-on-read
+    * tombstones + exact meta re-derivation, so a search afterwards
+    * scores bit-identically to a fresh index over the retained docs and
+    * the gate's oracle is simply BM25 over `doc_id % 7 <> 0`. */
+  private val retiredPostingStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def retiredPostingStorePath(s: SparkSession,
+      docs: DataFrame, dir: String): String =
+    retiredPostingStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-posting-retired").toString
+      sources.PostingStore.save(docs, "doc_id", "text", out)
+      sources.PostingStore.retire(s, out,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        "doc_id")
+      out
+    })
+
   /** q109's APPENDED posting store: two-thirds saved, the last third
     * appended — the rolling-ingest shape. The posting-store params are
     * pure config (no corpus statistics; df/N/Σdl derive from the stored
@@ -4160,6 +4190,7 @@ object SparkEntry {
     "q107_bm25_topk" -> Bm25OracleSql,
     "q108_bm25_stored" -> Bm25OracleSql,
     "q109_bm25_appended" -> Bm25OracleSql,
+    "q198_bm25_retired" -> Bm25RetiredOracleSql,
     "q110_bm25_join" -> Bm25JoinOracleSql,
     "q111_bm25_join_stored" -> Bm25JoinOracleSql,
     "q138_bm25_join_frac" -> Bm25JoinFracOracleSql,
@@ -5630,15 +5661,17 @@ object SparkEntry {
     * lexical oracles: q105's proven normalization regexes, split on
     * single spaces, empties dropped, tf per (doc, term) — the byte
     * replica of [[ops.Lexical.postings]]. */
-  private val lexPostingsCtes: String =
-    """tok AS (
+  private def lexPostingsCtesFor(docWhere: String): String =
+    s"""tok AS (
            SELECT doc_id, unnest(string_split(trim(regexp_replace(
-                    regexp_replace(lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'),
-                    '\s+', ' ', 'g')), ' ')) AS term
-           FROM documents WHERE text IS NOT NULL),
+                    regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', ' ', 'g'),
+                    '\\s+', ' ', 'g')), ' ')) AS term
+           FROM documents WHERE text IS NOT NULL$docWhere),
          post AS (
            SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
            GROUP BY doc_id, term)"""
+
+  private val lexPostingsCtes: String = lexPostingsCtesFor("")
 
   /** q106: tf × rational-idf keyword scores replayed end-to-end — same
     * exactly-representable constants, same op order, floor-to-micro
@@ -5670,9 +5703,18 @@ object SparkEntry {
     * micro quantization, BIGINT sum, top-10 by (score desc, doc_id). The
     * stored/appended gates share it verbatim because stored postings ≡
     * recomputed postings (pure per-doc functions of fixed config). */
-  private lazy val Bm25OracleSql = {
+  private lazy val Bm25OracleSql = bm25OracleOver(lexPostingsCtes)
+
+  /** q198: the identical BM25 replay over the RETAINED corpus — the
+    * retired store's tombstone subtraction + meta re-derivation must
+    * make the stored search equal a fresh index over `doc_id % 7 <> 0`,
+    * so the oracle IS that fresh index's oracle. */
+  private lazy val Bm25RetiredOracleSql =
+    bm25OracleOver(lexPostingsCtesFor(" AND doc_id % 7 <> 0"))
+
+  private def bm25OracleOver(postingsCtes: String): String = {
     val terms = Bm25QueryTerms.map("'" + _ + "'").mkString(", ")
-    s"""WITH $lexPostingsCtes,
+    s"""WITH $postingsCtes,
          dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
          corp AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dls),
          sliver AS (

@@ -58,7 +58,15 @@ object JlStore {
     * column pruning never reads the full vectors — the bandwidth win
     * the layout exists for. */
   def data(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/data")
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/data"))
+
+  /** Retire vectors from the sketch layout — merge-on-read deletes
+    * ([[StoreMaint.retire]]); the layout carries no corpus statistics.
+    * Physical reclaim = the documented explicit re-save. */
+  def retire(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "id"): Unit =
+    StoreMaint.retire(spark, path, ids, idCol)
 
   /** Two-stage retrieval against the STORED sketch layout: the coarse
     * pass scans `(id, sketch)` only (column-pruned) against the query

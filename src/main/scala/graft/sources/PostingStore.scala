@@ -139,9 +139,34 @@ object PostingStore {
   }
 
   def postings(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/postings")
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/postings"))
   def docstats(spark: SparkSession, path: String): DataFrame =
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/docstats"))
+
+  /** The UNFILTERED docstats — append's skip-detection reads this so a
+    * RETIRED id is still recognized as stored and never re-appended:
+    * retirement is erasure, not an upsert slot. */
+  private def rawDocstats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/docstats")
+
+  /** Retire documents from the index — merge-on-read deletes
+    * ([[StoreMaint.retire]]): the ids land in the tombstone table, every
+    * read subtracts them, and the meta corpus stats are RE-DERIVED from
+    * the retained docstats (meta-last), so BM25's (N, Σdl) stay exactly
+    * the retained corpus's — a search after retirement scores
+    * bit-identically to a fresh index over the retained docs (pinned in
+    * StoreMaintSpec; the q198 gate oracle-checks it end to end). Cost:
+    * one tombstone append + one narrow docstats pass; postings are never
+    * rewritten (physical reclaim = the documented explicit rebuild). */
+  def retire(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "id"): Unit = {
+    val p = params(spark, path)
+    StoreMaint.retire(spark, path, ids, idCol)
+    val (n, s) = statsOf(docstats(spark, path))
+    writeMeta(spark, path, p.buckets, n, s)
+  }
 
   /** Append `batch` under the stored config. Ids already committed (in
     * docstats) are skipped. Meta stats are maintained by EXACT long
@@ -155,8 +180,10 @@ object PostingStore {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
+    // skip-detection over the RAW docstats: a retired id must stay
+    // retired, not re-enter through a later ingest batch
     val fresh = batch.join(
-      docstats(spark, path).select(col("id").as("_stored_id")),
+      rawDocstats(spark, path).select(col("id").as("_stored_id")),
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
     if (!fresh.isEmpty) {
       val (n, s) =

@@ -61,9 +61,18 @@ object PqStore {
     * `(id, codes: array<int>)`, the on-disk −128 shift reversed. The scan
     * still reads 1-byte values; the shift is a codegen'd map. */
   def codes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/codes")
+    StoreMaint.minusTombstones(spark, path,
+        spark.read.parquet(s"$path/codes"))
       .select(col("id"),
         transform(col("codes"), x => x.cast("int") + 128).as("codes"))
+
+  /** Retire vectors from the PQ-coded corpus — merge-on-read deletes
+    * ([[StoreMaint.retire]]); the codebooks carry no corpus statistics,
+    * so nothing needs re-deriving. Physical reclaim = the documented
+    * explicit re-code. */
+  def retire(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "id"): Unit =
+    StoreMaint.retire(spark, path, ids, idCol)
 
   /** Append a batch coded under the STORED codebooks — the incremental-
     * ingest posture: new vectors take the nearest existing centroids, the

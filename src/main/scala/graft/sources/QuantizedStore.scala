@@ -61,7 +61,17 @@ object QuantizedStore {
   /** The stored coded corpus: `(id, codes)` with int8 codes (shifted −128
     * on disk; [[Similarity.topKPerQueryQuantizedStored]] shifts back). */
   def codes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/codes")
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/codes"))
+
+  /** Retire vectors from the coded corpus — merge-on-read deletes
+    * ([[StoreMaint.retire]]): every probe scan subtracts the tombstones;
+    * the quantization params carry no corpus statistics, so nothing
+    * needs re-deriving. Physical reclaim = the documented explicit
+    * re-code. */
+  def retire(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "id"): Unit =
+    StoreMaint.retire(spark, path, ids, idCol)
 
   /** Append a batch coded under the STORED params — clamp semantics, the
     * same asymmetric coding the query side uses, so appended codes stay

@@ -150,11 +150,25 @@ object SignatureStore {
   }
 
   def sigs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/sigs")
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/sigs"))
   def bands(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/bands")
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/bands"))
   def chunks(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/chunks")
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/chunks"))
+
+  /** Retire documents from the signature index — merge-on-read deletes
+    * ([[StoreMaint.retire]]): every probe path (bands, chunks, sigs)
+    * subtracts the tombstones, so retired docs stop appearing as
+    * candidates OR as verification rows; a retired id later re-ingested
+    * stays retired ([[append]]'s skip-detection reads raw ids). The
+    * store carries no corpus statistics, so nothing else needs
+    * re-deriving. */
+  def retire(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "id"): Unit =
+    StoreMaint.retire(spark, path, ids, idCol)
 
   /** Append `batch`'s signatures under the STORED params. Already-stored
     * ids are skipped (id anti-join over the pruned `sigs` id column), so
@@ -165,8 +179,10 @@ object SignatureStore {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
+    // skip-detection over the RAW id column: a retired id must stay
+    // retired, not re-enter through a later ingest batch
     val fresh = batch.join(
-      sigs(spark, path).select(col("id").as("_stored_id")),
+      spark.read.parquet(s"$path/sigs").select(col("id").as("_stored_id")),
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
     if (!fresh.isEmpty)
       writeTables(sigFrame(fresh, idCol, textCol, p), p, path,

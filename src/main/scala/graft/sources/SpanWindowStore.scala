@@ -122,9 +122,21 @@ object SpanWindowStore {
   }
 
   def windows(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/windows")
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/windows"))
   def texts(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/texts")
+    StoreMaint.minusTombstones(spark, path,
+      spark.read.parquet(s"$path/texts"))
+
+  /** Retire benchmark docs from the suite — merge-on-read deletes
+    * ([[StoreMaint.retire]]): retired docs stop contributing windows
+    * (the occurrence cap is probe-time state over the RETAINED windows,
+    * so it re-tightens automatically) and stop appearing in the
+    * verification texts; a retired id later re-registered stays retired
+    * ([[append]]'s skip-detection reads raw ids). */
+  def retire(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "id"): Unit =
+    StoreMaint.retire(spark, path, ids, idCol)
 
   /** Append a new suite slice under the STORED params. Already-stored
     * ids are skipped (id anti-join), so a replayed batch appends
@@ -133,8 +145,10 @@ object SpanWindowStore {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
+    // skip-detection over the RAW id column: a retired id must stay
+    // retired, not re-enter through a later registration batch
     val fresh = batch.join(
-      texts(spark, path).select(col("id").as("_stored_id")),
+      spark.read.parquet(s"$path/texts").select(col("id").as("_stored_id")),
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
     if (!fresh.isEmpty)
       writeTables(fresh, idCol, textCol, p, path, SaveMode.Append)

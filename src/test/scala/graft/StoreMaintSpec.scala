@@ -188,6 +188,124 @@ class StoreMaintSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(HistogramStore.params(spark, ph).committed == Seq("b-init"))
   }
 
+  // ---- merge-on-read retirement across the row-append stores --------
+
+  private def docsFx() = (0 until 60).map { i =>
+    (i.toLong, s"document number $i " +
+      s"carrying words ${(1 to 8).map(j => s"w${(i * 7 + j) % 23}").mkString(" ")}")
+  }.toDF("doc_id", "text")
+
+  test("PostingStore.retire: search after retirement scores BIT-" +
+      "IDENTICALLY to a fresh index over the retained docs; a retired " +
+      "id never resurrects through append; re-retiring is a no-op") {
+    import graft.sources.PostingStore
+    val docs = docsFx()
+    val retired = docs.filter(col("doc_id") % 3 === 0)
+    val retained = docs.filter(col("doc_id") % 3 =!= 0)
+    val full = tmp("ret-post-full")
+    val fresh = tmp("ret-post-fresh")
+    PostingStore.save(docs, "doc_id", "text", full, buckets = 8)
+    PostingStore.retire(spark, full, retired.select("doc_id"), "doc_id")
+    PostingStore.save(retained, "doc_id", "text", fresh, buckets = 8)
+    val terms = Seq("w1", "w5", "w11")
+    def res(p: String) = PostingStore.searchTopK(spark, p, terms, 20)
+      .collect().map(_.toSeq).toSeq
+    assert(res(full) == res(fresh) && res(full).nonEmpty,
+      "retired-store search must equal the fresh retained index")
+    // meta stats were re-derived exactly
+    assert(PostingStore.params(spark, full).nDocs ==
+      PostingStore.params(spark, fresh).nDocs)
+    // no resurrection: re-appending a retired doc is skipped
+    PostingStore.append(spark, full, retired.limit(5), "doc_id", "text")
+    assert(res(full) == res(fresh))
+    // idempotent retirement
+    PostingStore.retire(spark, full, retired.select("doc_id"), "doc_id")
+    assert(res(full) == res(fresh))
+  }
+
+  test("SignatureStore.retire: retired docs vanish from candidates AND " +
+      "verification on every probe path; raw skip-detection blocks " +
+      "re-ingest") {
+    import graft.sources.SignatureStore
+    val docs = docsFx()
+      // make near-dups: pair 2i/2i+1 share text
+      .withColumn("text",
+        concat(lit("shared prefix body of the pair "),
+          expr("CAST(doc_id div 2 AS STRING)")))
+    val path = tmp("ret-sig")
+    SignatureStore.save(docs, "doc_id", "text", path, shingleN = 3,
+      k = 8, bands = 4, maxDist = 3)
+    val batch = docs.limit(0).unionByName(
+      Seq((1000L, "shared prefix body of the pair 7")).toDF("doc_id", "text"))
+    def hits() = SignatureStore.crossCandidatePairsStored(spark, path,
+        batch, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a").collect().map(_.getLong(0)).toSet
+    val before = hits()
+    assert(before.contains(14L) && before.contains(15L),
+      s"fixture must hit the pair-7 docs, got $before")
+    SignatureStore.retire(spark, path,
+      Seq(14L).toDF("id"), "id")
+    val after = hits()
+    assert(!after.contains(14L) && after.contains(15L), after.toString)
+    // raw skip-detection: re-appending doc 14 is a no-op
+    SignatureStore.append(spark, path,
+      docs.filter(col("doc_id") === 14L), "doc_id", "text")
+    assert(!hits().contains(14L), "retired id resurrected via append")
+  }
+
+  test("Quantized/Pq/Prefix/Jl stores: retire drops the ids from every " +
+      "stored read") {
+    import graft.sources.{JlStore, PqStore, PrefixStore, QuantizedStore}
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 3 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ids = Seq(4L, 8L, 15L).toDF("id")
+    val q = tmp("ret-quant"); val pq = tmp("ret-pq")
+    val pf = tmp("ret-prefix"); val jl = tmp("ret-jl")
+    QuantizedStore.save(emb, "vec_id", "embedding", q)
+    QuantizedStore.retire(spark, q, ids)
+    assert(QuantizedStore.codes(spark, q).filter(
+      col("id").isin(4L, 8L, 15L)).count() == 0)
+    assert(QuantizedStore.codes(spark, q).count() == 77)
+    val model = graft.ops.Pq.train(emb, "embedding", m = 4, ks = 8)
+    PqStore.save(emb, "vec_id", "embedding", model, pq)
+    PqStore.retire(spark, pq, ids)
+    assert(PqStore.codes(spark, pq).filter(
+      col("id").isin(4L, 8L, 15L)).count() == 0)
+    PrefixStore.save(emb, "vec_id", "embedding", prefixDim = 4, pf)
+    PrefixStore.retire(spark, pf, ids)
+    assert(PrefixStore.data(spark, pf).filter(
+      col("id").isin(4L, 8L, 15L)).count() == 0)
+    JlStore.save(emb, "vec_id", "embedding", inDim = 16, outDim = 4, jl)
+    JlStore.retire(spark, jl, ids)
+    assert(JlStore.data(spark, jl).filter(
+      col("id").isin(4L, 8L, 15L)).count() == 0)
+    assert(JlStore.data(spark, jl).count() == 77)
+  }
+
+  test("SpanWindowStore.retire: retired benchmark docs stop producing " +
+      "spans; the occurrence cap re-tightens over the retained windows") {
+    import graft.sources.SpanWindowStore
+    val bench = Seq(
+      (0L, "the shared long benchmark passage that leaks into training"),
+      (1L, "another evaluation document with its own distinct content x"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix the shared long benchmark passage that leaks into " +
+        "training suffix"))
+      .toDF("doc_id", "text")
+    val path = tmp("ret-span")
+    SpanWindowStore.save(bench, "doc_id", "text", path, k = 12,
+      maxOccurrences = 50)
+    def spans() = SpanWindowStore.crossSpans(spark, path, corpus,
+      "doc_id", "text", minLen = 20).select("id_b").collect()
+      .map(_.getLong(0)).toSet
+    assert(spans() == Set(0L))
+    SpanWindowStore.retire(spark, path, Seq(0L).toDF("id"))
+    assert(spans() == Set.empty[Long],
+      "retired benchmark doc still produced spans")
+  }
+
   test("JlStore.twoStageStored honors the CALLER's query column names " +
       "when they differ from the save-time layout names") {
     val emb = (0 until 120).map { i =>
