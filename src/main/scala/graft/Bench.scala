@@ -258,6 +258,11 @@ object Bench {
       SparkEntry.postingStorePath(spark, g.collection("documents"), sfDir)
       SparkEntry.appendedPostingStorePath(spark,
         g.collection("documents"), sfDir)
+      // q198's retired store: save + retire are registration-time
+      // maintenance, staged untimed — its reps measure the tombstone-
+      // filtered probe (the steady-state read after an erasure pass)
+      SparkEntry.retiredPostingStorePath(spark,
+        g.collection("documents"), sfDir)
       // q143's PQ codebooks (training is index construction — untimed;
       // reps measure encode + ADC probe) and q144/q145's code stores
       // (coding write untimed, reps measure the m-byte-code scan probe)

@@ -2,8 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 /** Scratch: per-stage byte attribution for a gate query — warm rep, then
   * a measured rep whose stages are listed with input/shuffle bytes and
-  * callsite, to find WHICH scan a surprising input-byte tally comes from
-  * (see .claude/skills/verify). */
+  * callsite, to find WHICH scan a surprising input-byte tally comes
+  * from. */
 object ProfPR {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

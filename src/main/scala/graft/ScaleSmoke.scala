@@ -258,7 +258,24 @@ object ScaleSmoke {
     "q190_compaction_apply", "q191_k_suppress",
     // and the loop's last link: prune verdicts on the post-compaction
     // layout (q190's cost class + the O(files) prune arithmetic)
-    "q192_prune_after_compaction")
+    "q192_prune_after_compaction",
+    // round-18 wave: the z-order CLUSTERED rewrite (one corpus-scan
+    // sort shuffled once — the fundamental clustering cost — plus a
+    // broadcast O(keys·buckets) offset join and a fine-grained
+    // per-(key, bucket) row_number), the filter-first verbatim chain
+    // (winnow screen linear in corpus; the span stage scales with
+    // SCREEN OUTPUT, not corpus bytes — the whole point; its ratio
+    // should sit well under q146's corpus-form ratio), generalization
+    // (L rung audits, each one O(classes) agg, then the release
+    // projection), the advisor-driven salted join (two per-key counts
+    // + the broadcast salt map + the fanned main join), the
+    // perceptual-hash near-dup (one hex pass + banded chunk join —
+    // text-simhash's cost class on binary payloads), and the retired
+    // posting-store search (q108's probe + a broadcast tombstone
+    // anti-join; retire itself is registration-time maintenance)
+    "q193_cluster_rewrite", "q194_verbatim_filter_first",
+    "q195_k_generalize", "q196_auto_salt_join", "q197_phash_neardup",
+    "q198_bm25_retired")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
@@ -503,6 +520,9 @@ object ScaleSmoke {
           Testbed.graph(spark, dir).collection("embeddings"), dir)
       if (selectedHas("q149"))
         SparkEntry.spanStorePath(spark,
+          Testbed.graph(spark, dir).collection("documents"), dir)
+      if (selectedHas("q198"))
+        SparkEntry.retiredPostingStorePath(spark,
           Testbed.graph(spark, dir).collection("documents"), dir)
     }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
