@@ -1912,15 +1912,17 @@ object SparkEntry {
     }),
     "q194_verbatim_filter_first" -> ((s, dir) => {
       // q146's documented 100 TB posture AS A GATE: the winnowing
-      // screen (q123's exact params) picks candidate pairs, the
-      // stride-1 exact-span pass runs over the CANDIDATE DOCS only,
-      // and spans are restricted to the candidate pairs — span cost
-      // scales with screen output, not corpus bytes. Both stages md5
-      // so the whole chain (screen + cap + diagonal merge + verify)
-      // replays in the oracle.
+      // screen (q123's gram/window params; minShared=8 — the q138
+      // scale-stable-parameterization lesson: q123's 30 dilutes the
+      // candidate list to EMPTY at sf0.1, a vacuous probe) picks
+      // candidate pairs, the stride-1 exact-span pass runs over the
+      // CANDIDATE DOCS only, and spans are restricted to the candidate
+      // pairs — span cost scales with screen output, not corpus bytes.
+      // Both stages md5 so the whole chain (screen + cap + diagonal
+      // merge + verify) replays in the oracle.
       ops.Dedup.verbatimSpansFiltered(
           Testbed.graph(s, dir).collection("documents"), "doc_id",
-          "text", winnowK = 8, winnowW = 4, minShared = 30,
+          "text", winnowK = 8, winnowW = 4, minShared = 8,
           maxDocsPerFp = 20, k = 12, minLen = 30, maxOccurrences = 50,
           hash = ops.BaseHash.Md5)
         .orderBy("id_a", "id_b", "start_a", "start_b")
@@ -4075,7 +4077,7 @@ object SparkEntry {
          cand AS (
            SELECT a.id AS id_a, b.id AS id_b
            FROM wfpc a JOIN wfpc b ON a.fp = b.fp AND a.id < b.id
-           GROUP BY 1, 2 HAVING count(*) >= 30),
+           GROUP BY 1, 2 HAVING count(*) >= 8),
          cid AS (SELECT id_a AS id FROM cand
                  UNION SELECT id_b FROM cand),
          cdocs AS (SELECT d.doc_id AS id, d.text FROM documents d
