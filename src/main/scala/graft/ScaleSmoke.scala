@@ -275,7 +275,13 @@ object ScaleSmoke {
     // anti-join; retire itself is registration-time maintenance)
     "q193_cluster_rewrite", "q194_verbatim_filter_first",
     "q195_k_generalize", "q196_auto_salt_join", "q197_phash_neardup",
-    "q198_bm25_retired")
+    "q198_bm25_retired",
+    // round-18b wave: BPE learn + apply — ONE corpus tokenize pass
+    // builds the Heaps-law word table, then every merge round is a
+    // pair-count shuffle over that table (not the corpus) + a 1-row
+    // driver read; the cipher grows the word table ~linearly, so the
+    // per-round cost is linear while the round COUNT stays fixed
+    "q199_bpe_merges", "q201_bpe_vocab")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

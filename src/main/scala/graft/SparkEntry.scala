@@ -721,6 +721,24 @@ object SparkEntry {
           maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
+    "q199_bpe_merges" -> ((s, dir) => {
+      // BPE vocabulary induction: 6 greedy corpus-weighted merges over
+      // the distinct-word table (never the corpus), ties by pair string;
+      // the non-overlapping left-to-right rewrite replays in DuckDB via
+      // the shared doubled-delimiter literal-replace discipline
+      ops.Corpus.bpeMerges(Testbed.graph(s, dir).collection("documents"),
+          "doc_id", "text", rounds = 6)
+        .orderBy("round")
+    }),
+    "q201_bpe_vocab" -> ((s, dir) => {
+      // the apply half: segment the corpus under q199's learned merges
+      // and emit the top-30 token-frequency vocabulary — learn → apply
+      // composed end-to-end, one word-table build feeding both
+      ops.Corpus.bpeTokenFrequencies(
+          Testbed.graph(s, dir).collection("documents"),
+          "doc_id", "text", rounds = 6, k = 30)
+        .orderBy(col("freq").desc, col("token"))
+    }),
     "q36_sessionize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -4898,6 +4916,11 @@ object SparkEntry {
       """SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY o.o_orderkey""",
+    // q199/q201: the BPE training loop unrolled — 6 (pair-count,
+    // best-pair, doubled-delimiter rewrite) CTE rounds over the word
+    // table; q201 additionally segments and counts the final vocabulary
+    "q199_bpe_merges" -> BpeMergesOracleSql,
+    "q201_bpe_vocab" -> BpeVocabOracleSql,
     // q193: the clustered rewrite replayed — Morton interleave
     // (q154's shift/or terms), top-8-bit bucketing, per-(source,
     // bucket) offset cumsum + row_number packing, fresh stats, prune
@@ -6074,6 +6097,58 @@ object SparkEntry {
               vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1] AS p90,
               vs[CAST(floor(0.99 * (n - 1)) AS INT) + 1] AS p99
        FROM agg ORDER BY source"""
+
+  /** q199/q201's shared oracle prefix: the corpus word-frequency table,
+    * then `rounds` unrolled BPE rounds — each a pair-count CTE, a 1-row
+    * best-pair CTE (count desc, pair asc), and the doubled-delimiter
+    * literal-replace rewrite, exactly [[graft.ops.Corpus.bpeMerges]]'s
+    * loop (literal `replace` is non-overlapping left-to-right in both
+    * engines, so greedy merge semantics replay bit-for-bit). */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val w0 = """w0 AS (
+         SELECT word, count(*) AS freq,
+                ' ' || array_to_string(list_transform(
+                  range(1, length(word) + 1),
+                  i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         WHERE word <> '' GROUP BY word)"""
+    val per = (1 to rounds).map { r =>
+      s"""p$r AS (
+         SELECT pair, sum(freq) AS c FROM (
+           SELECT freq, unnest(list_transform(range(1, len(ss)),
+             i -> ss[CAST(i AS INT)] || ' ' || ss[CAST(i + 1 AS INT)]))
+             AS pair
+           FROM (SELECT freq, string_split(trim(s), ' ') AS ss
+                 FROM w${r - 1}))
+         GROUP BY pair),
+       b$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+       w$r AS (
+         SELECT word, freq,
+                regexp_replace(replace(replace(w.s, ' ', '  '),
+                  ' ' || replace(b.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b.pair, ' ', '') || ' '),
+                  ' +', ' ', 'g') AS s
+         FROM w${r - 1} w, b$r b)"""
+    }
+    (w0 +: per).mkString("WITH ", ",\n       ", "")
+  }
+
+  private lazy val BpeMergesOracleSql = {
+    val rounds = 6
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, c AS freq FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""${bpeOracleCtes(rounds)}
+       SELECT round, pair, CAST(freq AS BIGINT) AS freq FROM ($sel)
+       ORDER BY round"""
+  }
+
+  private lazy val BpeVocabOracleSql =
+    s"""${bpeOracleCtes(6)}
+       SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM (
+         SELECT freq, unnest(string_split(trim(s), ' ')) AS token FROM w6)
+       GROUP BY token ORDER BY freq DESC, token LIMIT 30"""
 
   /** q66's oracle — the full MinHash/LSH cross pipeline replayed over the
     * portable md5 base hash: shingles → 31-bit hashes → 16-permutation

@@ -895,4 +895,126 @@ object Corpus {
       .select(col("anchor"), col("positive"), col("_neg").as("negative"),
         col("rank"))
   }
+
+  /** The per-word symbol string both BPE ops share: each word rendered as
+    * its characters joined by single spaces and padded with one space on
+    * each side (`"hello"` → `" h e l l o "`). The padding makes every
+    * symbol boundary a space, so the merge rewrite below can match
+    * word-initial and word-final symbols with the same literal pattern. */
+  private def bpeInitSymbols(word: Column): Column =
+    concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))), " "),
+      lit(" "))
+
+  /** Adjacent symbol pairs of a symbol string, as `"a b"` strings. Words
+    * with a single symbol contribute none (guarded — `sequence` would
+    * produce a DESCENDING sequence for size < 2, not an empty one). */
+  private def bpeAdjacentPairs(symbols: Column): Column = {
+    val ss = split(trim(symbols), " ")
+    when(size(ss) >= 2,
+      transform(sequence(lit(0), size(ss) - 2),
+        i => concat(element_at(ss, i + 1), lit(" "), element_at(ss, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One BPE merge applied to a symbol string — replace every
+    * non-overlapping left-to-right occurrence of the adjacent pair
+    * `"a b"` with the merged symbol `"ab"`. The rewrite doubles every
+    * delimiter first (`" a b a b "` → `"  a  b  a  b  "`) so that
+    * consecutive occurrences each keep a full boundary for the literal
+    * `replace` to match (a single-space pattern would consume the next
+    * occurrence's leading delimiter), then collapses runs of spaces back
+    * to the canonical single-space form. Literal `replace` scans left to
+    * right without overlap in both this engine and DuckDB, so greedy BPE
+    * semantics (`"a a a"` under pair `"a a"` merges once, to `"aa a"`)
+    * replay exactly in the oracle. */
+  private def bpeApplyMerge(symbols: Column, pair: String): Column = {
+    val pat = " " + pair.replace(" ", "  ") + " "
+    val rep = " " + pair.replace(" ", "") + " "
+    regexp_replace(
+      call_function("replace",
+        call_function("replace", symbols, lit(" "), lit("  ")),
+        lit(pat), lit(rep)),
+      " +", " ")
+  }
+
+  /** The shared BPE training loop: the corpus-wide word-frequency table
+    * with each word's final symbol string after `rounds` greedy merges,
+    * plus the merge ledger `(round, pair, freq)`. Stops early when no
+    * adjacent pair remains (every word fully merged). */
+  private def bpeLoop(docs: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, Seq[(Int, String, Long)]) = {
+    var words = graft.core.Lifecycle.stage(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("s", bpeInitSymbols(col("word"))))
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // best pair this round: exact corpus-weighted count, total order
+      // (count desc, pair asc) — a 1-row driver read, like the other
+      // bounded scalar aggregates (cf. Lexical's corpus-stats row)
+      val best = words
+        .select(col("freq"), explode(bpeAdjacentPairs(col("s"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best.head.getString(0)
+        merges += ((r, pair, best.head.getLong(1)))
+        // re-stage per round: the word table is Heaps-law sized (far
+        // smaller than the corpus) and the stage keeps the plan depth
+        // O(1) across rounds instead of O(rounds)
+        words = graft.core.Lifecycle.stage(
+          words.withColumn("s", bpeApplyMerge(col("s"), pair)))
+        r += 1
+      }
+    }
+    (words, merges.result())
+  }
+
+  /** Byte-pair-encoding merge induction — the vocabulary-learning half of
+    * a subword tokenizer build: `rounds` greedy merges, each round picking
+    * the corpus-wide most frequent adjacent symbol pair (ties broken by
+    * pair string, so the ledger is a total function of the corpus) and
+    * rewriting every word's symbol string non-overlapping left-to-right.
+    * Returns the merge ledger `(round, pair, freq)` in merge order —
+    * exactly the artifact a tokenizer trainer persists.
+    *
+    * At 100 TB: BPE never iterates over the corpus — ONE corpus pass
+    * builds the distinct-word frequency table (Heaps' law keeps it orders
+    * of magnitude smaller than the corpus), and every round is one
+    * map-side-combined pair-count shuffle over that table plus a 1-row
+    * driver read. `rounds` is the vocabulary budget, fixed and small
+    * relative to data size; the per-round rewrite is a pure projection. */
+  def bpeMerges(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bpeMerges needs rounds >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, merges) = bpeLoop(docs, textCol, rounds)
+    merges.toDF("round", "pair", "freq")
+  }
+
+  /** The apply half of the BPE pair: segment the corpus under the merges
+    * [[bpeMerges]] learns and return the top-`k` token-frequency table —
+    * the vocabulary + counts a pretraining pipeline feeds its sampler.
+    * Same loop, so learn→apply compose without re-tokenizing; frequencies
+    * are exact corpus counts (word frequency × per-word occurrences). */
+  def bpeTokenFrequencies(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int, k: Int): DataFrame = {
+    require(rounds >= 1 && k >= 1,
+      s"bpeTokenFrequencies needs rounds >= 1 and k >= 1, got $rounds/$k")
+    val (words, _) = bpeLoop(docs, textCol, rounds)
+    words
+      .select(col("freq"),
+        explode(split(trim(col("s")), " ")).as("token"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+  }
 }

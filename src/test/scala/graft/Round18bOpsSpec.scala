@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Corpus
+
+/** Round-18 feature wave, part 2: BPE merge induction + apply
+  * ([[Corpus.bpeMerges]] / [[Corpus.bpeTokenFrequencies]]) — the
+  * vocabulary-learning loop a subword tokenizer build runs, over the
+  * Heaps-law word table rather than the corpus. The greedy semantics
+  * pinned here (overlapping pair COUNTS, non-overlapping left-to-right
+  * MERGES, count-then-pair tiebreak) are exactly what the DuckDB oracle
+  * replays via the doubled-delimiter literal replace. */
+class Round18bOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("bpeMerges: hand-checkable ledger on the low/lower/lowest corpus " +
+      "— corpus-weighted counts, lexicographic tiebreak, merged symbols " +
+      "feed later rounds") {
+    val d = docs("low low low", "lower lower", "lowest")
+    val m = Corpus.bpeMerges(d, "doc_id", "text", rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // round 1: 'l o' and 'o w' both occur in every word (count 6);
+    //          the tie breaks to the lexicographically smaller 'l o'
+    // round 2: 'lo w' now counts 6, beating 'w e' (3)
+    // round 3: 'low e' counts 3 (lower x2 + lowest), beating 'e r' (2)
+    // round 4: 'lowe r' counts 2, beating 'e s'/'s t' (1) on count
+    assert(m.toSeq == Seq(
+      (1, "l o", 6L), (2, "lo w", 6L), (3, "low e", 3L),
+      (4, "lowe r", 2L)))
+  }
+
+  test("bpeMerges: pair counting sees overlapping occurrences but the " +
+      "merge rewrite is non-overlapping left-to-right (greedy BPE)") {
+    val d = docs("aaa aaa")
+    val m = Corpus.bpeMerges(d, "doc_id", "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // 'aaa' has TWO adjacent 'a a' positions x 2 words = count 4; the
+    // merge pass rewrites each word once, to 'aa a' — so round 2 sees
+    // 'aa a' (count 2), not 'a aa' and not a fully merged word
+    assert(m.toSeq == Seq((1, "a a", 4L), (2, "aa a", 2L)))
+  }
+
+  test("bpeMerges: stops early when no adjacent pair remains, and " +
+      "single-symbol words never contribute pairs") {
+    val d = docs("a b a", "b")
+    val m = Corpus.bpeMerges(d, "doc_id", "text", rounds = 5)
+    assert(m.count() == 0, "single-char words have no pairs to merge")
+  }
+
+  test("bpeTokenFrequencies: segments under the learned merges with " +
+      "exact corpus-weighted counts") {
+    val d = docs("low low low", "lower lower", "lowest")
+    val v = Corpus.bpeTokenFrequencies(d, "doc_id", "text", rounds = 4,
+        k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // after 4 merges: low -> [low]; lower -> [lower]; lowest -> [lowe,s,t]
+    assert(v.toSeq == Seq(
+      ("low", 3L), ("lower", 2L), ("lowe", 1L), ("s", 1L), ("t", 1L)))
+  }
+
+  test("bpeTokenFrequencies: rounds=1 applies exactly one merge and " +
+      "leaves every other symbol as a character") {
+    val d = docs("low low low", "lower lower", "lowest")
+    val v = Corpus.bpeTokenFrequencies(d, "doc_id", "text", rounds = 1,
+        k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // one merge ('l o'): every word is now [lo, w, ...suffix chars];
+    // top tokens: 'lo' and 'w' in all 6 words, then 'e' in 3
+    assert(v.toSeq == Seq(("lo", 6L), ("w", 6L), ("e", 3L)))
+  }
+}
