@@ -280,8 +280,11 @@ object ScaleSmoke {
     // builds the Heaps-law word table, then every merge round is a
     // pair-count shuffle over that table (not the corpus) + a 1-row
     // driver read; the cipher grows the word table ~linearly, so the
-    // per-round cost is linear while the round COUNT stays fixed
-    "q199_bpe_merges", "q201_bpe_vocab")
+    // per-round cost is linear while the round COUNT stays fixed —
+    // and the STORED phash probe (q197's blocker against the persisted
+    // chunk index + tombstone anti-join; store build is
+    // registration-time, the probe cost tracks the batch)
+    "q199_bpe_merges", "q201_bpe_vocab", "q200_phash_stored")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

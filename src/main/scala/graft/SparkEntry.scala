@@ -404,6 +404,47 @@ object SparkEntry {
       out
     })
 
+  /** The shared synthetic media fixture (q197/q200): groups of 5 binary
+    * payloads sharing a group leader's bytes with one leading byte
+    * varied — the watermark / re-encode near-identical shape image dedup
+    * hunts — derived deterministically from `documents` so the DuckDB
+    * oracle rebuilds it bit-for-bit. */
+  private[graft] def mediaFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = Testbed.graph(s, dir).collection("documents")
+    val leaders = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("base_id"), col("text").as("base_text"))
+    d.select(col("doc_id"),
+        (col("doc_id") - col("doc_id") % 5).as("base_id"))
+      .join(broadcast(leaders), Seq("base_id")) // 1/5-size fixture dim
+      .select(col("doc_id"),
+        encode(concat(expr("char(65 + doc_id % 5)"),
+          expr("substr(base_text, 2)")), "UTF-8").as("media"))
+  }
+
+  /** q200's perceptual-hash index: the media corpus slice (ids not
+    * divisible by 7) saved in two ingest steps (save + append — the
+    * rolling shape; bit-identical to a rebuild since the params carry no
+    * corpus statistics), then ids ≡ 1 (mod 5) RETIRED, so the stored
+    * probe must reproduce the retained corpus exactly. Warmed by Bench's
+    * build phase so the gate reps measure the stored probe. */
+  private val phashStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def phashStorePath(s: SparkSession, media: DataFrame,
+      dir: String): String =
+    phashStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-phash-store").toString
+      val corpus = media.filter(col("doc_id") % 7 =!= 0)
+      sources.PhashStore.save(corpus.filter(col("doc_id") % 2 === 0),
+        "doc_id", "media", out)
+      sources.PhashStore.append(s, out,
+        corpus.filter(col("doc_id") % 2 === 1), "doc_id", "media")
+      sources.PhashStore.retire(s, out,
+        corpus.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("id")))
+      out
+    })
+
   /** q94's APPENDED signature index: two-thirds of the corpus slice saved,
     * the last third appended — the rolling-ingest shape. Because the
     * signature params carry no corpus statistics (unlike q89's
@@ -705,19 +746,24 @@ object SparkEntry {
       // chunk blocking text simhash uses (q73's machinery,
       // pigeonhole-exact recall at maxDist=3) — never an all-pairs
       // compare; the oracle replays hash and distance bit-for-bit
-      val d = Testbed.graph(s, dir).collection("documents")
-      val leaders = d.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id").as("base_id"), col("text").as("base_text"))
-      val media = d
-        .select(col("doc_id"),
-          (col("doc_id") - col("doc_id") % 5).as("base_id"))
-        .join(broadcast(leaders), Seq("base_id")) // 1/5-size fixture dim
-        .select(col("doc_id"),
-          encode(concat(expr("char(65 + doc_id % 5)"),
-            expr("substr(base_text, 2)")), "UTF-8").as("media"))
-      val sigs = ops.Multimodal.dhash(media, "doc_id", "media")
+      val sigs = ops.Multimodal.dhash(mediaFixture(s, dir), "doc_id",
+        "media")
       ops.Dedup.simhashNearPairs(
           sigs.select(col("id"), col("phash").as("simhash")),
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q200_phash_stored" -> ((s, dir) => {
+      // q197's image near-dup in the compute-once/persist/probe posture
+      // every text blocker has: dHash signatures persisted at ingest
+      // (save + append — appended store ≡ rebuild, params carry no
+      // corpus stats), a fifth of the corpus retired via tombstones,
+      // then the probe batch blocks against the STORED chunk index —
+      // no stored payload re-read, retirement bit-visible in the output
+      val med = mediaFixture(s, dir)
+      val path = phashStorePath(s, med, dir)
+      sources.PhashStore.crossNearPairsStored(s, path,
+          med.filter(col("doc_id") % 7 === 0), "doc_id", "media",
           maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
@@ -4883,31 +4929,23 @@ object SparkEntry {
     // brute-force Hamming join (exact on this O(docs²) scale; the
     // ENGINE never does all-pairs)
     "q197_phash_neardup" ->
-      """WITH med AS (
-           SELECT d.doc_id,
-                  encode(concat(chr(CAST(65 + d.doc_id % 5 AS INT)),
-                    substr(l.text, 2))) AS media
-           FROM documents d
-           JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 5),
-         px AS (
-           SELECT doc_id AS id, hex(media) AS hx,
-                  octet_length(media) AS n
-           FROM med WHERE media IS NOT NULL AND octet_length(media) >= 1),
-         ph AS (
-           SELECT id, list_sum(list_transform(range(0, 63), i ->
-             CASE WHEN CAST(concat('0x', substr(hx,
-                         CAST(2 * (1 + (i * n) // 64) - 1 AS INT), 2))
-                       AS BIGINT)
-                     > CAST(concat('0x', substr(hx,
-                         CAST(2 * (1 + ((i + 1) * n) // 64) - 1 AS INT),
-                         2)) AS BIGINT)
-                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
-                  ELSE 0 END)) AS phash
-           FROM px)
+      s"""$PhashOracleCtes
          SELECT a.id AS id_a, b.id AS id_b,
                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
          FROM ph a JOIN ph b
            ON a.id < b.id AND bit_count(xor(a.phash, b.phash)) <= 3
+         ORDER BY id_a, id_b""",
+    // q200: the stored probe replayed — same hash CTEs, but the corpus
+    // side is the RETAINED store set (ids not divisible by 7, minus the
+    // retired ids ≡ 1 mod 5) and the batch side the probe slice; the
+    // save/append/retire round-trip must reproduce exactly this
+    "q200_phash_stored" ->
+      s"""$PhashOracleCtes
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         FROM ph a JOIN ph b
+           ON a.id % 7 <> 0 AND a.id % 5 <> 1 AND b.id % 7 = 0
+              AND bit_count(xor(a.phash, b.phash)) <= 3
          ORDER BY id_a, id_b""",
     // q196: salting is an execution-layout trick, invisible in the
     // result — the oracle is the PLAIN join (the strongest possible
@@ -6097,6 +6135,34 @@ object SparkEntry {
               vs[CAST(floor(0.9 * (n - 1)) AS INT) + 1] AS p90,
               vs[CAST(floor(0.99 * (n - 1)) AS INT) + 1] AS p99
        FROM agg ORDER BY source"""
+
+  /** q197/q200's shared oracle prefix: the synthetic media fixture
+    * ([[mediaFixture]] rebuilt from `documents`) and the 63-bit
+    * sampled-gradient dHash replayed bit-for-bit over the hex encoding —
+    * exactly [[graft.ops.Multimodal.dhash]]'s byte sampling
+    * `1 + (i·n >> 6)` and comparison order. */
+  private val PhashOracleCtes =
+    """WITH med AS (
+           SELECT d.doc_id,
+                  encode(concat(chr(CAST(65 + d.doc_id % 5 AS INT)),
+                    substr(l.text, 2))) AS media
+           FROM documents d
+           JOIN documents l ON l.doc_id = d.doc_id - d.doc_id % 5),
+         px AS (
+           SELECT doc_id AS id, hex(media) AS hx,
+                  octet_length(media) AS n
+           FROM med WHERE media IS NOT NULL AND octet_length(media) >= 1),
+         ph AS (
+           SELECT id, list_sum(list_transform(range(0, 63), i ->
+             CASE WHEN CAST(concat('0x', substr(hx,
+                         CAST(2 * (1 + (i * n) // 64) - 1 AS INT), 2))
+                       AS BIGINT)
+                     > CAST(concat('0x', substr(hx,
+                         CAST(2 * (1 + ((i + 1) * n) // 64) - 1 AS INT),
+                         2)) AS BIGINT)
+                  THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                  ELSE 0 END)) AS phash
+           FROM px)"""
 
   /** q199/q201's shared oracle prefix: the corpus word-frequency table,
     * then `rounds` unrolled BPE rounds — each a pair-count CTE, a 1-row
