@@ -284,7 +284,14 @@ object ScaleSmoke {
     // and the STORED phash probe (q197's blocker against the persisted
     // chunk index + tombstone anti-join; store build is
     // registration-time, the probe cost tracks the batch)
-    "q199_bpe_merges", "q201_bpe_vocab", "q200_phash_stored")
+    "q199_bpe_merges", "q201_bpe_vocab", "q200_phash_stored",
+    // prefix-filtered containment: the corpus side is one staged
+    // shingle pass + postings streamed past the broadcast batch hash
+    // set (df agg is collision-sized, not corpus-sized); candidate
+    // volume tracks Σ df over each batch doc's RAREST hashes — the
+    // cipher keeps copies' hash sets disjoint, so df per hash is flat
+    // and the probe cost scales with the batch, not the corpus
+    "q202_containment_prefix")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

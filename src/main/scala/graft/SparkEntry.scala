@@ -785,6 +785,21 @@ object SparkEntry {
           "doc_id", "text", rounds = 6, k = 30)
         .orderBy(col("freq").desc, col("token"))
     }),
+    "q202_containment_prefix" -> ((s, dir) => {
+      // EXACT-recall cross-corpus containment via prefix filtering
+      // (AllPairs): only each batch doc's floor((1-t)|B|)+1 rarest
+      // hashes probe the corpus postings, yet every pair with
+      // |A∩B|/|B| >= 0.9 provably surfaces — so the oracle is the
+      // BRUTE-FORCE definition, the strongest possible check that the
+      // blocking loses nothing (the engine never does all-pairs)
+      val docs = Testbed.graph(s, dir).collection("documents")
+      ops.Dedup.crossContainmentPairs(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", shingleN = 3, minContainMicro = 900000L,
+          hash = ops.BaseHash.Md5)
+        .orderBy("id_a", "id_b")
+    }),
     "q36_sessionize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import sp.implicits._
@@ -4959,6 +4974,28 @@ object SparkEntry {
     // table; q201 additionally segments and counts the final vocabulary
     "q199_bpe_merges" -> BpeMergesOracleSql,
     "q201_bpe_vocab" -> BpeVocabOracleSql,
+    // q202: prefix filtering is recall-EXACT, so the oracle is the
+    // direct all-pairs containment definition over the md5 shingle
+    // hash sets — any pair the blocker missed would hash-mismatch here
+    "q202_containment_prefix" ->
+      """WITH sh AS MATERIALIZED (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+                  list_sort(list_distinct(list_transform(
+                    CASE WHEN length(text) >= 3
+                         THEN list_distinct(list_transform(
+                                range(1, length(text) - 1),
+                                i -> substr(text, CAST(i AS INT), 3)))
+                         ELSE [text] END,
+                    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                         & 2147483647))) AS hs
+           FROM documents)
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) * 1000000
+                  // len(b.hs) AS contain_micro
+         FROM sh a JOIN sh b ON a.id % 3 <> 0 AND b.id % 3 = 0
+         WHERE CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) * 1000000
+                 // len(b.hs) >= 900000
+         ORDER BY id_a, id_b""",
     // q193: the clustered rewrite replayed — Morton interleave
     // (q154's shift/or terms), top-8-bit bucketing, per-(source,
     // bucket) offset cumsum + row_number packing, fresh stats, prune

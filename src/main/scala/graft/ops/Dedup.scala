@@ -307,6 +307,103 @@ object Dedup {
         >= minContainMicro)
   }
 
+  /** Cross-corpus directional containment with EXACT recall — prefix
+    * filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07;
+    * public literature): for a batch document B to have containment
+    * `|A∩B| / |B| ≥ t` against ANY corpus document A, at most
+    * `⌊(1−t)·|B|⌋` of B's shingle hashes may miss A — so among B's
+    * `⌊(1−t)·|B|⌋ + 1` RAREST hashes (by corpus document frequency), at
+    * least one must appear in A. Those prefix hashes are the only ones
+    * probed against the corpus inverted postings; every qualifying pair
+    * is guaranteed to surface (no LSH probability, no df-cap recall
+    * trade — the exact-recall counterpart of [[containmentPairs]]'s
+    * capped self-join), and the fan-out is the smallest any exact
+    * blocker can have, because the prefix is chosen rarest-first.
+    *
+    * Output `(id_a, id_b, contain_micro)` with `id_a` from the corpus,
+    * `id_b` from the batch, and `contain_micro = |A∩B|·1e6 div |B|` an
+    * exact integer (the [[containmentPairs]] convention).
+    *
+    * At 100 TB: the corpus is shingle-hashed ONCE (staged), the df table
+    * is one map-side-combined aggregation over its postings (in a
+    * standing pipeline, persist it next to the posting store and skip
+    * the pass), and the batch side — prefixes, candidates, verification
+    * sets — broadcasts under the usual count gate, so nothing
+    * corpus-sized shuffles. Candidate volume is Σ df over prefix
+    * hashes: rarest-first selection makes that the minimum achievable
+    * while keeping recall exact; a batch doc whose prefix hashes all
+    * have df = 0 provably has no qualifying partner and never joins. */
+  def crossContainmentPairs(corpus: DataFrame, newBatch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      minContainMicro: Long = 900000L, hash: BaseHash = BaseHash.Xx,
+      maxBroadcastRows: Long = 1000000L): DataFrame = {
+    require(minContainMicro >= 1L && minContainMicro <= 1000000L,
+      s"minContainMicro must be in [1, 1000000], got $minContainMicro")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def prep(df: DataFrame, side: String) =
+      OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
+          charShingles(col(textCol), shingleN).as("shingles"))
+        .select(col(s"id_$side"),
+          array_sort(array_distinct(shingleHashes(col("shingles"), hash)))
+            .as(s"_hs_$side"))
+        .transform(graft.core.Lifecycle.stage(_))
+    val c = prep(corpus, "a")
+    val n = prep(newBatch, "b")
+    val hint = OpsUtil.gatedHint("crossContainmentPairs", "newBatch", n,
+      maxBroadcastRows)
+    // corpus inverted postings (exploded from the staged hash sets — the
+    // shingle pass itself never reruns); document frequency is computed
+    // ONLY for the batch's hashes (gated semi-join: the batch hash set
+    // broadcasts, the corpus streams past it map-side) — the global df
+    // table never materializes, and the agg input is collision-sized
+    def posts = c.select(col("id_a"), explode(col("_hs_a")).as("h"))
+    val batchHashes = graft.core.Lifecycle.stage(
+      n.select(explode(col("_hs_b")).as("h")).distinct())
+    // the hash-keyed frames are ~|shingles| wider than the batch doc
+    // count the doc gate measured, so they get their OWN count gate —
+    // past it those joins shuffle instead of risking a driver-sized
+    // broadcast (the count doubles as the stage materialization)
+    val hintH = OpsUtil.gatedHint("crossContainmentPairs", "batchHashes",
+      batchHashes, maxBroadcastRows)
+    val dfreq = posts.join(hintH(batchHashes), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(count(lit(1)).as("_df"))
+      .transform(graft.core.Lifecycle.stage(_))
+    // batch prefixes: pack (df, hash) into one sortable key — both fit
+    // 31 bits, so df·2^31 + h orders by (df, h) and h recovers by mask.
+    // dfreq is ≤ the batch's distinct-hash count, so it rides the same
+    // gate (the crossCandidatePairs one-count-decides-all discipline)
+    val keyed = n
+      .select(col("id_b"), size(col("_hs_b")).as("_n_b"),
+        explode(col("_hs_b")).as("h"))
+      .join(hintH(dfreq), Seq("h"), "left")
+      .select(col("id_b"), col("_n_b"),
+        (coalesce(col("_df"), lit(0L)) * lit(2147483648L) + col("h"))
+          .as("_key"))
+    // needed = ceil(t·n_b) intersections; prefix size = n_b − needed + 1
+    val needed = ((lit(minContainMicro) * col("_n_b") + lit(999999L))
+      / lit(1000000L)).cast("long")
+    val prefix = keyed.groupBy(col("id_b"), col("_n_b"))
+      .agg(array_sort(collect_list(col("_key"))).as("_keys"))
+      .select(col("id_b"),
+        explode(slice(col("_keys"), lit(1),
+          (col("_n_b") - needed + lit(1L)).cast("int"))).as("_key"))
+      .select(col("id_b"),
+        col("_key").bitwiseAND(lit(2147483647L)).as("h"))
+    val candidates = posts
+      .join(hintH(prefix), Seq("h"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair may collide on several prefix hashes
+    candidates
+      .join(c, Seq("id_a"))
+      .join(hint(n), Seq("id_b"))
+      .withColumn("_inter",
+        call_function("sorted_intersect_count", col("_hs_a"), col("_hs_b")))
+      .withColumn("_n_b", size(col("_hs_b")))
+      .select(col("id_a"), col("id_b"),
+        expr("(_inter * 1000000) div _n_b").as("contain_micro"))
+      .filter(col("contain_micro") >= minContainMicro)
+  }
+
   /** 64-bit SimHash over character shingles. Near-duplicate documents land
     * within a small Hamming distance; block on bit-prefixes for scale.
     * Each shingle hashes ONCE (`xxhash64`, the full 64 bits feed the bit

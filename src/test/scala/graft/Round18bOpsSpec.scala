@@ -75,4 +75,94 @@ class Round18bOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // top tokens: 'lo' and 'w' in all 6 words, then 'e' in 3
     assert(v.toSeq == Seq(("lo", 6L), ("w", 6L), ("e", 3L)))
   }
+
+  // ---- crossContainmentPairs: exact-recall prefix filtering ----
+
+  import graft.ops.Dedup
+
+  /** Fixture with real containment structure: some batch docs are
+    * verbatim substrings of corpus docs (containment 1.0), some share a
+    * prefix (partial), some are disjoint. */
+  private def containFixture() = {
+    val corpus = docs(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "completely different material about spark catalyst optimizers",
+      "the quick brown fox jumps over the lazy dog near the river bank " +
+        "and then some extra trailing content nobody quotes",
+      "unrelated text with its own vocabulary entirely zzz")
+    val batch = Seq(
+      (100L, "quick brown fox jumps over the lazy dog"), // inside 0 and 2
+      (101L, "spark catalyst optimizers"),               // inside 1
+      (102L, "qqq www eee rrr ttt yyy uuu"))              // disjoint
+      .toDF("doc_id", "text")
+    (corpus, batch)
+  }
+
+  private def bruteForce(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, tMicro: Long) = {
+    val all = Dedup.ngramJaccardPairs(
+      corpus.unionByName(batch), "doc_id", "text")
+    // recompute containment directly from the shingle sets
+    val sh = (df: org.apache.spark.sql.DataFrame, side: String) =>
+      df.select(col("doc_id").cast("long").as(s"id_$side"),
+        array_sort(array_distinct(Dedup.shingleHashes(
+          Dedup.charShingles(col("text"), 3), graft.ops.BaseHash.Md5)))
+          .as(s"hs_$side"))
+    sh(corpus, "a").crossJoin(sh(batch, "b"))
+      .withColumn("_inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("_n_b", size(col("hs_b")))
+      .select(col("id_a"), col("id_b"),
+        expr("(CAST(_inter AS BIGINT) * 1000000) div _n_b")
+          .as("contain_micro"))
+      .filter(col("contain_micro") >= tMicro)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  private def prefixFiltered(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, tMicro: Long) =
+    Dedup.crossContainmentPairs(corpus, batch, "doc_id", "text",
+        shingleN = 3, minContainMicro = tMicro,
+        hash = graft.ops.BaseHash.Md5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("crossContainmentPairs: output equals the brute-force all-pairs " +
+      "definition — exact recall at a high threshold, where the prefix " +
+      "is a handful of rare hashes") {
+    val (corpus, batch) = containFixture()
+    val got = prefixFiltered(corpus, batch, 900000L)
+    assert(got == bruteForce(corpus, batch, 900000L))
+    // the verbatim-substring batch docs MUST be found (containment 1.0)
+    assert(got.exists(p => p._2 == 100L && p._3 == 1000000L))
+    assert(got.exists(p => p._2 == 101L && p._3 == 1000000L))
+    assert(!got.exists(_._2 == 102L), "disjoint batch doc must not match")
+  }
+
+  test("crossContainmentPairs: exact recall holds at a LOW threshold " +
+      "too, where prefixes are wide and partial overlaps qualify") {
+    val (corpus, batch) = containFixture()
+    assert(prefixFiltered(corpus, batch, 300000L)
+      == bruteForce(corpus, batch, 300000L))
+  }
+
+  test("crossContainmentPairs: a batch doc sharing nothing with the " +
+      "corpus (all prefix hashes df=0) joins nothing and errors nothing") {
+    val corpus = docs("alpha beta gamma delta epsilon zeta")
+    val batch = Seq((200L, "xxxx yyyy zzzz wwww"))
+      .toDF("doc_id", "text")
+    assert(prefixFiltered(corpus, batch, 500000L).isEmpty)
+  }
+
+  test("crossContainmentPairs: threshold bounds are enforced") {
+    val (corpus, batch) = containFixture()
+    intercept[IllegalArgumentException] {
+      Dedup.crossContainmentPairs(corpus, batch, "doc_id", "text",
+        minContainMicro = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.crossContainmentPairs(corpus, batch, "doc_id", "text",
+        minContainMicro = 1000001L)
+    }
+  }
 }
