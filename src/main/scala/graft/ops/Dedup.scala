@@ -393,7 +393,10 @@ object Dedup {
       .join(hintH(prefix), Seq("h"))
       .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide on several prefix hashes
-    candidates
+    // verification: candidates are batch-bounded (Σ df over prefix
+    // hashes), so they ride the hash gate — the corpus sigs scan stays
+    // shuffle-free (the SignatureStore verification discipline)
+    hintH(candidates)
       .join(c, Seq("id_a"))
       .join(hint(n), Seq("id_b"))
       .withColumn("_inter",

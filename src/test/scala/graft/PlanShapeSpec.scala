@@ -643,6 +643,20 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
       "the main join lost its salt key:\n" + plan.take(3000))
   }
 
+  test("q202 prefix containment: every join in the pipeline is owned " +
+      "by the count-gated hints — zero SortMergeJoins with auto-" +
+      "broadcast off, so the corpus postings and sigs never shuffle") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf("q202_containment_prefix")
+      assert(!plan.contains("SortMergeJoin"),
+        "a containment join escaped the gates:\n" + plan.take(3000))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q110/q111 BM25 retrieval joins: every join is EXPLICITLY " +
       "broadcast-pinned — the plan survives autoBroadcastJoinThreshold " +
       "= -1 with zero SortMergeJoins") {
