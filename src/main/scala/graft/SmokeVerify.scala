@@ -1340,6 +1340,67 @@ object SmokeVerify {
           && badClasses == 0) "OK" else "BROKEN"))
     }
 
+    // SMOKE33: round-18 second wave — (a) BPE learn→apply on the real
+    // documents table with the ledger's monotonicity invariant (each
+    // round's best-pair count can never exceed the previous round's:
+    // old pair counts only shrink under a merge, and any NEW pair
+    // involving the merged symbol inherits at most its occurrence
+    // count); (b) the persisted phash index round-trip — stored probe
+    // ≡ live chunk blocker, retire strictly shrinks the candidate set;
+    // (c) prefix containment finds every verbatim re-idd copy at
+    // containment exactly 1.0.
+    {
+      val docs33 = spark.read.parquet(s"$sf/documents.parquet")
+      val merges33 = graft.ops.Corpus.bpeMerges(docs33, "doc_id", "text",
+        rounds = 4).collect()
+      val freqs33 = merges33.map(_.getLong(2)).toSeq
+      val vocab33 = graft.ops.Corpus.bpeTokenFrequencies(docs33,
+        "doc_id", "text", rounds = 4, k = 20).collect()
+      val med33 = SparkEntry.mediaFixture(spark, sf)
+      val path33 = java.nio.file.Files
+        .createTempDirectory("smoke33-phash").toString
+      graft.sources.PhashStore.save(
+        med33.filter(col("doc_id") % 7 =!= 0), "doc_id", "media", path33)
+      val batch33 = med33.filter(col("doc_id") % 7 === 0)
+      val storedPairs = graft.sources.PhashStore.crossNearPairsStored(
+          spark, path33, batch33, "doc_id", "media")
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      // the self-join blocker emits id_a < id_b only; a cross pair with
+      // the batch id on the small side arrives flipped — canonicalize
+      // both orientations to (store, batch) before comparing
+      val np33 = graft.ops.Dedup.simhashNearPairs(
+        graft.ops.Multimodal.dhash(med33, "doc_id", "media")
+          .select(col("id"), col("phash").as("simhash")))
+      val livePairs = np33
+        .filter(col("id_a") % 7 =!= 0 && col("id_b") % 7 === 0)
+        .unionByName(np33
+          .filter(col("id_a") % 7 === 0 && col("id_b") % 7 =!= 0)
+          .select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+            col("hamming")))
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      graft.sources.PhashStore.retire(spark, path33,
+        med33.filter(col("doc_id") % 7 === 1)
+          .select(col("doc_id").as("id")))
+      val afterRetire = graft.sources.PhashStore.crossNearPairsStored(
+        spark, path33, batch33, "doc_id", "media").count()
+      val copies33 = docs33.orderBy("doc_id").limit(20)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val found33 = graft.ops.Dedup.crossContainmentPairs(docs33,
+          copies33, "doc_id", "text", minContainMicro = 1000000L)
+        .filter(col("id_a") === col("id_b") - 1000000L
+          && col("contain_micro") === 1000000L)
+        .count()
+      println(s"SMOKE33 round18b: merges=${merges33.length} " +
+        s"monotone=${freqs33 == freqs33.sorted.reverse} " +
+        s"vocab=${vocab33.length} " +
+        s"phashParity=${storedPairs == livePairs}/${storedPairs.size} " +
+        s"afterRetire=$afterRetire selfContain=$found33/20 => " +
+        (if (merges33.length == 4 && freqs33 == freqs33.sorted.reverse
+          && vocab33.nonEmpty && storedPairs == livePairs
+          && storedPairs.nonEmpty && afterRetire < storedPairs.size
+          && found33 == 20L) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }
