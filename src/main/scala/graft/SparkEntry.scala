@@ -791,13 +791,20 @@ object SparkEntry {
       // hashes probe the corpus postings, yet every pair with
       // |A∩B|/|B| >= 0.9 provably surfaces — so the oracle is the
       // BRUTE-FORCE definition, the strongest possible check that the
-      // blocking loses nothing (the engine never does all-pairs)
+      // blocking loses nothing (the engine never does all-pairs).
+      // 12-char shingles: prefix filtering's fan-out is Σ df over the
+      // RAREST grams, so the gram space must be large enough for rare
+      // grams to exist — the synthetic corpus's 3-gram alphabet is ~400
+      // corpus-ubiquitous grams (degenerate for ANY exact blocker),
+      // while its 12-gram space has p10 df = 1. The scalar gate is
+      // raised to keep the broadcast regime stable at probe scales; the
+      // array side stays byte-gated.
       val docs = Testbed.graph(s, dir).collection("documents")
       ops.Dedup.crossContainmentPairs(
           docs.filter(col("doc_id") % 3 =!= 0),
           docs.filter(col("doc_id") % 3 === 0),
-          "doc_id", "text", shingleN = 3, minContainMicro = 900000L,
-          hash = ops.BaseHash.Md5)
+          "doc_id", "text", shingleN = 12, minContainMicro = 900000L,
+          hash = ops.BaseHash.Md5, maxBroadcastRows = 4000000L)
         .orderBy("id_a", "id_b")
     }),
     "q36_sessionize" -> ((s, dir) => {
@@ -4981,10 +4988,10 @@ object SparkEntry {
       """WITH sh AS MATERIALIZED (
            SELECT CAST(doc_id AS BIGINT) AS id,
                   list_sort(list_distinct(list_transform(
-                    CASE WHEN length(text) >= 3
+                    CASE WHEN length(text) >= 12
                          THEN list_distinct(list_transform(
-                                range(1, length(text) - 1),
-                                i -> substr(text, CAST(i AS INT), 3)))
+                                range(1, length(text) - 10),
+                                i -> substr(text, CAST(i AS INT), 12)))
                          ELSE [text] END,
                     s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
                          & 2147483647))) AS hs

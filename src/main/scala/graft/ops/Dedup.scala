@@ -349,8 +349,13 @@ object Dedup {
         .transform(graft.core.Lifecycle.stage(_))
     val c = prep(corpus, "a")
     val n = prep(newBatch, "b")
-    val hint = OpsUtil.gatedHint("crossContainmentPairs", "newBatch", n,
-      maxBroadcastRows)
+    // the batch's verification frame carries its hash ARRAYS — gate it
+    // on estimated bytes as well as rows (a forced broadcast past
+    // driver.maxResultSize fails the job; the shuffle fallback is
+    // output-identical), and let the same decision cover every
+    // array-carrying use of `n`
+    val hint = OpsUtil.gatedArrayHint("crossContainmentPairs", "newBatch",
+      n, size(col("_hs_b")), maxBroadcastRows)
     // corpus inverted postings (exploded from the staged hash sets — the
     // shingle pass itself never reruns); document frequency is computed
     // ONLY for the batch's hashes (gated semi-join: the batch hash set
@@ -382,21 +387,28 @@ object Dedup {
     // needed = ceil(t·n_b) intersections; prefix size = n_b − needed + 1
     val needed = ((lit(minContainMicro) * col("_n_b") + lit(999999L))
       / lit(1000000L)).cast("long")
-    val prefix = keyed.groupBy(col("id_b"), col("_n_b"))
-      .agg(array_sort(collect_list(col("_key"))).as("_keys"))
-      .select(col("id_b"),
-        explode(slice(col("_keys"), lit(1),
-          (col("_n_b") - needed + lit(1L)).cast("int"))).as("_key"))
-      .select(col("id_b"),
-        col("_key").bitwiseAND(lit(2147483647L)).as("h"))
-    val candidates = posts
-      .join(hintH(prefix), Seq("h"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // a pair may collide on several prefix hashes
-    // verification: candidates are batch-bounded (Σ df over prefix
-    // hashes), so they ride the hash gate — the corpus sigs scan stays
-    // shuffle-free (the SignatureStore verification discipline)
-    hintH(candidates)
+    val prefix = graft.core.Lifecycle.stage(
+      keyed.groupBy(col("id_b"), col("_n_b"))
+        .agg(array_sort(collect_list(col("_key"))).as("_keys"))
+        .select(col("id_b"),
+          explode(slice(col("_keys"), lit(1),
+            (col("_n_b") - needed + lit(1L)).cast("int"))).as("_key"))
+        .select(col("id_b"),
+          col("_key").bitwiseAND(lit(2147483647L)).as("h")))
+    // prefix (Σ per-doc prefix sizes) and candidates (Σ df over prefix
+    // hashes) are DERIVED frames whose sizes the earlier gates do not
+    // measure — each gets its own count gate (the count doubles as the
+    // stage materialization), so an oversized side falls back to a
+    // shuffle join instead of a driver-killing forced broadcast
+    val hintP = OpsUtil.gatedHint("crossContainmentPairs", "prefix",
+      prefix, maxBroadcastRows)
+    val candidates = graft.core.Lifecycle.stage(
+      posts.join(hintP(prefix), Seq("h"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()) // a pair may collide on several prefix hashes
+    val hintC = OpsUtil.gatedHint("crossContainmentPairs", "candidates",
+      candidates, maxBroadcastRows)
+    hintC(candidates)
       .join(c, Seq("id_a"))
       .join(hint(n), Seq("id_b"))
       .withColumn("_inter",

@@ -40,6 +40,34 @@ private[graft] object OpsUtil {
     df => if (ok) org.apache.spark.sql.functions.broadcast(df) else df
   }
 
+  /** [[gatedHint]] for ARRAY-carrying sides. A broadcast is COLLECTED to
+    * the driver, so the binding constraint is payload bytes, not rows: a
+    * row gate tuned for scalar frames lets a wide-array side (shingle
+    * hash sets, embeddings) blow `spark.driver.maxResultSize` and FAIL
+    * the job — where the unhinted fallback is merely a slower shuffle
+    * join. Gates on rows AND an estimated byte size (8 bytes per array
+    * element + fixed per-row overhead), both from ONE aggregate over the
+    * (staged) side, which doubles as its materialization exactly like
+    * [[gatedHint]]'s count. AQE can still re-promote the unhinted join
+    * from runtime stats, under its own size threshold. */
+  def gatedArrayHint(op: String, side: String, gateSide: DataFrame,
+      elems: org.apache.spark.sql.Column, maxRows: Long,
+      maxBytes: Long = 268435456L): DataFrame => DataFrame = {
+    import org.apache.spark.sql.functions._
+    val r = gateSide
+      .agg(count(lit(1)), coalesce(sum(elems), lit(0L))).collect()(0)
+    val rows = r.getLong(0)
+    val est = r.getLong(1) * 8L + rows * 48L
+    val ok = broadcastGate(op, side, rows, maxRows) && {
+      val bytesOk = est <= maxBytes
+      if (!bytesOk) logger.info(s"$op: $side estimates $est broadcast " +
+        s"bytes, over the $maxBytes-byte array gate; falling back to " +
+        "unhinted joins")
+      bytesOk
+    }
+    df => if (ok) org.apache.spark.sql.functions.broadcast(df) else df
+  }
+
   /** Make sure a per-row CPU-heavy stage gets the session's full
     * parallelism. Small inputs (a dimension table, one parquet file) arrive
     * in 1-2 partitions and would otherwise serialize the expensive kernel
