@@ -290,8 +290,11 @@ object ScaleSmoke {
     // set (df agg is collision-sized, not corpus-sized); candidate
     // volume tracks Σ df over each batch doc's RAREST hashes — the
     // cipher keeps copies' hash sets disjoint, so df per hash is flat
-    // and the probe cost scales with the batch, not the corpus
-    "q202_containment_prefix")
+    // and the probe cost scales with the batch, not the corpus —
+    // and the stored-BPE apply (merge ledger loaded driver-side, the
+    // corpus word table pushed through 4 pure-projection rewrites; no
+    // training loop, no per-round aggregation)
+    "q202_containment_prefix", "q203_bpe_stored")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

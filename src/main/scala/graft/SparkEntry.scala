@@ -445,6 +445,21 @@ object SparkEntry {
       out
     })
 
+  /** q203's persisted tokenizer: 4 merges trained on the even-id half
+    * of the corpus, persisted as the merge ledger. Warmed by Bench's
+    * build phase so the gate reps measure the stored-apply chain. */
+  private val bpeStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def bpeStorePath(s: SparkSession, docs: DataFrame,
+      dir: String): String =
+    bpeStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bpe-store").toString
+      sources.BpeStore.save(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", out, rounds = 4)
+      out
+    })
+
   /** q94's APPENDED signature index: two-thirds of the corpus slice saved,
     * the last third appended — the rolling-ingest shape. Because the
     * signature params carry no corpus statistics (unlike q89's
@@ -783,6 +798,18 @@ object SparkEntry {
       ops.Corpus.bpeTokenFrequencies(
           Testbed.graph(s, dir).collection("documents"),
           "doc_id", "text", rounds = 6, k = 30)
+        .orderBy(col("freq").desc, col("token"))
+    }),
+    "q203_bpe_stored" -> ((s, dir) => {
+      // the tokenizer SHIPPED: merges trained once on the even-id
+      // sample and persisted (BpeStore — the ledger in merge order,
+      // order IS semantics), then the FULL corpus segmented under the
+      // stored merges via the pure-projection apply chain — train on a
+      // sample, apply to the corpus, never re-learn
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = bpeStorePath(s, docs, dir)
+      sources.BpeStore.segmentTokenFrequencies(s, path, docs,
+          "doc_id", "text", k = 30)
         .orderBy(col("freq").desc, col("token"))
     }),
     "q202_containment_prefix" -> ((s, dir) => {
@@ -4981,6 +5008,10 @@ object SparkEntry {
     // table; q201 additionally segments and counts the final vocabulary
     "q199_bpe_merges" -> BpeMergesOracleSql,
     "q201_bpe_vocab" -> BpeVocabOracleSql,
+    // q203: learn on the even-id sample, apply the STORED ledger to the
+    // full corpus — the oracle replays both halves (learn chain over
+    // the sample, apply chain over the full word table, ledger order)
+    "q203_bpe_stored" -> BpeStoredOracleSql,
     // q202: prefix filtering is recall-EXACT, so the oracle is the
     // direct all-pairs containment definition over the md5 shingle
     // hash sets — any pair the blocker missed would hash-mismatch here
@@ -6214,14 +6245,14 @@ object SparkEntry {
     * literal-replace rewrite, exactly [[graft.ops.Corpus.bpeMerges]]'s
     * loop (literal `replace` is non-overlapping left-to-right in both
     * engines, so greedy merge semantics replay bit-for-bit). */
-  private def bpeOracleCtes(rounds: Int): String = {
-    val w0 = """w0 AS (
+  private def bpeOracleCtes(rounds: Int, where: String = ""): String = {
+    val w0 = s"""w0 AS (
          SELECT word, count(*) AS freq,
                 ' ' || array_to_string(list_transform(
                   range(1, length(word) + 1),
                   i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
          FROM (SELECT unnest(string_split(text, ' ')) AS word
-               FROM documents)
+               FROM documents $where)
          WHERE word <> '' GROUP BY word)"""
     val per = (1 to rounds).map { r =>
       s"""p$r AS (
@@ -6259,6 +6290,36 @@ object SparkEntry {
        SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM (
          SELECT freq, unnest(string_split(trim(s), ' ')) AS token FROM w6)
        GROUP BY token ORDER BY freq DESC, token LIMIT 30"""
+
+  /** q203's oracle: the learn chain over the SAMPLE (even doc ids),
+    * then the stored-apply chain — the full corpus's word table pushed
+    * through the same 4 rewrites in ledger order, never re-learning. */
+  private lazy val BpeStoredOracleSql = {
+    val rounds = 4
+    val a0 = """a0 AS (
+         SELECT word, count(*) AS freq,
+                ' ' || array_to_string(list_transform(
+                  range(1, length(word) + 1),
+                  i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         WHERE word <> '' GROUP BY word)"""
+    val applies = (1 to rounds).map { r =>
+      s"""a$r AS (
+         SELECT word, freq,
+                regexp_replace(replace(replace(a.s, ' ', '  '),
+                  ' ' || replace(b.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b.pair, ' ', '') || ' '),
+                  ' +', ' ', 'g') AS s
+         FROM a${r - 1} a, b$r b)"""
+    }
+    s"""${bpeOracleCtes(rounds, "WHERE doc_id % 2 = 0")},
+       ${(a0 +: applies).mkString(",\n       ")}
+       SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM (
+         SELECT freq, unnest(string_split(trim(s), ' ')) AS token
+         FROM a$rounds)
+       GROUP BY token ORDER BY freq DESC, token LIMIT 30"""
+  }
 
   /** q66's oracle — the full MinHash/LSH cross pipeline replayed over the
     * portable md5 base hash: shingles → 31-bit hashes → 16-permutation

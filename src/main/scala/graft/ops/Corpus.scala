@@ -1010,11 +1010,42 @@ object Corpus {
     require(rounds >= 1 && k >= 1,
       s"bpeTokenFrequencies needs rounds >= 1 and k >= 1, got $rounds/$k")
     val (words, _) = bpeLoop(docs, textCol, rounds)
+    bpeVocabFromWords(words, k)
+  }
+
+  private def bpeVocabFromWords(words: DataFrame, k: Int): DataFrame =
     words
       .select(col("freq"),
         explode(split(trim(col("s")), " ")).as("token"))
       .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
+
+  /** Segment `docs` under an ALREADY-LEARNED merge list (in merge order)
+    * and return the top-`k` token-frequency table — the inference half
+    * of a tokenizer: merges trained once (often on a sample, or loaded
+    * from [[graft.sources.BpeStore]]) applied to any corpus without
+    * retraining. The merge list is driver-small by construction (it IS
+    * the vocabulary budget), so each merge is a pure projection over the
+    * corpus's word table; no per-round aggregation, no driver reads —
+    * strictly cheaper than [[bpeTokenFrequencies]]' training loop. */
+  def bpeApplyMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"bpeApplyMerges needs k >= 1, got $k")
+    merges.foreach(p => require(p.count(_ == ' ') >= 1,
+      s"merge '$p' is not a space-joined symbol pair"))
+    var words = graft.core.Lifecycle.stage(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .withColumn("s", bpeInitSymbols(col("word"))))
+    for (group <- merges.grouped(4)) {
+      // chain a few rewrites per projection, re-staging between groups
+      // so plan depth stays O(1) however long the merge list grows
+      var s = col("s")
+      group.foreach(p => s = bpeApplyMerge(s, p))
+      words = graft.core.Lifecycle.stage(words.withColumn("s", s))
+    }
+    bpeVocabFromWords(words, k)
   }
 }

@@ -154,6 +154,59 @@ class Round18bOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(prefixFiltered(corpus, batch, 500000L).isEmpty)
   }
 
+  // ---- BpeStore: the persisted tokenizer ----
+
+  test("BpeStore round-trip: stored-apply over the training corpus " +
+      "equals the live learn+apply, and the ledger preserves merge " +
+      "order through parquet") {
+    val d = docs("low low low", "lower lower", "lowest", "slow slowest")
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe-spec").toString
+    graft.sources.BpeStore.save(d, "doc_id", "text", path, rounds = 4)
+    val stored = graft.sources.BpeStore.segmentTokenFrequencies(
+        spark, path, d, "doc_id", "text", k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val live = Corpus.bpeTokenFrequencies(d, "doc_id", "text",
+        rounds = 4, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(stored == live)
+    val ledger = graft.sources.BpeStore.merges(spark, path)
+      .collect().map(_.getInt(0)).toSeq
+    assert(ledger == Seq(1, 2, 3, 4), "ledger must read in merge order")
+  }
+
+  test("BpeStore: train-on-sample / apply-to-corpus segments the full " +
+      "corpus under the sample's merges, not its own") {
+    val sample = docs("low low low")            // learns l+o, lo+w
+    val full = docs("low low low", "lot lot")   // 'lot' unseen at train
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe-spec2").toString
+    graft.sources.BpeStore.save(sample, "doc_id", "text", path,
+      rounds = 2)
+    val v = graft.sources.BpeStore.segmentTokenFrequencies(
+        spark, path, full, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 'low' fully merges under the sample's ledger; 'lot' only gets the
+    // first merge ('l o') — 'lo' + 't', never a 'lot' token
+    assert(v.contains(("low", 3L)) && v.contains(("lo", 2L))
+      && v.contains(("t", 2L)) && !v.exists(_._1 == "lot"), v.toString)
+  }
+
+  test("bpeApplyMerges applies merges in ORDER — a reordered ledger " +
+      "segments differently (order is semantics)") {
+    val d = docs("abc abc")
+    val inOrder = Corpus.bpeApplyMerges(d, "doc_id", "text",
+        Seq("a b", "ab c"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(inOrder == Seq(("abc", 2L)),
+      s"chained merges must compose: $inOrder")
+    val reordered = Corpus.bpeApplyMerges(d, "doc_id", "text",
+        Seq("ab c", "a b"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 'ab c' matches nothing before 'a b' has run: ends at [ab, c]
+    assert(reordered == Seq(("ab", 2L), ("c", 2L)), reordered.toString)
+  }
+
   test("crossContainmentPairs: threshold bounds are enforced") {
     val (corpus, batch) = containFixture()
     intercept[IllegalArgumentException] {
