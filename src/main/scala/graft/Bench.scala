@@ -349,6 +349,13 @@ object Bench {
       "\"" + k + "\":\"" + jsonEscape(m.take(200)) + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, ts, _, _, _) if ts.nonEmpty => median(ts) }.sum
+    // min-of-reps total: on a quiet host it tracks the median total; on a
+    // contended host it is the LEAST-tainted witness (outside load only
+    // ever inflates a rep), so a loaded host is self-identifying from the
+    // headline alone — median >> min + off-reference calib = contention,
+    // not code (the r18 lesson: a 2.4x "regression" whose per-rep spikes
+    // were host load)
+    val minTotal = results.collect { case (_, ts, _, _, _) if ts.nonEmpty => ts.min }.sum
     val nErr = results.count(_._5.nonEmpty)
     val loadAfter = loadAvg
     val calibAfter = calibrate(cpus.toInt)
@@ -387,7 +394,7 @@ object Bench {
       ",\"build_error\":\"" + jsonEscape(m.take(200)) + "\"")
       .getOrElse("")
     val detailLine = s"""{"metric":"detail","unit":"sec","q_errors":$qErrors,"reps_sec":$reps,"reps_cpu_sec":$repsCpu,"reps_gc_sec":$repsGc}"""
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":$normTotal,"calib_sec":$calibJson,"build_sec":$buildSec$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"normalized_total":$normTotal,"calib_sec":$calibJson,"build_sec":$buildSec$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":$loadBefore,"after":$loadAfter},"queries":$qs,"sf":"$sfDir"}"""
     // The channel reading stdout captures a bounded TAIL (~2 KB observed,
     // BENCH_r16.json), which the ~7 KB per-query total line can never fit
     // — so the WHOLE-run record is also written to a file the driver and
@@ -404,7 +411,7 @@ object Bench {
       .map { case (k, w) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + s2(w)
       }.mkString("{", ",", "}")
-    val headline = s"""{"metric":"headline","value":${s2(total)},"unit":"sec","norm_total":${s2(normTotal)},"calib":{"s":[${s2(calibBefore._1)},${s2(calibAfter._1)},$RefCalibSingle],"m":[${s2(calibBefore._2)},${s2(calibAfter._2)},$RefCalibAllCore]},"build_sec":${s2(buildSec)}$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowestShort,"out":"$outPath"}"""
+    val headline = s"""{"metric":"headline","value":${s2(total)},"unit":"sec","min_total":${s2(minTotal)},"norm_total":${s2(normTotal)},"calib":{"s":[${s2(calibBefore._1)},${s2(calibAfter._1)},$RefCalibSingle],"m":[${s2(calibBefore._2)},${s2(calibAfter._2)},$RefCalibAllCore]},"build_sec":${s2(buildSec)}$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowestShort,"out":"$outPath"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       s"$totalLine\n$detailLine\n$headline\n".getBytes("UTF-8"))
     catch { case e: Exception =>

@@ -632,10 +632,16 @@ object ScaleSmoke {
       println(s"SCALE ${p.name} ERR ${p.err.get}")
     }
     results.filter(_.err.isEmpty).foreach { p =>
+      // a zero-shuffle base makes the ratio a divide-by-epsilon
+      // absurdity (7.5e6x over a floored denominator says nothing);
+      // under 1 MB of base shuffle the ratio is noise — print n/a
+      val (sr, rr) =
+        if (p.baseShufMB < 1.0) ("  n/a", "  n/a")
+        else (f"${p.shufRatio}%5.2f", f"${p.shufRecRatio}%5.2f")
       println(f"SCALEB ${p.name}%-27s in=${p.baseInMB}%8.1f->" +
         f"${p.scaledInMB}%8.1fMB shuf=${p.baseShufMB}%8.1f->" +
-        f"${p.scaledShufMB}%8.1fMB shuf_ratio=${p.shufRatio}%5.2f " +
-        f"rec_ratio=${p.shufRecRatio}%5.2f")
+        f"${p.scaledShufMB}%8.1fMB shuf_ratio=$sr " +
+        f"rec_ratio=$rr")
     }
     println(s"SCALESMOKE ${if (results.forall(_.ok)) "PASS" else "FAIL"} " +
       s"(${Copies}x data, bar ${MaxRatio}x wall)")

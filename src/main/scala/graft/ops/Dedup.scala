@@ -384,9 +384,15 @@ object Dedup {
       .select(col("id_b"), col("_n_b"),
         (coalesce(col("_df"), lit(0L)) * lit(2147483648L) + col("h"))
           .as("_key"))
-    // needed = ceil(t·n_b) intersections; prefix size = n_b − needed + 1
-    val needed = ((lit(minContainMicro) * col("_n_b") + lit(999999L))
-      / lit(1000000L)).cast("long")
+    // needed = ceil(t·n_b) intersections; prefix size = n_b − needed + 1.
+    // INTEGRAL `div`, not `/`+cast: Spark's `/` is double division and
+    // the truncating cast only matches integer floor while the quotient
+    // is exactly representable — at astronomically large shingle counts
+    // a rounded-up double at an integer boundary would shorten the
+    // prefix by one and silently lose recall. `div` matches the
+    // oracle's integer `//` at every magnitude.
+    val needed = expr(
+      s"(${minContainMicro}L * _n_b + 999999L) div 1000000L")
     val prefix = graft.core.Lifecycle.stage(
       keyed.groupBy(col("id_b"), col("_n_b"))
         .agg(array_sort(collect_list(col("_key"))).as("_keys"))

@@ -58,7 +58,11 @@ object Multimodal {
     * decoded gray buffer through the SAME sampling), then bit `i` of
     * the hash records whether sample `i` exceeds sample `i+1` — the
     * classic gradient signature that survives brightness shifts,
-    * re-encodes, and single-byte watermarks. 63 bits, not 64, so the
+    * re-encodes, and single-byte watermarks. Those robustness claims
+    * hold at the DECODED-BUFFER boundary the first sentence names; over
+    * raw compressed payloads (as shipped, codec-free) a re-encode
+    * changes every sampled byte, so byte-stream sampling detects
+    * byte-level near-duplicates only. 63 bits, not 64, so the
     * key stays a NON-NEGATIVE BIGINT replayable by any engine with
     * 64-bit integer ops (the [[Layout.zorderKey]] argument; DuckDB's
     * signed `<<` refuses bit 63).

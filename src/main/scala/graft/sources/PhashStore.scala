@@ -55,11 +55,19 @@ object PhashStore {
   private def writeTables(sigs: DataFrame, p: Params, path: String,
       mode: SaveMode): Unit = {
     // one materialization feeds both tables — the hex-sampling hash pass
-    // over wide binary payloads must not run once per table
+    // over wide binary payloads must not run once per table.
+    // Chunks FIRST, sigs second: [[append]]'s skip-detection reads raw
+    // sigs ids, so a crash between the two writes leaves the batch's ids
+    // absent from sigs and a replayed append re-writes BOTH tables —
+    // the partial chunk rows from the torn attempt self-heal into
+    // harmless duplicates (every chunk-probe path ends in `.distinct()`)
+    // instead of permanently invisible ids. (Sigs-first would leave ids
+    // present in sigs but absent from chunks: stored probes silently
+    // miss them and the skip check refuses the repair forever.)
     val staged = graft.core.Lifecycle.stage(sigs)
+    chunkFrame(staged, p).write.mode(mode).parquet(s"$path/chunks")
     staged.repartitionByRange(col("id")).sortWithinPartitions("id")
       .write.mode(mode).parquet(s"$path/sigs")
-    chunkFrame(staged, p).write.mode(mode).parquet(s"$path/chunks")
   }
 
   /** Build the index over `media` and persist it under `path` (overwrite
@@ -140,9 +148,13 @@ object PhashStore {
     val bs = graft.core.Lifecycle.stage(
       sigFrame(batch, idCol, bytesCol)
         .select(col("id").as("id_b"), col("phash").as("h_b")))
-    val hint = OpsUtil.gatedHint("crossPhashNearPairsStored", "batch", bs,
-      maxBroadcastRows)
+    // gate on the CHUNK frame — the frame actually broadcast — not the
+    // signature frame: chunks are nChunks (= maxDist + 1) rows per
+    // signature, so a gate on `bs` would undercount the broadcast
+    // payload by the chunk fan-out factor
     val bChunks = Dedup.simhashChunks(bs, "id_b", "h_b", p.nChunks)
+    val hint = OpsUtil.gatedHint("crossPhashNearPairsStored",
+      "batchChunks", bChunks, maxBroadcastRows)
     chunks(spark, path)
       .select(col("chunk"), col("ckey"), col("id").as("id_a"),
         col("phash").as("h_a"))
