@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Md5WindowHashes.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5WindowHashes(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("bpe_segment"),
+      BpeSegment.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeSegment(children(0), children(1))))
   }
 }
 
@@ -110,6 +114,11 @@ object GraftFunctions {
       "md5_window_hashes",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5WindowHashes(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_segment",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BpeSegment(children(0), children(1)),
       "built-in")
   }
 }
