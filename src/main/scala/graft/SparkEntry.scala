@@ -812,6 +812,44 @@ object SparkEntry {
           "doc_id", "text", k = 30)
         .orderBy(col("freq").desc, col("token"))
     }),
+    "q204_bpe_train_local" -> ((s, dir) => {
+      // the trainer at a REALISTIC rounds budget: 256 requested merges,
+      // driver-local greedy loop over the one-pass word-frequency table
+      // (the corpus is never touched again) — on this corpus the pair
+      // space EXHAUSTS first (every word fully merged), so the ledger is
+      // the corpus's maximal vocabulary and rounds beyond it are
+      // provable no-ops; the oracle unrolls all 256 rounds with
+      // exhaustion-aware (LEFT JOIN) rewrites and materialized CTEs
+      ops.Corpus.bpeMergesLocal(
+          Testbed.graph(s, dir).collection("documents"),
+          "doc_id", "text", rounds = 256)
+        .orderBy("round")
+    }),
+    "q205_bpe_encode_stored" -> ((s, dir) => {
+      // per-document TOKEN-ID emission under the STORED tokenizer
+      // (merges + vocab fixed at train time on the even-id sample): the
+      // tokenize half of the tokenize→pack link, every fifth document
+      // encoded to (pos, token_id, token) rows — ids replay in SQL as
+      // row_number over the sample's segmented symbol set
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = bpeStorePath(s, docs, dir)
+      sources.BpeStore.encode(s, path,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy("doc_id", "pos")
+    }),
+    "q206_bpe_pack_chain" -> ((s, dir) => {
+      // tokenize → pack, chained: the FULL corpus encoded under the
+      // stored tokenizer, per-doc REAL token counts (not whitespace
+      // proxies) fed straight into the sharded sequence packer — the
+      // end-to-end link a pretraining loader consumes
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = bpeStorePath(s, docs, dir)
+      val counts = sources.BpeStore.encode(s, path, docs, "doc_id", "text")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      ops.Corpus.packSequences(counts, "doc_id", col("n_tokens"),
+          seqLen = 64, nShards = 8)
+        .orderBy("doc_id")
+    }),
     "q202_containment_prefix" -> ((s, dir) => {
       // EXACT-recall cross-corpus containment via prefix filtering
       // (AllPairs): only each batch doc's floor((1-t)|B|)+1 rarest
@@ -5012,6 +5050,15 @@ object SparkEntry {
     // full corpus — the oracle replays both halves (learn chain over
     // the sample, apply chain over the full word table, ledger order)
     "q203_bpe_stored" -> BpeStoredOracleSql,
+    // q204: the driver-local trainer at 256 requested rounds — the
+    // oracle unrolls ALL 256 with materialized CTEs and exhaustion-aware
+    // LEFT-JOIN rewrites (rounds past the corpus's fixed point are
+    // no-ops on both sides)
+    "q204_bpe_train_local" -> BpeTrainLocalOracleSql,
+    // q205/q206: stored-tokenizer encode (ids from the sample's symbol
+    // set) and the tokenize→pack chain over real token counts
+    "q205_bpe_encode_stored" -> BpeEncodeOracleSql,
+    "q206_bpe_pack_chain" -> BpePackOracleSql,
     // q202: prefix filtering is recall-EXACT, so the oracle is the
     // direct all-pairs containment definition over the md5 shingle
     // hash sets — any pair the blocker missed would hash-mismatch here
@@ -6320,6 +6367,135 @@ object SparkEntry {
          FROM a$rounds)
        GROUP BY token ORDER BY freq DESC, token LIMIT 30"""
   }
+
+  /** q204's oracle prefix: `rounds` unrolled BPE rounds like
+    * [[bpeOracleCtes]], but (a) every CTE is MATERIALIZED — the linear
+    * chain references each round twice, so DuckDB's default CTE inlining
+    * would expand the 256-round plan exponentially — and (b) the rewrite
+    * LEFT-JOINs its best-pair row, so a round past EXHAUSTION (empty
+    * pair table) is a no-op instead of emptying the word table: exactly
+    * [[graft.ops.Corpus.bpeMergesLocal]]'s early stop, with the empty
+    * b-rounds as the oracle's own witness that the fixed point held. */
+  private def bpeLocalOracleCtes(rounds: Int): String = {
+    val w0 = """w0 AS MATERIALIZED (
+         SELECT word, count(*) AS freq,
+                ' ' || array_to_string(list_transform(
+                  range(1, length(word) + 1),
+                  i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         WHERE word <> '' GROUP BY word)"""
+    val per = (1 to rounds).map { r =>
+      s"""b$r AS MATERIALIZED (
+         SELECT pair, c FROM (
+           SELECT pair, sum(freq) AS c FROM (
+             SELECT freq, unnest(list_transform(range(1, len(ss)),
+               i -> ss[CAST(i AS INT)] || ' ' || ss[CAST(i + 1 AS INT)]))
+               AS pair
+             FROM (SELECT freq, string_split(trim(s), ' ') AS ss
+                   FROM w${r - 1}))
+           GROUP BY pair)
+         ORDER BY c DESC, pair LIMIT 1),
+       w$r AS MATERIALIZED (
+         SELECT word, freq,
+                CASE WHEN b.pair IS NULL THEN w.s ELSE
+                regexp_replace(replace(replace(w.s, ' ', '  '),
+                  ' ' || replace(b.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b.pair, ' ', '') || ' '),
+                  ' +', ' ', 'g') END AS s
+         FROM w${r - 1} w LEFT JOIN b$r b ON TRUE)"""
+    }
+    (w0 +: per).mkString("WITH ", ",\n       ", "")
+  }
+
+  private lazy val BpeTrainLocalOracleSql = {
+    val rounds = 256
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, c AS freq FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""${bpeLocalOracleCtes(rounds)}
+       SELECT round, pair, CAST(freq AS BIGINT) AS freq FROM ($sel)
+       ORDER BY round"""
+  }
+
+  /** q205/q206's shared oracle prefix: the learn chain over the even-id
+    * SAMPLE (4 rounds — the stored tokenizer), then the stored-apply
+    * chain over `where`-scoped documents' word table, like
+    * [[BpeStoredOracleSql]]'s a-chain. */
+  private def bpeEncodeOracleCtes(where: String): String = {
+    val rounds = 4
+    val a0 = s"""a0 AS (
+         SELECT word, count(*) AS freq,
+                ' ' || array_to_string(list_transform(
+                  range(1, length(word) + 1),
+                  i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents $where)
+         WHERE word <> '' GROUP BY word)"""
+    val applies = (1 to rounds).map { r =>
+      s"""a$r AS (
+         SELECT word, freq,
+                regexp_replace(replace(replace(a.s, ' ', '  '),
+                  ' ' || replace(b.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b.pair, ' ', '') || ' '),
+                  ' +', ' ', 'g') AS s
+         FROM a${r - 1} a, b$r b)"""
+    }
+    s"""${bpeOracleCtes(rounds, "WHERE doc_id % 2 = 0")},
+       ${(a0 +: applies).mkString(",\n       ")},
+       voc AS (
+         SELECT token,
+                CAST(row_number() OVER (ORDER BY token) - 1 AS INT)
+                  AS token_id
+         FROM (SELECT DISTINCT unnest(string_split(trim(s), ' '))
+                 AS token FROM w$rounds)),
+       seg AS (SELECT word, string_split(trim(s), ' ') AS toks
+               FROM a$rounds),
+       dw AS (
+         SELECT doc_id, wpos, word FROM (
+           SELECT doc_id, unnest(ws) AS word,
+                  CAST(generate_subscripts(ws, 1) AS INT) AS wpos
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents $where))
+         WHERE word <> ''),
+       tok AS (
+         SELECT doc_id, wpos, tpos, token FROM (
+           SELECT doc_id, wpos, unnest(toks) AS token,
+                  CAST(generate_subscripts(toks, 1) AS INT) AS tpos
+           FROM dw JOIN seg USING (word)))"""
+  }
+
+  /** q205: the stored tokenizer's per-doc token-id emission — vocabulary
+    * ids from the SAMPLE's segmented symbol set (train-time-fixed), the
+    * encode over every fifth document, OOV to -1. */
+  private lazy val BpeEncodeOracleSql =
+    s"""${bpeEncodeOracleCtes("WHERE doc_id % 5 = 0")}
+       SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+              CAST(row_number() OVER (PARTITION BY t.doc_id
+                ORDER BY t.wpos, t.tpos) - 1 AS INT) AS pos,
+              CAST(coalesce(v.token_id, -1) AS INT) AS token_id,
+              t.token
+       FROM tok t LEFT JOIN voc v USING (token)
+       ORDER BY doc_id, pos"""
+
+  /** q206: tokenize → pack — REAL per-doc token counts from the stored
+    * tokenizer, then q70's sharded running-sum packing at seqLen 64. */
+  private lazy val BpePackOracleSql =
+    s"""${bpeEncodeOracleCtes("")},
+       cnt AS (
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(count(*) AS BIGINT) AS n_tokens
+         FROM tok GROUP BY doc_id)
+       SELECT doc_id, n_tokens, shard,
+              CAST(floor((cum - n_tokens) / 64) AS BIGINT) AS bin,
+              CAST((cum - n_tokens) % 64 AS BIGINT) AS bin_offset
+       FROM (SELECT doc_id, n_tokens, doc_id % 8 AS shard,
+                    sum(n_tokens) OVER (PARTITION BY doc_id % 8
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+             FROM cnt)
+       ORDER BY doc_id"""
 
   /** q66's oracle — the full MinHash/LSH cross pipeline replayed over the
     * portable md5 base hash: shingles → 31-bit hashes → 16-permutation
