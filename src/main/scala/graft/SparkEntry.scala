@@ -1825,6 +1825,16 @@ object SparkEntry {
         Testbed.graph(s, dir).collection("documents"), dir)
       sources.PostingStore.searchTopK(s, path, Bm25QueryTerms, k = 10)
     }),
+    "q207_bm25_rebuilt" -> ((s, dir) => {
+      // q198's erasure followed by PHYSICAL reclamation: rebuildRetained
+      // rewrites the store minus the tombstoned rows as a fresh in-place
+      // generation (ledger kept — a replayed ingest of a retired id is
+      // still refused), and the search scores BIT-IDENTICALLY to the
+      // merge-on-read view — q198's oracle shared verbatim
+      val path = rebuiltPostingStorePath(s,
+        Testbed.graph(s, dir).collection("documents"), dir)
+      sources.PostingStore.searchTopK(s, path, Bm25QueryTerms, k = 10)
+    }),
     "q109_bm25_appended" -> ((s, dir) => {
       // same search against a store built save(two-thirds)+append(rest):
       // append ≡ rebuild bit-for-bit (params are pure config), so this
@@ -3135,6 +3145,31 @@ object SparkEntry {
       out
     })
 
+  /** q207's REBUILT posting store: q198's erasure shape (every 7th doc
+    * tombstoned, meta re-derived) followed by PHYSICAL reclamation —
+    * [[graft.sources.StoreMaint.rebuildRetained]] swaps in a fresh
+    * in-place generation minus the retired rows (bucket layout
+    * restored, tombstone ledger kept as the standing erasure contract).
+    * Search must still score bit-identically to a fresh index over the
+    * retained docs, so q207 shares q198's oracle VERBATIM — the
+    * strongest check that reclamation loses nothing and changes
+    * nothing while the bytes actually shrink (asserted in
+    * StoreMaintSpec; the gate pins the end-to-end scores). */
+  private val rebuiltPostingStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def rebuiltPostingStorePath(s: SparkSession,
+      docs: DataFrame, dir: String): String =
+    rebuiltPostingStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-posting-rebuilt").toString
+      sources.PostingStore.save(docs, "doc_id", "text", out)
+      sources.PostingStore.retire(s, out,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        "doc_id")
+      sources.PostingStore.rebuildRetained(s, out)
+      out
+    })
+
   /** q109's APPENDED posting store: two-thirds saved, the last third
     * appended — the rolling-ingest shape. The posting-store params are
     * pure config (no corpus statistics; df/N/Σdl derive from the stored
@@ -4344,6 +4379,9 @@ object SparkEntry {
     "q108_bm25_stored" -> Bm25OracleSql,
     "q109_bm25_appended" -> Bm25OracleSql,
     "q198_bm25_retired" -> Bm25RetiredOracleSql,
+    // q207: q198's oracle VERBATIM — physical reclamation must not move
+    // a byte of the scores
+    "q207_bm25_rebuilt" -> Bm25RetiredOracleSql,
     "q110_bm25_join" -> Bm25JoinOracleSql,
     "q111_bm25_join_stored" -> Bm25JoinOracleSql,
     "q138_bm25_join_frac" -> Bm25JoinFracOracleSql,

@@ -111,6 +111,17 @@ object PhashStore {
       idCol: String = "id"): Unit =
     StoreMaint.retire(spark, path, ids, idCol)
 
+  /** Physically reclaim the retired rows
+    * ([[StoreMaint.rebuildRetained]]), restoring the save-time layout:
+    * `sigs` range-partitioned + sorted by id, `chunks` plain. */
+  def rebuildRetained(spark: SparkSession,
+      path: String): Map[String, (Long, Long)] =
+    StoreMaint.rebuildRetained(spark, path, Seq(
+      StoreMaint.plainTable("chunks"),
+      StoreMaint.RebuildTable("sigs", "id", (df, out) =>
+        df.repartitionByRange(col("id")).sortWithinPartitions("id")
+          .write.mode(SaveMode.Overwrite).parquet(out))))
+
   /** Append `batch`'s signatures under the STORED params. Already-stored
     * ids are skipped (raw-id anti-join, so replayed batches append
     * nothing and retired ids never resurrect); because the params carry
@@ -119,9 +130,11 @@ object PhashStore {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, bytesCol: String): Unit = {
     val p = params(spark, path)
+    // raw ids ∪ the tombstone ledger: a retired id must stay retired
+    // even after rebuildRetained removed its rows
     val fresh = batch.join(
-      spark.read.parquet(s"$path/sigs")
-        .select(col("id").as("_stored_id")),
+      StoreMaint.storedOrRetired(spark, path, spark.read
+        .parquet(s"$path/sigs").select(col("id").as("_stored_id"))),
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
     if (!fresh.isEmpty)
       writeTables(sigFrame(fresh, idCol, bytesCol), p, path,

@@ -159,13 +159,33 @@ object PostingStore {
     * bit-identically to a fresh index over the retained docs (pinned in
     * StoreMaintSpec; the q198 gate oracle-checks it end to end). Cost:
     * one tombstone append + one narrow docstats pass; postings are never
-    * rewritten (physical reclaim = the documented explicit rebuild). */
+    * rewritten (physical reclaim = [[rebuildRetained]]). */
   def retire(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "id"): Unit = {
     val p = params(spark, path)
     StoreMaint.retire(spark, path, ids, idCol)
     val (n, s) = statsOf(docstats(spark, path))
     writeMeta(spark, path, p.buckets, n, s)
+  }
+
+  /** Physically reclaim the retired rows ([[StoreMaint.rebuildRetained]]
+    * — fresh in-place generation, tombstone ledger kept as the erasure
+    * contract), restoring the save-time layout: bucket-partitioned,
+    * term-sorted postings with one file per non-empty bucket. Meta is
+    * already the retained corpus's exact stats ([[retire]] re-derives
+    * it), so search scores are byte-identical before and after — only
+    * the bytes shrink. Returns per-table (before, after) bytes. */
+  def rebuildRetained(spark: SparkSession,
+      path: String): Map[String, (Long, Long)] = {
+    val p = params(spark, path)
+    StoreMaint.rebuildRetained(spark, path, Seq(
+      StoreMaint.RebuildTable("postings", "id", (df, out) =>
+        df.repartition(p.buckets, col("bucket"))
+          .sortWithinPartitions("term", "id")
+          .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+          .parquet(out)),
+      StoreMaint.RebuildTable("docstats", "id", (df, out) =>
+        df.write.mode(SaveMode.Overwrite).parquet(out))))
   }
 
   /** Append `batch` under the stored config. Ids already committed (in
@@ -180,10 +200,12 @@ object PostingStore {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
-    // skip-detection over the RAW docstats: a retired id must stay
-    // retired, not re-enter through a later ingest batch
+    // skip-detection over the RAW docstats ∪ the tombstone ledger: a
+    // retired id must stay retired even after rebuildRetained removed
+    // its raw rows (the ledger is then the only witness of erasure)
     val fresh = batch.join(
-      rawDocstats(spark, path).select(col("id").as("_stored_id")),
+      StoreMaint.storedOrRetired(spark, path,
+        rawDocstats(spark, path).select(col("id").as("_stored_id"))),
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
     if (!fresh.isEmpty) {
       val (n, s) =

@@ -68,11 +68,19 @@ object PqStore {
 
   /** Retire vectors from the PQ-coded corpus — merge-on-read deletes
     * ([[StoreMaint.retire]]); the codebooks carry no corpus statistics,
-    * so nothing needs re-deriving. Physical reclaim = the documented
-    * explicit re-code. */
+    * so nothing needs re-deriving. Physical reclaim =
+    * [[rebuildRetained]]. */
   def retire(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "id"): Unit =
     StoreMaint.retire(spark, path, ids, idCol)
+
+  /** Physically reclaim the retired rows
+    * ([[StoreMaint.rebuildRetained]]) — codes only; the codebooks carry
+    * no per-doc rows. */
+  def rebuildRetained(spark: SparkSession,
+      path: String): Map[String, (Long, Long)] =
+    StoreMaint.rebuildRetained(spark, path,
+      Seq(StoreMaint.plainTable("codes")))
 
   /** Append a batch coded under the STORED codebooks — the incremental-
     * ingest posture: new vectors take the nearest existing centroids, the

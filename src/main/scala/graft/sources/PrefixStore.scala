@@ -56,10 +56,17 @@ object PrefixStore {
 
   /** Retire vectors from the sliced layout — merge-on-read deletes
     * ([[StoreMaint.retire]]); the layout carries no corpus statistics.
-    * Physical reclaim = the documented explicit re-save. */
+    * Physical reclaim = [[rebuildRetained]]. */
   def retire(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "id"): Unit =
     StoreMaint.retire(spark, path, ids, idCol)
+
+  /** Physically reclaim the retired rows
+    * ([[StoreMaint.rebuildRetained]]). */
+  def rebuildRetained(spark: SparkSession,
+      path: String): Map[String, (Long, Long)] =
+    StoreMaint.rebuildRetained(spark, path,
+      Seq(StoreMaint.plainTable("data")))
 
   /** Two-stage retrieval against the STORED layout: the coarse pass
     * scans `(id, prefix)` only (column-pruned), the rerank fetches

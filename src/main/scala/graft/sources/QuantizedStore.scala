@@ -67,11 +67,18 @@ object QuantizedStore {
   /** Retire vectors from the coded corpus — merge-on-read deletes
     * ([[StoreMaint.retire]]): every probe scan subtracts the tombstones;
     * the quantization params carry no corpus statistics, so nothing
-    * needs re-deriving. Physical reclaim = the documented explicit
-    * re-code. */
+    * needs re-deriving. Physical reclaim = [[rebuildRetained]]. */
   def retire(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "id"): Unit =
     StoreMaint.retire(spark, path, ids, idCol)
+
+  /** Physically reclaim the retired rows
+    * ([[StoreMaint.rebuildRetained]]) — codes only; params carry no
+    * per-doc rows. */
+  def rebuildRetained(spark: SparkSession,
+      path: String): Map[String, (Long, Long)] =
+    StoreMaint.rebuildRetained(spark, path,
+      Seq(StoreMaint.plainTable("codes")))
 
   /** Append a batch coded under the STORED params — clamp semantics, the
     * same asymmetric coding the query side uses, so appended codes stay

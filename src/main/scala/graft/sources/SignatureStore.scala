@@ -170,6 +170,19 @@ object SignatureStore {
       idCol: String = "id"): Unit =
     StoreMaint.retire(spark, path, ids, idCol)
 
+  /** Physically reclaim the retired rows
+    * ([[StoreMaint.rebuildRetained]]), restoring the save-time layout:
+    * `sigs` range-partitioned + sorted by id (row-group pruning), the
+    * band/chunk tables plain. */
+  def rebuildRetained(spark: SparkSession,
+      path: String): Map[String, (Long, Long)] =
+    StoreMaint.rebuildRetained(spark, path, Seq(
+      StoreMaint.RebuildTable("sigs", "id", (df, out) =>
+        df.repartitionByRange(col("id")).sortWithinPartitions("id")
+          .write.mode(SaveMode.Overwrite).parquet(out)),
+      StoreMaint.plainTable("bands"),
+      StoreMaint.plainTable("chunks")))
+
   /** Append `batch`'s signatures under the STORED params. Already-stored
     * ids are skipped (id anti-join over the pruned `sigs` id column), so
     * a replayed batch appends nothing — parquet Append stays
@@ -179,10 +192,11 @@ object SignatureStore {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
-    // skip-detection over the RAW id column: a retired id must stay
-    // retired, not re-enter through a later ingest batch
+    // skip-detection over the RAW ids ∪ the tombstone ledger: a retired
+    // id must stay retired even after rebuildRetained removed its rows
     val fresh = batch.join(
-      spark.read.parquet(s"$path/sigs").select(col("id").as("_stored_id")),
+      StoreMaint.storedOrRetired(spark, path, spark.read
+        .parquet(s"$path/sigs").select(col("id").as("_stored_id"))),
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
     if (!fresh.isEmpty)
       writeTables(sigFrame(fresh, idCol, textCol, p), p, path,

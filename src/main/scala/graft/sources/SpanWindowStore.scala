@@ -138,6 +138,14 @@ object SpanWindowStore {
       idCol: String = "id"): Unit =
     StoreMaint.retire(spark, path, ids, idCol)
 
+  /** Physically reclaim the retired rows
+    * ([[StoreMaint.rebuildRetained]]) — both tables. */
+  def rebuildRetained(spark: SparkSession,
+      path: String): Map[String, (Long, Long)] =
+    StoreMaint.rebuildRetained(spark, path,
+      Seq(StoreMaint.plainTable("windows"),
+        StoreMaint.plainTable("texts")))
+
   /** Append a new suite slice under the STORED params. Already-stored
     * ids are skipped (id anti-join), so a replayed batch appends
     * nothing. Windows carry no corpus statistics, so an appended store
@@ -145,10 +153,11 @@ object SpanWindowStore {
   def append(spark: SparkSession, path: String, batch: DataFrame,
       idCol: String, textCol: String): Unit = {
     val p = params(spark, path)
-    // skip-detection over the RAW id column: a retired id must stay
-    // retired, not re-enter through a later registration batch
+    // skip-detection over the RAW ids ∪ the tombstone ledger: a retired
+    // id must stay retired even after rebuildRetained removed its rows
     val fresh = batch.join(
-      spark.read.parquet(s"$path/texts").select(col("id").as("_stored_id")),
+      StoreMaint.storedOrRetired(spark, path, spark.read
+        .parquet(s"$path/texts").select(col("id").as("_stored_id"))),
       batch(idCol).cast("long") === col("_stored_id"), "left_anti")
     if (!fresh.isEmpty)
       writeTables(fresh, idCol, textCol, p, path, SaveMode.Append)

@@ -326,4 +326,110 @@ class StoreMaintSpec extends org.scalatest.funsuite.AnyFunSuite {
       qRenamed, "qid", "qv", m = 10, k = 3))
     assert(a == b && a.nonEmpty, s"${a.size} vs ${b.size}")
   }
+
+  private def dataBytes(path: String, name: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles.map(walk).sum else f.length
+    walk(new java.io.File(s"$path/$name"))
+  }
+
+  test("PostingStore.rebuildRetained: probe scores byte-identically " +
+      "before and after, bytes actually shrink, bucket layout survives, " +
+      "and the kept tombstone ledger still blocks resurrection") {
+    import graft.sources.PostingStore
+    val docs = docsFx()
+    val retired = docs.filter(col("doc_id") % 3 === 0)
+    val path = tmp("rb-post")
+    PostingStore.save(docs, "doc_id", "text", path, buckets = 8)
+    PostingStore.retire(spark, path, retired.select("doc_id"), "doc_id")
+    val terms = Seq("w1", "w5", "w11")
+    def res() = PostingStore.searchTopK(spark, path, terms, 20)
+      .collect().map(_.toSeq).toSeq
+    val before = res()
+    val postBytes = dataBytes(path, "postings")
+    val statsBytes = dataBytes(path, "docstats")
+    val shrunk = PostingStore.rebuildRetained(spark, path)
+    assert(res() == before && before.nonEmpty,
+      "rebuild must not change a single probe byte")
+    // measured reclamation, from the op's own audit stats AND the disk
+    assert(shrunk("postings")._2 < shrunk("postings")._1, shrunk.toString)
+    assert(dataBytes(path, "postings") < postBytes)
+    assert(dataBytes(path, "docstats") < statsBytes)
+    // the retired rows are PHYSICALLY gone (raw read, no tombstone join)
+    val rawIds = spark.read.parquet(s"$path/docstats")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rawIds.forall(_ % 3 != 0), "retired rows still on disk")
+    // bucket partitioning survives (directory-pruned probes rely on it)
+    assert(new java.io.File(s"$path/postings").listFiles
+      .exists(f => f.isDirectory && f.getName.startsWith("bucket=")))
+    // the ledger is KEPT and append's skip-detection consults it: a
+    // replayed ingest of a retired id appends NOTHING even though its
+    // raw rows are physically gone — erasure outlives the reclamation
+    PostingStore.append(spark, path, retired.limit(5), "doc_id", "text")
+    assert(res() == before, "retired id resurrected after rebuild")
+    assert(spark.read.parquet(s"$path/docstats")
+      .select("id").collect().map(_.getLong(0)).forall(_ % 3 != 0),
+      "replayed retired ids re-landed raw rows after rebuild")
+  }
+
+  test("rebuildRetained: no tombstones is a no-op; an unfinished swap " +
+      "is refused and recoverRebuild completes it idempotently") {
+    import graft.sources.PostingStore
+    val path = tmp("rb-recover")
+    PostingStore.save(docsFx(), "doc_id", "text", path, buckets = 4)
+    assert(PostingStore.rebuildRetained(spark, path).isEmpty,
+      "no tombstones must be a no-op")
+    PostingStore.retire(spark, path,
+      docsFx().filter(col("doc_id") % 5 === 0).select("doc_id"), "doc_id")
+    val before = PostingStore.searchTopK(spark, path, Seq("w1", "w5"), 20)
+      .collect().map(_.toSeq).toSeq
+    // simulate a crash AFTER the intent commit, mid-swap: stage a
+    // rebuilt docstats, write the intent, delete the live dir — the
+    // exact window finishSwap covers
+    graft.sources.StoreMaint.minusTombstones(spark, path,
+        spark.read.parquet(s"$path/docstats"))
+      .write.parquet(s"$path/docstats.rebuild")
+    val intent = new java.io.File(s"$path/rebuildmeta")
+    java.nio.file.Files.write(intent.toPath, "docstats".getBytes("UTF-8"))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(s"$path/docstats"))
+    // a new rebuild must refuse to run over the unfinished one
+    val e = intercept[IllegalArgumentException] {
+      PostingStore.rebuildRetained(spark, path)
+    }
+    assert(e.getMessage.contains("unfinished rebuild"))
+    val recovered = graft.sources.StoreMaint.recoverRebuild(spark, path)
+    assert(recovered == Seq("docstats"))
+    assert(!intent.exists())
+    assert(graft.sources.StoreMaint.recoverRebuild(spark, path).isEmpty)
+    assert(PostingStore.searchTopK(spark, path, Seq("w1", "w5"), 20)
+      .collect().map(_.toSeq).toSeq == before)
+  }
+
+  test("PhashStore.rebuildRetained: stored probe parity after physical " +
+      "reclamation, retired sigs gone from the raw tables") {
+    import graft.sources.PhashStore
+    val media = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(96)(j =>
+        ((i / 2) * 31 + j * 7).toByte))
+    }.toDF("doc_id", "media")
+    val path = tmp("rb-phash")
+    PhashStore.save(media, "doc_id", "media", path, maxDist = 3)
+    PhashStore.retire(spark, path,
+      media.filter(col("doc_id") % 4 === 0).select(col("doc_id").as("id")))
+    val batch = media.filter(col("doc_id") % 2 === 1)
+    def pairs() = PhashStore.crossNearPairsStored(spark, path, batch,
+        "doc_id", "media", maxDist = 3)
+      .collect().map(_.toSeq).toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    val shrunk = PhashStore.rebuildRetained(spark, path)
+    // the chunk table (nChunks rows/sig) is where the bytes live; the
+    // 40-row sigs table is parquet-overhead-dominated at fixture scale
+    assert(shrunk("chunks")._2 < shrunk("chunks")._1, shrunk.toString)
+    assert(pairs() == before)
+    val rawSigs = spark.read.parquet(s"$path/sigs")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rawSigs.forall(_ % 4 != 0))
+  }
 }
