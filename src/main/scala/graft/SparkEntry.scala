@@ -850,6 +850,48 @@ object SparkEntry {
           seqLen = 64, nShards = 8)
         .orderBy("doc_id")
     }),
+    "q208_pretrain_build" -> ((s, dir) => {
+      // THE composed pretraining data build, end to end as ONE Catalyst
+      // pipeline: exact-dedup survivors → word-3-gram decontamination
+      // against the eval slice (≥2 shared) → embedding-cosine semantic
+      // decontamination against the same slice (vec_id ≡ doc_id) →
+      // corpus-median quality gate (median of the CLEANED set) →
+      // per-source 600-token mixture budget → stored-BPE tokenize →
+      // packed sequences. Every stage is an individually-oracled
+      // operator (q23/q56/q62/q58/q72/q205/q70); this gate pins that
+      // they COMPOSE — the product promise of the whole library — with
+      // the full chain replayed in one SQL statement.
+      val g = Testbed.graph(s, dir)
+      val docs = g.collection("documents")
+      val emb = g.collection("embeddings")
+      val isEval = col("doc_id") % 53 === 0
+      val train0 = docs.filter(!isEval)
+      val keep = ops.Dedup.exact(train0, Seq("text"), "doc_id")
+        .select(col("keep_id"))
+      val surv = train0.join(keep,
+        train0("doc_id") === keep("keep_id"), "left_semi")
+      val spanClean = ops.Corpus.decontaminate(surv,
+        docs.filter(isEval), "doc_id", "text", n = 3, minShared = 2L)
+      val dirtySem = ops.Similarity.crossNearDupsExact(
+          emb.filter(col("vec_id") % 53 =!= 0),
+          emb.filter(col("vec_id") % 53 === 0),
+          "vec_id", "embedding", threshold = 0.35)
+        .select(col("id_a").as("doc_id")).distinct()
+      val semClean = spanClean.join(broadcast(dirtySem),
+        Seq("doc_id"), "left_anti")
+      val scored = semClean.select(col("doc_id"), col("source"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"), col("text"))
+      val gated = ops.Corpus.aboveQuantile(scored, col("n_tokens"), 0.5)
+      val mixed = ops.Corpus.tokenBudgetSample(gated, Seq(col("source")),
+        Seq(col("doc_id")), col("n_tokens"), budget = 600L)
+      val path = bpeStorePath(s, docs, dir)
+      val counts = sources.BpeStore.encode(s, path,
+          mixed.select("doc_id", "text"), "doc_id", "text")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      ops.Corpus.packSequences(counts, "doc_id", col("n_tokens"),
+          seqLen = 64, nShards = 4)
+        .orderBy("doc_id")
+    }),
     "q202_containment_prefix" -> ((s, dir) => {
       // EXACT-recall cross-corpus containment via prefix filtering
       // (AllPairs): only each batch doc's floor((1-t)|B|)+1 rarest
@@ -5097,6 +5139,10 @@ object SparkEntry {
     // set) and the tokenize→pack chain over real token counts
     "q205_bpe_encode_stored" -> BpeEncodeOracleSql,
     "q206_bpe_pack_chain" -> BpePackOracleSql,
+    // q208: the end-to-end pretraining build — dedup → decontaminate
+    // (gram + semantic) → quality gate → mixture budget → stored-BPE
+    // tokenize → pack, one SQL replay of the whole composition
+    "q208_pretrain_build" -> PretrainBuildOracleSql,
     // q202: prefix filtering is recall-EXACT, so the oracle is the
     // direct all-pairs containment definition over the md5 shingle
     // hash sets — any pair the blocker missed would hash-mismatch here
@@ -6534,6 +6580,104 @@ object SparkEntry {
                       AS cum
              FROM cnt)
        ORDER BY doc_id"""
+
+  /** q208: the whole chained pretraining build replayed in ONE SQL
+    * statement — q61's survivor SQL over the non-eval corpus, q56's
+    * word-3-gram screen (≥2 shared), q62's rounded-cosine screen
+    * (vec_id ≡ doc_id), q58's quantile gate over the CLEANED set, q72's
+    * per-source budget window, then the stored-tokenizer chain (learn on
+    * even ids, apply to the sampled docs' word table) and q70's pack
+    * window at seqLen 64 / 4 shards. */
+  private lazy val PretrainBuildOracleSql = {
+    val applies = (1 to 4).map { r =>
+      s"""a$r AS (
+         SELECT word, freq,
+                regexp_replace(replace(replace(a.s, ' ', '  '),
+                  ' ' || replace(b.pair, ' ', '  ') || ' ',
+                  ' ' || replace(b.pair, ' ', '') || ' '),
+                  ' +', ' ', 'g') AS s
+         FROM a${r - 1} a, b$r b)"""
+    }.mkString(",\n       ")
+    s"""${bpeOracleCtes(4, "WHERE doc_id % 2 = 0")},
+       surv AS (
+         SELECT min(doc_id) AS doc_id FROM documents
+         WHERE doc_id % 53 <> 0 GROUP BY text),
+       gr AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(
+                         list_slice(string_split(text, ' '), i, i + 2),
+                         ' ')))) AS gram
+         FROM documents),
+       dirtyg AS (
+         SELECT tr.doc_id
+         FROM (SELECT * FROM gr WHERE doc_id % 53 <> 0) tr
+         JOIN (SELECT DISTINCT gram FROM gr WHERE doc_id % 53 = 0) ev
+           USING (gram)
+         GROUP BY tr.doc_id HAVING count(*) >= 2),
+       nrm AS (
+         SELECT vec_id, embedding,
+                sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE)
+                       * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         FROM embeddings),
+       dirtys AS (
+         SELECT DISTINCT a.vec_id AS doc_id
+         FROM nrm a, nrm b
+         WHERE a.vec_id % 53 <> 0 AND b.vec_id % 53 = 0
+           AND a.nrm > 0 AND b.nrm > 0
+           AND round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm), 4) >= 0.35),
+       clean AS (
+         SELECT d.doc_id, d.source,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents d JOIN surv USING (doc_id)
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM dirtyg)
+           AND d.doc_id NOT IN (SELECT doc_id FROM dirtys)),
+       gated AS (
+         SELECT * FROM clean
+         WHERE n_tokens >=
+           (SELECT quantile_cont(n_tokens, 0.5) FROM clean)),
+       mixed AS (
+         SELECT doc_id FROM (
+           SELECT doc_id, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+           FROM gated)
+         WHERE cum - n_tokens < 600),
+       a0 AS (
+         SELECT word, count(*) AS freq,
+                ' ' || array_to_string(list_transform(
+                  range(1, length(word) + 1),
+                  i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents JOIN mixed USING (doc_id))
+         WHERE word <> '' GROUP BY word),
+       $applies,
+       seg AS (SELECT word, len(string_split(trim(s), ' ')) AS ntok
+               FROM a4),
+       dw AS (
+         SELECT doc_id, word FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents JOIN mixed USING (doc_id))
+         WHERE word <> ''),
+       cnt AS (
+         SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS n_tokens
+         FROM dw JOIN seg USING (word) GROUP BY doc_id)
+       SELECT doc_id, n_tokens, shard,
+              CAST(floor((cum - n_tokens) / 64) AS BIGINT) AS bin,
+              CAST((cum - n_tokens) % 64 AS BIGINT) AS bin_offset
+       FROM (SELECT doc_id, n_tokens, doc_id % 4 AS shard,
+                    sum(n_tokens) OVER (PARTITION BY doc_id % 4
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+             FROM cnt)
+       ORDER BY doc_id"""
+  }
 
   /** q66's oracle — the full MinHash/LSH cross pipeline replayed over the
     * portable md5 base hash: shingles → 31-bit hashes → 16-permutation
