@@ -294,7 +294,26 @@ object ScaleSmoke {
     // and the stored-BPE apply (merge ledger loaded driver-side, the
     // corpus word table pushed through 4 pure-projection rewrites; no
     // training loop, no per-round aggregation)
-    "q202_containment_prefix", "q203_bpe_stored")
+    "q202_containment_prefix", "q203_bpe_stored",
+    // round-19 wave: the DRIVER-LOCAL trainer (one corpus tokenize pass
+    // + a gated word-table collect; the merge loop is driver-side
+    // microseconds/round, so wall tracks the ONE pass — the cipher
+    // grows the word table ~linearly and the collect with it), the
+    // stored-tokenizer ENCODE (word table segmented in one native-
+    // kernel projection, docs joined back word-keyed, one doc-keyed
+    // position window — the packSequences shuffle class) and its
+    // tokenize→pack chain, and the REBUILT posting search (q198's probe
+    // against the physically-reclaimed store — strictly fewer bytes
+    // than q198's, same plan). q208 (the composed pretraining build) is
+    // NOT probed: its stages are individually probed shapes EXCEPT the
+    // exact-cosine semantic screen, which is the deliberate all-pairs
+    // ground-truth path (the q62/q84 bounded-audit class — quadratic in
+    // BOTH split sizes by definition); at scale that one stage swaps
+    // for the LSH screen OpsSpec recall-asserts against it, and a
+    // linear-bar probe of the exact form would measure the law, not a
+    // defect.
+    "q204_bpe_train_local", "q205_bpe_encode_stored",
+    "q206_bpe_pack_chain", "q207_bm25_rebuilt")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),
