@@ -1401,6 +1401,66 @@ object SmokeVerify {
           && found33 == 20L) "OK" else "BROKEN"))
     }
 
+    // SMOKE34: round-19 — (a) the driver-local trainer's ledger is
+    // IDENTICAL to the distributed loop's on the real corpus (and keeps
+    // going past it: 64 requested rounds vs the per-round-shuffle
+    // trainer's 4); (b) the v2 tokenizer store round-trips vocab +
+    // encode, and every encoded document reconstructs to its text
+    // minus spaces; (c) physical reclamation: retire + rebuildRetained
+    // on a posting store leaves search byte-identical while the raw
+    // rows physically shrink and a replayed ingest of a retired id
+    // still lands nothing (the tombstone ledger outlives the raw rows).
+    {
+      val docs34 = spark.read.parquet(s"$sf/documents.parquet")
+      val distLedger = graft.ops.Corpus.bpeMerges(docs34, "doc_id",
+        "text", rounds = 4).collect().map(_.toSeq).toSeq
+      val localLedger = graft.ops.Corpus.bpeMergesLocal(docs34, "doc_id",
+        "text", rounds = 64).collect().map(_.toSeq).toSeq
+      val prefixEq = localLedger.take(4) == distLedger
+      val store34 = java.nio.file.Files
+        .createTempDirectory("smoke34-bpe").toString
+      graft.sources.BpeStore.save(docs34, "doc_id", "text", store34,
+        rounds = 6)
+      val enc34 = graft.sources.BpeStore.encode(spark, store34,
+        docs34.filter(col("doc_id") < 20), "doc_id", "text")
+      val recon = enc34.groupBy("doc_id")
+        .agg(concat_ws("", sort_array(collect_list(
+          struct(col("pos"), col("token")))).getField("token"))
+          .as("joined"))
+        .join(docs34.select(col("doc_id"),
+          regexp_replace(col("text"), " ", "").as("want")), "doc_id")
+      val reconBad = recon.filter(col("joined") =!= col("want")).count()
+      val post34 = java.nio.file.Files
+        .createTempDirectory("smoke34-post").toString
+      graft.sources.PostingStore.save(docs34, "doc_id", "text", post34,
+        buckets = 8)
+      graft.sources.PostingStore.retire(spark, post34,
+        docs34.filter(col("doc_id") % 4 === 0).select("doc_id"), "doc_id")
+      val terms34 = Seq("dup", "vector", "batch")
+      def hits34() = graft.sources.PostingStore
+        .searchTopK(spark, post34, terms34, 10)
+        .collect().map(_.toSeq).toSeq
+      val beforeRb = hits34()
+      val shrunk34 = graft.sources.PostingStore
+        .rebuildRetained(spark, post34)
+      val afterRb = hits34()
+      graft.sources.PostingStore.append(spark, post34,
+        docs34.filter(col("doc_id") % 4 === 0).limit(3), "doc_id", "text")
+      val afterReplay = hits34()
+      val rawClean = spark.read.parquet(s"$post34/docstats")
+        .select("id").collect().map(_.getLong(0)).forall(_ % 4 != 0)
+      println(s"SMOKE34 round19: ledgerPrefixEq=$prefixEq " +
+        s"localRounds=${localLedger.length} encDocs=${recon.count()} " +
+        s"reconBad=$reconBad " +
+        s"rbShrunk=${shrunk34("postings")._2 < shrunk34("postings")._1} " +
+        s"searchStable=${beforeRb == afterRb && afterRb == afterReplay} " +
+        s"rawClean=$rawClean => " +
+        (if (prefixEq && localLedger.length > 4 && reconBad == 0
+          && shrunk34("postings")._2 < shrunk34("postings")._1
+          && beforeRb.nonEmpty && beforeRb == afterRb
+          && afterRb == afterReplay && rawClean) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

@@ -251,6 +251,12 @@ object Lexical {
     * pass + one query tokenization + the fan-out join; the query side is
     * broadcast under the usual count gate. The persisted-index form is
     * [[graft.sources.PostingStore.searchTopKJoin]]. */
+  /* Scale posture, measured (SCALESMOKE_r19.md run 3): at TRUE-100×
+   * data the batched join's shuffle records grew 83× — SUB-linear,
+   * because a production query batch is scale-fixed while
+   * `maxDfPerMille` bounds per-term df relative to corpus size — and
+   * wall read 40.8 s absolute (bar 150×). WAND-style max-score pruning
+   * is the public fallback if a corpus ever breaks this regime. */
   def bm25TopKJoin(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       maxDf: Option[Long] = None,
