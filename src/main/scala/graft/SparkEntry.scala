@@ -6438,11 +6438,12 @@ object SparkEntry {
     val applies = (1 to rounds).map { r =>
       s"""a$r AS (
          SELECT word, freq,
+                CASE WHEN b.pair IS NULL THEN a.s ELSE
                 regexp_replace(replace(replace(a.s, ' ', '  '),
                   ' ' || replace(b.pair, ' ', '  ') || ' ',
                   ' ' || replace(b.pair, ' ', '') || ' '),
-                  ' +', ' ', 'g') AS s
-         FROM a${r - 1} a, b$r b)"""
+                  ' +', ' ', 'g') END AS s
+         FROM a${r - 1} a LEFT JOIN b$r b ON TRUE)"""
     }
     s"""${bpeOracleCtes(rounds, "WHERE doc_id % 2 = 0")},
        ${(a0 +: applies).mkString(",\n       ")}
@@ -6519,11 +6520,12 @@ object SparkEntry {
     val applies = (1 to rounds).map { r =>
       s"""a$r AS (
          SELECT word, freq,
+                CASE WHEN b.pair IS NULL THEN a.s ELSE
                 regexp_replace(replace(replace(a.s, ' ', '  '),
                   ' ' || replace(b.pair, ' ', '  ') || ' ',
                   ' ' || replace(b.pair, ' ', '') || ' '),
-                  ' +', ' ', 'g') AS s
-         FROM a${r - 1} a, b$r b)"""
+                  ' +', ' ', 'g') END AS s
+         FROM a${r - 1} a LEFT JOIN b$r b ON TRUE)"""
     }
     s"""${bpeOracleCtes(rounds, "WHERE doc_id % 2 = 0")},
        ${(a0 +: applies).mkString(",\n       ")},
@@ -6592,11 +6594,12 @@ object SparkEntry {
     val applies = (1 to 4).map { r =>
       s"""a$r AS (
          SELECT word, freq,
+                CASE WHEN b.pair IS NULL THEN a.s ELSE
                 regexp_replace(replace(replace(a.s, ' ', '  '),
                   ' ' || replace(b.pair, ' ', '  ') || ' ',
                   ' ' || replace(b.pair, ' ', '') || ' '),
-                  ' +', ' ', 'g') AS s
-         FROM a${r - 1} a, b$r b)"""
+                  ' +', ' ', 'g') END AS s
+         FROM a${r - 1} a LEFT JOIN b$r b ON TRUE)"""
     }.mkString(",\n       ")
     s"""${bpeOracleCtes(4, "WHERE doc_id % 2 = 0")},
        surv AS (

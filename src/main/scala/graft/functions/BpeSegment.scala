@@ -27,12 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * ledger — it is "for each merge in order: rewrite if present", with the
   * absent ranks skipped in one scan instead of one pass each (between
   * floor advances nothing changes, so the two visit the same present
-  * ranks in the same order). For trained ledgers the floor never bites
-  * (merging rank r only creates pairs of rank > r, because a pair's rank
-  * postdates the creation rank of both its symbols), so the classic
-  * unfloored loop coincides — but hand-built out-of-order ledgers (the
-  * Round18bOpsSpec order-sensitivity case) get sequential semantics too,
-  * not a silent divergence.
+  * ranks in the same order). For most trained ledgers the floor never
+  * bites (merging rank r usually only creates pairs of rank > r), so the
+  * classic unfloored loop coincides — but out-of-order ledgers (the
+  * Round18bOpsSpec order-sensitivity case) and ledgers naming the SAME
+  * pair at two rounds (possible when a merged-away pair's symbol is
+  * re-creatable via a second composition — see [[BpeSegment.Ranks]]) get
+  * sequential semantics too, not a silent divergence.
   *
   * `merges` must be a FOLDABLE `array<string>` of `"a b"` pairs (the
   * ledger IS the vocabulary budget — driver-small by construction); the
@@ -97,15 +98,25 @@ object BpeSegment {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[BpeSegment].getName, "bpe_segment")
 
-  /** The prepared ledger: pair string → rank (first occurrence wins) plus
+  /** The prepared ledger: pair string → ALL its ranks (ascending) plus
     * each rank's two symbols, built once per plan. Serializable — it rides
-    * the codegen reference array to executors. */
+    * the codegen reference array to executors.
+    *
+    * All ranks, not first-occurrence-wins: a ledger may name the same
+    * pair twice — a merged-away pair's count can regrow when its left or
+    * right symbol is re-creatable via a second composition (e.g. "aab"
+    * from both ("a","ab") and ("aa","b")), so a trainer can legitimately
+    * ledger the pair at two rounds. The floored min-rank loop then needs
+    * the lowest UNCONSUMED rank of the pair, or the second application
+    * would be silently skipped while the sequential rewrite chain (and
+    * the SQL oracles) apply it — pinned in Round20OpsSpec. */
   final case class Ranks(pairs: Array[String]) {
-    @transient lazy val rankOf: java.util.HashMap[String, Integer] = {
-      val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+    @transient lazy val rankOf: java.util.HashMap[String, Array[Int]] = {
+      val m = new java.util.HashMap[String, Array[Int]](pairs.length * 2)
       var i = 0
       while (i < pairs.length) {
-        if (!m.containsKey(pairs(i))) m.put(pairs(i), i)
+        val prev = m.get(pairs(i))
+        m.put(pairs(i), if (prev == null) Array(i) else prev :+ i)
         i += 1
       }
       m
@@ -133,12 +144,18 @@ object BpeSegment {
     var floor = 0
     var done = false
     while (!done && syms.size() >= 2) {
-      // lowest-rank adjacent pair present at or above the floor
+      // lowest-rank adjacent pair present at or above the floor; a pair
+      // ledgered more than once contributes its lowest unconsumed rank
+      // (ranks ascend within the array — linear scan, arrays are tiny)
       var best = Int.MaxValue
       var i = 0
       while (i < syms.size() - 1) {
-        val r = rankOf.get(syms.get(i) + " " + syms.get(i + 1))
-        if (r != null && r >= floor && r < best) best = r
+        val rs = rankOf.get(syms.get(i) + " " + syms.get(i + 1))
+        if (rs != null) {
+          var k = 0
+          while (k < rs.length && rs(k) < floor) k += 1
+          if (k < rs.length && rs(k) < best) best = rs(k)
+        }
         i += 1
       }
       if (best == Int.MaxValue) done = true

@@ -1103,6 +1103,11 @@ object Corpus {
       s"maxWords must be in [1, 1e8], got $maxWords")
     val spark = docs.sparkSession
     import spark.implicits._
+    // TRIPWIRE, not a sample: under budget the limit collects the FULL
+    // deterministic word table; the +1 row exists only so the require
+    // below can detect an over-budget corpus. Do not "fix" this into a
+    // real truncation — a limited word table would train nondeterministic
+    // (partition-order-dependent) merges.
     val rows = docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
