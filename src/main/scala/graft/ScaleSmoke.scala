@@ -308,12 +308,20 @@ object ScaleSmoke {
     // NOT probed: its stages are individually probed shapes EXCEPT the
     // exact-cosine semantic screen, which is the deliberate all-pairs
     // ground-truth path (the q62/q84 bounded-audit class — quadratic in
-    // BOTH split sizes by definition); at scale that one stage swaps
-    // for the LSH screen OpsSpec recall-asserts against it, and a
-    // linear-bar probe of the exact form would measure the law, not a
-    // defect.
+    // BOTH split sizes by definition); q209 — the SAME chain with the
+    // LSH screen, the committed plan a user copies at scale — IS probed
+    // (round-20 wave below), and a linear-bar probe of the exact form
+    // would measure the law, not a defect.
     "q204_bpe_train_local", "q205_bpe_encode_stored",
-    "q206_bpe_pack_chain", "q207_bm25_rebuilt")
+    "q206_bpe_pack_chain", "q207_bm25_rebuilt",
+    // round-20 wave: the scale-shape composed pretraining build — every
+    // stage linear (dedup groupBy, gram join, LSH band join + bucket-
+    // bounded rescore, quantile, budget window, stored-BPE encode, pack
+    // window), so the END-TO-END chain rides the linear bar; the
+    // embedding copies are NOT ciphered (vectors are opaque floats), so
+    // cross-copy LSH collisions rescore 10× candidates per eval vector
+    // — still Σ bucket², still linear in data at fixed eval share
+    "q209_pretrain_build_lsh")
 
   private val keyCols = Map(
     "region" -> Seq("r_regionkey"),

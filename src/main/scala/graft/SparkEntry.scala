@@ -445,6 +445,55 @@ object SparkEntry {
       out
     })
 
+  /** The q208/q209 composed pretraining build — every stage shared
+    * verbatim; `semScreen(trainEmb, evalEmb)` is the ONE stage that
+    * differs (exact all-pairs cosine vs the LSH screen) and must return
+    * `(id_a, id_b, score)` pairs at/above the gate's 0.35 threshold.
+    *
+    * The eval EMBEDDING slice is additionally capped to the base id
+    * range (`vec_id < 1e8` — a no-op at every driver scale factor, where
+    * ids are dense from 0): a benchmark suite is a FIXED set, not a
+    * share of the corpus, so under the scale harness's key-offset copies
+    * only the train side grows — the same id-slice discipline q138's
+    * query batch uses. Without it a 10× probe crosses 10× train against
+    * 10× eval and measures the resulting pair-count law (copies²), not
+    * the plan. The DOC eval slice needs no cap: the per-copy text cipher
+    * keeps gram sets disjoint, so the gram screen is linear as-is. */
+  private val PretrainEvalIdCap = 100000000L
+  private def pretrainBuild(s: SparkSession, dir: String,
+      semScreen: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val g = Testbed.graph(s, dir)
+    val docs = g.collection("documents")
+    val emb = g.collection("embeddings")
+    val isEval = col("doc_id") % 53 === 0
+    val train0 = docs.filter(!isEval)
+    val keep = ops.Dedup.exact(train0, Seq("text"), "doc_id")
+      .select(col("keep_id"))
+    val surv = train0.join(keep,
+      train0("doc_id") === keep("keep_id"), "left_semi")
+    val spanClean = ops.Corpus.decontaminate(surv,
+      docs.filter(isEval), "doc_id", "text", n = 3, minShared = 2L)
+    val dirtySem = semScreen(
+        emb.filter(col("vec_id") % 53 =!= 0),
+        emb.filter(col("vec_id") % 53 === 0 &&
+          col("vec_id") < PretrainEvalIdCap))
+      .select(col("id_a").as("doc_id")).distinct()
+    val semClean = spanClean.join(broadcast(dirtySem),
+      Seq("doc_id"), "left_anti")
+    val scored = semClean.select(col("doc_id"), col("source"),
+      ops.TextOps.tokenCount(col("text")).as("n_tokens"), col("text"))
+    val gated = ops.Corpus.aboveQuantile(scored, col("n_tokens"), 0.5)
+    val mixed = ops.Corpus.tokenBudgetSample(gated, Seq(col("source")),
+      Seq(col("doc_id")), col("n_tokens"), budget = 600L)
+    val path = bpeStorePath(s, docs, dir)
+    val counts = sources.BpeStore.encode(s, path,
+        mixed.select("doc_id", "text"), "doc_id", "text")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    ops.Corpus.packSequences(counts, "doc_id", col("n_tokens"),
+        seqLen = 64, nShards = 4)
+      .orderBy("doc_id")
+  }
+
   /** q203's persisted tokenizer: 4 merges trained on the even-id half
     * of the corpus, persisted as the merge ledger. Warmed by Bench's
     * build phase so the gate reps measure the stored-apply chain. */
@@ -850,6 +899,20 @@ object SparkEntry {
           seqLen = 64, nShards = 8)
         .orderBy("doc_id")
     }),
+    "q210_pack_token_ids" -> ((s, dir) => {
+      // the LAST inch of tokenize→pack — the artifact a pretraining
+      // loader memory-maps: the full corpus encoded under the stored
+      // tokenizer, each shard's id streams concatenated across document
+      // boundaries (q206's assignment), emitted as fixed-64 `array<int>`
+      // rows with the per-shard tail remainder dropped; the arrays
+      // themselves replay in DuckDB (ordered list aggregation), so the
+      // oracle hashes every id in every sequence
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = bpeStorePath(s, docs, dir)
+      sources.BpeStore.packTokenIds(s, path, docs, "doc_id", "text",
+          seqLen = 64, nShards = 8)
+        .orderBy("shard", "seq_ix")
+    }),
     "q208_pretrain_build" -> ((s, dir) => {
       // THE composed pretraining data build, end to end as ONE Catalyst
       // pipeline: exact-dedup survivors → word-3-gram decontamination
@@ -861,36 +924,35 @@ object SparkEntry {
       // operator (q23/q56/q62/q58/q72/q205/q70); this gate pins that
       // they COMPOSE — the product promise of the whole library — with
       // the full chain replayed in one SQL statement.
-      val g = Testbed.graph(s, dir)
-      val docs = g.collection("documents")
-      val emb = g.collection("embeddings")
-      val isEval = col("doc_id") % 53 === 0
-      val train0 = docs.filter(!isEval)
-      val keep = ops.Dedup.exact(train0, Seq("text"), "doc_id")
-        .select(col("keep_id"))
-      val surv = train0.join(keep,
-        train0("doc_id") === keep("keep_id"), "left_semi")
-      val spanClean = ops.Corpus.decontaminate(surv,
-        docs.filter(isEval), "doc_id", "text", n = 3, minShared = 2L)
-      val dirtySem = ops.Similarity.crossNearDupsExact(
-          emb.filter(col("vec_id") % 53 =!= 0),
-          emb.filter(col("vec_id") % 53 === 0),
-          "vec_id", "embedding", threshold = 0.35)
-        .select(col("id_a").as("doc_id")).distinct()
-      val semClean = spanClean.join(broadcast(dirtySem),
-        Seq("doc_id"), "left_anti")
-      val scored = semClean.select(col("doc_id"), col("source"),
-        ops.TextOps.tokenCount(col("text")).as("n_tokens"), col("text"))
-      val gated = ops.Corpus.aboveQuantile(scored, col("n_tokens"), 0.5)
-      val mixed = ops.Corpus.tokenBudgetSample(gated, Seq(col("source")),
-        Seq(col("doc_id")), col("n_tokens"), budget = 600L)
-      val path = bpeStorePath(s, docs, dir)
-      val counts = sources.BpeStore.encode(s, path,
-          mixed.select("doc_id", "text"), "doc_id", "text")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-      ops.Corpus.packSequences(counts, "doc_id", col("n_tokens"),
-          seqLen = 64, nShards = 4)
-        .orderBy("doc_id")
+      //
+      // The semantic stage here is the EXACT all-pairs cosine — ground
+      // truth, quadratic by definition. This gate is a correctness PIN;
+      // the plan to copy at 100 TB is q209, the same chain with the
+      // scale-shape LSH screen.
+      pretrainBuild(s, dir, (trainEmb, evalEmb) =>
+        ops.Similarity.crossNearDupsExact(trainEmb, evalEmb,
+          "vec_id", "embedding", threshold = 0.35))
+    }),
+    "q209_pretrain_build_lsh" -> ((s, dir) => {
+      // q208's seven-stage chain with its ONE quadratic stage swapped
+      // for the scale shape — the committed plan a user should copy at
+      // 100 TB: the semantic screen runs through crossNearDups' LSH
+      // bucketing (MD5-derived ±1 hyperplanes; eval side broadcast
+      // under the count gate) + exact rescore of the colliding
+      // candidates only, so the comparisons are Σ bucket², not
+      // |train|×|eval|. planes=3 × rotations=14 is the weak-threshold
+      // operating point OpsSpec pins at recall ≥ 0.9 vs the exact
+      // screen on these embeddings (0.35 cosine ≈ 69° — wide multi-
+      // probe is the price of sign-LSH that far from 1.0; at a
+      // production 0.95 near-dup threshold the same shape screens with
+      // planes=8 × rotations=4). The buckets, band join and rescore
+      // all replay bit-for-bit in DuckDB (the q34 hyperplane
+      // discipline), so the WHOLE chain is still one hash-checked SQL
+      // statement.
+      pretrainBuild(s, dir, (trainEmb, evalEmb) =>
+        ops.Similarity.crossNearDups(trainEmb, evalEmb,
+          "vec_id", "embedding", threshold = 0.35, planes = 3,
+          rotations = 14, hash = ops.BaseHash.Md5))
     }),
     "q202_containment_prefix" -> ((s, dir) => {
       // EXACT-recall cross-corpus containment via prefix filtering
@@ -5139,10 +5201,17 @@ object SparkEntry {
     // set) and the tokenize→pack chain over real token counts
     "q205_bpe_encode_stored" -> BpeEncodeOracleSql,
     "q206_bpe_pack_chain" -> BpePackOracleSql,
+    // q210: the packed sequences themselves — fixed-64 id arrays,
+    // hash-compared element-for-element via ordered list aggregation
+    "q210_pack_token_ids" -> BpePackIdsOracleSql,
     // q208: the end-to-end pretraining build — dedup → decontaminate
     // (gram + semantic) → quality gate → mixture budget → stored-BPE
     // tokenize → pack, one SQL replay of the whole composition
     "q208_pretrain_build" -> PretrainBuildOracleSql,
+    // q209: the same composition with the semantic screen swapped to
+    // the LSH scale shape — buckets, band join and rescore replayed
+    // hyperplane-for-hyperplane
+    "q209_pretrain_build_lsh" -> PretrainBuildLshOracleSql,
     // q202: prefix filtering is recall-EXACT, so the oracle is the
     // direct all-pairs containment definition over the md5 shingle
     // hash sets — any pair the blocker missed would hash-mismatch here
@@ -6583,6 +6652,40 @@ object SparkEntry {
              FROM cnt)
        ORDER BY doc_id"""
 
+  /** q210: the packed fixed-length sequences themselves — per-doc token
+    * ids (the q205 id assignment over the full corpus), per-shard start
+    * offsets (the q206/q70 pack window), global position = start + pos,
+    * then ORDERED list aggregation per (shard, floor(gpos/64)) with the
+    * per-shard sub-64 tail dropped. Every id of every sequence hashes. */
+  private lazy val BpePackIdsOracleSql =
+    s"""${bpeEncodeOracleCtes("")},
+       pid AS (
+         SELECT t.doc_id, t.wpos, t.tpos,
+                CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+         FROM tok t LEFT JOIN voc v USING (token)),
+       pcnt AS (SELECT doc_id, count(*) AS n FROM pid GROUP BY doc_id),
+       pst AS (
+         SELECT doc_id, doc_id % 8 AS shard,
+                sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                  AS strt
+         FROM pcnt),
+       pg AS (
+         SELECT pst.shard,
+                pst.strt + row_number() OVER (PARTITION BY pid.doc_id
+                  ORDER BY pid.wpos, pid.tpos) - 1 AS gpos,
+                pid.token_id
+         FROM pid JOIN pst USING (doc_id)),
+       pseq AS (
+         SELECT shard, gpos // 64 AS seq_ix,
+                list(token_id ORDER BY gpos) AS token_ids,
+                count(*) AS n
+         FROM pg GROUP BY shard, gpos // 64)
+       SELECT CAST(shard AS BIGINT) AS shard,
+              CAST(seq_ix AS BIGINT) AS seq_ix, token_ids
+       FROM pseq WHERE n = 64
+       ORDER BY shard, seq_ix"""
+
   /** q208: the whole chained pretraining build replayed in ONE SQL
     * statement — q61's survivor SQL over the non-eval corpus, q56's
     * word-3-gram screen (≥2 shared), q62's rounded-cosine screen
@@ -6590,7 +6693,64 @@ object SparkEntry {
     * per-source budget window, then the stored-tokenizer chain (learn on
     * even ids, apply to the sampled docs' word table) and q70's pack
     * window at seqLen 64 / 4 shards. */
-  private lazy val PretrainBuildOracleSql = {
+  /** q208's exact-cosine semantic screen: every (train, eval) pair
+    * scored — the all-pairs ground truth, quadratic by definition. */
+  private val PretrainDirtysExactCte =
+    """dirtys AS (
+         SELECT DISTINCT a.vec_id AS doc_id
+         FROM nrm a, nrm b
+         WHERE a.vec_id % 53 <> 0
+           AND b.vec_id % 53 = 0 AND b.vec_id < 100000000
+           AND a.nrm > 0 AND b.nrm > 0
+           AND round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(a.embedding[i] AS DOUBLE)
+                      * CAST(b.embedding[i] AS DOUBLE)))
+               / (a.nrm * b.nrm), 4) >= 0.35)"""
+
+  /** q209's LSH semantic screen, replayed hyperplane-for-hyperplane (the
+    * q34 discipline): 42 MD5-derived ±1 hyperplanes accumulate into one
+    * 42-bit code (plane p at bit 41-p, matching the engine's `acc*2+bit`
+    * fold), bit-sliced into fourteen 3-bit rotation buckets; only
+    * train/eval pairs COLLIDING in a rotation bucket are rescored. */
+  private val PretrainDirtysLshCte =
+    """lacc AS (
+         SELECT vec_id, CAST(list_sum(list_transform(range(0, 42), p ->
+           CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                  CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) *
+                  (CASE WHEN CAST(concat('0x',
+                              substr(md5(concat(p, ':', i)), 1, 15))
+                              AS BIGINT) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END))) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(41 - p AS INT)) ELSE 0 END))
+           AS BIGINT) AS acc
+         FROM embeddings),
+       lbnd AS (
+         SELECT vec_id, r AS rot,
+                (acc >> CAST((13 - r) * 3 AS INT)) & 7 AS bucket
+         FROM lacc, range(0, 14) t(r)),
+       lcand AS (
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM (SELECT * FROM lbnd WHERE vec_id % 53 <> 0) a
+         JOIN (SELECT * FROM lbnd
+               WHERE vec_id % 53 = 0 AND vec_id < 100000000) b
+           USING (rot, bucket)),
+       dirtys AS (
+         SELECT DISTINCT lcand.id_a AS doc_id
+         FROM lcand
+         JOIN nrm na ON na.vec_id = lcand.id_a
+         JOIN nrm nb ON nb.vec_id = lcand.id_b
+         WHERE na.nrm > 0 AND nb.nrm > 0
+           AND round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(na.embedding[i] AS DOUBLE)
+                      * CAST(nb.embedding[i] AS DOUBLE)))
+               / (na.nrm * nb.nrm), 4) >= 0.35)"""
+
+  private lazy val PretrainBuildOracleSql =
+    pretrainBuildOracleSql(PretrainDirtysExactCte)
+  private lazy val PretrainBuildLshOracleSql =
+    pretrainBuildOracleSql(PretrainDirtysLshCte)
+
+  private def pretrainBuildOracleSql(dirtysCte: String) = {
     val applies = (1 to 4).map { r =>
       s"""a$r AS (
          SELECT word, freq,
@@ -6624,15 +6784,7 @@ object SparkEntry {
                   i -> CAST(embedding[i] AS DOUBLE)
                        * CAST(embedding[i] AS DOUBLE)))) AS nrm
          FROM embeddings),
-       dirtys AS (
-         SELECT DISTINCT a.vec_id AS doc_id
-         FROM nrm a, nrm b
-         WHERE a.vec_id % 53 <> 0 AND b.vec_id % 53 = 0
-           AND a.nrm > 0 AND b.nrm > 0
-           AND round(list_sum(list_transform(range(1, 65),
-                 i -> CAST(a.embedding[i] AS DOUBLE)
-                      * CAST(b.embedding[i] AS DOUBLE)))
-               / (a.nrm * b.nrm), 4) >= 0.35),
+       $dirtysCte,
        clean AS (
          SELECT d.doc_id, d.source,
                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens

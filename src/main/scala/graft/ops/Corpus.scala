@@ -1295,4 +1295,50 @@ object Corpus {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("token_id")))),
         x => x.getField("token_id")).as("token_ids"))
+
+  /** The FINAL pretraining artifact — what a training loader memory-maps:
+    * fixed-`seqLen` token-id rows `(shard, seq_ix, token_ids:
+    * array<int>)`, each shard's documents' id streams concatenated ACROSS
+    * document boundaries in pack order (shard = id mod `nShards`, docs
+    * ascending by id — exactly [[packSequences]]' assignment: a doc's
+    * first token lands at that gate's `(bin, bin_offset)`). Each shard's
+    * trailing partial sequence (fewer than `seqLen` ids) is DROPPED — the
+    * standard pretraining discipline (pad-free fixed-shape batches); the
+    * loss is < `seqLen` tokens per shard, documented rather than padded.
+    *
+    * At 100 TB: [[bpeEncode]]'s shapes (one word-table segmentation, one
+    * doc-keyed position window), plus one doc-COUNT-sized window for the
+    * per-doc start offsets and one (shard, seq_ix) aggregation whose
+    * output is tokens/seqLen rows. Sequences never cross shards, so every
+    * shard packs independently — `nShards` is the write parallelism knob,
+    * same as [[packSequences]]. */
+  def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String], vocab: DataFrame, seqLen: Int,
+      nShards: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be positive, got $seqLen")
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    val toks = bpeEncode(docs, idCol, textCol, merges, vocab)
+      .select(col(idCol).cast("long").as("_doc"), col("pos"),
+        col("token_id"))
+    // per-doc start offset within its shard's concatenated stream: one
+    // window over the DOC-count-sized table (the packSequences shuffle)
+    val starts = toks.groupBy(col("_doc")).agg(count(lit(1)).as("_n"))
+      .withColumn("shard", pmod(col("_doc"), lit(nShards.toLong)))
+      .withColumn("_start", sum(col("_n")).over(
+        Window.partitionBy(col("shard")).orderBy(col("_doc"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("_n"))
+      .select(col("_doc"), col("shard"), col("_start"))
+    toks.join(starts, Seq("_doc"))
+      .withColumn("_g", col("_start") + col("pos"))
+      .groupBy(col("shard"), floor(col("_g") / seqLen).as("seq_ix"))
+      .agg(transform(
+        array_sort(collect_list(struct(
+          (col("_g") % seqLen).cast("int").as("o"), col("token_id")))),
+        x => x.getField("token_id")).as("token_ids"))
+      // the per-shard tail remainder: strictly fewer than seqLen ids,
+      // at most one per shard — dropped (class doc)
+      .filter(size(col("token_ids")) === seqLen)
+      .select(col("shard"), col("seq_ix"), col("token_ids"))
+  }
 }

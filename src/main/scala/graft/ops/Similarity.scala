@@ -152,7 +152,9 @@ object Similarity {
     * decontamination, the cosine complement of
     * [[graft.ops.Corpus.contamination]]'s exact n-gram overlap. Both
     * corpora bucket under the SAME storage-free hyperplanes (deterministic
-    * xxhash64 derivation — no model to ship), so a train/eval pair above
+    * `hash`-derived ±1 weights — xxhash64 by default, [[BaseHash.Md5]]
+    * when the whole screen must replay in an external engine; no model to
+    * ship either way), so a train/eval pair above
     * the threshold collides with LSH probability; the eval side (benchmark
     * suites) is USUALLY tiny, so its banded buckets AND its vectors
     * broadcast — the 100 TB train side never shuffles: band →
@@ -167,14 +169,16 @@ object Similarity {
     * high-dimensional vectors. */
   def crossNearDups(train: DataFrame, evalEmb: DataFrame, idCol: String,
       vecCol: String, threshold: Double = 0.95, planes: Int = 8,
-      rotations: Int = 4, maxBroadcastRows: Long = 1000000L): DataFrame = {
+      rotations: Int = 4, maxBroadcastRows: Long = 1000000L,
+      hash: graft.ops.BaseHash = graft.ops.BaseHash.Xx): DataFrame = {
     require(rotations > 0, s"rotations must be positive, got $rotations")
     require(planes * rotations <= 62,
       s"planes*rotations must fit a long bucket accumulator, got ${planes * rotations}")
     def prep(df: DataFrame, side: String) =
       OpsUtil.widen(df).select(col(idCol).cast("long").as(s"id_$side"),
         col(vecCol).as(s"v_$side"), l2Norm(col(vecCol)).as(s"nrm_$side"),
-        signRandomProjection(col(vecCol), planes * rotations).as(s"_acc_$side"))
+        signRandomProjection(col(vecCol), planes * rotations, hash)
+          .as(s"_acc_$side"))
     val mask = (1L << planes) - 1
     def band(df: DataFrame, side: String) =
       df.select(col(s"id_$side"),

@@ -90,4 +90,13 @@ object BpeStore {
       idCol: String, textCol: String): DataFrame =
     Corpus.bpeEncode(docs, idCol, textCol, mergePairs(spark, path),
       vocab(spark, path))
+
+  /** Tokenize → pack in one call under the STORED tokenizer: the final
+    * fixed-`seqLen` training sequences ([[Corpus.packTokenIds]]) — the
+    * artifact a pretraining loader memory-maps. */
+  def packTokenIds(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String, seqLen: Int,
+      nShards: Int): DataFrame =
+    Corpus.packTokenIds(docs, idCol, textCol, mergePairs(spark, path),
+      vocab(spark, path), seqLen, nShards)
 }

@@ -65,4 +65,42 @@ class Round20OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(chain == wantTokens, s"$chain vs $wantTokens")
     } finally graft.functions.GraftFunctions.register(spark)
   }
+
+  test("packTokenIds: fixed-length sequences == the per-shard " +
+      "concatenation of bpeEncodeIds in doc order, tail dropped") {
+    val docs = docsDf(Seq(
+      "aba bc abab", "cab abc ba", "ccc aba aba bc", "abab cab",
+      "bc bc abc cab ba", "aba", "dabbed cabbage", "bbb cab aba"))
+    val merges = Corpus.bpeMergesLocal(docs, "doc_id", "text", rounds = 6)
+      .orderBy("round").collect().map(_.getString(1)).toSeq
+    val vocab = Corpus.bpeVocab(docs, "doc_id", "text", merges)
+    val seqLen = 5
+    val nShards = 2
+    val packed = Corpus.packTokenIds(docs, "doc_id", "text", merges,
+        vocab, seqLen, nShards)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Int](2).toList))
+    // every emitted sequence is exactly seqLen ids
+    assert(packed.nonEmpty)
+    assert(packed.forall(_._3.length == seqLen))
+    // reference: concatenate bpeEncodeIds per shard in doc order, chunk
+    val perDoc = Corpus.bpeEncodeIds(docs, "doc_id", "text", merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    for (shard <- 0 until nShards) {
+      val stream = perDoc.keys.toSeq.filter(_ % nShards == shard).sorted
+        .flatMap(perDoc)
+      val want = stream.grouped(seqLen).filter(_.length == seqLen)
+        .zipWithIndex.map { case (ids, ix) =>
+          (shard.toLong, ix.toLong, ids.toList) }.toSeq
+      val got = packed.filter(_._1 == shard).sortBy(_._2).toSeq
+      assert(got == want, s"shard $shard: $got vs $want")
+      // the tail loss is strictly under seqLen tokens
+      assert(stream.length - got.length * seqLen < seqLen)
+    }
+  }
+
+  private def docsDf(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
 }
