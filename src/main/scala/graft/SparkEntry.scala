@@ -509,6 +509,22 @@ object SparkEntry {
       out
     })
 
+  /** q211's byte-fallback tokenizer: q203's training recipe persisted
+    * as a VERSION-3 store (ledger + vocab + the 256-entry byte
+    * alphabet), so encode carries the no-OOV guarantee. Warmed by
+    * Bench's build phase like the v2 store. */
+  private val bpeFallbackStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def bpeFallbackStorePath(s: SparkSession, docs: DataFrame,
+      dir: String): String =
+    bpeFallbackStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-bpe-fallback").toString
+      sources.BpeStore.saveWithFallback(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", out, rounds = 4)
+      out
+    })
+
   /** q94's APPENDED signature index: two-thirds of the corpus slice saved,
     * the last third appended — the rolling-ingest shape. Because the
     * signature params carry no corpus statistics (unlike q89's
@@ -898,6 +914,25 @@ object SparkEntry {
       ops.Corpus.packSequences(counts, "doc_id", col("n_tokens"),
           seqLen = 64, nShards = 8)
         .orderBy("doc_id")
+    }),
+    "q211_bpe_encode_bytes" -> ((s, dir) => {
+      // the NO-OOV feed contract: every fifth document — each with a
+      // train-unseen multi-byte character appended ('§' = bytes
+      // C2 A7; the synthetic corpus alphabet never produces it) —
+      // encoded under the stored VERSION-3 tokenizer. Out-of-vocabulary
+      // symbols decompose into UTF-8 byte tokens (vocabSize + byte,
+      // "<0xNN>"), so token_id = -1 is impossible; the fallback tier is
+      // a pure Column over the token's hex form and replays verbatim in
+      // SQL, so the oracle hashes every byte token too
+      val docs = Testbed.graph(s, dir).collection("documents")
+      val path = bpeFallbackStorePath(s, docs, dir)
+      val probe = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" \u00a7"), // the section sign,
+            // unicode-escaped so the literal is charset-proof
+            substring(col("text"), 1, 2)).as("text"))
+      sources.BpeStore.encodeNoOov(s, path, probe, "doc_id", "text")
+        .orderBy("doc_id", "pos")
     }),
     "q210_pack_token_ids" -> ((s, dir) => {
       // the LAST inch of tokenize→pack — the artifact a pretraining
@@ -5204,6 +5239,9 @@ object SparkEntry {
     // q210: the packed sequences themselves — fixed-64 id arrays,
     // hash-compared element-for-element via ordered list aggregation
     "q210_pack_token_ids" -> BpePackIdsOracleSql,
+    // q211: the byte-fallback encode — OOV symbols as UTF-8 byte
+    // tokens, zero -1 by construction, every byte row hashed
+    "q211_bpe_encode_bytes" -> BpeEncodeBytesOracleSql,
     // q208: the end-to-end pretraining build — dedup → decontaminate
     // (gram + semantic) → quality gate → mixture budget → stored-BPE
     // tokenize → pack, one SQL replay of the whole composition
@@ -6576,7 +6614,8 @@ object SparkEntry {
     * SAMPLE (4 rounds — the stored tokenizer), then the stored-apply
     * chain over `where`-scoped documents' word table, like
     * [[BpeStoredOracleSql]]'s a-chain. */
-  private def bpeEncodeOracleCtes(where: String): String = {
+  private def bpeEncodeOracleCtes(where: String,
+      from: String = "documents"): String = {
     val rounds = 4
     val a0 = s"""a0 AS (
          SELECT word, count(*) AS freq,
@@ -6584,7 +6623,7 @@ object SparkEntry {
                   range(1, length(word) + 1),
                   i -> substr(word, CAST(i AS INT), 1)), ' ') || ' ' AS s
          FROM (SELECT unnest(string_split(text, ' ')) AS word
-               FROM documents $where)
+               FROM $from $where)
          WHERE word <> '' GROUP BY word)"""
     val applies = (1 to rounds).map { r =>
       s"""a$r AS (
@@ -6611,7 +6650,7 @@ object SparkEntry {
            SELECT doc_id, unnest(ws) AS word,
                   CAST(generate_subscripts(ws, 1) AS INT) AS wpos
            FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                 FROM documents $where))
+                 FROM $from $where))
          WHERE word <> ''),
        tok AS (
          SELECT doc_id, wpos, tpos, token FROM (
@@ -6685,6 +6724,44 @@ object SparkEntry {
               CAST(seq_ix AS BIGINT) AS seq_ix, token_ids
        FROM pseq WHERE n = 64
        ORDER BY shard, seq_ix"""
+
+  /** q211: the byte-fallback encode replayed — learn chain + vocabulary
+    * from the even-id sample (the v3 store's train recipe), the apply
+    * side over the PROBE text (every fifth doc, a train-unseen
+    * '§xx' word appended), then per-token units: ONE row in-vocab,
+    * `octet_length` byte rows OOV with ids `vocabSize + byte` parsed
+    * from the token's hex form — zero -1 by construction, every byte
+    * token hashed. */
+  private lazy val BpeEncodeBytesOracleSql = {
+    val from = "(SELECT doc_id, text || ' \u00a7' || substr(text, 1, 2)" +
+      " AS text FROM documents)"
+    s"""${bpeEncodeOracleCtes("WHERE doc_id % 5 = 0", from)},
+       vsz AS (SELECT count(*) AS base FROM voc),
+       ux AS (
+         SELECT doc_id, wpos, tpos, in_vocab, vid, token,
+                CAST(generate_subscripts(bs, 1) AS INT) AS bix,
+                unnest(bs) AS hx
+         FROM (
+           SELECT t.doc_id, t.wpos, t.tpos, t.token,
+                  v.token_id AS vid, v.token_id IS NOT NULL AS in_vocab,
+                  CASE WHEN v.token_id IS NOT NULL THEN ['']
+                       ELSE list_transform(
+                              range(0, octet_length(encode(t.token))),
+                              b -> substr(hex(encode(t.token)),
+                                     CAST(b * 2 + 1 AS INT), 2))
+                  END AS bs
+           FROM tok t LEFT JOIN voc v USING (token)))
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY wpos, tpos, bix) - 1 AS INT) AS pos,
+              CAST(CASE WHEN in_vocab THEN vid
+                   ELSE (SELECT base FROM vsz)
+                        + CAST(concat('0x', hx) AS INT) END AS INT)
+                AS token_id,
+              CASE WHEN in_vocab THEN token
+                   ELSE '<0x' || hx || '>' END AS token
+       FROM ux ORDER BY doc_id, pos"""
+  }
 
   /** q208: the whole chained pretraining build replayed in ONE SQL
     * statement — q61's survivor SQL over the non-eval corpus, q56's

@@ -1296,6 +1296,55 @@ object Corpus {
         array_sort(collect_list(struct(col("pos"), col("token_id")))),
         x => x.getField("token_id")).as("token_ids"))
 
+  /** [[bpeEncode]] with a BYTE-FALLBACK alphabet — the no-OOV guarantee a
+    * pretraining feed needs (`token_id = -1` rows silently poison an
+    * embedding lookup downstream): an out-of-vocabulary symbol is
+    * decomposed into its UTF-8 bytes, each emitted as `(<idCol>, pos,
+    * byteBase + byteValue, "<0xNN>")` — the public GPT-2 byte-level
+    * discipline, here as the fallback tier under the learned vocabulary
+    * (every id is in `[0, byteBase + 256)`, never -1). Note OOV symbols
+    * need not be exotic characters: a merge consumed everywhere by a
+    * later merge at train time leaves its symbol out of the vocabulary
+    * yet producible on a new corpus.
+    *
+    * Byte decomposition is a pure Column over the token's hex form
+    * (`hex(encode(token))`, two chars per byte) — engine-portable, so the
+    * whole fallback tier replays in SQL. Same plan shapes as
+    * [[bpeEncode]]: the only addition is the per-token unit array
+    * (1 unit in-vocab, `octet_length` units OOV) exploded before the
+    * doc-keyed position window. */
+  def bpeEncodeBytes(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String], vocab: DataFrame, byteBase: Int): DataFrame = {
+    require(byteBase >= 0, s"byteBase must be non-negative, got $byteBase")
+    val wordToks = bpeSegmentWords(docs, textCol, merges)
+      .select(col("word"),
+        posexplode(split(trim(col("s")), " ")).as(Seq("_tpos", "token")))
+    val dw = docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("_wpos", "word")))
+      .filter(col("word") =!= "")
+    val hexStr = hex(encode(col("token"), "UTF-8"))
+    def hexByte(i: Column) = hexStr.substr(i * 2 + 1, lit(2))
+    val units = when(col("_vid").isNotNull,
+        array(struct(col("_vid").cast("int").as("tid"),
+          col("token").as("tok"))))
+      .otherwise(transform(
+        sequence(lit(0), octet_length(col("token")) - 1), i =>
+          struct(
+            (lit(byteBase) + conv(hexByte(i), 16, 10).cast("int"))
+              .as("tid"),
+            concat(lit("<0x"), hexByte(i), lit(">")).as("tok"))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_wpos"), col("_tpos"), col("_bix"))
+    dw.join(wordToks, Seq("word"))
+      .join(vocab.select(col("token"), col("token_id").as("_vid")),
+        Seq("token"), "left")
+      .select(col(idCol), col("_wpos"), col("_tpos"),
+        posexplode(units).as(Seq("_bix", "_u")))
+      .select(col(idCol), (row_number().over(w) - 1).as("pos"),
+        col("_u.tid").as("token_id"), col("_u.tok").as("token"))
+  }
+
   /** The FINAL pretraining artifact — what a training loader memory-maps:
     * fixed-`seqLen` token-id rows `(shard, seq_ix, token_ids:
     * array<int>)`, each shard's documents' id streams concatenated ACROSS

@@ -100,6 +100,96 @@ class Round20OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  /** Decode an encodeNoOov token stream: byte tokens accumulate and
+    * UTF-8-decode at the next non-byte token — the loader-side inverse. */
+  private def detok(tokens: Seq[String]): String = {
+    val out = new StringBuilder
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    def flush(): Unit = if (buf.nonEmpty) {
+      out.append(new String(buf.toArray, "UTF-8")); buf.clear()
+    }
+    for (t <- tokens) {
+      if (t.length == 6 && t.startsWith("<0x") && t.endsWith(">"))
+        buf += Integer.parseInt(t.substring(3, 5), 16).toByte
+      else { flush(); out.append(t) }
+    }
+    flush()
+    out.toString
+  }
+
+  test("BpeStore v3 byte fallback: no -1 ever, byte ids = base + byte, " +
+      "and the stream reconstructs text with train-unseen characters") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-v3-spec").toString
+    val train = docsDf(randomTexts(21))
+    graft.sources.BpeStore.saveWithFallback(train, "doc_id", "text",
+      dir, rounds = 8)
+    val base = graft.sources.BpeStore.vocab(spark, dir).count().toInt
+    // unseen single chars, multi-byte chars, and a whole unseen word
+    val probe = docsDf(Seq(
+      "café zèbre aba", "ñ abab", "naïve bc cab", "§§ ccc"))
+    val enc = graft.sources.BpeStore.encodeNoOov(spark, dir, probe,
+        "doc_id", "text")
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(enc.nonEmpty)
+    assert(enc.forall(_._3 >= 0), "token_id = -1 leaked through fallback")
+    assert(enc.forall(_._3 < base + 256))
+    // every byte token's id is exactly base + its byte value
+    for ((_, _, tid, tok) <- enc if tok.startsWith("<0x"))
+      assert(tid == base + Integer.parseInt(tok.substring(3, 5), 16),
+        s"$tok id $tid base $base")
+    // multi-byte fallback actually exercised (é è ñ ï § are 2-byte)
+    assert(enc.exists(_._4.startsWith("<0x")))
+    // reconstruction: per-doc token stream decodes to the text sans spaces
+    val texts = probe.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((doc, rows) <- enc.groupBy(_._1)) {
+      val got = detok(rows.sortBy(_._2).map(_._4).toSeq)
+      val want = texts(doc).replace(" ", "")
+      assert(got == want, s"doc $doc: '$got' vs '$want'")
+    }
+  }
+
+  test("BpeStore versioning: v2 stores refuse encodeNoOov by name; a " +
+      "v1 (merges-only) store still serves merges/segment reads") {
+    import spark.implicits._
+    val v2 = java.nio.file.Files
+      .createTempDirectory("graft-bpe-v2-spec").toString
+    val train = docsDf(randomTexts(22))
+    graft.sources.BpeStore.save(train, "doc_id", "text", v2, rounds = 4)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.BpeStore.encodeNoOov(spark, v2, train, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("encodeNoOov"))
+    assert(graft.sources.BpeStore.encode(spark, v2, train,
+      "doc_id", "text").count() > 0)
+    // a v1 store: merges table + version-1 meta, no vocab — the
+    // pre-vocabulary layout the newest reader must still serve
+    val v1 = java.nio.file.Files
+      .createTempDirectory("graft-bpe-v1-spec").toString
+    Corpus.bpeMergesLocal(train, "doc_id", "text", rounds = 4)
+      .coalesce(1).write.parquet(s"$v1/merges")
+    Seq((1, 4)).toDF("version", "rounds")
+      .coalesce(1).write.parquet(s"$v1/meta")
+    assert(graft.sources.BpeStore.mergePairs(spark, v1).nonEmpty)
+    assert(graft.sources.BpeStore.segmentTokenFrequencies(spark, v1,
+      train, "doc_id", "text", k = 10).count() == 10)
+    val ev = intercept[IllegalArgumentException] {
+      graft.sources.BpeStore.vocab(spark, v1)
+    }
+    assert(ev.getMessage.contains("vocab"))
+  }
+
+  private def randomTexts(seed: Long, nDocs: Int = 50): Seq[String] = {
+    val r = new scala.util.Random(seed)
+    val vocab = Seq("aba", "abab", "bc", "cab", "abc", "ccc", "ba",
+      "dabbed", "cabbage", "bbb")
+    (0 until nDocs).map { _ =>
+      (0 until (1 + r.nextInt(6)))
+        .map(_ => vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+  }
+
   private def docsDf(texts: Seq[String]) =
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
