@@ -445,6 +445,35 @@ object SparkEntry {
       out
     })
 
+  /** q212's REBUILT perceptual-hash index: q200's build + retirement
+    * followed by PHYSICAL reclamation ([[graft.sources.PhashStore
+    * .rebuildRetained]] — sigs re-laid range-partitioned + sorted,
+    * chunks plain, tombstone ledger kept). The stored probe must score
+    * bit-identically to the merge-on-read view, so q212 shares q200's
+    * oracle VERBATIM — reclamation moves no byte of the results while
+    * the store's bytes shrink (StoreMaintSpec asserts the shrink; the
+    * gate pins the scores). The signature-family counterpart of q207's
+    * posting-store pin, so both store classes carry an end-to-end
+    * reclamation oracle. */
+  private val rebuiltPhashStores = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), String]()
+  private[graft] def rebuiltPhashStorePath(s: SparkSession, media: DataFrame,
+      dir: String): String =
+    rebuiltPhashStores.computeIfAbsent((s.hashCode, dir), _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-phash-rebuilt").toString
+      val corpus = media.filter(col("doc_id") % 7 =!= 0)
+      sources.PhashStore.save(corpus.filter(col("doc_id") % 2 === 0),
+        "doc_id", "media", out)
+      sources.PhashStore.append(s, out,
+        corpus.filter(col("doc_id") % 2 === 1), "doc_id", "media")
+      sources.PhashStore.retire(s, out,
+        corpus.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("id")))
+      sources.PhashStore.rebuildRetained(s, out)
+      out
+    })
+
   /** The q208/q209 composed pretraining build — every stage shared
     * verbatim; `semScreen(trainEmb, evalEmb)` is the ONE stage that
     * differs (exact all-pairs cosine vs the LSH screen) and must return
@@ -842,6 +871,20 @@ object SparkEntry {
       // no stored payload re-read, retirement bit-visible in the output
       val med = mediaFixture(s, dir)
       val path = phashStorePath(s, med, dir)
+      sources.PhashStore.crossNearPairsStored(s, path,
+          med.filter(col("doc_id") % 7 === 0), "doc_id", "media",
+          maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q212_phash_rebuilt" -> ((s, dir) => {
+      // q200's erasure followed by PHYSICAL reclamation on the
+      // signature-family store class: rebuildRetained swaps in a fresh
+      // generation minus the tombstoned rows (sigs layout restored,
+      // ledger kept), and the stored probe still scores bit-identically
+      // — q200's oracle shared verbatim, the q207 discipline on the
+      // second store class
+      val med = mediaFixture(s, dir)
+      val path = rebuiltPhashStorePath(s, med, dir)
       sources.PhashStore.crossNearPairsStored(s, path,
           med.filter(col("doc_id") % 7 === 0), "doc_id", "media",
           maxDist = 3)
@@ -5204,6 +5247,16 @@ object SparkEntry {
     // retired ids ≡ 1 mod 5) and the batch side the probe slice; the
     // save/append/retire round-trip must reproduce exactly this
     "q200_phash_stored" ->
+      s"""$PhashOracleCtes
+         SELECT a.id AS id_a, b.id AS id_b,
+                CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+         FROM ph a JOIN ph b
+           ON a.id % 7 <> 0 AND a.id % 5 <> 1 AND b.id % 7 = 0
+              AND bit_count(xor(a.phash, b.phash)) <= 3
+         ORDER BY id_a, id_b""",
+    // q212: physical reclamation moves no byte of the scores — q200's
+    // oracle verbatim against the REBUILT store
+    "q212_phash_rebuilt" ->
       s"""$PhashOracleCtes
          SELECT a.id AS id_a, b.id AS id_b,
                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming

@@ -204,6 +204,20 @@ object StreamScale {
           store, "doc_id div 1000", Seq("text_len"))
         EventStreams.manifestIngestStream(
           mem.toDF().withColumn("text_len", length(col("text"))), store)
+      case "tokenize" =>
+        // stored-tokenizer encode: the tokenizer trains ONCE on the
+        // corpus (untimed — one corpus pass + the driver-local merge
+        // loop); each measured batch encodes ITSELF under the fixed
+        // ledger + vocabulary (two vocabulary-sized driver reads, the
+        // batch's own word table segmented in one projection) and
+        // appends its id rows — per-batch wall has no corpus-sized
+        // term; the replay-skip anti-join scans only what the STREAM
+        // has landed
+        graft.sources.BpeStore.save(
+          spark.read.parquet(docsPath), "doc_id", "text", store,
+          rounds = 64)
+        EventStreams.tokenizeIngestStream(mem.toDF(), store,
+          s"$work/out", "doc_id", "text")
     }
     try {
       val walls = (0 until WarmBatches + MeasuredBatches).map { b =>
@@ -217,6 +231,11 @@ object StreamScale {
           spark.read.parquet(s"$store/docstats")
             .filter(col("id") >= 4000000000000L)
             .select("id").collect().map(_.getLong(0)).toSet
+        case "tokenize" =>
+          spark.read.parquet(s"$work/out")
+            .filter(col("doc_id") >= 4000000000000L)
+            .select("doc_id").distinct()
+            .collect().map(_.getLong(0)).toSet
         case "cms" =>
           graft.sources.SketchStore.params(spark, store)
             .batches.filter(_.startsWith("b-stream-"))
@@ -260,7 +279,7 @@ object StreamScale {
     val sides = ("base" -> s"$base/documents.parquet") +: copies.map(c =>
       s"x$c" -> materializeDocs(spark, base, scaledDir, c))
     // optional args select variants (a re-probe of one family need not
-    // pay the others); no args = all five
+    // pay the others); no args = all six
     val selected: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val results = for (variant <- Seq("recompute", "indexed")
@@ -291,9 +310,10 @@ object StreamScale {
           iRatios.forall(_ <= IndexedMaxRatio)
       case _ => true
     }
-    // store-ingest probes: posting + counter append paths, same sides
-    val ingest = for (variant <- Seq("posting", "cms", "manifest")
-        .filter(selected)) yield {
+    // store-ingest probes: posting/counter/zone-map/tokenize append
+    // paths, same sides
+    val ingest = for (variant <- Seq("posting", "cms", "manifest",
+        "tokenize").filter(selected)) yield {
       val runs = sides.map { case (label, path) =>
         val r = runIngest(spark, variant, path, baseTexts)
         println(f"STREAMBATCH $variant%-10s $label%-5s " +

@@ -1118,85 +1118,147 @@ object Corpus {
       s"bpeMergesLocal: corpus has over $maxWords distinct words — " +
         "train on a sample (the BpeStore posture) or use the " +
         "fully-distributed bpeMerges")
-    // per-word symbol arrays (one symbol per code point) + frequencies
+    // per-word symbol arrays (one INTERNED symbol id per code point) +
+    // frequencies: interning makes every hot-loop key an int/long — the
+    // pair key packs two ids into one long — so string concat/hash only
+    // happens at intern time, on count TIES, and in the emitted ledger.
+    // At production budgets (TrainerScale: 32k merges over a
+    // maxWords-sized table) string-keyed bookkeeping is an order of
+    // magnitude of wall.
     val n = rows.length
     val freqs = new Array[Long](n)
-    val words = new Array[Array[String]](n)
+    val words = new Array[Array[Int]](n)
+    val symId = new java.util.HashMap[String, Integer]()
+    val symStr = new scala.collection.mutable.ArrayBuffer[String]()
+    def intern(s: String): Int = {
+      val c = symId.get(s)
+      if (c != null) c.intValue()
+      else { val id = symStr.length; symId.put(s, id); symStr += s; id }
+    }
     var wi = 0
     while (wi < n) {
       val word = rows(wi).getString(0)
       freqs(wi) = rows(wi).getLong(1)
-      val syms = Array.newBuilder[String]
+      val syms = Array.newBuilder[Int]
       var ci = 0
       while (ci < word.length) {
         val w = Character.charCount(word.codePointAt(ci))
-        syms += word.substring(ci, ci + w)
+        syms += intern(word.substring(ci, ci + w))
         ci += w
       }
       words(wi) = syms.result()
       wi += 1
     }
-    // exact pair counts + a lazily-maintained inverted index pair→words;
-    // the heap holds (count, pair) snapshots with lazy invalidation (an
-    // entry is live iff it matches the current count), the standard
-    // public BPE-trainer bookkeeping
-    val counts = new java.util.HashMap[String, java.lang.Long]()
-    val where = new java.util.HashMap[String, java.util.BitSet]()
-    val ord: Ordering[(Long, String)] = new Ordering[(Long, String)] {
-      def compare(x: (Long, String), y: (Long, String)): Int = {
-        val c = java.lang.Long.compare(x._1, y._1)
-        if (c != 0) c else y._2.compareTo(x._2) // max = smallest pair
-      }
-    }
-    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String)](ord)
-    def bump(pair: String, delta: Long, idx: Int): Unit = {
-      val cur = counts.get(pair)
-      val next = (if (cur == null) 0L else cur.longValue()) + delta
-      if (next <= 0L) counts.remove(pair)
+    def pk(a: Int, b: Int): Long = (a.toLong << 32) | (b.toLong & 0xffffffffL)
+    // the pair's string form (the ledger column AND the count-tie order
+    // key — the greedy contract is "count desc, pair STRING asc"),
+    // memoized so ties compare cheaply after the first build. Symbols
+    // never contain spaces (TextOps.tokens splits on whitespace), so
+    // distinct keys always render distinct strings.
+    val pstrCache = new java.util.HashMap[java.lang.Long, String]()
+    def pstr(p: Long): String = {
+      val c = pstrCache.get(p)
+      if (c != null) c
       else {
-        counts.put(pair, next)
-        heap.enqueue((next, pair))
-        if (idx >= 0) {
-          var set = where.get(pair)
-          if (set == null) { set = new java.util.BitSet(); where.put(pair, set) }
-          set.set(idx)
-        }
+        val s = symStr((p >>> 32).toInt) + " " + symStr(p.toInt)
+        pstrCache.put(p, s)
+        s
       }
     }
+    // exact pair counts + an EXACTLY-maintained inverted index pair→words
+    // and an EXACTLY-maintained ordered queue (count desc, pair string
+    // asc): one live entry per pair, removed/reinserted on every count
+    // change. Exactness over laziness is deliberate — a lazy-snapshot
+    // heap was measured (TrainerScale) collapsing in LATE rounds, where
+    // constant small decrements pile stale entries at similar counts and
+    // every pick re-scans and re-pushes the whole stale frontier; the
+    // ordered set pays O(log) per actual count change instead, and count
+    // changes are bounded by distinct pairs touched per merge.
+    val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    // membership as int hash sets, NOT corpus-sized bitsets: hundreds of
+    // thousands of pairs exist by late rounds and each merge creates
+    // ~O(neighbors) new ones, so per-pair memory must track MEMBERS, not
+    // the word-table size (a fresh BitSet zeroes highestIdx/8 bytes —
+    // measured as the late-round wall cliff in TrainerScale)
+    val where =
+      new java.util.HashMap[java.lang.Long, java.util.HashSet[Integer]]()
+    val cmp = new java.util.Comparator[(Long, Long)] {
+      def compare(x: (Long, Long), y: (Long, Long)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1) // count DESC
+        if (c != 0) c
+        else pstr(x._2).compareTo(pstr(y._2)) // then pair string ASC
+      }
+    }
+    val queue = new java.util.TreeSet[(Long, Long)](cmp)
+    def mark(pair: java.lang.Long, idx: Int): Unit = {
+      var set = where.get(pair)
+      if (set == null) {
+        set = new java.util.HashSet[Integer](4)
+        where.put(pair, set)
+      }
+      set.add(Integer.valueOf(idx))
+    }
+    // initial exact counts + membership, then one queue entry per pair
     wi = 0
     while (wi < n) {
       val s = words(wi)
+      val f = freqs(wi)
       var i = 0
       while (i < s.length - 1) {
-        bump(s(i) + " " + s(i + 1), freqs(wi), wi)
+        val key = java.lang.Long.valueOf(pk(s(i), s(i + 1)))
+        val cur = counts.get(key)
+        counts.put(key, java.lang.Long.valueOf(
+          (if (cur == null) 0L else cur.longValue()) + f))
+        mark(key, wi)
         i += 1
       }
       wi += 1
+    }
+    val init = counts.entrySet().iterator()
+    while (init.hasNext) {
+      val e = init.next()
+      queue.add((e.getValue.longValue(), e.getKey.longValue()))
     }
     val ledger = Seq.newBuilder[(Int, String, Long)]
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      var picked: String = null
-      var c = 0L
-      while (picked == null && heap.nonEmpty) {
-        val (hc, p) = heap.dequeue()
-        val cur = counts.get(p)
-        if (cur != null && cur.longValue() == hc) { picked = p; c = hc }
-      }
-      if (picked == null) exhausted = true
+      if (queue.isEmpty) exhausted = true
       else {
-        ledger += ((r, picked, c))
-        val sp = picked.indexOf(' ')
-        val a = picked.substring(0, sp)
-        val b = picked.substring(sp + 1)
-        val ab = a + b
-        val members = where.get(picked)
-        counts.remove(picked)
-        where.remove(picked)
+        val top = queue.first()
+        queue.remove(top)
+        val picked = top._2
+        val c = top._1
+        ledger += ((r, pstr(picked), c))
+        if (sys.env.contains("GRAFT_BPE_TRACE")) {
+          val m = where.get(java.lang.Long.valueOf(picked))
+          System.err.println(s"BPETRACE r=$r pair='${pstr(picked)}' c=$c " +
+            s"members=${if (m == null) 0 else m.size} " +
+            s"pairs=${counts.size} t=${System.nanoTime() / 1000000}")
+        }
+        val a = (picked >>> 32).toInt
+        val b = picked.toInt
+        val ab = intern(symStr(a) + symStr(b))
+        val pkey = java.lang.Long.valueOf(picked)
+        val members = where.get(pkey)
+        counts.remove(pkey)
+        where.remove(pkey)
+        // per-MERGE net delta, aggregated across every member word, so
+        // counts/heap see each distinct pair once per merge; membership
+        // bits are still set per word (the index is per-word by nature)
+        val mdelta = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def dadd(p: Long, d: Long, idx: Int): Unit = {
+          val key = java.lang.Long.valueOf(p)
+          val cur = mdelta.get(key)
+          val nx = (if (cur == null) 0L else cur.longValue()) + d
+          if (nx == 0L) mdelta.remove(key)
+          else mdelta.put(key, java.lang.Long.valueOf(nx))
+          if (d > 0 && idx >= 0) mark(key, idx)
+        }
         if (members != null) {
-          var idx = members.nextSetBit(0)
-          while (idx >= 0) {
+          val itm = members.iterator()
+          while (itm.hasNext) {
+            val idx = itm.next().intValue()
             val old = words(idx)
             // membership is a lazy superset — confirm the pair is still here
             var hit = false
@@ -1207,12 +1269,7 @@ object Corpus {
             }
             if (hit) {
               val f = freqs(idx)
-              i = 0
-              while (i < old.length - 1) {
-                bump(old(i) + " " + old(i + 1), -f, -1)
-                i += 1
-              }
-              val next = Array.newBuilder[String]
+              val next = Array.newBuilder[Int]
               i = 0
               while (i < old.length) {
                 if (i + 1 < old.length && old(i) == a && old(i + 1) == b) {
@@ -1222,12 +1279,50 @@ object Corpus {
               val nw = next.result()
               words(idx) = nw
               i = 0
+              while (i < old.length - 1) {
+                dadd(pk(old(i), old(i + 1)), -f, -1)
+                i += 1
+              }
+              val nwPairs = new java.util.HashSet[java.lang.Long]()
+              i = 0
               while (i < nw.length - 1) {
-                bump(nw(i) + " " + nw(i + 1), f, idx)
+                val p = pk(nw(i), nw(i + 1))
+                nwPairs.add(java.lang.Long.valueOf(p))
+                dadd(p, f, idx)
+                i += 1
+              }
+              // keep membership EXACT, not a growing superset: a pair
+              // the rewrite removed from this word entirely clears its
+              // bit. Without this, stale members accumulate and every
+              // later merge of that pair scans words that long since
+              // lost it — the cost of the whole loop then grows with
+              // ROUNDS × STALENESS instead of the Σ len(w)² bound that
+              // exact membership gives (each word can only be rewritten
+              // len-1 times, each rewrite O(len)).
+              i = 0
+              while (i < old.length - 1) {
+                val p = java.lang.Long.valueOf(pk(old(i), old(i + 1)))
+                if (!nwPairs.contains(p)) {
+                  val set = where.get(p)
+                  if (set != null) set.remove(Integer.valueOf(idx))
+                }
                 i += 1
               }
             }
-            idx = members.nextSetBit(idx + 1)
+          }
+        }
+        val it = mdelta.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val d = e.getValue.longValue()
+          val cur = counts.get(e.getKey)
+          if (cur != null)
+            queue.remove((cur.longValue(), e.getKey.longValue()))
+          val nx = (if (cur == null) 0L else cur.longValue()) + d
+          if (nx <= 0L) counts.remove(e.getKey)
+          else {
+            counts.put(e.getKey, java.lang.Long.valueOf(nx))
+            queue.add((nx, e.getKey.longValue()))
           }
         }
         r += 1

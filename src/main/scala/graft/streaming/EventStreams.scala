@@ -400,6 +400,55 @@ object EventStreams {
       .start()
   }
 
+  /** Per-micro-batch TOKENIZE ingest under a STORED tokenizer — the
+    * streaming face of the tokenize→pack chain: each batch's documents
+    * encode to `(<idCol>, pos, token_id, token)` rows under the
+    * train-time-fixed merges + vocabulary
+    * ([[graft.sources.BpeStore.encode]]) and append to `outPath` as
+    * plain parquet. Token ids are stable across batches BY CONSTRUCTION
+    * (the tokenizer is immutable at ingest), so the landed union equals
+    * the one-shot batch encode of the same documents row-for-row —
+    * batch ≡ stream, pinned in StreamingSpec.
+    *
+    * Per-micro-batch cost tracks the BATCH: the batch's own Heaps-law
+    * word table segments under the ledger in one native-kernel
+    * projection, the batch's rows window doc-keyed — the corpus the
+    * tokenizer was TRAINED on is never touched (its artifacts are two
+    * vocabulary-sized driver reads). Replay safety: a replayed
+    * micro-batch's ids anti-join against the landed output's distinct
+    * ids (a narrow one-column scan of what the STREAM has landed — the
+    * postingIngestStream docstats discipline; output-proportional,
+    * never corpus-proportional), so duplicates never land. */
+  def tokenizeIngestStream(docStream: DataFrame, storePath: String,
+      outPath: String, idCol: String, textCol: String,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(docStream.isStreaming,
+      "tokenizeIngestStream needs a streaming frame; call " +
+        "BpeStore.encode directly for batch input")
+    val writer = docStream.writeStream.outputMode("append")
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF()
+        val out = new org.apache.hadoop.fs.Path(outPath)
+        val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fresh =
+          if (fs.exists(out))
+            b.join(spark.read.parquet(outPath)
+                .select(col(idCol).as("_landed_id")).distinct(),
+              b(idCol) === col("_landed_id"), "left_anti")
+          else b
+        if (!fresh.isEmpty)
+          graft.sources.BpeStore.encode(spark, storePath, fresh,
+              idCol, textCol)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
   /** Per-micro-batch zone-map ingest into a
     * [[graft.sources.ManifestStore]]: each batch lands its per-file
     * `(n_rows, min/max/n_null)` deltas under the file expression fixed

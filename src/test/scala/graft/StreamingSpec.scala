@@ -318,6 +318,52 @@ class StreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"drift routing: ${drifted.asScala.toSeq}")
   }
 
+  test("tokenizeIngestStream: landed rows ≡ the one-shot batch encode of " +
+      "the delivered docs; a replayed id lands nothing") {
+    import EventStreams.Doc
+    val store = java.nio.file.Files
+      .createTempDirectory("bpe-ingest-store").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("bpe-ingest-out").toString + "/enc"
+    graft.sources.BpeStore.save(
+      Seq((100L, "aba abab bc"), (101L, "cab abc aba"),
+        (102L, "bc bc cab abab")).toDF("doc_id", "text"),
+      "doc_id", "text", store, rounds = 5)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = EventStreams.tokenizeIngestStream(mem.toDF(), store, out,
+      "doc_id", "text")
+    try {
+      mem.addData(
+        Doc(1L, Timestamp.valueOf("2024-01-01 10:00:00"), "aba zq bc"),
+        Doc(2L, Timestamp.valueOf("2024-01-01 10:01:00"), "cab abab"))
+      q.processAllAvailable()
+      mem.addData(
+        // replayed id with DIFFERENT text: must not land (first wins)
+        Doc(1L, Timestamp.valueOf("2024-01-01 10:05:00"), "ccc ccc"),
+        Doc(3L, Timestamp.valueOf("2024-01-01 10:06:00"), "abc ccc aba"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(out).orderBy("doc_id", "pos")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    // batch ≡ stream: the one-shot encode of what the stream DELIVERED
+    val direct = graft.sources.BpeStore.encode(spark, store,
+        Seq((1L, "aba zq bc"), (2L, "cab abab"), (3L, "abc ccc aba"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    assert(landed == direct, s"$landed vs $direct")
+    // train-unseen 'zq' maps to the v2 store's -1 (the no-OOV tier is
+    // the v3 store, spec'd in Round20OpsSpec)
+    assert(landed.exists(r => r._1 == 1L && r._3 == -1))
+    // replayed doc 1 kept its FIRST batch's text
+    assert(!landed.exists(_._4 == "ccc"))
+  }
+
   test("sessionize: gap split, ordering, totals") {
     implicit val s = spark
     val sessions = EventStreams.sessionize(events.toDS(), 3600 * 1000L)
