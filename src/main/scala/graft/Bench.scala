@@ -263,6 +263,22 @@ object Bench {
       // filtered probe (the steady-state read after an erasure pass)
       SparkEntry.retiredPostingStorePath(spark,
         g.collection("documents"), sfDir)
+      // q207's physically-reclaimed posting store: save + retire +
+      // rebuildRetained are maintenance, staged untimed — reps measure
+      // the post-reclamation probe
+      SparkEntry.rebuiltPostingStorePath(spark,
+        g.collection("documents"), sfDir)
+      // q200/q212's perceptual-hash stores (save + append + retire, and
+      // the rebuilt generation) and q203-q211's persisted tokenizers
+      // (v2 + v3): registration-time builds, staged untimed so the
+      // gates' reps measure the stored probes / the stored-apply chains
+      SparkEntry.phashStorePath(spark,
+        SparkEntry.mediaFixture(spark, sfDir), sfDir)
+      SparkEntry.rebuiltPhashStorePath(spark,
+        SparkEntry.mediaFixture(spark, sfDir), sfDir)
+      SparkEntry.bpeStorePath(spark, g.collection("documents"), sfDir)
+      SparkEntry.bpeFallbackStorePath(spark,
+        g.collection("documents"), sfDir)
       // q143's PQ codebooks (training is index construction — untimed;
       // reps measure encode + ADC probe) and q144/q145's code stores
       // (coding write untimed, reps measure the m-byte-code scan probe)

@@ -1461,6 +1461,73 @@ object SmokeVerify {
           && afterRb == afterReplay && rawClean) "OK" else "BROKEN"))
     }
 
+    // SMOKE35: round-20 — (a) the packed-sequence artifact: fixed-32
+    // token-id rows, and shard 1's sequences concatenate to exactly the
+    // prefix of its per-doc id stream (tail remainder dropped); (b) the
+    // v3 byte-fallback store: encode of text carrying a train-unseen
+    // multi-byte character emits ZERO -1 ids, every id under
+    // vocab+256, and byte rows actually flow; (c) reclamation symmetry
+    // on the signature family: the stored phash probe is byte-identical
+    // across rebuildRetained while the sig bytes shrink.
+    {
+      val docs35 = spark.read.parquet(s"$sf/documents.parquet")
+      val store35 = java.nio.file.Files
+        .createTempDirectory("smoke35-bpe").toString
+      graft.sources.BpeStore.saveWithFallback(
+        docs35.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        store35, rounds = 6)
+      val slice35 = docs35.filter(col("doc_id") < 60)
+      val packed35 = graft.sources.BpeStore.packTokenIds(spark, store35,
+        slice35, "doc_id", "text", seqLen = 32, nShards = 4)
+      val lens35 = packed35.select(size(col("token_ids")).as("n"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val enc35 = graft.sources.BpeStore.encode(spark, store35, slice35,
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val stream1 = enc35.filter(_._1 % 4 == 1)
+        .sortBy(t => (t._1, t._2)).map(_._3).toSeq
+      val packed1 = packed35.filter(col("shard") === 1).orderBy("seq_ix")
+        .collect().flatMap(_.getSeq[Int](2)).toSeq
+      val packOk = packed1 == stream1.take(stream1.length / 32 * 32)
+      val base35 = graft.sources.BpeStore.vocab(spark, store35)
+        .count().toInt
+      val probe35 = docs35
+        .filter(col("doc_id") % 2 === 1 && col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" \u00a7x")).as("text"))
+      val nn35 = graft.sources.BpeStore.encodeNoOov(spark, store35,
+        probe35, "doc_id", "text")
+      val neg35 = nn35.filter(col("token_id") < 0).count()
+      val over35 = nn35.filter(col("token_id") >= base35 + 256).count()
+      val bytes35 = nn35.filter(col("token").startsWith("<0x")).count()
+      val med35 = SparkEntry.mediaFixture(spark, sf)
+      val ph35 = java.nio.file.Files
+        .createTempDirectory("smoke35-ph").toString
+      graft.sources.PhashStore.save(med35.filter(col("doc_id") % 2 === 0),
+        "doc_id", "media", ph35)
+      graft.sources.PhashStore.append(spark, ph35,
+        med35.filter(col("doc_id") % 2 === 1), "doc_id", "media")
+      graft.sources.PhashStore.retire(spark, ph35,
+        med35.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("id")))
+      def probePh() = graft.sources.PhashStore.crossNearPairsStored(
+          spark, ph35, med35.filter(col("doc_id") % 7 === 0),
+          "doc_id", "media", maxDist = 3)
+        .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      val beforePh = probePh()
+      val shrunk35 = graft.sources.PhashStore.rebuildRetained(spark, ph35)
+      val afterPh = probePh()
+      val phOk = beforePh.nonEmpty && beforePh == afterPh &&
+        shrunk35("sigs")._2 < shrunk35("sigs")._1
+      println(s"SMOKE35 round20: packSeqs=${packed35.count()} " +
+        s"lens=${lens35.mkString(",")} packStreamEq=$packOk " +
+        s"noOovNeg=$neg35 overCap=$over35 byteRows=$bytes35 " +
+        s"phashRebuildStable=$phOk " +
+        s"sigBytes=${shrunk35("sigs")._1}->${shrunk35("sigs")._2} => " +
+        (if (lens35 == Seq(32) && packOk && neg35 == 0 && over35 == 0 &&
+          bytes35 > 0 && phOk) "OK" else "BROKEN"))
+    }
+
     spark.stop()
   }
 }

@@ -1182,14 +1182,17 @@ object Corpus {
     // measured as the late-round wall cliff in TrainerScale)
     val where =
       new java.util.HashMap[java.lang.Long, java.util.HashSet[Integer]]()
-    val cmp = new java.util.Comparator[(Long, Long)] {
-      def compare(x: (Long, Long), y: (Long, Long)): Int = {
+    // queue entries carry the pair STRING so count-tie compares (the
+    // common case late in training, when many pairs share small counts)
+    // are a direct compareTo, not two cache lookups per tree-descent step
+    val cmp = new java.util.Comparator[(Long, Long, String)] {
+      def compare(x: (Long, Long, String), y: (Long, Long, String)): Int = {
         val c = java.lang.Long.compare(y._1, x._1) // count DESC
         if (c != 0) c
-        else pstr(x._2).compareTo(pstr(y._2)) // then pair string ASC
+        else x._3.compareTo(y._3) // then pair string ASC
       }
     }
-    val queue = new java.util.TreeSet[(Long, Long)](cmp)
+    val queue = new java.util.TreeSet[(Long, Long, String)](cmp)
     def mark(pair: java.lang.Long, idx: Int): Unit = {
       var set = where.get(pair)
       if (set == null) {
@@ -1217,7 +1220,8 @@ object Corpus {
     val init = counts.entrySet().iterator()
     while (init.hasNext) {
       val e = init.next()
-      queue.add((e.getValue.longValue(), e.getKey.longValue()))
+      queue.add((e.getValue.longValue(), e.getKey.longValue(),
+        pstr(e.getKey.longValue())))
     }
     val ledger = Seq.newBuilder[(Int, String, Long)]
     var r = 1
@@ -1229,7 +1233,7 @@ object Corpus {
         queue.remove(top)
         val picked = top._2
         val c = top._1
-        ledger += ((r, pstr(picked), c))
+        ledger += ((r, top._3, c))
         if (sys.env.contains("GRAFT_BPE_TRACE")) {
           val m = where.get(java.lang.Long.valueOf(picked))
           System.err.println(s"BPETRACE r=$r pair='${pstr(picked)}' c=$c " +
@@ -1316,13 +1320,14 @@ object Corpus {
           val e = it.next()
           val d = e.getValue.longValue()
           val cur = counts.get(e.getKey)
+          val ps = pstr(e.getKey.longValue())
           if (cur != null)
-            queue.remove((cur.longValue(), e.getKey.longValue()))
+            queue.remove((cur.longValue(), e.getKey.longValue(), ps))
           val nx = (if (cur == null) 0L else cur.longValue()) + d
           if (nx <= 0L) counts.remove(e.getKey)
           else {
             counts.put(e.getKey, java.lang.Long.valueOf(nx))
-            queue.add((nx, e.getKey.longValue()))
+            queue.add((nx, e.getKey.longValue(), ps))
           }
         }
         r += 1
