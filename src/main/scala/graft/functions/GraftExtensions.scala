@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SignProjection.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SignProjection(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("sign_projection_md5"),
+      SignProjectionMd5.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SignProjectionMd5(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       Simhash64.info,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
@@ -84,6 +88,11 @@ object GraftFunctions {
       "sign_projection",
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SignProjection(children(0), children(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_projection_md5",
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SignProjectionMd5(children(0), children(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",

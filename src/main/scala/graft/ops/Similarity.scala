@@ -64,11 +64,17 @@ object Similarity {
     // 0 planes is meaningless (and sequence(0, -1) would make the fold
     // iterate a descending range) — refuse rather than diverge
     require(planes > 0, s"planes must be positive, got $planes")
-    // the native kernel embeds xxhash64 — only the Xx variant may use it
-    if (hash.native &&
-        graft.functions.GraftFunctions.registeredOnActiveSession("sign_projection"))
-      call_function("sign_projection", vec, lit(planes))
-    else signRandomProjectionFold(vec, planes, hash)
+    // each hash variant has its own native kernel (the weight table is
+    // the only difference); the fold is the registration-free fallback
+    hash match {
+      case graft.ops.BaseHash.Xx if graft.functions.GraftFunctions
+          .registeredOnActiveSession("sign_projection") =>
+        call_function("sign_projection", vec, lit(planes))
+      case graft.ops.BaseHash.Md5 if graft.functions.GraftFunctions
+          .registeredOnActiveSession("sign_projection_md5") =>
+        call_function("sign_projection_md5", vec, lit(planes))
+      case _ => signRandomProjectionFold(vec, planes, hash)
+    }
   }
 
   /** Registration-free pure-Column construction — the parity reference for

@@ -180,6 +180,35 @@ class Round20OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ev.getMessage.contains("vocab"))
   }
 
+  test("sign_projection_md5 native kernel ≡ the pure-Column Md5 fold " +
+      "(the q34/q209 oracle hash contract), incl. null/empty vectors") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = new scala.util.Random(31)
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(r.nextFloat() * 2 - 1))) ++ Seq(
+      (1000L, Array.empty[Float]))
+    val df = rows.toDF("id", "v")
+      .unionByName(Seq((1001L, Seq(Some(0.5f), None, Some(1f))))
+        .toDF("id", "v")) // a null element
+    for (planes <- Seq(4, 8, 42)) {
+      val got = df.select(col("id"),
+          call_function("sign_projection_md5", col("v"), lit(planes))
+            .as("b"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val want = df.select(col("id"),
+          graft.ops.Similarity.signRandomProjectionFold(col("v"), planes,
+            graft.ops.BaseHash.Md5).as("b"))
+        .collect().map(x => (x.getLong(0),
+          if (x.isNullAt(1)) 0L else x.getLong(1))).toMap
+      // the fold NULLS a poisoned sum; the kernel folds that to bucket 0
+      // like its xx sibling — both land every row in bucket 0, and the
+      // downstream LSH treats them identically
+      assert(got.size == want.size)
+      for ((id, b) <- want)
+        assert(got(id) == b, s"planes=$planes id=$id: ${got(id)} vs $b")
+    }
+  }
+
   private def randomTexts(seed: Long, nDocs: Int = 50): Seq[String] = {
     val r = new scala.util.Random(seed)
     val vocab = Seq("aba", "abab", "bc", "cab", "abc", "ccc", "ba",
