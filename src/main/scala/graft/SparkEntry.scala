@@ -981,15 +981,21 @@ object SparkEntry {
       // the LAST inch of tokenize→pack — the artifact a pretraining
       // loader memory-maps: the full corpus encoded under the stored
       // tokenizer, each shard's id streams concatenated across document
-      // boundaries (q206's assignment), emitted as fixed-64 `array<int>`
-      // rows with the per-shard tail remainder dropped; the arrays
-      // themselves replay in DuckDB (ordered list aggregation), so the
-      // oracle hashes every id in every sequence
+      // boundaries (q206's assignment), fixed-64 sequences with the
+      // per-shard tail remainder dropped. packTokenIds keeps its
+      // `array<int>` API (the right shape for a loader); the GATE emits
+      // the arrays posexploded to (shard, seq_ix, pos, token_id) scalar
+      // rows because the driver's comparison harness sorts result frames
+      // with pandas, which cannot hash an array column (r20: q210 `err`,
+      // `unhashable type: 'numpy.ndarray'`). Identical information
+      // content — every id of every sequence still hashes.
       val docs = Testbed.graph(s, dir).collection("documents")
       val path = bpeStorePath(s, docs, dir)
       sources.BpeStore.packTokenIds(s, path, docs, "doc_id", "text",
           seqLen = 64, nShards = 8)
-        .orderBy("shard", "seq_ix")
+        .select(col("shard"), col("seq_ix"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .orderBy("shard", "seq_ix", "pos")
     }),
     "q208_pretrain_build" -> ((s, dir) => {
       // THE composed pretraining data build, end to end as ONE Catalyst
@@ -6747,8 +6753,10 @@ object SparkEntry {
   /** q210: the packed fixed-length sequences themselves — per-doc token
     * ids (the q205 id assignment over the full corpus), per-shard start
     * offsets (the q206/q70 pack window), global position = start + pos,
-    * then ORDERED list aggregation per (shard, floor(gpos/64)) with the
-    * per-shard sub-64 tail dropped. Every id of every sequence hashes. */
+    * emitted as exploded scalar rows (shard, seq_ix = gpos // 64,
+    * pos = gpos % 64, token_id) with the per-shard sub-64 tail dropped —
+    * the same information as the fixed-64 arrays (every id of every
+    * sequence hashes) in a shape the driver's pandas sort can handle. */
   private lazy val BpePackIdsOracleSql =
     s"""${bpeEncodeOracleCtes("")},
        pid AS (
@@ -6769,14 +6777,16 @@ object SparkEntry {
                 pid.token_id
          FROM pid JOIN pst USING (doc_id)),
        pseq AS (
-         SELECT shard, gpos // 64 AS seq_ix,
-                list(token_id ORDER BY gpos) AS token_ids,
-                count(*) AS n
+         SELECT shard, gpos // 64 AS seq_ix, count(*) AS n
          FROM pg GROUP BY shard, gpos // 64)
-       SELECT CAST(shard AS BIGINT) AS shard,
-              CAST(seq_ix AS BIGINT) AS seq_ix, token_ids
-       FROM pseq WHERE n = 64
-       ORDER BY shard, seq_ix"""
+       SELECT CAST(pg.shard AS BIGINT) AS shard,
+              CAST(pg.gpos // 64 AS BIGINT) AS seq_ix,
+              CAST(pg.gpos % 64 AS INT) AS pos,
+              pg.token_id
+       FROM pg JOIN pseq
+         ON pseq.shard = pg.shard AND pseq.seq_ix = pg.gpos // 64
+       WHERE pseq.n = 64
+       ORDER BY 1, 2, 3"""
 
   /** q211: the byte-fallback encode replayed — learn chain + vocabulary
     * from the even-id sample (the v3 store's train recipe), the apply

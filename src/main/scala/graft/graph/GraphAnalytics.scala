@@ -368,12 +368,25 @@ object GraphAnalytics {
     // powerIteration inner loop with the division dropped.
     def fan(state: org.apache.spark.rdd.RDD[Array[Double]],
         adj: org.apache.spark.rdd.RDD[AdjArr]) = {
+      // primitive pre-combine ([[MsgCombine]], see powerIteration.next):
+      // one allocation-free probe per edge instead of boxed tuples
       val contribs = state.zipPartitions(adj) { (sit, ait) =>
         val s = sit.next()
         val a = ait.next()
-        Iterator.range(0, s.length)
-          .filter(i => a.nbrs(i) != null && s(i) != 0.0)
-          .flatMap { i => val v = s(i); a.nbrs(i).iterator.map((_, v)) }
+        val m = new MsgCombine.LongDoubleSum(1 << 12)
+        var flushed = List.empty[Iterator[(Long, Double)]]
+        var i = 0
+        while (i < s.length) {
+          val nb = a.nbrs(i)
+          if (nb != null && s(i) != 0.0) {
+            val v = s(i)
+            var j = 0
+            while (j < nb.length) { m.add(nb(j), v); j += 1 }
+            if (m.size >= MsgCombine.FlushEntries) flushed ::= m.drain()
+          }
+          i += 1
+        }
+        (m.drain() :: flushed).iterator.flatten
       }.reduceByKey(p, _ + _)
       contribs.zipPartitions(vi) { (cit, ait) =>
         val a = ait.next()
@@ -586,13 +599,27 @@ object GraphAnalytics {
     lbl.count()
     var sinceCkpt = 0
     (1 to rounds).foreach { _ =>
+      // primitive (dst, label) → tally pre-combine ([[MsgCombine]]): the
+      // nested-tuple ((dst, lb), 1L) stream allocated five boxed objects
+      // per edge message; the map probe is allocation-free and, past
+      // round 1 (labels coalesce), also shrinks the shuffled stream. The
+      // flush cap keeps per-task state bounded — the r20 spill lesson —
+      // and the reduceByKey re-combines partial drains exactly.
       val counted = lbl.zipPartitions(adj) { (lit, ait) =>
         val l = lit.next()
         val a = ait.next()
-        Iterator.range(0, l.length).flatMap { i =>
+        val m = new MsgCombine.Long2Count(1 << 12)
+        var flushed = List.empty[Iterator[((Long, Long), Long)]]
+        var i = 0
+        while (i < l.length) {
           val lb = l(i)
-          a.nbrs(i).iterator.map(dst => ((dst, lb), 1L))
+          val nb = a.nbrs(i)
+          var j = 0
+          while (j < nb.length) { m.add(nb(j), lb, 1L); j += 1 }
+          if (m.size >= MsgCombine.FlushEntries) flushed ::= m.drain()
+          i += 1
         }
+        (m.drain() :: flushed).iterator.flatten
       }.reduceByKey(pFine, _ + _)
       // per dst: max count, tie -> min label id (total, deterministic) —
       // an ordinary combinable reduce, landed on adj's partitioner so
@@ -994,13 +1021,27 @@ object GraphAnalytics {
       val acc = sc.longAccumulator
       // delta fan-out: only vertices whose label changed last round
       // notify their neighbors
+      // primitive min pre-combine ([[MsgCombine]], see powerIteration
+      // .next): one allocation-free probe per offer instead of boxed
+      // tuples; the downstream reduceByKey min re-combines across
+      // flushes/partitions, so partial drains are correct
       val fanOut = state.zipPartitions(symArr) { (sit, ait) =>
         val (lab, chg) = sit.next()
         val a = ait.next()
-        Iterator.range(0, lab.length).filter(chg(_)).flatMap { i =>
-          val l = lab(i)
-          a.nbrs(i).iterator.map((_, l))
+        val m = new MsgCombine.LongLongMin(1 << 12)
+        var flushed = List.empty[Iterator[(Long, Long)]]
+        var i = 0
+        while (i < lab.length) {
+          if (chg(i)) {
+            val l = lab(i)
+            val nb = a.nbrs(i)
+            var j = 0
+            while (j < nb.length) { m.add(nb(j), l); j += 1 }
+            if (m.size >= MsgCombine.FlushEntries) flushed ::= m.drain()
+          }
+          i += 1
         }
+        (m.drain() :: flushed).iterator.flatten
       }
       // pointer jumping asks label l's partition for l's own label and
       // routes the answer back — two shuffles, only in gated rounds
@@ -1147,14 +1188,31 @@ object GraphAnalytics {
     // no per-iteration tuple stream over the vertex set, no hash-map
     // builds, no serialized-cache churn; delta checks zip arrays.
     def next(ranks: org.apache.spark.rdd.RDD[Array[Double]]) = {
+      // Per-edge contributions pre-combined in a primitive map
+      // ([[MsgCombine]]): the generic flatMap-tuples path allocated three
+      // boxed objects per edge message and dominated the kernel's CPU;
+      // here an edge is one allocation-free array probe, and only the
+      // combined (≤ V per partition, flush-capped) entries box into the
+      // reduceByKey. Zero-rank vertices fan nothing — a receiver with no
+      // message scatters to the same 0.0 the explicit (dst, 0.0) sum
+      // produced (matters for PPR, where most ranks ARE zero early).
       val contribs = ranks.zipPartitions(vi) { (rit, ait) =>
         val r = rit.next() // exactly one array per partition
         val a = ait.next()
-        Iterator.range(0, r.length).filter(a.nbrs(_) != null).flatMap { i =>
+        val m = new MsgCombine.LongDoubleSum(1 << 12)
+        var flushed = List.empty[Iterator[(Long, Double)]]
+        var i = 0
+        while (i < r.length) {
           val dsts = a.nbrs(i)
-          val share = r(i) / dsts.length
-          dsts.iterator.map((_, share))
+          if (dsts != null && r(i) != 0.0) {
+            val share = r(i) / dsts.length
+            var j = 0
+            while (j < dsts.length) { m.add(dsts(j), share); j += 1 }
+            if (m.size >= MsgCombine.FlushEntries) flushed ::= m.drain()
+          }
+          i += 1
         }
+        (m.drain() :: flushed).iterator.flatten
       }.reduceByKey(p, _ + _) // the iteration's one shuffle, map-side combined
       contribs.zipPartitions(vi) { (cit, ait) =>
         val a = ait.next()

@@ -45,11 +45,22 @@ for name, sql in sorted(oracle.items()):
     elif len(g) == 0:
         pass  # both empty: equal
     else:
-        gs = g.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().values
-        ws = w.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().values
-        diff = [(a, b) for a, b in zip(gs, ws) if a != b]
-        if diff:
-            status, detail = "VALS", f"first diff spark={diff[0][0]!r} duck={diff[0][1]!r}"
+        # Reproduce the DRIVER's comparison sort first: pandas sort_values
+        # on the RAW columns. An output type pandas cannot lexsort (e.g.
+        # an array<...> column, r20's q210) fails HERE exactly as it fails
+        # at the driver, instead of slipping through the stringified sort
+        # below (the r20 selfcheck/driver fidelity gap).
+        try:
+            g.sort_values(by=list(g.columns))
+            w.sort_values(by=list(w.columns))
+        except TypeError as e:
+            status, detail = "SORT", f"driver-style sort failed: {e}"
+        if status == "OK":
+            gs = g.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().values
+            ws = w.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().values
+            diff = [(a, b) for a, b in zip(gs, ws) if a != b]
+            if diff:
+                status, detail = "VALS", f"first diff spark={diff[0][0]!r} duck={diff[0][1]!r}"
     if status == "OK":
         ok += 1
         print(f"OK    {name} ({len(g)} rows)")
