@@ -48,7 +48,14 @@ object Prof21 {
             val m = i.taskMetrics
             val wall = (for {a <- i.submissionTime; b <- i.completionTime}
               yield b - a).getOrElse(-1L)
-            stages.add(St(i.name.take(140), wall, m.executorRunTime,
+            // the short name of a SQL stage is a generic lambda frame;
+            // the first graft.* line of the long-form callsite identifies
+            // which operator built the stage's RDD
+            val site = i.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("Prof21"))
+              .map(_.trim.take(90)).getOrElse("")
+            stages.add(St((i.name.takeWhile(_ != '$') + " " + site).take(150),
+              wall, m.executorRunTime,
               m.inputMetrics.bytesRead / 1e6,
               m.shuffleWriteMetrics.bytesWritten / 1e6,
               m.shuffleReadMetrics.totalBytesRead / 1e6, i.numTasks))

@@ -509,8 +509,14 @@ object SparkEntry {
       .select(col("id_a").as("doc_id")).distinct()
     val semClean = spanClean.join(broadcast(dirtySem),
       Seq("doc_id"), "left_anti")
-    val scored = semClean.select(col("doc_id"), col("source"),
-      ops.TextOps.tokenCount(col("text")).as("n_tokens"), col("text"))
+    // staged: aboveQuantile consumes its input TWICE (once for the
+    // median aggregate, once as the filter probe) — without staging the
+    // whole dedup→decontaminate→semantic-screen chain above ran twice
+    // per evaluation (r21 plan audit: the chain's operators appeared
+    // duplicated in the q208/q209 physical plans, ~half the gates' CPU)
+    val scored = graft.core.Lifecycle.stage(
+      semClean.select(col("doc_id"), col("source"),
+        ops.TextOps.tokenCount(col("text")).as("n_tokens"), col("text")))
     val gated = ops.Corpus.aboveQuantile(scored, col("n_tokens"), 0.5)
     val mixed = ops.Corpus.tokenBudgetSample(gated, Seq(col("source")),
       Seq(col("doc_id")), col("n_tokens"), budget = 600L)

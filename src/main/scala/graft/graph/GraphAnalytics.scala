@@ -1020,28 +1020,20 @@ object GraphAnalytics {
     while (changed > 0) {
       val acc = sc.longAccumulator
       // delta fan-out: only vertices whose label changed last round
-      // notify their neighbors
-      // primitive min pre-combine ([[MsgCombine]], see powerIteration
-      // .next): one allocation-free probe per offer instead of boxed
-      // tuples; the downstream reduceByKey min re-combines across
-      // flushes/partitions, so partial drains are correct
+      // notify their neighbors. Deliberately NOT [[MsgCombine]]
+      // pre-combined (unlike the PR/HITS/LPA fans): min-offers here have
+      // a ~1:1 within-partition combine ratio — each dst receives its
+      // offers spread across partitions, so the primitive map paid its
+      // probes and drains without shrinking the stream (measured r21:
+      // CC CPU 82 → 100 s/rep with the pre-combiner, reverted; the
+      // lazy tuple stream feeds reduceByKey's own map-side combiner).
       val fanOut = state.zipPartitions(symArr) { (sit, ait) =>
         val (lab, chg) = sit.next()
         val a = ait.next()
-        val m = new MsgCombine.LongLongMin(1 << 12)
-        var flushed = List.empty[Iterator[(Long, Long)]]
-        var i = 0
-        while (i < lab.length) {
-          if (chg(i)) {
-            val l = lab(i)
-            val nb = a.nbrs(i)
-            var j = 0
-            while (j < nb.length) { m.add(nb(j), l); j += 1 }
-            if (m.size >= MsgCombine.FlushEntries) flushed ::= m.drain()
-          }
-          i += 1
+        Iterator.range(0, lab.length).filter(chg(_)).flatMap { i =>
+          val l = lab(i)
+          a.nbrs(i).iterator.map((_, l))
         }
-        (m.drain() :: flushed).iterator.flatten
       }
       // pointer jumping asks label l's partition for l's own label and
       // routes the answer back — two shuffles, only in gated rounds

@@ -72,7 +72,11 @@ object Corpus {
       if (OpsUtil.broadcastGate("contamination", "evalGrams",
           evalGrams.count(), maxBroadcastGrams)) broadcast(evalGrams)
       else evalGrams
-    val trainGrams = train.select(col(idCol),
+    // widen: per-row gram materialization is the CPU of this op, and the
+    // train side often arrives as "small scan ⋈ broadcast survivors"
+    // chains whose partition count is the scan's (measured r21: q208's
+    // gram stage was one ~2.7 s task on a 32-core session)
+    val trainGrams = OpsUtil.widen(train).select(col(idCol),
       explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
     trainGrams.join(evalSide, "gram")
       .groupBy(idCol)

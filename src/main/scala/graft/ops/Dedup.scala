@@ -703,7 +703,7 @@ object Dedup {
       k: Int, w: Int, hash: BaseHash = BaseHash.Xx): DataFrame = {
     require(k >= 2, s"gram size k must be >= 2, got $k")
     require(w >= 2, s"window w must be >= 2, got $w")
-    docs.filter(col(textCol).isNotNull &&
+    OpsUtil.widen(docs).filter(col(textCol).isNotNull &&
         length(col(textCol)) >= k)
       .select(col(idCol).cast("long").as("id"),
         transform(sequence(lit(1), length(col(textCol)) - (k - 1)),
@@ -889,7 +889,10 @@ object Dedup {
     // per-window allocation) instead of per-window substr + hex churn
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
-    val live = docs
+    // widen: stride-1 window hashing is ~n_chars digests per doc and the
+    // candidate-doc form arrives as "scan ⋈ broadcast ids" (single-split
+    // partitioning) — spread it before paying the kernel
+    val live = OpsUtil.widen(docs)
       .filter(col(textCol).isNotNull && length(col(textCol)) >= k)
     val windowed =
       if (hash == BaseHash.Md5 && graft.functions.GraftFunctions

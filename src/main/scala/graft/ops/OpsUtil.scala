@@ -83,20 +83,41 @@ private[graft] object OpsUtil {
     * the heaviest stage twice. The narrow-scan case probes `.rdd` safely
     * (no stages to run, lineage only). */
   def widen(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // logical-plan check (an AQE physical plan hides its exchanges inside
-    // the adaptive wrapper): any shuffle-inducing operator upstream means
-    // the rows are already spread over the session's shuffle partitions
-    val hasShuffle = df.queryExecution.optimizedPlan.exists {
-      case _: Join | _: Aggregate | _: Window | _: Deduplicate => true
-      case r: Repartition => r.shuffle // coalesce(n) NARROWS — not a spread
-      case _: RepartitionByExpression => true
-      case s: Sort if s.global => true
-      case _ => false
+    // Physical-plan check on the STATICALLY planned tree (sparkPlan — the
+    // pre-AQE plan, so inspecting it runs nothing): a ShuffleExchange
+    // upstream means the rows are already spread over the session's
+    // shuffle partitions. The r20 logical-plan heuristic refused on ANY
+    // Join/Aggregate — but broadcast joins do NOT spread their stream
+    // side, so a CPU-heavy kernel over "small scan ⋈ broadcast …" chains
+    // (decontaminate over dedup survivors, spans over candidate docs)
+    // serialized on the scan's single split (measured r21: the q194
+    // winnow stage was ONE 4.2 s task on a 32-core session).
+    // For exchange-free plans the output partition count is derivable
+    // without running anything: leaves know their partition count from
+    // planning (file splits / RDD partitions); broadcast joins pass
+    // through their streamed side; unions sum.
+    def outParts(plan: SparkPlan): Int = plan match {
+      case j: BroadcastHashJoinExec =>
+        outParts(if (j.buildSide == BuildRight) j.left else j.right)
+      case j: BroadcastNestedLoopJoinExec =>
+        outParts(if (j.buildSide == BuildRight) j.left else j.right)
+      case u: UnionExec => u.children.map(outParts).sum
+      case l: LeafExecNode => l.execute().getNumPartitions
+      case o if o.children.nonEmpty => o.children.map(outParts).max
+      case _ => Int.MaxValue
     }
-    if (hasShuffle) df
-    else if (df.rdd.getNumPartitions < p) df.repartition(p)
-    else df
+    val narrow =
+      try {
+        val plan = df.queryExecution.sparkPlan
+        if (plan.exists(_.isInstanceOf[ShuffleExchangeLike])) -1
+        else outParts(plan)
+      } catch { case scala.util.control.NonFatal(_) => -1 }
+    if (narrow >= 0 && narrow < p) df.repartition(p) else df
   }
 }
