@@ -55,6 +55,20 @@ object Lifecycle {
       spark.conf.set("spark.graft.graph.checkpointRounds", n)
       println(s"[graft] graph.checkpointRounds=$n (env)")
     }
+    // AQE coalesces post-shuffle partitions by BYTES with a 1 MB floor
+    // (spark.sql.adaptive.coalescePartitions.minPartitionSize). That is
+    // right for byte-bound stages but serializes CPU-DENSE per-row work
+    // (candidate-pair verification: sorted-set intersections, vector
+    // rescoring) whenever the pair stream is byte-small — measured r21:
+    // the cross-minhash verify stage ran its 2.4 s of intersect CPU on
+    // TWO tasks of a 32-core session because 232k pairs compress to
+    // ~2.7 MB. Lowering the floor lets AQE keep up to the session's
+    // parallelism for small stages; it NEVER increases partition counts
+    // beyond the pre-coalesce number, and at production scale
+    // (bytes/partition >> 1 MB) the setting is inert, so cluster plans
+    // are unchanged. Env-overridable for sweeps.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
   }
 
   private def mode(df: DataFrame): String = {

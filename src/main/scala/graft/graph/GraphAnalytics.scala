@@ -583,16 +583,12 @@ object GraphAnalytics {
     val adj = toAdjArr(sym.select(col("a"), col("b"))
       .rdd.map((r: Row) => (r.getLong(0), r.getLong(1)))
       .groupByKey(p).mapValues(_.toArray)) // persists itself
-    // the (dst, label) count shuffle gets its OWN finer partitioner:
-    // its reduce-side state is distinct pairs (≈ E early rounds, far
-    // more than the V-sized frames p is sized for), and a 10× probe
-    // showed the aligned-partitioning single-shuffle design spilling
-    // its per-partition combine maps (wall 24.5× for linear bytes).
-    // Fine-grained counting + a map-side-combined best-pick reduce
-    // (≤ V records per map partition) keeps both stages spill-free.
-    val pFine = new org.apache.spark.HashPartitioner(
-      math.max(p.numPartitions,
-        math.min(4096L, edgeCount / 1000000L + 1).toInt))
+    // (the r19 design gave the (dst,label) count shuffle its own finer
+    // HASH partitioner because its hash-map reduce state was distinct-
+    // pair-sized and spilled at 10×; the round below now merges tallies
+    // in a SORT-based shuffle — O(1) streaming reduce state — so the
+    // spill-safety argument holds on p itself and the second, re-keyed
+    // best-pick shuffle is gone)
     val DESER = StorageLevel.MEMORY_AND_DISK
     var lbl = adj.mapPartitions(_.map(a => a.keys.clone()), // own id
       preservesPartitioning = false).persist(DESER)
@@ -605,7 +601,7 @@ object GraphAnalytics {
       // round 1 (labels coalesce), also shrinks the shuffled stream. The
       // flush cap keeps per-task state bounded — the r20 spill lesson —
       // and the reduceByKey re-combines partial drains exactly.
-      val counted = lbl.zipPartitions(adj) { (lit, ait) =>
+      val partials = lbl.zipPartitions(adj) { (lit, ait) =>
         val l = lit.next()
         val a = ait.next()
         val m = new MsgCombine.Long2Count(1 << 12)
@@ -620,15 +616,49 @@ object GraphAnalytics {
           i += 1
         }
         (m.drain() :: flushed).iterator.flatten
-      }.reduceByKey(pFine, _ + _)
-      // per dst: max count, tie -> min label id (total, deterministic) —
-      // an ordinary combinable reduce, landed on adj's partitioner so
-      // the scatter below is shuffle-free
-      val next = counted
-        .map { case ((dst, lb), c) => (dst, (c, lb)) }
-        .reduceByKey(p, (x, y) =>
-          if (x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)) x else y)
-        .mapValues(_._2)
+      }
+      // ONE sort-based shuffle per round (was two: a (dst,label)→count
+      // reduceByKey on pFine, then a re-keyed best-pick reduceByKey on
+      // p). Partition by dst's p-slot, sort by (dst, label): same-key
+      // partial tallies from different map partitions land adjacent, so
+      // one streaming pass merges run tallies AND picks each dst's
+      // (max count, tie → min label) winner with O(1) state — the sort
+      // shuffle spills gracefully, so the r20 lesson (bounded reduce
+      // state, why pFine existed) still holds without the second
+      // exchange. Ascending label order makes "first run with the max
+      // tally" exactly the reduceByKey tie-break. Output is placed by
+      // p.getPartition(dst), so the scatter zip below stays co-located.
+      val dstP = new org.apache.spark.Partitioner {
+        def numPartitions: Int = p.numPartitions
+        def getPartition(key: Any): Int =
+          p.getPartition(key.asInstanceOf[(Long, Long)]._1)
+      }
+      val next = new org.apache.spark.rdd.OrderedRDDFunctions[
+          (Long, Long), Long, ((Long, Long), Long)](partials)
+        .repartitionAndSortWithinPartitions(dstP)
+        .mapPartitions({ it =>
+          new Iterator[(Long, Long)] {
+            private var cur: ((Long, Long), Long) =
+              if (it.hasNext) it.next() else null
+            def hasNext: Boolean = cur != null
+            def next(): (Long, Long) = {
+              val dst = cur._1._1
+              var bestLb = cur._1._2
+              var bestC = 0L
+              // consume this dst's sorted (label, tally) runs
+              while (cur != null && cur._1._1 == dst) {
+                val lb = cur._1._2
+                var c = 0L
+                while (cur != null && cur._1._1 == dst && cur._1._2 == lb) {
+                  c += cur._2
+                  cur = if (it.hasNext) it.next() else null
+                }
+                if (c > bestC) { bestC = c; bestLb = lb }
+              }
+              (dst, bestLb)
+            }
+          }
+        }, preservesPartitioning = true)
         .zipPartitions(adj, lbl) { (nit, ait, lit) =>
           val a = ait.next()
           val out = lit.next().clone()
@@ -720,8 +750,10 @@ object GraphAnalytics {
           "left_anti")
         .withColumn("d", lit(r))
         .transform(graft.core.Lifecycle.stage(_))
+      // union of already-checkpointed round frames — shallow lineage, so
+      // re-checkpointing the whole dist set per round wrote O(V·k·rounds)
+      // for nothing (r21)
       dist = dist.unionByName(next)
-        .transform(graft.core.Lifecycle.stage(_))
       frontier = next
     }
     dist.filter(col("d") >= 1)

@@ -877,7 +877,8 @@ object Dedup {
   }
 
   /** Stride-1 k-char window hashes `(id, pos, h)` with the corpus-wide
-    * occurrence cap applied, staged (consumed twice by the span join). */
+    * occurrence cap applied (hot-hash anti-join; recomputed per consumer
+    * rather than staged — see the body comment). */
   private[graft] def spanWindows(docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxOccurrences: Int, hash: BaseHash): DataFrame = {
     require(k >= 4, s"window size k must be >= 4, got $k")
@@ -888,7 +889,6 @@ object Dedup {
     // digest-direct window pass (one char-boundary scan per doc, zero
     // per-window allocation) instead of per-window substr + hex churn
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
     // widen: stride-1 window hashing is ~n_chars digests per doc and the
     // candidate-doc form arrives as "scan ⋈ broadcast ids" (single-split
     // partitioning) — spread it before paying the kernel
@@ -910,9 +910,34 @@ object Dedup {
               .as("_ws"))
           .select(col("id"), explode(col("_ws")).as("_w"))
           .select(col("id"), col("_w.pos").as("pos"), col("_w.h").as("h"))
-    graft.core.Lifecycle.stage(windowed
-      .withColumn("_n", count(lit(1)).over(w.partitionBy("h")))
-      .filter(col("_n") <= maxOccurrences).drop("_n"))
+    // Occurrence cap as a HOT-HASH anti-join instead of a `count() over
+    // (partition by h)` window: the window formulation exchanged the
+    // ENTIRE (id, pos, h) stream (~n_chars rows) just to compute per-hash
+    // counts, where a groupBy(h) count is map-side combined (distinct-h
+    // partials cross the wire) and the over-cap set is small by
+    // construction (≤ windows/cap rows; template chrome). The anti probe
+    // then stays narrow. Gate the broadcast on the hot-set count — the
+    // shuffled anti-join fallback is the old exchange shape, so scale
+    // behavior is never worse. Results identical: same per-hash corpus-
+    // wide count, same `<= maxOccurrences` keep rule. (r21: removes one
+    // of the full-stream exchanges q146/q147-150 paid. A bucketed
+    // collect_list pair generation was ALSO tried for verbatimSpans and
+    // measured SLOWER than the self-join — the ObjectHashAggregate merge
+    // outweighs the exchange it saves — so the self-join stands.)
+    // NOT staged: the window stream is a narrow per-row expansion of the
+    // text scan (fused digest-direct kernel for the Md5 form), so each
+    // consumer recomputes it from the scan instead of round-tripping a
+    // checkpoint of ~n_chars boxed rows through the storage pool — the
+    // checkpointed form was measured (r21) driving multi-hundred-MB heap
+    // churn per rep (G1 concurrent-cycle CPU spikes, the q146 rep-to-rep
+    // 3-7x CPU variance) for a stream that costs ~1 s to recompute.
+    val hot = windowed.groupBy(col("h"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxOccurrences)
+      .select(col("h"))
+    val hint = OpsUtil.gatedHint("spanWindows", "over-cap hashes", hot,
+      maxRows = 4000000L)
+    windowed.join(hint(hot), Seq("h"), "left_anti")
   }
 
   /** Diagonal island merge: matched window positions

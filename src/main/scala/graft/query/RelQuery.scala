@@ -290,6 +290,23 @@ object RelQueryPlanner {
       .select(col("anchor_key").as("origin"), col("anchor_key").as("key"),
         lit(0).as("hops"))
       .transform(graft.core.Lifecycle.stage(_))
+    // The type/direction-filtered NARROW edge pair set is identical for
+    // every hop — stage it once instead of rescanning the full edge
+    // frame (with its payload columns) per hop (measured r21: q75 read
+    // the 175 MB edge parquet once per hop; this is the ShortestPath
+    // per-call projection-cache discipline applied here).
+    def side(toSide: Boolean) = g.edgesKeyedBy(toSide).alias("r")
+      .filter(DocGraph.typeFilter(q.types))
+      .filter(q.whereRelationship.map(expr).getOrElse(lit(true)))
+    val out = () => side(toSide = false)
+      .select(col("_from").as("key"), col("_to").as("other_key"))
+    val in = () => side(toSide = true)
+      .select(col("_to").as("key"), col("_from").as("other_key"))
+    val dirEdges = (q.direction match {
+      case Direction.Outgoing => out()
+      case Direction.Incoming => in()
+      case Direction.Both     => out().unionByName(in())
+    }).distinct().transform(graft.core.Lifecycle.stage(_))
     var visited = start
     var frontier = start.select("origin", "key")
     var hop = 0
@@ -298,9 +315,8 @@ object RelQueryPlanner {
       hop += 1
       // one edge expansion per DISTINCT frontier node, fanned back out to
       // (origin, node) pairs — overlapping neighborhoods pay once
-      val stepped = matchEdgesForAnchors(g,
-        frontier.select(col("key").as("anchor_key")).distinct(), q)
-        .select(col("anchor_key").as("key"), col("other_key")).distinct()
+      val stepped = dirEdges
+        .join(frontier.select(col("key")).distinct(), Seq("key"))
       val next = frontier.join(stepped, Seq("key"))
         .select(col("origin"), col("other_key").as("key")).distinct()
         .join(visited.select("origin", "key"), Seq("origin", "key"),
@@ -308,8 +324,10 @@ object RelQueryPlanner {
         .transform(graft.core.Lifecycle.stage(_))
       if (next.count() == 0) exhausted = true
       else {
+        // visited = union of already-checkpointed hop frames: the union's
+        // lineage is shallow (checkpoint scans), so re-checkpointing the
+        // whole visited set per hop bought nothing and wrote O(V·hops)
         visited = visited.unionByName(next.withColumn("hops", lit(hop)))
-          .transform(graft.core.Lifecycle.stage(_))
         frontier = next
       }
     }
