@@ -62,13 +62,17 @@ object Lifecycle {
     // rescoring) whenever the pair stream is byte-small — measured r21:
     // the cross-minhash verify stage ran its 2.4 s of intersect CPU on
     // TWO tasks of a 32-core session because 232k pairs compress to
-    // ~2.7 MB. Lowering the floor lets AQE keep up to the session's
-    // parallelism for small stages; it NEVER increases partition counts
-    // beyond the pre-coalesce number, and at production scale
-    // (bytes/partition >> 1 MB) the setting is inert, so cluster plans
-    // are unchanged. Env-overridable for sweeps.
+    // ~2.7 MB. Lowering the floor lets AQE keep more partitions for
+    // small stages; it NEVER increases partition counts beyond the
+    // pre-coalesce number, and at production scale (bytes/partition
+    // >> 1 MB) the setting is inert, so cluster plans are unchanged.
+    // 256k, not lower: a 64k floor also multiplied the task count of
+    // genuinely tiny iterative-frame exchanges and measurably slowed
+    // the per-level BFS gates (q16 1.8 → 2.7 s at 64k, back at 256k —
+    // the density win wants ~10 tasks on a 2.7 MB verify stage, not 32
+    // tasks on every 100 KB frontier). Env-overridable for sweeps.
     spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"))
   }
 
   private def mode(df: DataFrame): String = {

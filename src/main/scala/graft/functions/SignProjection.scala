@@ -73,15 +73,19 @@ case class SignProjection(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cache = ctx.addMutableState("double[][]", "signProjCache")
     val helper = SignProjection.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (arr, k) => {
+    nullSafeCodeGen(ctx, ev, (arr, k0) => {
       val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val j = ctx.freshName("j")
       val proj = ctx.freshName("proj")
       val acc = ctx.freshName("acc")
       val hasNull = ctx.freshName("hasNull")
+      val k = ctx.freshName("kc")
       s"""
          |int $n = $arr.numElements();
+         |// clamp: match the interpreted path on negative planes (0L),
+         |// don't throw NegativeArraySizeException (r20 advice)
+         |int $k = Math.max(0, $k0);
          |if ($cache == null || $cache.length < $k ||
          |    ($k > 0 && $cache[0].length < $n)) {
          |  $cache = new double[$k][$n];

@@ -70,15 +70,20 @@ case class SignProjectionMd5(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cache = ctx.addMutableState("double[][]", "signProjMd5Cache")
     val helper = SignProjectionMd5.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (arr, k) => {
+    nullSafeCodeGen(ctx, ev, (arr, k0) => {
       val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val j = ctx.freshName("j")
       val proj = ctx.freshName("proj")
       val acc = ctx.freshName("acc")
       val hasNull = ctx.freshName("hasNull")
+      val k = ctx.freshName("kc")
       s"""
          |int $n = $arr.numElements();
+         |// clamp: a direct SQL call with negative planes must match the
+         |// interpreted path (Array.tabulate -> 0 rows -> 0L), not throw
+         |// NegativeArraySizeException from the array allocation
+         |int $k = Math.max(0, $k0);
          |if ($cache == null || $cache.length < $k ||
          |    ($k > 0 && $cache[0].length < $n)) {
          |  $cache = new double[$k][$n];

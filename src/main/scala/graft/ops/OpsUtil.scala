@@ -108,6 +108,8 @@ private[graft] object OpsUtil {
       case j: BroadcastNestedLoopJoinExec =>
         outParts(if (j.buildSide == BuildRight) j.left else j.right)
       case u: UnionExec => u.children.map(outParts).sum
+      case c: CoalesceExec => // the one narrow node that SHRINKS counts
+        math.min(outParts(c.child), math.max(c.numPartitions, 1))
       case l: LeafExecNode => l.execute().getNumPartitions
       case o if o.children.nonEmpty => o.children.map(outParts).max
       case _ => Int.MaxValue

@@ -430,7 +430,11 @@ object EventStreams {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val b = batch.toDF()
+        // within-batch dedup: an at-least-once source can repeat an id
+        // INSIDE one micro-batch, where both copies pass the landed-id
+        // anti-join — without this the docstring's "duplicates never
+        // land" contract held only across batches (r20 advice)
+        val b = batch.toDF().dropDuplicates(idCol)
         val out = new org.apache.hadoop.fs.Path(outPath)
         val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =

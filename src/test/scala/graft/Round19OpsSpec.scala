@@ -83,16 +83,33 @@ class Round19OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
         .map(_ => alphabet(r.nextInt(alphabet.length))).mkString
     }
     val df = docsDf(words.grouped(50).map(_.mkString(" ")).toSeq)
+    // structural, not wall-clock (a loaded CI host can stall any timing
+    // assertion): the loop must not run per-merge Spark jobs — the word-
+    // table aggregation plus the result build are the only actions.
+    // Asserted with a listener job counter (r20 advice: the comment used
+    // to CLAIM this check without implementing it).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
-    val n = Corpus.bpeMergesLocal(df, "doc_id", "text", rounds = 4000)
-      .count()
+    val n =
+      try {
+        val c = Corpus.bpeMergesLocal(df, "doc_id", "text", rounds = 4000)
+          .count()
+        Thread.sleep(500) // listener bus is async; let job events drain
+        c
+      } finally spark.sparkContext.removeSparkListener(listener)
     val sec = (System.nanoTime() - t0) / 1e9
     assert(n > 1000, s"expected >1000 merges before exhaustion, got $n")
-    // structural, not wall-clock (a loaded CI host can stall any timing
-    // assertion): the loop must not have run per-merge Spark jobs — one
-    // word-table aggregation is the only action. The timing stays as a
-    // logged diagnostic.
-    info(f"4000-round local training: $sec%.2f s (diagnostic only)")
+    assert(jobs.get() <= 8,
+      s"training must not run per-merge Spark jobs (bounded job count); " +
+        s"saw ${jobs.get()} jobs for $n merges")
+    info(f"4000-round local training: $sec%.2f s, ${jobs.get()} jobs")
   }
 
   test("bpeMergesLocal: the word-table collect is gated") {
