@@ -2,16 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints THREE JSON lines — a bulky diagnostics line
-  * (raw per-rep timings, error messages) first, then the full line
-  * (total + per-query medians + load), then a genuinely SHORT headline line
-  * (total, build, reps, errors, load, 3 slowest — NO per-query map, ≤300
-  * chars) absolutely LAST. The driver captures a bounded TAIL of stdout
-  * (~2.9 KB observed); rounds 5-7 lost the total because the "short" final
-  * line still embedded the full per-query medians map (~2.6 KB for 67
-  * queries) and got clipped from the front. Only a final line that is short
-  * in absolute terms — independent of query count — survives any tail
-  * window. The graph overlay is built
+  * SPARK_GRAFT_SF_DIR and prints its JSON record in SEVERAL lines — a bulky
+  * diagnostics line (raw per-rep timings, error messages) first, then the
+  * full line (total + per-query medians + load), then the per-query medians
+  * AGAIN as short (≤ ~900 byte) `queries_part` chunk lines, then a genuinely
+  * SHORT headline line (total, build, reps, errors, load, 3 slowest — NO
+  * per-query map, ≤300 chars) absolutely LAST. The driver captures a bounded
+  * TAIL of stdout (~2.9 KB observed); rounds 5-7 lost the total because the
+  * "short" final line still embedded the full per-query medians map (~2.6 KB
+  * for 67 queries) and got clipped from the front. Only a final line that is
+  * short in absolute terms — independent of query count — survives any tail
+  * window; the chunked `queries_part` lines exist so whatever tail window a
+  * reader has still yields the LAST chunks intact (each line parses on its
+  * own: {"metric":"queries_part","part":i,"of":n,"queries":{...}}), and the
+  * whole-run record is ALSO persisted to a CPU-count-stamped file (next to
+  * the "out" file) so two runs at different core counts never overwrite each
+  * other's per-query map — r21's driver could not compare per-query times
+  * because the 212-gate map only lived in the clipped stdout line and one
+  * overwritten file. The graph overlay is built
   * (and its edges materialized) once before timing — per-query numbers
   * measure query work, not ingest; the build cost is reported separately
   * as "build_sec".
@@ -427,14 +435,54 @@ object Bench {
       .map { case (k, w) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + s2(w)
       }.mkString("{", ",", "}")
-    val headline = s"""{"metric":"headline","value":${s2(total)},"unit":"sec","min_total":${s2(minTotal)},"norm_total":${s2(normTotal)},"calib":{"s":[${s2(calibBefore._1)},${s2(calibAfter._1)},$RefCalibSingle],"m":[${s2(calibBefore._2)},${s2(calibAfter._2)},$RefCalibAllCore]},"build_sec":${s2(buildSec)}$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowestShort,"out":"$outPath"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      s"$totalLine\n$detailLine\n$headline\n".getBytes("UTF-8"))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outPath: $e")
+    // CPU-count-stamped sibling of the out file: the driver runs the bench
+    // at TWO core counts back to back, and a single mutable out path meant
+    // the 32-core run's per-query map was gone by the time anyone read it
+    // (r21: PERF per_query/scaling came back empty). "out" in the headline
+    // names the stamped file — the complete, never-overwritten record.
+    val stampedPath = {
+      val dot = outPath.lastIndexOf('.')
+      if (dot > outPath.lastIndexOf('/'))
+        outPath.substring(0, dot) + s"_c$cpus" + outPath.substring(dot)
+      else outPath + s"_c$cpus"
+    }
+    val headline = s"""{"metric":"headline","value":${s2(total)},"unit":"sec","min_total":${s2(minTotal)},"norm_total":${s2(normTotal)},"calib":{"s":[${s2(calibBefore._1)},${s2(calibAfter._1)},$RefCalibSingle],"m":[${s2(calibBefore._2)},${s2(calibAfter._2)},$RefCalibAllCore]},"build_sec":${s2(buildSec)}$buildErrJson,"reps":$Reps,"errors":$nErr,"load_avg":{"before":${s2(loadBefore)},"after":${s2(loadAfter)}},"slowest":$slowestShort,"out":"$stampedPath"}"""
+    val record = s"$totalLine\n$detailLine\n$headline\n".getBytes("UTF-8")
+    Seq(outPath, stampedPath).foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p), record)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: $e")
+      }
+    }
+    // Per-query medians as SELF-CONTAINED short chunk lines, closest to the
+    // end of stdout: a bounded tail keeps the last chunks whole (each line
+    // parses alone), where the single ~8 KB totalLine at 212 gates was
+    // always clipped mid-line. Chunk size ~900 bytes stays under any
+    // plausible per-line budget while keeping the line count low.
+    val partEntries = results.map {
+      case (k, ts, _, _, _) if ts.nonEmpty =>
+        "\"" + k + "\":" + BigDecimal(median(ts))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      case (k, _, _, _, _) => "\"" + k + "\":\"err\""
+    }
+    val partChunks = {
+      val chunks = Seq.newBuilder[String]
+      var cur = new StringBuilder
+      partEntries.foreach { e =>
+        if (cur.nonEmpty && cur.length + e.length + 1 > 900) {
+          chunks += cur.result(); cur = new StringBuilder
+        }
+        if (cur.nonEmpty) cur.append(',')
+        cur.append(e)
+      }
+      if (cur.nonEmpty) chunks += cur.result()
+      chunks.result()
     }
     println(detailLine)
     println(totalLine)
+    partChunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${partChunks.length},"queries":{$c}}""")
+    }
     println(headline)
     spark.stop()
     // Re-emit the headline AFTER spark.stop(): any shutdown logging the

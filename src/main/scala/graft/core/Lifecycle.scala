@@ -55,24 +55,26 @@ object Lifecycle {
       spark.conf.set("spark.graft.graph.checkpointRounds", n)
       println(s"[graft] graph.checkpointRounds=$n (env)")
     }
-    // AQE coalesces post-shuffle partitions by BYTES with a 1 MB floor
-    // (spark.sql.adaptive.coalescePartitions.minPartitionSize). That is
-    // right for byte-bound stages but serializes CPU-DENSE per-row work
-    // (candidate-pair verification: sorted-set intersections, vector
-    // rescoring) whenever the pair stream is byte-small — measured r21:
-    // the cross-minhash verify stage ran its 2.4 s of intersect CPU on
-    // TWO tasks of a 32-core session because 232k pairs compress to
-    // ~2.7 MB. Lowering the floor lets AQE keep more partitions for
-    // small stages; it NEVER increases partition counts beyond the
-    // pre-coalesce number, and at production scale (bytes/partition
-    // >> 1 MB) the setting is inert, so cluster plans are unchanged.
-    // 256k, not lower: a 64k floor also multiplied the task count of
-    // genuinely tiny iterative-frame exchanges and measurably slowed
-    // the per-level BFS gates (q16 1.8 → 2.7 s at 64k, back at 256k —
-    // the density win wants ~10 tasks on a 2.7 MB verify stage, not 32
-    // tasks on every 100 KB frontier). Env-overridable for sweeps.
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"))
+    // AQE post-shuffle coalescing floor
+    // (spark.sql.adaptive.coalescePartitions.minPartitionSize): r21
+    // lowered it SESSION-WIDE to 256k because byte-small but CPU-dense
+    // verify stages (cross-minhash sorted-set intersections) coalesced
+    // to 1-2 tasks under the 1 MB default. The r21 driver run then showed
+    // the iterative query family (q67/q69/q75/q77/q78, many tiny
+    // per-round exchanges) 1.3-1.8× SLOWER at 32 cores — the same
+    // task-count-multiplication failure the 64k probe had already shown
+    // on q16 — so r22 restores the Spark default and puts the
+    // parallelism where the CPU is instead: the candidate-verification
+    // streams are spread at their own stage (Dedup.crossCandidatePairs
+    // streams the staged corpus prep past broadcast candidates;
+    // SignatureStore widens the stored-sigs probe scan) — the guide's
+    // own preference (§2: fix the stage, not the session). The env knob
+    // remains for A/B sweeps only; unset means Spark's default.
+    sys.env.get("SPARK_GRAFT_AQE_MIN_PARTITION").foreach { v =>
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", v)
+      println(s"[graft] aqe.minPartitionSize=$v (env)")
+    }
   }
 
   private def mode(df: DataFrame): String = {

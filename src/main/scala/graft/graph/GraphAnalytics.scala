@@ -658,7 +658,13 @@ object GraphAnalytics {
               (dst, bestLb)
             }
           }
-        }, preservesPartitioning = true)
+          // NOT preservesPartitioning: the claim would attach dstP — whose
+          // getPartition casts keys to (Long, Long) — to an RDD now keyed
+          // by bare Long; any future partitioner-consulting consumer would
+          // ClassCastException. Physical co-location (rows placed by
+          // p.getPartition(dst)) is what the zipPartitions below relies
+          // on, and that survives without the metadata claim.
+        }, preservesPartitioning = false)
         .zipPartitions(adj, lbl) { (nit, ait, lit) =>
           val a = ait.next()
           val out = lit.next().clone()

@@ -16,18 +16,24 @@ package graft.graph
   * pre-aggregation — emitting partials is always correct).
   *
   * Memory posture at scale: a map never grows past [[FlushEntries]]
-  * distinct keys (~48 MB of arrays at the cap) — when full it is
-  * drained to the output stream and reset, so per-task memory stays
-  * bounded no matter how many distinct receivers a partition's edges
-  * touch (the spill-free discipline the r20 LPA probe established:
-  * bounded combine state, never an unbounded boxed map). */
+  * distinct keys — when full it is drained to the output stream and
+  * reset, so per-task memory stays bounded no matter how many distinct
+  * receivers a partition's edges touch (the spill-free discipline the
+  * r20 LPA probe established: bounded combine state, never an unbounded
+  * boxed map). Worst-case per-instance arrays AT the cap (the table has
+  * grown to 2× the cap by then, 0.5 load factor): ~72 MB for the
+  * one-long-key maps, ~104 MB for the two-key [[Long2Count]], plus a
+  * transient drain copy — budget ~100 MB × concurrent tasks of executor
+  * headroom when sizing (32 local tasks ≈ 3 GB transient, the measured
+  * r21 posture). */
 private[graft] object MsgCombine {
 
   /** Distinct-key cap per map instance before it drains to the stream:
-    * 2^21 entries ≈ 32-48 MB of primitive arrays at the 0.5 load
-    * factor — large enough that flushes are rare below multi-million-
-    * vertex partitions, small enough that 32 concurrent tasks stay
-    * far from executor memory limits. */
+    * at 2^21 entries the backing table sits at capacity 2^22 (0.5 load
+    * factor) — ~72 MB of primitive arrays for the one-long-key maps,
+    * ~104 MB for the two-key variant (class doc) — large enough that
+    * flushes are rare below multi-million-vertex partitions, small
+    * enough that 32 concurrent tasks stay within executor headroom. */
   val FlushEntries: Int = 1 << 21
 
   private def mix(k: Long): Long = scala.util.hashing.byteswap64(k)

@@ -2,7 +2,6 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.core.DocGraph
 import graft.model.DocRef
@@ -33,9 +32,11 @@ import graft.pred.MongoPredicate.MongoQuery
   * path the forward-only formulation returned: every shortest path crosses
   * both per-level min sets, and array-min composes over concatenation.
   *
-  * Scale posture: frontier and visited sets are stage-checkpointed per
-  * level to truncate lineage (an unbounded iterative plan otherwise
-  * re-executes from the scan each level); the policy is
+  * Scale posture: each level's NEW frontier frame is stage-checkpointed
+  * to truncate lineage (an unbounded iterative plan otherwise re-executes
+  * from the scan each level); visited sets are unions of those
+  * checkpointed level frames and are not re-checkpointed per level
+  * (shallow lineage — the union scans checkpoints); the policy is
   * [[graft.core.Lifecycle]]'s `graft.lifecycle.checkpoint` switch
   * (local | reliable | off — reliable for dynamic-allocation clusters).
   * The edge side is scanned with the type filter pushed down; the
@@ -55,16 +56,16 @@ object ShortestPath {
 
     if (from.key == to.key) return Some(Seq(from.key))
 
-    // Skip the projection cache when the graph's edge store is already
-    // cached (e.g. the Testbed overlay) — re-materializing 2M rows per call
-    // costs more than scanning the existing cache each level.
-    val alreadyCached = g.edges.storageLevel != StorageLevel.NONE
-    val projected = g.edges.filter(DocGraph.typeFilter(types))
-      .select(col("_from"), col("_to"))
-    val edges =
-      if (alreadyCached) projected
-      else projected.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    // The type/direction-filtered NARROW (_from, _to) projection is
+    // identical for every level — staged ONCE per call (the expand/q75
+    // discipline, r21), so each level joins a two-column checkpoint scan
+    // instead of re-filtering the full edge frame (payload columns
+    // included) per level. Checkpoint blocks are freed by the
+    // ContextCleaner when the result goes unreferenced.
+    val edges = graft.core.Lifecycle.stage(
+      g.edges.filter(DocGraph.typeFilter(types))
+        .select(col("_from"), col("_to")))
+    locally {
       // forward rows: path = source..key (ends at key);
       // backward rows: path = key..target (starts at key)
       var frontF = Seq((from.key, Seq(from.key)))
@@ -124,17 +125,21 @@ object ShortestPath {
         val n = row.getLong(0)
         if (!row.isNullAt(1)) found = Some(row.getStruct(1).getSeq[String](1))
         else if (forward) {
-          visF = visF.unionByName(next).transform(graft.core.Lifecycle.stage(_))
+          // union of already-checkpointed level frames — shallow lineage,
+          // so re-checkpointing the whole visited set per level wrote
+          // O(V·levels) for nothing (the r21 expand/landmark lesson,
+          // applied to BFS in r22)
+          visF = visF.unionByName(next)
           frontF = next
           nF = n
         } else {
-          visB = visB.unionByName(next).transform(graft.core.Lifecycle.stage(_))
+          visB = visB.unionByName(next)
           frontB = next
           nB = n
         }
       }
       found
-    } finally if (!alreadyCached) edges.unpersist()
+    }
   }
 
   /** Set-oriented G16: shortest paths for a whole FRAME of (src, dst)
@@ -163,13 +168,11 @@ object ShortestPath {
     * the in-flight state only ever shrinks. */
   def findPaths(g: DocGraph, pairs: DataFrame, types: Seq[String] = Nil,
       maxDepth: Int = 15): DataFrame = {
-    val alreadyCached = g.edges.storageLevel != StorageLevel.NONE
-    val projected = g.edges.filter(DocGraph.typeFilter(types))
-      .select(col("_from"), col("_to"))
-    val edges =
-      if (alreadyCached) projected
-      else projected.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    // narrow edge projection staged once per call — see findPath
+    val edges = graft.core.Lifecycle.stage(
+      g.edges.filter(DocGraph.typeFilter(types))
+        .select(col("_from"), col("_to")))
+    locally {
       val p = pairs
         .select(col("src").cast(StringType), col("dst").cast(StringType))
         .distinct().transform(graft.core.Lifecycle.stage(_, eager = true)) // eager: seeds four frames below
@@ -225,31 +228,38 @@ object ShortestPath {
         // and, through it, `next`'s checkpoint)
         val nDone = finished.count()
         val done = finished.select(col("src"), col("dst"))
+        // Pruning is a broadcast anti-join against the (tiny, already
+        // materialized) done set — SHALLOW lineage over checkpointed
+        // parents, so neither the pruned frames nor the per-level visited
+        // unions are re-checkpointed (r21 wrote ~5 localCheckpoints per
+        // level here: the whole visited set plus three frames that were
+        // identity on every non-meet level — O(pairs·V·levels) checkpoint
+        // bytes for nothing; meet levels are rare and their anti-join
+        // layers stack at most maxDepth deep over checkpoint scans).
         def prune(df: DataFrame): DataFrame =
           if (nDone == 0) df
-          // `done` is bounded by the pair count and already materialized
           else df.join(broadcast(done), Seq("src", "dst"), "left_anti")
         if (nDone > 0)
-          found = found.unionByName(finished).transform(graft.core.Lifecycle.stage(_))
-        val nextLive = prune(next).transform(graft.core.Lifecycle.stage(_))
+          found = found.unionByName(finished)
+        val nextLive = prune(next)
         if (forward) {
-          visF = prune(visF).unionByName(nextLive).transform(graft.core.Lifecycle.stage(_))
-          visB = prune(visB).transform(graft.core.Lifecycle.stage(_))
-          frontB = prune(frontB).transform(graft.core.Lifecycle.stage(_))
+          visF = prune(visF).unionByName(nextLive)
+          visB = prune(visB)
+          frontB = prune(frontB)
           frontF = nextLive
           nF = frontF.count() // action 2 (materializes the new frontier)
           if (nDone > 0) nB = frontB.count() // action 3, meet levels only
         } else {
-          visB = prune(visB).unionByName(nextLive).transform(graft.core.Lifecycle.stage(_))
-          visF = prune(visF).transform(graft.core.Lifecycle.stage(_))
-          frontF = prune(frontF).transform(graft.core.Lifecycle.stage(_))
+          visB = prune(visB).unionByName(nextLive)
+          visF = prune(visF)
+          frontF = prune(frontF)
           frontB = nextLive
           nB = frontB.count()
           if (nDone > 0) nF = frontF.count()
         }
       }
       found.select(col("src"), col("dst"), col("path"))
-    } finally if (!alreadyCached) edges.unpersist()
+    }
   }
 
   /** G16 + J3 end-to-end: shortest path hydrated to documents, with the

@@ -193,16 +193,21 @@ object Corpus {
     * (computed on the DEDUPED corpus, so boilerplate dups don't drag the
     * threshold), then a deterministic `k`-per-stratum sample preferring
     * longer documents. Every stage is one of the library ops above —
-    * still fully declarative, so Catalyst fuses the stages (one scan
-    * feeds dedup and scoring; pruning/pushdown cross stage boundaries). */
+    * declarative up to the quantile gate, which consumes its input TWICE
+    * (the quantile aggregate + the filter probe) — `scored` is therefore
+    * staged, so the dedup + scoring chain executes once instead of once
+    * per consumption (the q208 pretrain-chain fix, r21 VERDICT item 9:
+    * the un-staged form duplicated the whole upstream subtree in the
+    * physical plan). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       strataCol: String, quantile: Double, k: Int): DataFrame = {
     val keepIds = Dedup.exact(docs, Seq(textCol), idCol)
       .select(col("keep_id"))
     val survivors = docs.join(keepIds,
       docs(idCol) === keepIds("keep_id"), "left_semi")
-    val scored = survivors.select(col(idCol), col(strataCol),
-      TextOps.tokenCount(col(textCol)).as("n_tokens"))
+    val scored = graft.core.Lifecycle.stage(
+      survivors.select(col(idCol), col(strataCol),
+        TextOps.tokenCount(col(textCol)).as("n_tokens")))
     val gated = aboveQuantile(scored, col("n_tokens"), quantile)
     stratifiedTopK(gated, Seq(col(strataCol)),
       Seq(col("n_tokens").desc, col(idCol)), k)

@@ -228,12 +228,29 @@ object Dedup {
           .partitionBy(col("band"), col("bhash"))))
       .filter(col("bucket_n") <= maxNewBucket)
       .select(col("band"), col("bhash"), col("id_b"))
-    val candidates = band(c, "a")
-      .join(hint(nBanded), Seq("band", "bhash"))
-      .select(col("id_a"), col("id_b"))
-      .distinct() // a pair may collide in several bands; verify once
-    candidates
-      .join(c, Seq("id_a"))
+    // Staged: the scalar candidate set feeds its own count gate below AND
+    // the verify joins — the count doubles as the materialization (the
+    // crossContainmentPairs discipline), so the banding pass runs once.
+    val candidates = graft.core.Lifecycle.stage(
+      band(c, "a")
+        .join(hint(nBanded), Seq("band", "bhash"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()) // a pair may collide in several bands; verify once
+    // Verify STREAMS the staged corpus prep past the broadcast candidate
+    // set (own count gate — candidates are corpus-fan-bounded, not batch-
+    // bounded) instead of joining the corpus ONTO the candidate stream:
+    // (a) the corpus's hash arrays are never shuffled by the join (guide
+    // §3.1 — the candidates side is the small one), and (b) the CPU-dense
+    // sorted-intersect verify runs at the staged corpus's full
+    // parallelism instead of the candidate exchange's AQE-coalesced
+    // partition count (r21 measured the verify on 2 of 32 tasks: 232k
+    // pairs compress to ~2.7 MB, under AQE's 1 MB/partition floor — the
+    // stage-local fix that replaces r21's session-wide floor override).
+    // Past the gate the joins fall back to unhinted shuffles — the
+    // pre-r22 shape.
+    val hintC = OpsUtil.gatedHint("crossCandidatePairs", "candidates",
+      candidates, maxBroadcastRows)
+    c.join(hintC(candidates), Seq("id_a"))
       .join(hint(n), Seq("id_b"))
       .withColumn("_inter",
         call_function("sorted_intersect_count", col("_hs_a"), col("_hs_b")))

@@ -76,37 +76,45 @@ private[graft] object OpsUtil {
     * Only triggers when the input is NARROWER than the session parallelism
     * — exactly the case where the repartition shuffle is trivially cheap. A
     * 100 TB input already has thousands of partitions and passes through
-    * untouched. A plan that already contains a shuffle passes through too:
-    * its output is spread across the session's shuffle partitions (AQE
-    * coalesces to sane sizes), and probing `.rdd` on such a plan would
-    * EXECUTE the upstream stages just to read a partition count — paying
-    * the heaviest stage twice. The narrow-scan case probes `.rdd` safely
-    * (no stages to run, lineage only). */
+    * untouched. A plan whose rows are already spread by a shuffle passes
+    * through too — its output lands on the session's shuffle partitions
+    * (AQE coalesces to sane sizes). Spread-detection inspects the
+    * STATICALLY planned tree (sparkPlan, pre-AQE — nothing runs): explicit
+    * repartitions appear there as ShuffleExchangeLike nodes, but
+    * EnsureRequirements-inserted exchanges (sort-merge/shuffled-hash
+    * joins, final aggregates, windows, global sorts) do NOT on this Spark
+    * — they are added later, in executedPlan — so any operator that
+    * REQUIRES a clustered/ordered child distribution is treated as spread
+    * (r22, closing the r21 gap where an already-shuffled frame whose leaf
+    * scans were narrow got a redundant full repartition). For
+    * genuinely exchange-free plans the output partition count derives
+    * from planning alone: leaves know their split counts, broadcast joins
+    * pass through their streamed side, unions sum. */
   def widen(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.{
       BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      BroadcastDistribution, UnspecifiedDistribution}
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // Physical-plan check on the STATICALLY planned tree (sparkPlan — the
-    // pre-AQE plan, so inspecting it runs nothing): a ShuffleExchange
-    // upstream means the rows are already spread over the session's
-    // shuffle partitions. The r20 logical-plan heuristic refused on ANY
-    // Join/Aggregate — but broadcast joins do NOT spread their stream
-    // side, so a CPU-heavy kernel over "small scan ⋈ broadcast …" chains
-    // (decontaminate over dedup survivors, spans over candidate docs)
-    // serialized on the scan's single split (measured r21: the q194
-    // winnow stage was ONE 4.2 s task on a 32-core session).
-    // For exchange-free plans the output partition count is derivable
-    // without running anything: leaves know their partition count from
-    // planning (file splits / RDD partitions); broadcast joins pass
-    // through their streamed side; unions sum.
+    // an operator that demands a non-trivial child distribution gets an
+    // exchange from EnsureRequirements at execution — its output is
+    // spread over shuffle partitions even though sparkPlan shows no
+    // Exchange node yet
+    def demandsShuffle(plan: SparkPlan): Boolean =
+      plan.requiredChildDistribution.exists {
+        case UnspecifiedDistribution => false
+        case _: BroadcastDistribution => false
+        case _ => true
+      }
     def outParts(plan: SparkPlan): Int = plan match {
       case j: BroadcastHashJoinExec =>
         outParts(if (j.buildSide == BuildRight) j.left else j.right)
       case j: BroadcastNestedLoopJoinExec =>
         outParts(if (j.buildSide == BuildRight) j.left else j.right)
+      case o if demandsShuffle(o) => Int.MaxValue // spread at execution
       case u: UnionExec => u.children.map(outParts).sum
       case c: CoalesceExec => // the one narrow node that SHRINKS counts
         math.min(outParts(c.child), math.max(c.numPartitions, 1))

@@ -223,8 +223,21 @@ object SignatureStore {
       .distinct() // a pair may collide in several bands; verify once
     // Verification: candidates are batch-bounded (≤ bands × maxNewBucket
     // × batch rows), so they ride the same broadcast gate — the stored
-    // sigs scan stays shuffle-free and reads only (id, hs).
-    sigs(spark, path).select(col("id").as("id_a"), col("hs").as("_hs_a"))
+    // sigs scan stays shuffle-free and reads only (id, hs). The scan is
+    // WIDENED before the candidate fan-out: a small store arrives in a
+    // handful of parquet splits (file count tracks the write-time AQE
+    // coalesce, not the probe's CPU) and would run the fan-out probe AND
+    // the CPU-dense sorted-intersect on those few cores — no exchange
+    // exists in this broadcast chain for AQE to re-spread. Widening
+    // BEFORE the join matters: each hs array then crosses the repartition
+    // exactly once (the candidate join duplicates every matched array
+    // ~bands× — measured r22: widening after the join shuffled 105 MB of
+    // arrays from 2 map tasks where the pre-join table is ~15 MB). At
+    // production store sizes the scan has ≥ parallelism splits and widen
+    // is a no-op (the stage-local replacement for r21's session-wide AQE
+    // floor override).
+    OpsUtil.widen(
+        sigs(spark, path).select(col("id").as("id_a"), col("hs").as("_hs_a")))
       .join(hint(candidates), Seq("id_a"))
       .join(hint(n), Seq("id_b"))
       .withColumn("_inter", call_function("sorted_intersect_count",

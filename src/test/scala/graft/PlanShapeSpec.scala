@@ -178,11 +178,19 @@ class PlanShapeSpec extends org.scalatest.funsuite.AnyFunSuite {
     // the new-batch side is the broadcast side of BOTH the banding join
     // and the verification join — the corpus side never shuffles to meet it
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
-    // exactly one Window (the new-side bucket cap): the corpus side must
-    // NOT pay a bucket-size window — that would shuffle the 100 TB side
-    // just to count
+    // ZERO Windows in the final plan: the one legitimate window (the
+    // new-side bucket cap) lives in the STAGED candidate chain since r22
+    // (materialized once by the candidate gate count, so the final plan
+    // reads its checkpoint), and the corpus side must never pay a
+    // bucket-size window — that would shuffle the 100 TB side just to
+    // count
     val windows = plan.linesIterator.count(_.contains("+- Window ["))
-    assert(windows == 1, s"expected 1 window (new-side cap), got $windows")
+    assert(windows == 0, s"expected 0 windows (new-side cap is in the " +
+      s"staged candidate chain since r22), got $windows")
+    // the verify streams the corpus prep past BROADCAST candidates — no
+    // shuffle exchange anywhere in the final verify plan (the top sort's
+    // exchange aside)
+    assert(plan.contains("Scan ExistingRDD"), plan.take(3000))
   }
 
   test("q07 anchored count: one pruning action at construction, bounded " +

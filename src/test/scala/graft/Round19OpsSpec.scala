@@ -88,20 +88,40 @@ class Round19OpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     // table aggregation plus the result build are the only actions.
     // Asserted with a listener job counter (r20 advice: the comment used
     // to CLAIM this check without implementing it).
+    // Count ONLY this test's jobs: the listener tags by job group (set
+    // just below), so unrelated activity on the shared session — AQE
+    // re-optimization jobs, broadcast builds, parallel suites — cannot
+    // inflate the count (r21 advice: the ungated counter was flaky by
+    // construction); the async listener bus is drained by polling the
+    // counter to stability (waitUntilEmpty is private[spark]).
+    val group = "r19-bpe-train-jobcount"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        if (s.properties != null &&
+            group == s.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     val n =
       try {
-        val c = Corpus.bpeMergesLocal(df, "doc_id", "text", rounds = 4000)
-          .count()
-        Thread.sleep(500) // listener bus is async; let job events drain
+        spark.sparkContext.setJobGroup(group, "bpeMergesLocal job count")
+        val c =
+          try Corpus.bpeMergesLocal(df, "doc_id", "text", rounds = 4000)
+            .count()
+          finally spark.sparkContext.clearJobGroup()
+        // drain: poll until the tagged-job counter is stable for 200 ms
+        // (≤ 5 s total) — deterministic on a quiet bus, bounded on a
+        // stalled one
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 25) {
+          last = jobs.get(); Thread.sleep(200); spins += 1
+        }
         c
       } finally spark.sparkContext.removeSparkListener(listener)
     val sec = (System.nanoTime() - t0) / 1e9

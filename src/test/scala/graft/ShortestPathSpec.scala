@@ -354,7 +354,11 @@ class ShortestPathSpec extends AnyFunSuite {
     ShortestPath.findPath(g, alice, zoe, Seq("knows"))
     val jobs = st.getJobIdsForGroup(null).length - before
     info(s"findPath(depth 2) ran $jobs jobs")
-    assert(jobs <= 16, s"expected <= 16 jobs for a depth-2 search, got $jobs " +
+    // 17 since r22: the narrow (_from,_to) edge projection is staged once
+    // per call (one extra materialization job) in exchange for per-level
+    // scans of a two-column checkpoint instead of the full edge frame —
+    // and the per-level visited re-checkpoints are gone entirely
+    assert(jobs <= 17, s"expected <= 17 jobs for a depth-2 search, got $jobs " +
       "(r8's per-level meet collect + eager checkpoints + count measured 19)")
   }
 
