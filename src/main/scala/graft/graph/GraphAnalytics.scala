@@ -465,6 +465,8 @@ object GraphAnalytics {
       }
       Iterator.single(AdjArr(a.keys, nbrs))
     }.persist(StorageLevel.MEMORY_AND_DISK)
+    // local-mode lineage cut, as in toAdjArr
+    if (g.spark.sparkContext.isLocal) rev.localCheckpoint()
     rev.count()
     revCache.put(g, rev)
     rev
@@ -841,9 +843,18 @@ object GraphAnalytics {
   private val rddCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DocGraph, RddOverlay]())
 
-  /** Sorted-array form of a co-partitioned adjacency (doc at [[AdjArr]]). */
-  private def toAdjArr(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])]) =
-    adj.mapPartitions({ it =>
+  /** Sorted-array form of a co-partitioned adjacency (doc at [[AdjArr]]).
+    * On a LOCAL master the lineage is additionally TRUNCATED
+    * (localCheckpoint): the arr forms are the per-round hot state of every
+    * iterative kernel, and an evicted-then-recomputed partition would
+    * replay the whole upstream edge pipeline (parquet scan + hash +
+    * groupByKey) — measured r22 as a 3-4× CPU cliff on 8-core q40 reps.
+    * After truncation a partition is served from memory/disk blocks only;
+    * nothing is lost that local mode ever had (executor loss is process
+    * death — the LPA lineage discipline). Clusters keep full lineage for
+    * executor-loss recovery. */
+  private def toAdjArr(adj: org.apache.spark.rdd.RDD[(Long, Array[Long])]) = {
+    val arr = adj.mapPartitions({ it =>
       val buf = it.toArray
       scala.util.Sorting.stableSort(buf,
         (a: (Long, Array[Long]), b: (Long, Array[Long])) => a._1 < b._1)
@@ -854,6 +865,9 @@ object GraphAnalytics {
       Iterator.single(AdjArr(keys, nbrs))
     }, preservesPartitioning = false)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (arr.sparkContext.isLocal) arr.localCheckpoint()
+    arr
+  }
 
   /** Overlay partition count GROWS WITH THE GRAPH (SCALE-100X.md item 1's
     * executor-sizing rule, made mechanical): `max(defaultParallelism,
@@ -917,6 +931,9 @@ object GraphAnalytics {
       }
       Iterator.single(AdjArr(keys, nbrs))
     }.persist(StorageLevel.MEMORY_AND_DISK)
+    // local-mode lineage cut, as in toAdjArr: a recomputed vertIdx
+    // partition would replay the node dedup + edge groupByKey
+    if (g.spark.sparkContext.isLocal) vertIdx.localCheckpoint()
     val symArr = toAdjArr(symAdj)
     val built = RddOverlay(p, verts, links, symAdj, vertIdx, symArr,
       verts.count())

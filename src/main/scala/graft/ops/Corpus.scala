@@ -1475,13 +1475,22 @@ object Corpus {
       nShards: Int): DataFrame = {
     require(seqLen >= 1, s"seqLen must be positive, got $seqLen")
     require(nShards >= 1, s"nShards must be positive, got $nShards")
-    val toks = bpeEncode(docs, idCol, textCol, merges, vocab)
-      .select(col(idCol).cast("long").as("_doc"), col("pos"),
-        col("token_id"))
+    // `_doc` is an ALIAS of the id column, not a cast, so every doc-keyed
+    // step below clusters on the same attribute bpeEncode's position
+    // window partitioned by; the long cast happens only where the VALUE
+    // is needed (the shard assignment), never on a join/group key.
+    // STAGED: `toks` feeds the per-doc start aggregation AND the
+    // placement join — un-staged, the whole encode chain (the per-word
+    // BPE segmentation CPU plus its windows) appeared TWICE in the
+    // physical plan, once per consumer (r22 plan audit; the q208
+    // aboveQuantile double-compute class).
+    val toks = graft.core.Lifecycle.stage(
+      bpeEncode(docs, idCol, textCol, merges, vocab)
+        .select(col(idCol).as("_doc"), col("pos"), col("token_id")))
     // per-doc start offset within its shard's concatenated stream: one
     // window over the DOC-count-sized table (the packSequences shuffle)
     val starts = toks.groupBy(col("_doc")).agg(count(lit(1)).as("_n"))
-      .withColumn("shard", pmod(col("_doc"), lit(nShards.toLong)))
+      .withColumn("shard", pmod(col("_doc").cast("long"), lit(nShards.toLong)))
       .withColumn("_start", sum(col("_n")).over(
         Window.partitionBy(col("shard")).orderBy(col("_doc"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -203,7 +203,15 @@ object IvfIndex {
       identity: Option[Identity]): Unit = {
     val spark = ix.cells.sparkSession
     val version = s"v-${java.util.UUID.randomUUID()}"
-    ix.cells.write.mode(SaveMode.Overwrite)
+    // REBALANCE by cell before the partitionBy write (guide §6): without
+    // it every input partition writes one file per distinct cell it holds
+    // — up to partitions × k tiny files per save (measured r22: 112 files
+    // for a ~200-row index, and the per-file commit overhead dominated
+    // the q77 maintenance cycle). The AQE rebalance packs each cell's
+    // rows into size-targeted partitions, so small stores write ~one file
+    // per cell and 100 TB stores write advisory-sized files; without AQE
+    // the hint is a no-op and the write behaves as before.
+    ix.cells.hint("rebalance", col("cell")).write.mode(SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$dir/$version/cells")
     centroidFrame(spark, ix.centroids)
       .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -415,8 +423,11 @@ object IvfIndex {
         f"(batch mean dist² $batchMean%.4f vs baseline ${m.meanDist}%.4f) " +
         s"exceeds $retrainAbove — retraining is warranted")
     // land the batch fully in its own directory, THEN swap meta to list it
+    // (rebalanced by cell before the write — file-count discipline, see
+    // saveAs)
     val batchDir = s"cells-${java.util.UUID.randomUUID()}"
-    assigned.drop("_d2").write.mode(SaveMode.Overwrite)
+    assigned.drop("_d2").hint("rebalance", col("cell"))
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$dir/${m.version}/$batchDir")
     val newBaseline =
       if (m.meanDist > 1e-12 && m.nRows + nBatch > 0)
