@@ -196,6 +196,11 @@ object Bench {
       // materialization) so per-query numbers measure query work and the
       // per-query cache cleanup below treats both as part of the baseline.
       graft.graph.GraphAnalytics.rddOverlay(g) // native CC/PageRank overlay
+      // HITS's reverse adjacency rides the same baseline: built lazily by
+      // q158's first rep it would be swept by the per-rep cleanup below —
+      // and its lineage is truncated in local mode (r22), so the sweep
+      // would leave q158's later reps a checkpoint with no blocks
+      graft.graph.GraphAnalytics.warmReverseOverlay(g)
       graft.ops.IvfIndex.buildCached(g.collection("embeddings"),
         "vec_id", "embedding", key = sfDir, k = 16)
       // q69's batched-kNN index is over the SLICED corpus (a different cache

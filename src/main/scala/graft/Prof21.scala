@@ -64,6 +64,7 @@ object Prof21 {
 
     val g = Testbed.graph(spark, sfDir)
     graft.graph.GraphAnalytics.rddOverlay(g)
+    graft.graph.GraphAnalytics.warmReverseOverlay(g) // survives cleanup()
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     def cleanup(): Unit =
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
